@@ -1,0 +1,309 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.query.Search
+import graft.types.{Filter, FilterSet, Metric}
+
+/** The operator-coverage query set: one named query per implemented operator
+  * (SURVEY.md §2), each with an equivalent DuckDB oracle in
+  * [[Queries.oracle]]. Column names and row ordering are deterministic and
+  * identical on both sides (ties broken by id); floating outputs are
+  * computed double-precision left-to-right on both sides and rounded to 6
+  * decimals so the driver's hash compare is stable.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** 1-row frame holding the embedding of `vec_id = qid` as column qv. */
+  private def queryVec(emb: DataFrame, qid: Long): DataFrame =
+    emb.where(col("vec_id") === qid).select(col("embedding").as("qv"))
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  // ---------------------------------------------------------------------
+  // k-NN search family (vecgo R1/R3/R5/R6/R7/R8)
+  // ---------------------------------------------------------------------
+
+  /** R1: exact top-10 by Euclidean distance, query = embedding of vec_id 0. */
+  def knnL2(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb
+      .crossJoin(broadcast(queryVec(emb, 0)))
+      .withColumn("score", vec_l2(col("embedding"), col("qv")))
+      .orderBy(col("score").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), r6(col("score")).as("score"))
+  }
+
+  /** R1 (Cosine): top-10 by cosine similarity, query = vec_id 1. */
+  def knnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb
+      .crossJoin(broadcast(queryVec(emb, 1)))
+      .withColumn("score", vec_cos(col("embedding"), col("qv")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), r6(col("score")).as("score"))
+  }
+
+  /** R1 (Dot): top-10 by inner product, query = vec_id 2. */
+  def knnDot(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb
+      .crossJoin(broadcast(queryVec(emb, 2)))
+      .withColumn("score", vec_dot(col("embedding"), col("qv")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), r6(col("score")).as("score"))
+  }
+
+  /** R3: filtered k-NN — pre-filter `label IN (1,3,5)` then top-10 L2. */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb
+      .where(FilterSet.of(Filter.In("label", Seq(1, 3, 5))).toColumn)
+      .crossJoin(broadcast(queryVec(emb, 3)))
+      .withColumn("score", vec_l2(col("embedding"), col("qv")))
+      .orderBy(col("score").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("label"), r6(col("score")).as("score"))
+  }
+
+  /** R5: threshold (range) search — all within Euclidean distance 1.2 of
+    * vec_id 4's embedding, capped at 100, best-first.
+    */
+  def searchThreshold(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb
+      .crossJoin(broadcast(queryVec(emb, 4)))
+      .withColumn("score", vec_l2(col("embedding"), col("qv")))
+      .where(col("score") <= 1.2)
+      .orderBy(col("score").asc, col("vec_id").asc)
+      .limit(100)
+      .select(col("vec_id"), r6(col("score")).as("score"))
+  }
+
+  /** R6: batch search — 8 queries (vec_id < 8), top-5 each, via broadcast
+    * cross-score + per-query window rank.
+    */
+  def batchSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb
+      .where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Search
+      .batchSearch(emb, "embedding", "vec_id", queries, "query_id", "qv",
+        k = 5, metric = Metric.L2)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        r6(sqrt(col("score"))).as("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** R7: point lookup by primary key. */
+  def pointGet(s: SparkSession, dir: String): DataFrame =
+    Search
+      .get(t(s, dir, "embeddings"), "vec_id", 123L)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"))
+
+  /** R8: filtered scan with projection (predicate pushed to Parquet). */
+  def scanFilter(s: SparkSession, dir: String): DataFrame =
+    Search
+      .scan(t(s, dir, "embeddings"),
+        FilterSet.of(Filter.Eq("label", 7)), Seq("vec_id", "label"))
+      .orderBy(col("vec_id").asc)
+
+  /** R4: the full filter-operator matrix (eq/ne/gt/gte/lt/lte/in/contains)
+    * as one conjunctive scan over `part` — `contains` is substring
+    * containment per vecgo `metadata/filter.go:196-201` ('OM' hits both
+    * ECONOMY and PROMO).
+    */
+  def filterOps(s: SparkSession, dir: String): DataFrame =
+    Search
+      .scan(t(s, dir, "part"),
+        FilterSet.of(
+          Filter.Contains("p_type", "OM"),
+          Filter.Gte("p_size", 10),
+          Filter.Lt("p_size", 45),
+          Filter.Gt("p_retailprice", 100.0),
+          Filter.Lte("p_retailprice", 1900.0),
+          Filter.Ne("p_brand", "Brand#13"),
+          Filter.In("p_brand", Seq("Brand#1", "Brand#2", "Brand#9",
+            "Brand#13", "Brand#20", "Brand#22"))),
+        Seq("p_partkey", "p_brand", "p_type", "p_size"))
+      .orderBy(col("p_partkey").asc)
+
+  // ---------------------------------------------------------------------
+  // Relational surface (Spark-native analytics over the same tables)
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary. Double sums are made engine-exact by
+    * casting each term to DECIMAL before SUM (both Spark and DuckDB sum
+    * decimals exactly), then casting the final value back to DOUBLE.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    li.where(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(28,10)")).cast("double").as("sum_base_price"),
+        sum(disc.cast("decimal(28,10)")).cast("double").as("sum_disc_price"),
+        sum(charge.cast("decimal(28,10)")).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+
+  /** Broadcast join + aggregation: revenue count per market segment. */
+  def joinAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(28,10)")).cast("double")
+          .as("total_price"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
+  /** Window top-N: 3 most expensive orders per order status. */
+  def topnWindow(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val w = Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("o_orderstatus"), col("rank"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderstatus").asc, col("rank").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // SparkEntry wiring
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_l2" -> (knnL2 _),
+    "knn_cosine" -> (knnCosine _),
+    "knn_dot" -> (knnDot _),
+    "knn_filtered" -> (knnFiltered _),
+    "search_threshold" -> (searchThreshold _),
+    "batch_search" -> (batchSearch _),
+    "point_get" -> (pointGet _),
+    "scan_filter" -> (scanFilter _),
+    "filter_ops" -> (filterOps _),
+    "q1_agg" -> (q1Agg _),
+    "join_agg" -> (joinAgg _),
+    "topn_window" -> (topnWindow _)
+  )
+
+  /** DuckDB-runnable oracles, same column names + ordering as the Spark
+    * side. Distances are computed double-precision left-to-right (DuckDB
+    * list kernels over DOUBLE[] casts ≡ our kernels' accumulation order).
+    */
+  val oracle: Map[String, String] = Map(
+    "knn_l2" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id,
+        |       round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) ASC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "knn_cosine" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+        |s AS (SELECT e.vec_id,
+        |             list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |             (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |              sqrt(list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS score
+        |      FROM embeddings e, q)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_dot" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
+        |s AS (SELECT e.vec_id,
+        |             list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_filtered" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+        |s AS (SELECT e.vec_id, e.label,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q WHERE e.label IN (1, 3, 5))
+        |SELECT vec_id, label, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "search_threshold" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s WHERE score <= 1.2
+        |ORDER BY score ASC, vec_id ASC LIMIT 100""".stripMargin,
+    "batch_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score,
+        |             row_number() OVER (PARTITION BY q.query_id
+        |               ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) ASC,
+        |                        e.vec_id ASC) AS rank
+        |      FROM embeddings e, q)
+        |SELECT query_id, vec_id, rank, round(score, 6) AS score
+        |FROM s WHERE rank <= 5
+        |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "point_get" ->
+      """SELECT vec_id, label, len(embedding)::BIGINT AS dim
+        |FROM embeddings WHERE vec_id = 123""".stripMargin,
+    "scan_filter" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE label = 7 ORDER BY vec_id ASC""".stripMargin,
+    "filter_ops" ->
+      """SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |WHERE p_type LIKE '%OM%'
+        |  AND p_size >= 10 AND p_size < 45
+        |  AND p_retailprice > 100.0 AND p_retailprice <= 1900.0
+        |  AND p_brand <> 'Brand#13'
+        |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#9', 'Brand#13',
+        |                  'Brand#20', 'Brand#22')
+        |ORDER BY p_partkey ASC""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin,
+    "join_agg" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC""".stripMargin,
+    "topn_window" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders)
+        |SELECT o_orderstatus, rank, o_orderkey, o_totalprice
+        |FROM r WHERE rank <= 3
+        |ORDER BY o_orderstatus ASC, rank ASC""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Tight scalar kernels over Catalyst [[ArrayData]] (no boxing, no array
+  * copy). Called both from interpreted `nullSafeEval` and from generated
+  * code (whole-stage codegen emits static calls to these forwarders).
+  *
+  * Accumulation is double-precision, strictly left-to-right, so results are
+  * bit-deterministic and match a sequential-loop oracle (DuckDB
+  * `list_inner_product`/`list_distance` over DOUBLE casts).
+  *
+  * Reference semantics: vecgo `distance/distance.go` (L2 = squared L2;
+  * Cosine = similarity on normalized inputs; Dot = raw inner product;
+  * Hamming = popcount over binary codes).
+  */
+object DistanceKernels {
+
+  @inline private def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${n} vs ${b.numElements()}")
+    n
+  }
+
+  /** Squared Euclidean distance. */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = checkDims(a, b)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Inner product. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = checkDims(a, b)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Cosine similarity: dot / (||a|| * ||b||); 0.0 if either norm is 0. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = checkDims(a, b)
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else d / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+
+  /** L2 norm of a single vector. */
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      s += x * x
+      i += 1
+    }
+    java.lang.Math.sqrt(s)
+  }
+
+  /** Hamming distance over packed binary codes (array<long> words). */
+  def hammingLong(a: ArrayData, b: ArrayData): Long = {
+    val n = checkDims(a, b)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    s
+  }
+}

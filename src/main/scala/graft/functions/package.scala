@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.functions._
+
+/** Column-level entry points for the native vector expressions, plus SQL
+  * registration so `spark.sql("... vec_l2sq(a, b) ...")` works too.
+  */
+package object functions {
+
+  private def expr(c: Column) = ColumnBridge.expression(c)
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+
+  /** Squared L2 distance (ascending = closer), double. */
+  def vec_l2sq(a: Column, b: Column): Column = asCol(VecL2Sq(expr(a), expr(b)))
+
+  /** Euclidean (root) L2 distance, double. */
+  def vec_l2(a: Column, b: Column): Column = sqrt(vec_l2sq(a, b))
+
+  /** Inner product (descending = closer), double. */
+  def vec_dot(a: Column, b: Column): Column = asCol(VecDot(expr(a), expr(b)))
+
+  /** Cosine similarity (descending = closer), double. */
+  def vec_cos(a: Column, b: Column): Column = asCol(VecCosine(expr(a), expr(b)))
+
+  /** L2 norm of a vector, double. */
+  def vec_norm(a: Column): Column = asCol(VecNorm(expr(a)))
+
+  /** Hamming distance over packed array<long> binary codes. */
+  def vec_hamming(a: Column, b: Column): Column = asCol(VecHamming(expr(a), expr(b)))
+
+  /** L2-normalize an array<float> vector (write-time Cosine normalization,
+    * mirroring vecgo `hnsw.go:799+` prepareVector).
+    */
+  def vec_normalize(a: Column): Column = {
+    val n = vec_norm(a)
+    transform(a, x => (x / n).cast("float"))
+  }
+
+  /** Register all vector functions for SQL use in this session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def add(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    add("vec_l2sq", es => VecL2Sq(es(0), es(1)))
+    add("vec_dot", es => VecDot(es(0), es(1)))
+    add("vec_cos", es => VecCosine(es(0), es(1)))
+    add("vec_norm", es => VecNorm(es(0)))
+    add("vec_hamming", es => VecHamming(es(0), es(1)))
+  }
+}

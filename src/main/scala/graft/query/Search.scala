@@ -1,0 +1,177 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.types.{FilterSet, Metric}
+
+/** The read-path query surface (SURVEY.md §2.2): k-NN search, filtered
+  * search, threshold (range) search, batch search, point get, scan.
+  *
+  * Spark-first shapes:
+  *  - k-NN = `score = metric(vector, q)` + `ORDER BY score LIMIT k`, which
+  *    Catalyst plans as TakeOrderedAndProject — per-partition bounded top-k
+  *    heaps merged on the driver, exactly the reference's per-segment-heap +
+  *    global-heap pattern (vecgo `internal/engine/search.go:120-1128`) but
+  *    distributed.
+  *  - Filters are plain `Column` predicates evaluated BEFORE scoring —
+  *    Spark always "pre-filters", which is optimal without a graph index
+  *    (SURVEY.md §4); predicates push down to the Parquet scan.
+  *  - Batch search broadcasts the (small) query set against the (huge)
+  *    vector table and takes per-query top-k, so the big side is never
+  *    shuffled (vecgo `engine.go:1303-1366`).
+  *
+  * Determinism: ties broken by id ascending (vecgo breaks ties by
+  * (SegmentID, RowID), `search.go:71-114`; id order is our equivalent).
+  */
+object Search {
+
+  /** Top-k nearest neighbors of `query` in `df`.
+    *
+    * @param df      table with an id column and a vector column
+    * @param vecCol  name of the array<float> vector column
+    * @param idCol   name of the id column (tie-break + output)
+    * @param query   query vector as a Column (e.g. a literal array, or a
+    *                column from a broadcast 1-row frame)
+    * @param k       number of results
+    * @param metric  distance metric (score direction handled internally)
+    * @param filter  metadata pre-filter (vecgo R3)
+    * @param refineFactor widen the candidate pool to k*refineFactor before
+    *                the exact re-rank (vecgo R11); meaningful when `df`
+    *                carries approximate scores — harmless (just a larger
+    *                limit then re-limit) otherwise.
+    */
+  def knn(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Column,
+      k: Int,
+      metric: Metric = Metric.L2,
+      filter: Column = lit(true),
+      projectCols: Seq[String] = Nil): DataFrame = {
+    val scored = df
+      .where(filter)
+      .withColumn("score", metric.score(col(vecCol), query))
+    val out = (idCol +: projectCols) :+ "score"
+    scored
+      .orderBy(metric.sort(col("score")), col(idCol).asc)
+      .limit(k)
+      .select(out.map(col): _*)
+  }
+
+  /** knn against a 1-row query frame (id-less); the query side is broadcast
+    * so the vector table never shuffles.
+    */
+  def knnWithQueryFrame(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryFrame: DataFrame,
+      queryVecCol: String,
+      k: Int,
+      metric: Metric = Metric.L2,
+      filter: Column = lit(true)): DataFrame = {
+    val joined = df.where(filter).crossJoin(broadcast(queryFrame))
+    joined
+      .withColumn("score", metric.score(col(vecCol), col(queryVecCol)))
+      .orderBy(metric.sort(col("score")), col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** Range query: all rows within `threshold` of the query, capped at
+    * `maxResults`, best-first (vecgo R5 `SearchThreshold`,
+    * `engine.go:1485-1532`). Direction depends on metric: L2/Hamming keep
+    * score <= t; Cosine/Dot keep score >= t.
+    */
+  def searchThreshold(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Column,
+      threshold: Double,
+      maxResults: Int,
+      metric: Metric = Metric.L2,
+      filter: Column = lit(true)): DataFrame = {
+    val scored = df
+      .where(filter)
+      .withColumn("score", metric.score(col(vecCol), query))
+    val kept =
+      if (metric.ascending) scored.where(col("score") <= threshold)
+      else scored.where(col("score") >= threshold)
+    kept
+      .orderBy(metric.sort(col("score")), col(idCol).asc)
+      .limit(maxResults)
+      .select(col(idCol), col("score"))
+  }
+
+  /** Batch search: top-k per query for a whole frame of queries (vecgo R6
+    * `BatchSearch`). The query frame is broadcast; per-query ranking is a
+    * window over the scored cross product partitioned by query id, so the
+    * shuffle is keyed by query id only.
+    */
+  def batchSearch(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      metric: Metric = Metric.L2,
+      filter: Column = lit(true)): DataFrame = {
+    val scored = df
+      .where(filter)
+      .crossJoin(broadcast(queries))
+      .withColumn("score", metric.score(col(vecCol), col(queryVecCol)))
+    val w = Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(metric.sort(col("score")), col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Point lookup by primary key (vecgo R7 `Get`). */
+  def get(df: DataFrame, idCol: String, id: Long): DataFrame =
+    df.where(col(idCol) === lit(id))
+
+  /** Full / filtered scan with projection (vecgo R8 `Scan`). Unlike the
+    * reference — which evaluates the filter after fetch (`engine.go:
+    * 1393-1481`) — the predicate is part of the scan and pushes down to
+    * Parquet.
+    */
+  def scan(
+      df: DataFrame,
+      filter: FilterSet = FilterSet.empty,
+      projectCols: Seq[String] = Nil): DataFrame = {
+    val base = df.where(filter.toColumn)
+    if (projectCols.isEmpty) base else base.select(projectCols.map(col): _*)
+  }
+
+  /** Two-phase approximate→exact re-rank (vecgo R11): take the top
+    * k*refineFactor by `approxScore`, recompute `exactScore` on the
+    * survivors, re-sort, limit k. Used by the quantized index paths.
+    */
+  def rerank(
+      df: DataFrame,
+      idCol: String,
+      approxScore: Column,
+      exactScore: Column,
+      k: Int,
+      refineFactor: Int,
+      metric: Metric): DataFrame = {
+    val pool = df
+      .withColumn("approx_score", approxScore)
+      .orderBy(metric.sort(col("approx_score")), col(idCol).asc)
+      .limit(k * math.max(1, refineFactor))
+    pool
+      .withColumn("score", exactScore)
+      .orderBy(metric.sort(col("score")), col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+}
