@@ -191,6 +191,44 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // Lexical + hybrid search (vecgo R9/R10)
+  // ---------------------------------------------------------------------
+
+  import graft.lexical.BM25
+  import graft.hybrid.RRF
+
+  private val TextQuery = "spark vector merge"
+
+  /** R10: BM25 top-10 over the documents corpus. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = BM25.build(docs, "doc_id", "text")
+    BM25.search(idx, TextQuery, 10)
+      .select(col("id").as("doc_id"), r6(col("score")).as("score"))
+  }
+
+  /** R9: hybrid search — RRF fusion of vector top-50 (query = vec_id 5's
+    * embedding, doc_id ≡ vec_id) and BM25 top-50, k = 10, rrfK = 60.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents")
+    val m = RRF.poolSize(10)
+    val vpool = emb
+      .crossJoin(broadcast(queryVec(emb, 5)))
+      .select(col("vec_id").as("id"),
+        vec_l2(col("embedding"), col("qv")).as("score"))
+      .orderBy(round(col("score"), 6).asc, col("id").asc)
+      .limit(m)
+    val vranks = RRF.ranked(vpool, "id", "score", ascending = true)
+    val idx = BM25.build(docs, "doc_id", "text")
+    val bpool = BM25.search(idx, TextQuery, m).select(col("id"), col("score"))
+    val branks = RRF.ranked(bpool, "id", "score", ascending = false)
+    RRF.fuse(vranks, branks, 10)
+      .select(col("id"), r6(col("score")).as("score"))
+  }
+
+  // ---------------------------------------------------------------------
   // SparkEntry wiring
   // ---------------------------------------------------------------------
 
@@ -206,7 +244,9 @@ object Queries {
     "filter_ops" -> (filterOps _),
     "q1_agg" -> (q1Agg _),
     "join_agg" -> (joinAgg _),
-    "topn_window" -> (topnWindow _)
+    "topn_window" -> (topnWindow _),
+    "bm25_search" -> (bm25Search _),
+    "hybrid_rrf" -> (hybridRrf _)
   )
 
   /** DuckDB-runnable oracles, same column names + ordering as the Spark
@@ -297,6 +337,66 @@ object Queries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment ASC""".stripMargin,
+    "bm25_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |post AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n, avg(dlen) AS avgdl FROM dl),
+        |qt AS (SELECT unnest(ARRAY['spark', 'vector', 'merge']) AS term),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |              (p.tf * (1.2::DOUBLE + 1)) /
+        |              (p.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * l.dlen / s.avgdl)) ) AS score
+        |  FROM post p
+        |  JOIN qt USING (term)
+        |  JOIN dfreq d USING (term)
+        |  JOIN dl l ON l.doc_id = p.doc_id, stats s
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, round(score, 6) AS score
+        |FROM scored ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |post AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n, avg(dlen) AS avgdl FROM dl),
+        |qt AS (SELECT unnest(ARRAY['spark', 'vector', 'merge']) AS term),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+        |bscore AS (
+        |  SELECT p.doc_id AS id,
+        |         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |              (p.tf * (1.2::DOUBLE + 1)) /
+        |              (p.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * l.dlen / s.avgdl)) ) AS score
+        |  FROM post p
+        |  JOIN qt USING (term)
+        |  JOIN dfreq d USING (term)
+        |  JOIN dl l ON l.doc_id = p.doc_id, stats s
+        |  GROUP BY p.doc_id),
+        |brank AS (
+        |  SELECT id, row_number() OVER (ORDER BY round(score, 6) DESC, id ASC) AS lrank
+        |  FROM bscore QUALIFY lrank <= 50),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+        |vscore AS (
+        |  SELECT e.vec_id AS id,
+        |         list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |  FROM embeddings e, q),
+        |vrank AS (
+        |  SELECT id, row_number() OVER (ORDER BY round(score, 6) ASC, id ASC) AS vrank
+        |  FROM vscore QUALIFY vrank <= 50),
+        |fused AS (
+        |  SELECT coalesce(v.id, b.id) AS id,
+        |         coalesce(1.0::DOUBLE / (60 + v.vrank), 0.0) +
+        |         coalesce(1.0::DOUBLE / (60 + b.lrank), 0.0) AS score
+        |  FROM vrank v FULL OUTER JOIN brank b ON v.id = b.id)
+        |SELECT id, round(score, 6) AS score
+        |FROM fused ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "topn_window" ->
       """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_orderstatus

@@ -1,0 +1,50 @@
+package graft.hybrid
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank-fusion hybrid search (vecgo `HybridSearch`,
+  * `internal/engine/engine.go:1538-1635`).
+  *
+  * Reference semantics: vector top-m and lexical top-m with
+  * m = max(2k, 50) (`engine.go:1545-1548`), fused by
+  * score = Σ 1/(rrfK + rank + 1) over the lists each id appears in
+  * (`engine.go:1568-1577`, rank 0-based — identical to 1/(rrfK + rn) with
+  * a 1-based row_number), sorted descending, top-k.
+  *
+  * Spark shape: two ranked DataFrames → full outer join on id →
+  * sum of coalesced rank reciprocals → order + limit. Ranks are assigned
+  * over scores rounded to 6 decimals (ties then broken by id) so rank
+  * assignment is reproducible across engines.
+  */
+object RRF {
+
+  val DefaultRrfK = 60
+
+  /** Widened per-list candidate count for a final top-k. */
+  def poolSize(k: Int): Int = math.max(2 * k, 50)
+
+  /** Assign dense 1-based ranks best-first over a scored frame. */
+  def ranked(scored: DataFrame, idCol: String, scoreCol: String,
+      ascending: Boolean): DataFrame = {
+    val s = round(col(scoreCol), 6)
+    val w = Window.orderBy(if (ascending) s.asc else s.desc, col(idCol).asc)
+    scored.select(col(idCol).as("id"),
+      row_number().over(w).as("rank"))
+  }
+
+  /** Fuse two ranked lists (columns: id, rank) by RRF. */
+  def fuse(vectorRanks: DataFrame, lexicalRanks: DataFrame, k: Int,
+      rrfK: Int = DefaultRrfK): DataFrame = {
+    def contrib(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(rrfK.toDouble) + rank), lit(0.0))
+    val v = vectorRanks.select(col("id"), col("rank").as("vrank"))
+    val l = lexicalRanks.select(col("id"), col("rank").as("lrank"))
+    v.join(l, Seq("id"), "full_outer")
+      .select(col("id"),
+        (contrib(col("vrank")) + contrib(col("lrank"))).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}
