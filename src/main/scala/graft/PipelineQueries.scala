@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Training-data-pipeline operator coverage (dedup / text analysis /
+  * similarity), oracle-checked like [[Queries]].
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  // ------------------------------------------------------- text analysis
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"))
+      .orderBy(col("doc_id").asc)
+
+  /** Language-ID + quality scoring over the documents corpus. */
+  def langQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.langId(toks).as("pred_lang"),
+        r6(TextAnalysis.markerRatio(toks, "en")).as("stop_ratio"),
+        r6(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+        r6(TextAnalysis.meanWordLen(toks)).as("mean_wlen"),
+        r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Canonical-form md5 fingerprint per document. */
+  def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id").asc)
+
+  // --------------------------------------------------------------- dedup
+
+  /** Exact dedup groups by canonical fingerprint. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("keep_id"), col("n_dups"), col("fp"))
+      .orderBy(col("keep_id").asc)
+
+  /** Exact word-3-gram Jaccard near-dup pairs (>= 0.8). */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+      .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+
+  /** MinHash+LSH near-dup pipeline, exact-Jaccard-verified candidates. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 32, rowsPerBand = 4, minJaccard = 0.8)
+      .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+
+  /** Portable 60-bit SimHash bit-string per document. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBits(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy(col("doc_id").asc)
+
+  /** Embedding cosine near-duplicate pairs (>= 0.45). */
+  def neardupCosine(s: SparkSession, dir: String): DataFrame =
+    Dedup.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+
+  // ------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> (tokenCount _),
+    "text_lang_quality" -> (langQuality _),
+    "text_fingerprint" -> (fingerprintQ _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "neardup_cosine" -> (neardupCosine _)
+  )
+
+  private val TOK =
+    """tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                                   x -> len(x) > 0) AS ts
+      |        FROM documents)""".stripMargin
+
+  private val SHD =
+    s"""$TOK,
+       |shd AS (SELECT DISTINCT doc_id AS id, s
+       |        FROM tok, unnest(list_transform(range(1, len(ts) - 1),
+       |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) u(s)
+       |        WHERE len(ts) >= 3),
+       |cnt AS (SELECT id, count(*) AS n_sh FROM shd GROUP BY 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""WITH $TOK
+         |SELECT d.doc_id, len(k.ts)::BIGINT AS ws_tokens,
+         |       len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS re_tokens
+         |FROM documents d JOIN tok k ON k.doc_id = d.doc_id
+         |ORDER BY d.doc_id ASC""".stripMargin,
+    "text_lang_quality" ->
+      s"""WITH $TOK,
+         |sc AS (SELECT doc_id, ts,
+         |  len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','ein'], x)))::DOUBLE / len(ts)::DOUBLE AS s_de,
+         |  len(list_filter(ts, x -> list_contains(['the','a','an','of','and','to','in','is'], x)))::DOUBLE / len(ts)::DOUBLE AS s_en,
+         |  len(list_filter(ts, x -> list_contains(['el','los','las','una','es','y'], x)))::DOUBLE / len(ts)::DOUBLE AS s_es,
+         |  len(list_filter(ts, x -> list_contains(['le','les','une','et','est','du'], x)))::DOUBLE / len(ts)::DOUBLE AS s_fr,
+         |  len(list_filter(ts, x -> list_contains(['的','是','在','了','和'], x)))::DOUBLE / len(ts)::DOUBLE AS s_zh
+         |  FROM tok),
+         |q AS (SELECT d.doc_id, s.ts, s.s_de, s.s_en, s.s_es, s.s_fr, s.s_zh,
+         |  greatest(s.s_de, s.s_en, s.s_es, s.s_fr, s.s_zh) AS top,
+         |  len(regexp_replace(d.text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / len(d.text)::DOUBLE AS punct,
+         |  list_sum(list_transform(s.ts, x -> len(x)))::DOUBLE / len(s.ts)::DOUBLE AS mwl,
+         |  len(s.ts)::DOUBLE AS ntok
+         |  FROM documents d JOIN sc s ON s.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN top = 0::DOUBLE THEN 'unknown'
+         |       WHEN s_de = top THEN 'de' WHEN s_en = top THEN 'en'
+         |       WHEN s_es = top THEN 'es' WHEN s_fr = top THEN 'fr'
+         |       WHEN s_zh = top THEN 'zh' ELSE 'unknown' END AS pred_lang,
+         |  round(s_en, 6) AS stop_ratio,
+         |  round(punct, 6) AS punct_ratio,
+         |  round(mwl, 6) AS mean_wlen,
+         |  round(least(1.0::DOUBLE, ntok / 100.0::DOUBLE) * 0.3::DOUBLE
+         |      + least(1.0::DOUBLE, s_en * 4.0::DOUBLE) * 0.3::DOUBLE
+         |      + (1.0::DOUBLE - punct) * 0.2::DOUBLE
+         |      + least(1.0::DOUBLE, mwl / 8.0::DOUBLE) * 0.2::DOUBLE, 6) AS quality
+         |FROM q ORDER BY doc_id ASC""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "dedup_exact" ->
+      """WITH g AS (
+        |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |         min(doc_id) AS keep_id, count(*) AS n_dups
+        |  FROM documents GROUP BY 1)
+        |SELECT keep_id, n_dups, fp FROM g ORDER BY keep_id ASC""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $SHD,
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM shd a JOIN shd b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+         |FROM pairs JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+         |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE >= 0.8::DOUBLE
+         |ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $SHD,
+         |seeds AS (SELECT unnest(range(0, 32)) AS seed),
+         |mh AS (SELECT id, seed,
+         |         min(CAST('0x' || substring(md5(seed::VARCHAR || ':' || s), 1, 15) AS BIGINT)) AS mh
+         |       FROM shd, seeds GROUP BY id, seed),
+         |bands AS (SELECT id, (seed // 4)::INT AS band,
+         |            md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_key
+         |          FROM mh GROUP BY id, (seed // 4)::INT),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |          FROM cands c
+         |          JOIN shd x ON x.id = c.id_a
+         |          JOIN shd y ON y.id = c.id_b AND y.s = x.s
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+         |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE >= 0.8::DOUBLE
+         |ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $TOK,
+         |tf AS (SELECT doc_id AS id, t AS term, count(*)::BIGINT AS tf
+         |       FROM tok, unnest(ts) u(t) GROUP BY 1, 2),
+         |h AS (SELECT id, term, tf,
+         |        CAST('0x' || substring(md5('0:' || term), 1, 15) AS BIGINT) AS h
+         |      FROM tf),
+         |bits AS (SELECT id, i,
+         |           sum(CASE WHEN (h & (1::BIGINT << i)) <> 0 THEN tf ELSE -tf END) AS s
+         |         FROM h, (SELECT unnest(range(0, 60)) AS i) GROUP BY 1, 2)
+         |SELECT id AS doc_id,
+         |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i DESC) AS simhash
+         |FROM bits GROUP BY id ORDER BY doc_id ASC""".stripMargin,
+    "neardup_cosine" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |         (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |          sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos
+        |FROM s WHERE cos >= 0.45::DOUBLE
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin
+  )
+}

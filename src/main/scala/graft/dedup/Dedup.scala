@@ -1,0 +1,232 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact: hash-groupBy on a canonical fingerprint (one shuffle keyed by
+  *    a 128-bit hash — uniform, skew-free).
+  *  - n-gram Jaccard: shingle-inverted-index self-join for candidate
+  *    generation; correct but O(pairs-sharing-a-shingle) — the scale path
+  *    is MinHash+LSH below, which bounds the join to band buckets.
+  *  - MinHash+LSH: signature = per-seed min over shingle hashes;
+  *    band→bucket join yields candidate pairs; exact Jaccard verifies.
+  *    Shuffles are keyed by (band, bucket) — bounded and uniform.
+  *  - SimHash: 64-bit (fast path, xxhash64) or portable 60-bit bit-string
+  *    (md5-based, engine-independent for oracle checks).
+  *  - Embedding cosine near-dup: exact pair join at small scale; sign-
+  *    random-projection bucketing as the scale path.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup groups: one row per distinct canonical text, with the
+    * surviving (minimum) id and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** The deduplicated view: keep the minimum id per canonical text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, idCol)
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    val sh = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    df.where(size(toks) >= n)
+      .select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Exact pairwise word-n-gram Jaccard similarity >= minJaccard via a
+    * shingle inverted-index self-join. Output: (id_a, id_b, jaccard),
+    * id_a < id_b.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a
+      .join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------- minhash + LSH
+
+  /** Portable 60-bit positive hash of a shingle under a seed, identical in
+    * Spark and DuckDB: first 15 hex chars of md5("seed:shingle").
+    */
+  def portableHash(seed: Column, s: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signatures: (id, seed, minhash) for seeds 0..numHashes-1. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val seeds = (0 until numHashes).toDF("seed")
+    sh.crossJoin(broadcast(seeds))
+      .groupBy("id", "seed")
+      .agg(min(portableHash(col("seed"), col("shingle"))).as("mh"))
+  }
+
+  /** LSH band keys: (id, band, band_key) with rowsPerBand signature values
+    * concatenated (in seed order) and hashed per band.
+    */
+  def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("id", "band")
+      .agg(md5(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh").cast("string")))).as("band_key"))
+
+  /** Candidate pairs from LSH buckets (distinct, id_a < id_b). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
+    * join → exact-Jaccard verification of candidates. Returns
+    * (id_a, id_b, jaccard) for candidates with jaccard >= minJaccard.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // count shared shingles per candidate pair
+    val interCounts = cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "s"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "s2"), "id_b")
+      .where(col("s") === col("s2"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    interCounts
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** Portable 60-bit SimHash as a '0'/'1' bit-string (msb first).
+    * Per-term 60-bit md5 hash; each bit contributes +tf when set, -tf when
+    * clear; final bit = 1 iff the weighted sum is positive.
+    */
+  def simhashBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("h", portableHash(lit(0), col("term")))
+    val bitsIdx = (0 until 60).toDF("i")
+    val mask = pow(lit(2.0), col("i")).cast("long")
+    tf.crossJoin(broadcast(bitsIdx))
+      .withColumn("contrib",
+        when(col("h").bitwiseAND(mask) =!= 0, col("tf")).otherwise(-col("tf")))
+      .groupBy("id", "i")
+      .agg(sum("contrib").as("s"))
+      .groupBy("id")
+      .agg(concat_ws("",
+        transform(
+          reverse(sort_array(collect_list(struct(col("i"), col("s"))))),
+          x => when(x.getField("s") > 0, lit("1")).otherwise(lit("0"))))
+        .as("simhash"))
+  }
+
+  /** Fast-path 64-bit SimHash (xxhash64) as a single long. Same shape as
+    * [[simhashBits]]; engine-internal (not oracle-portable).
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("h", xxhash64(col("term")))
+    val bitsIdx = (0 until 64).toDF("i")
+    val mask = when(col("i") === 63, lit(Long.MinValue))
+      .otherwise(pow(lit(2.0), col("i")).cast("long"))
+    tf.crossJoin(broadcast(bitsIdx))
+      .withColumn("contrib",
+        when(col("h").bitwiseAND(mask) =!= 0, col("tf")).otherwise(-col("tf")))
+      .groupBy("id", "i")
+      .agg(sum("contrib").as("s"))
+      .withColumn("bit", when(col("s") > 0,
+        when(col("i") === 63, lit(Long.MinValue))
+          .otherwise(pow(lit(2.0), col("i")).cast("long"))).otherwise(lit(0L)))
+      .groupBy("id")
+      .agg(sum("bit").as("simhash"))
+  }
+
+  // -------------------------------------- embedding cosine near-duplicates
+
+  /** Exact cosine near-duplicate pairs (id_a < id_b, cos >= threshold). */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.vec_cos
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", vec_cos(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Sign-random-projection bucket key (nbits planes) for LSH-bucketed
+    * cosine near-dup at scale: pairs are only compared within a bucket.
+    * Plane weights are deterministic pseudo-random in {-1,+1} derived from
+    * xxhash64(plane, dimension).
+    */
+  def srpBucket(vec: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
+    val bits = (0 until nbits).map { p =>
+      val dotSign = (0 until dim).map { d =>
+        val w = if (((scala.util.hashing.MurmurHash3.productHash((p, d, seed))) & 1) == 1) 1.0 else -1.0
+        element_at(vec, d + 1).cast("double") * lit(w)
+      }.reduce(_ + _)
+      when(dotSign > 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    concat(bits: _*)
+  }
+}

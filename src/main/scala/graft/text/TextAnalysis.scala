@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language-ID (marker-token heuristic), quality scoring,
+  * and document fingerprinting. All column-level (codegen-friendly, no
+  * UDFs) and deterministic, so every operator is oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (same tokenizer as lexical.BM25). */
+  def wsTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single punctuation
+    * marks each count as one token (a cheap, deterministic proxy for
+    * subword tokenizer cost estimation).
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Marker-token lists per language for the heuristic language-ID.
+    * Deliberately tiny — the operator's value is the distributed shape
+    * (set-membership counting per row), not lexicography.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "en" -> Seq("the", "a", "an", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y"),
+    "fr" -> Seq("le", "les", "une", "et", "est", "du"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Fraction of tokens that are markers of `lang`. */
+  def markerRatio(toks: Column, lang: String): Column = {
+    val m = markers.toMap.apply(lang)
+    val hits = size(filter(toks, t => t.isInCollection(m)))
+    hits.cast("double") / size(toks).cast("double")
+  }
+
+  /** Predicted language: argmax of marker ratios, ties broken
+    * alphabetically, 'unknown' when no marker hits at all.
+    */
+  def langId(toks: Column): Column = {
+    val scores = markers.map { case (lang, _) => lang -> markerRatio(toks, lang) }
+    val top = greatest(scores.map(_._2): _*)
+    val cases = scores.foldLeft(when(top === 0.0, lit("unknown"))) {
+      case (acc, (lang, sc)) => acc.when(sc === top, lit(lang))
+    }
+    cases.otherwise(lit("unknown"))
+  }
+
+  /** Share of characters outside [A-Za-z0-9 ]. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Mean token length. */
+  def meanWordLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+
+  /** Composite quality score in [0,1]: length, stopword-ness, cleanliness,
+    * and word-shape each contribute a bounded share. The exact weights are
+    * a policy choice; the operator shape (pure column arithmetic over the
+    * corpus) is what scales.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(text)
+    val nTok = size(toks).cast("double")
+    val lenScore = least(lit(1.0), nTok / lit(100.0))
+    val stopScore = least(lit(1.0), markerRatio(toks, "en") * lit(4.0))
+    val cleanScore = lit(1.0) - punctRatio(text)
+    val shapeScore = least(lit(1.0), meanWordLen(toks) / lit(8.0))
+    lenScore * lit(0.3) + stopScore * lit(0.3) +
+      cleanScore * lit(0.2) + shapeScore * lit(0.2)
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
+    * trimmed text. Identical logical content → identical fingerprint.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Polynomial rolling hash of the token stream (base 1000003, 31-bit
+    * Mersenne modulus — products stay < 2^52, so no long overflow under
+    * ANSI arithmetic) — an order-sensitive document fingerprint: same
+    * tokens reordered → different hash, unlike the set-based minhash
+    * family.
+    */
+  def rollingHash(toks: Column): Column = {
+    val mod = lit(2147483647L) // 2^31 - 1
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), mod), mod))
+  }
+}

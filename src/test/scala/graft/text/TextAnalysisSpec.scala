@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token counts: whitespace vs regex tokens") {
+    val df = Seq((1L, "Hello, world! x2 42abc")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.regexTokenCount(col("text")).as("re")).collect()(0)
+    assert(r.getAs[Int]("ws") == 4)
+    // Hello , world ! x 2 42 abc → 8
+    assert(r.getAs[Int]("re") == 8)
+  }
+
+  test("langId picks the marker-dominant language; unknown when none") {
+    val df = Seq(
+      (1L, "the cat is on a mat and the dog is in the house"),
+      (2L, "der hund ist ein tier und die katze"),
+      (3L, "qwerty zxcvb asdfgh")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.langId(TextAnalysis.wsTokens(col("text"))).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "unknown")
+  }
+
+  test("fingerprint is whitespace/case-canonical; rolling hash is order-sensitive") {
+    val df = Seq(
+      (1L, "Alpha  Beta\tGamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha")).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(2L) != fps(3L))
+    val rhs = df.select(col("id"),
+        TextAnalysis.rollingHash(TextAnalysis.wsTokens(col("text"))).as("rh"))
+      .as[(Long, Long)].collect().toMap
+    assert(rhs(1L) == rhs(2L))
+    assert(rhs(2L) != rhs(3L), "reordered tokens must change the rolling hash")
+  }
+
+  test("quality score is bounded and favors clean stopword-rich text") {
+    val df = Seq(
+      (1L, "the quick brown fox is in the garden and it is a fine day today"),
+      (2L, "@@## !! ~~ ^^ && || %%")).toDF("id", "text")
+    val q = df.select(col("id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+}
