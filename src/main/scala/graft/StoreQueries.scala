@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.SnapshotStore
+
+/** Write-path operator coverage (vecgo §2.1 W2-W10): the full
+  * insert → delete → upsert → compact lifecycle and time travel, driven
+  * against a scratch store and oracle-checked as relational algebra over
+  * the source table.
+  */
+object StoreQueries {
+
+  private def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_$name"
+
+  /** Build the canonical lifecycle store over the embeddings table:
+    * v0 insert ids < 250, v1 insert ids >= 250, v2 delete label = 3,
+    * v3 upsert ids < 50 with label+100, v4 compact.
+    */
+  private def buildLifecycle(s: SparkSession, dir: String, name: String): SnapshotStore = {
+    val root = scratch(name)
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val store = new SnapshotStore(s, root)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("label"))
+    store.insert(emb.where(col("id") < 250))
+    store.insert(emb.where(col("id") >= 250))
+    store.delete(store.read().where(col("label") === 3).select("id"))
+    store.upsert(emb.where(col("id") < 50)
+      .withColumn("label", col("label") + 100))
+    store.compact()
+    store
+  }
+
+  /** Final state after the full lifecycle (compacted snapshot). */
+  def lifecycle(s: SparkSession, dir: String): DataFrame =
+    buildLifecycle(s, dir, "store_lifecycle")
+      .read()
+      .select(col("id"), col("label"))
+      .orderBy(col("id").asc)
+
+  /** Time travel: version 2 (after the delete, before the upsert). */
+  def timeTravel(s: SparkSession, dir: String): DataFrame =
+    buildLifecycle(s, dir, "store_timetravel")
+      .read(version = 2)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_lifecycle" -> (lifecycle _),
+    "store_timetravel" -> (timeTravel _)
+  )
+
+  /** Oracles: the lifecycle re-expressed as relational algebra over the
+    * source table. The upsert re-adds ids < 50 (including previously
+    * deleted label-3 rows) with label+100; other rows survive unless
+    * label = 3.
+    */
+  val oracle: Map[String, String] = Map(
+    "store_lifecycle" ->
+      """SELECT vec_id AS id, label + 100 AS label FROM embeddings WHERE vec_id < 50
+        |UNION ALL
+        |SELECT vec_id AS id, label FROM embeddings WHERE vec_id >= 50 AND label <> 3
+        |ORDER BY id ASC""".stripMargin,
+    "store_timetravel" ->
+      """SELECT label, count(*) AS n FROM embeddings
+        |WHERE label <> 3 GROUP BY label ORDER BY label ASC""".stripMargin
+  )
+}
