@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.index.{BQ, IVF, PQ, SQ8}
+import graft.query.Search
+import graft.types.Metric
+
+/** Index-layer operator coverage (SURVEY.md §2.3 I4-I6, I8): IVF probe
+  * search, SQ8 and PQ two-phase quantized→exact rerank, binary-quantized
+  * Hamming search. Each query is configured so its result is EXACT
+  * (all-probe IVF; generous refine factors) and therefore oracle-checkable
+  * against plain brute-force SQL; the approximation/recall trade-offs are
+  * exercised in ScalaTest instead (FIXTURES.md §C recall gates).
+  */
+object IndexQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  private def qvec(emb: DataFrame, qid: Long): Array[Float] =
+    emb.where(col("vec_id") === qid).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+
+  /** I4: IVF with all partitions probed — exact top-10, demonstrating the
+    * partition-assign + probe-prune plumbing.
+    */
+  def ivfKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = IVF.train(emb, "embedding", k = 8)
+    val assigned = IVF.assign(emb, "embedding", model)
+    val q = qvec(emb, 6)
+    IVF.search(assigned, "embedding", "vec_id", model, q, k = 10, nprobe = 8)
+      .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
+  }
+
+  /** I5 + R11: SQ8 approx scan → exact rerank (refine 3×) — recovers the
+    * exact top-10.
+    */
+  def sq8Rerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = SQ8.train(emb, "embedding")
+    val coded = SQ8.encode(emb, "embedding", model)
+    val q = qvec(emb, 7)
+    Search.rerank(coded, "vec_id",
+        approxScore = vec_l2sq(model.decodeCol(col("codes")), lit(q)),
+        exactScore = vec_l2sq(col("embedding"), lit(q)),
+        k = 10, refineFactor = 3, Metric.L2)
+      .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
+  }
+
+  /** I6 + R11: PQ ADC approx scan → exact rerank (refine 5×). */
+  def pqAdcRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = PQ.train(emb, "embedding", m = 8, ksub = 64, iters = 10)
+    val coded = PQ.encode(emb, "embedding", model)
+    val q = qvec(emb, 9)
+    Search.rerank(coded, "vec_id",
+        approxScore = model.adcScoreCol(col("pq_codes"), q),
+        exactScore = vec_l2sq(col("embedding"), lit(q)),
+        k = 10, refineFactor = 10, Metric.L2)
+      .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
+  }
+
+  /** I8: binary-quantized Hamming top-10 (sign bits packed 32/word,
+    * popcount distance).
+    */
+  def bqHamming(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = qvec(emb, 8)
+    val qPacked = {
+      val bits = q.zipWithIndex
+      (0 until 2).map { w =>
+        bits.slice(w * 32, w * 32 + 32).foldLeft(0L) { case (acc, (x, i)) =>
+          if (x > 0f) acc | (1L << (i % 32)) else acc
+        }
+      }.toArray
+    }
+    emb
+      .withColumn("hamming",
+        vec_hamming(BQ.packCol(col("embedding"), 64), lit(qPacked)))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("hamming"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_knn" -> (ivfKnn _),
+    "sq8_rerank" -> (sq8Rerank _),
+    "pq_adc_rerank" -> (pqAdcRerank _),
+    "bq_hamming" -> (bqHamming _)
+  )
+
+  private def exactKnnSql(qid: Int): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid)
+       |SELECT e.vec_id AS vec_id,
+       |       round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+       |FROM embeddings e, q
+       |ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) ASC, e.vec_id ASC
+       |LIMIT 10""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "ivf_knn" -> exactKnnSql(6),
+    "sq8_rerank" -> exactKnnSql(7),
+    "pq_adc_rerank" -> exactKnnSql(9),
+    "bq_hamming" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 8)
+        |SELECT e.vec_id AS vec_id,
+        |       len(list_filter(range(1, 65),
+        |           i -> (e.embedding[i] > 0) <> (q.qv[i] > 0)))::BIGINT AS hamming
+        |FROM embeddings e, q
+        |ORDER BY hamming ASC, e.vec_id ASC
+        |LIMIT 10""".stripMargin
+  )
+}

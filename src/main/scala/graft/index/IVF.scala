@@ -1,0 +1,85 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.types.Metric
+
+/** IVF (inverted-file) partitioned vector layout — the Spark-native analog
+  * of vecgo's flat-segment IVF lists (SURVEY.md I4: k-means with
+  * k = rows/8192, probe NProbes nearest centroids at query;
+  * `internal/kmeans/kmeans.go`, probe `flat/segment.go:727-749`).
+  *
+  * Build: MLlib KMeans on (a sample of) the vectors → per-row partition id
+  * → data written/bucketed by `ivf_part`. Query: the driver computes
+  * query→centroid distances (k is small), picks the nprobe nearest
+  * partitions, and synthesizes `ivf_part IN (...)` — dynamic partition
+  * pruning by hand (SURVEY.md §4 "IVF probe pruning"): at 100 TB only
+  * nprobe/k of the data is scanned, and the partition filter prunes
+  * Parquet directories before listing.
+  */
+object IVF {
+
+  final case class Model(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+
+    /** Column: index of the nearest centroid (L2). */
+    def assignCol(vec: Column): Column = {
+      val dists = array(centroids.map(c => vec_l2sq(vec, lit(c))): _*)
+      // array_position is 1-based
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+
+    /** Probe order: centroid indices sorted by distance to the query. */
+    def probes(query: Array[Float], nprobe: Int): Seq[Int] = {
+      def l2sq(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+        s
+      }
+      centroids.indices
+        .sortBy(i => (l2sq(centroids(i), query), i))
+        .take(math.min(nprobe, k))
+    }
+  }
+
+  /** Train centroids with MLlib KMeans (seeded, deterministic given fixed
+    * input). For 100 TB inputs pass a sampled frame — k-means only needs a
+    * representative sample (vecgo caps its stats sampling the same way).
+    */
+  def train(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+      maxIter: Int = 20): Model = {
+    val feats = df.select(array_to_vector(col(vecCol)).as("features"))
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+    val model = km.fit(feats)
+    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** Tag every row with its IVF partition. */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("ivf_part", model.assignCol(col(vecCol)))
+
+  /** Persist the assigned frame partitioned by `ivf_part` so probe-time
+    * partition filters prune whole directories.
+    */
+  def writeLayout(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("ivf_part").parquet(path)
+
+  /** Probe-pruned k-NN: scan only the nprobe nearest partitions, then
+    * exact top-k within them.
+    */
+  def search(assigned: DataFrame, vecCol: String, idCol: String,
+      model: Model, query: Array[Float], k: Int, nprobe: Int,
+      metric: Metric = Metric.L2): DataFrame = {
+    val parts = model.probes(query, nprobe)
+    val pruned = assigned.where(col("ivf_part").isin(parts: _*))
+    pruned
+      .withColumn("score", metric.score(col(vecCol), lit(query)))
+      .orderBy(metric.sort(col("score")), col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+}
