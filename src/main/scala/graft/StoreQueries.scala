@@ -52,9 +52,32 @@ object StoreQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label").asc)
 
+  /** Manifest-stats segment pruning: three label-range segments with
+    * collected stats; a `label = 7` scan must prune two of them (asserted)
+    * and still return exactly the right rows.
+    */
+  def prunedScan(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("store_pruned")
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val store = new SnapshotStore(s, root)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("label"))
+    store.insert(emb.where(col("label") < 3), collectStats = true)
+    store.insert(emb.where(col("label") >= 3 && col("label") < 7), collectStats = true)
+    store.insert(emb.where(col("label") >= 7), collectStats = true)
+    val (df, scanned, pruned) =
+      store.prunedRead(Seq(graft.types.Filter.Eq("label", 7)))
+    require(pruned.size == 2 && scanned.size == 1,
+      s"expected 2 segments pruned, got scanned=$scanned pruned=$pruned")
+    df.select(col("id"), col("label")).orderBy(col("id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_lifecycle" -> (lifecycle _),
-    "store_timetravel" -> (timeTravel _)
+    "store_timetravel" -> (timeTravel _),
+    "store_pruned_scan" -> (prunedScan _)
   )
 
   /** Oracles: the lifecycle re-expressed as relational algebra over the
@@ -70,6 +93,9 @@ object StoreQueries {
         |ORDER BY id ASC""".stripMargin,
     "store_timetravel" ->
       """SELECT label, count(*) AS n FROM embeddings
-        |WHERE label <> 3 GROUP BY label ORDER BY label ASC""".stripMargin
+        |WHERE label <> 3 GROUP BY label ORDER BY label ASC""".stripMargin,
+    "store_pruned_scan" ->
+      """SELECT vec_id AS id, label FROM embeddings
+        |WHERE label = 7 ORDER BY id ASC""".stripMargin
   )
 }

@@ -1,0 +1,175 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.Filter
+
+/** Per-segment statistics + manifest-level pruning — the analog of vecgo's
+  * stats collector and segment pruning (SURVEY.md I13
+  * `internal/manifest/stats_collector.go:86-640`, pruning
+  * `internal/engine/segment_pruning.go:15-121`).
+  *
+  * One `agg` pass per written segment collects per-column min/max/ndv/null
+  * counts plus (optionally) the vector centroid and max radius. The driver
+  * consults these BEFORE Spark lists files: a pruned segment costs zero
+  * I/O — this is file-LIST pruning, one level above Parquet's footer
+  * min/max (which still applies inside surviving segments).
+  */
+object SegmentStats {
+
+  /** JSON-friendly per-column stats. Numerics use doubles; strings use
+    * lexicographic bounds.
+    */
+  case class ColStats(
+      num: Boolean,
+      minN: Option[Double], maxN: Option[Double],
+      minS: Option[String], maxS: Option[String],
+      nulls: Long, ndv: Long)
+
+  case class VecStats(centroid: List[Double], radiusMax: Double)
+
+  case class Stats(rows: Long, cols: Map[String, ColStats],
+      vec: Option[VecStats])
+
+  /** Collect stats in two jobs: one wide agg for scalars, one pass for
+    * vector centroid+radius (if vecCol given).
+    */
+  def collect(df: DataFrame, vecCol: Option[String] = None): Stats = {
+    val scalarCols = df.schema.fields.filter {
+      case StructField(_, _: NumericType, _, _) => true
+      case StructField(_, StringType, _, _) => true
+      case _ => false
+    }
+    val aggs = scalarCols.flatMap { f =>
+      val c = col(f.name)
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        (if (isNum) min(c.cast("double")) else lit(null).cast("double"))
+          .as(s"${f.name}__minN"),
+        (if (isNum) max(c.cast("double")) else lit(null).cast("double"))
+          .as(s"${f.name}__maxN"),
+        (if (!isNum) min(c) else lit(null).cast("string")).as(s"${f.name}__minS"),
+        (if (!isNum) max(c) else lit(null).cast("string")).as(s"${f.name}__maxS"),
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        approx_count_distinct(c).as(s"${f.name}__ndv"))
+    } :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val cols = scalarCols.map { f =>
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      def d(n: String): Option[Double] = {
+        val i = row.fieldIndex(s"${f.name}__$n")
+        if (row.isNullAt(i)) None else Some(row.getDouble(i))
+      }
+      def s(n: String): Option[String] = {
+        val i = row.fieldIndex(s"${f.name}__$n")
+        if (row.isNullAt(i)) None else Some(row.getString(i))
+      }
+      f.name -> ColStats(isNum, d("minN"), d("maxN"), s("minS"), s("maxS"),
+        row.getLong(row.fieldIndex(s"${f.name}__nulls")),
+        row.getLong(row.fieldIndex(s"${f.name}__ndv")))
+    }.toMap
+    val vec = vecCol.map { vc =>
+      val centroid = df
+        .select(posexplode(col(vc)).as(Seq("d", "x")))
+        .groupBy("d").agg(avg(col("x").cast("double")).as("m"))
+        .orderBy("d").collect().map(_.getDouble(1))
+      val radius = df
+        .select(graft.functions.vec_l2(col(vc),
+          lit(centroid.map(_.toFloat))).as("r"))
+        .agg(max("r")).collect()(0).getDouble(0)
+      VecStats(centroid.toList, radius)
+    }
+    Stats(row.getLong(row.fieldIndex("__rows")), cols, vec)
+  }
+
+  /** Can this segment be skipped for this predicate? Conservative: prune
+    * only on provable no-match, mirroring vecgo's rules: missing field ⇒
+    * prune (a missing field matches nothing); eq/in outside [min,max] ⇒
+    * prune; range predicates with disjoint ranges ⇒ prune; `ne` and
+    * `contains` never prune (`segment_pruning.go:44-50`).
+    */
+  def canPrune(stats: Stats, f: Filter): Boolean = {
+    def cs(field: String): Option[ColStats] = stats.cols.get(field)
+    def numVal(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    f match {
+      case Filter.Eq(field, v) => cs(field) match {
+        case None => true
+        case Some(c) if c.num =>
+          numVal(v).exists(x => c.minN.exists(x < _) || c.maxN.exists(x > _))
+        case Some(c) =>
+          v.isInstanceOf[String] && {
+            val s = v.asInstanceOf[String]
+            c.minS.exists(s < _) || c.maxS.exists(s > _)
+          }
+      }
+      case Filter.In(field, vs) => cs(field) match {
+        case None => true
+        case Some(c) if c.num =>
+          vs.flatMap(numVal).nonEmpty &&
+            vs.flatMap(numVal).forall(x => c.minN.exists(x < _) || c.maxN.exists(x > _))
+        case Some(c) =>
+          vs.forall {
+            case s: String => c.minS.exists(s < _) || c.maxS.exists(s > _)
+            case _ => false
+          }
+      }
+      case Filter.Gt(field, v) => cs(field) match {
+        case None => true
+        case Some(c) => numVal(v).exists(x => c.maxN.exists(_ <= x))
+      }
+      case Filter.Gte(field, v) => cs(field) match {
+        case None => true
+        case Some(c) => numVal(v).exists(x => c.maxN.exists(_ < x))
+      }
+      case Filter.Lt(field, v) => cs(field) match {
+        case None => true
+        case Some(c) => numVal(v).exists(x => c.minN.exists(_ >= x))
+      }
+      case Filter.Lte(field, v) => cs(field) match {
+        case None => true
+        case Some(c) => numVal(v).exists(x => c.minN.exists(_ > x))
+      }
+      case _ => false // ne / contains: conservative, never prune
+    }
+  }
+
+  /** AND semantics: a segment is prunable if ANY conjunct proves no-match. */
+  def canPruneAll(stats: Stats, filters: Seq[Filter]): Boolean =
+    filters.exists(f => canPrune(stats, f))
+
+  /** Triangle-inequality distance pruning (vecgo `manifest/stats.go:
+    * 626-641` CanPruneByDistance): every vector in the segment is within
+    * `radiusMax` of the centroid, so the closest possible point to q is at
+    * distance |q − centroid| − radiusMax. If that exceeds the search
+    * threshold, skip the segment.
+    */
+  def canPruneByDistance(vs: VecStats, query: Array[Float],
+      threshold: Double): Boolean = {
+    var s = 0.0
+    var i = 0
+    while (i < vs.centroid.length) {
+      val d = query(i).toDouble - vs.centroid(i)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s) - vs.radiusMax > threshold
+  }
+
+  /** Segment visit priority for unfiltered k-NN: ascending centroid
+    * distance (vecgo `SegmentPriority`, `manifest/stats.go:643-676`).
+    */
+  def segmentPriority(segs: Seq[(Long, VecStats)], query: Array[Float]): Seq[Long] =
+    segs.sortBy { case (seq, vs) =>
+      var s = 0.0
+      var i = 0
+      while (i < vs.centroid.length) {
+        val d = query(i).toDouble - vs.centroid(i); s += d * d; i += 1
+      }
+      (s, seq)
+    }.map(_._1)
+}

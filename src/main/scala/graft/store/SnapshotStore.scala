@@ -33,7 +33,9 @@ import org.json4s.jackson.Serialization
   * growth exactly like the reference's size-tiered policies (W8/W9).
   */
 object SnapshotStore {
-  case class SegmentRef(path: String, seq: Long, rows: Long)
+  import graft.stats.SegmentStats
+  case class SegmentRef(path: String, seq: Long, rows: Long,
+      stats: Option[SegmentStats.Stats] = None)
   case class DeleteRef(path: String, seq: Long, rows: Long)
   case class Manifest(
       version: Long,
@@ -123,14 +125,56 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   /** Append a batch as a new segment → new version (vecgo W2/W3 deferred
     * bulk load + W7 commit). `df` must carry a unique `id` column.
     */
-  def insert(df: DataFrame): Long = {
+  def insert(df: DataFrame, collectStats: Boolean = false,
+      vecCol: Option[String] = None): Long = {
     val m = manifest().getOrElse(Manifest(-1L, -1L, Nil, Nil))
     val seq = m.maxSeq + 1
     val (path, rows) = writeSegment(df, seq, "seg")
+    // stats from the WRITTEN files (one agg job per segment, vecgo I13)
+    val stats =
+      if (collectStats)
+        Some(graft.stats.SegmentStats.collect(spark.read.parquet(path), vecCol))
+      else None
     val next = Manifest(m.version + 1, seq,
-      m.segments :+ SegmentRef(path, seq, rows), m.deletes)
+      m.segments :+ SegmentRef(path, seq, rows, stats), m.deletes)
     commit(next)
     next.version
+  }
+
+  /** Stats-pruned read: drop whole segments whose manifest stats prove the
+    * AND-filter can't match (vecgo segment pruning, `segment_pruning.go:
+    * 15-121`), then apply the residual filter to the survivors. Returns
+    * the frame plus (scanned, pruned) segment seqs for observability.
+    */
+  def prunedRead(filters: Seq[graft.types.Filter],
+      version: Long = currentVersion): (DataFrame, Seq[Long], Seq[Long]) = {
+    val m = manifest(version).getOrElse(
+      throw new IllegalStateException(s"no version $version at $root"))
+    val (pruned, kept) = m.segments.partition(s =>
+      s.stats.exists(st => graft.stats.SegmentStats.canPruneAll(st, filters)))
+    val pred = graft.types.FilterSet(filters).toColumn
+    if (kept.isEmpty) {
+      // all segments pruned: empty frame with the store schema
+      val schema = spark.read.parquet(m.segments.head.path).schema
+      return (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        Nil, pruned.map(_.seq))
+    }
+    val segs = kept.map { s =>
+      spark.read.parquet(s.path).withColumn("_seq", lit(s.seq))
+    }.reduce(_ unionByName _)
+    val withDels =
+      if (m.deletes.isEmpty) segs
+      else {
+        val dels = m.deletes.map { d =>
+          spark.read.parquet(d.path).select(col("id").as("_del_id"),
+            lit(d.seq).as("_del_seq"))
+        }.reduce(_ unionByName _)
+        segs.join(broadcast(dels),
+          col("id") === col("_del_id") && col("_del_seq") > col("_seq"),
+          "left_anti")
+      }
+    (withDels.drop("_seq").where(pred), kept.map(_.seq), pruned.map(_.seq))
   }
 
   /** Tombstone ids → new version (vecgo W5). Idempotent: deleting a

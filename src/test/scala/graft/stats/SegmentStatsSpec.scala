@@ -1,0 +1,65 @@
+package graft.stats
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.types.Filter
+
+class SegmentStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, 10.0, "apple", Array(0.0f, 0.0f)),
+    (2L, 20.0, "banana", Array(1.0f, 0.0f)),
+    (3L, 30.0, "cherry", Array(0.0f, 1.0f))).toDF("id", "x", "s", "vec")
+
+  private lazy val stats = SegmentStats.collect(df, vecCol = Some("vec"))
+
+  test("collect gathers numeric/string bounds, ndv, and vector stats") {
+    val xs = stats.cols("x")
+    assert(xs.num && xs.minN.contains(10.0) && xs.maxN.contains(30.0))
+    assert(stats.cols("s").minS.contains("apple"))
+    assert(stats.cols("s").maxS.contains("cherry"))
+    assert(stats.rows == 3)
+    val vs = stats.vec.get
+    assert(vs.centroid.map(v => math.rint(v * 3)) == List(1.0, 1.0))
+    assert(vs.radiusMax > 0.7 && vs.radiusMax < 1.0)
+  }
+
+  test("pruning matrix mirrors vecgo segment_pruning rules") {
+    // eq outside range → prune; inside → keep
+    assert(SegmentStats.canPrune(stats, Filter.Eq("x", 99)))
+    assert(!SegmentStats.canPrune(stats, Filter.Eq("x", 20)))
+    // missing field always prunes (missing field matches nothing)
+    assert(SegmentStats.canPrune(stats, Filter.Eq("nope", 1)))
+    // range disjoint → prune
+    assert(SegmentStats.canPrune(stats, Filter.Gt("x", 30)))
+    assert(!SegmentStats.canPrune(stats, Filter.Gte("x", 30)))
+    assert(SegmentStats.canPrune(stats, Filter.Lt("x", 10)))
+    assert(!SegmentStats.canPrune(stats, Filter.Lte("x", 10)))
+    // in-list fully outside → prune; partially inside → keep
+    assert(SegmentStats.canPrune(stats, Filter.In("x", Seq(1, 2))))
+    assert(!SegmentStats.canPrune(stats, Filter.In("x", Seq(1, 25))))
+    // string bounds
+    assert(SegmentStats.canPrune(stats, Filter.Eq("s", "zebra")))
+    assert(!SegmentStats.canPrune(stats, Filter.Eq("s", "banana")))
+    // ne / contains never prune (conservative)
+    assert(!SegmentStats.canPrune(stats, Filter.Ne("x", 99)))
+    assert(!SegmentStats.canPrune(stats, Filter.Contains("s", "zzz")))
+    // AND: any provably-false conjunct prunes the segment
+    assert(SegmentStats.canPruneAll(stats,
+      Seq(Filter.Eq("x", 20), Filter.Eq("s", "zebra"))))
+  }
+
+  test("triangle-inequality distance pruning and segment priority") {
+    val vs = stats.vec.get
+    val far = Array(10.0f, 10.0f)
+    // |far - centroid| ~ 13.7, radius < 1 → prunable at threshold 5
+    assert(SegmentStats.canPruneByDistance(vs, far, 5.0))
+    assert(!SegmentStats.canPruneByDistance(vs, far, 20.0))
+    val near = SegmentStats.VecStats(List(10.0, 10.0), 0.1)
+    val order = SegmentStats.segmentPriority(Seq((1L, vs), (2L, near)), far)
+    assert(order == Seq(2L, 1L))
+  }
+}
