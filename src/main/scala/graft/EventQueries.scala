@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` stream table: tumbling-window
+  * aggregation (the batch shape of the Structured Streaming windowed agg in
+  * [[graft.streaming.Ingest]]), gap-based sessionization, and opaque-JSON
+  * payload extraction (vecgo treats payload JSON as opaque, `README.md:111`;
+  * users opt in via json functions — SURVEY.md §2.5).
+  */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Tumbling 1-hour windows × event_type: counts and exact value sums. */
+  def tumblingAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+
+  /** Gap-based sessionization (30-minute inactivity gap): session counts
+    * and event counts per user, for users < 50.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").where(col("user_id") < 50)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val withGap = ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+    withGap
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Opaque JSON payload extraction: sum of $.k per event type. */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type").asc)
+
+  /** Scalar-function sampler: string/date/math built-ins over orders —
+    * coverage for the §2.5 "scalar function library" surface.
+    */
+  def scalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_orderkey") < 100)
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+        length(col("o_orderstatus")).cast("long").as("st_len"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+        round(pow(col("o_totalprice"), lit(0.25)), 6).as("price_4rt"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"))
+      .orderBy(col("o_orderkey").asc)
+
+  /** Grouping-sets surface: rollup over (returnflag, linestatus) counts. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"))
+      .orderBy(col("rf").asc, col("ls").asc)
+
+  /** Set-op surface: suppliers' nations EXCEPT customers' nations, and the
+    * intersection size, as one deterministic frame.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    val cus = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val except = sup.distinct().exceptAll(cus.distinct())
+      .withColumn("op", lit("supplier_only"))
+    val inter = sup.distinct().intersect(cus.distinct())
+      .withColumn("op", lit("both"))
+    except.unionByName(inter)
+      .select(col("op"), col("nk"))
+      .orderBy(col("op").asc, col("nk").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling_agg" -> (tumblingAgg _),
+    "events_sessionize" -> (sessionize _),
+    "events_json_props" -> (jsonProps _),
+    "scalar_funcs" -> (scalarFuncs _),
+    "rollup_agg" -> (rollupAgg _),
+    "set_ops" -> (setOps _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_tumbling_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |       count(*) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start ASC, event_type ASC""".stripMargin,
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events WHERE user_id < 50),
+        |m AS (SELECT user_id,
+        |        CASE WHEN prev_ts IS NULL THEN 1
+        |             WHEN epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT > 1800 THEN 1
+        |             ELSE 0 END AS new_session
+        |      FROM g)
+        |SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id ASC""".stripMargin,
+    "events_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substring(o_orderpriority, 1, 3)) AS pri3,
+        |  length(o_orderstatus)::BIGINT AS st_len,
+        |  year(o_orderdate)::BIGINT AS yr,
+        |  month(o_orderdate)::BIGINT AS mo,
+        |  round(sqrt(o_totalprice), 6) AS sqrt_price,
+        |  round(pow(o_totalprice, 0.25::DOUBLE), 6) AS price_4rt,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf ASC, ls ASC""".stripMargin,
+    "set_ops" ->
+      """WITH sup AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+        |cus AS (SELECT DISTINCT c_nationkey AS nk FROM customer)
+        |SELECT 'supplier_only' AS op, nk FROM (SELECT nk FROM sup EXCEPT SELECT nk FROM cus)
+        |UNION ALL
+        |SELECT 'both' AS op, nk FROM (SELECT nk FROM sup INTERSECT SELECT nk FROM cus)
+        |ORDER BY op ASC, nk ASC""".stripMargin
+  )
+}
