@@ -162,9 +162,12 @@ object PipelineQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $SHD,
          |seeds AS (SELECT unnest(range(0, 32)) AS seed),
+         |base AS (SELECT id, s,
+         |           CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h31
+         |         FROM shd),
          |mh AS (SELECT id, seed,
-         |         min(CAST('0x' || substring(md5(seed::VARCHAR || ':' || s), 1, 15) AS BIGINT)) AS mh
-         |       FROM shd, seeds GROUP BY id, seed),
+         |         min((xor(h31, (seed * 2654435761) % 2147483647) * 1000003) % 2147483647) AS mh
+         |       FROM base, seeds GROUP BY id, seed),
          |bands AS (SELECT id, (seed // 4)::INT AS band,
          |            md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_key
          |          FROM mh GROUP BY id, (seed // 4)::INT),

@@ -84,26 +84,54 @@ object Dedup {
     conv(substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 15), 16, 10)
       .cast("long")
 
-  /** MinHash signatures: (id, seed, minhash) for seeds 0..numHashes-1. */
+  /** 31-bit Mersenne modulus for the seeded minhash family (products stay
+    * < 2^52, ANSI-safe; 4-row bands still give 124-bit keys).
+    */
+  val MinhashMod = 2147483647L
+
+  /** Per-seed xor constant, engine-portable ((seed * Knuth) mod M). */
+  def minhashSeedConst(seed: Int): Long =
+    (seed.toLong * 2654435761L) % MinhashMod
+
+  /** Seeded 31-bit hash derived arithmetically from one base md5 hash —
+    * ONE md5 per shingle feeds all numHashes functions instead of
+    * numHashes md5 computations (the md5 was the minhash bottleneck).
+    */
+  def seededHash31(h31: Column, seed: Int): Column =
+    pmod((h31.bitwiseXOR(lit(minhashSeedConst(seed)))) * lit(1000003L),
+      lit(MinhashMod))
+
+  /** MinHash signatures, wide form: one aggregation computes ALL
+    * numHashes min-hashes per id (columns mh_0..mh_{n-1}) — no seed
+    * cross-join (1× not 32× rows through the shuffle), and one md5 per
+    * shingle (not per seed).
+    */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    val seeds = (0 until numHashes).toDF("seed")
-    sh.crossJoin(broadcast(seeds))
-      .groupBy("id", "seed")
-      .agg(min(portableHash(col("seed"), col("shingle"))).as("mh"))
+    val base = sh.withColumn("h31",
+      pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"),
+        lit(MinhashMod)))
+    base.groupBy("id").agg(
+      min(seededHash31(col("h31"), 0)).as("mh_0"),
+      (1 until numHashes).map(s =>
+        min(seededHash31(col("h31"), s)).as(s"mh_$s")): _*)
   }
 
-  /** LSH band keys: (id, band, band_key) with rowsPerBand signature values
-    * concatenated (in seed order) and hashed per band.
+  /** LSH band keys from the wide signature frame: (id, band, band_key),
+    * band_key = md5 of the band's signature values joined in seed order.
     */
-  def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+  def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    val numHashes = signatures.columns.count(_.startsWith("mh_"))
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = array((0 until nBands).map { b =>
+      val key = md5(concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(s => col(s"mh_$s").cast("string")): _*))
+      struct(lit(b).as("band"), key.as("band_key"))
+    }: _*)
     signatures
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy("id", "band")
-      .agg(md5(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh").cast("string")))).as("band_key"))
+      .select(col("id"), explode(bandStructs).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
 
   /** Candidate pairs from LSH buckets (distinct, id_a < id_b). */
   def lshCandidates(bands: DataFrame): DataFrame = {

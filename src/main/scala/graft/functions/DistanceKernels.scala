@@ -81,6 +81,83 @@ object DistanceKernels {
     java.lang.Math.sqrt(s)
   }
 
+  // ---- constant-query fast paths (primitive float[] right side) --------
+  // When the query side of a distance expression is foldable (a literal
+  // vector), the generic path would route every element access through a
+  // boxed GenericArrayData — ~2 orders of magnitude slower. These variants
+  // take the query as a primitive float[] baked into the generated code as
+  // a reference object.
+
+  def l2sqQ(a: ArrayData, q: Array[Float]): Double = {
+    // bulk-copy once (single copyMemory for UnsafeArrayData) then run a
+    // primitive-array loop the JIT can inline + auto-vectorize — per-element
+    // ArrayData.getFloat is a megamorphic virtual call and ~10x slower
+    val af = a.toFloatArray()
+    l2sqFF(af, q)
+  }
+
+  /** primitive-array squared L2 (double accumulation, left-to-right) */
+  def l2sqFF(af: Array[Float], q: Array[Float]): Double = {
+    val n = q.length
+    if (af.length != n)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${af.length} vs $n")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = af(i).toDouble - q(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def dotQ(a: ArrayData, q: Array[Float]): Double = {
+    val af = a.toFloatArray()
+    val n = q.length
+    if (af.length != n)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${af.length} vs $n")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += af(i).toDouble * q(i).toDouble; i += 1 }
+    s
+  }
+
+  def cosineQ(a: ArrayData, q: Array[Float]): Double = {
+    val af = a.toFloatArray()
+    val n = q.length
+    if (af.length != n)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${af.length} vs $n")
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = af(i).toDouble
+      val y = q(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else d / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+
+  /** Multi-query squared-L2: one pass per query over a primitive matrix —
+    * the batch-search kernel (vecgo R6). Returns a primitive double[]
+    * wrapped for Catalyst.
+    */
+  def l2sqMulti(a: ArrayData, qs: Array[Array[Float]]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val af = a.toFloatArray() // one bulk copy amortized over ALL queries
+    val m = qs.length
+    val out = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      out(j) = l2sqFF(af, qs(j))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Hamming distance over packed binary codes (array<long> words). */
   def hammingLong(a: ArrayData, b: ArrayData): Long = {
     val n = checkDims(a, b)

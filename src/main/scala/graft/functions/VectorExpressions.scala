@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -28,44 +29,75 @@ private[functions] trait VecBinaryChecks { self: BinaryExpression =>
     }
 }
 
-/** Squared L2 distance between two array<float> vectors (double result). */
-case class VecL2Sq(left: Expression, right: Expression)
+/** Base for float-vector distances with a constant-query fast path: when
+  * the right child is foldable (a literal query vector), it is evaluated
+  * ONCE into a primitive float[] and baked into the generated code as a
+  * reference object — the hot scan loop then never touches the boxed
+  * GenericArrayData a literal would otherwise produce per row (the
+  * difference is ~2 orders of magnitude on a 100 TB-shaped scan).
+  */
+private[functions] abstract class VecDistanceBase
     extends BinaryExpression with VecBinaryChecks {
   protected def expectedElem: DataType = FloatType
   override def dataType: DataType = DoubleType
-  override def prettyName: String = "vec_l2sq"
+
+  /** kernel entry points in [[DistanceKernels]]: generic and const-query */
+  protected def kernel: String
+  protected def applyKernel(a: ArrayData, b: ArrayData): Double
+  protected def applyKernelQ(a: ArrayData, q: Array[Float]): Double
+
+  @transient protected lazy val constQ: Array[Float] =
+    if (right.foldable) {
+      val v = right.eval(null)
+      if (v == null) null else v.asInstanceOf[ArrayData].toFloatArray()
+    } else null
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    DistanceKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (constQ != null) applyKernelQ(a.asInstanceOf[ArrayData], constQ)
+    else applyKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DistanceKernels.l2sq($a, $b)")
+    if (constQ != null) {
+      val ref = ctx.addReferenceObj("qvec", constQ, "float[]")
+      val leftGen = left.genCode(ctx)
+      val k = s"graft.functions.DistanceKernels.${kernel}Q"
+      ev.copy(code = code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) { ${ev.value} = $k(${leftGen.value}, $ref); }""")
+    } else {
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.DistanceKernels.$kernel($a, $b)")
+    }
+}
+
+/** Squared L2 distance between two array<float> vectors (double result). */
+case class VecL2Sq(left: Expression, right: Expression) extends VecDistanceBase {
+  override def prettyName: String = "vec_l2sq"
+  protected def kernel: String = "l2sq"
+  protected def applyKernel(a: ArrayData, b: ArrayData): Double = DistanceKernels.l2sq(a, b)
+  protected def applyKernelQ(a: ArrayData, q: Array[Float]): Double = DistanceKernels.l2sqQ(a, q)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** Inner product between two array<float> vectors (double result). */
-case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with VecBinaryChecks {
-  protected def expectedElem: DataType = FloatType
-  override def dataType: DataType = DoubleType
+case class VecDot(left: Expression, right: Expression) extends VecDistanceBase {
   override def prettyName: String = "vec_dot"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    DistanceKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DistanceKernels.dot($a, $b)")
+  protected def kernel: String = "dot"
+  protected def applyKernel(a: ArrayData, b: ArrayData): Double = DistanceKernels.dot(a, b)
+  protected def applyKernelQ(a: ArrayData, q: Array[Float]): Double = DistanceKernels.dotQ(a, q)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** Cosine similarity between two array<float> vectors (double result). */
-case class VecCosine(left: Expression, right: Expression)
-    extends BinaryExpression with VecBinaryChecks {
-  protected def expectedElem: DataType = FloatType
-  override def dataType: DataType = DoubleType
+case class VecCosine(left: Expression, right: Expression) extends VecDistanceBase {
   override def prettyName: String = "vec_cos"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    DistanceKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DistanceKernels.cosine($a, $b)")
+  protected def kernel: String = "cosine"
+  protected def applyKernel(a: ArrayData, b: ArrayData): Double = DistanceKernels.cosine(a, b)
+  protected def applyKernelQ(a: ArrayData, q: Array[Float]): Double = DistanceKernels.cosineQ(a, q)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -98,4 +130,27 @@ case class VecHamming(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DistanceKernels.hammingLong($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Multi-query squared L2: distances from one vector to a CONSTANT matrix
+  * of query vectors, as array<double> — the batch-search kernel. The
+  * matrix is a codegen reference object (primitive float[][]), so a
+  * batch-100 scan does all 100 distances in one tight call per row.
+  */
+case class VecL2SqMulti(child: Expression, queries: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_l2sq_multi"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq_multi expects array<float>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    DistanceKernels.l2sqMulti(a.asInstanceOf[ArrayData], queries)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qmat", queries, "float[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.DistanceKernels.l2sqMulti($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

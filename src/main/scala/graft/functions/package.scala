@@ -31,6 +31,12 @@ package object functions {
   /** Hamming distance over packed array<long> binary codes. */
   def vec_hamming(a: Column, b: Column): Column = asCol(VecHamming(expr(a), expr(b)))
 
+  /** Squared L2 distances to a constant query matrix, as array<double> —
+    * one tight kernel call per row for batch search.
+    */
+  def vec_l2sq_multi(a: Column, queries: Array[Array[Float]]): Column =
+    asCol(VecL2SqMulti(expr(a), queries))
+
   /** L2-normalize an array<float> vector (write-time Cosine normalization,
     * mirroring vecgo `hnsw.go:799+` prepareVector).
     */

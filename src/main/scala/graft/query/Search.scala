@@ -107,10 +107,36 @@ object Search {
       .select(col(idCol), col("score"))
   }
 
+  /** Per-key bounded top-k via Spark's internal CollectTopK aggregate:
+    * every partition keeps a size-k heap per key (partial aggregation),
+    * so the shuffle carries only numPartitions × keys × k structs instead
+    * of the full scored set — the distributed version of vecgo's
+    * per-segment bounded heaps merged into a global heap
+    * (`internal/searcher/queue.go:190-219`).
+    *
+    * Ordering: ascending on (orderScore, id); pass orderScore = -score for
+    * descending metrics so ties still break by id ASC.
+    */
+  def topKPerKey(scored: DataFrame, keyCol: String, orderScore: Column,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    val pair = struct(orderScore.as("os"), col(idCol).as("_id"))
+    val topk = ColumnBridge.column(
+      new CollectTopK(ColumnBridge.expression(pair), k, true)
+        .toAggregateExpression())
+    scored
+      .groupBy(col(keyCol))
+      .agg(topk.as("topk"))
+      .select(col(keyCol), posexplode(sort_array(col("topk"))).as(Seq("pos", "p")))
+      .select(col(keyCol), col("p._id").as(idCol), col("p.os").as("_os"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Batch search: top-k per query for a whole frame of queries (vecgo R6
-    * `BatchSearch`). The query frame is broadcast; per-query ranking is a
-    * window over the scored cross product partitioned by query id, so the
-    * shuffle is keyed by query id only.
+    * `BatchSearch`). The query frame is broadcast into the scan (no
+    * shuffle of the vector table); per-query top-k runs as bounded-heap
+    * partial aggregation via [[topKPerKey]].
     */
   def batchSearch(
       df: DataFrame,
@@ -122,17 +148,50 @@ object Search {
       k: Int,
       metric: Metric = Metric.L2,
       filter: Column = lit(true)): DataFrame = {
+    val score = metric.score(col(vecCol), col(queryVecCol))
+    val orderScore = if (metric.ascending) score else -score
     val scored = df
       .where(filter)
       .crossJoin(broadcast(queries))
-      .withColumn("score", metric.score(col(vecCol), col(queryVecCol)))
-    val w = Window
-      .partitionBy(col(queryIdCol))
-      .orderBy(metric.sort(col("score")), col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+      .withColumn("_os_in", orderScore)
+    val restore = if (metric.ascending) col("_os") else -col("_os")
+    topKPerKey(scored, queryIdCol, col("_os_in"), idCol, k)
+      .select(col(queryIdCol), col(idCol), restore.as("score"), col("rank"))
+  }
+
+  /** Batch search against an in-memory query matrix — the faithful twin of
+    * vecgo's `BatchSearch(ctx, [][]float32, k)` (`engine.go:1303-1366`).
+    * One [[graft.functions.vec_l2sq_multi]] kernel call scores ALL queries
+    * per row (the query matrix rides into codegen as a primitive
+    * float[][]), then bounded per-partition heaps take over — no join, no
+    * full sort, shuffle = partitions × queries × k rows.
+    *
+    * Output: (query_id, id, score, rank), L2 metric.
+    */
+  def batchSearchMatrix(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      filter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.{vec_l2sq_multi, MultiTopK}
+    val qmat = queries.map(_._2).toArray
+    val qids = queries.map(_._1).toArray
+    val dists = vec_l2sq_multi(col(vecCol), qmat)
+    val agg = ColumnBridge.column(MultiTopK(
+      ColumnBridge.expression(dists),
+      ColumnBridge.expression(col(idCol).cast("long")),
+      m = qmat.length, k = k).toAggregateExpression())
+    df.where(filter)
+      .agg(agg.as("all_topk"))
+      .select(posexplode(col("all_topk")).as(Seq("_qidx", "_topk")))
+      .select(element_at(lit(qids), col("_qidx") + 1).as("query_id"),
+        posexplode(col("_topk")).as(Seq("_pos", "_p")))
+      .select(col("query_id"), col("_p.id").as(idCol),
+        col("_p.score").as("score"), (col("_pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Point lookup by primary key (vecgo R7 `Get`). */

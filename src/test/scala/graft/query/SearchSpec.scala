@@ -87,6 +87,22 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("batchSearchMatrix (MultiTopK aggregate) equals window-based batch search") {
+    val qpairs = Seq(0L, 1L, 7L).map(i => (i, data(i.toInt)._2))
+    val got = Search.batchSearchMatrix(df, "vec", "id", qpairs, k = 5)
+      .select("query_id", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    for ((qid, qv) <- qpairs) {
+      val single = Search.knn(df, "vec", "id", lit(qv), k = 5, Metric.L2)
+        .as[(Long, Double)].collect().toSeq
+      val mine = got.filter(_._1 == qid).sortBy(_._4)
+      assert(mine.map(_._2) == single.map(_._1), s"ids for query $qid")
+      mine.map(_._3).zip(single.map(_._2)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12)
+      }
+    }
+  }
+
   test("missing (null) metadata field matches no operator, including ne") {
     val withNulls = df.withColumn("tag",
       when(col("id") < 100, lit("x")).otherwise(lit(null: String)))
