@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end coverage THROUGH the public GraftDB facade: the same k-NN
+  * and hybrid results as the operator-level queries, but produced by the
+  * full engine path (validation → store segments → snapshot read →
+  * search), oracle-checked against the same SQL.
+  */
+object FacadeQueries {
+
+  private def buildDb(s: SparkSession, dir: String, name: String): GraftDB = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_$name"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val emb = Tables.load(s, dir, "embeddings")
+    val docs = Tables.load(s, dir, "documents")
+    val records = emb
+      .join(docs, emb("vec_id") === docs("doc_id"))
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label"), col("text"))
+    val db = GraftDB.open(s, root, dim = 64, metric = "l2",
+      schema = Map("label" -> "int"), textCol = Some("text"))
+    // two segments so the facade read path exercises the union + manifest
+    db.insertBatch(records.where(col("id") < 250))
+    db.insertBatch(records.where(col("id") >= 250))
+    db
+  }
+
+  private def qvec(s: SparkSession, dir: String, qid: Long): Array[Float] =
+    Tables.load(s, dir, "embeddings").where(col("vec_id") === qid)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+  /** Facade k-NN == operator-level knn_l2 (same oracle). */
+  def knn(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_knn")
+    db.search(qvec(s, dir, 0), 10)
+      .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
+  }
+
+  /** Facade hybrid == operator-level hybrid_rrf (same oracle). */
+  def hybrid(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_hybrid")
+    db.hybridSearch(qvec(s, dir, 5), "spark vector merge", 10)
+      .select(col("id"), round(col("score"), 6).as("score"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graftdb_knn" -> (knn _),
+    "graftdb_hybrid" -> (hybrid _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "graftdb_knn" -> Queries.oracle("knn_l2"),
+    "graftdb_hybrid" -> Queries.oracle("hybrid_rrf")
+  )
+}

@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+import graft.functions._
+import graft.hybrid.RRF
+import graft.lexical.BM25
+import graft.query.Search
+import graft.store.SnapshotStore
+import graft.types.{Filter, FilterSet, Metric}
+
+/** Engine configuration persisted beside the store (vecgo records Metric
+  * and dim in its manifest, `manifest.go:31`). `schema` pins declared
+  * metadata field types (vecgo `metadata/schema.go:8-58`): Int pins accept
+  * int, Float pins accept int-or-float (int upgrades), unknown columns
+  * pass through (open schema).
+  */
+case class GraftConfig(
+    dim: Int,
+    metric: String,
+    schema: Map[String, String] = Map.empty,
+    textCol: Option[String] = None)
+
+/** The top-level engine — the Spark-native equivalent of `vecgo.DB`
+  * (`vecgo.go`): one object that owns the versioned store, validation,
+  * write path, and the full read surface (search / threshold / batch /
+  * hybrid / get / scan), plus lifecycle ops (compact / vacuum / time
+  * travel / stats / explain).
+  *
+  * A record frame has: `id long`, `vector array<float>` (dim-checked,
+  * NaN/Inf-rejected like `engine.go:786-789`, L2-normalized at write time
+  * for Cosine like `hnsw.go:799+`), declared metadata columns, optional
+  * `payload binary`, optional text column for lexical/hybrid search.
+  */
+final class GraftDB private (val spark: SparkSession, val root: String,
+    val config: GraftConfig) {
+
+  val store = new SnapshotStore(spark, root)
+  val metric: Metric = Metric.fromString(config.metric)
+
+  // ------------------------------------------------------------ validation
+
+  /** Validate + canonicalize a record batch (vecgo insert-path checks). */
+  private def prepare(records: DataFrame): DataFrame = {
+    require(records.columns.contains("id"), "records need an `id` column")
+    require(records.columns.contains("vector"), "records need a `vector` column")
+    config.schema.foreach { case (field, kind) =>
+      require(records.columns.contains(field),
+        s"schema-declared field `$field` missing")
+      val dt = records.schema(field).dataType.typeName
+      val ok = kind match {
+        case "int" => Seq("integer", "long", "short").contains(dt)
+        case "float" => Seq("integer", "long", "short", "float", "double").contains(dt)
+        case "string" => dt == "string"
+        case "bool" => dt == "boolean"
+        case "array" => dt.startsWith("array")
+        case _ => true // Any
+      }
+      require(ok, s"field `$field` has type $dt, schema pins $kind")
+    }
+    val vecOk = records
+      .withColumn("_dim_ok", size(col("vector")) === config.dim)
+      .withColumn("_finite_ok",
+        !exists(col("vector"), x => isnan(x) || x === Float.PositiveInfinity ||
+          x === Float.NegativeInfinity))
+    val bad = vecOk.where(!col("_dim_ok") || !col("_finite_ok")).limit(1).count()
+    require(bad == 0,
+      s"invalid vectors: wrong dimension (expect ${config.dim}) or NaN/Inf")
+    val canon = vecOk.drop("_dim_ok", "_finite_ok")
+    if (metric == Metric.Cosine)
+      canon.withColumn("vector", vec_normalize(col("vector")))
+    else canon
+  }
+
+  // ------------------------------------------------------------ write path
+
+  /** Deferred bulk insert (vecgo W3): validate → new segment version. */
+  def insertBatch(records: DataFrame, collectStats: Boolean = true): Long =
+    store.insert(prepare(records), collectStats, Some("vector"))
+
+  /** Upsert by id (re-insert tombstones the old row, `engine.go:993`). */
+  def upsert(records: DataFrame): Long = store.upsert(prepare(records))
+
+  /** Tombstone ids (vecgo W5). */
+  def delete(ids: Seq[Long]): Long = {
+    import spark.implicits._
+    store.delete(ids.toDF("id"))
+  }
+
+  /** Delete by predicate: resolve matching ids at current version. */
+  def deleteWhere(filter: FilterSet): Long =
+    store.delete(read().where(filter.toColumn).select("id"))
+
+  def compact(): Long = store.compact()
+  def shouldCompact(maxSegments: Int = 4): Boolean = store.shouldCompact(maxSegments)
+  def vacuum(keepVersions: Int): Unit = store.vacuum(keepVersions)
+  def currentVersion: Long = store.currentVersion
+
+  // ------------------------------------------------------------- read path
+
+  /** Current (or time-traveled) snapshot. */
+  def read(version: Long = -1L): DataFrame =
+    store.read(if (version < 0) store.currentVersion else version)
+
+  /** Stats-pruned filtered scan (vecgo R8 + segment pruning). */
+  def scan(filters: Seq[Filter] = Nil, projectCols: Seq[String] = Nil): DataFrame = {
+    val (df, _, _) = store.prunedRead(filters)
+    if (projectCols.isEmpty) df else df.select(projectCols.map(col): _*)
+  }
+
+  /** Point lookup (vecgo R7). */
+  def get(id: Long): DataFrame = read().where(col("id") === id)
+
+  /** k-NN search (vecgo R1/R3): query validated like inserts; Cosine
+    * queries are normalized; metadata filter pre-applied.
+    */
+  def search(query: Array[Float], k: Int,
+      filter: FilterSet = FilterSet.empty,
+      projectCols: Seq[String] = Nil): DataFrame = {
+    require(query.length == config.dim, s"query dim ${query.length} != ${config.dim}")
+    require(query.forall(f => !f.isNaN && !f.isInfinite), "query has NaN/Inf")
+    Search.knn(read(), "vector", "id", lit(query), k, metric,
+      filter.toColumn, projectCols)
+  }
+
+  /** Range query (vecgo R5). */
+  def searchThreshold(query: Array[Float], threshold: Double,
+      maxResults: Int, filter: FilterSet = FilterSet.empty): DataFrame =
+    Search.searchThreshold(read(), "vector", "id", lit(query), threshold,
+      maxResults, metric, filter.toColumn)
+
+  /** Batch search over a query matrix (vecgo R6), L2 fast path. */
+  def batchSearch(queries: Seq[(Long, Array[Float])], k: Int,
+      filter: FilterSet = FilterSet.empty): DataFrame =
+    Search.batchSearchMatrix(read(), "vector", "id", queries, k,
+      filter.toColumn)
+
+  /** Hybrid RRF search (vecgo R9): vector + BM25 pools of max(2k,50). */
+  def hybridSearch(query: Array[Float], textQuery: String, k: Int,
+      rrfK: Int = RRF.DefaultRrfK): DataFrame = {
+    val textCol = config.textCol.getOrElse(
+      throw new IllegalStateException("no textCol configured for hybrid search"))
+    val snap = read().cache()
+    val m = RRF.poolSize(k)
+    val vpool0 = Search.knn(snap, "vector", "id", lit(query), m, metric)
+    // rank L2 pools on euclidean (not squared) distance: same order, but
+    // the round-to-6 rank tie key then matches the cross-engine convention
+    val vpool =
+      if (metric == Metric.L2) vpool0.withColumn("score", sqrt(col("score")))
+      else vpool0
+    val vranks = RRF.ranked(vpool, "id", "score", ascending = metric.ascending)
+    val idx = BM25.build(snap, "id", textCol)
+    val bpool = BM25.search(idx, textQuery, m).select(col("id"), col("score"))
+    val branks = RRF.ranked(bpool, "id", "score", ascending = false)
+    RRF.fuse(vranks, branks, k, rrfK)
+  }
+
+  /** BM25-only lexical search (vecgo R10). */
+  def lexicalSearch(textQuery: String, k: Int): DataFrame = {
+    val textCol = config.textCol.getOrElse(
+      throw new IllegalStateException("no textCol configured"))
+    BM25.search(BM25.build(read(), "id", textCol), textQuery, k)
+  }
+
+  // -------------------------------------------------------- introspection
+
+  /** Engine stats (vecgo R14): version, segment/delete counts + rows. */
+  def stats(): Map[String, Any] = {
+    val m = store.manifest().getOrElse(
+      return Map("version" -> -1L, "segments" -> 0, "rows" -> 0L))
+    Map(
+      "version" -> m.version,
+      "segments" -> m.segments.size,
+      "segment_rows" -> m.segments.map(_.rows).sum,
+      "delete_rows" -> m.deletes.map(_.rows).sum,
+      "dim" -> config.dim,
+      "metric" -> config.metric)
+  }
+
+  /** Query explain (vecgo R15): our planner decisions (segment pruning)
+    * plus Catalyst's formatted physical plan.
+    */
+  def explain(filters: Seq[Filter]): String = {
+    val (df, scanned, pruned) = store.prunedRead(filters)
+    s"""GraftDB plan (version ${store.currentVersion})
+       |  segments scanned: ${scanned.mkString("[", ",", "]")}
+       |  segments pruned by manifest stats: ${pruned.mkString("[", ",", "]")}
+       |${df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))}""".stripMargin
+  }
+}
+
+object GraftDB {
+  private implicit val fmts: Formats = DefaultFormats
+
+  /** Create or open an engine at `root`. On create, the config is written
+    * to `root/db.json`; on open it is read back (config args ignored).
+    */
+  def open(spark: SparkSession, root: String,
+      dim: Int = 0, metric: String = "l2",
+      schema: Map[String, String] = Map.empty,
+      textCol: Option[String] = None): GraftDB = {
+    val p = new Path(root, "db.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val config =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        JsonMethods.parse(s).extract[GraftConfig]
+      } else {
+        require(dim > 0, "dim required when creating a new GraftDB")
+        val c = GraftConfig(dim, metric.toLowerCase, schema, textCol)
+        val out = fs.create(p, true)
+        try out.write(Serialization.write(c).getBytes("UTF-8")) finally out.close()
+        c
+      }
+    new GraftDB(spark, root, config)
+  }
+}

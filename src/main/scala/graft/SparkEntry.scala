@@ -12,11 +12,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ PipelineQueries.queries ++ StoreQueries.queries ++
-      IndexQueries.queries ++ EventQueries.queries ++ MultimodalQueries.queries
+      IndexQueries.queries ++ EventQueries.queries ++
+      MultimodalQueries.queries ++ FacadeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracle ++ PipelineQueries.oracle ++ StoreQueries.oracle ++
-      IndexQueries.oracle ++ EventQueries.oracle
+      IndexQueries.oracle ++ EventQueries.oracle ++ FacadeQueries.oracle
 }

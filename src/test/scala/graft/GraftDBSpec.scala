@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.types.{Filter, FilterSet}
+
+/** End-to-end engine lifecycle through the public facade — the "switch
+  * from vecgo" surface: open → insert (validated) → search/hybrid/scan →
+  * delete/upsert → compact → vacuum → time travel → stats/explain.
+  */
+class GraftDBSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDb(metric: String = "l2", dim: Int = 8,
+      textCol: Option[String] = None): GraftDB =
+    GraftDB.open(spark, Files.createTempDirectory("graft-db").toString,
+      dim = dim, metric = metric,
+      schema = Map("label" -> "int"), textCol = textCol)
+
+  private val rng = new scala.util.Random(11)
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(8)(r.nextFloat() * 2 - 1)
+  }
+  private def records(ids: Range) =
+    ids.map(i => (i.toLong, vec(i), i % 3, s"doc text number $i"))
+      .toDF("id", "vector", "label", "body")
+
+  test("validation: wrong dim, NaN, schema type pins") {
+    val db = freshDb()
+    intercept[IllegalArgumentException] {
+      db.insertBatch(Seq((1L, Array(1f, 2f), 0, "x"))
+        .toDF("id", "vector", "label", "body"))
+    }
+    intercept[IllegalArgumentException] {
+      db.insertBatch(Seq((1L, Array.fill(8)(Float.NaN), 0, "x"))
+        .toDF("id", "vector", "label", "body"))
+    }
+    intercept[IllegalArgumentException] { // label pinned int, given string
+      db.insertBatch(Seq((1L, vec(1), "not-int", "x"))
+        .toDF("id", "vector", "label", "body"))
+    }
+  }
+
+  test("full lifecycle: insert, search, delete, upsert, compact, time travel") {
+    val db = freshDb()
+    db.insertBatch(records(0 until 100))
+    // search matches brute force
+    val q = vec(999)
+    val got = db.search(q, 5).select("id").as[Long].collect().toSeq
+    val brute = (0 until 100).map { i =>
+      val v = vec(i)
+      (i.toLong, v.zip(q).map { case (a, b) =>
+        val d = a.toDouble - b; d * d }.sum)
+    }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    assert(got == brute)
+    // filtered search honors the metadata predicate
+    val lab1 = db.search(q, 100, FilterSet.of(Filter.Eq("label", 1)))
+      .select("id").as[Long].collect()
+    assert(lab1.forall(_ % 3 == 1) && lab1.nonEmpty)
+    // delete + upsert + time travel
+    val vDel = db.delete(Seq(0L, 1L, 2L))
+    assert(db.get(0L).count() == 0)
+    db.upsert(records(0 until 1))
+    assert(db.get(0L).count() == 1)
+    db.compact()
+    assert(db.read().count() == 98) // 100 - 3 deleted + 1 upserted back
+    assert(db.read(vDel).count() == 97)
+    val st = db.stats()
+    assert(st("segments") == 1 && st("metric") == "l2")
+  }
+
+  test("cosine metric normalizes stored vectors and queries rank by similarity") {
+    val db = freshDb(metric = "cosine")
+    db.insertBatch(records(0 until 50))
+    val hit = db.search(vec(7), 1).as[(Long, Double)].collect()(0)
+    assert(hit._1 == 7L)
+    assert(math.abs(hit._2 - 1.0) < 1e-6) // self-similarity on normalized
+    val norms = db.read().select(vec_norm_col()).as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5), "stored normalized")
+  }
+  private def vec_norm_col() = graft.functions.vec_norm(col("vector"))
+
+  test("hybrid and lexical search through the facade") {
+    val db = freshDb(textCol = Some("body"))
+    db.insertBatch(records(0 until 30))
+    val lex = db.lexicalSearch("number 7", 5).as[(Long, Double)].collect()
+    assert(lex.head._1 == 7L) // only doc containing token '7'
+    val hyb = db.hybridSearch(vec(7), "number 7", 5)
+      .as[(Long, Double)].collect()
+    assert(hyb.head._1 == 7L) // top of both lists
+  }
+
+  test("vacuum keeps retained versions readable; explain reports pruning") {
+    val db = freshDb()
+    db.insertBatch(records(0 until 10))
+    db.insertBatch(records(10 until 20))
+    db.compact()
+    db.insertBatch(records(20 until 30))
+    db.vacuum(keepVersions = 2)
+    assert(db.read().count() == 30)
+    val ex = db.explain(Seq(Filter.Eq("label", 99)))
+    assert(ex.contains("segments pruned") && ex.contains("GraftDB plan"))
+    // label stats: 99 out of range → all segments pruned
+    assert(db.scan(Seq(Filter.Eq("label", 99))).count() == 0)
+  }
+
+  test("reopen reads persisted config") {
+    val root = Files.createTempDirectory("graft-db-reopen").toString
+    val db1 = GraftDB.open(spark, root, dim = 8, metric = "cosine",
+      textCol = Some("body"))
+    db1.insertBatch(records(0 until 5))
+    val db2 = GraftDB.open(spark, root) // config comes from db.json
+    assert(db2.config.metric == "cosine" && db2.config.dim == 8)
+    assert(db2.read().count() == 5)
+  }
+}
