@@ -66,6 +66,21 @@ object IndexQueries {
       .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
   }
 
+  /** I10: INT4 (4-bit scalar codes) approx scan → exact rerank; coarser
+    * codes need a wider refine pool than SQ8 (vecgo `int4_test.go`).
+    */
+  def int4Rerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = SQ8.train(emb, "embedding", levels = 15)
+    val coded = SQ8.encode(emb, "embedding", model)
+    val q = qvec(emb, 1)
+    Search.rerank(coded, "vec_id",
+        approxScore = vec_l2sq(model.decodeCol(col("codes")), lit(q)),
+        exactScore = vec_l2sq(col("embedding"), lit(q)),
+        k = 10, refineFactor = 8, Metric.L2)
+      .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
+  }
+
   /** I8: binary-quantized Hamming top-10 (sign bits packed 32/word,
     * popcount distance).
     */
@@ -91,6 +106,7 @@ object IndexQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_knn" -> (ivfKnn _),
     "sq8_rerank" -> (sq8Rerank _),
+    "int4_rerank" -> (int4Rerank _),
     "pq_adc_rerank" -> (pqAdcRerank _),
     "bq_hamming" -> (bqHamming _)
   )
@@ -106,6 +122,7 @@ object IndexQueries {
   val oracle: Map[String, String] = Map(
     "ivf_knn" -> exactKnnSql(6),
     "sq8_rerank" -> exactKnnSql(7),
+    "int4_rerank" -> exactKnnSql(1),
     "pq_adc_rerank" -> exactKnnSql(9),
     "bq_hamming" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 8)

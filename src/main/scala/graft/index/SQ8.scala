@@ -14,19 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object SQ8 {
 
-  final case class Model(mins: Array[Double], maxs: Array[Double]) {
+  final case class Model(mins: Array[Double], maxs: Array[Double],
+      levels: Int = 255) {
     def dim: Int = mins.length
     private def span(i: Int): Double = {
       val s = maxs(i) - mins(i); if (s == 0.0) 1.0 else s
     }
 
-    /** Column: encode array<float> → array<int> codes in [0,255]. */
+    /** Column: encode array<float> → array<int> codes in [0,levels]
+      * (levels = 255 for SQ8, 15 for INT4 — vecgo I5/I10).
+      */
     def encodeCol(vec: Column): Column =
       transform(vec, (x, i) => {
         val mn = element_at(lit(mins), i + 1)
         val sp = element_at(lit(maxs.indices.map(span).toArray), i + 1)
-        least(lit(255), greatest(lit(0),
-          round((x.cast("double") - mn) / sp * lit(255.0)).cast("int")))
+        least(lit(levels), greatest(lit(0),
+          round((x.cast("double") - mn) / sp * lit(levels.toDouble)).cast("int")))
       })
 
     /** Column: decode codes back to the reconstructed array<float>. */
@@ -34,14 +37,15 @@ object SQ8 {
       transform(codes, (c, i) => {
         val mn = element_at(lit(mins), i + 1)
         val sp = element_at(lit(maxs.indices.map(span).toArray), i + 1)
-        (mn + c.cast("double") / lit(255.0) * sp).cast("float")
+        (mn + c.cast("double") / lit(levels.toDouble) * sp).cast("float")
       })
   }
 
   /** Train per-dimension min/max in one distributed pass (posexplode +
-    * groupBy over dim index — map-side combinable).
+    * groupBy over dim index — map-side combinable). `levels` picks the
+    * code width: 255 = SQ8 (default), 15 = INT4.
     */
-  def train(df: DataFrame, vecCol: String): Model = {
+  def train(df: DataFrame, vecCol: String, levels: Int = 255): Model = {
     val stats = df
       .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy("dim")
@@ -49,7 +53,7 @@ object SQ8 {
         max(col("x").cast("double")).as("mx"))
       .orderBy("dim")
       .collect()
-    Model(stats.map(_.getDouble(1)), stats.map(_.getDouble(2)))
+    Model(stats.map(_.getDouble(1)), stats.map(_.getDouble(2)), levels)
   }
 
   /** Add a `codes` column to the frame. */
