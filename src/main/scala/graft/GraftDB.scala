@@ -82,6 +82,13 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   def insertBatch(records: DataFrame, collectStats: Boolean = true): Long =
     store.insert(prepare(records), collectStats, Some("vector"))
 
+  /** Typed-record insert (vecgo W4 `InsertRecord`/builder ergonomics):
+    * case-class `Dataset[Record]` in, same validated path.
+    */
+  def insertRecords(records: org.apache.spark.sql.Dataset[graft.types.Record],
+      collectStats: Boolean = true): Long =
+    insertBatch(records.toDF(), collectStats)
+
   /** Upsert by id (re-insert tombstones the old row, `engine.go:993`). */
   def upsert(records: DataFrame): Long = store.upsert(prepare(records))
 
@@ -125,6 +132,15 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     require(query.forall(f => !f.isNaN && !f.isInfinite), "query has NaN/Inf")
     Search.knn(read(), "vector", "id", lit(query), k, metric,
       filter.toColumn, projectCols)
+  }
+
+  /** Streaming-result variant (vecgo R2 `SearchIter`): results as a lazy
+    * driver-side iterator instead of a collected frame.
+    */
+  def searchIter(query: Array[Float], k: Int,
+      filter: FilterSet = FilterSet.empty): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    search(query, k, filter).toLocalIterator().asScala
   }
 
   /** Range query (vecgo R5). */

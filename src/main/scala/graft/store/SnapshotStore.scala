@@ -91,7 +91,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
 
   private def writeSegment(df: DataFrame, seq: Long, prefix: String): (String, Long) = {
     val dir = s"$root/$prefix-$seq"
-    df.write.mode("overwrite").parquet(dir)
+    df.write.mode("overwrite")
+      // per-column bloom filter on the primary key (vecgo I14 categorical
+      // blooms): point-get / delete anti-joins skip row groups by id
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .parquet(dir)
     // row count from the written footers (metadata-only scan), not by
     // recomputing the input plan
     (dir, spark.read.parquet(dir).count())
