@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.index.{BQ, IVF, PQ, SQ8}
+import graft.index.{BQ, IVF, OPQ, PQ, RaBitQ, SQ8}
 import graft.query.Search
 import graft.types.Metric
 
@@ -66,6 +66,34 @@ object IndexQueries {
       .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
   }
 
+  /** I7: OPQ — learned-rotation PQ, ADC approx scan → exact rerank. */
+  def opqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = OPQ.train(emb, "embedding", m = 8, ksub = 64, iters = 2)
+    val coded = emb.withColumn("opq_codes", model.encodeCol(col("embedding")))
+    val q = qvec(emb, 2)
+    Search.rerank(coded, "vec_id",
+        approxScore = model.adcScoreCol(col("opq_codes"), q),
+        exactScore = vec_l2sq(col("embedding"), lit(q)),
+        k = 10, refineFactor = 10, Metric.L2)
+      .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
+  }
+
+  /** I9: RaBitQ-style randomized binary quantization — sign bits of a
+    * random rotation, Hamming-angle distance estimate, exact rerank.
+    */
+  def rabitqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = RaBitQ.train(dim = 64)
+    val coded = RaBitQ.encode(emb, "embedding", model)
+    val q = qvec(emb, 4)
+    Search.rerank(coded, "vec_id",
+        approxScore = model.approxScoreCol(col("rq_codes"), q),
+        exactScore = vec_l2sq(col("embedding"), lit(q)),
+        k = 10, refineFactor = 35, Metric.L2)
+      .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
+  }
+
   /** I10: INT4 (4-bit scalar codes) approx scan → exact rerank; coarser
     * codes need a wider refine pool than SQ8 (vecgo `int4_test.go`).
     */
@@ -108,6 +136,8 @@ object IndexQueries {
     "sq8_rerank" -> (sq8Rerank _),
     "int4_rerank" -> (int4Rerank _),
     "pq_adc_rerank" -> (pqAdcRerank _),
+    "opq_rerank" -> (opqRerank _),
+    "rabitq_rerank" -> (rabitqRerank _),
     "bq_hamming" -> (bqHamming _)
   )
 
@@ -124,6 +154,8 @@ object IndexQueries {
     "sq8_rerank" -> exactKnnSql(7),
     "int4_rerank" -> exactKnnSql(1),
     "pq_adc_rerank" -> exactKnnSql(9),
+    "opq_rerank" -> exactKnnSql(2),
+    "rabitq_rerank" -> exactKnnSql(4),
     "bq_hamming" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 8)
         |SELECT e.vec_id AS vec_id,

@@ -158,6 +158,26 @@ object DistanceKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Dense rotation: out[j] = sum_i m[j][i] * a[i], double accumulation,
+    * float output — the OPQ/RaBitQ rotation kernel (matrix rides into
+    * codegen as a primitive float[][]).
+    */
+  def matMul(a: ArrayData, m: Array[Array[Float]]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val af = a.toFloatArray()
+    val outDim = m.length
+    val out = new Array[Float](outDim)
+    var j = 0
+    while (j < outDim) {
+      val row = m(j)
+      var s = 0.0
+      var i = 0
+      while (i < row.length) { s += row(i).toDouble * af(i).toDouble; i += 1 }
+      out(j) = s.toFloat
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Hamming distance over packed binary codes (array<long> words). */
   def hammingLong(a: ArrayData, b: ArrayData): Long = {
     val n = checkDims(a, b)

@@ -154,3 +154,24 @@ case class VecL2SqMulti(child: Expression, queries: Array[Array[Float]])
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Dense rotation by a constant matrix (rows = output dims): the OPQ /
+  * RaBitQ preprocessing step as a codegen expression.
+  */
+case class VecMatMul(child: Expression, matrix: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_matmul"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_matmul expects array<float>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    DistanceKernels.matMul(a.asInstanceOf[ArrayData], matrix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rot", matrix, "float[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.DistanceKernels.matMul($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

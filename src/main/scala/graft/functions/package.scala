@@ -37,6 +37,10 @@ package object functions {
   def vec_l2sq_multi(a: Column, queries: Array[Array[Float]]): Column =
     asCol(VecL2SqMulti(expr(a), queries))
 
+  /** Rotate by a constant matrix (rows = output dims). */
+  def vec_matmul(a: Column, matrix: Array[Array[Float]]): Column =
+    asCol(VecMatMul(expr(a), matrix))
+
   /** L2-normalize an array<float> vector (write-time Cosine normalization,
     * mirroring vecgo `hnsw.go:799+` prepareVector).
     */

@@ -70,7 +70,7 @@ object PQ {
   }
 
   /** Seeded local Lloyd's k-means (the codebook trainer). */
-  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
+  def lloydLocal(points: Array[Array[Float]], k: Int, iters: Int,
       seed: Long): Array[Array[Float]] = {
     val dim = points(0).length
     val rng = new scala.util.Random(seed)
@@ -114,7 +114,7 @@ object PQ {
     val subDim = dim / m
     val books = (0 until m).toArray.map { s =>
       val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
-      lloyd(sub, ksub, iters, seed + s)
+      lloydLocal(sub, ksub, iters, seed + s)
     }
     Model(m, ksub, subDim, books)
   }
