@@ -26,10 +26,14 @@ object PipelineQueries {
         TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"))
       .orderBy(col("doc_id").asc)
 
-  /** Language-ID + quality scoring over the documents corpus. */
+  /** Language-ID + quality scoring over the documents corpus. The token
+    * array is materialized ONCE into a column — langId/quality reference
+    * it ~12 times and Catalyst does not CSE the regex split.
+    */
   def langQuality(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.wsTokens(col("text"))
+    val toks = col("toks")
     t(s, dir, "documents")
+      .withColumn("toks", TextAnalysis.wsTokens(col("text")))
       .select(col("doc_id"),
         TextAnalysis.langId(toks).as("pred_lang"),
         r6(TextAnalysis.markerRatio(toks, "en")).as("stop_ratio"),
