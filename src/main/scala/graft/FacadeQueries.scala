@@ -55,6 +55,11 @@ object FacadeQueries {
 
   val oracle: Map[String, String] = Map(
     "graftdb_knn" -> Queries.oracle("knn_l2"),
-    "graftdb_hybrid" -> Queries.oracle("hybrid_rrf")
+    // facade corpus = embeddings JOIN documents; at scale factors where
+    // the two tables differ in size the BM25 side must be restricted to
+    // the joined ids
+    "graftdb_hybrid" -> Queries.oracle("hybrid_rrf").replace(
+      "FROM documents)",
+      "FROM documents JOIN embeddings ON vec_id = doc_id)")
   )
 }

@@ -162,12 +162,15 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       throw new IllegalStateException("no textCol configured for hybrid search"))
     val snap = read().cache()
     val m = RRF.poolSize(k)
-    val vpool0 = Search.knn(snap, "vector", "id", lit(query), m, metric)
-    // rank L2 pools on euclidean (not squared) distance: same order, but
-    // the round-to-6 rank tie key then matches the cross-engine convention
-    val vpool =
-      if (metric == Metric.L2) vpool0.withColumn("score", sqrt(col("score")))
-      else vpool0
+    // pool membership and ranks both use the rounded-to-6 score key (L2
+    // reported as euclidean, not squared): boundary ties then resolve by
+    // id on every engine, so the pool is reproducible cross-engine
+    val score0 = metric.score(col("vector"), lit(query))
+    val score = if (metric == Metric.L2) sqrt(score0) else score0
+    val vpool = snap
+      .withColumn("score", score)
+      .orderBy(metric.sort(round(col("score"), 6)), col("id").asc)
+      .limit(m)
     val vranks = RRF.ranked(vpool, "id", "score", ascending = metric.ascending)
     val idx = BM25.build(snap, "id", textCol)
     val bpool = BM25.search(idx, textQuery, m).select(col("id"), col("score"))

@@ -53,7 +53,14 @@ object IndexQueries {
       .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
   }
 
-  /** I6 + R11: PQ ADC approx scan → exact rerank (refine 5×). */
+  /** Refine factor sized as a corpus FRACTION so the exact-recovery gate
+    * holds at every scale factor (a fixed pool that is 20% of 500 rows is
+    * only 2% of 5000 — quantized recall depends on the fraction).
+    */
+  private def fracRefine(n: Long, k: Int, frac: Double, floor: Int): Int =
+    math.max(floor, math.ceil(n * frac / k).toInt)
+
+  /** I6 + R11: PQ ADC approx scan → exact rerank (pool ≈ 20% of corpus). */
   def pqAdcRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val model = PQ.train(emb, "embedding", m = 8, ksub = 64, iters = 10)
@@ -62,7 +69,7 @@ object IndexQueries {
     Search.rerank(coded, "vec_id",
         approxScore = model.adcScoreCol(col("pq_codes"), q),
         exactScore = vec_l2sq(col("embedding"), lit(q)),
-        k = 10, refineFactor = 10, Metric.L2)
+        k = 10, refineFactor = fracRefine(emb.count(), 10, 0.2, 10), Metric.L2)
       .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
   }
 
@@ -75,7 +82,7 @@ object IndexQueries {
     Search.rerank(coded, "vec_id",
         approxScore = model.adcScoreCol(col("opq_codes"), q),
         exactScore = vec_l2sq(col("embedding"), lit(q)),
-        k = 10, refineFactor = 10, Metric.L2)
+        k = 10, refineFactor = fracRefine(emb.count(), 10, 0.2, 10), Metric.L2)
       .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
   }
 
@@ -90,7 +97,7 @@ object IndexQueries {
     Search.rerank(coded, "vec_id",
         approxScore = model.approxScoreCol(col("rq_codes"), q),
         exactScore = vec_l2sq(col("embedding"), lit(q)),
-        k = 10, refineFactor = 35, Metric.L2)
+        k = 10, refineFactor = fracRefine(emb.count(), 10, 0.7, 35), Metric.L2)
       .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
   }
 

@@ -70,18 +70,21 @@ object SegmentStats {
         row.getLong(row.fieldIndex(s"${f.name}__nulls")),
         row.getLong(row.fieldIndex(s"${f.name}__ndv")))
     }.toMap
-    val vec = vecCol.map { vc =>
-      val centroid = df
-        .select(posexplode(col(vc)).as(Seq("d", "x")))
-        .groupBy("d").agg(avg(col("x").cast("double")).as("m"))
-        .orderBy("d").collect().map(_.getDouble(1))
-      val radius = df
-        .select(graft.functions.vec_l2(col(vc),
-          lit(centroid.map(_.toFloat))).as("r"))
-        .agg(max("r")).collect()(0).getDouble(0)
-      VecStats(centroid.toList, radius)
-    }
-    Stats(row.getLong(row.fieldIndex("__rows")), cols, vec)
+    val rows = row.getLong(row.fieldIndex("__rows"))
+    val vec =
+      if (rows == 0) None // empty segment: no vector stats to collect
+      else vecCol.map { vc =>
+        val centroid = df
+          .select(posexplode(col(vc)).as(Seq("d", "x")))
+          .groupBy("d").agg(avg(col("x").cast("double")).as("m"))
+          .orderBy("d").collect().map(_.getDouble(1))
+        val radius = df
+          .select(graft.functions.vec_l2(col(vc),
+            lit(centroid.map(_.toFloat))).as("r"))
+          .agg(max("r")).collect()(0).getDouble(0)
+        VecStats(centroid.toList, radius)
+      }
+    Stats(rows, cols, vec)
   }
 
   /** Can this segment be skipped for this predicate? Conservative: prune

@@ -134,6 +134,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val m = manifest().getOrElse(Manifest(-1L, -1L, Nil, Nil))
     val seq = m.maxSeq + 1
     val (path, rows) = writeSegment(df, seq, "seg")
+    if (rows == 0) { // empty batch: no-op, drop the stray dir
+      fs.delete(new Path(path), true)
+      return math.max(m.version, -1L)
+    }
     // stats from the WRITTEN files (one agg job per segment, vecgo I13)
     val stats =
       if (collectStats)
