@@ -103,6 +103,9 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     store.delete(read().where(filter.toColumn).select("id"))
 
   def compact(): Long = store.compact()
+  /** Policy-driven partial compaction (vecgo W9). */
+  def compactWith(policy: graft.store.CompactionPolicy): Option[Long] =
+    store.maybeCompact(policy)
   def shouldCompact(maxSegments: Int = 4): Boolean = store.shouldCompact(maxSegments)
   def vacuum(keepVersions: Int): Unit = store.vacuum(keepVersions)
   def currentVersion: Long = store.currentVersion
@@ -130,9 +133,31 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       projectCols: Seq[String] = Nil): DataFrame = {
     require(query.length == config.dim, s"query dim ${query.length} != ${config.dim}")
     require(query.forall(f => !f.isNaN && !f.isInfinite), "query has NaN/Inf")
-    Search.knn(read(), "vector", "id", lit(query), k, metric,
-      filter.toColumn, projectCols)
+    // filtered searches route through manifest-stats pruning: whole
+    // segments whose stats contradict the filter are never even listed
+    val src =
+      if (filter.filters.isEmpty) read()
+      else store.prunedRead(filter.filters)._1
+    Search.knn(src, "vector", "id", lit(query), k, metric,
+      lit(true), projectCols)
   }
+
+  /** Query stats (vecgo R15 `QueryStats`): executes the search eagerly and
+    * reports wall time, result count, and the planner's segment decisions.
+    */
+  case class QueryStats(durationMs: Double, rowsReturned: Long,
+      segmentsScanned: Int, segmentsPruned: Int)
+
+  def searchWithStats(query: Array[Float], k: Int,
+      filter: FilterSet = FilterSet.empty): (Array[org.apache.spark.sql.Row], QueryStats) = {
+    val t0 = System.nanoTime()
+    val (src, scanned, pruned) =
+      if (filter.filters.isEmpty) (read(), manifest.map(_.segments.size).getOrElse(0), 0)
+      else { val r = store.prunedRead(filter.filters); (r._1, r._2.size, r._3.size) }
+    val rows = Search.knn(src, "vector", "id", lit(query), k, metric).collect()
+    (rows, QueryStats((System.nanoTime() - t0) / 1e6, rows.length, scanned, pruned))
+  }
+  private def manifest = store.manifest()
 
   /** Streaming-result variant (vecgo R2 `SearchIter`): results as a lazy
     * driver-side iterator instead of a collected frame.

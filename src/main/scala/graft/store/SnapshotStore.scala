@@ -32,6 +32,44 @@ import org.json4s.jackson.Serialization
   * and are broadcast into an anti-join; compaction bounds segment-list
   * growth exactly like the reference's size-tiered policies (W8/W9).
   */
+/** Driver-side compaction planner (vecgo W9 `CompactionPolicy.Pick`,
+  * `internal/engine/policy.go`): given (seq, rows) per segment, choose a
+  * set to merge, or None.
+  */
+trait CompactionPolicy {
+  def pick(segments: Seq[(Long, Long)]): Option[Seq[Long]]
+}
+
+object CompactionPolicy {
+  /** Threshold policy (`policy.go:33-50`): when more than `maxSegments`
+    * exist, merge them all.
+    */
+  def threshold(maxSegments: Int = 4): CompactionPolicy = segs =>
+    if (segs.size > maxSegments) Some(segs.map(_._1)) else None
+
+  /** Size-tiered (`policy.go:57-112`, simplified): merge the largest
+    * group of segments that fall in the same size tier (powers of
+    * `ratio` over `minRows`), if at least `minMerge` share a tier.
+    */
+  def sizeTiered(minMerge: Int = 3, ratio: Double = 4.0,
+      minRows: Long = 1024L): CompactionPolicy = segs => {
+    def tier(rows: Long): Int =
+      if (rows <= minRows) 0
+      else (math.log(rows.toDouble / minRows) / math.log(ratio)).toInt + 1
+    segs.groupBy { case (_, rows) => tier(rows) }
+      .values.filter(_.size >= minMerge)
+      .maxByOption(_.size)
+      .map(_.map(_._1))
+  }
+
+  /** Leveled (`policy.go:123-221`, simplified): keep at most `l0Max`
+    * fresh segments; when exceeded, merge the oldest `l0Max + 1` into one.
+    */
+  def leveled(l0Max: Int = 4): CompactionPolicy = segs =>
+    if (segs.size > l0Max) Some(segs.sortBy(_._1).take(l0Max + 1).map(_._1))
+    else None
+}
+
 object SnapshotStore {
   import graft.stats.SegmentStats
   case class SegmentRef(path: String, seq: Long, rows: Long,
@@ -231,11 +269,55 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     next.version
   }
 
+  /** Partial compaction (vecgo W8 `CompactWithContext([]SegmentID)`):
+    * merge ONLY the chosen segments — their live rows (deletes applied)
+    * are rewritten as one new segment; other segments and all delete
+    * lists are untouched. Retained deletes never apply to the merged
+    * segment because its seq is newer than every delete — exactly the
+    * LSN rule, so no delete rewriting is needed.
+    */
+  def compactSegments(seqs: Seq[Long]): Long = {
+    val m = manifest().getOrElse(
+      throw new IllegalStateException("compact on empty store"))
+    val chosen = m.segments.filter(s => seqs.contains(s.seq))
+    require(chosen.nonEmpty, "no segments chosen")
+    val segs = chosen.map { s =>
+      spark.read.parquet(s.path).withColumn("_seq", lit(s.seq))
+    }.reduce(_ unionByName _)
+    val live =
+      if (m.deletes.isEmpty) segs
+      else {
+        val dels = m.deletes.map { d =>
+          spark.read.parquet(d.path).select(col("id").as("_del_id"),
+            lit(d.seq).as("_del_seq"))
+        }.reduce(_ unionByName _)
+        segs.join(broadcast(dels),
+          col("id") === col("_del_id") && col("_del_seq") > col("_seq"),
+          "left_anti")
+      }
+    val seq = m.maxSeq + 1
+    val (path, rows) = writeSegment(live.drop("_seq"), seq, "seg")
+    val remaining = m.segments.filterNot(s => seqs.contains(s.seq))
+    // GC delete lists that no longer apply to any remaining older segment
+    val minSeq = (remaining.map(_.seq) :+ seq).min
+    val (liveDels, _) = m.deletes.partition(_.seq > minSeq)
+    val next = Manifest(m.version + 1, seq,
+      remaining :+ SegmentRef(path, seq, rows), liveDels)
+    commit(next)
+    next.version
+  }
+
   /** Whether compaction is warranted: size-tiered trigger on segment count
     * (vecgo W9 `Threshold` policy, simplified).
     */
   def shouldCompact(maxSegments: Int = 4): Boolean =
     manifest().exists(_.segments.size > maxSegments)
+
+  /** Run one round of a compaction policy if it picks a task. */
+  def maybeCompact(policy: CompactionPolicy): Option[Long] =
+    manifest().flatMap { m =>
+      policy.pick(m.segments.map(s => s.seq -> s.rows)).map(compactSegments)
+    }
 
   /** Drop versions older than the last `keepVersions`, deleting files not
     * referenced by any retained version (refcount semantics of vecgo W10

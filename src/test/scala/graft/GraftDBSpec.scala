@@ -109,6 +109,22 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.scan(Seq(Filter.Eq("label", 99))).count() == 0)
   }
 
+  test("searchWithStats reports pruning decisions and timing") {
+    val db = freshDb()
+    db.insertBatch(records(0 until 50))                    // labels 0..2
+    db.insertBatch(records(50 until 100)
+      .withColumn("label", col("label") + 10))             // labels 10..12
+    val (rows, stats) = db.searchWithStats(vec(999), 5,
+      FilterSet.of(Filter.Eq("label", 11)))
+    assert(rows.length == 5)
+    assert(stats.segmentsScanned == 1 && stats.segmentsPruned == 1)
+    assert(stats.durationMs > 0 && stats.rowsReturned == 5)
+    // filtered facade search itself also prunes (same source path)
+    val ids = db.search(vec(999), 100, FilterSet.of(Filter.Eq("label", 11)))
+      .select("id").as[Long].collect()
+    assert(ids.nonEmpty && ids.forall(_ >= 50))
+  }
+
   test("reopen reads persisted config") {
     val root = Files.createTempDirectory("graft-db-reopen").toString
     val db1 = GraftDB.open(spark, root, dim = 8, metric = "cosine",
