@@ -26,15 +26,19 @@ object IndexQueries {
     emb.where(col("vec_id") === qid).select("embedding")
       .collect()(0).getSeq[Float](0).toArray
 
-  /** I4: IVF with all partitions probed — exact top-10, demonstrating the
-    * partition-assign + probe-prune plumbing.
+  /** I4: IVF with all partitions probed — exact top-10 through the FULL
+    * layout path: train → assign → write partitioned parquet → read back →
+    * probe (the `ivf_part IN (...)` filter prunes partition directories
+    * before listing, which is the 100 TB win).
     */
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val model = IVF.train(emb, "embedding", k = 8)
-    val assigned = IVF.assign(emb, "embedding", model)
+    val layout = s"${sys.props("java.io.tmpdir")}/graft_ivf_layout"
+    IVF.writeLayout(IVF.assign(emb, "embedding", model), layout)
+    val stored = s.read.parquet(layout)
     val q = qvec(emb, 6)
-    IVF.search(assigned, "embedding", "vec_id", model, q, k = 10, nprobe = 8)
+    IVF.search(stored, "embedding", "vec_id", model, q, k = 10, nprobe = 8)
       .select(col("vec_id"), r6(sqrt(col("score"))).as("score"))
   }
 
