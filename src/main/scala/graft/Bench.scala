@@ -124,6 +124,17 @@ object Bench {
     }
     derived("scan_rows_per_sec") = liRows / results("scan_agg_lineitem")
 
+    // the q1 oracle query pays for DECIMAL-exact sums (a determinism
+    // artifact); production double-sum throughput is the honest number
+    results("scan_agg_double") = bench {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity"), sum("l_extendedprice"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    derived("scan_rows_per_sec_double") = liRows / results("scan_agg_double")
+
     // tombstone-delete throughput: anti-join n rows against 1k deletes
     val dels = spark.range(0, 1000).select((col("id") * 7).as("id"))
     results("synth_delete_antijoin") = bench {

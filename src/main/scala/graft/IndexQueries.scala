@@ -33,7 +33,7 @@ object IndexQueries {
     */
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val model = IVF.train(emb, "embedding", k = 8)
+    val model = IVF.train(emb, "embedding", k = 8, maxIter = 8)
     val layout = s"${sys.props("java.io.tmpdir")}/graft_ivf_layout"
     IVF.writeLayout(IVF.assign(emb, "embedding", model), layout)
     val stored = s.read.parquet(layout)

@@ -31,11 +31,36 @@ object SegmentStats {
   case class VecStats(centroid: List[Double], radiusMax: Double)
 
   case class Stats(rows: Long, cols: Map[String, ColStats],
-      vec: Option[VecStats])
+      vec: Option[VecStats],
+      shape: Option[ShapeStats] = None)
+
+  /** Time-ordered segment shape (vecgo `ShapeStats`, `internal/manifest/
+    * stats.go:184-191`): whether the segment is sorted by its timestamp
+    * column — sorted-by-time segments allow range pruning and merge-style
+    * time joins without a sort.
+    */
+  case class ShapeStats(tsField: String, sortedByTs: Boolean,
+      minTs: Long, maxTs: Long)
 
   /** Collect stats in two jobs: one wide agg for scalars, one pass for
     * vector centroid+radius (if vecCol given).
     */
+  /** Detect the time shape of a segment in one pass: sortedness = zero
+    * descending steps between consecutive rows (per the frame's row
+    * order), plus epoch-micro bounds.
+    */
+  def collectShape(df: DataFrame, tsCol: String): ShapeStats = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(monotonically_increasing_id())
+    val stepped = df
+      .select(unix_micros(col(tsCol)).as("_ts"))
+      .withColumn("_prev", lag(col("_ts"), 1).over(w))
+    val r = stepped.agg(
+      count(when(col("_prev") > col("_ts"), 1)).as("desc_steps"),
+      min("_ts").as("mn"), max("_ts").as("mx")).collect()(0)
+    ShapeStats(tsCol, r.getLong(0) == 0L, r.getLong(1), r.getLong(2))
+  }
+
   def collect(df: DataFrame, vecCol: Option[String] = None): Stats = {
     val scalarCols = df.schema.fields.filter {
       case StructField(_, _: NumericType, _, _) => true

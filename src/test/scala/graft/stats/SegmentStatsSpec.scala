@@ -52,6 +52,18 @@ class SegmentStatsSpec extends AnyFunSuite {
       Seq(Filter.Eq("x", 20), Filter.Eq("s", "zebra"))))
   }
 
+  test("time-shape detection: sorted vs shuffled timestamp segments") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val sorted = Seq((1L, ts(1)), (2L, ts(2)), (3L, ts(3))).toDF("id", "t")
+      .coalesce(1)
+    val shSorted = SegmentStats.collectShape(sorted, "t")
+    assert(shSorted.sortedByTs && shSorted.minTs < shSorted.maxTs)
+    val unsorted = Seq((1L, ts(3)), (2L, ts(1)), (3L, ts(2))).toDF("id", "t")
+      .coalesce(1)
+    assert(!SegmentStats.collectShape(unsorted, "t").sortedByTs)
+  }
+
   test("triangle-inequality distance pruning and segment priority") {
     val vs = stats.vec.get
     val far = Array(10.0f, 10.0f)
