@@ -174,11 +174,30 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     Search.searchThreshold(read(), "vector", "id", lit(query), threshold,
       maxResults, metric, filter.toColumn)
 
-  /** Batch search over a query matrix (vecgo R6), L2 fast path. */
+  /** Batch search over a query matrix (vecgo R6). L2 and Cosine use the
+    * MultiTopK matrix fast path — for Cosine both stored vectors and
+    * queries are L2-normalized, and on normalized inputs squared-L2 order
+    * is exactly inverse cosine order, so the top-k sets coincide. Other
+    * metrics fall back to the frame-based path with the true metric.
+    */
   def batchSearch(queries: Seq[(Long, Array[Float])], k: Int,
-      filter: FilterSet = FilterSet.empty): DataFrame =
-    Search.batchSearchMatrix(read(), "vector", "id", queries, k,
-      filter.toColumn)
+      filter: FilterSet = FilterSet.empty): DataFrame = metric match {
+    case Metric.L2 =>
+      Search.batchSearchMatrix(read(), "vector", "id", queries, k,
+        filter.toColumn)
+    case Metric.Cosine =>
+      val normed = queries.map { case (qid, v) =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        (qid, if (n == 0) v else v.map(x => (x / n).toFloat))
+      }
+      Search.batchSearchMatrix(read(), "vector", "id", normed, k,
+        filter.toColumn)
+    case other =>
+      import spark.implicits._
+      val qf = queries.toDF("query_id", "qv")
+      Search.batchSearch(read(), "vector", "id", qf, "query_id", "qv", k,
+        other, filter.toColumn)
+  }
 
   /** Hybrid RRF search (vecgo R9): vector + BM25 pools of max(2k,50). */
   def hybridSearch(query: Array[Float], textQuery: String, k: Int,

@@ -85,6 +85,22 @@ class GraftDBSpec extends AnyFunSuite {
   }
   private def vec_norm_col() = graft.functions.vec_norm(col("vector"))
 
+  test("batchSearch per metric: L2/cosine matrix path and dot fallback agree with single search") {
+    for (m <- Seq("l2", "cosine", "dot")) {
+      val db = freshDb(metric = m)
+      db.insertBatch(records(0 until 80))
+      val qs = Seq(3L, 9L).map(i => (i, vec(i.toInt)))
+      val batch = db.batchSearch(qs, k = 5)
+        .select("query_id", "id", "rank")
+        .as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      for ((qid, qv) <- qs) {
+        val single = db.search(qv, 5).select("id").as[Long].collect().toSeq
+        assert(batch(qid) == single, s"metric=$m query=$qid")
+      }
+    }
+  }
+
   test("hybrid and lexical search through the facade") {
     val db = freshDb(textCol = Some("body"))
     db.insertBatch(records(0 until 30))
