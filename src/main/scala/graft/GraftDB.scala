@@ -216,17 +216,52 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       .orderBy(metric.sort(round(col("score"), 6)), col("id").asc)
       .limit(m)
     val vranks = RRF.ranked(vpool, "id", "score", ascending = metric.ascending)
-    val idx = BM25.build(snap, "id", textCol)
+    val idx = lexicalIndex()
     val bpool = BM25.search(idx, textQuery, m).select(col("id"), col("score"))
     val branks = RRF.ranked(bpool, "id", "score", ascending = false)
     RRF.fuse(vranks, branks, k, rrfK)
   }
 
-  /** BM25-only lexical search (vecgo R10). */
-  def lexicalSearch(textQuery: String, k: Int): DataFrame = {
+  /** BM25-only lexical search (vecgo R10), over the persisted index. */
+  def lexicalSearch(textQuery: String, k: Int): DataFrame =
+    BM25.search(lexicalIndex(), textQuery, k)
+
+  /** The snapshot's lexical index, persisted as derived Parquet tables
+    * under `root/lexical-v<version>/` (SURVEY §1.1: postings/doc_stats/
+    * term_stats "rebuilt per snapshot"). First call per version builds and
+    * writes it; later calls — and later sessions — read it back, so query
+    * cost is a postings join, not a corpus re-tokenization.
+    */
+  def lexicalIndex(): BM25.Index = {
     val textCol = config.textCol.getOrElse(
       throw new IllegalStateException("no textCol configured"))
-    BM25.search(BM25.build(read(), "id", textCol), textQuery, k)
+    val v = store.currentVersion
+    val dir = s"$root/lexical-v$v"
+    val marker = new Path(dir, "_STATS")
+    val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(marker)) {
+      val in = f.open(marker)
+      val parts = try scala.io.Source.fromInputStream(in).mkString.trim.split(",")
+      finally in.close()
+      BM25.Index(
+        spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/doclen"),
+        spark.read.parquet(s"$dir/termdf"),
+        parts(0).toLong, parts(1).toDouble)
+    } else {
+      val idx = BM25.build(read(), "id", textCol)
+      idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
+      idx.docLen.write.mode("overwrite").parquet(s"$dir/doclen")
+      idx.termDf.write.mode("overwrite").parquet(s"$dir/termdf")
+      val out = f.create(marker, true)
+      try out.write(s"${idx.numDocs},${idx.avgDocLen}".getBytes("UTF-8"))
+      finally out.close()
+      BM25.Index(
+        spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/doclen"),
+        spark.read.parquet(s"$dir/termdf"),
+        idx.numDocs, idx.avgDocLen)
+    }
   }
 
   // -------------------------------------------------------- introspection

@@ -111,6 +111,21 @@ class GraftDBSpec extends AnyFunSuite {
     assert(hyb.head._1 == 7L) // top of both lists
   }
 
+  test("lexical index persists per snapshot version and tracks new data") {
+    val db = freshDb(textCol = Some("body"))
+    db.insertBatch(records(0 until 20))
+    val v0 = db.currentVersion
+    assert(db.lexicalSearch("number 7", 3).as[(Long, Double)].collect().head._1 == 7L)
+    assert(new java.io.File(s"${db.root}/lexical-v$v0/postings").exists())
+    // cached read-back path (marker exists) returns the same result
+    assert(db.lexicalSearch("number 7", 3).as[(Long, Double)].collect().head._1 == 7L)
+    // new version -> new index reflecting the new docs
+    db.insertBatch(records(20 until 40))
+    val hits = db.lexicalSearch("number 25", 3).as[(Long, Double)].collect()
+    assert(hits.head._1 == 25L)
+    assert(new java.io.File(s"${db.root}/lexical-v${db.currentVersion}/postings").exists())
+  }
+
   test("vacuum keeps retained versions readable; explain reports pruning") {
     val db = freshDb()
     db.insertBatch(records(0 until 10))
