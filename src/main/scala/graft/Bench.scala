@@ -135,6 +135,33 @@ object Bench {
     }
     derived("scan_rows_per_sec_double") = liRows / results("scan_agg_double")
 
+    // IVF scale path: index build rate (BASELINE: 25,368 vec/s graph
+    // build) and probe-pruned ANN vs the brute-force single-query scan
+    val ivfDir = s"${sys.props("java.io.tmpdir")}/graft_bench_ivf"
+    val ivfModel = graft.index.IVF.train(
+      stored.sample(withReplacement = false, math.min(1.0, 20000.0 / n), 42L),
+      "vec", k = 32, maxIter = 10)
+    results("synth_ivf_build") = bench {
+      graft.index.IVF.writeLayout(
+        graft.index.IVF.assign(stored, "vec", ivfModel), ivfDir)
+    }
+    derived("ivf_build_vec_per_sec") = n / results("synth_ivf_build")
+    val ivfLayout = spark.read.parquet(ivfDir)
+    results("synth_ivf_probe4") = bench {
+      graft.index.IVF.search(ivfLayout, "vec", "id", ivfModel, q0,
+        k = 10, nprobe = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    derived("ivf_probe_qps") = 1.0 / results("synth_ivf_probe4")
+    // like-for-like: brute force over the SAME parquet layout (the cached
+    // in-memory brute scan above is a different storage tier)
+    results("synth_knn_single_parquet") = bench {
+      Search.knn(ivfLayout, "vec", "id", lit(q0), 10, Metric.L2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    derived("ivf_speedup_vs_brute") =
+      results("synth_knn_single_parquet") / results("synth_ivf_probe4")
+
     // tombstone-delete throughput: anti-join n rows against 1k deletes
     val dels = spark.range(0, 1000).select((col("id") * 7).as("id"))
     results("synth_delete_antijoin") = bench {
