@@ -62,15 +62,26 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       }
       require(ok, s"field `$field` has type $dt, schema pins $kind")
     }
-    val vecOk = records
-      .withColumn("_dim_ok", size(col("vector")) === config.dim)
-      .withColumn("_finite_ok",
-        !exists(col("vector"), x => isnan(x) || x === Float.PositiveInfinity ||
-          x === Float.NegativeInfinity))
-    val bad = vecOk.where(!col("_dim_ok") || !col("_finite_ok")).limit(1).count()
+    // NULL-proof: `size(null)===dim` and `exists(null,...)` are NULL, and a
+    // NULL predicate would never count the row as bad — so null vectors /
+    // null elements are checked explicitly (vecgo rejects empty vectors in
+    // prepareVector, `hnsw.go:799`). Zero vectors are rejected under Cosine
+    // (vecgo `distance.go:42-53`: NormalizeL2InPlace refuses zero norm).
+    val hasBadElem = exists(col("vector"),
+      x => x.isNull || isnan(x) || x === Float.PositiveInfinity ||
+        x === Float.NegativeInfinity)
+    val zeroNormBad =
+      if (metric == Metric.Cosine) vec_norm(col("vector")) === 0.0 else lit(false)
+    val vecOk = records.withColumn("_vec_bad",
+      col("vector").isNull ||
+        size(col("vector")) =!= config.dim ||
+        coalesce(hasBadElem, lit(true)) ||
+        coalesce(zeroNormBad, lit(true)))
+    val bad = vecOk.where(col("_vec_bad")).limit(1).count()
     require(bad == 0,
-      s"invalid vectors: wrong dimension (expect ${config.dim}) or NaN/Inf")
-    val canon = vecOk.drop("_dim_ok", "_finite_ok")
+      s"invalid vectors: null, wrong dimension (expect ${config.dim}), " +
+        "NaN/Inf, or zero-norm under cosine")
+    val canon = vecOk.drop("_vec_bad")
     if (metric == Metric.Cosine)
       canon.withColumn("vector", vec_normalize(col("vector")))
     else canon
@@ -108,6 +119,9 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     store.maybeCompact(policy)
   def shouldCompact(maxSegments: Int = 4): Boolean = store.shouldCompact(maxSegments)
   def vacuum(keepVersions: Int): Unit = store.vacuum(keepVersions)
+  /** Age-window retention (vecgo `RetentionPolicy.KeepDuration`). */
+  def vacuum(keepVersions: Int, keepDurationMs: Long): Unit =
+    store.vacuum(keepVersions, keepDurationMs)
   def currentVersion: Long = store.currentVersion
 
   // ------------------------------------------------------------- read path
@@ -115,6 +129,11 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   /** Current (or time-traveled) snapshot. */
   def read(version: Long = -1L): DataFrame =
     store.read(if (version < 0) store.currentVersion else version)
+
+  /** Timestamp time travel: newest snapshot committed at or before
+    * `tsMillis` (vecgo asOf reads, `engine.go:499-536`).
+    */
+  def readAsOf(tsMillis: Long): DataFrame = store.readAsOf(tsMillis)
 
   /** Stats-pruned filtered scan (vecgo R8 + segment pruning). */
   def scan(filters: Seq[Filter] = Nil, projectCols: Seq[String] = Nil): DataFrame = {
@@ -190,8 +209,12 @@ final class GraftDB private (val spark: SparkSession, val root: String,
         val n = math.sqrt(v.map(x => x.toDouble * x).sum)
         (qid, if (n == 0) v else v.map(x => (x / n).toFloat))
       }
+      // report cosine similarity, not the internal squared-L2 ranking key:
+      // on unit vectors cos = 1 - l2sq/2, so single-query search() and the
+      // matrix path return scores on the same scale
       Search.batchSearchMatrix(read(), "vector", "id", normed, k,
         filter.toColumn)
+        .withColumn("score", lit(1.0) - col("score") / 2)
     case other =>
       import spark.implicits._
       val qf = queries.toDF("query_id", "qv")

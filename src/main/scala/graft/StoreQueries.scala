@@ -52,6 +52,20 @@ object StoreQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label").asc)
 
+  /** Timestamp time travel (vecgo asOf reads): read the store as of the
+    * commit timestamp of version 2 — identical visible state to
+    * `read(version = 2)`, but addressed by wall-clock time from the
+    * manifest's commit stamp.
+    */
+  def timeTravelTs(s: SparkSession, dir: String): DataFrame = {
+    val store = buildLifecycle(s, dir, "store_timetravel_ts")
+    val ts2 = store.manifest(2).get.ts
+    store.readAsOf(ts2)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label").asc)
+  }
+
   /** Manifest-stats segment pruning: three label-range segments with
     * collected stats; a `label = 7` scan must prune two of them (asserted)
     * and still return exactly the right rows.
@@ -77,6 +91,7 @@ object StoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_lifecycle" -> (lifecycle _),
     "store_timetravel" -> (timeTravel _),
+    "store_timetravel_ts" -> (timeTravelTs _),
     "store_pruned_scan" -> (prunedScan _)
   )
 
@@ -92,6 +107,9 @@ object StoreQueries {
         |SELECT vec_id AS id, label FROM embeddings WHERE vec_id >= 50 AND label <> 3
         |ORDER BY id ASC""".stripMargin,
     "store_timetravel" ->
+      """SELECT label, count(*) AS n FROM embeddings
+        |WHERE label <> 3 GROUP BY label ORDER BY label ASC""".stripMargin,
+    "store_timetravel_ts" ->
       """SELECT label, count(*) AS n FROM embeddings
         |WHERE label <> 3 GROUP BY label ORDER BY label ASC""".stripMargin,
     "store_pruned_scan" ->

@@ -46,7 +46,10 @@ package object functions {
     */
   def vec_normalize(a: Column): Column = {
     val n = vec_norm(a)
-    transform(a, x => (x / n).cast("float"))
+    // zero-norm guard: pass zero vectors through unchanged instead of
+    // producing NaN (which would sort first under descending cosine order);
+    // vecgo refuses the normalize outright (`distance.go:42-53`)
+    when(n === 0.0, a).otherwise(transform(a, x => (x / n).cast("float")))
   }
 
   /** Register all vector functions for SQL use in this session. */

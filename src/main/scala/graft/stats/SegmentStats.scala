@@ -45,20 +45,45 @@ object SegmentStats {
   /** Collect stats in two jobs: one wide agg for scalars, one pass for
     * vector centroid+radius (if vecCol given).
     */
-  /** Detect the time shape of a segment in one pass: sortedness = zero
-    * descending steps between consecutive rows (per the frame's row
-    * order), plus epoch-micro bounds.
+  /** Detect the time shape of a segment in one distributed pass:
+    * sortedness = every partition internally non-descending AND partition
+    * boundaries non-descending in partition order, plus epoch-micro
+    * bounds. Each task streams its own rows (no global window — a
+    * `Window.orderBy` with no partitionBy would drag the whole segment
+    * through ONE task); the driver merges one small tuple per partition.
+    * NULL timestamps are ignored, matching the old lag-compare semantics.
     */
   def collectShape(df: DataFrame, tsCol: String): ShapeStats = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(monotonically_increasing_id())
-    val stepped = df
-      .select(unix_micros(col(tsCol)).as("_ts"))
-      .withColumn("_prev", lag(col("_ts"), 1).over(w))
-    val r = stepped.agg(
-      count(when(col("_prev") > col("_ts"), 1)).as("desc_steps"),
-      min("_ts").as("mn"), max("_ts").as("mx")).collect()(0)
-    ShapeStats(tsCol, r.getLong(0) == 0L, r.getLong(1), r.getLong(2))
+    val parts = df.select(unix_micros(col(tsCol)).as("_ts"))
+      .rdd.mapPartitionsWithIndex { (idx, it) =>
+        var first = Long.MinValue
+        var prev = Long.MinValue
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var sorted = true
+        var seen = false
+        while (it.hasNext) {
+          val row = it.next()
+          if (!row.isNullAt(0)) {
+            val v = row.getLong(0)
+            if (!seen) { first = v; seen = true }
+            else if (v < prev) sorted = false
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            prev = v
+          }
+        }
+        if (seen) Iterator.single((idx, first, prev, mn, mx, sorted))
+        else Iterator.empty
+      }.collect().sortBy(_._1)
+    require(parts.nonEmpty, s"no non-null `$tsCol` values to shape-detect")
+    val sortedWithin = parts.forall(_._6)
+    val boundariesOk = parts.iterator.sliding(2).withPartial(false).forall {
+      case Seq(a, b) => a._3 <= b._2 // last of partition i <= first of i+1
+      case _ => true
+    }
+    ShapeStats(tsCol, sortedWithin && boundariesOk,
+      parts.iterator.map(_._4).min, parts.iterator.map(_._5).max)
   }
 
   def collect(df: DataFrame, vecCol: Option[String] = None): Stats = {
@@ -67,6 +92,15 @@ object SegmentStats {
       case StructField(_, StringType, _, _) => true
       case _ => false
     }
+    // Fields with types we don't collect bounds for (bool/timestamp/array/
+    // binary/...) still get a presence marker: a ColStats with no bounds.
+    // canPrune must distinguish "field absent from the segment schema"
+    // (prunable — matches nothing) from "field present, no usable stats"
+    // (never prunable) — vecgo only prunes on genuinely-missing fields
+    // (`segment_pruning.go`).
+    val presenceOnly = df.schema.fields.filterNot(scalarCols.contains).map { f =>
+      f.name -> ColStats(num = false, None, None, None, None, 0L, 0L)
+    }.toMap
     val aggs = scalarCols.flatMap { f =>
       val c = col(f.name)
       val isNum = f.dataType.isInstanceOf[NumericType]
@@ -94,7 +128,7 @@ object SegmentStats {
       f.name -> ColStats(isNum, d("minN"), d("maxN"), s("minS"), s("maxS"),
         row.getLong(row.fieldIndex(s"${f.name}__nulls")),
         row.getLong(row.fieldIndex(s"${f.name}__ndv")))
-    }.toMap
+    }.toMap ++ presenceOnly
     val rows = row.getLong(row.fieldIndex("__rows"))
     val vec =
       if (rows == 0) None // empty segment: no vector stats to collect

@@ -79,10 +79,12 @@ object SnapshotStore {
       version: Long,
       maxSeq: Long,
       segments: List[SegmentRef],
-      deletes: List[DeleteRef])
+      deletes: List[DeleteRef],
+      ts: Long = 0L)
 }
 
-final class SnapshotStore(spark: SparkSession, val root: String) {
+final class SnapshotStore(spark: SparkSession, val root: String,
+    val broadcastDeleteMaxRows: Long = 4L * 1024 * 1024) {
   import SnapshotStore._
 
   private implicit val fmts: Formats = DefaultFormats
@@ -93,16 +95,40 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private def manifestPath(v: Long) = new Path(root, f"MANIFEST-$v%06d.json")
   private def currentPath = new Path(root, "CURRENT")
 
-  /** The live version number, or -1 if the store is empty/uninitialized. */
+  /** The live version number, or -1 if the store is empty/uninitialized.
+    * If CURRENT is missing but manifests exist (interrupted commit on an FS
+    * without atomic overwrite-rename), recover the highest surviving
+    * manifest instead of treating the store as empty — a fresh manifest
+    * chain at seq 0 would silently overwrite seg-0 (data loss).
+    */
   def currentVersion: Long = {
     val f = fs
-    if (!f.exists(currentPath)) -1L
+    if (!f.exists(currentPath)) versions().lastOption.getOrElse(-1L)
     else {
       val in = f.open(currentPath)
       val name = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
       name.stripPrefix("MANIFEST-").stripSuffix(".json").toLong
     }
   }
+
+  /** All surviving manifest versions, ascending (driver-side listing). */
+  def versions(): Seq[Long] = {
+    val f = fs
+    val p = new Path(root)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("MANIFEST-") && n.endsWith(".json"))
+      .map(_.stripPrefix("MANIFEST-").stripSuffix(".json").toLong)
+      .sorted.toIndexedSeq
+  }
+
+  /** Newest version committed at or before `asOfTsMillis` (vecgo
+    * timestamp time travel, `engine.go:499-536`).
+    */
+  def versionAt(asOfTsMillis: Long): Option[Long] =
+    versions().flatMap(manifest(_))
+      .filter(m => m.ts > 0 && m.ts <= asOfTsMillis)
+      .map(_.version).maxOption
 
   def manifest(version: Long = currentVersion): Option[Manifest] = {
     if (version < 0) return None
@@ -116,15 +142,21 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
 
   private def commit(m: Manifest): Unit = {
     val f = fs
+    val stamped = if (m.ts > 0) m else m.copy(ts = System.currentTimeMillis())
     val mp = manifestPath(m.version)
     val out = f.create(mp, true)
-    try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
-    // rename-commit of the CURRENT pointer (atomic on HDFS/posix)
+    try out.write(Serialization.write(stamped).getBytes("UTF-8")) finally out.close()
+    // atomic pointer swap: rename OVER the existing CURRENT (vecgo
+    // `manifest.go:194` renames without a prior delete — a delete-then-
+    // rename leaves a window where a concurrent reader sees no store)
     val tmp = new Path(root, s".CURRENT.tmp-${m.version}")
     val t = f.create(tmp, true)
     try t.write(mp.getName.getBytes("UTF-8")) finally t.close()
-    if (f.exists(currentPath)) f.delete(currentPath, false)
-    f.rename(tmp, currentPath)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.makeQualified(new Path(root)).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(currentPath),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def writeSegment(df: DataFrame, seq: Long, prefix: String): (String, Long) = {
@@ -139,6 +171,25 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     (dir, spark.read.parquet(dir).count())
   }
 
+  /** Tombstone anti-join, vecgo LSN rule: a delete with seq d hides ids in
+    * segments with seq < d; later segments (re-inserts) are unaffected.
+    * Expects `segs` to carry a `_seq` column.
+    */
+  private def applyDeletes(segs: DataFrame, m: Manifest): DataFrame =
+    if (m.deletes.isEmpty) segs
+    else {
+      val dels = m.deletes.map { d =>
+        spark.read.parquet(d.path).select(col("id").as("_del_id"),
+          lit(d.seq).as("_del_seq"))
+      }.reduce(_ unionByName _)
+      val delSide =
+        if (m.deletes.map(_.rows).sum <= broadcastDeleteMaxRows) broadcast(dels)
+        else dels
+      segs.join(delSide,
+        col("id") === col("_del_id") && col("_del_seq") > col("_seq"),
+        "left_anti")
+    }
+
   /** Read a version (default: current) as a DataFrame. Row visibility
     * follows vecgo tombstone semantics: a delete with seq d hides ids in
     * segments with seq < d; later segments (re-inserts) are unaffected.
@@ -150,19 +201,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val segs = m.segments.map { s =>
       spark.read.parquet(s.path).withColumn("_seq", lit(s.seq))
     }.reduce(_ unionByName _)
-    val out =
-      if (m.deletes.isEmpty) segs
-      else {
-        val dels = m.deletes.map { d =>
-          spark.read.parquet(d.path).select(col("id").as("_del_id"),
-            lit(d.seq).as("_del_seq"))
-        }.reduce(_ unionByName _)
-        segs.join(broadcast(dels),
-          col("id") === col("_del_id") && col("_del_seq") > col("_seq"),
-          "left_anti")
-      }
-    out.drop("_seq")
+    applyDeletes(segs, m).drop("_seq")
   }
+
+  /** Newest snapshot committed at or before the timestamp. */
+  def readAsOf(asOfTsMillis: Long): DataFrame =
+    read(versionAt(asOfTsMillis).getOrElse(throw new IllegalStateException(
+      s"no version committed at or before $asOfTsMillis at $root")))
 
   /** Append a batch as a new segment → new version (vecgo W2/W3 deferred
     * bulk load + W7 commit). `df` must carry a unique `id` column.
@@ -209,18 +254,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val segs = kept.map { s =>
       spark.read.parquet(s.path).withColumn("_seq", lit(s.seq))
     }.reduce(_ unionByName _)
-    val withDels =
-      if (m.deletes.isEmpty) segs
-      else {
-        val dels = m.deletes.map { d =>
-          spark.read.parquet(d.path).select(col("id").as("_del_id"),
-            lit(d.seq).as("_del_seq"))
-        }.reduce(_ unionByName _)
-        segs.join(broadcast(dels),
-          col("id") === col("_del_id") && col("_del_seq") > col("_seq"),
-          "left_anti")
-      }
-    (withDels.drop("_seq").where(pred), kept.map(_.seq), pruned.map(_.seq))
+    (applyDeletes(segs, m).drop("_seq").where(pred),
+      kept.map(_.seq), pruned.map(_.seq))
   }
 
   /** Tombstone ids → new version (vecgo W5). Idempotent: deleting a
@@ -284,17 +319,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val segs = chosen.map { s =>
       spark.read.parquet(s.path).withColumn("_seq", lit(s.seq))
     }.reduce(_ unionByName _)
-    val live =
-      if (m.deletes.isEmpty) segs
-      else {
-        val dels = m.deletes.map { d =>
-          spark.read.parquet(d.path).select(col("id").as("_del_id"),
-            lit(d.seq).as("_del_seq"))
-        }.reduce(_ unionByName _)
-        segs.join(broadcast(dels),
-          col("id") === col("_del_id") && col("_del_seq") > col("_seq"),
-          "left_anti")
-      }
+    val live = applyDeletes(segs, m)
     val seq = m.maxSeq + 1
     val (path, rows) = writeSegment(live.drop("_seq"), seq, "seg")
     val remaining = m.segments.filterNot(s => seqs.contains(s.seq))
@@ -323,10 +348,27 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * referenced by any retained version (refcount semantics of vecgo W10
     * `Vacuum`).
     */
-  def vacuum(keepVersions: Int): Unit = {
+  def vacuum(keepVersions: Int): Unit = vacuum(keepVersions, 0L)
+
+  /** Retention with BOTH a version floor and an age window (vecgo
+    * `RetentionPolicy{KeepVersions, KeepDuration}`, `engine.go:46-52`): a
+    * version survives if it is among the newest `keepVersions` OR was
+    * committed within `keepDurationMs` of `nowMs`.
+    */
+  def vacuum(keepVersions: Int, keepDurationMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Unit = {
     val cur = currentVersion
     if (cur < 0) return
-    val keepFrom = math.max(0L, cur - keepVersions + 1)
+    val byCount = math.max(0L, cur - keepVersions + 1)
+    val keepFrom =
+      if (keepDurationMs <= 0) byCount
+      else {
+        val cutoff = nowMs - keepDurationMs
+        val byAge = versions().flatMap(manifest(_))
+          .filter(m => m.ts >= cutoff).map(_.version)
+          .minOption.getOrElse(cur)
+        math.min(byCount, byAge)
+      }
     val f = fs
     val kept = (keepFrom to cur).flatMap(manifest(_))
     val referenced: Set[String] =

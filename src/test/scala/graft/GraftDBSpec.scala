@@ -46,6 +46,30 @@ class GraftDBSpec extends AnyFunSuite {
     }
   }
 
+  test("validation: null vectors and null elements are rejected (not silently top-ranked)") {
+    val db = freshDb()
+    // a NULL vector makes size()/exists() NULL — the bad-row predicate must
+    // still catch it, or the null row wins every L2 search (NULLS FIRST)
+    intercept[IllegalArgumentException] {
+      db.insertBatch(Seq((1L, null.asInstanceOf[Array[Float]], 0, "x"))
+        .toDF("id", "vector", "label", "body"))
+    }
+    intercept[IllegalArgumentException] {
+      db.insertBatch(
+        Seq((1L, Array[java.lang.Float](1f, null, 3f, 4f, 5f, 6f, 7f, 8f), 0, "x"))
+          .toDF("id", "vector", "label", "body"))
+    }
+  }
+
+  test("validation: zero vectors rejected under cosine, accepted under l2") {
+    val zeroRec = Seq((1L, Array.fill(8)(0f), 0, "x"))
+      .toDF("id", "vector", "label", "body")
+    intercept[IllegalArgumentException] { freshDb(metric = "cosine").insertBatch(zeroRec) }
+    val db = freshDb(metric = "l2")
+    db.insertBatch(zeroRec)
+    assert(db.read().count() == 1)
+  }
+
   test("full lifecycle: insert, search, delete, upsert, compact, time travel") {
     val db = freshDb()
     db.insertBatch(records(0 until 100))
@@ -98,6 +122,13 @@ class GraftDBSpec extends AnyFunSuite {
         val single = db.search(qv, 5).select("id").as[Long].collect().toSeq
         assert(batch(qid) == single, s"metric=$m query=$qid")
       }
+      // scores must be on the SAME scale as single-query search (the cosine
+      // matrix path ranks by squared-L2 internally; it must report cosine)
+      val bTop = db.batchSearch(qs, k = 1)
+        .where(col("query_id") === qs.head._1)
+        .select("score").as[Double].collect()(0)
+      val sTop = db.search(qs.head._2, 1).select("score").as[Double].collect()(0)
+      assert(math.abs(bTop - sTop) < 1e-5, s"metric=$m batch=$bTop single=$sTop")
     }
   }
 

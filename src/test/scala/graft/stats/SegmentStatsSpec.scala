@@ -52,6 +52,23 @@ class SegmentStatsSpec extends AnyFunSuite {
       Seq(Filter.Eq("x", 20), Filter.Eq("s", "zebra"))))
   }
 
+  test("fields without collected bounds (bool/timestamp/array) never prune") {
+    import java.sql.Timestamp
+    val typed = Seq(
+      (1L, true, Timestamp.valueOf("2024-01-01 00:00:00"), Array(1.0f)),
+      (2L, false, Timestamp.valueOf("2024-02-01 00:00:00"), Array(2.0f)))
+      .toDF("id", "flag", "t", "vec")
+    val st = SegmentStats.collect(typed)
+    // present in the schema, no usable bounds → a presence-only marker:
+    // pruning on them would silently drop every matching segment
+    assert(st.cols.contains("flag") && st.cols.contains("t") && st.cols.contains("vec"))
+    assert(!SegmentStats.canPrune(st, Filter.Eq("flag", true)))
+    assert(!SegmentStats.canPrune(st, Filter.Eq("flag", false)))
+    assert(!SegmentStats.canPrune(st, Filter.Gt("t", Timestamp.valueOf("2030-01-01 00:00:00"))))
+    // genuinely-absent fields still prune (matches nothing)
+    assert(SegmentStats.canPrune(st, Filter.Eq("nope", 1)))
+  }
+
   test("time-shape detection: sorted vs shuffled timestamp segments") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
@@ -62,6 +79,22 @@ class SegmentStatsSpec extends AnyFunSuite {
     val unsorted = Seq((1L, ts(3)), (2L, ts(1)), (3L, ts(2))).toDF("id", "t")
       .coalesce(1)
     assert(!SegmentStats.collectShape(unsorted, "t").sortedByTs)
+  }
+
+  test("shape detection is distributed: partition boundaries checked, no global window") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def twoPart(ms: Int*) = {
+      val rows = ms.zipWithIndex.map { case (m, i) => (i.toLong, ts(m)) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2)).toDF("id", "t")
+    }
+    // sorted within each partition AND across the boundary → sorted
+    assert(SegmentStats.collectShape(twoPart(1, 2, 3, 4), "t").sortedByTs)
+    // sorted within each partition but boundary descends → NOT sorted
+    val sh = SegmentStats.collectShape(twoPart(3, 4, 1, 2), "t")
+    assert(!sh.sortedByTs)
+    assert(sh.minTs < sh.maxTs)
   }
 
   test("triangle-inequality distance pruning and segment priority") {

@@ -66,6 +66,76 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(st.shouldCompact(maxSegments = 1))
   }
 
+  test("crash safety: missing CURRENT recovers the highest manifest, chain continues") {
+    val st = freshStore()
+    st.insert(Seq((1L, "a")).toDF("id", "v"))   // v0, seg-0
+    st.insert(Seq((2L, "b")).toDF("id", "v"))   // v1, seg-1
+    // simulate an interrupted commit that lost the pointer (an FS without
+    // atomic overwrite-rename): the store must NOT look empty — a fresh
+    // chain at seq 0 would overwrite seg-0
+    assert(new java.io.File(st.root, "CURRENT").delete())
+    assert(st.currentVersion == 1L)
+    assert(rows(st.read()) == Set((1L, "a"), (2L, "b")))
+    val v2 = st.insert(Seq((3L, "c")).toDF("id", "v"))
+    assert(v2 == 2L && st.manifest(v2).get.maxSeq == 2L)
+    assert(rows(st.read()) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // pointer restored, no temp leftovers from the rename-over commit
+    val names = new java.io.File(st.root).listFiles().map(_.getName)
+    assert(names.contains("CURRENT") && !names.exists(_.startsWith(".CURRENT.tmp")))
+  }
+
+  test("manifest timestamps: versionAt/readAsOf address versions by commit time") {
+    val st = freshStore()
+    val v0 = st.insert(Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(5)
+    val v1 = st.upsert(Seq((1L, "a2")).toDF("id", "v"))
+    val t0 = st.manifest(v0).get.ts
+    val t1 = st.manifest(v1).get.ts
+    assert(t0 > 0 && t1 > t0)
+    assert(st.versionAt(t0).contains(v0))
+    assert(st.versionAt(t1 - 1).contains(v0))
+    assert(st.versionAt(System.currentTimeMillis() + 1000).contains(v1))
+    assert(st.versionAt(t0 - 1).isEmpty)
+    assert(rows(st.readAsOf(t0)) == Set((1L, "a")))
+    assert(rows(st.readAsOf(t1)) == Set((1L, "a2")))
+  }
+
+  test("duration retention: vacuum keeps versions inside the age window") {
+    val st = freshStore()
+    val v0 = st.insert(Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(5)
+    val v1 = st.insert(Seq((2L, "b")).toDF("id", "v"))
+    Thread.sleep(5)
+    val v2 = st.compact()
+    val now = st.manifest(v2).get.ts + 1000
+    // wide window: every version is younger than the cutoff → nothing dropped
+    st.vacuum(keepVersions = 1, keepDurationMs = 1000L * 3600, nowMs = now)
+    assert(rows(st.read(v0)) == Set((1L, "a")))
+    // narrow window: only the count floor (last 1 version) survives
+    st.vacuum(keepVersions = 1, keepDurationMs = 1, nowMs = now)
+    intercept[Exception] { st.read(v0).collect() }
+    intercept[Exception] { st.read(v1).collect() }
+    assert(rows(st.read(v2)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("delete sets above the broadcast cap fall back to a shuffle anti-join") {
+    val dir = Files.createTempDirectory("graft-store-bigdel").toString
+    val st = new SnapshotStore(spark, dir, broadcastDeleteMaxRows = 1L)
+    st.insert((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    st.delete((1L to 10L).map(Tuple1(_)).toDF("id"))
+    val df = st.read()
+    // guard active: no broadcast HINT forced on the delete side — the
+    // planner (AQE) stays free to shuffle a huge delete set instead of
+    // OOMing the driver (it may still choose broadcast for tiny inputs)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("hint"),
+      s"expected no forced broadcast hint:\n$analyzed")
+    val hinted = new SnapshotStore(spark, dir).read()
+    assert(hinted.queryExecution.analyzed.toString.toLowerCase.contains("hint"),
+      "default cap should still hint broadcast for small delete sets")
+    assert(rows(df) == (11L to 20L).map(i => (i, s"v$i")).toSet)
+  }
+
   test("orphan segment dirs are cleaned") {
     val st = freshStore()
     st.insert(Seq((1L, "a")).toDF("id", "v"))
