@@ -41,6 +41,23 @@ object FacadeQueries {
       .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
   }
 
+  /** Facade k-NN THROUGH the built index: buildIndex compacts into an
+    * IVF-partitioned SQ8-coded segment and search auto-routes through
+    * probe-pruned two-phase rerank. All lists probed + a refine pool
+    * sized as a corpus fraction → result is exact, so it hash-checks
+    * against the same brute-force oracle while the physical plan carries
+    * `PartitionFilters` on `_ivf_part` (recall-vs-nprobe trade-offs are
+    * gated in `IndexedEngineSpec`).
+    */
+  def knnIndexed(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_knn_idx")
+    db.buildIndex(nlist = 8)
+    val rows = db.stats()("segment_rows").asInstanceOf[Long]
+    val refine = math.max(10, math.ceil(rows * 0.25 / 10).toInt)
+    db.search(qvec(s, dir, 0), 10, nprobe = 8, refineFactor = refine)
+      .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
+  }
+
   /** Facade hybrid == operator-level hybrid_rrf (same oracle). */
   def hybrid(s: SparkSession, dir: String): DataFrame = {
     val db = buildDb(s, dir, "facade_hybrid")
@@ -50,11 +67,13 @@ object FacadeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
+    "graftdb_knn_indexed" -> (knnIndexed _),
     "graftdb_hybrid" -> (hybrid _)
   )
 
   val oracle: Map[String, String] = Map(
     "graftdb_knn" -> Queries.oracle("knn_l2"),
+    "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
     // facade corpus = embeddings JOIN documents; at scale factors where
     // the two tables differ in size the BM25 side must be restricted to
     // the joined ids

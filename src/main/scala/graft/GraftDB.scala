@@ -114,6 +114,23 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     store.delete(read().where(filter.toColumn).select("id"))
 
   def compact(): Long = store.compact()
+
+  /** Build the vector index INTO the store (vecgo builds IVF flat segments
+    * at compaction, `compaction.go:136-151`): compacts live rows into one
+    * IVF-partitioned, SQ8-coded segment and records the model in the
+    * manifest. Subsequent [[search]] calls route through probe-pruned
+    * two-phase rerank automatically. `nlist = 0` → rows/4096 heuristic
+    * (bounded to [2, 1024]); pass explicitly to tune.
+    */
+  def buildIndex(nlist: Int = 0, levels: Int = 255): Long = {
+    require(metric != Metric.Hamming,
+      "IVF+SQ8 index applies to float-vector metrics (l2/cosine/dot)")
+    val rows = store.manifest().map(_.segments.map(_.rows).sum).getOrElse(0L)
+    val n =
+      if (nlist > 0) nlist
+      else math.max(2, math.min(1024, (rows / 4096).toInt))
+    store.compactIndexed("vector", n, levels)
+  }
   /** Policy-driven partial compaction (vecgo W9). */
   def compactWith(policy: graft.store.CompactionPolicy): Option[Long] =
     store.maybeCompact(policy)
@@ -146,19 +163,87 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 
   /** k-NN search (vecgo R1/R3): query validated like inserts; Cosine
     * queries are normalized; metadata filter pre-applied.
+    *
+    * If the store carries a built index ([[buildIndex]]), the search
+    * routes through it automatically: indexed segments are probed on
+    * their `nprobe` nearest IVF lists (directory-pruned partition
+    * filters), scored approximately on SQ8 codes, refined to
+    * `k·refineFactor` candidates, and exact-reranked; segments written
+    * AFTER the index build (the "memtable" tail) are brute-forced and
+    * merged into the same global top-k — vecgo's memtable + indexed
+    * segment fan-out (`internal/engine/search.go:120-1128`).
+    *
+    * @param nprobe       IVF lists probed per indexed segment; 0 → √nlist
+    * @param refineFactor exact-rerank pool = k·refineFactor; 0 → 4
     */
   def search(query: Array[Float], k: Int,
       filter: FilterSet = FilterSet.empty,
-      projectCols: Seq[String] = Nil): DataFrame = {
+      projectCols: Seq[String] = Nil,
+      nprobe: Int = 0,
+      refineFactor: Int = 0): DataFrame = {
     require(query.length == config.dim, s"query dim ${query.length} != ${config.dim}")
     require(query.forall(f => !f.isNaN && !f.isInfinite), "query has NaN/Inf")
-    // filtered searches route through manifest-stats pruning: whole
-    // segments whose stats contradict the filter are never even listed
-    val src =
-      if (filter.filters.isEmpty) read()
-      else store.prunedRead(filter.filters)._1
-    Search.knn(src, "vector", "id", lit(query), k, metric,
-      lit(true), projectCols)
+    val q = if (metric == Metric.Cosine) normalized(query) else query
+    val m = store.manifest()
+    if (m.exists(_.segments.exists(_.index.isDefined)))
+      indexedSearch(m.get, q, k, filter, nprobe, refineFactor, projectCols)
+    else {
+      // filtered searches route through manifest-stats pruning: whole
+      // segments whose stats contradict the filter are never even listed
+      val src =
+        if (filter.filters.isEmpty) read()
+        else store.prunedRead(filter.filters)._1
+      Search.knn(src, "vector", "id", lit(q), k, metric,
+        lit(true), projectCols)
+    }
+  }
+
+  private def normalized(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  private val indexMetaCache =
+    scala.collection.mutable.Map.empty[String, graft.index.SegmentIndex.Meta]
+  private def indexMeta(ref: graft.store.SnapshotStore.IndexRef) =
+    indexMetaCache.getOrElseUpdate(ref.metaPath,
+      graft.index.SegmentIndex.load(ref.metaPath,
+        spark.sparkContext.hadoopConfiguration))
+
+  /** Probe-pruned quantized search over indexed segments, brute force over
+    * the unindexed tail, one global exact top-k.
+    */
+  private def indexedSearch(m: graft.store.SnapshotStore.Manifest,
+      q: Array[Float], k: Int, filter: FilterSet,
+      nprobe0: Int, refine0: Int, projectCols: Seq[String]): DataFrame = {
+    import graft.index.SegmentIndex
+    val refine = if (refine0 > 0) refine0 else 4
+    val (idxSegs, plainSegs) = m.segments.partition(_.index.isDefined)
+    // manifest-stats pruning still applies to the unindexed tail
+    val keptPlain = plainSegs.filterNot(s => s.stats.exists(st =>
+      graft.stats.SegmentStats.canPruneAll(st, filter.filters)))
+    val poolCols = (("id" +: projectCols) :+ "vector").distinct.map(col)
+    val pools = idxSegs.map { s =>
+      val meta = indexMeta(s.index.get)
+      val ivf = SegmentIndex.ivfModel(meta)
+      val sq8 = SegmentIndex.sq8Model(meta)
+      val np =
+        if (nprobe0 > 0) math.min(nprobe0, ivf.k)
+        else math.max(1, math.ceil(math.sqrt(ivf.k)).toInt)
+      val parts = ivf.probes(q, np)
+      store.visibleSegment(s, m)
+        .where(col(SegmentIndex.PartCol).isin(parts: _*))
+        .where(filter.toColumn)
+        .withColumn("_approx",
+          metric.score(sq8.decodeCol(col(SegmentIndex.CodeCol)), lit(q)))
+        .orderBy(metric.sort(col("_approx")), col("id").asc)
+        .limit(k * refine)
+        .select(poolCols: _*)
+    }
+    val plains = keptPlain.map(s =>
+      store.visibleSegment(s, m).where(filter.toColumn).select(poolCols: _*))
+    val all = (pools ++ plains).reduce(_ unionByName _)
+    Search.knn(all, "vector", "id", lit(q), k, metric, lit(true), projectCols)
   }
 
   /** Query stats (vecgo R15 `QueryStats`): executes the search eagerly and

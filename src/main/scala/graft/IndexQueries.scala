@@ -34,7 +34,10 @@ object IndexQueries {
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val model = IVF.train(emb, "embedding", k = 8, maxIter = 8)
-    val layout = s"${sys.props("java.io.tmpdir")}/graft_ivf_layout"
+    // layout dir is per-sf so concurrent runs over different data never
+    // collide on a shared path
+    val layout = s"${sys.props("java.io.tmpdir")}/graft_ivf_layout_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
     IVF.writeLayout(IVF.assign(emb, "embedding", model), layout)
     val stored = s.read.parquet(layout)
     val q = qvec(emb, 6)

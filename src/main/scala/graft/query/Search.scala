@@ -37,10 +37,6 @@ object Search {
     * @param k       number of results
     * @param metric  distance metric (score direction handled internally)
     * @param filter  metadata pre-filter (vecgo R3)
-    * @param refineFactor widen the candidate pool to k*refineFactor before
-    *                the exact re-rank (vecgo R11); meaningful when `df`
-    *                carries approximate scores — harmless (just a larger
-    *                limit then re-limit) otherwise.
     */
   def knn(
       df: DataFrame,

@@ -72,8 +72,15 @@ object CompactionPolicy {
 
 object SnapshotStore {
   import graft.stats.SegmentStats
+  /** Pointer from the manifest to a segment's vector index: the kind, the
+    * sidecar metadata JSON (centroids + quantizer bounds), and the IVF
+    * list count (vecgo records index type + params in its segment header,
+    * `internal/segment/flat/format.go:30-51`).
+    */
+  case class IndexRef(kind: String, metaPath: String, nlist: Int)
   case class SegmentRef(path: String, seq: Long, rows: Long,
-      stats: Option[SegmentStats.Stats] = None)
+      stats: Option[SegmentStats.Stats] = None,
+      index: Option[IndexRef] = None)
   case class DeleteRef(path: String, seq: Long, rows: Long)
   case class Manifest(
       version: Long,
@@ -190,6 +197,22 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         "left_anti")
     }
 
+  /** One segment frame with `_seq` attached; internal index columns
+    * (IVF partition, quantized codes) are hidden from logical reads.
+    */
+  private def segFrame(s: SegmentRef): DataFrame =
+    spark.read.parquet(s.path)
+      .drop(graft.index.SegmentIndex.InternalCols: _*)
+      .withColumn("_seq", lit(s.seq))
+
+  /** One segment with tombstones applied and internal index columns KEPT —
+    * the indexed-search path needs `_ivf_part` (partition pruning) and
+    * `_sq8` (approximate scoring).
+    */
+  def visibleSegment(s: SegmentRef, m: Manifest): DataFrame =
+    applyDeletes(spark.read.parquet(s.path).withColumn("_seq", lit(s.seq)), m)
+      .drop("_seq")
+
   /** Read a version (default: current) as a DataFrame. Row visibility
     * follows vecgo tombstone semantics: a delete with seq d hides ids in
     * segments with seq < d; later segments (re-inserts) are unaffected.
@@ -198,9 +221,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val m = manifest(version).getOrElse(
       throw new IllegalStateException(s"no version $version at $root"))
     require(m.segments.nonEmpty, s"version $version has no segments")
-    val segs = m.segments.map { s =>
-      spark.read.parquet(s.path).withColumn("_seq", lit(s.seq))
-    }.reduce(_ unionByName _)
+    val segs = m.segments.map(segFrame).reduce(_ unionByName _)
     applyDeletes(segs, m).drop("_seq")
   }
 
@@ -251,9 +272,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
         Nil, pruned.map(_.seq))
     }
-    val segs = kept.map { s =>
-      spark.read.parquet(s.path).withColumn("_seq", lit(s.seq))
-    }.reduce(_ unionByName _)
+    val segs = kept.map(segFrame).reduce(_ unionByName _)
     (applyDeletes(segs, m).drop("_seq").where(pred),
       kept.map(_.seq), pruned.map(_.seq))
   }
@@ -304,6 +323,39 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     next.version
   }
 
+  /** Compact all live rows into ONE indexed segment: IVF-partitioned
+    * layout + SQ8 codes baked into the segment files, model parameters in
+    * a sidecar recorded by the manifest. This is the vecgo move of
+    * building the index INTO the segment at compaction
+    * (`internal/engine/compaction.go:136-151`) so that search consults it
+    * automatically. Old versions stay time-travelable.
+    */
+  def compactIndexed(vecCol: String, nlist: Int, levels: Int = 255,
+      collectStats: Boolean = true, trainSampleCap: Long = 200000L): Long = {
+    import graft.index.SegmentIndex
+    val m = manifest().getOrElse(
+      throw new IllegalStateException("compactIndexed on empty store"))
+    val live = read(m.version)
+    val seq = m.maxSeq + 1
+    val dir = s"$root/seg-$seq"
+    val meta = SegmentIndex.build(live, vecCol, dir, nlist, levels,
+      totalRows = m.segments.map(_.rows).sum, trainSampleCap = trainSampleCap)
+    val metaPath = s"$root/idx-$seq.json"
+    SegmentIndex.save(meta, metaPath, spark.sparkContext.hadoopConfiguration)
+    val back = spark.read.parquet(dir)
+    val rows = back.count()
+    val stats =
+      if (collectStats)
+        Some(graft.stats.SegmentStats.collect(
+          back.drop(SegmentIndex.InternalCols: _*), Some(vecCol)))
+      else None
+    val next = Manifest(m.version + 1, seq,
+      List(SegmentRef(dir, seq, rows, stats,
+        Some(IndexRef(meta.kind, metaPath, meta.nlist)))), Nil)
+    commit(next)
+    next.version
+  }
+
   /** Partial compaction (vecgo W8 `CompactWithContext([]SegmentID)`):
     * merge ONLY the chosen segments — their live rows (deletes applied)
     * are rewritten as one new segment; other segments and all delete
@@ -316,9 +368,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       throw new IllegalStateException("compact on empty store"))
     val chosen = m.segments.filter(s => seqs.contains(s.seq))
     require(chosen.nonEmpty, "no segments chosen")
-    val segs = chosen.map { s =>
-      spark.read.parquet(s.path).withColumn("_seq", lit(s.seq))
-    }.reduce(_ unionByName _)
+    val segs = chosen.map(segFrame).reduce(_ unionByName _)
     val live = applyDeletes(segs, m)
     val seq = m.maxSeq + 1
     val (path, rows) = writeSegment(live.drop("_seq"), seq, "seg")
@@ -370,12 +420,13 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         math.min(byCount, byAge)
       }
     val f = fs
+    def refs(m: Manifest): Seq[String] =
+      m.segments.map(_.path) ++ m.deletes.map(_.path) ++
+        m.segments.flatMap(_.index.map(_.metaPath))
     val kept = (keepFrom to cur).flatMap(manifest(_))
-    val referenced: Set[String] =
-      kept.flatMap(m => m.segments.map(_.path) ++ m.deletes.map(_.path)).toSet
+    val referenced: Set[String] = kept.flatMap(refs).toSet
     val dropped = (0L until keepFrom).flatMap(manifest(_))
-    val candidates: Set[String] =
-      dropped.flatMap(m => m.segments.map(_.path) ++ m.deletes.map(_.path)).toSet
+    val candidates: Set[String] = dropped.flatMap(refs).toSet
     (candidates -- referenced).foreach(p => f.delete(new Path(p), true))
     (0L until keepFrom).foreach(v => f.delete(manifestPath(v), false))
   }
@@ -387,10 +438,12 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val f = fs
     val all = (0L to currentVersion).flatMap(manifest(_))
     val referenced = all
-      .flatMap(m => m.segments.map(_.path) ++ m.deletes.map(_.path))
+      .flatMap(m => m.segments.map(_.path) ++ m.deletes.map(_.path) ++
+        m.segments.flatMap(_.index.map(_.metaPath)))
       .map(p => new Path(p).getName).toSet
     val listed = f.listStatus(new Path(root)).map(_.getPath)
-      .filter(p => p.getName.startsWith("seg-") || p.getName.startsWith("del-"))
+      .filter(p => p.getName.startsWith("seg-") || p.getName.startsWith("del-") ||
+        p.getName.startsWith("idx-"))
     listed.filterNot(p => referenced.contains(p.getName))
       .foreach(p => f.delete(p, true))
   }

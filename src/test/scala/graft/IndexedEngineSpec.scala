@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.types.{Filter, FilterSet}
+
+/** The engine-integrated index layer (vecgo builds IVF into segments at
+  * compaction and Search consults them automatically): buildIndex →
+  * search routes through probe-pruned quantized two-phase plans, the
+  * unindexed tail stays brute-forced, and recall holds a ≥0.95 gate under
+  * real pruning (à la vecgo `integration_test/quantization_recall_test.go`).
+  */
+class IndexedEngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Dim = 8
+  private val NClusters = 4
+
+  /** Clustered corpus: NClusters well-separated centers, points = center +
+    * small noise — IVF lists align with clusters, so probe pruning is
+    * meaningful and recall is deterministic.
+    */
+  private def clustered(n: Int): Seq[(Long, Array[Float], Int, String)] = {
+    val rng = new scala.util.Random(7)
+    val centers = Array.tabulate(NClusters) { c =>
+      Array.tabulate(Dim)(d => if (d % NClusters == c) 10f else 0f)
+    }
+    (0 until n).map { i =>
+      val c = i % NClusters
+      val v = centers(c).map(x => x + (rng.nextFloat() - 0.5f))
+      (i.toLong, v, c, s"doc $i")
+    }
+  }
+
+  private def freshDb(metric: String = "l2"): GraftDB =
+    GraftDB.open(spark, Files.createTempDirectory("graft-idx-db").toString,
+      dim = Dim, metric = metric, schema = Map("label" -> "int"))
+
+  private def brute(db: GraftDB, q: Array[Float], k: Int): Seq[Long] = {
+    import graft.query.Search
+    Search.knn(db.read(), "vector", "id", lit(q), k, db.metric)
+      .select("id").as[Long].collect().toSeq
+  }
+
+  test("indexed search with all probes + wide refine is exact; manifest records the index") {
+    val db = freshDb()
+    val rows = clustered(400)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters)
+    val m = db.store.manifest().get
+    assert(m.segments.size == 1 && m.segments.head.index.isDefined)
+    assert(m.segments.head.index.get.kind == "ivf_sq8")
+    val q = rows(37)._2
+    val got = db.search(q, 10, nprobe = NClusters, refineFactor = 20)
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute(db, q, 10))
+  }
+
+  test("probe pruning shows as PartitionFilters and keeps recall >= 0.95") {
+    val db = freshDb()
+    val rows = clustered(600)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters)
+    // nprobe=1 on cluster-aligned queries: the plan must prune directories
+    val q = rows(5)._2
+    val pruned = db.search(q, 10, nprobe = 1, refineFactor = 10)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_ivf_part"),
+      s"expected IVF partition pruning in:\n$plan")
+    // recall@10 over 20 queries at nprobe=1 (cluster-aligned data)
+    val recalls = (0 until 20).map { i =>
+      val qv = rows(i * 29)._2
+      val approx = db.search(qv, 10, nprobe = 1, refineFactor = 10)
+        .select("id").as[Long].collect().toSet
+      val exact = brute(db, qv, 10).toSet
+      (approx & exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.95, s"mean recall@10 = $mean")
+  }
+
+  test("post-index writes: unindexed tail is searched, deletes hide indexed rows") {
+    val db = freshDb()
+    val rows = clustered(200)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters)
+    // a fresh row IDENTICAL to the query vector, inserted AFTER the index
+    val q = rows(11)._2.map(x => x + 0.01f)
+    db.insertBatch(Seq((9999L, q, 0, "tail")).toDF("id", "vector", "label", "body"))
+    val top = db.search(q, 1, nprobe = NClusters, refineFactor = 20)
+      .select("id").as[Long].collect()
+    assert(top.head == 9999L, "tail segment must participate in search")
+    // delete an indexed row: it must disappear from results
+    db.delete(Seq(9999L))
+    val top2 = db.search(q, 5, nprobe = NClusters, refineFactor = 20)
+      .select("id").as[Long].collect()
+    assert(!top2.contains(9999L))
+    // filtered search through the indexed path honors metadata predicates
+    val lab = db.search(q, 50, FilterSet.of(Filter.Eq("label", 2)),
+      nprobe = NClusters, refineFactor = 20)
+      .select("id").as[Long].collect()
+    assert(lab.nonEmpty && lab.forall(_ % NClusters == 2))
+    // plain reads never leak internal index columns
+    assert(!db.read().columns.exists(c => c == "_ivf_part" || c == "_sq8"))
+    assert(!db.scan(Seq(Filter.Eq("label", 1))).columns.contains("_sq8"))
+  }
+
+  test("cosine metric routes through the index too") {
+    val db = freshDb(metric = "cosine")
+    val rows = clustered(200)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters)
+    val q = rows(3)._2
+    val got = db.search(q, 5, nprobe = NClusters, refineFactor = 20)
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute(db, q, 5))
+  }
+}
