@@ -76,11 +76,33 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("simhash"))
       .orderBy(col("doc_id").asc)
 
-  /** Embedding cosine near-duplicate pairs (>= 0.45). */
-  def neardupCosine(s: SparkSession, dir: String): DataFrame =
-    Dedup.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+  /** Embedding cosine near-duplicate pairs via the banded-SRP scale path
+    * (bucket join + exact verify — NO cartesian product). The raw
+    * embeddings carry no high-cosine pairs (max ≈ 0.60), so the query
+    * derives a corpus with PLANTED near-duplicates: every vector is
+    * unioned with a perturbed copy (vec_id + 1000000; per-dimension delta
+    * from a portable md5 hash, the identical derivation the DuckDB oracle
+    * computes). Planted pairs land at cos ≈ 0.99, background stays ≤ 0.62,
+    * and the 0.9 threshold separates them with a wide margin at every sf.
+    */
+  def neardupCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // NB: rename to src_id BEFORE aliasing vec_id+1000000 as "vec_id" —
+    // Spark's lateral-column-alias resolution would otherwise bind the
+    // col("vec_id") inside the lambda to the NEW alias, while DuckDB's
+    // lambda binds the table column (engines diverge silently).
+    val pert = emb.select(col("vec_id").as("src_id"), col("embedding"))
+      .select(
+        (col("src_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val h = Dedup.portableHash(col("src_id"), (i + 1).cast("string"))
+          (x.cast("double") + (h % 201 - 100).cast("double") / 4000.0).cast("float")
+        }).as("embedding"))
+    val corpus = emb.unionByName(pert)
+    Dedup.srpNearDups(corpus, "vec_id", "embedding", dim = 64, threshold = 0.9)
       .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
       .orderBy(col("id_a").asc, col("id_b").asc)
+  }
 
   // ------------------------------------------------------------- wiring
 
@@ -202,14 +224,25 @@ object PipelineQueries {
          |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i DESC) AS simhash
          |FROM bits GROUP BY id ORDER BY doc_id ASC""".stripMargin,
     "neardup_cosine" ->
-      """WITH s AS (
+      """WITH pert AS (
+        |  SELECT src_id + 1000000 AS vec_id,
+        |         list_transform(range(1, 65), i -> CAST(
+        |           embedding[i]::DOUBLE +
+        |           ((CAST('0x' || substring(md5(src_id || ':' || i), 1, 15) AS BIGINT)
+        |             % 201 - 100)::DOUBLE / 4000.0::DOUBLE)
+        |         AS FLOAT)) AS embedding
+        |  FROM (SELECT vec_id AS src_id, embedding FROM embeddings)),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM pert),
+        |s AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |         list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |         (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |          sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cos
-        |FROM s WHERE cos >= 0.45::DOUBLE
+        |FROM s WHERE cos >= 0.9::DOUBLE
         |ORDER BY id_a ASC, id_b ASC""".stripMargin
   )
 }

@@ -173,59 +173,57 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
+  /** Signed per-token bit-contribution vector: +1 for every set bit of
+    * the token's hash, -1 for every clear bit. Summing these over a
+    * document's token OCCURRENCES is identical to the classic per-term
+    * ±tf formulation (tf = number of occurrences), with no (id, term)
+    * pre-aggregation shuffle.
+    */
+  private def bitContrib(h: Column, nbits: Int): Column =
+    array((0 until nbits).map(i =>
+      when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L))
+        .otherwise(lit(-1L))): _*)
+
   /** Portable 60-bit SimHash as a '0'/'1' bit-string (msb first).
-    * Per-term 60-bit md5 hash; each bit contributes +tf when set, -tf when
-    * clear; final bit = 1 iff the weighted sum is positive.
+    * Per-token 60-bit md5 hash; bit b of the result is 1 iff the signed
+    * sum of bit-b contributions over all token occurrences is positive.
+    *
+    * Single-pass shape: each token row carries its ±1 contribution vector
+    * and ONE `groupBy(id)` sums them element-wise in a native partial
+    * aggregate ([[graft.functions.vec_sum_long]]) — the shuffle moves one
+    * 60-long vector per document per partition, not 60× the token rows.
     */
   def simhashBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val tf = df
+    import graft.functions.vec_sum_long
+    val toks = df
       .select(col(idCol).as("id"),
         explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
-      .groupBy("id", "term")
-      .agg(count(lit(1)).cast("long").as("tf"))
       .withColumn("h", portableHash(lit(0), col("term")))
-    val bitsIdx = (0 until 60).toDF("i")
-    val mask = pow(lit(2.0), col("i")).cast("long")
-    tf.crossJoin(broadcast(bitsIdx))
-      .withColumn("contrib",
-        when(col("h").bitwiseAND(mask) =!= 0, col("tf")).otherwise(-col("tf")))
-      .groupBy("id", "i")
-      .agg(sum("contrib").as("s"))
-      .groupBy("id")
-      .agg(concat_ws("",
-        transform(
-          reverse(sort_array(collect_list(struct(col("i"), col("s"))))),
-          x => when(x.getField("s") > 0, lit("1")).otherwise(lit("0"))))
+      .withColumn("contrib", bitContrib(col("h"), 60))
+    val sums = toks.groupBy("id").agg(vec_sum_long(col("contrib"), 60).as("s"))
+    sums.select(col("id"),
+      concat((59 to 0 by -1).map(i =>
+        when(element_at(col("s"), i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
         .as("simhash"))
   }
 
-  /** Fast-path 64-bit SimHash (xxhash64) as a single long. Same shape as
-    * [[simhashBits]]; engine-internal (not oracle-portable).
+  /** Fast-path 64-bit SimHash (xxhash64) as a single long. Same
+    * single-aggregate shape as [[simhashBits]]; engine-internal (not
+    * oracle-portable).
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val tf = df
+    import graft.functions.vec_sum_long
+    val toks = df
       .select(col(idCol).as("id"),
         explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
-      .groupBy("id", "term")
-      .agg(count(lit(1)).cast("long").as("tf"))
       .withColumn("h", xxhash64(col("term")))
-    val bitsIdx = (0 until 64).toDF("i")
-    val mask = when(col("i") === 63, lit(Long.MinValue))
-      .otherwise(pow(lit(2.0), col("i")).cast("long"))
-    tf.crossJoin(broadcast(bitsIdx))
-      .withColumn("contrib",
-        when(col("h").bitwiseAND(mask) =!= 0, col("tf")).otherwise(-col("tf")))
-      .groupBy("id", "i")
-      .agg(sum("contrib").as("s"))
-      .withColumn("bit", when(col("s") > 0,
-        when(col("i") === 63, lit(Long.MinValue))
-          .otherwise(pow(lit(2.0), col("i")).cast("long"))).otherwise(lit(0L)))
-      .groupBy("id")
-      .agg(sum("bit").as("simhash"))
+      .withColumn("contrib", bitContrib(col("h"), 64))
+    val sums = toks.groupBy("id").agg(vec_sum_long(col("contrib"), 64).as("s"))
+    val word = (0 until 64).map { i =>
+      when(element_at(col("s"), i + 1) > 0,
+        lit(if (i == 63) Long.MinValue else 1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("id"), word.as("simhash"))
   }
 
   // -------------------------------------- embedding cosine near-duplicates
@@ -242,19 +240,74 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Deterministic ±1 hyperplane for SRP plane index `p`. */
+  private def srpPlane(p: Int, dim: Int, seed: Long): Array[Float] =
+    Array.tabulate(dim) { d =>
+      if ((scala.util.hashing.MurmurHash3.productHash((p, d, seed)) & 1) == 1) 1.0f
+      else -1.0f
+    }
+
   /** Sign-random-projection bucket key (nbits planes) for LSH-bucketed
     * cosine near-dup at scale: pairs are only compared within a bucket.
     * Plane weights are deterministic pseudo-random in {-1,+1} derived from
-    * xxhash64(plane, dimension).
+    * MurmurHash3(plane, dimension, seed).
     */
   def srpBucket(vec: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
     val bits = (0 until nbits).map { p =>
       val dotSign = (0 until dim).map { d =>
-        val w = if (((scala.util.hashing.MurmurHash3.productHash((p, d, seed))) & 1) == 1) 1.0 else -1.0
-        element_at(vec, d + 1).cast("double") * lit(w)
+        element_at(vec, d + 1).cast("double") * lit(srpPlane(p, dim, seed)(d).toDouble)
       }.reduce(_ + _)
       when(dotSign > 0, lit(1)).otherwise(lit(0)).cast("string")
     }
     concat(bits: _*)
+  }
+
+  /** All `bands` SRP band keys in ONE kernel call: a single
+    * (bands·nbits)×dim matmul ([[graft.functions.vec_matmul]], codegen'd)
+    * produces every projection; each band's key is the sign-bit string of
+    * its nbits slice. Returns array<struct<band:int, key:string>>.
+    */
+  def srpBandKeys(vec: Column, dim: Int, nbits: Int, bands: Int,
+      seed: Long = 42L): Column = {
+    import graft.functions.vec_matmul
+    val planes = Array.tabulate(bands * nbits)(p => srpPlane(p, dim, seed))
+    val dots = vec_matmul(vec, planes)
+    array((0 until bands).map { b =>
+      val key = concat((0 until nbits).map { i =>
+        when(element_at(dots, b * nbits + i + 1) > 0f, lit("1"))
+          .otherwise(lit("0"))
+      }: _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+  }
+
+  /** Banded-SRP cosine near-dup pipeline — the scale path (same shape as
+    * [[minhashLsh]]): candidates = pairs sharing ANY of `bands` nbits-bit
+    * sign keys (a bounded (band,key)-bucket join, NO cartesian product),
+    * then exact cosine verification of the candidates. For genuinely-near
+    * duplicates (cos ≥ ~0.9) the per-pair miss probability is
+    * (1-(1-θ/π)^nbits)^bands ≈ 1e-13 at the defaults; every emitted pair
+    * is exact. Output: (id_a, id_b, cos), id_a < id_b, cos >= threshold.
+    */
+  def srpNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nbits: Int = 8, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.vec_cos
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val keyed = vecs
+      .select(col("id"), explode(srpBandKeys(col("v"), dim, nbits, bands, seed)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos", vec_cos(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 }

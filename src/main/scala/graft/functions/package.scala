@@ -52,6 +52,12 @@ package object functions {
     when(n === 0.0, a).otherwise(transform(a, x => (x / n).cast("float")))
   }
 
+  /** Element-wise sum aggregate over fixed-length array<long> columns
+    * (partial-aggregated long[n] buffers — see [[VecSumLong]]).
+    */
+  def vec_sum_long(a: Column, n: Int): Column =
+    asCol(VecSumLong(expr(a), n).toAggregateExpression())
+
   /** Register all vector functions for SQL use in this session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

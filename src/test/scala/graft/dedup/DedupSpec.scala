@@ -63,6 +63,25 @@ class DedupSpec extends AnyFunSuite {
     assert(hs(0L) == hs(1L) && hs(0L) == hs(4L), "canonical variants equal")
   }
 
+  test("srpNearDups finds every exact near-dup pair with no cartesian product") {
+    val rng = new scala.util.Random(5)
+    val dim = 16
+    val base = (0L until 60L).map(i => (i, Array.fill(dim)(rng.nextFloat() * 2 - 1)))
+    // plant a near-identical copy of every 4th vector
+    val planted = base.collect { case (i, v) if i % 4 == 0 =>
+      (i + 1000L, v.map(x => x + (rng.nextFloat() - 0.5f) * 0.02f))
+    }
+    val corpus = (base ++ planted).toDF("id", "vec")
+    val exact = Dedup.cosineNearDups(corpus, "id", "vec", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val srp = Dedup.srpNearDups(corpus, "id", "vec", dim, 0.95)
+    assert(srp.select("id_a", "id_b").as[(Long, Long)].collect().toSet == exact)
+    val plan = srp.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"scale path must not cross-join the corpus:\n$plan")
+  }
+
   test("srp bucket keys: identical vectors share a bucket") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
