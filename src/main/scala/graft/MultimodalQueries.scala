@@ -5,15 +5,16 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing coverage. No DuckDB oracle (the decode step is a
-  * deliberate stub — SURVEY/brief: decode libs absent in this container),
-  * so the driver records the weaker rows-only check; determinism and batch
+/** Multimodal plumbing coverage. The decode step is a deliberate stub
+  * (SURVEY/brief: decode libs absent in this container) but its fold is
+  * oracle-portable — DuckDB reproduces it with `list_reduce` over the
+  * byte sequence — so the query gets a full hash-compare row. Batch
   * semantics are asserted in MultimodalSpec.
   */
 object MultimodalQueries {
 
   /** Treat events.props as opaque media bytes: binary ingest → batched
-    * feature extraction → per-type feature aggregation.
+    * feature extraction → slot-0 feature per record.
     */
   def features(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
@@ -22,12 +23,34 @@ object MultimodalQueries {
     val feats = Multimodal.extractFeatures(media, dim = 8)
     feats.toDF()
       .select(col("id"), col("mediaType"), col("dim"),
-        round(element_at(col("features"), 1), 6).as("f0"))
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
       .orderBy(col("id").asc)
       .limit(200)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (features _)
+  )
+
+  /** DuckDB twin of the stub decoder: slot 0 of the round-robin fill is
+    * last written at byte index 8*((len-1) div 8) (0-based), i.e. after
+    * folding the first 8*((len-1) div 8)+1 bytes. `list_reduce` without an
+    * init value seeds with the first element, which equals the h0=0 fold's
+    * first step. props is ASCII in this corpus, so ord(char) == byte.
+    */
+  val oracle: Map[String, String] = Map(
+    "multimodal_features" ->
+      """WITH base AS (
+        |  SELECT event_id AS id, event_type AS "mediaType", props,
+        |         length(props) AS len
+        |  FROM events ORDER BY event_id ASC LIMIT 200)
+        |SELECT id, "mediaType", CAST(8 AS INT) AS dim,
+        |  CASE WHEN len = 0 THEN 0.0 ELSE
+        |    round((list_reduce(
+        |      list_transform(range(1, 8 * ((len - 1) // 8) + 2),
+        |        i -> CAST(ord(substring(props, CAST(i AS INT), 1)) AS BIGINT)),
+        |      (a, x) -> (a * 31 + x) % 2147483647) % 1000) / 1000.0, 6)
+        |  END AS f0
+        |FROM base ORDER BY id ASC""".stripMargin
   )
 }

@@ -19,5 +19,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracle ++ PipelineQueries.oracle ++ StoreQueries.oracle ++
-      IndexQueries.oracle ++ EventQueries.oracle ++ FacadeQueries.oracle
+      IndexQueries.oracle ++ EventQueries.oracle ++
+      MultimodalQueries.oracle ++ FacadeQueries.oracle
 }

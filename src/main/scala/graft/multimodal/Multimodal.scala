@@ -22,20 +22,27 @@ object Multimodal {
   case class MediaFeatures(id: Long, mediaType: String, dim: Int,
       features: Array[Float])
 
-  /** STUB decoder — deterministic features from content bytes (an FNV-1a
-    * accumulator per feature slot). A real implementation would decode the
-    * media and run a feature extractor here; everything around it (batch
-    * iteration, schema, shuffle behavior) is production-shaped.
+  /** STUB decoder — deterministic features from content bytes: a rolling
+    * polynomial accumulator `h = (h*31 + byte) mod (2^31-1)` whose running
+    * value fills feature slots round-robin. A real implementation would
+    * decode the media and run a feature extractor here; everything around
+    * it (batch iteration, schema, shuffle behavior) is production-shaped.
+    *
+    * The fold is deliberately ORACLE-PORTABLE (no 64-bit wraparound):
+    * DuckDB reproduces it exactly with `list_reduce` over the byte
+    * sequence, so `multimodal_features` gets a full hash-compare row
+    * instead of a rows-only check.
     */
   object FakeDecoder {
+    val Mod = 2147483647L // 2^31-1: h*31 + 255 < 2^36, ANSI-safe
+
     def decode(content: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
-      var h = 0xcbf29ce484222325L
+      var h = 0L
       var i = 0
       while (i < content.length) {
-        h = (h ^ (content(i) & 0xffL)) * 0x100000001b3L
-        out(math.floorMod(i, dim).toInt) =
-          (math.floorMod(h, 1000L).toFloat / 1000f)
+        h = (h * 31L + (content(i) & 0xffL)) % Mod
+        out(i % dim) = (h % 1000L).toFloat / 1000f
         i += 1
       }
       out
