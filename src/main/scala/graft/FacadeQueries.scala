@@ -58,6 +58,34 @@ object FacadeQueries {
       .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
   }
 
+  /** Facade Hamming store (vecgo serves Hamming directly over stored
+    * codes, `distance/distance.go:36-38`): packed sign-bit codes of the
+    * embeddings inserted under `metric=hamming`, searched with a packed
+    * query — the engine path twin of the operator-level `bq_hamming`,
+    * hash-checked against the same sign-disagreement-count oracle.
+    */
+  def hamming(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_hamming"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val emb = Tables.load(s, dir, "embeddings")
+    val records = emb.select(col("vec_id").as("id"),
+      graft.index.BQ.packCol(col("embedding"), 64).as("vector"), col("label"))
+    val db = GraftDB.open(s, root, dim = 64, metric = "hamming",
+      schema = Map("label" -> "int"))
+    db.insertBatch(records.where(col("id") < 250))
+    db.insertBatch(records.where(col("id") >= 250))
+    val qe = qvec(s, dir, 8)
+    val q = Array.tabulate(db.codeWords) { w =>
+      (0 until math.min(32, 64 - w * 32)).foldLeft(0L) { (acc, i) =>
+        if (qe(w * 32 + i) > 0f) acc | (1L << i) else acc
+      }
+    }
+    db.searchCodes(q, 10)
+      .select(col("id").as("vec_id"), col("score").cast("bigint").as("hamming"))
+  }
+
   /** Facade hybrid == operator-level hybrid_rrf (same oracle). */
   def hybrid(s: SparkSession, dir: String): DataFrame = {
     val db = buildDb(s, dir, "facade_hybrid")
@@ -68,12 +96,14 @@ object FacadeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
+    "graftdb_hamming" -> (hamming _),
     "graftdb_hybrid" -> (hybrid _)
   )
 
   val oracle: Map[String, String] = Map(
     "graftdb_knn" -> Queries.oracle("knn_l2"),
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
+    "graftdb_hamming" -> IndexQueries.oracle("bq_hamming"),
     // facade corpus = embeddings JOIN documents; at scale factors where
     // the two tables differ in size the BM25 side must be restricted to
     // the joined ids

@@ -41,6 +41,9 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 
   val store = new SnapshotStore(spark, root)
   val metric: Metric = Metric.fromString(config.metric)
+  // register the session-totals listener up front so every engine query
+  // from this session is counted (registration is idempotent per session)
+  graft.query.QueryMetrics.totals(spark)
 
   // ------------------------------------------------------------ validation
 
@@ -62,36 +65,61 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       }
       require(ok, s"field `$field` has type $dt, schema pins $kind")
     }
-    // NULL-proof: `size(null)===dim` and `exists(null,...)` are NULL, and a
-    // NULL predicate would never count the row as bad — so null vectors /
-    // null elements are checked explicitly (vecgo rejects empty vectors in
-    // prepareVector, `hnsw.go:799`). Zero vectors are rejected under Cosine
-    // (vecgo `distance.go:42-53`: NormalizeL2InPlace refuses zero norm).
-    val hasBadElem = exists(col("vector"),
-      x => x.isNull || isnan(x) || x === Float.PositiveInfinity ||
-        x === Float.NegativeInfinity)
-    val zeroNormBad =
-      if (metric == Metric.Cosine) vec_norm(col("vector")) === 0.0 else lit(false)
-    val vecOk = records.withColumn("_vec_bad",
-      col("vector").isNull ||
-        size(col("vector")) =!= config.dim ||
-        coalesce(hasBadElem, lit(true)) ||
-        coalesce(zeroNormBad, lit(true)))
-    val bad = vecOk.where(col("_vec_bad")).limit(1).count()
-    require(bad == 0,
-      s"invalid vectors: null, wrong dimension (expect ${config.dim}), " +
-        "NaN/Inf, or zero-norm under cosine")
-    val canon = vecOk.drop("_vec_bad")
-    if (metric == Metric.Cosine)
-      canon.withColumn("vector", vec_normalize(col("vector")))
-    else canon
+    if (metric == Metric.Hamming) {
+      // Hamming stores serve PACKED BINARY CODES (vecgo `distance/
+      // distance.go:36-38`): `vector` is array<long> of ceil(dim/32)
+      // words ([[graft.index.BQ.packCol]]'s 32-bits-per-word, ANSI-safe
+      // packing), dim = number of BITS. No NaN/normalize semantics.
+      val hasBadElem = exists(col("vector"), x => x.isNull)
+      val vecOk = records.withColumn("_vec_bad",
+        col("vector").isNull ||
+          size(col("vector")) =!= codeWords ||
+          coalesce(hasBadElem, lit(true)))
+      val bad = vecOk.where(col("_vec_bad")).limit(1).count()
+      require(bad == 0,
+        s"invalid code vectors: null or wrong word count (expect $codeWords " +
+          s"longs for ${config.dim} bits)")
+      vecOk.drop("_vec_bad")
+        .withColumn("vector", col("vector").cast("array<bigint>"))
+    } else {
+      // NULL-proof: `size(null)===dim` and `exists(null,...)` are NULL, and a
+      // NULL predicate would never count the row as bad — so null vectors /
+      // null elements are checked explicitly (vecgo rejects empty vectors in
+      // prepareVector, `hnsw.go:799`). Zero vectors are rejected under Cosine
+      // (vecgo `distance.go:42-53`: NormalizeL2InPlace refuses zero norm).
+      val hasBadElem = exists(col("vector"),
+        x => x.isNull || isnan(x) || x === Float.PositiveInfinity ||
+          x === Float.NegativeInfinity)
+      val zeroNormBad =
+        if (metric == Metric.Cosine) vec_norm(col("vector")) === 0.0 else lit(false)
+      val vecOk = records.withColumn("_vec_bad",
+        col("vector").isNull ||
+          size(col("vector")) =!= config.dim ||
+          coalesce(hasBadElem, lit(true)) ||
+          coalesce(zeroNormBad, lit(true)))
+      val bad = vecOk.where(col("_vec_bad")).limit(1).count()
+      require(bad == 0,
+        s"invalid vectors: null, wrong dimension (expect ${config.dim}), " +
+          "NaN/Inf, or zero-norm under cosine")
+      val canon = vecOk.drop("_vec_bad")
+      if (metric == Metric.Cosine)
+        canon.withColumn("vector", vec_normalize(col("vector")))
+      else canon
+    }
   }
+
+  /** Packed-code word count for Hamming stores: ceil(dim-bits / 32). */
+  def codeWords: Int = (config.dim + 31) / 32
 
   // ------------------------------------------------------------ write path
 
-  /** Deferred bulk insert (vecgo W3): validate → new segment version. */
+  /** Deferred bulk insert (vecgo W3): validate → new segment version.
+    * Hamming stores skip float-vector stats (centroid/radius are
+    * meaningless over packed code words).
+    */
   def insertBatch(records: DataFrame, collectStats: Boolean = true): Long =
-    store.insert(prepare(records), collectStats, Some("vector"))
+    store.insert(prepare(records), collectStats,
+      if (metric == Metric.Hamming) None else Some("vector"))
 
   /** Typed-record insert (vecgo W4 `InsertRecord`/builder ergonomics):
     * case-class `Dataset[Record]` in, same validated path.
@@ -180,22 +208,82 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       filter: FilterSet = FilterSet.empty,
       projectCols: Seq[String] = Nil,
       nprobe: Int = 0,
-      refineFactor: Int = 0): DataFrame = {
+      refineFactor: Int = 0): DataFrame =
+    planSearch(query, k, filter, projectCols, nprobe, refineFactor).df
+
+  /** A planned search: the frame plus the planner's own decisions, for
+    * [[searchWithStats]] / [[explain]] (vecgo reports `strategy` in its
+    * QueryStats, `model/types.go:137-249`).
+    */
+  private case class PlannedSearch(df: DataFrame, strategy: String,
+      segmentsScanned: Int, segmentsPruned: Int)
+
+  private def planSearch(query: Array[Float], k: Int,
+      filter: FilterSet,
+      projectCols: Seq[String] = Nil,
+      nprobe: Int = 0,
+      refineFactor: Int = 0): PlannedSearch = {
+    require(metric != Metric.Hamming,
+      "hamming stores serve packed codes — use searchCodes(Array[Long], k)")
     require(query.length == config.dim, s"query dim ${query.length} != ${config.dim}")
     require(query.forall(f => !f.isNaN && !f.isInfinite), "query has NaN/Inf")
     val q = if (metric == Metric.Cosine) normalized(query) else query
     val m = store.manifest()
-    if (m.exists(_.segments.exists(_.index.isDefined)))
-      indexedSearch(m.get, q, k, filter, nprobe, refineFactor, projectCols)
-    else {
+    if (m.exists(_.segments.exists(_.index.isDefined))) {
+      val mf = m.get
+      val nIdx = mf.segments.count(_.index.isDefined)
+      val df = indexedSearch(mf, q, k, filter, nprobe, refineFactor, projectCols)
+      PlannedSearch(df,
+        s"indexed(segments=$nIdx, tail=${mf.segments.size - nIdx})",
+        mf.segments.size, 0)
+    } else if (filter.filters.isEmpty) {
+      PlannedSearch(
+        Search.knn(read(), "vector", "id", lit(q), k, metric,
+          lit(true), projectCols),
+        "brute_force", m.map(_.segments.size).getOrElse(0), 0)
+    } else {
       // filtered searches route through manifest-stats pruning: whole
       // segments whose stats contradict the filter are never even listed
-      val src =
-        if (filter.filters.isEmpty) read()
-        else store.prunedRead(filter.filters)._1
-      Search.knn(src, "vector", "id", lit(q), k, metric,
-        lit(true), projectCols)
+      val (src, scanned, pruned) = store.prunedRead(filter.filters)
+      PlannedSearch(
+        Search.knn(src, "vector", "id", lit(q), k, metric,
+          lit(true), projectCols),
+        s"pruned_brute_force(${scanned.size} of ${scanned.size + pruned.size} segments)",
+        scanned.size, pruned.size)
     }
+  }
+
+  /** Hamming k-NN over packed binary codes (vecgo serves Hamming directly
+    * over stored codes, `distance/distance.go:36-38`): query is the packed
+    * ceil(dim/32)-word form of a dim-bit code ([[graft.index.BQ.packCol]]
+    * layout), score = popcount of XOR. Filtered searches route through
+    * manifest-stats pruning like the float path.
+    */
+  def searchCodes(query: Array[Long], k: Int,
+      filter: FilterSet = FilterSet.empty,
+      projectCols: Seq[String] = Nil): DataFrame = {
+    require(metric == Metric.Hamming,
+      s"searchCodes requires the hamming metric (store is ${config.metric})")
+    require(query.length == codeWords,
+      s"query has ${query.length} words, store packs $codeWords")
+    val src =
+      if (filter.filters.isEmpty) read()
+      else store.prunedRead(filter.filters)._1
+    Search.knn(src, "vector", "id", lit(query), k, metric,
+      lit(true), projectCols)
+  }
+
+  /** Batch Hamming search over packed-code queries (frame path). */
+  def batchSearchCodes(queries: Seq[(Long, Array[Long])], k: Int,
+      filter: FilterSet = FilterSet.empty): DataFrame = {
+    require(metric == Metric.Hamming,
+      s"batchSearchCodes requires the hamming metric (store is ${config.metric})")
+    queries.foreach { case (qid, q) => require(q.length == codeWords,
+      s"query $qid has ${q.length} words, store packs $codeWords") }
+    import spark.implicits._
+    val qf = queries.toDF("query_id", "qv")
+    Search.batchSearch(read(), "vector", "id", qf, "query_id", "qv", k,
+      metric, filter.toColumn)
   }
 
   private def normalized(v: Array[Float]): Array[Float] = {
@@ -246,21 +334,47 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     Search.knn(all, "vector", "id", lit(q), k, metric, lit(true), projectCols)
   }
 
-  /** Query stats (vecgo R15 `QueryStats`): executes the search eagerly and
-    * reports wall time, result count, and the planner's segment decisions.
+  /** Query stats (vecgo R15 `QueryStats`, `model/types.go:137-249`):
+    * executes the search eagerly and reports wall time, result count, the
+    * planner's segment decisions, and the executed plan's cost counters —
+    * rows scanned (≡ distance computations: each scanned row passes the
+    * metric kernel exactly once), parquet files opened after pruning, and
+    * exact-rerank pool size on the two-phase indexed path.
     */
   case class QueryStats(durationMs: Double, rowsReturned: Long,
-      segmentsScanned: Int, segmentsPruned: Int)
+      segmentsScanned: Int, segmentsPruned: Int,
+      rowsScanned: Long, distanceComputations: Long,
+      filesRead: Long, rerankPoolRows: Long, strategy: String)
 
   def searchWithStats(query: Array[Float], k: Int,
-      filter: FilterSet = FilterSet.empty): (Array[org.apache.spark.sql.Row], QueryStats) = {
+      filter: FilterSet = FilterSet.empty,
+      nprobe: Int = 0,
+      refineFactor: Int = 0): (Array[org.apache.spark.sql.Row], QueryStats) = {
     val t0 = System.nanoTime()
-    val (src, scanned, pruned) =
-      if (filter.filters.isEmpty) (read(), manifest.map(_.segments.size).getOrElse(0), 0)
-      else { val r = store.prunedRead(filter.filters); (r._1, r._2.size, r._3.size) }
-    val rows = Search.knn(src, "vector", "id", lit(query), k, metric).collect()
-    (rows, QueryStats((System.nanoTime() - t0) / 1e6, rows.length, scanned, pruned))
+    val planned = planSearch(query, k, filter, Nil, nprobe, refineFactor)
+    val (rows, pm) = graft.query.QueryMetrics.collectWithMetrics(planned.df)
+    (rows, QueryStats(
+      durationMs = (System.nanoTime() - t0) / 1e6,
+      rowsReturned = rows.length,
+      segmentsScanned = planned.segmentsScanned,
+      segmentsPruned = planned.segmentsPruned,
+      rowsScanned = pm.rowsScanned,
+      // every scanned row is scored once; rerank pool rows are scored a
+      // second time with the exact kernel on the indexed path
+      distanceComputations = pm.rowsScanned + pm.rerankPoolRows,
+      filesRead = pm.filesRead,
+      rerankPoolRows = pm.rerankPoolRows,
+      strategy = planned.strategy))
   }
+
+  /** Session-wide running totals (queries run, rows scanned, files read)
+    * via a registered `QueryExecutionListener` — the Spark-UI-style
+    * counterpart of the per-query stats above. Async delivery; see
+    * [[graft.query.QueryMetrics.Totals.awaitAtLeast]].
+    */
+  def sessionMetrics: graft.query.QueryMetrics.Totals =
+    graft.query.QueryMetrics.totals(spark)
+
   private def manifest = store.manifest()
 
   /** Streaming-result variant (vecgo R2 `SearchIter`): results as a lazy
@@ -274,9 +388,23 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 
   /** Range query (vecgo R5). */
   def searchThreshold(query: Array[Float], threshold: Double,
-      maxResults: Int, filter: FilterSet = FilterSet.empty): DataFrame =
+      maxResults: Int, filter: FilterSet = FilterSet.empty): DataFrame = {
+    require(metric != Metric.Hamming,
+      "hamming stores serve packed codes — use searchThresholdCodes")
     Search.searchThreshold(read(), "vector", "id", lit(query), threshold,
       maxResults, metric, filter.toColumn)
+  }
+
+  /** Range query over packed codes: all ids within `threshold` bits. */
+  def searchThresholdCodes(query: Array[Long], threshold: Long,
+      maxResults: Int, filter: FilterSet = FilterSet.empty): DataFrame = {
+    require(metric == Metric.Hamming,
+      s"searchThresholdCodes requires the hamming metric (store is ${config.metric})")
+    require(query.length == codeWords,
+      s"query has ${query.length} words, store packs $codeWords")
+    Search.searchThreshold(read(), "vector", "id", lit(query),
+      threshold.toDouble, maxResults, metric, filter.toColumn)
+  }
 
   /** Batch search over a query matrix (vecgo R6). L2 and Cosine use the
     * MultiTopK matrix fast path — for Cosine both stored vectors and
@@ -286,6 +414,9 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     */
   def batchSearch(queries: Seq[(Long, Array[Float])], k: Int,
       filter: FilterSet = FilterSet.empty): DataFrame = metric match {
+    case Metric.Hamming =>
+      throw new IllegalArgumentException(
+        "hamming stores serve packed codes — use batchSearchCodes")
     case Metric.L2 =>
       Search.batchSearchMatrix(read(), "vector", "id", queries, k,
         filter.toColumn)
@@ -396,6 +527,20 @@ final class GraftDB private (val spark: SparkSession, val root: String,
        |  segments scanned: ${scanned.mkString("[", ",", "]")}
        |  segments pruned by manifest stats: ${pruned.mkString("[", ",", "]")}
        |${df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))}""".stripMargin
+  }
+
+  /** Search explain: the engine's strategy decision (index routing /
+    * stats pruning) above Catalyst's formatted physical plan.
+    */
+  def explainSearch(query: Array[Float], k: Int,
+      filter: FilterSet = FilterSet.empty,
+      nprobe: Int = 0, refineFactor: Int = 0): String = {
+    val p = planSearch(query, k, filter, Nil, nprobe, refineFactor)
+    s"""GraftDB search plan (version ${store.currentVersion})
+       |  strategy: ${p.strategy}
+       |  segments scanned: ${p.segmentsScanned}, pruned: ${p.segmentsPruned}
+       |${p.df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))}""".stripMargin
   }
 }

@@ -181,10 +181,66 @@ class GraftDBSpec extends AnyFunSuite {
     assert(rows.length == 5)
     assert(stats.segmentsScanned == 1 && stats.segmentsPruned == 1)
     assert(stats.durationMs > 0 && stats.rowsReturned == 5)
+    assert(stats.strategy.startsWith("pruned_brute_force"))
+    // cost counters off the executed plan: only the unpruned segment's 50
+    // rows pass the distance kernel, and at least one file was opened
+    assert(stats.rowsScanned == 50, s"rowsScanned=${stats.rowsScanned}")
+    assert(stats.distanceComputations == 50)
+    assert(stats.filesRead >= 1)
     // filtered facade search itself also prunes (same source path)
     val ids = db.search(vec(999), 100, FilterSet.of(Filter.Eq("label", 11)))
       .select("id").as[Long].collect()
     assert(ids.nonEmpty && ids.forall(_ >= 50))
+    // session totals listener saw at least these two actions
+    val totals = db.sessionMetrics
+    assert(totals.awaitAtLeast(1), "listener never delivered")
+    assert(totals.snapshot("rows_scanned") >= 50)
+  }
+
+  test("searchWithStats on an indexed store reports the two-phase counters") {
+    val db = freshDb()
+    db.insertBatch(records(0 until 200))
+    db.buildIndex(nlist = 8)
+    val (rows, stats) = db.searchWithStats(vec(7), 5, nprobe = 2)
+    assert(rows.length == 5)
+    assert(stats.strategy.startsWith("indexed"))
+    // nprobe=2 of 8 lists: the probe-pruned scan reads a strict subset
+    assert(stats.rowsScanned > 0 && stats.rowsScanned < 200,
+      s"rowsScanned=${stats.rowsScanned} should show partition pruning")
+    assert(stats.rerankPoolRows > 0, "two-phase path must report its pool")
+    assert(stats.distanceComputations == stats.rowsScanned + stats.rerankPoolRows)
+  }
+
+  test("hamming store: packed codes in, popcount ranking out") {
+    val db = freshDb(metric = "hamming", dim = 64) // 64 bits → 2 words
+    val codes = (0L until 40L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Array(r.nextLong() & 0xffffffffL, r.nextLong() & 0xffffffffL), (i % 3).toInt)
+    }
+    db.insertBatch(codes.toDF("id", "vector", "label"))
+    val q = codes(5)._2
+    val got = db.searchCodes(q, 10).select("id", "score")
+      .as[(Long, Long)].collect()
+    // brute-force reference ranking (distance asc, id asc)
+    val expect = codes.map { case (id, c, _) =>
+      (id, (0 until 2).map(w => java.lang.Long.bitCount(c(w) ^ q(w)).toLong).sum)
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got.toSeq == expect)
+    assert(got.head == (5L, 0L), "self-match at distance 0")
+    // threshold variant: every hit within the bit budget
+    val within = db.searchThresholdCodes(q, threshold = 20, maxResults = 100)
+      .select("score").as[Long].collect()
+    assert(within.forall(_ <= 20))
+    // batch variant agrees with single-query on a shared query id
+    val batch = db.batchSearchCodes(Seq((5L, q)), 10)
+      .select("id", "score").as[(Long, Long)].collect()
+    assert(batch.toSeq.sortBy(identity) == got.toSeq.sortBy(identity))
+    // float-API misuse fails loudly, wrong word count rejected
+    intercept[IllegalArgumentException] { db.search(Array.fill(64)(0f), 5) }
+    intercept[IllegalArgumentException] { db.searchCodes(Array(1L), 5) }
+    intercept[IllegalArgumentException] {
+      db.insertBatch(Seq((99L, Array(1L), 0)).toDF("id", "vector", "label"))
+    }
   }
 
   test("reopen reads persisted config") {
