@@ -26,7 +26,8 @@ object SegmentStats {
       num: Boolean,
       minN: Option[Double], maxN: Option[Double],
       minS: Option[String], maxS: Option[String],
-      nulls: Long, ndv: Long)
+      nulls: Long, ndv: Long,
+      bloom: Option[String] = None)
 
   case class VecStats(centroid: List[Double], radiusMax: Double)
 
@@ -130,6 +131,24 @@ object SegmentStats {
         row.getLong(row.fieldIndex(s"${f.name}__ndv")))
     }.toMap ++ presenceOnly
     val rows = row.getLong(row.fieldIndex("__rows"))
+    // categorical blooms: one extra pass collecting the exact distinct set
+    // of every LOW-cardinality string column (approx ndv ≤ CatBloom.MaxNdv
+    // — the sets are bounded, so collect_set is driver-safe), folded into
+    // fixed-size bloom bits for mid-range Eq/In miss pruning
+    val bloomCols = scalarCols.collect {
+      case StructField(n, StringType, _, _)
+        if rows > 0 && cols(n).ndv > 0 && cols(n).ndv <= CatBloom.MaxNdv => n
+    }
+    val colsB =
+      if (bloomCols.isEmpty) cols
+      else {
+        val aggsB = bloomCols.map(n => collect_set(col(n)).as(n))
+        val rowB = df.agg(aggsB.head, aggsB.tail: _*).collect()(0)
+        cols ++ bloomCols.map { n =>
+          val vs = rowB.getSeq[String](rowB.fieldIndex(n))
+          n -> cols(n).copy(bloom = Some(CatBloom.build(vs)))
+        }
+      }
     val vec =
       if (rows == 0) None // empty segment: no vector stats to collect
       else vecCol.map { vc =>
@@ -143,7 +162,7 @@ object SegmentStats {
           .agg(max("r")).collect()(0).getDouble(0)
         VecStats(centroid.toList, radius)
       }
-    Stats(rows, cols, vec)
+    Stats(rows, colsB, vec)
   }
 
   /** Can this segment be skipped for this predicate? Conservative: prune
@@ -166,7 +185,9 @@ object SegmentStats {
         case Some(c) =>
           v.isInstanceOf[String] && {
             val s = v.asInstanceOf[String]
-            c.minS.exists(s < _) || c.maxS.exists(s > _)
+            c.minS.exists(s < _) || c.maxS.exists(s > _) ||
+              // mid-range miss: bounds can't prune but the bloom can
+              c.bloom.exists(b => !CatBloom.mightContain(b, s))
           }
       }
       case Filter.In(field, vs) => cs(field) match {
@@ -176,7 +197,9 @@ object SegmentStats {
             vs.flatMap(numVal).forall(x => c.minN.exists(x < _) || c.maxN.exists(x > _))
         case Some(c) =>
           vs.forall {
-            case s: String => c.minS.exists(s < _) || c.maxS.exists(s > _)
+            case s: String =>
+              c.minS.exists(s < _) || c.maxS.exists(s > _) ||
+                c.bloom.exists(b => !CatBloom.mightContain(b, s))
             case _ => false
           }
       }

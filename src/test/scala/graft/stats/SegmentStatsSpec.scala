@@ -52,6 +52,20 @@ class SegmentStatsSpec extends AnyFunSuite {
       Seq(Filter.Eq("x", 20), Filter.Eq("s", "zebra"))))
   }
 
+  test("categorical bloom prunes mid-range string misses") {
+    // "basil" sorts between apple and cherry: bounds can't prune it, the
+    // bloom must (vecgo manifest blooms, internal/manifest/bloom.go)
+    assert(stats.cols("s").bloom.isDefined, "low-ndv string column gets a bloom")
+    assert(SegmentStats.canPrune(stats, Filter.Eq("s", "basil")))
+    assert(!SegmentStats.canPrune(stats, Filter.Eq("s", "banana")))
+    assert(SegmentStats.canPrune(stats, Filter.In("s", Seq("basil", "blueberry"))))
+    assert(!SegmentStats.canPrune(stats, Filter.In("s", Seq("basil", "banana"))))
+    // raw membership sanity on the bloom itself
+    val b = CatBloom.build(Seq("apple", "banana", "cherry"))
+    assert(CatBloom.mightContain(b, "apple") && CatBloom.mightContain(b, "cherry"))
+    assert(!CatBloom.mightContain(b, "basil"))
+  }
+
   test("fields without collected bounds (bool/timestamp/array) never prune") {
     import java.sql.Timestamp
     val typed = Seq(
