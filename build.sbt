@@ -24,7 +24,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Panama Vector API for the production fast-path distance kernels
+  // (SimdKernels); kernels fall back to scalar unrolls if absent
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// jdk.incubator.vector is an incubator module: scalac only resolves it
+// with an explicit -release matching the running JDK
+Compile / scalacOptions ++= Seq("-release", "17")

@@ -99,6 +99,38 @@ object Bench {
     derived("knn_batch_qps") = 100.0 / results("synth_knn_batch100")
     derived("knn_dist_per_sec") = 100.0 * n / results("synth_knn_batch100")
 
+    // same workload on the production fast kernels (float 4-accumulator
+    // ILP; verify paths keep the exact double kernels)
+    graft.functions.KernelMode.fast = true
+    try {
+      results("synth_knn_batch100_fast") = bench {
+        Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+    } finally graft.functions.KernelMode.fast = false
+    derived("knn_dist_per_sec_fast") = 100.0 * n / results("synth_knn_batch100_fast")
+
+    // kernel-limited throughput: 10x the vectors so per-job overhead
+    // (~100-200 ms scheduling + plan + noop sink) amortizes and the number
+    // reflects the scan+kernel pipeline, exact vs fast side by side
+    val nBig = 10 * n
+    val big = synthVectors(spark, nBig, dim).cache()
+    big.count()
+    results("synth_knn_batch100_big") = bench {
+      Search.batchSearchMatrix(big, "vec", "id", queries, k = 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    derived("knn_dist_per_sec_big") = 100.0 * nBig / results("synth_knn_batch100_big")
+    graft.functions.KernelMode.fast = true
+    try {
+      results("synth_knn_batch100_big_fast") = bench {
+        Search.batchSearchMatrix(big, "vec", "id", queries, k = 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+    } finally graft.functions.KernelMode.fast = false
+    derived("knn_dist_per_sec_big_fast") = 100.0 * nBig / results("synth_knn_batch100_big_fast")
+    big.unpersist()
+
     // filtered batch search, sel = 10% (label = 3)
     results("synth_filtered_knn") = bench {
       Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10,

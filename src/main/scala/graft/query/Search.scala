@@ -172,14 +172,16 @@ object Search {
       k: Int,
       filter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    import graft.functions.{vec_l2sq_multi, MultiTopK}
+    import graft.functions.MultiTopKDirect
     val qmat = queries.map(_._2).toArray
     val qids = queries.map(_._1).toArray
-    val dists = vec_l2sq_multi(col(vecCol), qmat)
-    val agg = ColumnBridge.column(MultiTopK(
-      ColumnBridge.expression(dists),
+    // fused distance+top-k aggregate: no per-row m-double materialization
+    // (TypedImperativeAggregate updates run interpreted — a pre-computed
+    // distances array would cost an allocation + m boxed reads per row)
+    val agg = ColumnBridge.column(MultiTopKDirect(
+      ColumnBridge.expression(col(vecCol)),
       ColumnBridge.expression(col(idCol).cast("long")),
-      m = qmat.length, k = k).toAggregateExpression())
+      qmat, k = k).toAggregateExpression())
     df.where(filter)
       .agg(agg.as("all_topk"))
       .select(posexplode(col("all_topk")).as(Seq("_qidx", "_topk")))
