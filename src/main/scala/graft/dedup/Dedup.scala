@@ -52,18 +52,44 @@ object Dedup {
       .select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
   }
 
-  /** Exact pairwise word-n-gram Jaccard similarity >= minJaccard via a
-    * shingle inverted-index self-join. Output: (id_a, id_b, jaccard),
-    * id_a < id_b.
+  /** Exact pairwise word-n-gram Jaccard similarity >= minJaccard with
+    * PPJoin-style PREFIX FILTERING (Xiao et al., WWW'08 — public
+    * similarity-join literature): under any global total order of
+    * shingles, Jaccard(A,B) ≥ t implies A and B share a shingle within
+    * each one's first |S| − ⌈t·|S|⌉ + 1 shingles. Ordering rarest-first
+    * (document frequency asc) makes the candidate join touch only rare
+    * shingles — a shingle shared by d documents no longer contributes d²
+    * join pairs unless it is genuinely discriminative, which is what kills
+    * the naive inverted-index self-join at corpus scale. Results are
+    * EXACT: candidates are verified with a full intersection count.
+    * Output: (id_a, id_b, jaccard), id_a < id_b.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingles(df, idCol, textCol, n).cache()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a
-      .join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc rank under the global (df asc, shingle asc) order; the
+    // window partitions by doc id, so no single-task global sort
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)))
+      .join(counts, "id")
+      .where(col("rnk") <=
+        (col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1).cast("int"))
+      .select("id", "shingle")
+    val cands = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verification: intersection size over the full shingle sets,
+    // restricted to the candidate pairs
+    val inter = cands
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
