@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Components, Dedup}
 import graft.text.TextAnalysis
 
 /** Training-data-pipeline operator coverage (dedup / text analysis /
@@ -70,6 +70,15 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy(col("id_a").asc, col("id_b").asc)
 
+  /** Duplicate clusters: exact-fingerprint + MinHash-LSH near-dup
+    * relations closed under connectivity (alternating large-star/
+    * small-star CC). One row per document; cluster_id = min reachable id.
+    */
+  def dedupClustersQ(s: SparkSession, dir: String): DataFrame =
+    Components.dedupClusters(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id").asc)
+
   /** Portable 60-bit SimHash bit-string per document. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBits(t(s, dir, "documents"), "doc_id", "text")
@@ -113,6 +122,7 @@ object PipelineQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_clusters" -> (dedupClustersQ _),
     "dedup_simhash" -> (dedupSimhash _),
     "neardup_cosine" -> (neardupCosine _)
   )
@@ -210,6 +220,44 @@ object PipelineQueries {
          |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
          |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE >= 0.8::DOUBLE
          |ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $SHD,
+         |seeds AS (SELECT unnest(range(0, 32)) AS seed),
+         |base AS (SELECT id, s,
+         |           CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h31
+         |         FROM shd),
+         |mh AS (SELECT id, seed,
+         |         min((xor(h31, (seed * 2654435761) % 2147483647) * 1000003) % 2147483647) AS mh
+         |       FROM base, seeds GROUP BY id, seed),
+         |bands AS (SELECT id, (seed // 4)::INT AS band,
+         |            md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_key
+         |          FROM mh GROUP BY id, (seed // 4)::INT),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |          FROM cands c
+         |          JOIN shd x ON x.id = c.id_a
+         |          JOIN shd y ON y.id = c.id_b AND y.s = x.s
+         |          GROUP BY 1, 2),
+         |mhp AS (SELECT i.id_a, i.id_b
+         |        FROM inter i JOIN cnt ca ON ca.id = i.id_a
+         |                     JOIN cnt cb ON cb.id = i.id_b
+         |        WHERE i.n_inter::DOUBLE / (ca.n_sh + cb.n_sh - i.n_inter)::DOUBLE >= 0.8::DOUBLE),
+         |fpp AS (SELECT doc_id AS id,
+         |          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |        FROM documents),
+         |exd AS (SELECT a.id AS id_a, b.id AS id_b
+         |        FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.id < b.id),
+         |ap AS (SELECT id_a, id_b FROM mhp UNION SELECT id_a, id_b FROM exd),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM ap
+         |          UNION SELECT id_b AS u, id_a AS v FROM ap),
+         |reach AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, e.v AS b FROM reach r JOIN edges e ON e.u = r.b)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id ASC""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TOK,
          |tf AS (SELECT doc_id AS id, t AS term, count(*)::BIGINT AS tf
