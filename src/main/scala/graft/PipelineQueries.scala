@@ -43,6 +43,45 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Repetition quality signals (the Gopher / RefinedWeb repetition
+    * rules, adapted to single-line docs): per document, the fraction of
+    * bigram (trigram) occurrences claimed by the single most frequent
+    * bigram (trigram), and the fraction of 5-gram occurrences that are
+    * duplicates. High values flag boilerplate and degenerate repetition.
+    *
+    * Shape: the three gram streams are tagged (`2:`/`3:`/`5:` prefixes)
+    * and exploded ONCE — one (doc, gram)-keyed count shuffle, one
+    * (doc, n) rollup, no per-n re-scan of the corpus.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col("text"))
+    def tagged(n: Int): Column =
+      transform(TextAnalysis.ngrams(col("toks"), n),
+        g => concat(lit(s"$n:"), g))
+    val exploded = t(s, dir, "documents")
+      .withColumn("toks", toks)
+      .select(col("doc_id"),
+        explode(concat(tagged(2), tagged(3), tagged(5))).as("g"))
+    val perN = exploded.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("n", substring(col("g"), 1, 1))
+      .groupBy("doc_id", "n")
+      .agg(max("c").as("top"), sum("c").as("tot"), count(lit(1)).as("dist"))
+    val sig = perN.groupBy("doc_id").agg(
+      max(when(col("n") === "2",
+        col("top").cast("double") / col("tot").cast("double"))).as("t2"),
+      max(when(col("n") === "3",
+        col("top").cast("double") / col("tot").cast("double"))).as("t3"),
+      max(when(col("n") === "5",
+        (col("tot") - col("dist")).cast("double") / col("tot").cast("double"))).as("d5"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(sig, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        r6(coalesce(col("t2"), lit(0.0))).as("top2_frac"),
+        r6(coalesce(col("t3"), lit(0.0))).as("top3_frac"),
+        r6(coalesce(col("d5"), lit(0.0))).as("dup5_frac"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Canonical-form md5 fingerprint per document. */
   def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -119,6 +158,7 @@ object PipelineQueries {
     "text_token_count" -> (tokenCount _),
     "text_lang_quality" -> (langQuality _),
     "text_fingerprint" -> (fingerprintQ _),
+    "text_repetition" -> (textRepetition _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -178,6 +218,32 @@ object PipelineQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "text_repetition" ->
+      s"""WITH $TOK,
+         |gr AS (SELECT doc_id,
+         |  CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)),
+         |    i -> '2:' || ts[i] || ' ' || ts[i+1]) ELSE []::VARCHAR[] END ||
+         |  CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts) - 1),
+         |    i -> '3:' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE []::VARCHAR[] END ||
+         |  CASE WHEN len(ts) >= 5 THEN list_transform(range(1, len(ts) - 3),
+         |    i -> '5:' || ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]) ELSE []::VARCHAR[] END
+         |  AS gs FROM tok),
+         |cnts AS (SELECT doc_id, g, count(*) AS c
+         |         FROM gr, unnest(gs) u(g) GROUP BY 1, 2),
+         |per_n AS (SELECT doc_id, substring(g, 1, 1) AS n,
+         |            max(c) AS top, sum(c) AS tot, count(*) AS dist
+         |          FROM cnts GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |  max(CASE WHEN n = '2' THEN top::DOUBLE / tot::DOUBLE END) AS t2,
+         |  max(CASE WHEN n = '3' THEN top::DOUBLE / tot::DOUBLE END) AS t3,
+         |  max(CASE WHEN n = '5' THEN (tot - dist)::DOUBLE / tot::DOUBLE END) AS d5
+         |  FROM per_n GROUP BY 1)
+         |SELECT d.doc_id,
+         |       round(coalesce(t2, 0::DOUBLE), 6) AS top2_frac,
+         |       round(coalesce(t3, 0::DOUBLE), 6) AS top3_frac,
+         |       round(coalesce(d5, 0::DOUBLE), 6) AS dup5_frac
+         |FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id ASC""".stripMargin,
     "dedup_exact" ->
       """WITH g AS (
         |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,

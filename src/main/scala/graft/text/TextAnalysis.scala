@@ -80,6 +80,17 @@ object TextAnalysis {
       cleanScore * lit(0.2) + shapeScore * lit(0.2)
   }
 
+  /** In-order (non-distinct) word n-grams joined with spaces; empty array
+    * when the document has fewer than `n` tokens (the guard matters:
+    * `sequence(1, size-n+1)` would DESCEND for short docs, not return
+    * empty).
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
     * trimmed text. Identical logical content → identical fingerprint.
     */

@@ -48,6 +48,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rhs(2L) != rhs(3L), "reordered tokens must change the rolling hash")
   }
 
+  test("ngrams: in-order, non-distinct, empty for short docs") {
+    val df = Seq((1L, "a b a b c"), (2L, "one two")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.ngrams(TextAnalysis.wsTokens(col("text")), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b a", "b a b", "a b c"))
+    assert(got(2L).isEmpty, "docs shorter than n yield NO grams (not a descending sequence)")
+  }
+
   test("quality score is bounded and favors clean stopword-rich text") {
     val df = Seq(
       (1L, "the quick brown fox is in the garden and it is a fine day today"),
