@@ -141,7 +141,8 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   def deleteWhere(filter: FilterSet): Long =
     store.delete(read().where(filter.toColumn).select("id"))
 
-  def compact(): Long = store.compact()
+  def compact(): Long = store.compact(collectStats = true,
+    vecCol = if (metric == Metric.Hamming) None else Some("vector"))
 
   /** Build the vector index INTO the store (vecgo builds IVF flat segments
     * at compaction, `compaction.go:136-151`): compacts live rows into one
@@ -406,36 +407,100 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       threshold.toDouble, maxResults, metric, filter.toColumn)
   }
 
-  /** Batch search over a query matrix (vecgo R6). L2 and Cosine use the
+  /** Batch search over a query matrix (vecgo R6). On an indexed store
+    * every query routes through the probe-pruned quantized two-phase plan
+    * (see [[indexedBatchSearch]]). Otherwise L2 and Cosine use the
     * MultiTopK matrix fast path — for Cosine both stored vectors and
     * queries are L2-normalized, and on normalized inputs squared-L2 order
     * is exactly inverse cosine order, so the top-k sets coincide. Other
     * metrics fall back to the frame-based path with the true metric.
     */
   def batchSearch(queries: Seq[(Long, Array[Float])], k: Int,
-      filter: FilterSet = FilterSet.empty): DataFrame = metric match {
-    case Metric.Hamming =>
+      filter: FilterSet = FilterSet.empty,
+      nprobe: Int = 0, refineFactor: Int = 0): DataFrame = {
+    if (metric == Metric.Hamming)
       throw new IllegalArgumentException(
         "hamming stores serve packed codes — use batchSearchCodes")
-    case Metric.L2 =>
-      Search.batchSearchMatrix(read(), "vector", "id", queries, k,
-        filter.toColumn)
-    case Metric.Cosine =>
-      val normed = queries.map { case (qid, v) =>
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-        (qid, if (n == 0) v else v.map(x => (x / n).toFloat))
-      }
-      // report cosine similarity, not the internal squared-L2 ranking key:
-      // on unit vectors cos = 1 - l2sq/2, so single-query search() and the
-      // matrix path return scores on the same scale
-      Search.batchSearchMatrix(read(), "vector", "id", normed, k,
-        filter.toColumn)
-        .withColumn("score", lit(1.0) - col("score") / 2)
-    case other =>
-      import spark.implicits._
-      val qf = queries.toDF("query_id", "qv")
-      Search.batchSearch(read(), "vector", "id", qf, "query_id", "qv", k,
-        other, filter.toColumn)
+    val normed =
+      if (metric == Metric.Cosine)
+        queries.map { case (qid, v) => (qid, normalized(v)) }
+      else queries
+    val m = store.manifest()
+    if (m.exists(_.segments.exists(_.index.isDefined)))
+      indexedBatchSearch(m.get, normed, k, filter, nprobe, refineFactor)
+    else metric match {
+      case Metric.L2 =>
+        Search.batchSearchMatrix(read(), "vector", "id", queries, k,
+          filter.toColumn)
+      case Metric.Cosine =>
+        // report cosine similarity, not the internal squared-L2 ranking
+        // key: on unit vectors cos = 1 - l2sq/2, so single-query search()
+        // and the matrix path return scores on the same scale
+        Search.batchSearchMatrix(read(), "vector", "id", normed, k,
+          filter.toColumn)
+          .withColumn("score", lit(1.0) - col("score") / 2)
+      case other =>
+        import spark.implicits._
+        val qf = queries.toDF("query_id", "qv")
+        Search.batchSearch(read(), "vector", "id", qf, "query_id", "qv", k,
+          other, filter.toColumn)
+    }
+  }
+
+  /** Probe-pruned quantized BATCH search (vecgo fans BatchSearch out per
+    * query over the same index, `engine.go:1303-1366`). The scan is
+    * pruned ONCE with the union of all queries' probe lists (a literal
+    * `isin` → Parquet partition filters); per-query membership then
+    * refines via a broadcast join on `array_contains`; SQ8-approximate
+    * per-query top-(k·refine) heaps carry the raw vector as payload so
+    * the exact phase never re-scans the store; unindexed tail segments
+    * are brute-forced into the same final per-query top-k.
+    */
+  private def indexedBatchSearch(m: graft.store.SnapshotStore.Manifest,
+      queries: Seq[(Long, Array[Float])], k: Int, filter: FilterSet,
+      nprobe0: Int, refine0: Int): DataFrame = {
+    import graft.index.SegmentIndex
+    import spark.implicits._
+    val refine = math.max(1, if (refine0 > 0) refine0 else 4)
+    val (idxSegs, plainSegs) = m.segments.partition(_.index.isDefined)
+    val keptPlain = plainSegs.filterNot(s => s.stats.exists(st =>
+      graft.stats.SegmentStats.canPruneAll(st, filter.filters)))
+    val qids = queries.map(_._1)
+    val pools = idxSegs.map { s =>
+      val meta = indexMeta(s.index.get)
+      val ivf = SegmentIndex.ivfModel(meta)
+      val sq8 = SegmentIndex.sq8Model(meta)
+      val np =
+        if (nprobe0 > 0) math.min(nprobe0, ivf.k)
+        else math.max(1, math.ceil(math.sqrt(ivf.k)).toInt)
+      val probed = queries.map { case (qid, q) => (qid, q, ivf.probes(q, np)) }
+      val pairs = probed.toDF("query_id", "qv", "probes")
+      val allParts = probed.flatMap(_._3).distinct
+      val seg = store.visibleSegment(s, m)
+        .where(col(SegmentIndex.PartCol).isin(allParts: _*))
+        .where(filter.toColumn)
+      val cand = seg.join(broadcast(pairs),
+          array_contains(col("probes"), col(SegmentIndex.PartCol)))
+        .withColumn("_approx",
+          metric.score(sq8.decodeCol(col(SegmentIndex.CodeCol)), col("qv")))
+      val os = if (metric.ascending) col("_approx") else -col("_approx")
+      Search.topKPerKeyPayload(cand, "query_id", os, "id", col("vector"),
+          k * refine)
+        .select(col("query_id"), col("id"), col("_payload").as("vector"))
+    }
+    val tails = keptPlain.map { s =>
+      store.visibleSegment(s, m).where(filter.toColumn)
+        .crossJoin(broadcast(qids.toDF("query_id")))
+        .select(col("query_id"), col("id"), col("vector"))
+    }
+    val qv = queries.toDF("query_id", "qv")
+    val exact = (pools ++ tails).reduce(_ unionByName _)
+      .join(broadcast(qv), "query_id")
+      .withColumn("_score", metric.score(col("vector"), col("qv")))
+    val os = if (metric.ascending) col("_score") else -col("_score")
+    val restore = if (metric.ascending) col("_os") else -col("_os")
+    Search.topKPerKey(exact, "query_id", os, "id", k)
+      .select(col("query_id"), col("id"), restore.as("score"), col("rank"))
   }
 
   /** Hybrid RRF search (vecgo R9): vector + BM25 pools of max(2k,50). */

@@ -32,14 +32,18 @@ object SegmentIndex {
   val CodeCol = "_sq8"
   val InternalCols: Seq[String] = Seq(PartCol, CodeCol)
 
-  /** Sidecar index metadata (JSON-serializable; Lists for json4s). */
+  /** Sidecar index metadata (JSON-serializable; Lists for json4s).
+    * `vecCol` makes the sidecar self-describing, so a later `compact()`
+    * can rebuild the same index without the caller re-supplying params.
+    */
   case class Meta(
       kind: String,
       nlist: Int,
       levels: Int,
       centroids: List[List[Float]],
       mins: List[Double],
-      maxs: List[Double])
+      maxs: List[Double],
+      vecCol: String = "vector")
 
   def ivfModel(meta: Meta): IVF.Model =
     IVF.Model(meta.centroids.map(_.toArray).toArray)
@@ -72,7 +76,7 @@ object SegmentIndex {
       .parquet(dir)
     Meta("ivf_sq8", ivf.k, levels,
       ivf.centroids.map(_.toList).toList,
-      sq8.mins.toList, sq8.maxs.toList)
+      sq8.mins.toList, sq8.maxs.toList, vecCol)
   }
 
   private implicit val fmts: Formats = DefaultFormats

@@ -310,17 +310,37 @@ final class SnapshotStore(spark: SparkSession, val root: String,
 
   /** Merge all live rows into one segment, dropping tombstones → new
     * version (vecgo W8 compaction). Old versions remain time-travelable.
+    *
+    * Index preservation: if the store carries a built index, compaction
+    * REBUILDS it into the merged segment with the same model parameters
+    * (read from the sidecar) instead of silently demoting the store to
+    * brute-force — vecgo's compaction likewise re-creates IVF segments
+    * (`internal/engine/compaction.go:136-151`).
     */
-  def compact(): Long = {
+  def compact(collectStats: Boolean = false,
+      vecCol: Option[String] = None): Long = {
     val m = manifest().getOrElse(
       throw new IllegalStateException("compact on empty store"))
-    val live = read(m.version)
-    val seq = m.maxSeq + 1
-    val (path, rows) = writeSegment(live, seq, "seg")
-    val next = Manifest(m.version + 1, seq,
-      List(SegmentRef(path, seq, rows)), Nil)
-    commit(next)
-    next.version
+    m.segments.reverse.find(_.index.isDefined) match {
+      case Some(s) =>
+        val meta = graft.index.SegmentIndex.load(s.index.get.metaPath,
+          spark.sparkContext.hadoopConfiguration)
+        compactIndexed(meta.vecCol, meta.nlist, meta.levels,
+          collectStats = collectStats || m.segments.exists(_.stats.isDefined))
+      case None =>
+        val live = read(m.version)
+        val seq = m.maxSeq + 1
+        val (path, rows) = writeSegment(live, seq, "seg")
+        val stats =
+          if (collectStats)
+            Some(graft.stats.SegmentStats.collect(
+              spark.read.parquet(path), vecCol))
+          else None
+        val next = Manifest(m.version + 1, seq,
+          List(SegmentRef(path, seq, rows, stats)), Nil)
+        commit(next)
+        next.version
+    }
   }
 
   /** Compact all live rows into ONE indexed segment: IVF-partitioned

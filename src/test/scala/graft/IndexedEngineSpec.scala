@@ -109,6 +109,53 @@ class IndexedEngineSpec extends AnyFunSuite {
     assert(!db.scan(Seq(Filter.Eq("label", 1))).columns.contains("_sq8"))
   }
 
+  test("compact() preserves the index: tail is folded in, search stays indexed") {
+    val db = freshDb()
+    val rows = clustered(300)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters)
+    // tail writes after the build, then a delete
+    val extra = clustered(320).drop(300).map { case (i, v, c, b) => (i + 1000L, v, c, b) }
+    db.insertBatch(extra.toDF("id", "vector", "label", "body"))
+    db.delete(Seq(5L))
+    val v = db.compact()
+    val m = db.store.manifest().get
+    assert(m.version == v && m.segments.size == 1, "one merged segment")
+    assert(m.segments.head.index.isDefined,
+      "compaction must NOT demote an indexed store to brute force")
+    assert(m.segments.head.index.get.kind == "ivf_sq8")
+    assert(m.segments.head.stats.isDefined, "facade compaction keeps segment stats")
+    val q = rows(42)._2
+    val got = db.search(q, 10, nprobe = NClusters, refineFactor = 20)
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute(db, q, 10))
+    assert(!got.contains(5L))
+    val (_, st) = db.searchWithStats(q, 5)
+    assert(st.strategy.startsWith("indexed(segments=1, tail=0)"))
+  }
+
+  test("batch search routes through the index: all-probe results are exact") {
+    val db = freshDb()
+    val rows = clustered(400)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters)
+    // a tail segment AFTER the build participates too
+    db.insertBatch(Seq((7777L, rows(7)._2.map(_ + 0.02f), 3, "tail"))
+      .toDF("id", "vector", "label", "body"))
+    val qs = Seq(100L -> rows(13)._2, 200L -> rows(58)._2, 300L -> rows(7)._2)
+    val got = db.batchSearch(qs, 5, nprobe = NClusters, refineFactor = 40)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, g) => q -> g.sortBy(_._3).map(_._2).toSeq }
+    qs.foreach { case (qid, q) =>
+      assert(got(qid) == brute(db, q, 5), s"query $qid diverged from brute force")
+    }
+    assert(got(300L).contains(7777L), "tail row must reach batch results")
+    // pruned probing still finds the home cluster's neighbors
+    val pruned = db.batchSearch(qs, 5, nprobe = 1, refineFactor = 40)
+      .select("query_id", "id").as[(Long, Long)].collect()
+    assert(pruned.length == 15)
+  }
+
   test("cosine metric routes through the index too") {
     val db = freshDb(metric = "cosine")
     val rows = clustered(200)
