@@ -206,16 +206,33 @@ object Queries {
     * join, not a corpus re-tokenization per query.
     */
   private def persistedBm25(s: SparkSession, dir: String): BM25.Index = {
+    // the cache key carries a content fingerprint (size + mtime of the
+    // source parquet) so an in-place change of the documents table can
+    // never reuse a stale index
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fsrc = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fsrc.getFileStatus(src)
+    val fp = java.lang.Long.toHexString(st.getLen ^ java.lang.Long
+      .rotateLeft(st.getModificationTime, 21))
     val root = s"${sys.props("java.io.tmpdir")}/graft_bm25_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+      dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$fp"
     val stats = java.nio.file.Paths.get(root, "_STATS")
     if (!java.nio.file.Files.exists(stats)) {
       val idx = BM25.build(t(s, dir, "documents"), "doc_id", "text")
       idx.postings.write.mode("overwrite").parquet(s"$root/postings")
       idx.docLen.write.mode("overwrite").parquet(s"$root/doclen")
       idx.termDf.write.mode("overwrite").parquet(s"$root/termdf")
-      java.nio.file.Files.write(stats,
+      // _STATS is the commit marker: written LAST via temp + atomic rename
+      // so a concurrent run can never observe the marker before the data
+      val tmp = java.nio.file.Paths.get(root, s"._STATS.tmp-${Thread.currentThread.getId}")
+      java.nio.file.Files.write(tmp,
         s"${idx.numDocs},${idx.avgDocLen}".getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp, stats,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // another run won the race with identical content: fine
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
     val parts = new String(
       java.nio.file.Files.readAllBytes(stats), "UTF-8").trim.split(",")

@@ -85,6 +85,13 @@ object Components {
       prev = cur
       it += 1
     }
+    // exhausting the cap without reaching the fixed point means the edge
+    // set is NOT fully merged — emitting it would yield silently wrong
+    // cluster ids downstream, so fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          s"(${prev._1} edges at exit); raise maxIter")
     // terminal state is a collection of stars centered at component minima
     edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v"), col("v")))

@@ -292,36 +292,66 @@ object Dedup {
     * (bands·nbits)×dim matmul ([[graft.functions.vec_matmul]], codegen'd)
     * produces every projection; each band's key is the sign-bit string of
     * its nbits slice. Returns array<struct<band:int, key:string>>.
+    *
+    * `offsets` (when non-empty) shift each plane's threshold: bit i is
+    * `dot(v, plane_i) > offsets(i)`, i.e. a hyperplane through the point
+    * with those projections instead of the origin. [[srpNearDups]] passes
+    * `dot(mean, plane_i)` — hyperplanes through the data CENTROID. Real
+    * embedding corpora are correlated (a dominant direction), so
+    * origin-through planes assign most vectors the same sign and the
+    * buckets collapse to a handful of huge ones (measured: 7% of ALL
+    * pairs became candidates — worse than the cartesian it replaces).
+    * Centered planes split the corpus ~evenly per bit while still almost
+    * never separating a near-duplicate pair (the pair's projection gap is
+    * tiny relative to the corpus spread).
     */
   def srpBandKeys(vec: Column, dim: Int, nbits: Int, bands: Int,
-      seed: Long = 42L): Column = {
-    import graft.functions.vec_matmul
+      seed: Long = 42L, offsets: Array[Double] = Array.empty): Column = {
+    import graft.functions.vec_srp_keys
     val planes = Array.tabulate(bands * nbits)(p => srpPlane(p, dim, seed))
-    val dots = vec_matmul(vec, planes)
-    array((0 until bands).map { b =>
-      val key = concat((0 until nbits).map { i =>
-        when(element_at(dots, b * nbits + i + 1) > 0f, lit("1"))
-          .otherwise(lit("0"))
-      }: _*)
-      struct(lit(b).as("band"), key.as("key"))
-    }: _*)
+    val offs = if (offsets.isEmpty) Array.fill(bands * nbits)(0.0) else offsets
+    // one native kernel call per row ([[graft.functions.VecSrpKeys]]): a
+    // Column-composed `when(element_at(vec_matmul(...), i) > off)` per bit
+    // re-evaluates the matmul per BIT (Catalyst doesn't CSE the shared
+    // subtree across branches) — quadratic in key width, measured 100+ s
+    // where the fused kernel takes milliseconds
+    vec_srp_keys(vec, planes, offs, nbits)
   }
 
   /** Banded-SRP cosine near-dup pipeline — the scale path (same shape as
     * [[minhashLsh]]): candidates = pairs sharing ANY of `bands` nbits-bit
     * sign keys (a bounded (band,key)-bucket join, NO cartesian product),
-    * then exact cosine verification of the candidates. For genuinely-near
-    * duplicates (cos ≥ ~0.9) the per-pair miss probability is
-    * (1-(1-θ/π)^nbits)^bands ≈ 1e-13 at the defaults; every emitted pair
+    * then exact cosine verification of the candidates. Every emitted pair
     * is exact. Output: (id_a, id_b, cos), id_a < id_b, cos >= threshold.
+    *
+    * Parameter shape (p = 1 - θ/π per bit): a near-dup at cos 0.99 misses
+    * all bands with prob (1-p^nbits)^bands ≈ 9e-10 at the 16/32 defaults,
+    * while a background pair at cos 0.6 collides somewhere with prob
+    * ~0.13 and at cos 0.3 with ~0.008. SHORT keys are the classic trap:
+    * at nbits=8, a cos-0.6 pair collides with prob 0.67 and a cos-0.3
+    * pair with 0.23 — on a corpus with correlated embeddings that made
+    * 7% of ALL pairs candidates, slower than the cartesian it replaces.
+    * Longer keys + more bands keep recall while candidates stay ~linear.
     */
   def srpNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, nbits: Int = 8, bands: Int = 16,
+      threshold: Double, nbits: Int = 16, bands: Int = 32,
       seed: Long = 42L): DataFrame = {
     import graft.functions.vec_cos
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // cached: referenced by the band-key build and both verify joins —
+    // without it the (possibly expensive) upstream plan runs 3x
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    // center the hyperplanes on the corpus mean (one cheap agg pass; the
+    // mean only steers CANDIDATE generation — emitted pairs are exact, so
+    // float non-determinism in the avg cannot change correctness)
+    val meanVec = vecs.agg(array((0 until dim).map(i =>
+      avg(element_at(col("v"), i + 1))): _*).as("m"))
+      .head().getSeq[Double](0).toArray
+    val planes = Array.tabulate(bands * nbits)(p => srpPlane(p, dim, seed))
+    val offsets = planes.map(p =>
+      p.indices.foldLeft(0.0)((s, d) => s + p(d) * meanVec(d)))
     val keyed = vecs
-      .select(col("id"), explode(srpBandKeys(col("v"), dim, nbits, bands, seed)).as("bk"))
+      .select(col("id"),
+        explode(srpBandKeys(col("v"), dim, nbits, bands, seed, offsets)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cands = keyed.as("a")
       .join(keyed.as("b"),

@@ -14,16 +14,40 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * Cosine = similarity on normalized inputs; Dot = raw inner product;
   * Hamming = popcount over binary codes).
   */
-/** Per-JVM kernel mode switch: `false` (default) = exact double
-  * left-to-right accumulation (bit-deterministic, oracle-matching);
-  * `true` = float multi-accumulator fast path for production scans.
-  * Initial value from `-Dgraft.kernels.fast=true`; flip at runtime with
-  * `KernelMode.fast = ...` (volatile — takes effect on in-flight scans'
-  * next rows; flip between jobs, not during one, if exactness matters).
+/** Kernel mode switch: `false` (default) = exact double left-to-right
+  * accumulation (bit-deterministic, oracle-matching); `true` = float
+  * multi-accumulator fast path for production scans.
+  *
+  * Resolution order, so the choice reaches EVERY JVM of a distributed
+  * scan (a driver-only flag would silently mix exact and fast kernels
+  * across tasks):
+  *   1. an explicit per-JVM override (`KernelMode.fast = true` — a
+  *      local-mode / test convenience; on a cluster this sets only the
+  *      JVM it runs in),
+  *   2. `-Dgraft.kernels.fast=true` (set it in executor JVM options too),
+  *   3. the Spark conf `spark.graft.kernels.fast` — set at session build;
+  *      Spark ships the conf to executors, so this is the production
+  *      switch. Read once per JVM (executor confs are immutable).
   */
 object KernelMode {
-  @volatile var fast: Boolean =
-    java.lang.Boolean.getBoolean("graft.kernels.fast")
+  @volatile private var overrideFlag: Option[Boolean] =
+    if (sys.props.contains("graft.kernels.fast"))
+      Some(java.lang.Boolean.getBoolean("graft.kernels.fast"))
+    else None
+
+  private lazy val confFast: Boolean =
+    try {
+      val env = org.apache.spark.SparkEnv.get
+      env != null && env.conf.getBoolean("spark.graft.kernels.fast",
+        defaultValue = false)
+    } catch { case _: Throwable => false }
+
+  def fast: Boolean = {
+    val o = overrideFlag
+    if (o.isDefined) o.get else confFast
+  }
+
+  def fast_=(b: Boolean): Unit = overrideFlag = Some(b)
 
   /** Panama Vector API present? (JVM started with
     * `--add-modules=jdk.incubator.vector`.) [[SimdKernels]] is only
@@ -257,6 +281,40 @@ object DistanceKernels {
       while (i < row.length) { s += row(i).toDouble * af(i).toDouble; i += 1 }
       out(j) = s.toFloat
       j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** All SRP band keys in one pass: project onto every plane ONCE, then
+    * slice sign bits (vs offsets) into per-band '0'/'1' key strings.
+    * Returns array<struct<band:int, key:string>>. One call per row — the
+    * Column-composed formulation (`when(element_at(matmul,...) > off)`
+    * × bands·nbits) re-evaluated the full matmul for EVERY bit because
+    * Catalyst does not CSE the shared subtree across the generated
+    * when-branches: O((bands·nbits)²·dim) per row, measured 100+ s on a
+    * 4k-row corpus where this kernel takes milliseconds.
+    */
+  def srpKeys(a: ArrayData, planes: Array[Array[Float]],
+      offsets: Array[Double], nbits: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val af = a.toFloatArray()
+    val bands = planes.length / nbits
+    val out = new Array[Any](bands)
+    var b = 0
+    var p = 0
+    while (b < bands) {
+      val key = new Array[Byte](nbits)
+      var i = 0
+      while (i < nbits) {
+        val row = planes(p)
+        var s = 0.0
+        var d = 0
+        while (d < row.length) { s += row(d).toDouble * af(d).toDouble; d += 1 }
+        key(i) = if (s > offsets(p)) '1' else '0'
+        p += 1; i += 1
+      }
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(
+        b, org.apache.spark.unsafe.types.UTF8String.fromBytes(key))
+      b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

@@ -155,6 +155,42 @@ case class VecL2SqMulti(child: Expression, queries: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All SRP (sign-random-projection) band keys of a vector against a
+  * constant plane matrix, as array<struct<band:int, key:string>> — ONE
+  * matmul per row shared across every bit. Composing this from
+  * `when(element_at(vec_matmul(...), i) > off)` per bit re-evaluates the
+  * matmul per BIT (no cross-branch CSE in Catalyst): quadratic in key
+  * width. planes.length must be a multiple of nbits; band b's key is the
+  * sign pattern of planes [b*nbits, (b+1)*nbits).
+  */
+case class VecSrpKeys(child: Expression, planes: Array[Array[Float]],
+    offsets: Array[Double], nbits: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("band", IntegerType, nullable = false),
+      StructField("key", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "vec_srp_keys"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if planes.nonEmpty &&
+        planes.length % nbits == 0 && offsets.length == planes.length =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"vec_srp_keys: planes(${planes.length})/offsets(${offsets.length}) " +
+        s"must be a non-empty multiple of nbits=$nbits")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_srp_keys expects array<float>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    DistanceKernels.srpKeys(a.asInstanceOf[ArrayData], planes, offsets, nbits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("srpPlanes", planes, "float[][]")
+    val oRef = ctx.addReferenceObj("srpOffsets", offsets, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.DistanceKernels.srpKeys($a, $pRef, $oRef, $nbits)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Dense rotation by a constant matrix (rows = output dims): the OPQ /
   * RaBitQ preprocessing step as a codegen expression.
   */

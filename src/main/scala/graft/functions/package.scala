@@ -41,6 +41,13 @@ package object functions {
   def vec_matmul(a: Column, matrix: Array[Array[Float]]): Column =
     asCol(VecMatMul(expr(a), matrix))
 
+  /** All SRP band keys (one matmul per row shared across every sign bit),
+    * array<struct<band:int, key:string>>.
+    */
+  def vec_srp_keys(a: Column, planes: Array[Array[Float]],
+      offsets: Array[Double], nbits: Int): Column =
+    asCol(VecSrpKeys(expr(a), planes, offsets, nbits))
+
   /** L2-normalize an array<float> vector (write-time Cosine normalization,
     * mirroring vecgo `hnsw.go:799+` prepareVector).
     */

@@ -106,16 +106,24 @@ object QueryMetrics {
     }
   }
 
+  // weak keys: a closed/abandoned session must be collectable — a strong
+  // map would pin every session and its listener for the JVM's lifetime in
+  // long-lived multi-session drivers. The value (Totals) holds no session
+  // reference, so the entry dies with the session.
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Totals]()
+    new java.util.WeakHashMap[SparkSession, Totals]()
 
   /** The session's running totals, registering the listener on first use. */
-  def totals(spark: SparkSession): Totals =
-    registered.computeIfAbsent(spark, { s =>
+  def totals(spark: SparkSession): Totals = registered.synchronized {
+    val existing = registered.get(spark)
+    if (existing != null) existing
+    else {
       val t = new Totals
-      s.listenerManager.register(t)
+      spark.listenerManager.register(t)
+      registered.put(spark, t)
       t
-    })
+    }
+  }
 
   /** Run `df.collect()` and return rows + the executed plan's counters —
     * synchronous and exact (no listener race), for `searchWithStats`.

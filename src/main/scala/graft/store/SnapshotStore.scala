@@ -137,6 +137,10 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       .filter(m => m.ts > 0 && m.ts <= asOfTsMillis)
       .map(_.version).maxOption
 
+  /** Parse a manifest; a torn/corrupt file yields None (with a warning)
+    * instead of an exception, so recovery, [[versionAt]] and [[vacuum]] —
+    * which parse every MANIFEST-*.json on disk — skip unreadable ones.
+    */
   def manifest(version: Long = currentVersion): Option[Manifest] = {
     if (version < 0) return None
     val f = fs
@@ -144,26 +148,49 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     if (!f.exists(p)) return None
     val in = f.open(p)
     val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    Some(JsonMethods.parse(s).extract[Manifest])
+    try Some(JsonMethods.parse(s).extract[Manifest])
+    catch {
+      case e: Exception =>
+        System.err.println(s"[graft] WARN: unreadable manifest $p skipped (${e.getMessage})")
+        None
+    }
+  }
+
+  /** The newest PARSABLE manifest — the last completed commit. Mutators
+    * anchor here so a corrupt head manifest degrades to the previous
+    * durable state instead of restarting the chain at seq 0 (which would
+    * overwrite seg-0: data loss).
+    */
+  private def headManifest: Option[Manifest] =
+    manifest().orElse(versions().reverse.view.flatMap(manifest(_)).headOption)
+
+  private def atomicRename(from: Path, to: Path): Unit = {
+    val f = fs
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.makeQualified(new Path(root)).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(from), f.makeQualified(to),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def commit(m: Manifest): Unit = {
     val f = fs
     val stamped = if (m.ts > 0) m else m.copy(ts = System.currentTimeMillis())
     val mp = manifestPath(m.version)
-    val out = f.create(mp, true)
+    // torn-write safety: the manifest body goes to a temp file first and is
+    // renamed into place, like CURRENT — a crash mid-write can no longer
+    // leave a half-written MANIFEST-*.json where recovery would find it
+    val mtmp = new Path(root, s".MANIFEST.tmp-${m.version}")
+    val out = f.create(mtmp, true)
     try out.write(Serialization.write(stamped).getBytes("UTF-8")) finally out.close()
+    atomicRename(mtmp, mp)
     // atomic pointer swap: rename OVER the existing CURRENT (vecgo
     // `manifest.go:194` renames without a prior delete — a delete-then-
     // rename leaves a window where a concurrent reader sees no store)
     val tmp = new Path(root, s".CURRENT.tmp-${m.version}")
     val t = f.create(tmp, true)
     try t.write(mp.getName.getBytes("UTF-8")) finally t.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.makeQualified(new Path(root)).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(currentPath),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicRename(tmp, currentPath)
   }
 
   private def writeSegment(df: DataFrame, seq: Long, prefix: String): (String, Long) = {
@@ -235,7 +262,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     */
   def insert(df: DataFrame, collectStats: Boolean = false,
       vecCol: Option[String] = None): Long = {
-    val m = manifest().getOrElse(Manifest(-1L, -1L, Nil, Nil))
+    val m = headManifest.getOrElse(Manifest(-1L, -1L, Nil, Nil))
     val seq = m.maxSeq + 1
     val (path, rows) = writeSegment(df, seq, "seg")
     if (rows == 0) { // empty batch: no-op, drop the stray dir
@@ -281,7 +308,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     * missing id is a no-op at read time.
     */
   def delete(ids: DataFrame): Long = {
-    val m = manifest().getOrElse(
+    val m = headManifest.getOrElse(
       throw new IllegalStateException("delete on empty store"))
     val seq = m.maxSeq + 1
     val (path, rows) = writeSegment(ids.select(col("id")), seq, "del")
@@ -296,7 +323,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     * of an existing id tombstones the old row).
     */
   def upsert(df: DataFrame): Long = {
-    val m = manifest().getOrElse(return insert(df))
+    val m = headManifest.getOrElse(return insert(df))
     val delSeq = m.maxSeq + 1
     val segSeq = m.maxSeq + 2
     val (delPath, delRows) = writeSegment(df.select(col("id")), delSeq, "del")
@@ -319,7 +346,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     */
   def compact(collectStats: Boolean = false,
       vecCol: Option[String] = None): Long = {
-    val m = manifest().getOrElse(
+    val m = headManifest.getOrElse(
       throw new IllegalStateException("compact on empty store"))
     m.segments.reverse.find(_.index.isDefined) match {
       case Some(s) =>
@@ -353,7 +380,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
   def compactIndexed(vecCol: String, nlist: Int, levels: Int = 255,
       collectStats: Boolean = true, trainSampleCap: Long = 200000L): Long = {
     import graft.index.SegmentIndex
-    val m = manifest().getOrElse(
+    val m = headManifest.getOrElse(
       throw new IllegalStateException("compactIndexed on empty store"))
     val live = read(m.version)
     val seq = m.maxSeq + 1
@@ -384,7 +411,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     * LSN rule, so no delete rewriting is needed.
     */
   def compactSegments(seqs: Seq[Long]): Long = {
-    val m = manifest().getOrElse(
+    val m = headManifest.getOrElse(
       throw new IllegalStateException("compact on empty store"))
     val chosen = m.segments.filter(s => seqs.contains(s.seq))
     require(chosen.nonEmpty, "no segments chosen")
