@@ -128,6 +128,30 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       collectStats: Boolean = true): Long =
     insertBatch(records.toDF(), collectStats)
 
+  /** Online streaming insert (vecgo W1: MemTable absorbing writes +
+    * flush loop, `engine.go:833`, `engine.go:2313`): every micro-batch is
+    * validated like any insert and committed as ONE snapshot version —
+    * immediately visible to readers of the new version — and an optional
+    * [[graft.store.CompactionPolicy]] folds segments as they accumulate
+    * (the background-compaction-loop analog, `engine.go:2329`). Pass a
+    * `trigger` to bound micro-batch cadence (vecgo `FlushConfig`).
+    */
+  def insertStream(stream: DataFrame, checkpoint: String,
+      policy: Option[graft.store.CompactionPolicy] = None,
+      collectStats: Boolean = true,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        insertBatch(batch, collectStats)
+        policy.foreach(p => store.maybeCompact(p))
+        ()
+      }
+    trigger.fold(w0)(w0.trigger).start()
+  }
+
   /** Upsert by id (re-insert tombstones the old row, `engine.go:993`). */
   def upsert(records: DataFrame): Long = store.upsert(prepare(records))
 

@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ PipelineQueries.queries ++ StoreQueries.queries ++
       IndexQueries.queries ++ EventQueries.queries ++
-      MultimodalQueries.queries ++ FacadeQueries.queries
+      MultimodalQueries.queries ++ FacadeQueries.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracle ++ PipelineQueries.oracle ++ StoreQueries.oracle ++
       IndexQueries.oracle ++ EventQueries.oracle ++
-      MultimodalQueries.oracle ++ FacadeQueries.oracle
+      MultimodalQueries.oracle ++ FacadeQueries.oracle ++
+      StreamingQueries.oracle
 }

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.store.CompactionPolicy
+import graft.streaming.Ingest
+
+/** Structured-Streaming verify queries. Each runs a REAL streaming query
+  * (micro-batch engine: watermarks, append-mode windowed state, a custom
+  * `mapGroupsWithState` operator, `foreachBatch` store ingest) to
+  * completion inside the call and returns the final result frame, which
+  * must hash-match the SAME DuckDB oracle as its batch twin — the
+  * streaming plan and the batch plan are two physical strategies for one
+  * logical query, so the oracle is shared.
+  *
+  * The reference's "online insert → immediately searchable" write path
+  * (vecgo MemTable absorbing inserts, `internal/engine/engine.go:833`;
+  * flush loop `engine.go:2313`) maps here to micro-batches committing one
+  * snapshot version each; `streaming_ingest` drives that path end-to-end
+  * and proves the final store content equals the source of record.
+  *
+  * Determinism notes (driver hash-compares against DuckDB):
+  *   - `streaming_tumbling_agg` uses watermark + APPEND mode. Windows only
+  *     emit once the watermark passes them, so after the real events a
+  *     far-future sentinel row advances the watermark beyond every real
+  *     window end; a second sentinel makes the emission batch itself carry
+  *     data (emission happens in the batch AFTER the watermark-advancing
+  *     one, and a data-bearing batch is awaited by `processAllAvailable`
+  *     — a trailing zero-data batch is not). Sentinel rows are filtered
+  *     from the result by their reserved event_type, so whether their own
+  *     windows ever emit cannot affect the output.
+  *   - decimal sums are order-insensitive (exact addition), so the result
+  *     is identical however the engine splits micro-batches.
+  *   - `streaming_sessionize` feeds one batch: within-group processing
+  *     sorts by timestamp, and equal-second events cannot flip session
+  *     boundaries (gap 0 ≤ 1800 either way), so the per-user totals equal
+  *     the batch window-function formulation. Cross-batch state carry is
+  *     exercised in `StreamingQueriesSpec`, where batch splits are
+  *     controlled.
+  */
+object StreamingQueries {
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def sinkName(tag: String) = s"graft_${tag}_${sinkSeq.incrementAndGet()}"
+  private def ckpt(tag: String): String =
+    Files.createTempDirectory(s"graft_ckpt_$tag").toString
+
+  /** Reserved event_type for watermark-advancing sentinel rows. */
+  private val Sentinel = "graft_wm_sentinel"
+
+  /** Tumbling 1-hour windows × event_type with a 17-minute watermark in
+    * append mode — the streaming twin of [[EventQueries.tumblingAgg]].
+    */
+  def streamingTumblingAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = Tables.load(s, dir, "events")
+      .select(unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        col("value"))
+      .as[(Long, String, Double)].collect()
+    val maxUs = ev.iterator.map(_._1).max
+    val input = MemoryStream[(Long, String, Double)]
+    val stream = input.toDF().toDF("ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val agg = stream
+      .withWatermark("ts", "17 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val sink = sinkName("tumbling")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("tumbling"))
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(ev.toSeq)
+      q.processAllAvailable()
+      // sentinel 1: watermark → beyond every real window end
+      input.addData(Seq((maxUs + 4L * 3600 * 1000000L, Sentinel, 0.0)))
+      q.processAllAvailable()
+      // sentinel 2: a data-bearing batch that runs WITH the advanced
+      // watermark and therefore emits every real window
+      input.addData(Seq((maxUs + 8L * 3600 * 1000000L, Sentinel, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .where(col("event_type") =!= Sentinel)
+      .orderBy(col("window_start").asc, col("event_type").asc)
+  }
+
+  /** Gap-based sessionization through the custom stateful operator
+    * ([[Ingest.sessionCounts]], `mapGroupsWithState`) — the streaming twin
+    * of [[EventQueries.sessionize]] (same 30-minute gap rule, same
+    * user_id < 50 slice).
+    */
+  def streamingSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = Tables.load(s, dir, "events")
+      .where(col("user_id") < 50)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"))
+      .as[(Long, Long)].collect()
+    val input = MemoryStream[(Long, Long)]
+    val updates = Ingest.sessionCounts(input.toDS(), gapSec = 1800)
+    val sink = sinkName("sessionize")
+    val q = updates.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("sessionize"))
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(ev.toSeq) // one batch → one final row per user
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .select(col("key").as("user_id"), col("sessions").as("n_sessions"),
+        col("events").as("n_events"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Online ingest (vecgo W1): a file-source stream of embedding records
+    * flows through [[GraftDB.insertStream]] one file per micro-batch —
+    * each batch validates, commits a snapshot version, and is immediately
+    * searchable; a compaction policy folds segments as they accumulate.
+    * The final store content must equal the source of record exactly.
+    */
+  def streamingIngest(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(s"$dir/embeddings.parquet")
+    // lay the source out as several files so maxFilesPerTrigger=1 yields
+    // several micro-batches (several store versions + a compaction)
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    src.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val stream = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label"))
+    val dbRoot = Files.createTempDirectory("graft_stream_db").toString
+    val db = GraftDB.open(s, dbRoot, dim = 64, metric = "l2",
+      schema = Map("label" -> "int"))
+    val q = db.insertStream(stream, ckpt("ingest"),
+      policy = Some(CompactionPolicy.threshold(3)))
+    try q.processAllAvailable() finally q.stop()
+    db.read()
+      .select(col("id"), col("label").cast("long").as("label"))
+      .orderBy(col("id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_tumbling_agg" -> (streamingTumblingAgg _),
+    "streaming_sessionize" -> (streamingSessionize _),
+    "streaming_ingest" -> (streamingIngest _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the streaming plans must reproduce their batch twins' oracles
+    "streaming_tumbling_agg" -> EventQueries.oracle("events_tumbling_agg"),
+    "streaming_sessionize" -> EventQueries.oracle("events_sessionize"),
+    "streaming_ingest" ->
+      """SELECT vec_id AS id, label::BIGINT AS label
+        |FROM embeddings ORDER BY id ASC""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftDB, SparkTestSession, StreamingQueries}
+import graft.store.CompactionPolicy
+
+class StreamingQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling agg equals the batch twin at sf0.001") {
+    val streamed = StreamingQueries.streamingTumblingAgg(spark, sf).collect()
+    val batch = graft.EventQueries.tumblingAgg(spark, sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming sessionize equals the batch twin at sf0.001") {
+    val streamed = StreamingQueries.streamingSessionize(spark, sf).collect()
+    val batch = graft.EventQueries.sessionize(spark, sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("session state carries across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = Ingest.sessionCounts(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess_xbatch")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 7 starts a session
+      input.addData((7L, 1000L), (7L, 1100L)); q.processAllAvailable()
+      // batch 2: continuation (gap 700 ≤ 1800) + a new session (gap big)
+      input.addData((7L, 1800L), (7L, 9999L)); q.processAllAvailable()
+      val rows = spark.table("sess_xbatch")
+        .select("key", "sessions", "events").as[(Long, Long, Long)]
+        .collect()
+      // update mode appends one row per key per batch: last row wins
+      assert(rows.last == ((7L, 2L, 4L)))
+      assert(rows.head == ((7L, 1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("insertStream validates batches, versions accrue, compaction folds") {
+    implicit val ctx = spark.sqlContext
+    val db = GraftDB.open(spark,
+      Files.createTempDirectory("graft-insstream").toString,
+      dim = 2, metric = "l2")
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = db.insertStream(
+      input.toDF().toDF("id", "vector"),
+      Files.createTempDirectory("graft-insstream-ckpt").toString,
+      policy = Some(CompactionPolicy.threshold(2)))
+    try {
+      input.addData((1L, Array(1f, 2f)), (2L, Array(3f, 4f)))
+      q.processAllAvailable()
+      assert(db.currentVersion >= 0)
+      input.addData((3L, Array(5f, 6f))); q.processAllAvailable()
+      input.addData((4L, Array(7f, 8f))); q.processAllAvailable()
+      // every inserted row is searchable; segments folded by the policy
+      assert(db.read().select("id").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L, 4L))
+      assert(db.store.manifest().get.segments.size <= 2)
+      // a bad batch (wrong dim) fails the stream, not silently corrupts
+      input.addData((5L, Array(1f)))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("invalid vectors") ||
+        Option(err.getCause).exists(_.getMessage.contains("invalid vectors")))
+      assert(db.read().select("id").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+}
