@@ -58,6 +58,26 @@ object FacadeQueries {
       .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
   }
 
+  /** Facade filtered k-NN on an INDEXED store through the ADAPTIVE
+    * pre-filter route (vecgo's selectivity-based cursor pre-filter,
+    * `search.go:215-233`): `label = 4` matches ~10% of rows, the manifest
+    * stats estimate that fraction without scanning, and under the 0.15
+    * cutoff the planner skips the IVF probe and exact-scans the filter
+    * survivors — recall-proof, so it hash-checks against the brute-force
+    * oracle with NO refine-pool tuning. Route choice is gated in
+    * `IndexedEngineSpec`.
+    */
+  def knnPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_knn_pre")
+    db.buildIndex(nlist = 8)
+    db.search(qvec(s, dir, 3), 10,
+      filter = graft.types.FilterSet.of(graft.types.Filter.Eq("label", 4)),
+      projectCols = Seq("label"),
+      selectivityCutoff = 0.15)
+      .select(col("id").as("vec_id"), col("label"),
+        round(sqrt(col("score")), 6).as("score"))
+  }
+
   /** Facade Hamming store (vecgo serves Hamming directly over stored
     * codes, `distance/distance.go:36-38`): packed sign-bit codes of the
     * embeddings inserted under `metric=hamming`, searched with a packed
@@ -96,6 +116,7 @@ object FacadeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
+    "graftdb_knn_prefilter" -> (knnPrefilter _),
     "graftdb_hamming" -> (hamming _),
     "graftdb_hybrid" -> (hybrid _)
   )
@@ -103,6 +124,13 @@ object FacadeQueries {
   val oracle: Map[String, String] = Map(
     "graftdb_knn" -> Queries.oracle("knn_l2"),
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
+    "graftdb_knn_prefilter" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+        |s AS (SELECT e.vec_id, e.label,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q WHERE e.label = 4)
+        |SELECT vec_id, label, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_hamming" -> IndexQueries.oracle("bq_hamming"),
     // facade corpus = embeddings JOIN documents; at scale factors where
     // the two tables differ in size the BM25 side must be restricted to

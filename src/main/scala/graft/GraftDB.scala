@@ -37,10 +37,44 @@ case class GraftConfig(
   * `payload binary`, optional text column for lexical/hybrid search.
   */
 final class GraftDB private (val spark: SparkSession, val root: String,
-    val config: GraftConfig) {
+    val config: GraftConfig,
+    val readOnly: Boolean = false,
+    pinVersion: Long = -1L,
+    pinTimestampMs: Long = -1L) {
 
   val store = new SnapshotStore(spark, root)
   val metric: Metric = Metric.fromString(config.metric)
+
+  /** Version every read serves, when the engine was opened pinned (vecgo
+    * `WithVersion`/`WithTimestamp`, `vecgo.go:433-446`): an explicit
+    * version, or the newest version committed at or before the requested
+    * timestamp. A pinned engine is implicitly read-only.
+    */
+  val pinnedVersion: Option[Long] =
+    if (pinVersion >= 0) {
+      require(store.manifest(pinVersion).isDefined,
+        s"no version $pinVersion at $root")
+      Some(pinVersion)
+    } else if (pinTimestampMs >= 0) {
+      Some(store.versionAt(pinTimestampMs).getOrElse(throw
+        new IllegalArgumentException(
+          s"no version committed at or before $pinTimestampMs at $root")))
+    } else None
+
+  /** The version reads resolve to: the pin, else the current head. */
+  def effectiveVersion: Long =
+    pinnedVersion.getOrElse(store.currentVersion)
+
+  /** Writes are rejected on read-only and pinned engines (vecgo
+    * `ReadOnly()`, `vecgo.go:221`).
+    */
+  private def requireWritable(): Unit = {
+    if (readOnly) throw new IllegalStateException(
+      s"GraftDB at $root was opened read-only")
+    if (pinnedVersion.isDefined) throw new IllegalStateException(
+      s"GraftDB at $root is pinned to version ${pinnedVersion.get}; " +
+        "time-traveled engines are read-only")
+  }
   // register the session-totals listener up front so every engine query
   // from this session is counted (registration is idempotent per session)
   graft.query.QueryMetrics.totals(spark)
@@ -117,9 +151,11 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     * Hamming stores skip float-vector stats (centroid/radius are
     * meaningless over packed code words).
     */
-  def insertBatch(records: DataFrame, collectStats: Boolean = true): Long =
+  def insertBatch(records: DataFrame, collectStats: Boolean = true): Long = {
+    requireWritable()
     store.insert(prepare(records), collectStats,
       if (metric == Metric.Hamming) None else Some("vector"))
+  }
 
   /** Typed-record insert (vecgo W4 `InsertRecord`/builder ergonomics):
     * case-class `Dataset[Record]` in, same validated path.
@@ -141,6 +177,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       collectStats: Boolean = true,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireWritable()
     val w0 = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -153,20 +190,28 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   }
 
   /** Upsert by id (re-insert tombstones the old row, `engine.go:993`). */
-  def upsert(records: DataFrame): Long = store.upsert(prepare(records))
+  def upsert(records: DataFrame): Long = {
+    requireWritable(); store.upsert(prepare(records))
+  }
 
   /** Tombstone ids (vecgo W5). */
   def delete(ids: Seq[Long]): Long = {
+    requireWritable()
     import spark.implicits._
     store.delete(ids.toDF("id"))
   }
 
   /** Delete by predicate: resolve matching ids at current version. */
-  def deleteWhere(filter: FilterSet): Long =
+  def deleteWhere(filter: FilterSet): Long = {
+    requireWritable()
     store.delete(read().where(filter.toColumn).select("id"))
+  }
 
-  def compact(): Long = store.compact(collectStats = true,
+  def compact(): Long = {
+    requireWritable()
+    store.compact(collectStats = true,
     vecCol = if (metric == Metric.Hamming) None else Some("vector"))
+  }
 
   /** Build the vector index INTO the store (vecgo builds IVF flat segments
     * at compaction, `compaction.go:136-151`): compacts live rows into one
@@ -176,6 +221,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     * (bounded to [2, 1024]); pass explicitly to tune.
     */
   def buildIndex(nlist: Int = 0, levels: Int = 255): Long = {
+    requireWritable()
     require(metric != Metric.Hamming,
       "IVF+SQ8 index applies to float-vector metrics (l2/cosine/dot)")
     val rows = store.manifest().map(_.segments.map(_.rows).sum).getOrElse(0L)
@@ -185,20 +231,24 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     store.compactIndexed("vector", n, levels)
   }
   /** Policy-driven partial compaction (vecgo W9). */
-  def compactWith(policy: graft.store.CompactionPolicy): Option[Long] =
-    store.maybeCompact(policy)
+  def compactWith(policy: graft.store.CompactionPolicy): Option[Long] = {
+    requireWritable(); store.maybeCompact(policy)
+  }
   def shouldCompact(maxSegments: Int = 4): Boolean = store.shouldCompact(maxSegments)
-  def vacuum(keepVersions: Int): Unit = store.vacuum(keepVersions)
+  def vacuum(keepVersions: Int): Unit = {
+    requireWritable(); store.vacuum(keepVersions)
+  }
   /** Age-window retention (vecgo `RetentionPolicy.KeepDuration`). */
-  def vacuum(keepVersions: Int, keepDurationMs: Long): Unit =
-    store.vacuum(keepVersions, keepDurationMs)
+  def vacuum(keepVersions: Int, keepDurationMs: Long): Unit = {
+    requireWritable(); store.vacuum(keepVersions, keepDurationMs)
+  }
   def currentVersion: Long = store.currentVersion
 
   // ------------------------------------------------------------- read path
 
   /** Current (or time-traveled) snapshot. */
   def read(version: Long = -1L): DataFrame =
-    store.read(if (version < 0) store.currentVersion else version)
+    store.read(if (version < 0) effectiveVersion else version)
 
   /** Timestamp time travel: newest snapshot committed at or before
     * `tsMillis` (vecgo asOf reads, `engine.go:499-536`).
@@ -207,7 +257,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 
   /** Stats-pruned filtered scan (vecgo R8 + segment pruning). */
   def scan(filters: Seq[Filter] = Nil, projectCols: Seq[String] = Nil): DataFrame = {
-    val (df, _, _) = store.prunedRead(filters)
+    val (df, _, _) = store.prunedRead(filters, effectiveVersion)
     if (projectCols.isEmpty) df else df.select(projectCols.map(col): _*)
   }
 
@@ -226,15 +276,35 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     * merged into the same global top-k — vecgo's memtable + indexed
     * segment fan-out (`internal/engine/search.go:120-1128`).
     *
+    * Filtered searches on an indexed store are planned ADAPTIVELY (vecgo
+    * `search.go:215-233`: cursor pre-filter below the selectivity cutoff,
+    * graph search + post-filter above it): the manifest stats estimate the
+    * filter's matching fraction ([[graft.stats.SegmentStats.estimateRows]]
+    * — no scan), and when it falls at or below the cutoff the engine
+    * skips the index and exact-scans the few filter survivors (pruned,
+    * pushed-down) — cheaper than probing, and immune to the recall loss
+    * of a filter that empties the probed lists. Above the cutoff the
+    * probe-pruned quantized plan wins. Either route returns exact-reranked
+    * results, so the estimate can only cost time, never correctness.
+    *
     * @param nprobe       IVF lists probed per indexed segment; 0 → √nlist
     * @param refineFactor exact-rerank pool = k·refineFactor; 0 → 4
+    * @param selectivityCutoff pre-filter below this matching fraction;
+    *                     0 → [[GraftDB.DefaultSelectivityCutoff]] (vecgo
+    *                     `WithSelectivityCutoff`)
+    * @param preFilter    Some(true)/Some(false) forces the pre-filter /
+    *                     indexed route (vecgo `WithPreFilter`); None →
+    *                     adaptive
     */
   def search(query: Array[Float], k: Int,
       filter: FilterSet = FilterSet.empty,
       projectCols: Seq[String] = Nil,
       nprobe: Int = 0,
-      refineFactor: Int = 0): DataFrame =
-    planSearch(query, k, filter, projectCols, nprobe, refineFactor).df
+      refineFactor: Int = 0,
+      selectivityCutoff: Double = 0.0,
+      preFilter: Option[Boolean] = None): DataFrame =
+    planSearch(query, k, filter, projectCols, nprobe, refineFactor,
+      selectivityCutoff, preFilter).df
 
   /** A planned search: the frame plus the planner's own decisions, for
     * [[searchWithStats]] / [[explain]] (vecgo reports `strategy` in its
@@ -247,20 +317,44 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       filter: FilterSet,
       projectCols: Seq[String] = Nil,
       nprobe: Int = 0,
-      refineFactor: Int = 0): PlannedSearch = {
+      refineFactor: Int = 0,
+      selectivityCutoff: Double = 0.0,
+      preFilter: Option[Boolean] = None): PlannedSearch = {
     require(metric != Metric.Hamming,
       "hamming stores serve packed codes — use searchCodes(Array[Long], k)")
     require(query.length == config.dim, s"query dim ${query.length} != ${config.dim}")
     require(query.forall(f => !f.isNaN && !f.isInfinite), "query has NaN/Inf")
     val q = if (metric == Metric.Cosine) normalized(query) else query
-    val m = store.manifest()
+    val m = store.manifest(effectiveVersion)
     if (m.exists(_.segments.exists(_.index.isDefined))) {
       val mf = m.get
-      val nIdx = mf.segments.count(_.index.isDefined)
-      val df = indexedSearch(mf, q, k, filter, nprobe, refineFactor, projectCols)
-      PlannedSearch(df,
-        s"indexed(segments=$nIdx, tail=${mf.segments.size - nIdx})",
-        mf.segments.size, 0)
+      // adaptive pre/post-filter choice on filtered indexed searches
+      val routePre = filter.filters.nonEmpty && {
+        val total = mf.segments.map(_.rows).sum
+        lazy val est = mf.segments.map(s =>
+          graft.stats.SegmentStats.estimateRows(s.rows, s.stats,
+            filter.filters)).sum
+        lazy val sel = if (total > 0) est / total else 0.0
+        val cutoff =
+          if (selectivityCutoff > 0) selectivityCutoff
+          else GraftDB.DefaultSelectivityCutoff
+        preFilter.getOrElse(sel <= cutoff)
+      }
+      if (routePre) {
+        val (src, scanned, pruned) = store.prunedRead(filter.filters, effectiveVersion)
+        PlannedSearch(
+          Search.knn(src, "vector", "id", lit(q), k, metric,
+            lit(true), projectCols),
+          s"prefilter_exact(${scanned.size} of " +
+            s"${scanned.size + pruned.size} segments)",
+          scanned.size, pruned.size)
+      } else {
+        val nIdx = mf.segments.count(_.index.isDefined)
+        val df = indexedSearch(mf, q, k, filter, nprobe, refineFactor, projectCols)
+        PlannedSearch(df,
+          s"indexed(segments=$nIdx, tail=${mf.segments.size - nIdx})",
+          mf.segments.size, 0)
+      }
     } else if (filter.filters.isEmpty) {
       PlannedSearch(
         Search.knn(read(), "vector", "id", lit(q), k, metric,
@@ -269,7 +363,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     } else {
       // filtered searches route through manifest-stats pruning: whole
       // segments whose stats contradict the filter are never even listed
-      val (src, scanned, pruned) = store.prunedRead(filter.filters)
+      val (src, scanned, pruned) = store.prunedRead(filter.filters, effectiveVersion)
       PlannedSearch(
         Search.knn(src, "vector", "id", lit(q), k, metric,
           lit(true), projectCols),
@@ -293,7 +387,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       s"query has ${query.length} words, store packs $codeWords")
     val src =
       if (filter.filters.isEmpty) read()
-      else store.prunedRead(filter.filters)._1
+      else store.prunedRead(filter.filters, effectiveVersion)._1
     Search.knn(src, "vector", "id", lit(query), k, metric,
       lit(true), projectCols)
   }
@@ -374,9 +468,12 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   def searchWithStats(query: Array[Float], k: Int,
       filter: FilterSet = FilterSet.empty,
       nprobe: Int = 0,
-      refineFactor: Int = 0): (Array[org.apache.spark.sql.Row], QueryStats) = {
+      refineFactor: Int = 0,
+      selectivityCutoff: Double = 0.0,
+      preFilter: Option[Boolean] = None): (Array[org.apache.spark.sql.Row], QueryStats) = {
     val t0 = System.nanoTime()
-    val planned = planSearch(query, k, filter, Nil, nprobe, refineFactor)
+    val planned = planSearch(query, k, filter, Nil, nprobe, refineFactor,
+      selectivityCutoff, preFilter)
     val (rows, pm) = graft.query.QueryMetrics.collectWithMetrics(planned.df)
     (rows, QueryStats(
       durationMs = (System.nanoTime() - t0) / 1e6,
@@ -449,7 +546,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       if (metric == Metric.Cosine)
         queries.map { case (qid, v) => (qid, normalized(v)) }
       else queries
-    val m = store.manifest()
+    val m = store.manifest(effectiveVersion)
     if (m.exists(_.segments.exists(_.index.isDefined)))
       indexedBatchSearch(m.get, normed, k, filter, nprobe, refineFactor)
     else metric match {
@@ -563,7 +660,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   def lexicalIndex(): BM25.Index = {
     val textCol = config.textCol.getOrElse(
       throw new IllegalStateException("no textCol configured"))
-    val v = store.currentVersion
+    val v = effectiveVersion
     val dir = s"$root/lexical-v$v"
     val marker = new Path(dir, "_STATS")
     val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -596,7 +693,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 
   /** Engine stats (vecgo R14): version, segment/delete counts + rows. */
   def stats(): Map[String, Any] = {
-    val m = store.manifest().getOrElse(
+    val m = store.manifest(effectiveVersion).getOrElse(
       return Map("version" -> -1L, "segments" -> 0, "rows" -> 0L))
     Map(
       "version" -> m.version,
@@ -611,7 +708,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     * plus Catalyst's formatted physical plan.
     */
   def explain(filters: Seq[Filter]): String = {
-    val (df, scanned, pruned) = store.prunedRead(filters)
+    val (df, scanned, pruned) = store.prunedRead(filters, effectiveVersion)
     s"""GraftDB plan (version ${store.currentVersion})
        |  segments scanned: ${scanned.mkString("[", ",", "]")}
        |  segments pruned by manifest stats: ${pruned.mkString("[", ",", "]")}
@@ -624,8 +721,11 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     */
   def explainSearch(query: Array[Float], k: Int,
       filter: FilterSet = FilterSet.empty,
-      nprobe: Int = 0, refineFactor: Int = 0): String = {
-    val p = planSearch(query, k, filter, Nil, nprobe, refineFactor)
+      nprobe: Int = 0, refineFactor: Int = 0,
+      selectivityCutoff: Double = 0.0,
+      preFilter: Option[Boolean] = None): String = {
+    val p = planSearch(query, k, filter, Nil, nprobe, refineFactor,
+      selectivityCutoff, preFilter)
     s"""GraftDB search plan (version ${store.currentVersion})
        |  strategy: ${p.strategy}
        |  segments scanned: ${p.segmentsScanned}, pruned: ${p.segmentsPruned}
@@ -637,13 +737,38 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 object GraftDB {
   private implicit val fmts: Formats = DefaultFormats
 
+  /** Default pre-filter routing cutoff for filtered searches on indexed
+    * stores. vecgo defaults to 0.30 (`search.go:215`) because its
+    * tradeoff is bitmap-cursor overhead vs graph traversal; here the
+    * pre-filter route is a full exact scan of the filter survivors, so
+    * the break-even sits lower: at 0.10 the exact route scores ~10% of
+    * the store — about what a probe-pruned scan touches at default
+    * nprobe=√nlist on typical layouts — and below it the exact route is
+    * strictly cheaper AND recall-proof. Override per query with
+    * `selectivityCutoff`.
+    */
+  val DefaultSelectivityCutoff = 0.10
+
   /** Create or open an engine at `root`. On create, the config is written
     * to `root/db.json`; on open it is read back (config args ignored).
+    *
+    * Open modes (vecgo `vecgo.go`): `readOnly` rejects every mutation
+    * (`ReadOnly()`, `:221`); `atVersion` / `asOfTimestampMs` pin the whole
+    * read surface — search, scan, lexical index, stats — to a historical
+    * snapshot (`WithVersion`/`WithTimestamp`, `:433-446`; pinned engines
+    * are implicitly read-only). A read-only/pinned open never creates a
+    * store.
     */
   def open(spark: SparkSession, root: String,
       dim: Int = 0, metric: String = "l2",
       schema: Map[String, String] = Map.empty,
-      textCol: Option[String] = None): GraftDB = {
+      textCol: Option[String] = None,
+      readOnly: Boolean = false,
+      atVersion: Long = -1L,
+      asOfTimestampMs: Long = -1L): GraftDB = {
+    require(atVersion < 0 || asOfTimestampMs < 0,
+      "pin by atVersion OR asOfTimestampMs, not both")
+    val pinned = atVersion >= 0 || asOfTimestampMs >= 0
     val p = new Path(root, "db.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val config =
@@ -652,12 +777,14 @@ object GraftDB {
         val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
         JsonMethods.parse(s).extract[GraftConfig]
       } else {
+        require(!readOnly && !pinned,
+          s"no GraftDB at $root (read-only/pinned open cannot create one)")
         require(dim > 0, "dim required when creating a new GraftDB")
         val c = GraftConfig(dim, metric.toLowerCase, schema, textCol)
         val out = fs.create(p, true)
         try out.write(Serialization.write(c).getBytes("UTF-8")) finally out.close()
         c
       }
-    new GraftDB(spark, root, config)
+    new GraftDB(spark, root, config, readOnly, atVersion, asOfTimestampMs)
   }
 }

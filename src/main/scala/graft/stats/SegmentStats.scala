@@ -227,6 +227,65 @@ object SegmentStats {
   def canPruneAll(stats: Stats, filters: Seq[Filter]): Boolean =
     filters.exists(f => canPrune(stats, f))
 
+  /** Manifest-only selectivity estimate for one predicate over one
+    * segment: the matching FRACTION of the segment's rows, from stats
+    * alone (no scan). Classic System-R defaults — uniform values within
+    * [min,max], eq ≈ 1/ndv — with 1.0 (no information) wherever stats
+    * can't speak (contains, string ranges, missing column stats). The
+    * estimate only steers the pre/post-filter STRATEGY choice (vecgo
+    * `search.go:215-233` EstimateCardinality/selectivityCutoff); either
+    * strategy returns exact results, so a bad estimate costs time, never
+    * correctness.
+    */
+  def estimateFraction(stats: Stats, f: Filter): Double = {
+    def cs(field: String): Option[ColStats] = stats.cols.get(field)
+    def numVal(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    // fraction of [min,max] below x (uniform assumption); None = unknown
+    def belowFrac(c: ColStats, x: Double): Option[Double] =
+      for (lo <- c.minN; hi <- c.maxN)
+        yield if (hi <= lo) (if (x >= lo) 1.0 else 0.0)
+        else math.min(1.0, math.max(0.0, (x - lo) / (hi - lo)))
+    if (canPrune(stats, f)) return 0.0
+    f match {
+      case Filter.Eq(field, _) =>
+        cs(field).collect { case c if c.ndv > 0 => 1.0 / c.ndv }.getOrElse(1.0)
+      case Filter.In(field, vs) =>
+        cs(field).collect { case c if c.ndv > 0 =>
+          math.min(1.0, vs.distinct.size.toDouble / c.ndv) }.getOrElse(1.0)
+      case Filter.Ne(field, _) =>
+        cs(field).collect { case c if c.ndv > 0 => 1.0 - 1.0 / c.ndv }
+          .getOrElse(1.0)
+      case Filter.Gt(field, v) =>
+        (for (c <- cs(field); x <- numVal(v); b <- belowFrac(c, x))
+          yield 1.0 - b).getOrElse(1.0)
+      case Filter.Gte(field, v) =>
+        (for (c <- cs(field); x <- numVal(v); b <- belowFrac(c, x))
+          yield 1.0 - b).getOrElse(1.0)
+      case Filter.Lt(field, v) =>
+        (for (c <- cs(field); x <- numVal(v); b <- belowFrac(c, x))
+          yield b).getOrElse(1.0)
+      case Filter.Lte(field, v) =>
+        (for (c <- cs(field); x <- numVal(v); b <- belowFrac(c, x))
+          yield b).getOrElse(1.0)
+      case Filter.Contains(_, _) => 1.0
+    }
+  }
+
+  /** Estimated matching rows of a segment under an AND filter set:
+    * rows × Π fraction(conjunct) — the independence assumption. A
+    * stats-less segment estimates at full row count (no information).
+    */
+  def estimateRows(rows: Long, stats: Option[Stats],
+      filters: Seq[Filter]): Double = stats match {
+    case None => rows.toDouble
+    case Some(st) =>
+      if (canPruneAll(st, filters)) 0.0
+      else rows * filters.map(estimateFraction(st, _)).product
+  }
+
   /** Triangle-inequality distance pruning (vecgo `manifest/stats.go:
     * 626-641` CanPruneByDistance): every vector in the segment is within
     * `radiusMax` of the centroid, so the closest possible point to q is at

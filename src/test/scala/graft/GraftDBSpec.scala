@@ -252,4 +252,38 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db2.config.metric == "cosine" && db2.config.dim == 8)
     assert(db2.read().count() == 5)
   }
+
+  test("open modes: readOnly rejects writes, pinned opens serve history") {
+    val root = Files.createTempDirectory("graft-db-modes").toString
+    val db = GraftDB.open(spark, root, dim = 8)
+    db.insertBatch(records(0 until 10))   // version 0
+    val v0 = db.currentVersion
+    val t0 = db.store.manifest(v0).get.ts
+    db.insertBatch(records(10 until 30))  // version 1
+    // read-only open: full read surface, every mutation rejected
+    val ro = GraftDB.open(spark, root, readOnly = true)
+    assert(ro.read().count() == 30)
+    assert(ro.search(vec(3), 5).count() == 5)
+    intercept[IllegalStateException] { ro.insertBatch(records(90 until 91)) }
+    intercept[IllegalStateException] { ro.delete(Seq(1L)) }
+    intercept[IllegalStateException] { ro.compact() }
+    intercept[IllegalStateException] { ro.vacuum(1) }
+    // pinned-at-version open: reads serve v0; implicitly read-only
+    val pinned = GraftDB.open(spark, root, atVersion = v0)
+    assert(pinned.read().count() == 10)
+    assert(pinned.search(vec(3), 5).collect().forall(_.getLong(0) < 10))
+    assert(pinned.stats()("segment_rows") == 10L)
+    intercept[IllegalStateException] { pinned.insertBatch(records(91 until 92)) }
+    // pinned-at-timestamp resolves to the newest version at or before ts
+    val asOf = GraftDB.open(spark, root, asOfTimestampMs = t0)
+    assert(asOf.pinnedVersion.contains(v0) && asOf.read().count() == 10)
+    // a head reader still sees everything
+    assert(GraftDB.open(spark, root).read().count() == 30)
+    // read-only/pinned opens never create a store
+    intercept[IllegalArgumentException] {
+      GraftDB.open(spark,
+        Files.createTempDirectory("graft-db-missing").toString,
+        readOnly = true)
+    }
+  }
 }

@@ -156,6 +156,32 @@ class IndexedEngineSpec extends AnyFunSuite {
     assert(pruned.length == 15)
   }
 
+  test("adaptive planner: selective filter routes pre-filter exact, others stay indexed") {
+    val db = freshDb()
+    val rows = clustered(400)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters)
+    val q = rows(11)._2
+    // label has NClusters distinct values → Eq estimates ~1/4 = 0.25
+    val selective = FilterSet.of(Filter.Eq("label", 2))
+    val (preRows, preStats) = db.searchWithStats(q, 5, selective,
+      selectivityCutoff = 0.30)
+    assert(preStats.strategy.startsWith("prefilter_exact"))
+    // same query forced through the indexed route agrees (exact rerank)
+    val (idxRows, idxStats) = db.searchWithStats(q, 5, selective,
+      nprobe = NClusters, refineFactor = 50, preFilter = Some(false))
+    assert(idxStats.strategy.startsWith("indexed"))
+    assert(preRows.map(_.getLong(0)).toSeq == idxRows.map(_.getLong(0)).toSeq)
+    // an unselective filter (matches everything) stays on the index
+    val (_, wide) = db.searchWithStats(q, 5,
+      FilterSet.of(Filter.Gte("label", 0)), selectivityCutoff = 0.30)
+    assert(wide.strategy.startsWith("indexed"))
+    // forcing pre-filter overrides the estimate
+    val (_, forced) = db.searchWithStats(q, 5,
+      FilterSet.of(Filter.Gte("label", 0)), preFilter = Some(true))
+    assert(forced.strategy.startsWith("prefilter_exact"))
+  }
+
   test("cosine metric routes through the index too") {
     val db = freshDb(metric = "cosine")
     val rows = clustered(200)

@@ -1,5 +1,6 @@
 package graft.stats
 
+import org.scalactic.Tolerance._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -109,6 +110,27 @@ class SegmentStatsSpec extends AnyFunSuite {
     val sh = SegmentStats.collectShape(twoPart(3, 4, 1, 2), "t")
     assert(!sh.sortedByTs)
     assert(sh.minTs < sh.maxTs)
+  }
+
+  test("selectivity estimation: system-R defaults off the collected stats") {
+    // x ∈ [10,30] ndv 3; s ndv 3
+    assert(SegmentStats.estimateFraction(stats, Filter.Eq("x", 20.0)) ===
+      1.0 / 3 +- 1e-9)
+    assert(SegmentStats.estimateFraction(stats, Filter.Gt("x", 25.0)) ===
+      0.25 +- 1e-9)
+    assert(SegmentStats.estimateFraction(stats, Filter.Lte("x", 15.0)) ===
+      0.25 +- 1e-9)
+    assert(SegmentStats.estimateFraction(stats,
+      Filter.In("s", Seq("apple", "banana"))) === 2.0 / 3 +- 1e-9)
+    // provably-empty predicates estimate 0 (bounds prune)
+    assert(SegmentStats.estimateFraction(stats, Filter.Eq("x", 99.0)) == 0.0)
+    // no-information predicates estimate the full segment
+    assert(SegmentStats.estimateFraction(stats, Filter.Contains("s", "an")) == 1.0)
+    // AND independence + stats-less fallback
+    assert(SegmentStats.estimateRows(300L, Some(stats),
+      Seq(Filter.Eq("x", 20.0), Filter.Gt("x", 15.0))) ===
+      300.0 / 3 * 0.75 +- 1e-6)
+    assert(SegmentStats.estimateRows(300L, None, Seq(Filter.Eq("x", 1.0))) == 300.0)
   }
 
   test("triangle-inequality distance pruning and segment priority") {
