@@ -194,6 +194,43 @@ object Bench {
     derived("ivf_speedup_vs_brute") =
       results("synth_knn_single_parquet") / results("synth_ivf_probe4")
 
+    // the same probe-vs-brute ratio at 10x the corpus: at 50k rows both
+    // sides are mostly fixed job overhead (~50-100 ms), which compresses
+    // the ratio; at 500k the brute scan grows 10x while the probe still
+    // reads nprobe/nlist of the data, so this is the number that
+    // extrapolates to the 100 TB story
+    val ivfDirBig = s"${sys.props("java.io.tmpdir")}/graft_bench_ivf_big"
+    val bigSrc = synthVectors(spark, nBig, dim)
+    val ivfModelBig = graft.index.IVF.train(
+      bigSrc.sample(withReplacement = false, math.min(1.0, 20000.0 / nBig), 42L),
+      "vec", k = 32, maxIter = 10)
+    results("synth_ivf_build_big") = bench {
+      graft.index.IVF.writeLayout(
+        graft.index.IVF.assign(bigSrc, "vec", ivfModelBig), ivfDirBig)
+    }
+    derived("ivf_build_vec_per_sec_big") = nBig / results("synth_ivf_build_big")
+    val ivfLayoutBig = spark.read.parquet(ivfDirBig)
+    results("synth_ivf_probe4_big") = bench {
+      graft.index.IVF.search(ivfLayoutBig, "vec", "id", ivfModelBig, q0,
+        k = 10, nprobe = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    results("synth_knn_single_parquet_big") = bench {
+      Search.knn(ivfLayoutBig, "vec", "id", lit(q0), 10, Metric.L2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // wall-clock at 500k is still fixed-overhead-bound (the 500k brute
+    // scan times the SAME as the 50k one), so the ratio that extrapolates
+    // to cluster scale is rows actually scanned — probe vs full, off the
+    // executed plans' metrics (expected ≈ nprobe/nlist plus list skew)
+    val (_, pmProbe) = graft.query.QueryMetrics.collectWithMetrics(
+      graft.index.IVF.search(ivfLayoutBig, "vec", "id", ivfModelBig, q0,
+        k = 10, nprobe = 4))
+    val (_, pmBrute) = graft.query.QueryMetrics.collectWithMetrics(
+      Search.knn(ivfLayoutBig, "vec", "id", lit(q0), 10, Metric.L2))
+    derived("ivf_scan_frac_big") =
+      pmProbe.rowsScanned.toDouble / math.max(1L, pmBrute.rowsScanned)
+
     // tombstone-delete throughput: anti-join n rows against 1k deletes
     val dels = spark.range(0, 1000).select((col("id") * 7).as("id"))
     results("synth_delete_antijoin") = bench {

@@ -152,6 +152,46 @@ object PipelineQueries {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** Cluster-dedup RETENTION: the corpus a dedup pass actually ships —
+    * exactly one canonical (minimum-id) document per duplicate cluster
+    * ([[graft.dedup.Components.keepCanonical]] over the exact+MinHash-LSH
+    * cluster relation). Output carries the text length so the oracle
+    * checks content identity, not just the id set.
+    */
+  def dedupRetain(s: SparkSession, dir: String): DataFrame =
+    Components.keepCanonical(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      .orderBy(col("doc_id").asc)
+
+  /** Benchmark decontamination ([[graft.pipeline.Decontam.overlap]]):
+    * eval slice = doc_id ≡ 7 (mod 10), training = the rest; per training
+    * doc, the fraction of its distinct 3-gram shingles found anywhere in
+    * the eval slice. One shingle-keyed join + one per-doc agg — linear.
+    */
+  def decontamOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipeline.Decontam.overlap(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
+        docs.where(pmod(col("doc_id"), lit(10)) === 7),
+        "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"),
+        col("overlap_frac"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Deterministic stratified data-mixing sample
+    * ([[graft.pipeline.Sampling.stratifiedHash]]): labels 0/1/2 keep
+    * 20%/35%/50%, the rest 80% — md5-hash gated, so the SAME rows are
+    * kept on every run and in the DuckDB oracle.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.stratifiedHash(t(s, dir, "embeddings"),
+        "vec_id", "label",
+        Map[Any, Double](0 -> 0.2, 1 -> 0.35, 2 -> 0.5),
+        defaultRate = 0.8)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id").asc)
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -163,6 +203,9 @@ object PipelineQueries {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClustersQ _),
+    "dedup_retain" -> (dedupRetain _),
+    "decontam_overlap" -> (decontamOverlap _),
+    "sample_stratified" -> (sampleStratified _),
     "dedup_simhash" -> (dedupSimhash _),
     "neardup_cosine" -> (neardupCosine _)
   )
@@ -179,6 +222,45 @@ object PipelineQueries {
        |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) u(s)
        |        WHERE len(ts) >= 3),
        |cnt AS (SELECT id, count(*) AS n_sh FROM shd GROUP BY 1)""".stripMargin
+
+  private val CLUSTERS =
+    s"""WITH RECURSIVE $SHD,
+       |seeds AS (SELECT unnest(range(0, 32)) AS seed),
+       |base AS (SELECT id, s,
+       |           CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h31
+       |         FROM shd),
+       |mh AS (SELECT id, seed,
+       |         min((xor(h31, (seed * 2654435761) % 2147483647) * 1000003) % 2147483647) AS mh
+       |       FROM base, seeds GROUP BY id, seed),
+       |bands AS (SELECT id, (seed // 4)::INT AS band,
+       |            md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_key
+       |          FROM mh GROUP BY id, (seed // 4)::INT),
+       |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |          FROM cands c
+       |          JOIN shd x ON x.id = c.id_a
+       |          JOIN shd y ON y.id = c.id_b AND y.s = x.s
+       |          GROUP BY 1, 2),
+       |mhp AS (SELECT i.id_a, i.id_b
+       |        FROM inter i JOIN cnt ca ON ca.id = i.id_a
+       |                     JOIN cnt cb ON cb.id = i.id_b
+       |        WHERE i.n_inter::DOUBLE / (ca.n_sh + cb.n_sh - i.n_inter)::DOUBLE >= 0.8::DOUBLE),
+       |fpp AS (SELECT doc_id AS id,
+       |          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |        FROM documents),
+       |exd AS (SELECT a.id AS id_a, b.id AS id_b
+       |        FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.id < b.id),
+       |ap AS (SELECT id_a, id_b FROM mhp UNION SELECT id_a, id_b FROM exd),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM ap
+       |          UNION SELECT id_b AS u, id_a AS v FROM ap),
+       |reach AS (
+       |  SELECT doc_id AS a, doc_id AS b FROM documents
+       |  UNION
+       |  SELECT r.a, e.v AS b FROM reach r JOIN edges e ON e.u = r.b)
+       |SELECT a AS doc_id, min(b) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id ASC""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_token_count" ->
@@ -286,44 +368,29 @@ object PipelineQueries {
          |FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
          |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE >= 0.8::DOUBLE
          |ORDER BY id_a ASC, id_b ASC""".stripMargin,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $SHD,
-         |seeds AS (SELECT unnest(range(0, 32)) AS seed),
-         |base AS (SELECT id, s,
-         |           CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h31
-         |         FROM shd),
-         |mh AS (SELECT id, seed,
-         |         min((xor(h31, (seed * 2654435761) % 2147483647) * 1000003) % 2147483647) AS mh
-         |       FROM base, seeds GROUP BY id, seed),
-         |bands AS (SELECT id, (seed // 4)::INT AS band,
-         |            md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_key
-         |          FROM mh GROUP BY id, (seed // 4)::INT),
-         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |          FROM bands a JOIN bands b
-         |            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
-         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-         |          FROM cands c
-         |          JOIN shd x ON x.id = c.id_a
-         |          JOIN shd y ON y.id = c.id_b AND y.s = x.s
-         |          GROUP BY 1, 2),
-         |mhp AS (SELECT i.id_a, i.id_b
-         |        FROM inter i JOIN cnt ca ON ca.id = i.id_a
-         |                     JOIN cnt cb ON cb.id = i.id_b
-         |        WHERE i.n_inter::DOUBLE / (ca.n_sh + cb.n_sh - i.n_inter)::DOUBLE >= 0.8::DOUBLE),
-         |fpp AS (SELECT doc_id AS id,
-         |          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-         |        FROM documents),
-         |exd AS (SELECT a.id AS id_a, b.id AS id_b
-         |        FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.id < b.id),
-         |ap AS (SELECT id_a, id_b FROM mhp UNION SELECT id_a, id_b FROM exd),
-         |edges AS (SELECT id_a AS u, id_b AS v FROM ap
-         |          UNION SELECT id_b AS u, id_a AS v FROM ap),
-         |reach AS (
-         |  SELECT doc_id AS a, doc_id AS b FROM documents
-         |  UNION
-         |  SELECT r.a, e.v AS b FROM reach r JOIN edges e ON e.u = r.b)
-         |SELECT a AS doc_id, min(b) AS cluster_id
-         |FROM reach GROUP BY a ORDER BY doc_id ASC""".stripMargin,
+    "dedup_clusters" -> CLUSTERS,
+    "dedup_retain" ->
+      s"""SELECT c.doc_id, length(d.text)::BIGINT AS text_len
+         |FROM ($CLUSTERS) c
+         |JOIN documents d ON d.doc_id = c.doc_id
+         |WHERE c.doc_id = c.cluster_id
+         |ORDER BY c.doc_id ASC""".stripMargin,
+    "decontam_overlap" ->
+      s"""WITH $SHD,
+         |ev AS (SELECT DISTINCT s FROM shd WHERE id % 10 = 7),
+         |tr AS (SELECT id, s FROM shd WHERE id % 10 <> 7),
+         |j AS (SELECT t.id, count(*) AS n_sh,
+         |        sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+         |      FROM tr t LEFT JOIN ev e ON e.s = t.s GROUP BY t.id)
+         |SELECT id AS doc_id, n_sh AS n_shingles, n_hit,
+         |       round(n_hit::DOUBLE / n_sh::DOUBLE, 6) AS overlap_frac
+         |FROM j ORDER BY doc_id ASC""".stripMargin,
+    "sample_stratified" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 <
+        |  CASE WHEN label = 0 THEN 200 WHEN label = 1 THEN 350
+        |       WHEN label = 2 THEN 500 ELSE 800 END
+        |ORDER BY vec_id ASC""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TOK,
          |tf AS (SELECT doc_id AS id, t AS term, count(*)::BIGINT AS tf
