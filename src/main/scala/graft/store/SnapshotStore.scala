@@ -146,10 +146,13 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val f = fs
     val p = manifestPath(version)
     if (!f.exists(p)) return None
-    val in = f.open(p)
-    val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    try Some(JsonMethods.parse(s).extract[Manifest])
-    catch {
+    // the READ is inside the guard too: a torn write can corrupt the
+    // checksum sidecar (ChecksumException) just as easily as the JSON
+    try {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      Some(JsonMethods.parse(s).extract[Manifest])
+    } catch {
       case e: Exception =>
         System.err.println(s"[graft] WARN: unreadable manifest $p skipped (${e.getMessage})")
         None
