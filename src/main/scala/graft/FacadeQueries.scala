@@ -78,6 +78,29 @@ object FacadeQueries {
         round(sqrt(col("score")), 6).as("score"))
   }
 
+  /** Facade BATCH search THROUGH the built index: every query fans out
+    * over the probed IVF lists in ONE pruned scan (union of all probe
+    * lists → partition filters), SQ8-approximate per-query heaps, then
+    * one exact rerank — vecgo's per-query index fan-out
+    * (`engine.go:1303-1366`), distributed. All lists probed + corpus-
+    * fraction refine pool → exact, so it hash-checks against the same
+    * brute-force oracle as the operator-level `batch_search`.
+    */
+  def batchIndexed(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_batch_idx")
+    db.buildIndex(nlist = 8)
+    val rows = db.stats()("segment_rows").asInstanceOf[Long]
+    val refine = math.max(5, math.ceil(rows * 0.25 / 5).toInt)
+    val queries = Tables.load(s, dir, "embeddings")
+      .where(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    db.batchSearch(queries, 5, nprobe = 8, refineFactor = refine)
+      .select(col("query_id"), col("id").as("vec_id"), col("rank"),
+        round(sqrt(col("score")), 6).as("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Facade Hamming store (vecgo serves Hamming directly over stored
     * codes, `distance/distance.go:36-38`): packed sign-bit codes of the
     * embeddings inserted under `metric=hamming`, searched with a packed
@@ -117,6 +140,7 @@ object FacadeQueries {
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
     "graftdb_knn_prefilter" -> (knnPrefilter _),
+    "graftdb_batch_indexed" -> (batchIndexed _),
     "graftdb_hamming" -> (hamming _),
     "graftdb_hybrid" -> (hybrid _)
   )
@@ -131,6 +155,7 @@ object FacadeQueries {
         |      FROM embeddings e, q WHERE e.label = 4)
         |SELECT vec_id, label, round(score, 6) AS score
         |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "graftdb_batch_indexed" -> Queries.oracle("batch_search"),
     "graftdb_hamming" -> IndexQueries.oracle("bq_hamming"),
     // facade corpus = embeddings JOIN documents; at scale factors where
     // the two tables differ in size the BM25 side must be restricted to

@@ -25,6 +25,27 @@ case class GraftConfig(
     schema: Map[String, String] = Map.empty,
     textCol: Option[String] = None)
 
+/** Engine-event observer (vecgo `MetricsObserver`,
+  * `internal/engine/metrics.go`; registered via `WithMetricsObserver`,
+  * `vecgo.go:391`). Spark reshapes the surface: write-path and
+  * maintenance operations are EAGER here (each is a committed version),
+  * so they report true durations; `onSearch` fires from the eager search
+  * paths ([[GraftDB.searchWithStats]]) with the planner's strategy —
+  * lazily-consumed search frames are observable through the session-wide
+  * [[GraftDB.sessionMetrics]] listener instead. All methods default to
+  * no-ops (vecgo `NoopMetricsObserver`); a throwing observer never fails
+  * the operation it observes.
+  */
+trait MetricsObserver {
+  /** op ∈ insert/upsert/delete; rows = segment rows committed (-1 if not
+    * cheaply known), version = the new snapshot version. */
+  def onWrite(op: String, rows: Long, durationMs: Double, version: Long): Unit = ()
+  /** Fired by eager searches with the planner's routing decision. */
+  def onSearch(strategy: String, k: Int, rows: Long, durationMs: Double): Unit = ()
+  /** op ∈ compact/buildIndex/vacuum. */
+  def onMaintenance(op: String, durationMs: Double, version: Long): Unit = ()
+}
+
 /** The top-level engine — the Spark-native equivalent of `vecgo.DB`
   * (`vecgo.go`): one object that owns the versioned store, validation,
   * write path, and the full read surface (search / threshold / batch /
@@ -78,6 +99,34 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   // register the session-totals listener up front so every engine query
   // from this session is counted (registration is idempotent per session)
   graft.query.QueryMetrics.totals(spark)
+
+  // ----------------------------------------------------------- observers
+
+  private val observers =
+    new java.util.concurrent.CopyOnWriteArrayList[MetricsObserver]()
+
+  /** Register an engine-event observer (vecgo `WithMetricsObserver`). */
+  def addObserver(o: MetricsObserver): GraftDB = { observers.add(o); this }
+
+  private def notifyObs(f: MetricsObserver => Unit): Unit = {
+    val it = observers.iterator()
+    while (it.hasNext) {
+      // an observer failure must never fail the observed operation
+      try f(it.next()) catch { case _: Throwable => () }
+    }
+  }
+
+  private def timedOp[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e6)
+  }
+
+  /** Rows of the newest segment at `version` (what a write just added). */
+  private def lastSegmentRows(version: Long): Long =
+    store.manifest(version)
+      .flatMap(m => m.segments.sortBy(_.seq).lastOption.map(_.rows))
+      .getOrElse(-1L)
 
   // ------------------------------------------------------------ validation
 
@@ -153,8 +202,10 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     */
   def insertBatch(records: DataFrame, collectStats: Boolean = true): Long = {
     requireWritable()
-    store.insert(prepare(records), collectStats,
-      if (metric == Metric.Hamming) None else Some("vector"))
+    val (v, ms) = timedOp(store.insert(prepare(records), collectStats,
+      if (metric == Metric.Hamming) None else Some("vector")))
+    notifyObs(_.onWrite("insert", lastSegmentRows(v), ms, v))
+    v
   }
 
   /** Typed-record insert (vecgo W4 `InsertRecord`/builder ergonomics):
@@ -191,26 +242,35 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 
   /** Upsert by id (re-insert tombstones the old row, `engine.go:993`). */
   def upsert(records: DataFrame): Long = {
-    requireWritable(); store.upsert(prepare(records))
+    requireWritable()
+    val (v, ms) = timedOp(store.upsert(prepare(records)))
+    notifyObs(_.onWrite("upsert", lastSegmentRows(v), ms, v))
+    v
   }
 
   /** Tombstone ids (vecgo W5). */
   def delete(ids: Seq[Long]): Long = {
     requireWritable()
     import spark.implicits._
-    store.delete(ids.toDF("id"))
+    val (v, ms) = timedOp(store.delete(ids.toDF("id")))
+    notifyObs(_.onWrite("delete", ids.size.toLong, ms, v))
+    v
   }
 
   /** Delete by predicate: resolve matching ids at current version. */
   def deleteWhere(filter: FilterSet): Long = {
     requireWritable()
-    store.delete(read().where(filter.toColumn).select("id"))
+    val (v, ms) = timedOp(store.delete(read().where(filter.toColumn).select("id")))
+    notifyObs(_.onWrite("delete", -1L, ms, v))
+    v
   }
 
   def compact(): Long = {
     requireWritable()
-    store.compact(collectStats = true,
-    vecCol = if (metric == Metric.Hamming) None else Some("vector"))
+    val (v, ms) = timedOp(store.compact(collectStats = true,
+      vecCol = if (metric == Metric.Hamming) None else Some("vector")))
+    notifyObs(_.onMaintenance("compact", ms, v))
+    v
   }
 
   /** Build the vector index INTO the store (vecgo builds IVF flat segments
@@ -228,7 +288,9 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     val n =
       if (nlist > 0) nlist
       else math.max(2, math.min(1024, (rows / 4096).toInt))
-    store.compactIndexed("vector", n, levels)
+    val (v, ms) = timedOp(store.compactIndexed("vector", n, levels))
+    notifyObs(_.onMaintenance("buildIndex", ms, v))
+    v
   }
   /** Policy-driven partial compaction (vecgo W9). */
   def compactWith(policy: graft.store.CompactionPolicy): Option[Long] = {
@@ -236,11 +298,15 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   }
   def shouldCompact(maxSegments: Int = 4): Boolean = store.shouldCompact(maxSegments)
   def vacuum(keepVersions: Int): Unit = {
-    requireWritable(); store.vacuum(keepVersions)
+    requireWritable()
+    val (_, ms) = timedOp(store.vacuum(keepVersions))
+    notifyObs(_.onMaintenance("vacuum", ms, store.currentVersion))
   }
   /** Age-window retention (vecgo `RetentionPolicy.KeepDuration`). */
   def vacuum(keepVersions: Int, keepDurationMs: Long): Unit = {
-    requireWritable(); store.vacuum(keepVersions, keepDurationMs)
+    requireWritable()
+    val (_, ms) = timedOp(store.vacuum(keepVersions, keepDurationMs))
+    notifyObs(_.onMaintenance("vacuum", ms, store.currentVersion))
   }
   def currentVersion: Long = store.currentVersion
 
@@ -475,7 +541,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     val planned = planSearch(query, k, filter, Nil, nprobe, refineFactor,
       selectivityCutoff, preFilter)
     val (rows, pm) = graft.query.QueryMetrics.collectWithMetrics(planned.df)
-    (rows, QueryStats(
+    val stats = QueryStats(
       durationMs = (System.nanoTime() - t0) / 1e6,
       rowsReturned = rows.length,
       segmentsScanned = planned.segmentsScanned,
@@ -486,7 +552,9 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       distanceComputations = pm.rowsScanned + pm.rerankPoolRows,
       filesRead = pm.filesRead,
       rerankPoolRows = pm.rerankPoolRows,
-      strategy = planned.strategy))
+      strategy = planned.strategy)
+    notifyObs(_.onSearch(stats.strategy, k, stats.rowsReturned, stats.durationMs))
+    (rows, stats)
   }
 
   /** Session-wide running totals (queries run, rows scanned, files read)

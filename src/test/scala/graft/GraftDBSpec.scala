@@ -253,6 +253,34 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db2.read().count() == 5)
   }
 
+  test("metrics observer: write/search/maintenance events fire; throwing observer is isolated") {
+    val db = freshDb()
+    val events = scala.collection.mutable.Buffer.empty[(String, Long)]
+    db.addObserver(new MetricsObserver {
+      override def onWrite(op: String, rows: Long, ms: Double, v: Long): Unit =
+        events += (s"write:$op" -> rows)
+      override def onSearch(strategy: String, k: Int, rows: Long, ms: Double): Unit =
+        events += (s"search:${strategy.takeWhile(_ != '(')}" -> rows)
+      override def onMaintenance(op: String, ms: Double, v: Long): Unit =
+        events += (s"maint:$op" -> v)
+    })
+    // a hostile observer must never fail the operation it observes
+    db.addObserver(new MetricsObserver {
+      override def onWrite(op: String, rows: Long, ms: Double, v: Long): Unit =
+        throw new RuntimeException("boom")
+    })
+    db.insertBatch(records(0 until 20))
+    db.delete(Seq(3L, 4L))
+    db.searchWithStats(vec(1), 5)
+    db.compact()
+    db.vacuum(10)
+    assert(events.contains("write:insert" -> 20L))
+    assert(events.contains("write:delete" -> 2L))
+    assert(events.exists { case (e, n) => e == "search:brute_force" && n == 5L })
+    assert(events.exists(_._1 == "maint:compact"))
+    assert(events.exists(_._1 == "maint:vacuum"))
+  }
+
   test("open modes: readOnly rejects writes, pinned opens serve history") {
     val root = Files.createTempDirectory("graft-db-modes").toString
     val db = GraftDB.open(spark, root, dim = 8)
