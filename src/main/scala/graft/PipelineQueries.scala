@@ -34,12 +34,20 @@ object PipelineQueries {
     val toks = col("toks")
     t(s, dir, "documents")
       .withColumn("toks", TextAnalysis.wsTokens(col("text")))
+      // materialize the shared signal columns ONCE (CollapseProject keeps
+      // multiply-referenced non-cheap aliases in their own Project): the
+      // lang-score struct feeds argmax + stop_ratio + quality, punct and
+      // mean-word-length feed both their output and the quality score
+      .withColumn("ls", TextAnalysis.langScores(toks))
+      .withColumn("punct", TextAnalysis.punctRatio(col("text")))
+      .withColumn("mwl", TextAnalysis.meanWordLen(toks))
       .select(col("doc_id"),
-        TextAnalysis.langId(toks).as("pred_lang"),
-        r6(TextAnalysis.markerRatio(toks, "en")).as("stop_ratio"),
-        r6(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
-        r6(TextAnalysis.meanWordLen(toks)).as("mean_wlen"),
-        r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
+        TextAnalysis.langIdFromScores(col("ls")).as("pred_lang"),
+        r6(col("ls.en")).as("stop_ratio"),
+        r6(col("punct")).as("punct_ratio"),
+        r6(col("mwl")).as("mean_wlen"),
+        r6(TextAnalysis.qualityFromParts(size(toks).cast("double"),
+          col("ls.en"), col("punct"), col("mwl"))).as("quality"))
       .orderBy(col("doc_id").asc)
   }
 

@@ -42,17 +42,34 @@ object TextAnalysis {
     hits.cast("double") / size(toks).cast("double")
   }
 
-  /** Predicted language: argmax of marker ratios, ties broken
-    * alphabetically, 'unknown' when no marker hits at all.
+  /** All marker ratios at once, as struct<de,en,es,fr,zh>. Materialize
+    * THIS as a column and feed [[langIdFromScores]]: the argmax chain
+    * references every score ~6 times, and Catalyst does not CSE the
+    * underlying array filters across `when` branches — inlined, each
+    * reference re-scans the token array (measured ~30 array scans per
+    * row); against a materialized struct each is a field read.
     */
-  def langId(toks: Column): Column = {
-    val scores = markers.map { case (lang, _) => lang -> markerRatio(toks, lang) }
+  def langScores(toks: Column): Column =
+    struct(markers.map { case (lang, _) =>
+      markerRatio(toks, lang).as(lang) }: _*)
+
+  /** Predicted language from a (materialized) [[langScores]] struct:
+    * argmax of marker ratios, ties broken alphabetically, 'unknown' when
+    * no marker hits at all.
+    */
+  def langIdFromScores(ls: Column): Column = {
+    val scores = markers.map { case (lang, _) => lang -> ls.getField(lang) }
     val top = greatest(scores.map(_._2): _*)
     val cases = scores.foldLeft(when(top === 0.0, lit("unknown"))) {
       case (acc, (lang, sc)) => acc.when(sc === top, lit(lang))
     }
     cases.otherwise(lit("unknown"))
   }
+
+  /** Predicted language straight from tokens — convenience form; prefer
+    * materializing [[langScores]] when other outputs share the ratios.
+    */
+  def langId(toks: Column): Column = langIdFromScores(langScores(toks))
 
   /** Share of characters outside [A-Za-z0-9 ]. */
   def punctRatio(text: Column): Column =
@@ -71,11 +88,20 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column = {
     val toks = wsTokens(text)
-    val nTok = size(toks).cast("double")
+    qualityFromParts(size(toks).cast("double"), markerRatio(toks, "en"),
+      punctRatio(text), meanWordLen(toks))
+  }
+
+  /** [[qualityScore]] over already-materialized ingredients — the form a
+    * multi-signal pipeline wants, so tokenization and ratio columns are
+    * computed once and shared across outputs.
+    */
+  def qualityFromParts(nTok: Column, stopRatio: Column, punct: Column,
+      mwl: Column): Column = {
     val lenScore = least(lit(1.0), nTok / lit(100.0))
-    val stopScore = least(lit(1.0), markerRatio(toks, "en") * lit(4.0))
-    val cleanScore = lit(1.0) - punctRatio(text)
-    val shapeScore = least(lit(1.0), meanWordLen(toks) / lit(8.0))
+    val stopScore = least(lit(1.0), stopRatio * lit(4.0))
+    val cleanScore = lit(1.0) - punct
+    val shapeScore = least(lit(1.0), mwl / lit(8.0))
     lenScore * lit(0.3) + stopScore * lit(0.3) +
       cleanScore * lit(0.2) + shapeScore * lit(0.2)
   }
