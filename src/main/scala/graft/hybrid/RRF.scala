@@ -25,7 +25,14 @@ object RRF {
   /** Widened per-list candidate count for a final top-k. */
   def poolSize(k: Int): Int = math.max(2 * k, 50)
 
-  /** Assign dense 1-based ranks best-first over a scored frame. */
+  /** Assign dense 1-based ranks best-first over a scored frame.
+    *
+    * Deliberately a global (unpartitioned) window: every caller feeds a
+    * pool already capped at [[poolSize]] rows (≤ max(2k, 50)) by an
+    * upstream TakeOrderedAndProject, so the single-partition WindowExec
+    * touches a bounded handful of rows regardless of corpus size. Do NOT
+    * pass an unbounded frame here.
+    */
   def ranked(scored: DataFrame, idCol: String, scoreCol: String,
       ascending: Boolean): DataFrame = {
     val s = round(col(scoreCol), 6)
