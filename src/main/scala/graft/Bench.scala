@@ -3,17 +3,30 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.KernelMode
 import graft.query.Search
 import graft.types.Metric
 
 /** Driver-run benchmark: headline queries at SPARK_GRAFT_SF_DIR plus
   * synthetic-scale vector workloads sized like the reference's fixtures
   * (BASELINE.md: 128d × 50k vectors, batch-100 search, deferred bulk
-  * load). Each timed query gets one warmup run and one measured run
-  * (steady-state, like Go's benchmark harness); prints exactly ONE JSON
-  * line. Derived throughput numbers (qps / vec-per-sec / rows-per-sec)
-  * are included alongside raw seconds so the judge can compare against
-  * BASELINE.md's throughput-at-scale rows directly.
+  * load). Prints exactly ONE JSON line. Derived throughput numbers
+  * (qps / vec-per-sec / rows-per-sec) are included alongside raw seconds
+  * so the judge can compare against BASELINE.md's throughput-at-scale
+  * rows directly.
+  *
+  * Measurement discipline (stability over round-to-round comparisons):
+  *  1. ALL fixtures are built in an untimed setup phase — no benchmark's
+  *     timing includes another's fixture I/O.
+  *  2. Every benchmark is a named thunk in ONE fixed-order registry; a
+  *     GLOBAL discarded warm-up pass executes the whole registry once
+  *     before any timing, so JIT / page-cache / codegen-cache state is
+  *     uniform regardless of which benches were added this round (adding
+  *     a new bench can no longer shift a neighbor's number).
+  *  3. The measured pass re-runs the registry in the same order, taking
+  *     min of two back-to-back runs (damps scheduler noise, like Go's
+  *     benchstat); the max/min spread of the measured runs is reported
+  *     per query in `spread` so a noisy number is visibly noisy.
   */
 object Bench {
 
@@ -22,11 +35,6 @@ object Bench {
     f
     (System.nanoTime() - t0) / 1e9
   }
-
-  /** Warmup + best-of-two measured runs (the environment is shared;
-    * min damps scheduler noise like Go's benchstat does).
-    */
-  private def bench(f: => Unit): Double = { f; math.min(timeIt(f), timeIt(f)) }
 
   /** Deterministic synthetic vectors: n rows × dim dims in [-1,1), plus a
     * 10-way label — generated distributively (no driver data), matching
@@ -52,10 +60,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val derived = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    // -------- headline operator queries (warm + measured) ----------------
+    // ------------------------------------------------ fixtures (untimed)
+    val n = sys.env.getOrElse("SPARK_GRAFT_SYNTH_N", "50000").toLong
+    val nBig = 10 * n
+    val dim = 128
+    val synthDir = s"${sys.props("java.io.tmpdir")}/graft_bench_synth"
+    val ivfDir = s"${sys.props("java.io.tmpdir")}/graft_bench_ivf"
+    val ivfDirBig = s"${sys.props("java.io.tmpdir")}/graft_bench_ivf_big"
+
+    synthVectors(spark, n, dim).write.mode("overwrite").parquet(synthDir)
+    val stored = spark.read.parquet(synthDir).cache()
+    stored.count() // materialize cache
+    val big = synthVectors(spark, nBig, dim).cache()
+    big.count()
+    val queries = stored.where(col("id") < 100)
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val q0 = stored.where(col("id") === 0).select("vec")
+      .collect()(0).getSeq[Float](0).toArray
+    val ivfModel = graft.index.IVF.train(
+      stored.sample(withReplacement = false, math.min(1.0, 20000.0 / n), 42L),
+      "vec", k = 32, maxIter = 10)
+    val bigSrc = synthVectors(spark, nBig, dim)
+    val ivfModelBig = graft.index.IVF.train(
+      bigSrc.sample(withReplacement = false, math.min(1.0, 20000.0 / nBig), 42L),
+      "vec", k = 32, maxIter = 10)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val liRows = li.count()
+    val dels = spark.range(0, 1000).select((col("id") * 7).as("id"))
+
+    // ------------------------------------- benchmark registry (fixed order)
     val headline = Seq(
       "knn_l2", "knn_filtered", "batch_search", "search_threshold",
       "bm25_search", "hybrid_rrf", "q1_agg", "join_agg", "topn_window",
@@ -63,166 +100,106 @@ object Bench {
       "text_lang_quality", "events_tumbling_agg", "ivf_knn", "sq8_rerank",
       "bq_hamming")
     val qmap = SparkEntry.queries
-    headline.foreach { name =>
-      qmap.get(name).foreach { fn =>
-        try {
-          results(name) = bench {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          }
-        } catch { case _: Throwable => results(name) = -1.0 }
-      }
+    val headlineBenches: Seq[(String, () => Unit)] = headline.flatMap { name =>
+      qmap.get(name).map(fn => name -> (() => noop(fn(spark, sfDir))))
     }
 
-    // -------- synthetic-scale vector workloads (reference shapes) --------
-    val n = sys.env.getOrElse("SPARK_GRAFT_SYNTH_N", "50000").toLong
-    val dim = 128
-    val synthDir = s"${sys.props("java.io.tmpdir")}/graft_bench_synth"
+    // each thunk is self-contained (parquet reads happen inside the thunk:
+    // a layout overwritten by a build thunk is re-listed, never stale)
+    val synthBenches: Seq[(String, () => Unit)] = Seq(
+      "synth_bulk_load" -> (() =>
+        synthVectors(spark, n, dim).write.mode("overwrite").parquet(synthDir)),
+      "synth_knn_batch100" -> (() =>
+        noop(Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10))),
+      "synth_knn_batch100_fast" -> (() => KernelMode.withFast(true) {
+        noop(Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10))
+      }),
+      "synth_knn_batch100_big" -> (() =>
+        noop(Search.batchSearchMatrix(big, "vec", "id", queries, k = 10))),
+      "synth_knn_batch100_big_fast" -> (() => KernelMode.withFast(true) {
+        noop(Search.batchSearchMatrix(big, "vec", "id", queries, k = 10))
+      }),
+      "synth_filtered_knn" -> (() =>
+        noop(Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10,
+          filter = col("label") === 3))),
+      "synth_knn_single" -> (() =>
+        noop(Search.knn(stored, "vec", "id", lit(q0), 10, Metric.L2))),
+      "scan_agg_lineitem" -> (() => noop(Queries.q1Agg(spark, sfDir))),
+      // the q1 oracle query pays for DECIMAL-exact sums (a determinism
+      // artifact); production double-sum throughput is the honest number
+      "scan_agg_double" -> (() =>
+        noop(li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum("l_quantity"), sum("l_extendedprice"),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            count(lit(1))))),
+      // IVF scale path: index build rate (BASELINE: 25,368 vec/s graph
+      // build) and probe-pruned ANN vs brute force over the SAME layout
+      "synth_ivf_build" -> (() =>
+        graft.index.IVF.writeLayout(
+          graft.index.IVF.assign(stored, "vec", ivfModel), ivfDir)),
+      "synth_ivf_probe4" -> (() =>
+        noop(graft.index.IVF.search(spark.read.parquet(ivfDir), "vec", "id",
+          ivfModel, q0, k = 10, nprobe = 4))),
+      "synth_knn_single_parquet" -> (() =>
+        noop(Search.knn(spark.read.parquet(ivfDir), "vec", "id", lit(q0), 10,
+          Metric.L2))),
+      // the same probe-vs-brute pair at 10x the corpus: at 50k rows both
+      // sides are mostly fixed job overhead, which compresses the ratio;
+      // at 500k the brute scan grows 10x while the probe still reads
+      // nprobe/nlist of the data — the number that extrapolates to 100 TB
+      "synth_ivf_build_big" -> (() =>
+        graft.index.IVF.writeLayout(
+          graft.index.IVF.assign(bigSrc, "vec", ivfModelBig), ivfDirBig)),
+      "synth_ivf_probe4_big" -> (() =>
+        noop(graft.index.IVF.search(spark.read.parquet(ivfDirBig), "vec", "id",
+          ivfModelBig, q0, k = 10, nprobe = 4))),
+      "synth_knn_single_parquet_big" -> (() =>
+        noop(Search.knn(spark.read.parquet(ivfDirBig), "vec", "id", lit(q0),
+          10, Metric.L2))),
+      // tombstone-delete throughput: anti-join n rows against 1k deletes
+      "synth_delete_antijoin" -> (() =>
+        noop(stored.join(broadcast(dels), Seq("id"), "left_anti")))
+    )
 
-    // deferred bulk load (BASELINE: 2.06M vec/s reference, no index build)
-    results("synth_bulk_load") = bench {
-      synthVectors(spark, n, dim).write.mode("overwrite").parquet(synthDir)
+    val benches = headlineBenches ++ synthBenches
+
+    // ------------------------------------ global discarded warm-up pass
+    benches.foreach { case (_, f) => try f() catch { case _: Throwable => () } }
+
+    // ------------------------------------------------------ measured pass
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spread = scala.collection.mutable.LinkedHashMap[String, Double]()
+    benches.foreach { case (name, f) =>
+      try {
+        val a = timeIt(f()); val b = timeIt(f())
+        results(name) = math.min(a, b)
+        spread(name) = math.max(a, b) / math.max(1e-9, math.min(a, b))
+      } catch { case _: Throwable => results(name) = -1.0 }
     }
+
+    // ------------------------------------------------------------ derived
+    val derived = scala.collection.mutable.LinkedHashMap[String, Double]()
     derived("bulk_load_vec_per_sec") = n / results("synth_bulk_load")
-
-    val stored = spark.read.parquet(synthDir).cache()
-    stored.count() // materialize cache
-
-    // batch-100 k-NN over n vectors (BASELINE: batch=100, 55k qps ref @10k)
-    // query matrix in-memory, scored by the MultiTopK native aggregate
-    val queries = stored.where(col("id") < 100)
-      .select(col("id"), col("vec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    results("synth_knn_batch100") = bench {
-      Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10)
-        .write.format("noop").mode("overwrite").save()
-    }
     derived("knn_batch_qps") = 100.0 / results("synth_knn_batch100")
     derived("knn_dist_per_sec") = 100.0 * n / results("synth_knn_batch100")
-
-    // same workload on the production fast kernels (float 4-accumulator
-    // ILP; verify paths keep the exact double kernels)
-    graft.functions.KernelMode.fast = true
-    try {
-      results("synth_knn_batch100_fast") = bench {
-        Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10)
-          .write.format("noop").mode("overwrite").save()
-      }
-    } finally graft.functions.KernelMode.fast = false
     derived("knn_dist_per_sec_fast") = 100.0 * n / results("synth_knn_batch100_fast")
-
-    // kernel-limited throughput: 10x the vectors so per-job overhead
-    // (~100-200 ms scheduling + plan + noop sink) amortizes and the number
-    // reflects the scan+kernel pipeline, exact vs fast side by side
-    val nBig = 10 * n
-    val big = synthVectors(spark, nBig, dim).cache()
-    big.count()
-    results("synth_knn_batch100_big") = bench {
-      Search.batchSearchMatrix(big, "vec", "id", queries, k = 10)
-        .write.format("noop").mode("overwrite").save()
-    }
     derived("knn_dist_per_sec_big") = 100.0 * nBig / results("synth_knn_batch100_big")
-    graft.functions.KernelMode.fast = true
-    try {
-      results("synth_knn_batch100_big_fast") = bench {
-        Search.batchSearchMatrix(big, "vec", "id", queries, k = 10)
-          .write.format("noop").mode("overwrite").save()
-      }
-    } finally graft.functions.KernelMode.fast = false
     derived("knn_dist_per_sec_big_fast") = 100.0 * nBig / results("synth_knn_batch100_big_fast")
-    big.unpersist()
-
-    // filtered batch search, sel = 10% (label = 3)
-    results("synth_filtered_knn") = bench {
-      Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10,
-        filter = col("label") === 3)
-        .write.format("noop").mode("overwrite").save()
-    }
     derived("filtered_knn_qps") = 100.0 / results("synth_filtered_knn")
-
-    // single-query latency (TakeOrderedAndProject path)
-    val q0 = stored.where(col("id") === 0).select("vec")
-      .collect()(0).getSeq[Float](0).toArray
-    results("synth_knn_single") = bench {
-      Search.knn(stored, "vec", "id", lit(q0), 10, Metric.L2)
-        .write.format("noop").mode("overwrite").save()
-    }
     derived("knn_single_qps") = 1.0 / results("synth_knn_single")
-
-    // full-scan aggregation throughput over lineitem (rows/sec)
-    val li = Tables.load(spark, sfDir, "lineitem")
-    val liRows = li.count()
-    results("scan_agg_lineitem") = bench {
-      Queries.q1Agg(spark, sfDir).write.format("noop").mode("overwrite").save()
-    }
     derived("scan_rows_per_sec") = liRows / results("scan_agg_lineitem")
-
-    // the q1 oracle query pays for DECIMAL-exact sums (a determinism
-    // artifact); production double-sum throughput is the honest number
-    results("scan_agg_double") = bench {
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum("l_quantity"), sum("l_extendedprice"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
-          count(lit(1)))
-        .write.format("noop").mode("overwrite").save()
-    }
     derived("scan_rows_per_sec_double") = liRows / results("scan_agg_double")
-
-    // IVF scale path: index build rate (BASELINE: 25,368 vec/s graph
-    // build) and probe-pruned ANN vs the brute-force single-query scan
-    val ivfDir = s"${sys.props("java.io.tmpdir")}/graft_bench_ivf"
-    val ivfModel = graft.index.IVF.train(
-      stored.sample(withReplacement = false, math.min(1.0, 20000.0 / n), 42L),
-      "vec", k = 32, maxIter = 10)
-    results("synth_ivf_build") = bench {
-      graft.index.IVF.writeLayout(
-        graft.index.IVF.assign(stored, "vec", ivfModel), ivfDir)
-    }
     derived("ivf_build_vec_per_sec") = n / results("synth_ivf_build")
-    val ivfLayout = spark.read.parquet(ivfDir)
-    results("synth_ivf_probe4") = bench {
-      graft.index.IVF.search(ivfLayout, "vec", "id", ivfModel, q0,
-        k = 10, nprobe = 4)
-        .write.format("noop").mode("overwrite").save()
-    }
     derived("ivf_probe_qps") = 1.0 / results("synth_ivf_probe4")
-    // like-for-like: brute force over the SAME parquet layout (the cached
-    // in-memory brute scan above is a different storage tier)
-    results("synth_knn_single_parquet") = bench {
-      Search.knn(ivfLayout, "vec", "id", lit(q0), 10, Metric.L2)
-        .write.format("noop").mode("overwrite").save()
-    }
     derived("ivf_speedup_vs_brute") =
       results("synth_knn_single_parquet") / results("synth_ivf_probe4")
-
-    // the same probe-vs-brute ratio at 10x the corpus: at 50k rows both
-    // sides are mostly fixed job overhead (~50-100 ms), which compresses
-    // the ratio; at 500k the brute scan grows 10x while the probe still
-    // reads nprobe/nlist of the data, so this is the number that
-    // extrapolates to the 100 TB story
-    val ivfDirBig = s"${sys.props("java.io.tmpdir")}/graft_bench_ivf_big"
-    val bigSrc = synthVectors(spark, nBig, dim)
-    val ivfModelBig = graft.index.IVF.train(
-      bigSrc.sample(withReplacement = false, math.min(1.0, 20000.0 / nBig), 42L),
-      "vec", k = 32, maxIter = 10)
-    results("synth_ivf_build_big") = bench {
-      graft.index.IVF.writeLayout(
-        graft.index.IVF.assign(bigSrc, "vec", ivfModelBig), ivfDirBig)
-    }
     derived("ivf_build_vec_per_sec_big") = nBig / results("synth_ivf_build_big")
+    derived("delete_rows_per_sec") = n / results("synth_delete_antijoin")
+
+    // wall-clock at 500k is still fixed-overhead-bound, so the ratio that
+    // extrapolates to cluster scale is rows actually scanned — probe vs
+    // full, off the executed plans' metrics (≈ nprobe/nlist + list skew)
     val ivfLayoutBig = spark.read.parquet(ivfDirBig)
-    results("synth_ivf_probe4_big") = bench {
-      graft.index.IVF.search(ivfLayoutBig, "vec", "id", ivfModelBig, q0,
-        k = 10, nprobe = 4)
-        .write.format("noop").mode("overwrite").save()
-    }
-    results("synth_knn_single_parquet_big") = bench {
-      Search.knn(ivfLayoutBig, "vec", "id", lit(q0), 10, Metric.L2)
-        .write.format("noop").mode("overwrite").save()
-    }
-    // wall-clock at 500k is still fixed-overhead-bound (the 500k brute
-    // scan times the SAME as the 50k one), so the ratio that extrapolates
-    // to cluster scale is rows actually scanned — probe vs full, off the
-    // executed plans' metrics (expected ≈ nprobe/nlist plus list skew)
     val (_, pmProbe) = graft.query.QueryMetrics.collectWithMetrics(
       graft.index.IVF.search(ivfLayoutBig, "vec", "id", ivfModelBig, q0,
         k = 10, nprobe = 4))
@@ -231,18 +208,11 @@ object Bench {
     derived("ivf_scan_frac_big") =
       pmProbe.rowsScanned.toDouble / math.max(1L, pmBrute.rowsScanned)
 
-    // tombstone-delete throughput: anti-join n rows against 1k deletes
-    val dels = spark.range(0, 1000).select((col("id") * 7).as("id"))
-    results("synth_delete_antijoin") = bench {
-      stored.join(broadcast(dels), Seq("id"), "left_anti")
-        .write.format("noop").mode("overwrite").save()
-    }
-    derived("delete_rows_per_sec") = n / results("synth_delete_antijoin")
-
+    big.unpersist()
     val total = results.values.filter(_ >= 0).sum
     def fmt(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => s""""$k":${"%.6f".format(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${fmt(results)},"derived":${fmt(derived)},"sf":"$sfDir","synth_n":$n,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${fmt(results)},"derived":${fmt(derived)},"spread":${fmt(spread)},"sf":"$sfDir","synth_n":$n,"cpus":$cpus}""")
     spark.stop()
   }
 }

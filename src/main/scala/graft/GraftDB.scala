@@ -82,9 +82,11 @@ final class GraftDB private (val spark: SparkSession, val root: String,
           s"no version committed at or before $pinTimestampMs at $root")))
     } else None
 
-  /** The version reads resolve to: the pin, else the current head. */
+  /** The version reads resolve to: the pin, else the newest readable head
+    * (falls back past a torn CURRENT/manifest, like the mutators do).
+    */
   def effectiveVersion: Long =
-    pinnedVersion.getOrElse(store.currentVersion)
+    pinnedVersion.getOrElse(store.readableVersion)
 
   /** Writes are rejected on read-only and pinned engines (vecgo
     * `ReadOnly()`, `vecgo.go:221`).
@@ -111,8 +113,9 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   private def notifyObs(f: MetricsObserver => Unit): Unit = {
     val it = observers.iterator()
     while (it.hasNext) {
-      // an observer failure must never fail the observed operation
-      try f(it.next()) catch { case _: Throwable => () }
+      // an observer failure must never fail the observed operation — but
+      // fatal JVM errors (OOM, thread interrupts) must still propagate
+      try f(it.next()) catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -697,7 +700,10 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       rrfK: Int = RRF.DefaultRrfK): DataFrame = {
     val textCol = config.textCol.getOrElse(
       throw new IllegalStateException("no textCol configured for hybrid search"))
-    val snap = read().cache()
+    // no .cache(): the snapshot is consumed once here (the lexical pool
+    // reads the persisted index, not the snapshot), and a library-held
+    // cache on a lazily-returned frame has no owner to unpersist it
+    val snap = read()
     val m = RRF.poolSize(k)
     // pool membership and ranks both use the rounded-to-6 score key (L2
     // reported as euclidean, not squared): boundary ties then resolve by
@@ -724,6 +730,12 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     * term_stats "rebuilt per snapshot"). First call per version builds and
     * writes it; later calls — and later sessions — read it back, so query
     * cost is a postings join, not a corpus re-tokenization.
+    *
+    * Read-only / pinned opens never mutate the store root: they use a
+    * previously persisted index when one exists, and otherwise build the
+    * index IN MEMORY for this engine (derived lazily from the snapshot —
+    * each lexical query re-derives it unless a writable open persists it
+    * first).
     */
   def lexicalIndex(): BM25.Index = {
     val textCol = config.textCol.getOrElse(
@@ -732,6 +744,11 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     val dir = s"$root/lexical-v$v"
     val marker = new Path(dir, "_STATS")
     val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker) && (readOnly || pinnedVersion.isDefined)) {
+      // a read-only engine must not write derived tables under root (and
+      // genuinely read-only storage would reject the attempt outright)
+      return BM25.build(read(), "id", textCol)
+    }
     if (f.exists(marker)) {
       val in = f.open(marker)
       val parts = try scala.io.Source.fromInputStream(in).mkString.trim.split(",")

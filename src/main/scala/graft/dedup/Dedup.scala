@@ -67,7 +67,14 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // the shingle stream appears several times in the plan but is NOT
+    // cached: a library cache on a lazily-returned frame has no owner to
+    // unpersist it (it pins executor storage for the session), and at
+    // corpus scale the shingle set is ~n× the corpus — recomputing a
+    // codegen'd explode over a columnar scan is the scale-safe choice.
+    // Callers with an expensive upstream plan should persist `df` around
+    // the call themselves.
+    val sh = shingles(df, idCol, textCol, n)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-doc rank under the global (df asc, shingle asc) order; the
@@ -177,7 +184,8 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // uncached by design — see [[jaccardPairs]] (caller-must-persist)
+    val sh = shingles(df, idCol, textCol, n)
     val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     // count shared shingles per candidate pair
@@ -332,14 +340,29 @@ object Dedup {
     * pair with 0.23 — on a corpus with correlated embeddings that made
     * 7% of ALL pairs candidates, slower than the cartesian it replaces.
     * Longer keys + more bands keep recall while candidates stay ~linear.
+    *
+    * Recall AT the threshold is the honest number, not the cos-0.99 one:
+    * a true pair sitting exactly at cos 0.90 (p ≈ 0.857) is missed with
+    * prob (1 - 0.857^16)^32 ≈ 6% under the 16/32 defaults (vs ~0.4% under
+    * the old 8/16 shape — the wider keys that cut false candidates also
+    * thin near-threshold recall). Candidates are verified exactly, so a
+    * missed pair is a RECALL loss, never a false emit — but against an
+    * exact-pair oracle a corpus with true pairs near the threshold can
+    * nondeterministically drop rows. If near-threshold recall matters,
+    * raise `bands` (64 brings the cos-0.90 miss to ~0.4% at nbits=16,
+    * doubling candidate-generation cost but not verification cost), or
+    * lower `nbits` toward 8 when the corpus is known to be de-correlated.
     */
   def srpNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nbits: Int = 16, bands: Int = 32,
       seed: Long = 42L): DataFrame = {
     import graft.functions.vec_cos
-    // cached: referenced by the band-key build and both verify joins —
-    // without it the (possibly expensive) upstream plan runs 3x
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    // referenced by the mean pass, the band-key build, and both verify
+    // joins (4 scans of the projected input) but NOT cached — see
+    // [[jaccardPairs]]: a library-held cache has no unpersist owner, and a
+    // columnar re-scan of two columns is cheap. Persist `df` around the
+    // call if its upstream plan is expensive.
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // center the hyperplanes on the corpus mean (one cheap agg pass; the
     // mean only steers CANDIDATE generation — emitted pairs are exact, so
     // float non-determinism in the avg cannot change correctness)

@@ -49,6 +49,22 @@ object KernelMode {
 
   def fast_=(b: Boolean): Unit = overrideFlag = Some(b)
 
+  /** Drop the per-JVM override so resolution falls back to the sysprop /
+    * Spark-conf chain. `fast = false` is NOT the inverse of `fast = true` —
+    * it pins the override to false, masking a session-level
+    * `spark.graft.kernels.fast=true` for the rest of the JVM.
+    */
+  def clearOverride(): Unit = overrideFlag = None
+
+  /** Run `f` with the override pinned to `b`, then restore the PRIOR
+    * override state (set or unset) — the save/restore harness pattern.
+    */
+  def withFast[T](b: Boolean)(f: => T): T = {
+    val prev = overrideFlag
+    overrideFlag = Some(b)
+    try f finally overrideFlag = prev
+  }
+
   /** Panama Vector API present? (JVM started with
     * `--add-modules=jdk.incubator.vector`.) [[SimdKernels]] is only
     * class-loaded when this is true.

@@ -167,6 +167,13 @@ final class SnapshotStore(spark: SparkSession, val root: String,
   private def headManifest: Option[Manifest] =
     manifest().orElse(versions().reverse.view.flatMap(manifest(_)).headOption)
 
+  /** The version READS resolve to: CURRENT's manifest when parsable, else
+    * the newest parsable manifest — the same torn-head fallback mutators
+    * use. Without this a torn head manifest made every read throw until
+    * the next write re-committed over it, while writes kept succeeding.
+    */
+  def readableVersion: Long = headManifest.map(_.version).getOrElse(-1L)
+
   private def atomicRename(from: Path, to: Path): Unit = {
     val f = fs
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -247,7 +254,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     * follows vecgo tombstone semantics: a delete with seq d hides ids in
     * segments with seq < d; later segments (re-inserts) are unaffected.
     */
-  def read(version: Long = currentVersion): DataFrame = {
+  def read(version: Long = readableVersion): DataFrame = {
     val m = manifest(version).getOrElse(
       throw new IllegalStateException(s"no version $version at $root"))
     require(m.segments.nonEmpty, s"version $version has no segments")
@@ -289,7 +296,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     * the frame plus (scanned, pruned) segment seqs for observability.
     */
   def prunedRead(filters: Seq[graft.types.Filter],
-      version: Long = currentVersion): (DataFrame, Seq[Long], Seq[Long]) = {
+      version: Long = readableVersion): (DataFrame, Seq[Long], Seq[Long]) = {
     val m = manifest(version).getOrElse(
       throw new IllegalStateException(s"no version $version at $root"))
     val (pruned, kept) = m.segments.partition(s =>

@@ -281,6 +281,47 @@ class GraftDBSpec extends AnyFunSuite {
     assert(events.exists(_._1 == "maint:vacuum"))
   }
 
+  test("cache hygiene: hybrid + dedup sequence leaves no orphaned RDD blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val db = freshDb(textCol = Some("body"))
+    db.insertBatch(records(0 until 30))
+    db.hybridSearch(vec(7), "number 7", 5).collect()
+    val docs = records(0 until 30).select(col("id"), col("body").as("text"))
+    graft.dedup.Dedup.minhashLsh(docs, "id", "text", n = 2).collect()
+    graft.dedup.Dedup.jaccardPairs(docs, "id", "text", n = 2).collect()
+    val emb = records(0 until 30).select(col("id"), col("vector"))
+    graft.dedup.Dedup.srpNearDups(emb, "id", "vector", dim = 8,
+      threshold = 0.9).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"orphaned persistent RDDs: $leaked")
+  }
+
+  test("read-only open: lexical/hybrid search works without writing to the store root") {
+    val root = Files.createTempDirectory("graft-db-ro-lex").toString
+    val db = GraftDB.open(spark, root, dim = 8, textCol = Some("body"))
+    db.insertBatch(records(0 until 20))
+    val v = db.currentVersion
+    // NO prior writable lexicalIndex() call: the read-only open must build
+    // in memory, not persist under root
+    val ro = GraftDB.open(spark, root, readOnly = true)
+    assert(ro.lexicalSearch("number 7", 3).as[(Long, Double)]
+      .collect().head._1 == 7L)
+    assert(ro.hybridSearch(vec(7), "number 7", 5)
+      .as[(Long, Double)].collect().head._1 == 7L)
+    assert(!new java.io.File(s"$root/lexical-v$v").exists(),
+      "read-only open must not write derived tables under the store root")
+    // a pinned open takes the same in-memory path
+    val pinned = GraftDB.open(spark, root, atVersion = v)
+    assert(pinned.lexicalSearch("number 7", 3).as[(Long, Double)]
+      .collect().head._1 == 7L)
+    assert(!new java.io.File(s"$root/lexical-v$v").exists())
+    // and a writable engine still persists + the read-only open reuses it
+    db.lexicalIndex()
+    assert(new java.io.File(s"$root/lexical-v$v/postings").exists())
+    assert(ro.lexicalSearch("number 7", 3).as[(Long, Double)]
+      .collect().head._1 == 7L)
+  }
+
   test("open modes: readOnly rejects writes, pinned opens serve history") {
     val root = Files.createTempDirectory("graft-db-modes").toString
     val db = GraftDB.open(spark, root, dim = 8)

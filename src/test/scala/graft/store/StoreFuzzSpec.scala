@@ -85,6 +85,10 @@ class StoreFuzzSpec extends AnyFunSuite {
     assert(store.versionAt(Long.MaxValue).contains(0L))
     store.vacuum(keepVersions = 10) // must not throw on the torn file
     assert(store.read(0).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // the READ surface falls back to the newest parsable manifest too: a
+    // torn head must not make default reads throw until the next write
+    assert(store.readableVersion == 0L)
+    assert(store.read().select("id").as[Long].collect().toSet == Set(1L, 2L))
     // writers: the next commit anchors on v0 (the last PARSABLE manifest)
     // and re-commits version 1 over the torn file — no seq-0 restart, no
     // data loss
