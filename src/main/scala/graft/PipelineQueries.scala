@@ -104,15 +104,21 @@ object PipelineQueries {
       .select(col("keep_id"), col("n_dups"), col("fp"))
       .orderBy(col("keep_id").asc)
 
-  /** Exact word-3-gram Jaccard near-dup pairs (>= 0.8). */
+  /** Exact word-3-gram Jaccard near-dup pairs (>= 0.8), through the eager
+    * scoped-cache form (one shingle+md5 pass, zero orphaned cache blocks).
+    */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+    Dedup.jaccardPairsTo(t(s, dir, "documents"), "doc_id", "text",
+        s"${sys.props("java.io.tmpdir")}/graft_q_jaccard", 3, 0.8)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy(col("id_a").asc, col("id_b").asc)
 
-  /** MinHash+LSH near-dup pipeline, exact-Jaccard-verified candidates. */
+  /** MinHash+LSH near-dup pipeline, exact-Jaccard-verified candidates,
+    * through the eager scoped-cache form.
+    */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.minhashLshTo(t(s, dir, "documents"), "doc_id", "text",
+        s"${sys.props("java.io.tmpdir")}/graft_q_minhash",
         n = 3, numHashes = 32, rowsPerBand = 4, minJaccard = 0.8)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy(col("id_a").asc, col("id_b").asc)
@@ -122,7 +128,8 @@ object PipelineQueries {
     * small-star CC). One row per document; cluster_id = min reachable id.
     */
   def dedupClustersQ(s: SparkSession, dir: String): DataFrame =
-    Components.dedupClusters(t(s, dir, "documents"), "doc_id", "text")
+    Components.dedupClusters(t(s, dir, "documents"), "doc_id", "text",
+        workDir = Some(s"${sys.props("java.io.tmpdir")}/graft_q_clusters"))
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id").asc)
 
@@ -155,7 +162,8 @@ object PipelineQueries {
           (x.cast("double") + (h % 201 - 100).cast("double") / 4000.0).cast("float")
         }).as("embedding"))
     val corpus = emb.unionByName(pert)
-    Dedup.srpNearDups(corpus, "vec_id", "embedding", dim = 64, threshold = 0.9)
+    Dedup.srpNearDupsTo(corpus, "vec_id", "embedding", dim = 64,
+        threshold = 0.9, out = s"${sys.props("java.io.tmpdir")}/graft_q_srp")
       .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
@@ -167,7 +175,8 @@ object PipelineQueries {
     * checks content identity, not just the id set.
     */
   def dedupRetain(s: SparkSession, dir: String): DataFrame =
-    Components.keepCanonical(t(s, dir, "documents"), "doc_id", "text")
+    Components.keepCanonical(t(s, dir, "documents"), "doc_id", "text",
+        workDir = Some(s"${sys.props("java.io.tmpdir")}/graft_q_retain"))
       .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
       .orderBy(col("doc_id").asc)
 

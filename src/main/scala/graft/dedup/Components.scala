@@ -108,7 +108,7 @@ object Components {
     */
   def dedupClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8, workDir: Option[String] = None): DataFrame = {
     val ids = df.select(col(idCol).cast("long").as("id"))
     val fp = df.select(col(idCol).cast("long").as("id"),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
@@ -116,9 +116,16 @@ object Components {
     val exactEdges = fp.join(fpMin, "fp")
       .where(col("id") =!= col("m"))
       .select(col("id").as("u"), col("m").as("v"))
-    val nearEdges = Dedup.minhashLsh(df, idCol, textCol,
+    // with a workDir the near-dup pass runs in its eager scoped-cache form
+    // (one shingle+md5 pass, pairs materialized under workDir); without
+    // one it stays lazy and recomputes per consumer
+    val nearPairs = workDir match {
+      case Some(w) => Dedup.minhashLshTo(df, idCol, textCol, s"$w/minhash",
         n, numHashes, rowsPerBand, minJaccard)
-      .select(col("id_a").as("u"), col("id_b").as("v"))
+      case None => Dedup.minhashLsh(df, idCol, textCol,
+        n, numHashes, rowsPerBand, minJaccard)
+    }
+    val nearEdges = nearPairs.select(col("id_a").as("u"), col("id_b").as("v"))
     val comp = connectedComponents(exactEdges.union(nearEdges))
     ids.join(comp, Seq("id"), "left")
       .select(col("id"),
@@ -130,9 +137,9 @@ object Components {
     */
   def keepCanonical(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8, workDir: Option[String] = None): DataFrame = {
     val keep = dedupClusters(df, idCol, textCol, n, numHashes, rowsPerBand,
-        minJaccard)
+        minJaccard, workDir)
       .where(col("id") === col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(keep, idCol)

@@ -64,48 +64,91 @@ object Dedup {
     * EXACT: candidates are verified with a full intersection count.
     * Output: (id_a, id_b, jaccard), id_a < id_b.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the shingle stream appears several times in the plan but is NOT
-    // cached: a library cache on a lazily-returned frame has no owner to
-    // unpersist it (it pins executor storage for the session), and at
-    // corpus scale the shingle set is ~n× the corpus — recomputing a
-    // codegen'd explode over a columnar scan is the scale-safe choice.
-    // Callers with an expensive upstream plan should persist `df` around
-    // the call themselves.
-    val sh = shingles(df, idCol, textCol, n)
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // per-doc rank under the global (df asc, shingle asc) order; the
-    // window partitions by doc id, so no single-task global sort
-    val ranked = sh.join(dfreq, "shingle")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)))
-      .join(counts, "id")
-      .where(col("rnk") <=
-        (col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1).cast("int"))
-      .select("id", "shingle")
-    val cands = ranked.as("a")
-      .join(ranked.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // exact verification: intersection size over the full shingle sets,
-    // restricted to the candidate pairs
-    val inter = cands
-      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+  /** Hashed shingle stream: (id, h60) — ONE md5 per (doc, distinct
+    * shingle); h60 is the portable 60-bit shingle hash every downstream
+    * stage (minhash seeds, prefix filtering, exact set intersection) is
+    * derived from, so the expensive text explode + md5 happens exactly
+    * once per pipeline. Verification over 60-bit hash sets instead of
+    * shingle strings shrinks shuffles ~10× and changes results only on an
+    * intra-pair hash collision (P ≈ |S|²/2⁶¹ ≈ 1e-12 for 1k-shingle docs).
+    */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingles(df, idCol, textCol, n)
+      .select(col("id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+          .as("h60"))
+
+  /** Exact verification of candidate pairs against per-doc hashed shingle
+    * sets: jaccard = |A∩B| / |A∪B| over the h60 sets carried on `sets`
+    * (columns id, hset). The candidate side is small (bucket collisions),
+    * so both joins broadcast-or-shuffle only candidates + per-doc sets —
+    * never the shingle stream.
+    */
+  private def verifyPairs(cands: DataFrame, sets: DataFrame,
+      minJaccard: Double): DataFrame =
+    cands
+      .join(sets.select(col("id").as("id_a"), col("hset").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hset").as("set_b")), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          (size(col("set_a")) + size(col("set_b")) - col("n_inter"))
+            .cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.8): DataFrame =
+    jaccardPairsFrom(hashedShingles(df, idCol, textCol, n), minJaccard)
+
+  /** Eager scale form of [[jaccardPairs]]: the hashed shingle stream is
+    * persisted for the pipeline's duration (it feeds document frequencies,
+    * both prefix-join sides, and the verification sets — uncached, each
+    * consumer would re-run the text explode + md5), the verified pairs are
+    * written to `out`, the cache is released in a finally, and the written
+    * table is returned. Lazy callers who compose further should use
+    * [[jaccardPairs]] and persist the INPUT themselves if it is expensive.
+    */
+  def jaccardPairsTo(df: DataFrame, idCol: String, textCol: String,
+      out: String, n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val spark = df.sparkSession
+    val hashed = hashedShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      jaccardPairsFrom(hashed, minJaccard)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    } finally { hashed.unpersist(false); () }
+  }
+
+  /** PPJoin prefix-filtered exact Jaccard over a hashed shingle stream.
+    * The global shingle order is (document frequency asc, h60 asc) —
+    * rarest-first, so the candidate self-join touches only discriminative
+    * shingles; any total order is valid for the prefix bound (Xiao et al.,
+    * WWW'08).
+    */
+  private def jaccardPairsFrom(hashed: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = hashed.groupBy("h60").agg(count(lit(1)).as("df"))
+    // per-doc rank under the global (df asc, h60 asc) order; the window
+    // partitions by doc id, so no single-task global sort
+    val ranked = hashed.join(dfreq, "h60")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("h60").asc)))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
+      .where(col("rnk") <=
+        (col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1).cast("int"))
+      .select("id", "h60")
+    val cands = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.h60") === col("b.h60") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = hashed.groupBy("id").agg(collect_set(col("h60")).as("hset"))
+    verifyPairs(cands, sets, minJaccard)
   }
 
   // -------------------------------------------------------- minhash + LSH
@@ -149,6 +192,20 @@ object Dedup {
         min(seededHash31(col("h31"), s)).as(s"mh_$s")): _*)
   }
 
+  /** [[minhashSignatures]] over a hashed shingle stream (id, h60), also
+    * carrying the per-doc hashed shingle SET (`hset`) for exact
+    * verification — the single aggregation that every downstream stage of
+    * [[minhashLsh]] reads from. h31 = h60 mod M is value-identical to the
+    * classic md5-derived form.
+    */
+  def minhashSignaturesWithSets(hashed: DataFrame, numHashes: Int): DataFrame = {
+    val base = hashed.withColumn("h31", pmod(col("h60"), lit(MinhashMod)))
+    val aggs = collect_set(col("h60")).as("hset") +:
+      (0 until numHashes).map(s =>
+        min(seededHash31(col("h31"), s)).as(s"mh_$s"))
+    base.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** LSH band keys from the wide signature frame: (id, band, band_key),
     * band_key = md5 of the band's signature values joined in seed order.
     */
@@ -180,29 +237,46 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
     * join → exact-Jaccard verification of candidates. Returns
     * (id_a, id_b, jaccard) for candidates with jaccard >= minJaccard.
+    *
+    * Lazy and cache-free: the per-doc signature+set aggregate is consumed
+    * by the band self-join and both verification joins, so an uncached
+    * plan re-derives it per consumer. One-shot pipelines should use
+    * [[minhashLshTo]] (scoped cache + materialized output); lazy composers
+    * should persist the input themselves when it is expensive.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8): DataFrame =
+    minhashLshFrom(
+      minhashSignaturesWithSets(hashedShingles(df, idCol, textCol, n),
+        numHashes),
+      rowsPerBand, minJaccard)
+
+  /** Eager scale form of [[minhashLsh]]: ONE pass computes the per-doc
+    * signatures + hashed shingle sets, persisted for the pipeline's
+    * duration; verified pairs are written to `out`; the cache is released
+    * in a finally; the written table is returned. This is the shape a
+    * 100 TB dedup run wants anyway — near-dup pairs are materialized, not
+    * held in a lazy plan.
+    */
+  def minhashLshTo(df: DataFrame, idCol: String, textCol: String,
+      out: String, n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
-    // uncached by design — see [[jaccardPairs]] (caller-must-persist)
-    val sh = shingles(df, idCol, textCol, n)
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // count shared shingles per candidate pair
-    val interCounts = cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "s"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "s2"), "id_b")
-      .where(col("s") === col("s2"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_inter"))
-    interCounts
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    val spark = df.sparkSession
+    val sigs = minhashSignaturesWithSets(
+        hashedShingles(df, idCol, textCol, n), numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      minhashLshFrom(sigs, rowsPerBand, minJaccard)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    } finally { sigs.unpersist(false); () }
+  }
+
+  private def minhashLshFrom(sigs: DataFrame, rowsPerBand: Int,
+      minJaccard: Double): DataFrame = {
+    val cands = lshCandidates(lshBands(sigs, rowsPerBand))
+    verifyPairs(cands, sigs.select("id", "hset"), minJaccard)
   }
 
   // -------------------------------------------------------------- simhash
@@ -355,14 +429,37 @@ object Dedup {
     */
   def srpNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nbits: Int = 16, bands: Int = 32,
+      seed: Long = 42L): DataFrame =
+    srpNearDupsFrom(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+      dim, threshold, nbits, bands, seed)
+
+  /** Eager scale form of [[srpNearDups]]: the (id, vector) projection is
+    * persisted for the pipeline's duration (it feeds the centering pass,
+    * the band-key build, and both verification joins), verified pairs are
+    * written to `out`, the cache is released in a finally, and the written
+    * table is returned.
+    */
+  def srpNearDupsTo(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, out: String, nbits: Int = 16, bands: Int = 32,
       seed: Long = 42L): DataFrame = {
-    import graft.functions.vec_cos
-    // referenced by the mean pass, the band-key build, and both verify
-    // joins (4 scans of the projected input) but NOT cached — see
-    // [[jaccardPairs]]: a library-held cache has no unpersist owner, and a
-    // columnar re-scan of two columns is cheap. Persist `df` around the
-    // call if its upstream plan is expensive.
+    val spark = df.sparkSession
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      srpNearDupsFrom(vecs, dim, threshold, nbits, bands, seed)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    } finally { vecs.unpersist(false); () }
+  }
+
+  /** Core banded-SRP pipeline over a canonical (id, v) frame. Lazy and
+    * cache-free: `vecs` is scanned by the mean pass, the band-key build,
+    * and both verify joins — [[srpNearDupsTo]] gives the scan a scoped
+    * cache; lazy composers persist the input themselves when expensive.
+    */
+  private def srpNearDupsFrom(vecs: DataFrame, dim: Int,
+      threshold: Double, nbits: Int, bands: Int, seed: Long): DataFrame = {
+    import graft.functions.vec_cos
     // center the hyperplanes on the corpus mean (one cheap agg pass; the
     // mean only steers CANDIDATE generation — emitted pairs are exact, so
     // float non-determinism in the avg cannot change correctness)
