@@ -68,6 +68,10 @@ object Bench {
     val nBig = 10 * n
     val dim = 128
     val synthDir = s"${sys.props("java.io.tmpdir")}/graft_bench_synth"
+    // bulk-load writes its OWN dir: `stored` caches a frame whose FileIndex
+    // lists synthDir — overwriting that dir after the listing was captured
+    // would make any cache-block loss recompute against deleted part files
+    val bulkDir = s"${sys.props("java.io.tmpdir")}/graft_bench_bulk"
     val ivfDir = s"${sys.props("java.io.tmpdir")}/graft_bench_ivf"
     val ivfDirBig = s"${sys.props("java.io.tmpdir")}/graft_bench_ivf_big"
 
@@ -108,7 +112,7 @@ object Bench {
     // a layout overwritten by a build thunk is re-listed, never stale)
     val synthBenches: Seq[(String, () => Unit)] = Seq(
       "synth_bulk_load" -> (() =>
-        synthVectors(spark, n, dim).write.mode("overwrite").parquet(synthDir)),
+        synthVectors(spark, n, dim).write.mode("overwrite").parquet(bulkDir)),
       "synth_knn_batch100" -> (() =>
         noop(Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10))),
       "synth_knn_batch100_fast" -> (() => KernelMode.withFast(true) {

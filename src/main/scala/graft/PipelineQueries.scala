@@ -16,6 +16,20 @@ object PipelineQueries {
 
   private def r6(c: Column): Column = round(c, 6)
 
+  /** Scratch dir for the eager dedup pipelines, unique per Spark
+    * application AND per input dataset: two concurrent sessions (separate
+    * JVMs → distinct applicationIds) or two scale factors in one session
+    * can no longer overwrite each other's materialized pairs mid-read.
+    * Within one application the path is stable, so repeated runs (bench
+    * warm-up + measured iterations) reuse the same dirs in overwrite mode.
+    */
+  private def scratch(s: SparkSession, dir: String, name: String): String = {
+    val dsetTag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/" +
+      s"q_${name}_$dsetTag"
+  }
+
   // ------------------------------------------------------- text analysis
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */
@@ -109,7 +123,7 @@ object PipelineQueries {
     */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsTo(t(s, dir, "documents"), "doc_id", "text",
-        s"${sys.props("java.io.tmpdir")}/graft_q_jaccard", 3, 0.8)
+        scratch(s, dir, "jaccard"), 3, 0.8)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy(col("id_a").asc, col("id_b").asc)
 
@@ -118,7 +132,7 @@ object PipelineQueries {
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshTo(t(s, dir, "documents"), "doc_id", "text",
-        s"${sys.props("java.io.tmpdir")}/graft_q_minhash",
+        scratch(s, dir, "minhash"),
         n = 3, numHashes = 32, rowsPerBand = 4, minJaccard = 0.8)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy(col("id_a").asc, col("id_b").asc)
@@ -129,7 +143,7 @@ object PipelineQueries {
     */
   def dedupClustersQ(s: SparkSession, dir: String): DataFrame =
     Components.dedupClusters(t(s, dir, "documents"), "doc_id", "text",
-        workDir = Some(s"${sys.props("java.io.tmpdir")}/graft_q_clusters"))
+        workDir = Some(scratch(s, dir, "clusters")))
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id").asc)
 
@@ -163,7 +177,7 @@ object PipelineQueries {
         }).as("embedding"))
     val corpus = emb.unionByName(pert)
     Dedup.srpNearDupsTo(corpus, "vec_id", "embedding", dim = 64,
-        threshold = 0.9, out = s"${sys.props("java.io.tmpdir")}/graft_q_srp")
+        threshold = 0.9, out = scratch(s, dir, "srp"))
       .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
@@ -176,7 +190,7 @@ object PipelineQueries {
     */
   def dedupRetain(s: SparkSession, dir: String): DataFrame =
     Components.keepCanonical(t(s, dir, "documents"), "doc_id", "text",
-        workDir = Some(s"${sys.props("java.io.tmpdir")}/graft_q_retain"))
+        workDir = Some(scratch(s, dir, "retain")))
       .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
       .orderBy(col("doc_id").asc)
 

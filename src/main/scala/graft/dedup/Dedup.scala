@@ -42,13 +42,25 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
+  /** Spread a narrow source across the cluster when its scan has fewer
+    * partitions than cores: a small corpus arrives as ONE parquet split,
+    * and everything downstream of a per-doc explode (shingling, hashing,
+    * token analysis) then runs in one task. The repartition shuffles only
+    * the raw doc rows — cheap at the scales where it fires, and a no-op at
+    * 100 TB where file splits already exceed defaultParallelism.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Distinct word n-gram shingles: (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = TextAnalysis.wsTokens(col(textCol))
     val sh = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    df.where(size(toks) >= n)
+    spread(df.where(size(toks) >= n))
       .select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
   }
 
@@ -99,6 +111,26 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
 
+  /** Candidate-restricted verification: collect per-doc h60 sets ONLY for
+    * ids that appear in a candidate pair (a left-semi join gates the
+    * shingle stream BEFORE `collect_set`), then verify exactly. Candidate
+    * populations are a vanishing fraction of the corpus (bucket/prefix
+    * collisions), so the wide per-doc set arrays — hundreds of longs each —
+    * are built, shuffled and joined for a few ids instead of every
+    * document. (Collecting sets for ALL docs and carrying them through
+    * both verify joins was measured 3-4× slower at every scale: the
+    * round-4 `dedup_minhash_lsh` regression.)
+    */
+  private def verifyCandidates(cands: DataFrame, hashed: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val candIds = cands.select(col("id_a").as("id"))
+      .unionByName(cands.select(col("id_b").as("id")))
+      .distinct()
+    val sets = hashed.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_set(col("h60")).as("hset"))
+    verifyPairs(cands, sets, minJaccard)
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8): DataFrame =
     jaccardPairsFrom(hashedShingles(df, idCol, textCol, n), minJaccard)
@@ -147,8 +179,7 @@ object Dedup {
         col("a.h60") === col("b.h60") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = hashed.groupBy("id").agg(collect_set(col("h60")).as("hset"))
-    verifyPairs(cands, sets, minJaccard)
+    verifyCandidates(cands, hashed, minJaccard)
   }
 
   // -------------------------------------------------------- minhash + LSH
@@ -192,18 +223,18 @@ object Dedup {
         min(seededHash31(col("h31"), s)).as(s"mh_$s")): _*)
   }
 
-  /** [[minhashSignatures]] over a hashed shingle stream (id, h60), also
-    * carrying the per-doc hashed shingle SET (`hset`) for exact
-    * verification — the single aggregation that every downstream stage of
-    * [[minhashLsh]] reads from. h31 = h60 mod M is value-identical to the
+  /** [[minhashSignatures]] over a hashed shingle stream (id, h60): a
+    * NARROW aggregate — numHashes long columns per doc, no per-doc set
+    * payload (verification sets are built later for candidate ids only,
+    * [[verifyCandidates]]). h31 = h60 mod M is value-identical to the
     * classic md5-derived form.
     */
-  def minhashSignaturesWithSets(hashed: DataFrame, numHashes: Int): DataFrame = {
+  def minhashSignaturesHashed(hashed: DataFrame, numHashes: Int): DataFrame = {
     val base = hashed.withColumn("h31", pmod(col("h60"), lit(MinhashMod)))
-    val aggs = collect_set(col("h60")).as("hset") +:
-      (0 until numHashes).map(s =>
-        min(seededHash31(col("h31"), s)).as(s"mh_$s"))
-    base.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    base.groupBy("id").agg(
+      min(seededHash31(col("h31"), 0)).as("mh_0"),
+      (1 until numHashes).map(s =>
+        min(seededHash31(col("h31"), s)).as(s"mh_$s")): _*)
   }
 
   /** LSH band keys from the wide signature frame: (id, band, band_key),
@@ -247,36 +278,43 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8): DataFrame =
-    minhashLshFrom(
-      minhashSignaturesWithSets(hashedShingles(df, idCol, textCol, n),
-        numHashes),
-      rowsPerBand, minJaccard)
+    minhashLshFrom(hashedShingles(df, idCol, textCol, n),
+      numHashes, rowsPerBand, minJaccard)
 
-  /** Eager scale form of [[minhashLsh]]: ONE pass computes the per-doc
-    * signatures + hashed shingle sets, persisted for the pipeline's
-    * duration; verified pairs are written to `out`; the cache is released
-    * in a finally; the written table is returned. This is the shape a
-    * 100 TB dedup run wants anyway — near-dup pairs are materialized, not
-    * held in a lazy plan.
+  /** Eager scale form of [[minhashLsh]]: the narrow (id, h60) hashed
+    * shingle stream — which feeds the signature aggregate AND the
+    * candidate-only verification sets — is persisted for the pipeline's
+    * duration, as are the (tiny) candidate pairs; verified pairs are
+    * written to `out`; the caches are released in a finally; the written
+    * table is returned. This is the shape a 100 TB dedup run wants anyway
+    * — near-dup pairs are materialized, not held in a lazy plan.
     */
   def minhashLshTo(df: DataFrame, idCol: String, textCol: String,
       out: String, n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
     val spark = df.sparkSession
-    val sigs = minhashSignaturesWithSets(
-        hashedShingles(df, idCol, textCol, n), numHashes)
+    val hashed = hashedShingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      minhashLshFrom(sigs, rowsPerBand, minJaccard)
-        .write.mode("overwrite").parquet(out)
+      // candidates are consumed twice by verifyCandidates (the id gate and
+      // the pair join) — persist the tiny pair set so the band self-join
+      // runs once
+      val cands = lshCandidates(
+          lshBands(minhashSignaturesHashed(hashed, numHashes), rowsPerBand))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        verifyCandidates(cands, hashed, minJaccard)
+          .write.mode("overwrite").parquet(out)
+      } finally { cands.unpersist(false); () }
       spark.read.parquet(out)
-    } finally { sigs.unpersist(false); () }
+    } finally { hashed.unpersist(false); () }
   }
 
-  private def minhashLshFrom(sigs: DataFrame, rowsPerBand: Int,
-      minJaccard: Double): DataFrame = {
-    val cands = lshCandidates(lshBands(sigs, rowsPerBand))
-    verifyPairs(cands, sigs.select("id", "hset"), minJaccard)
+  private def minhashLshFrom(hashed: DataFrame, numHashes: Int,
+      rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val cands = lshCandidates(
+      lshBands(minhashSignaturesHashed(hashed, numHashes), rowsPerBand))
+    verifyCandidates(cands, hashed, minJaccard)
   }
 
   // -------------------------------------------------------------- simhash
@@ -303,7 +341,7 @@ object Dedup {
     */
   def simhashBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.vec_sum_long
-    val toks = df
+    val toks = spread(df)
       .select(col(idCol).as("id"),
         explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
       .withColumn("h", portableHash(lit(0), col("term")))
@@ -321,7 +359,7 @@ object Dedup {
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.vec_sum_long
-    val toks = df
+    val toks = spread(df)
       .select(col(idCol).as("id"),
         explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
       .withColumn("h", xxhash64(col("term")))
@@ -430,7 +468,8 @@ object Dedup {
   def srpNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nbits: Int = 16, bands: Int = 32,
       seed: Long = 42L): DataFrame =
-    srpNearDupsFrom(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+    srpNearDupsFrom(
+      spread(df.select(col(idCol).as("id"), col(vecCol).as("v"))),
       dim, threshold, nbits, bands, seed)
 
   /** Eager scale form of [[srpNearDups]]: the (id, vector) projection is
@@ -443,7 +482,7 @@ object Dedup {
       threshold: Double, out: String, nbits: Int = 16, bands: Int = 32,
       seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecs = spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       srpNearDupsFrom(vecs, dim, threshold, nbits, bands, seed)
