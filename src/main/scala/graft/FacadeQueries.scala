@@ -136,13 +136,52 @@ object FacadeQueries {
       .select(col("id"), round(col("score"), 6).as("score"))
   }
 
+  /** Facade THRESHOLD search THROUGH the built index (vecgo routes
+    * threshold queries through the pruned searcher, `engine.go:1485-1532`):
+    * the planner distance-prunes segments by centroid/radius, and the
+    * indexed segment gates rows on the SQ8 approximate score within the
+    * decode-error margin before the exact phase — recall-proof, so it
+    * hash-checks against the same brute-force oracle as the operator-level
+    * `search_threshold` (threshold 1.2 euclidean ≡ 1.44 in the engine's
+    * squared-L2 score units). Pruning behavior is gated in
+    * `IndexedEngineSpec`.
+    */
+  def thresholdIndexed(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_thr_idx")
+    db.buildIndex(nlist = 8)
+    db.searchThreshold(qvec(s, dir, 4), threshold = 1.2 * 1.2,
+        maxResults = 100)
+      .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
+  }
+
+  /** Facade FILTERED hybrid search on an INDEXED store (vecgo
+    * `HybridSearch` + `WithFilter`, `engine.go:1538-1545`): `label >= 2`
+    * estimates well above the pre-filter cutoff, so the vector pool routes
+    * through the probe-pruned quantized index plan (all lists probed + a
+    * corpus-covering refine pool → exact); the lexical pool left-semi
+    * joins postings against the filter survivors before scoring. Route
+    * choice and probe pruning are gated in `IndexedEngineSpec`.
+    */
+  def hybridFiltered(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_hybrid_f")
+    db.buildIndex(nlist = 8)
+    val rows = db.stats()("segment_rows").asInstanceOf[Long]
+    val refine = math.max(1, math.ceil(rows.toDouble / 50.0).toInt)
+    db.hybridSearch(qvec(s, dir, 5), "spark vector merge", 10,
+        filter = graft.types.FilterSet.of(graft.types.Filter.Gte("label", 2)),
+        nprobe = 8, refineFactor = refine)
+      .select(col("id"), round(col("score"), 6).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
     "graftdb_knn_prefilter" -> (knnPrefilter _),
     "graftdb_batch_indexed" -> (batchIndexed _),
     "graftdb_hamming" -> (hamming _),
-    "graftdb_hybrid" -> (hybrid _)
+    "graftdb_hybrid" -> (hybrid _),
+    "graftdb_threshold_indexed" -> (thresholdIndexed _),
+    "graftdb_hybrid_filtered" -> (hybridFiltered _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -162,6 +201,52 @@ object FacadeQueries {
     // the joined ids
     "graftdb_hybrid" -> Queries.oracle("hybrid_rrf").replace(
       "FROM documents)",
-      "FROM documents JOIN embeddings ON vec_id = doc_id)")
+      "FROM documents JOIN embeddings ON vec_id = doc_id)"),
+    "graftdb_threshold_indexed" -> Queries.oracle("search_threshold"),
+    // filtered hybrid: BM25 corpus statistics (idf / avgdl / N) come from
+    // the FULL joined corpus — the filter restricts which docs may claim a
+    // pool slot, not the index the pools are scored against
+    "graftdb_hybrid_filtered" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, label, text
+        |  FROM documents JOIN embeddings ON vec_id = doc_id),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    x -> len(x) > 0)) AS term
+        |  FROM corpus),
+        |post AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n, avg(dlen) AS avgdl FROM dl),
+        |qt AS (SELECT unnest(ARRAY['spark', 'vector', 'merge']) AS term),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+        |bscore AS (
+        |  SELECT p.doc_id AS id,
+        |         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |              (p.tf * (1.2::DOUBLE + 1)) /
+        |              (p.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * l.dlen / s.avgdl)) ) AS score
+        |  FROM post p
+        |  JOIN qt USING (term)
+        |  JOIN dfreq d USING (term)
+        |  JOIN dl l ON l.doc_id = p.doc_id, stats s
+        |  GROUP BY p.doc_id),
+        |brank AS (
+        |  SELECT b.id, row_number() OVER (ORDER BY round(b.score, 6) DESC, b.id ASC) AS lrank
+        |  FROM bscore b JOIN corpus c ON c.doc_id = b.id
+        |  WHERE c.label >= 2 QUALIFY lrank <= 50),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+        |vscore AS (
+        |  SELECT e.vec_id AS id,
+        |         list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |  FROM embeddings e, q WHERE e.label >= 2),
+        |vrank AS (
+        |  SELECT id, row_number() OVER (ORDER BY round(score, 6) ASC, id ASC) AS vrank
+        |  FROM vscore QUALIFY vrank <= 50),
+        |fused AS (
+        |  SELECT coalesce(v.id, b.id) AS id,
+        |         coalesce(1.0::DOUBLE / (60 + v.vrank), 0.0) +
+        |         coalesce(1.0::DOUBLE / (60 + b.lrank), 0.0) AS score
+        |  FROM vrank v FULL OUTER JOIN brank b ON v.id = b.id)
+        |SELECT id, round(score, 6) AS score
+        |FROM fused ORDER BY score DESC, id ASC LIMIT 10""".stripMargin
   )
 }

@@ -388,7 +388,8 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       nprobe: Int = 0,
       refineFactor: Int = 0,
       selectivityCutoff: Double = 0.0,
-      preFilter: Option[Boolean] = None): PlannedSearch = {
+      preFilter: Option[Boolean] = None,
+      orderKey: Column => Column = identity): PlannedSearch = {
     require(metric != Metric.Hamming,
       "hamming stores serve packed codes — use searchCodes(Array[Long], k)")
     require(query.length == config.dim, s"query dim ${query.length} != ${config.dim}")
@@ -413,13 +414,14 @@ final class GraftDB private (val spark: SparkSession, val root: String,
         val (src, scanned, pruned) = store.prunedRead(filter.filters, effectiveVersion)
         PlannedSearch(
           Search.knn(src, "vector", "id", lit(q), k, metric,
-            lit(true), projectCols),
+            lit(true), projectCols, orderKey),
           s"prefilter_exact(${scanned.size} of " +
             s"${scanned.size + pruned.size} segments)",
           scanned.size, pruned.size)
       } else {
         val nIdx = mf.segments.count(_.index.isDefined)
-        val df = indexedSearch(mf, q, k, filter, nprobe, refineFactor, projectCols)
+        val df = indexedSearch(mf, q, k, filter, nprobe, refineFactor,
+          projectCols, orderKey)
         PlannedSearch(df,
           s"indexed(segments=$nIdx, tail=${mf.segments.size - nIdx})",
           mf.segments.size, 0)
@@ -427,7 +429,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     } else if (filter.filters.isEmpty) {
       PlannedSearch(
         Search.knn(read(), "vector", "id", lit(q), k, metric,
-          lit(true), projectCols),
+          lit(true), projectCols, orderKey),
         "brute_force", m.map(_.segments.size).getOrElse(0), 0)
     } else {
       // filtered searches route through manifest-stats pruning: whole
@@ -435,7 +437,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       val (src, scanned, pruned) = store.prunedRead(filter.filters, effectiveVersion)
       PlannedSearch(
         Search.knn(src, "vector", "id", lit(q), k, metric,
-          lit(true), projectCols),
+          lit(true), projectCols, orderKey),
         s"pruned_brute_force(${scanned.size} of ${scanned.size + pruned.size} segments)",
         scanned.size, pruned.size)
     }
@@ -491,7 +493,8 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     */
   private def indexedSearch(m: graft.store.SnapshotStore.Manifest,
       q: Array[Float], k: Int, filter: FilterSet,
-      nprobe0: Int, refine0: Int, projectCols: Seq[String]): DataFrame = {
+      nprobe0: Int, refine0: Int, projectCols: Seq[String],
+      orderKey: Column => Column = identity): DataFrame = {
     import graft.index.SegmentIndex
     val refine = if (refine0 > 0) refine0 else 4
     val (idxSegs, plainSegs) = m.segments.partition(_.index.isDefined)
@@ -519,7 +522,8 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     val plains = keptPlain.map(s =>
       store.visibleSegment(s, m).where(filter.toColumn).select(poolCols: _*))
     val all = (pools ++ plains).reduce(_ unionByName _)
-    Search.knn(all, "vector", "id", lit(q), k, metric, lit(true), projectCols)
+    Search.knn(all, "vector", "id", lit(q), k, metric, lit(true), projectCols,
+      orderKey)
   }
 
   /** Query stats (vecgo R15 `QueryStats`, `model/types.go:137-249`):
@@ -579,13 +583,107 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     search(query, k, filter).toLocalIterator().asScala
   }
 
-  /** Range query (vecgo R5). */
+  /** Range query (vecgo R5 `SearchThreshold`, routed like [[search]] —
+    * vecgo sends threshold queries through the same pruned searcher,
+    * `engine.go:1485-1532`):
+    *
+    *  - whole segments whose centroid/radius ball provably cannot reach
+    *    the threshold are skipped before any file is listed
+    *    ([[graft.stats.SegmentStats.canPruneByScore]], the metric-complete
+    *    form of vecgo `CanPruneByDistance`, `manifest/stats.go:626-641`);
+    *  - metadata-stats pruning applies to filtered calls like [[scan]];
+    *  - surviving segments are visited best-possible-score first
+    *    ([[graft.stats.SegmentStats.segmentPriorityByScore]], vecgo
+    *    `SegmentPriority`, `manifest/stats.go:643-676`);
+    *  - INDEXED segments gate rows on the SQ8 approximate score within a
+    *    sound decode-error margin before the exact phase, so the exact
+    *    kernel touches only near-threshold rows while results stay exact
+    *    (the margin can only admit extra candidates, never drop one).
+    */
   def searchThreshold(query: Array[Float], threshold: Double,
-      maxResults: Int, filter: FilterSet = FilterSet.empty): DataFrame = {
+      maxResults: Int, filter: FilterSet = FilterSet.empty): DataFrame =
+    planThreshold(query, threshold, maxResults, filter).df
+
+  private def planThreshold(query: Array[Float], threshold: Double,
+      maxResults: Int, filter: FilterSet): PlannedSearch = {
     require(metric != Metric.Hamming,
       "hamming stores serve packed codes — use searchThresholdCodes")
-    Search.searchThreshold(read(), "vector", "id", lit(query), threshold,
-      maxResults, metric, filter.toColumn)
+    require(query.length == config.dim, s"query dim ${query.length} != ${config.dim}")
+    require(query.forall(f => !f.isNaN && !f.isInfinite), "query has NaN/Inf")
+    val q = if (metric == Metric.Cosine) normalized(query) else query
+    import graft.stats.SegmentStats
+    val m = store.manifest(effectiveVersion).getOrElse(
+      throw new IllegalStateException(s"no readable version at $root"))
+    val (distPruned, rest) = m.segments.partition(s =>
+      s.stats.flatMap(_.vec).exists(vs =>
+        SegmentStats.canPruneByScore(vs, q, threshold, metric)))
+    val (statsPruned, kept0) = rest.partition(s =>
+      filter.filters.nonEmpty && s.stats.exists(st =>
+        SegmentStats.canPruneAll(st, filter.filters)))
+    val prunedCount = distPruned.size + statsPruned.size
+    if (kept0.isEmpty) {
+      import spark.implicits._
+      return PlannedSearch(
+        spark.emptyDataset[(Long, Double)].toDF("id", "score"),
+        s"threshold_all_pruned(distance=${distPruned.size}, " +
+          s"stats=${statsPruned.size})", 0, prunedCount)
+    }
+    val visit = SegmentStats.segmentPriorityByScore(
+      kept0.map(s => s.seq -> s.stats.flatMap(_.vec)), q, metric)
+    val kept = visit.flatMap(seq => kept0.find(_.seq == seq))
+    var gated = 0
+    val frames = kept.map { s =>
+      val base = store.visibleSegment(s, m).where(filter.toColumn)
+      val pre = s.index match {
+        case Some(ref) =>
+          // recall-proof SQ8 pre-filter: |x̃ − x| ≤ eps bounds how far the
+          // approximate score can sit from the exact one under each metric
+          // (L2: euclid ±eps; Dot: ±eps·|q|; Cosine on unit vectors: ±2eps)
+          gated += 1
+          val sq8 = graft.index.SegmentIndex.sq8Model(indexMeta(ref))
+          val eps = sq8.maxDecodeError
+          val approx = metric.score(
+            sq8.decodeCol(col(graft.index.SegmentIndex.CodeCol)), lit(q))
+          val gate = metric match {
+            case Metric.L2 =>
+              val bound = math.sqrt(math.max(0.0, threshold)) + eps
+              approx <= lit(bound * bound)
+            case Metric.Dot =>
+              approx >= lit(threshold - eps * math.sqrt(
+                q.foldLeft(0.0)((acc, x) => acc + x.toDouble * x)))
+            case Metric.Cosine => approx >= lit(threshold - 2 * eps)
+            case Metric.Hamming => lit(true) // unreachable (guarded above)
+          }
+          base.where(gate)
+        case None => base
+      }
+      pre.withColumn("score", metric.score(col("vector"), lit(q)))
+        .select(col("id"), col("score"))
+    }
+    val scored = frames.reduce(_ unionByName _)
+    val exact =
+      if (metric.ascending) scored.where(col("score") <= threshold)
+      else scored.where(col("score") >= threshold)
+    PlannedSearch(
+      exact.orderBy(metric.sort(col("score")), col("id").asc)
+        .limit(maxResults),
+      s"threshold(segments=${kept.size}, sq8_gated=$gated, " +
+        s"pruned_distance=${distPruned.size}, pruned_stats=${statsPruned.size}, " +
+        s"visit=${visit.mkString("[", ",", "]")})",
+      kept.size, prunedCount)
+  }
+
+  /** Threshold-search explain: the planner's distance/stats pruning and
+    * visit order above Catalyst's formatted physical plan.
+    */
+  def explainThreshold(query: Array[Float], threshold: Double,
+      maxResults: Int, filter: FilterSet = FilterSet.empty): String = {
+    val p = planThreshold(query, threshold, maxResults, filter)
+    s"""GraftDB threshold plan (version ${store.currentVersion})
+       |  strategy: ${p.strategy}
+       |  segments scanned: ${p.segmentsScanned}, pruned: ${p.segmentsPruned}
+       |${p.df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))}""".stripMargin
   }
 
   /** Range query over packed codes: all ids within `threshold` bits. */
@@ -695,28 +793,42 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       .select(col("query_id"), col("id"), restore.as("score"), col("rank"))
   }
 
-  /** Hybrid RRF search (vecgo R9): vector + BM25 pools of max(2k,50). */
+  /** Hybrid RRF search (vecgo R9 `HybridSearch` with options,
+    * `engine.go:1538-1545` incl. `WithFilter`): vector + BM25 pools of
+    * max(2k,50), fused by reciprocal-rank.
+    *
+    * The vector pool routes through [[planSearch]] — the SAME planner as
+    * [[search]] — so an indexed store serves its hybrid pool via
+    * probe-pruned quantized two-phase rerank (or the adaptive exact
+    * pre-filter route under a selective `filter`) instead of brute-forcing
+    * the snapshot. Pool membership and ranks use the rounded-to-6 score
+    * key (L2 reported as euclidean, not squared): boundary ties resolve by
+    * id on every engine, so the pool is reproducible cross-engine.
+    *
+    * `filter` restricts BOTH pools: the vector side pre-filters inside the
+    * planner; the lexical side left-semi joins postings against the filter
+    * survivors before scoring, so no excluded doc can claim a pool slot.
+    */
   def hybridSearch(query: Array[Float], textQuery: String, k: Int,
-      rrfK: Int = RRF.DefaultRrfK): DataFrame = {
-    val textCol = config.textCol.getOrElse(
+      rrfK: Int = RRF.DefaultRrfK,
+      filter: FilterSet = FilterSet.empty,
+      nprobe: Int = 0, refineFactor: Int = 0): DataFrame = {
+    config.textCol.getOrElse(
       throw new IllegalStateException("no textCol configured for hybrid search"))
-    // no .cache(): the snapshot is consumed once here (the lexical pool
-    // reads the persisted index, not the snapshot), and a library-held
-    // cache on a lazily-returned frame has no owner to unpersist it
-    val snap = read()
     val m = RRF.poolSize(k)
-    // pool membership and ranks both use the rounded-to-6 score key (L2
-    // reported as euclidean, not squared): boundary ties then resolve by
-    // id on every engine, so the pool is reproducible cross-engine
-    val score0 = metric.score(col("vector"), lit(query))
-    val score = if (metric == Metric.L2) sqrt(score0) else score0
-    val vpool = snap
-      .withColumn("score", score)
-      .orderBy(metric.sort(round(col("score"), 6)), col("id").asc)
-      .limit(m)
+    val orderKey: Column => Column =
+      if (metric == Metric.L2) c => round(sqrt(c), 6) else c => round(c, 6)
+    val planned = planSearch(query, m, filter, Nil, nprobe, refineFactor,
+      orderKey = orderKey)
+    val vpool = planned.df.withColumn("score",
+      if (metric == Metric.L2) sqrt(col("score")) else col("score"))
     val vranks = RRF.ranked(vpool, "id", "score", ascending = metric.ascending)
     val idx = lexicalIndex()
-    val bpool = BM25.search(idx, textQuery, m).select(col("id"), col("score"))
+    val allowed =
+      if (filter.filters.isEmpty) None
+      else Some(read().where(filter.toColumn).select("id"))
+    val bpool = BM25.search(idx, textQuery, m, allowed)
+      .select(col("id"), col("score"))
     val branks = RRF.ranked(bpool, "id", "score", ascending = false)
     RRF.fuse(vranks, branks, k, rrfK)
   }

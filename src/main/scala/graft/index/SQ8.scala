@@ -39,6 +39,20 @@ object SQ8 {
         val sp = element_at(lit(maxs.indices.map(span).toArray), i + 1)
         (mn + c.cast("double") / lit(levels.toDouble) * sp).cast("float")
       })
+
+    /** Sound L2 bound on the reconstruction error |x̃ − x| for any vector
+      * inside the trained [min,max] box: each dim rounds to a grid of
+      * `levels` steps, so the per-dim error is ≤ span/(2·levels) and the
+      * vector error is the root-sum-square. A small absolute slack absorbs
+      * the float cast of the decode. Used by threshold search to size a
+      * recall-proof approximate pre-filter margin.
+      */
+    def maxDecodeError: Double = {
+      val ss = mins.indices.foldLeft(0.0) { (acc, i) =>
+        val e = span(i) / (2.0 * levels); acc + e * e
+      }
+      math.sqrt(ss) + 1e-6
+    }
   }
 
   /** Train per-dimension min/max in one distributed pass (posexplode +

@@ -76,13 +76,20 @@ object BM25 {
   /** Top-k BM25 search. The query-term frame is broadcast into the
     * postings join; scoring aggregates per doc id (partial aggregation
     * does the per-partition heavy lifting).
+    *
+    * `allowedIds` (one id column) restricts scoring to those documents via
+    * a left-semi join BEFORE aggregation — the lexical half of a filtered
+    * hybrid search. Postings for other docs are dropped at the join, so
+    * the filter narrows work instead of adding a post-pass.
     */
-  def search(index: Index, query: String, k: Int): DataFrame = {
+  def search(index: Index, query: String, k: Int,
+      allowedIds: Option[DataFrame] = None): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
     val qterms = tokenizeQuery(query).toDF("term")
-    index.postings
-      .join(broadcast(qterms), "term")
+    val hits = index.postings.join(broadcast(qterms), "term")
+    allowedIds.fold(hits)(ids => hits.join(
+        ids.select(col(ids.columns.head).as("id")), Seq("id"), "left_semi"))
       .join(broadcast(index.termDf.join(broadcast(qterms), "term")), "term")
       .join(index.docLen, "id")
       .groupBy(col("id"))

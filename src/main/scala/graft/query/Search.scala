@@ -37,6 +37,11 @@ object Search {
     * @param k       number of results
     * @param metric  distance metric (score direction handled internally)
     * @param filter  metadata pre-filter (vecgo R3)
+    * @param orderKey optional monotone transform of the score used ONLY as
+    *                the ordering key (ties still break by id): callers that
+    *                need cross-engine-reproducible boundary membership pass
+    *                a rounded key (e.g. hybrid pools rank over scores
+    *                rounded to 6 decimals)
     */
   def knn(
       df: DataFrame,
@@ -46,13 +51,14 @@ object Search {
       k: Int,
       metric: Metric = Metric.L2,
       filter: Column = lit(true),
-      projectCols: Seq[String] = Nil): DataFrame = {
+      projectCols: Seq[String] = Nil,
+      orderKey: Column => Column = identity): DataFrame = {
     val scored = df
       .where(filter)
       .withColumn("score", metric.score(col(vecCol), query))
     val out = (idCol +: projectCols) :+ "score"
     scored
-      .orderBy(metric.sort(col("score")), col(idCol).asc)
+      .orderBy(metric.sort(orderKey(col("score"))), col(idCol).asc)
       .limit(k)
       .select(out.map(col): _*)
   }

@@ -293,27 +293,91 @@ object SegmentStats {
     * threshold, skip the segment.
     */
   def canPruneByDistance(vs: VecStats, query: Array[Float],
-      threshold: Double): Boolean = {
+      threshold: Double): Boolean =
+    centroidL2(vs, query) - vs.radiusMax > threshold
+
+  private def centroidL2(vs: VecStats, query: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     while (i < vs.centroid.length) {
-      val d = query(i).toDouble - vs.centroid(i)
-      s += d * d
-      i += 1
+      val d = query(i).toDouble - vs.centroid(i); s += d * d; i += 1
     }
-    math.sqrt(s) - vs.radiusMax > threshold
+    math.sqrt(s)
   }
+
+  private def centroidDot(vs: VecStats, query: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < vs.centroid.length) { s += query(i).toDouble * vs.centroid(i); i += 1 }
+    s
+  }
+
+  private def norm(query: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < query.length) { s += query(i).toDouble * query(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** The BEST score any vector inside the segment's (centroid, radiusMax)
+    * ball could achieve against `query`, in the engine's native score
+    * units — the metric-complete form of vecgo's `SegmentPriority` /
+    * `CanPruneByDistance` (`internal/manifest/stats.go:626-676`):
+    *
+    *  - L2: min possible SQUARED distance, (max(0, |q−c| − r))² —
+    *    triangle inequality.
+    *  - Dot: max possible inner product, ⟨q,c⟩ + r·|q| — Cauchy-Schwarz
+    *    over the ball.
+    *  - Cosine: max possible cosine. The engine L2-normalizes stored
+    *    vectors at write time under Cosine, so every x in the segment is
+    *    on the unit sphere within r of c: cos(q,x) = ⟨q̂,x⟩ ≤
+    *    (⟨q,c⟩ + r·|q|)/|q|, clamped to 1.
+    */
+  def bestScore(vs: VecStats, query: Array[Float],
+      metric: graft.types.Metric): Double = metric match {
+    case graft.types.Metric.L2 =>
+      val d = math.max(0.0, centroidL2(vs, query) - vs.radiusMax)
+      d * d
+    case graft.types.Metric.Dot =>
+      centroidDot(vs, query) + vs.radiusMax * norm(query)
+    case graft.types.Metric.Cosine =>
+      val qn = norm(query)
+      if (qn == 0.0) 1.0
+      else math.min(1.0, (centroidDot(vs, query) + vs.radiusMax * qn) / qn)
+    case graft.types.Metric.Hamming =>
+      throw new IllegalArgumentException(
+        "hamming stores carry packed codes — no float centroid stats")
+  }
+
+  /** Can the whole segment be skipped for a threshold (range) search in
+    * native score units? Prune when even the segment's best possible score
+    * fails the threshold — sound under all three float metrics, so pruning
+    * can never drop a qualifying row.
+    */
+  def canPruneByScore(vs: VecStats, query: Array[Float], threshold: Double,
+      metric: graft.types.Metric): Boolean =
+    if (metric.ascending) bestScore(vs, query, metric) > threshold
+    else bestScore(vs, query, metric) < threshold
 
   /** Segment visit priority for unfiltered k-NN: ascending centroid
     * distance (vecgo `SegmentPriority`, `manifest/stats.go:643-676`).
     */
   def segmentPriority(segs: Seq[(Long, VecStats)], query: Array[Float]): Seq[Long] =
     segs.sortBy { case (seq, vs) =>
-      var s = 0.0
-      var i = 0
-      while (i < vs.centroid.length) {
-        val d = query(i).toDouble - vs.centroid(i); s += d * d; i += 1
-      }
-      (s, seq)
+      val d = centroidL2(vs, query)
+      (d * d, seq)
+    }.map(_._1)
+
+  /** Metric-aware segment visit order: best possible score first (vecgo
+    * `SegmentPriority` covers Dot/Cosine via per-metric bounds,
+    * `manifest/stats.go:643-676`). Stats-less segments sort last in seq
+    * order.
+    */
+  def segmentPriorityByScore(segs: Seq[(Long, Option[VecStats])],
+      query: Array[Float], metric: graft.types.Metric): Seq[Long] =
+    segs.sortBy { case (seq, vs) =>
+      val best = vs.map(bestScore(_, query, metric))
+        .getOrElse(if (metric.ascending) Double.MaxValue else Double.MinValue)
+      (if (metric.ascending) best else -best, seq)
     }.map(_._1)
 }

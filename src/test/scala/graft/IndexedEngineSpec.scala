@@ -182,6 +182,60 @@ class IndexedEngineSpec extends AnyFunSuite {
     assert(forced.strategy.startsWith("prefilter_exact"))
   }
 
+  test("threshold search: distance pruning, priority order, and the SQ8 gate stay exact") {
+    val db = freshDb()
+    val rows = clustered(400)
+    // one segment per cluster → disjoint centroid balls the planner can prune
+    (0 until NClusters).foreach { c =>
+      db.insertBatch(rows.filter(_._3 == c).toDF("id", "vector", "label", "body"))
+    }
+    val q = rows(0)._2 // cluster-0 point; other clusters sit ~20 L2 away
+    def want(t: Double): Set[Long] = db.read()
+      .withColumn("s", graft.functions.vec_l2sq(col("vector"), lit(q)))
+      .where(col("s") <= t).select("id").as[Long].collect().toSet
+    val ex = db.explainThreshold(q, 4.0, 500)
+    assert(ex.contains("pruned_distance=3"), s"expected 3 segments distance-pruned:\n$ex")
+    val got = db.searchThreshold(q, 4.0, 500).select("id").as[Long].collect().toSet
+    assert(got == want(4.0) && got.nonEmpty)
+    // metadata filter composes with distance pruning
+    val filtered = db.searchThreshold(q, 4.0, 500,
+      FilterSet.of(Filter.Eq("label", 0))).select("id").as[Long].collect().toSet
+    assert(filtered == got.filter(_ % NClusters == 0))
+    // indexed store: the SQ8 approximate gate must not drop a single row
+    db.buildIndex(nlist = NClusters)
+    val got2 = db.searchThreshold(q, 4.0, 500).select("id").as[Long].collect().toSet
+    assert(got2 == want(4.0), "SQ8-gated threshold search diverged from exact")
+    val ex2 = db.explainThreshold(q, 4.0, 500)
+    assert(ex2.contains("sq8_gated=1"), ex2)
+    // a threshold no segment can reach returns empty via all-pruned fast path
+    assert(db.searchThreshold(q, 0.000001, 10).count() <= 1)
+  }
+
+  test("filtered hybrid search: vector pool routes through the probe-pruned index") {
+    val root = Files.createTempDirectory("graft-idx-hyb").toString
+    val db = GraftDB.open(spark, root, dim = Dim, metric = "l2",
+      schema = Map("label" -> "int"), textCol = Some("body"))
+    val rows = clustered(400)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters)
+    val q = rows(5)._2
+    val fused = db.hybridSearch(q, "doc 5", 10,
+      filter = FilterSet.of(Filter.Gte("label", 1)),
+      nprobe = 1, refineFactor = 10)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_ivf_part"),
+      s"hybrid vector pool must probe-prune the index:\n$plan")
+    val ids = fused.select("id").as[Long].collect()
+    assert(ids.nonEmpty && ids.forall(_ % NClusters >= 1),
+      "filtered hybrid returned a row failing the filter")
+    // unfiltered hybrid on the indexed store also rides the index
+    val plain = db.hybridSearch(q, "doc 5", 10)
+    val plan2 = plain.queryExecution.executedPlan.toString
+    assert(plan2.contains("_ivf_part"),
+      s"unfiltered hybrid pool must still ride the index:\n$plan2")
+    assert(plain.count() == 10)
+  }
+
   test("cosine metric routes through the index too") {
     val db = freshDb(metric = "cosine")
     val rows = clustered(200)

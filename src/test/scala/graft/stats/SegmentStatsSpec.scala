@@ -143,4 +143,76 @@ class SegmentStatsSpec extends AnyFunSuite {
     val order = SegmentStats.segmentPriority(Seq((1L, vs), (2L, near)), far)
     assert(order == Seq(2L, 1L))
   }
+
+  test("metric-aware best score: per-metric bounds, pruning, and priority") {
+    import graft.types.Metric
+    val vs = SegmentStats.VecStats(List(1.0, 0.0), 0.5)
+    val q = Array(3.0f, 0.0f)
+    // L2: min euclid = |q−c| − r = 2 − 0.5 → best squared = 2.25
+    assert(SegmentStats.bestScore(vs, q, Metric.L2) === 2.25 +- 1e-9)
+    assert(SegmentStats.canPruneByScore(vs, q, 2.0, Metric.L2))
+    assert(!SegmentStats.canPruneByScore(vs, q, 2.5, Metric.L2))
+    // Dot: max = ⟨q,c⟩ + r·|q| = 3 + 0.5·3 = 4.5
+    assert(SegmentStats.bestScore(vs, q, Metric.Dot) === 4.5 +- 1e-9)
+    assert(SegmentStats.canPruneByScore(vs, q, 5.0, Metric.Dot))
+    assert(!SegmentStats.canPruneByScore(vs, q, 4.0, Metric.Dot))
+    // Cosine over unit-norm stored vectors: cluster near +y, query on +x
+    val vsu = SegmentStats.VecStats(List(0.0, 1.0), 0.05)
+    val qx = Array(2.0f, 0.0f) // non-unit query: bound normalizes by |q|
+    assert(SegmentStats.bestScore(vsu, qx, Metric.Cosine) === 0.05 +- 1e-9)
+    assert(SegmentStats.canPruneByScore(vsu, qx, 0.5, Metric.Cosine))
+    assert(!SegmentStats.canPruneByScore(vsu, qx, 0.04, Metric.Cosine))
+    // the cosine bound clamps to 1
+    assert(SegmentStats.bestScore(
+      SegmentStats.VecStats(List(1.0, 0.0), 0.5), qx, Metric.Cosine) == 1.0)
+    // priority is best-first in each metric's direction; the same pair of
+    // segments orders OPPOSITE ways under L2 vs Dot
+    val a = SegmentStats.VecStats(List(10.0, 0.0), 0.1)
+    val b = SegmentStats.VecStats(List(1.0, 0.0), 0.1)
+    assert(SegmentStats.segmentPriorityByScore(
+      Seq(1L -> Some(a), 2L -> Some(b)), qx, Metric.L2) == Seq(2L, 1L))
+    assert(SegmentStats.segmentPriorityByScore(
+      Seq(1L -> Some(a), 2L -> Some(b)), qx, Metric.Dot) == Seq(1L, 2L))
+    // stats-less segments sort last
+    assert(SegmentStats.segmentPriorityByScore(
+      Seq(1L -> None, 2L -> Some(b)), qx, Metric.L2) == Seq(2L, 1L))
+  }
+
+  test("bestScore dominates every in-ball vector's true score (sampled)") {
+    import graft.types.Metric
+    val rng = new scala.util.Random(3)
+    val dim = 6
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    (0 until 20).foreach { trial =>
+      val raw = Array.fill(30)(Array.fill(dim)(rng.nextGaussian()))
+      val q = Array.fill(dim)(rng.nextGaussian().toFloat)
+      // L2 / Dot: stats over the raw vectors
+      val c = Array.tabulate(dim)(d => raw.map(_(d)).sum / raw.length)
+      val r = raw.map(v => math.sqrt(
+        v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum)).max
+      val vs = SegmentStats.VecStats(c.toList, r)
+      raw.foreach { v =>
+        val l2sq = v.indices.map(i => (v(i) - q(i)) * (v(i) - q(i))).sum
+        assert(SegmentStats.bestScore(vs, q, Metric.L2) <= l2sq + 1e-9,
+          s"L2 bound violated in trial $trial")
+        val dot = v.indices.map(i => v(i) * q(i)).sum
+        assert(SegmentStats.bestScore(vs, q, Metric.Dot) >= dot - 1e-9,
+          s"Dot bound violated in trial $trial")
+      }
+      // Cosine: the engine stores unit vectors — stats over normalized set
+      val normed = raw.map(unit)
+      val cn = Array.tabulate(dim)(d => normed.map(_(d)).sum / normed.length)
+      val rn = normed.map(v => math.sqrt(
+        v.indices.map(i => (v(i) - cn(i)) * (v(i) - cn(i))).sum)).max
+      val vsn = SegmentStats.VecStats(cn.toList, rn)
+      val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+      normed.foreach { v =>
+        val cos = v.indices.map(i => v(i) * q(i)).sum / qn
+        assert(SegmentStats.bestScore(vsn, q, Metric.Cosine) >= cos - 1e-9,
+          s"Cosine bound violated in trial $trial")
+      }
+    }
+  }
 }
