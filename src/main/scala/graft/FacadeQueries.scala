@@ -173,6 +173,58 @@ object FacadeQueries {
       .select(col("id"), round(col("score"), 6).as("score"))
   }
 
+  /** Typed-record insert (vecgo W4 `InsertRecord`/builder ergonomics): the
+    * corpus goes in as a case-class `Dataset[Record]` through
+    * [[GraftDB.insertRecords]] — same validated path, same k-NN result as
+    * the operator-level `knn_l2` oracle.
+    */
+  def records(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_records"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    import s.implicits._
+    val ds = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label").cast("int").as("label"),
+        lit(null).cast("binary").as("payload"))
+      .as[graft.types.Record]
+    val db = GraftDB.open(s, root, dim = 64, metric = "l2",
+      schema = Map("label" -> "int"))
+    db.insertRecords(ds)
+    db.search(qvec(s, dir, 0), 10)
+      .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
+  }
+
+  /** Streaming-result iterator (vecgo R2 `SearchIter`): results consumed
+    * as a lazy driver-side iterator, re-framed for the oracle compare —
+    * identical rows to `graftdb_knn`.
+    */
+  def searchIterQ(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_iter")
+    import s.implicits._
+    val rows = db.searchIter(qvec(s, dir, 0), 10)
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    rows.toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
+  /** Engine stats (vecgo R14 `Stats`): segment/row/tombstone counters
+    * after the standard two-segment build plus a predicate delete — every
+    * reported number is derivable from the source table, so the oracle
+    * checks the introspection surface against relational ground truth.
+    */
+  def statsQ(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_stats")
+    db.deleteWhere(graft.types.FilterSet.of(graft.types.Filter.Eq("label", 3)))
+    val st = db.stats()
+    import s.implicits._
+    Seq((st("segments").asInstanceOf[Int].toLong,
+        st("segment_rows").asInstanceOf[Long],
+        st("delete_rows").asInstanceOf[Long]))
+      .toDF("segments", "segment_rows", "delete_rows")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
@@ -181,7 +233,10 @@ object FacadeQueries {
     "graftdb_hamming" -> (hamming _),
     "graftdb_hybrid" -> (hybrid _),
     "graftdb_threshold_indexed" -> (thresholdIndexed _),
-    "graftdb_hybrid_filtered" -> (hybridFiltered _)
+    "graftdb_hybrid_filtered" -> (hybridFiltered _),
+    "graftdb_records" -> (records _),
+    "graftdb_search_iter" -> (searchIterQ _),
+    "graftdb_stats" -> (statsQ _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -203,6 +258,15 @@ object FacadeQueries {
       "FROM documents)",
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
     "graftdb_threshold_indexed" -> Queries.oracle("search_threshold"),
+    "graftdb_records" -> Queries.oracle("knn_l2"),
+    "graftdb_search_iter" -> Queries.oracle("knn_l2"),
+    // buildDb corpus = embeddings JOIN documents (1:1 on id); the delete
+    // tombstones label-3 rows without rewriting segments
+    "graftdb_stats" ->
+      """SELECT 2::BIGINT AS segments,
+        |       count(*)::BIGINT AS segment_rows,
+        |       (SELECT count(*) FROM embeddings WHERE label = 3)::BIGINT AS delete_rows
+        |FROM embeddings""".stripMargin,
     // filtered hybrid: BM25 corpus statistics (idf / avgdl / N) come from
     // the FULL joined corpus — the filter restricts which docs may claim a
     // pool slot, not the index the pools are scored against

@@ -845,14 +845,23 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     *
     * Read-only / pinned opens never mutate the store root: they use a
     * previously persisted index when one exists, and otherwise build the
-    * index IN MEMORY for this engine (derived lazily from the snapshot —
-    * each lexical query re-derives it unless a writable open persists it
-    * first).
+    * index IN MEMORY for this engine.
+    *
+    * The resolved Index is memoized per (engine, version) — versions are
+    * immutable, so repeated lexical/hybrid queries on one engine reuse the
+    * same Index object instead of re-running the build's eager stats
+    * actions (the in-memory read-only path) or re-listing the persisted
+    * tables on every call.
     */
-  def lexicalIndex(): BM25.Index = {
+  def lexicalIndex(): BM25.Index =
+    lexicalCache.computeIfAbsent(effectiveVersion, v => lexicalIndexAt(v))
+
+  private val lexicalCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, BM25.Index]()
+
+  private def lexicalIndexAt(v: Long): BM25.Index = {
     val textCol = config.textCol.getOrElse(
       throw new IllegalStateException("no textCol configured"))
-    val v = effectiveVersion
     val dir = s"$root/lexical-v$v"
     val marker = new Path(dir, "_STATS")
     val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -88,11 +88,102 @@ object StoreQueries {
     df.select(col("id"), col("label")).orderBy(col("id").asc)
   }
 
+  /** Vacuum lifecycle (vecgo W10): commit four versions, vacuum down to
+    * the head — dropped manifests AND their now-unreferenced data files
+    * must be reclaimed (asserted), old versions must stop resolving, and
+    * the retained head must still serve exactly the right rows (the
+    * oracle-checked output).
+    */
+  def vacuumed(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("store_vacuum")
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val store = new SnapshotStore(s, root)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("label"))
+    store.insert(emb.where(col("id") < 100))                        // v0
+    store.insert(emb.where(col("id") >= 100 && col("id") < 250))    // v1
+    store.delete(store.read().where(col("label") === 5).select("id")) // v2
+    store.compact()                                                 // v3
+    require(store.versions() == Seq(0L, 1L, 2L, 3L))
+    store.vacuum(keepVersions = 1)
+    // only the head survives: old manifests gone, old versions unreadable
+    require(store.versions() == Seq(3L), s"expected [3], got ${store.versions()}")
+    require(store.manifest(0).isEmpty && store.manifest(2).isEmpty,
+      "vacuum must drop old manifests")
+    // the dropped versions' files are reclaimed: exactly the compacted
+    // segment remains, every pre-compaction segment and delete list is gone
+    val left = fs.listStatus(p).map(_.getPath.getName)
+    require(left.count(_.startsWith("seg-")) == 1,
+      s"expected 1 surviving segment dir, got ${left.mkString(",")}")
+    require(!left.exists(_.startsWith("del-")),
+      "vacuum must reclaim delete lists referenced only by dropped versions")
+    store.read()
+      .select(col("id"), col("label"))
+      .orderBy(col("id").asc)
+  }
+
+  /** Policy-driven compaction (vecgo W9 `CompactionPolicy.Pick`): six
+    * single-label segments trip the threshold policy (fold all when more
+    * than `maxSegments` exist), one more round is a no-op below the
+    * threshold — both asserted — and the folded store serves exactly the
+    * union of its inputs (the oracle-checked output).
+    */
+  def compactionPolicy(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("store_policy")
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val store = new SnapshotStore(s, root)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("label"))
+    (0 until 6).foreach(i =>
+      store.insert(emb.where(pmod(col("id"), lit(6)) === i)))
+    require(store.manifest().get.segments.size == 6)
+    val v = store.maybeCompact(graft.store.CompactionPolicy.threshold(4))
+    require(v.isDefined, "threshold policy must pick 6 > 4 segments")
+    require(store.manifest().get.segments.size == 1,
+      s"expected one folded segment, got ${store.manifest().get.segments.size}")
+    require(store.maybeCompact(graft.store.CompactionPolicy.threshold(4)).isEmpty,
+      "policy must be a no-op below its threshold")
+    store.read().select(col("id"), col("label")).orderBy(col("id").asc)
+  }
+
+  /** Categorical-bloom segment pruning (vecgo I14 manifest blooms): a
+    * derived category column whose lexicographic BOUNDS straddle the probe
+    * value in one segment — only the bloom can prove the miss. The scan
+    * must prune that segment (asserted) and still return exactly the
+    * matching rows.
+    */
+  def bloomScan(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("store_bloom")
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val store = new SnapshotStore(s, root)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("label"),
+        concat(lit("c"), col("label")).as("cat"))
+    // segment 0 holds c0/c6: bounds [c0, c6] contain the probe 'c4', so
+    // min/max pruning is powerless — the collected bloom must prune it
+    store.insert(emb.where(col("label").isin(0, 6)), collectStats = true)
+    store.insert(emb.where(col("label") === 4), collectStats = true)
+    val (df, scanned, pruned) =
+      store.prunedRead(Seq(graft.types.Filter.Eq("cat", "c4")))
+    require(scanned.size == 1 && pruned.size == 1,
+      s"bloom must prune the straddling segment: scanned=$scanned pruned=$pruned")
+    df.select(col("id"), col("cat")).orderBy(col("id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_lifecycle" -> (lifecycle _),
     "store_timetravel" -> (timeTravel _),
     "store_timetravel_ts" -> (timeTravelTs _),
-    "store_pruned_scan" -> (prunedScan _)
+    "store_pruned_scan" -> (prunedScan _),
+    "store_vacuum" -> (vacuumed _),
+    "store_compaction_policy" -> (compactionPolicy _),
+    "store_bloom_scan" -> (bloomScan _)
   )
 
   /** Oracles: the lifecycle re-expressed as relational algebra over the
@@ -114,6 +205,14 @@ object StoreQueries {
         |WHERE label <> 3 GROUP BY label ORDER BY label ASC""".stripMargin,
     "store_pruned_scan" ->
       """SELECT vec_id AS id, label FROM embeddings
-        |WHERE label = 7 ORDER BY id ASC""".stripMargin
+        |WHERE label = 7 ORDER BY id ASC""".stripMargin,
+    "store_vacuum" ->
+      """SELECT vec_id AS id, label FROM embeddings
+        |WHERE vec_id < 250 AND label <> 5 ORDER BY id ASC""".stripMargin,
+    "store_compaction_policy" ->
+      """SELECT vec_id AS id, label FROM embeddings ORDER BY id ASC""".stripMargin,
+    "store_bloom_scan" ->
+      """SELECT vec_id AS id, 'c' || label AS cat FROM embeddings
+        |WHERE label = 4 ORDER BY id ASC""".stripMargin
   )
 }

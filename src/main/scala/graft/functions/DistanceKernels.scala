@@ -14,9 +14,18 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * Cosine = similarity on normalized inputs; Dot = raw inner product;
   * Hamming = popcount over binary codes).
   */
-/** Kernel mode switch: `false` (default) = exact double left-to-right
-  * accumulation (bit-deterministic, oracle-matching); `true` = float
-  * multi-accumulator fast path for production scans.
+/** Kernel mode switch: exact double left-to-right accumulation
+  * (bit-deterministic, oracle-matching) vs the float multi-accumulator /
+  * Panama SIMD fast path for production scans.
+  *
+  * DEFAULT: fast whenever the Panama Vector API is loaded, exact
+  * otherwise. The Panama kernels reproduce within ~15% across JVMs while
+  * the interpreted exact kernel's throughput is JIT-state-fragile (up to
+  * 4.5× across JVMs at identical code) — so production batch latency is
+  * stable only on the fast path. Oracle/verify paths pin exact explicitly
+  * ([[graft.Verify]] and the test session both set `KernelMode.fast =
+  * false`): DuckDB hash-comparison needs bit-exact sequential-double
+  * accumulation, which the fast path deliberately trades away.
   *
   * Resolution order, so the choice reaches EVERY JVM of a distributed
   * scan (a driver-only flag would silently mix exact and fast kernels
@@ -28,6 +37,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   *   3. the Spark conf `spark.graft.kernels.fast` — set at session build;
   *      Spark ships the conf to executors, so this is the production
   *      switch. Read once per JVM (executor confs are immutable).
+  *   4. default: [[KernelMode.simdAvailable]].
   */
 object KernelMode {
   @volatile private var overrideFlag: Option[Boolean] =
@@ -38,9 +48,10 @@ object KernelMode {
   private lazy val confFast: Boolean =
     try {
       val env = org.apache.spark.SparkEnv.get
-      env != null && env.conf.getBoolean("spark.graft.kernels.fast",
-        defaultValue = false)
-    } catch { case _: Throwable => false }
+      if (env == null) simdAvailable
+      else env.conf.getBoolean("spark.graft.kernels.fast",
+        defaultValue = simdAvailable)
+    } catch { case _: Throwable => simdAvailable }
 
   def fast: Boolean = {
     val o = overrideFlag

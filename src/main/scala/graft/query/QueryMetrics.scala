@@ -125,6 +125,16 @@ object QueryMetrics {
     }
   }
 
+  /** Deregister and forget the session's totals listener — the explicit
+    * detach for long-lived sessions embedding the library (the weak map
+    * already lets an abandoned session collect, but an active session
+    * keeps its listener until this is called).
+    */
+  def detach(spark: SparkSession): Unit = registered.synchronized {
+    val t = registered.remove(spark)
+    if (t != null) spark.listenerManager.unregister(t)
+  }
+
   /** Run `df.collect()` and return rows + the executed plan's counters —
     * synchronous and exact (no listener race), for `searchWithStats`.
     */

@@ -174,26 +174,54 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     */
   def readableVersion: Long = headManifest.map(_.version).getOrElse(-1L)
 
-  private def atomicRename(from: Path, to: Path): Unit = {
+  private def atomicRename(from: Path, to: Path,
+      overwrite: Boolean = true): Unit = {
     val f = fs
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.makeQualified(new Path(root)).toUri,
       spark.sparkContext.hadoopConfiguration)
     fc.rename(f.makeQualified(from), f.makeQualified(to),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      if (overwrite) org.apache.hadoop.fs.Options.Rename.OVERWRITE
+      else org.apache.hadoop.fs.Options.Rename.NONE)
   }
 
-  private def commit(m: Manifest): Unit = {
+  /** Publish a version. Optimistic concurrency (the shape of vecgo's CAS
+    * commit stores, `blobstore/s3/ddb_commit_store.go` /
+    * `express_store.go`): `MANIFEST-<v>.json` is created by a rename
+    * WITHOUT overwrite, so of two writers that derived version v from the
+    * same parent exactly one rename lands — the loser gets a loud
+    * [[java.util.ConcurrentModificationException]] (its data dirs are
+    * uniquely named and unreferenced; [[cleanOrphans]] reclaims them)
+    * instead of silently last-writer-winning the CURRENT pointer. Safe
+    * retry: re-read the head and re-apply the mutation.
+    */
+  private[store] def commit(m: Manifest): Unit = {
     val f = fs
     val stamped = if (m.ts > 0) m else m.copy(ts = System.currentTimeMillis())
     val mp = manifestPath(m.version)
+    def lost(): Nothing = throw new java.util.ConcurrentModificationException(
+      s"concurrent commit: version ${m.version} already exists at $root — " +
+        "another writer committed from the same parent; re-read and retry")
+    if (f.exists(mp)) {
+      // a PARSABLE manifest at this version is a completed commit → we
+      // lost the race. An unparsable one is a torn leftover of a crashed
+      // commit (the case torn-head recovery re-commits over) — clear it
+      // and contend for the rename like any other writer.
+      if (manifest(m.version).isDefined) lost()
+      f.delete(mp, false)
+    }
     // torn-write safety: the manifest body goes to a temp file first and is
     // renamed into place, like CURRENT — a crash mid-write can no longer
     // leave a half-written MANIFEST-*.json where recovery would find it
-    val mtmp = new Path(root, s".MANIFEST.tmp-${m.version}")
+    val mtmp = new Path(root, s".MANIFEST.tmp-${m.version}-${uniqueToken()}")
     val out = f.create(mtmp, true)
     try out.write(Serialization.write(stamped).getBytes("UTF-8")) finally out.close()
-    atomicRename(mtmp, mp)
+    try atomicRename(mtmp, mp, overwrite = false)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        f.delete(mtmp, false); lost()
+    }
     // atomic pointer swap: rename OVER the existing CURRENT (vecgo
     // `manifest.go:194` renames without a prior delete — a delete-then-
     // rename leaves a window where a concurrent reader sees no store)
@@ -203,8 +231,16 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     atomicRename(tmp, currentPath)
   }
 
+  /** Short random token making pre-commit file/dir names unique per
+    * writer attempt: two racing writers deriving the same seq can never
+    * clobber each other's uncommitted segment data — the manifest CAS then
+    * picks the winner and the loser's dirs age out as orphans.
+    */
+  private def uniqueToken(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   private def writeSegment(df: DataFrame, seq: Long, prefix: String): (String, Long) = {
-    val dir = s"$root/$prefix-$seq"
+    val dir = s"$root/$prefix-$seq-${uniqueToken()}"
     df.write.mode("overwrite")
       // per-column bloom filter on the primary key (vecgo I14 categorical
       // blooms): point-get / delete anti-joins skip row groups by id
@@ -394,10 +430,11 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       throw new IllegalStateException("compactIndexed on empty store"))
     val live = read(m.version)
     val seq = m.maxSeq + 1
-    val dir = s"$root/seg-$seq"
+    val token = uniqueToken()
+    val dir = s"$root/seg-$seq-$token"
     val meta = SegmentIndex.build(live, vecCol, dir, nlist, levels,
       totalRows = m.segments.map(_.rows).sum, trainSampleCap = trainSampleCap)
-    val metaPath = s"$root/idx-$seq.json"
+    val metaPath = s"$root/idx-$seq-$token.json"
     SegmentIndex.save(meta, metaPath, spark.sparkContext.hadoopConfiguration)
     val back = spark.read.parquet(dir)
     val rows = back.count()
@@ -485,15 +522,26 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val dropped = (0L until keepFrom).flatMap(manifest(_))
     val candidates: Set[String] = dropped.flatMap(refs).toSet
     (candidates -- referenced).foreach(p => f.delete(new Path(p), true))
-    (0L until keepFrom).foreach(v => f.delete(manifestPath(v), false))
+    (0L until keepFrom).foreach { v =>
+      f.delete(manifestPath(v), false)
+      // derived per-version artifacts die with their version: a dropped
+      // version's lexical index tables (`lexical-v<v>/`, written by
+      // GraftDB.lexicalIndex) are unreachable once the manifest is gone —
+      // without this they leak forever (vecgo refcounts everything
+      // reachable, engine.go:2048-2108)
+      f.delete(new Path(root, s"lexical-v$v"), true)
+    }
   }
 
-  /** Orphan cleanup (vecgo W11): remove `seg-*`/`del-*` dirs not referenced
-    * by ANY surviving manifest — crash leftovers from interrupted commits.
+  /** Orphan cleanup (vecgo W11): remove `seg-*`/`del-*`/`idx-*` artifacts
+    * not referenced by ANY surviving manifest — crash leftovers from
+    * interrupted commits and losers of commit races — plus `lexical-v*`
+    * index dirs whose version no longer has a manifest.
     */
   def cleanOrphans(): Unit = {
     val f = fs
-    val all = (0L to currentVersion).flatMap(manifest(_))
+    val live = versions().toSet
+    val all = live.toSeq.flatMap(manifest(_))
     val referenced = all
       .flatMap(m => m.segments.map(_.path) ++ m.deletes.map(_.path) ++
         m.segments.flatMap(_.index.map(_.metaPath)))
@@ -502,6 +550,11 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       .filter(p => p.getName.startsWith("seg-") || p.getName.startsWith("del-") ||
         p.getName.startsWith("idx-"))
     listed.filterNot(p => referenced.contains(p.getName))
+      .foreach(p => f.delete(p, true))
+    f.listStatus(new Path(root)).map(_.getPath)
+      .filter(_.getName.startsWith("lexical-v"))
+      .filterNot(p => p.getName.stripPrefix("lexical-v").toLongOption
+        .exists(live.contains))
       .foreach(p => f.delete(p, true))
   }
 }

@@ -322,6 +322,34 @@ class GraftDBSpec extends AnyFunSuite {
       .collect().head._1 == 7L)
   }
 
+  test("vacuum reclaims dropped versions' lexical indexes, keeps retained ones served") {
+    val root = Files.createTempDirectory("graft-db-lexvac").toString
+    val db = GraftDB.open(spark, root, dim = 8, textCol = Some("body"))
+    db.insertBatch(records(0 until 10))   // v0
+    db.lexicalIndex()                     // persists lexical-v0
+    db.insertBatch(records(10 until 20))  // v1
+    db.lexicalIndex()                     // persists lexical-v1
+    db.insertBatch(records(20 until 30))  // v2
+    db.lexicalIndex()                     // persists lexical-v2
+    assert((0 to 2).forall(v =>
+      new java.io.File(s"$root/lexical-v$v/postings").exists()))
+    db.vacuum(keepVersions = 2) // drops v0
+    assert(!new java.io.File(s"$root/lexical-v0").exists(),
+      "dropped version's lexical index must be reclaimed")
+    assert((1 to 2).forall(v =>
+      new java.io.File(s"$root/lexical-v$v/postings").exists()),
+      "retained versions' lexical indexes must survive vacuum")
+    // the retained head index still serves queries (read-back path)
+    assert(db.lexicalSearch("number 25", 3).as[(Long, Double)]
+      .collect().head._1 == 25L)
+    // orphan cleanup also reclaims a lexical dir whose manifest is gone
+    val stray = new java.io.File(s"$root/lexical-v99")
+    stray.mkdirs()
+    db.store.cleanOrphans()
+    assert(!stray.exists(), "lexical dir without a manifest must be cleaned")
+    assert(new java.io.File(s"$root/lexical-v2/postings").exists())
+  }
+
   test("open modes: readOnly rejects writes, pinned opens serve history") {
     val root = Files.createTempDirectory("graft-db-modes").toString
     val db = GraftDB.open(spark, root, dim = 8)

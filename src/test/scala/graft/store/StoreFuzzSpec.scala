@@ -69,6 +69,49 @@ class StoreFuzzSpec extends AnyFunSuite {
     assert(store.versions().forall(v => store.manifest(v).isDefined))
   }
 
+  test("two writers from the same parent: one commits, the loser fails loudly") {
+    val root = Files.createTempDirectory("graft-cas").toString
+    val a = new SnapshotStore(spark, root)
+    val b = new SnapshotStore(spark, root)
+    a.insert(Seq((1L, "a")).toDF("id", "v")) // v0, shared parent
+    // both writers derive version 1 from the same head; commit directly to
+    // interleave deterministically (insert() would re-read the head)
+    val head = a.manifest().get
+    val m1 = head.copy(version = head.version + 1, ts = 0L)
+    a.commit(m1)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      b.commit(head.copy(version = head.version + 1, ts = 0L))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    assert(a.currentVersion == 1 && b.currentVersion == 1)
+    // retry shape: the loser re-reads the head and lands on the next version
+    val reread = b.manifest().get
+    b.commit(reread.copy(version = reread.version + 1, ts = 0L))
+    assert(a.currentVersion == 2)
+    // stress: two threads racing full mutations with retry-on-conflict must
+    // never lose an update (pre-CAS, a lost race silently dropped a batch)
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        val st = new SnapshotStore(spark, root)
+        (0 until 4).foreach { i =>
+          val id = 100L + t * 10 + i
+          var done = false
+          while (!done) {
+            try { st.insert(Seq((id, s"w$t")).toDF("id", "v")); done = true }
+            catch { case _: java.util.ConcurrentModificationException => () }
+          }
+          ids.add(id)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val got = a.read().select("id").as[Long].collect().toSet
+    assert(ids.asScala.toSet.subsetOf(got),
+      s"lost updates: ${ids.asScala.toSet -- got}")
+  }
+
   test("torn head manifest: readers warn+skip, writers anchor on the last durable commit") {
     val store = new SnapshotStore(spark,
       Files.createTempDirectory("graft-torn").toString)
