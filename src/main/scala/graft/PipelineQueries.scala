@@ -118,21 +118,24 @@ object PipelineQueries {
       .select(col("keep_id"), col("n_dups"), col("fp"))
       .orderBy(col("keep_id").asc)
 
-  /** Exact word-3-gram Jaccard near-dup pairs (>= 0.8), through the eager
-    * scoped-cache form (one shingle+md5 pass, zero orphaned cache blocks).
+  /** Exact word-3-gram Jaccard near-dup pairs (>= 0.8). LAZY form: the
+    * oracle/bench consumer materializes the frame exactly once, so the
+    * single-job lazy plan beats the eager parquet round-trip of
+    * [[graft.dedup.Dedup.jaccardPairsTo]] (which exists for pipelines that
+    * REUSE the pairs — e.g. cluster closure).
     */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairsTo(t(s, dir, "documents"), "doc_id", "text",
-        scratch(s, dir, "jaccard"), 3, 0.8)
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy(col("id_a").asc, col("id_b").asc)
 
-  /** MinHash+LSH near-dup pipeline, exact-Jaccard-verified candidates,
-    * through the eager scoped-cache form.
+  /** MinHash+LSH near-dup pipeline, exact-Jaccard-verified candidates.
+    * Lazy single-job form (see [[dedupJaccard]]'s note; the eager
+    * materializing twin is exercised by `dedup_clusters`/`dedup_retain`,
+    * whose connected-components pass genuinely reuses the pairs).
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshTo(t(s, dir, "documents"), "doc_id", "text",
-        scratch(s, dir, "minhash"),
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 32, rowsPerBand = 4, minJaccard = 0.8)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy(col("id_a").asc, col("id_b").asc)
@@ -176,8 +179,8 @@ object PipelineQueries {
           (x.cast("double") + (h % 201 - 100).cast("double") / 4000.0).cast("float")
         }).as("embedding"))
     val corpus = emb.unionByName(pert)
-    Dedup.srpNearDupsTo(corpus, "vec_id", "embedding", dim = 64,
-        threshold = 0.9, out = scratch(s, dir, "srp"))
+    Dedup.srpNearDups(corpus, "vec_id", "embedding", dim = 64,
+        threshold = 0.9)
       .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
       .orderBy(col("id_a").asc, col("id_b").asc)
   }

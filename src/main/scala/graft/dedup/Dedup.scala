@@ -123,9 +123,10 @@ object Dedup {
     */
   private def verifyCandidates(cands: DataFrame, hashed: DataFrame,
       minJaccard: Double): DataFrame = {
+    // no .distinct() on the id gate: a left-semi join's right side needs
+    // no dedup, and dropping it saves a shuffle of the candidate ids
     val candIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id")))
-      .distinct()
     val sets = hashed.join(candIds, Seq("id"), "left_semi")
       .groupBy("id").agg(collect_set(col("h60")).as("hset"))
     verifyPairs(cands, sets, minJaccard)
@@ -293,21 +294,23 @@ object Dedup {
       out: String, n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
     val spark = df.sparkSession
-    val hashed = hashedShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hashed = hashedShingles(df, idCol, textCol, n).persist(lvl)
+    // the band SELF-join scans the signature frame twice and Spark does
+    // not reuse the aggregation exchange across the two aliases — persist
+    // the (tiny: one row per doc) signatures so the agg runs once
+    val sigs = minhashSignaturesHashed(hashed, numHashes).persist(lvl)
+    // candidates are consumed twice by verifyCandidates (the id gate and
+    // the pair join) — persist the tiny pair set so the self-join runs once
+    val cands = lshCandidates(lshBands(sigs, rowsPerBand)).persist(lvl)
     try {
-      // candidates are consumed twice by verifyCandidates (the id gate and
-      // the pair join) — persist the tiny pair set so the band self-join
-      // runs once
-      val cands = lshCandidates(
-          lshBands(minhashSignaturesHashed(hashed, numHashes), rowsPerBand))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        verifyCandidates(cands, hashed, minJaccard)
-          .write.mode("overwrite").parquet(out)
-      } finally { cands.unpersist(false); () }
+      verifyCandidates(cands, hashed, minJaccard)
+        .write.mode("overwrite").parquet(out)
       spark.read.parquet(out)
-    } finally { hashed.unpersist(false); () }
+    } finally {
+      cands.unpersist(false); sigs.unpersist(false); hashed.unpersist(false)
+      ()
+    }
   }
 
   private def minhashLshFrom(hashed: DataFrame, numHashes: Int,
