@@ -225,6 +225,37 @@ object FacadeQueries {
       .toDF("segments", "segment_rows", "delete_rows")
   }
 
+  /** Per-query cost counters (vecgo R15 `QueryStats`): a filtered search
+    * on a two-segment store whose label ranges are disjoint — the planner
+    * must prune one segment from manifest stats alone, and the executed
+    * plan's counters (rows scanned ≡ distance computations over the
+    * surviving segment) are all derivable from the source table, so the
+    * oracle checks the stats surface against relational ground truth.
+    */
+  def queryStats(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_qstats"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label").cast("int").as("label"))
+    val db = GraftDB.open(s, root, dim = 64, metric = "l2",
+      schema = Map("label" -> "int"))
+    db.insertBatch(emb.where(col("id") < 250))
+    db.insertBatch(emb.where(col("id") >= 250)
+      .withColumn("label", col("label") + 100))
+    val (_, st) = db.searchWithStats(qvec(s, dir, 3), 10,
+      graft.types.FilterSet.of(graft.types.Filter.Eq("label", 104)))
+    require(st.strategy.startsWith("pruned_brute_force"),
+      s"expected stats-pruned route, got ${st.strategy}")
+    import s.implicits._
+    Seq((st.rowsReturned, st.segmentsScanned.toLong,
+        st.segmentsPruned.toLong, st.rowsScanned, st.distanceComputations))
+      .toDF("rows_returned", "segments_scanned", "segments_pruned",
+        "rows_scanned", "distance_computations")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
@@ -236,7 +267,8 @@ object FacadeQueries {
     "graftdb_hybrid_filtered" -> (hybridFiltered _),
     "graftdb_records" -> (records _),
     "graftdb_search_iter" -> (searchIterQ _),
-    "graftdb_stats" -> (statsQ _)
+    "graftdb_stats" -> (statsQ _),
+    "graftdb_query_stats" -> (queryStats _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -267,6 +299,16 @@ object FacadeQueries {
         |       count(*)::BIGINT AS segment_rows,
         |       (SELECT count(*) FROM embeddings WHERE label = 3)::BIGINT AS delete_rows
         |FROM embeddings""".stripMargin,
+    // the filtered search scans only the surviving (vec_id >= 250) segment
+    // — every counter reduces to a count over the source table
+    "graftdb_query_stats" ->
+      """SELECT least(10, (SELECT count(*) FROM embeddings
+        |                  WHERE label = 4 AND vec_id >= 250))::BIGINT AS rows_returned,
+        |       1::BIGINT AS segments_scanned,
+        |       1::BIGINT AS segments_pruned,
+        |       count(*)::BIGINT AS rows_scanned,
+        |       count(*)::BIGINT AS distance_computations
+        |FROM embeddings WHERE vec_id >= 250""".stripMargin,
     // filtered hybrid: BM25 corpus statistics (idf / avgdl / N) come from
     // the FULL joined corpus — the filter restricts which docs may claim a
     // pool slot, not the index the pools are scored against

@@ -152,10 +152,47 @@ object StreamingQueries {
       .orderBy(col("id").asc)
   }
 
+  /** Streaming exact dedup — the unbounded-corpus twin of
+    * [[PipelineQueries.dedupExact]]: a running stateful aggregation keyed
+    * by canonical fingerprint (min surviving id + duplicate count),
+    * COMPLETE output mode. Two micro-batches split the corpus so the
+    * result provably merges state across batches; `min`/`count` are
+    * order-insensitive, so the final table equals the batch twin's oracle
+    * however the stream is chopped.
+    */
+  def streamingDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (first, second) = docs.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)]
+    val agg = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    val sink = sinkName("dedup")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("dedup"))
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .select(col("keep_id"), col("n_dups"), col("fp"))
+      .orderBy(col("keep_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_tumbling_agg" -> (streamingTumblingAgg _),
     "streaming_sessionize" -> (streamingSessionize _),
-    "streaming_ingest" -> (streamingIngest _)
+    "streaming_ingest" -> (streamingIngest _),
+    "streaming_dedup_exact" -> (streamingDedupExact _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,6 +201,7 @@ object StreamingQueries {
     "streaming_sessionize" -> EventQueries.oracle("events_sessionize"),
     "streaming_ingest" ->
       """SELECT vec_id AS id, label::BIGINT AS label
-        |FROM embeddings ORDER BY id ASC""".stripMargin
+        |FROM embeddings ORDER BY id ASC""".stripMargin,
+    "streaming_dedup_exact" -> PipelineQueries.oracle("dedup_exact")
   )
 }
