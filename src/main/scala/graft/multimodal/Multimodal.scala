@@ -52,6 +52,20 @@ object Multimodal {
     def sampleFrames(content: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       content.grouped(16).zipWithIndex
         .collect { case (b, i) if i % everyN == 0 => b }.toSeq
+
+    /** STUB resizer: a deterministic strided byte subsample standing in
+      * for a real image resize — keeps every stride-th byte up to w·h
+      * bytes. A real implementation would decode, scale, re-encode; the
+      * signature and batch plumbing are what production code keeps.
+      */
+    def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, w * h)
+      if (content.isEmpty) Array.emptyByteArray
+      else {
+        val stride = math.max(1, content.length / target)
+        content.indices.by(stride).take(target).map(content).toArray
+      }
+    }
   }
 
   /** Build MediaRecords from any (id, payload-bytes, type) frame. */

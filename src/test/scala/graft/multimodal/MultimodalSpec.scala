@@ -35,4 +35,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.size == 2)
     assert(frames.head.head == 0.toByte && frames(1).head == 32.toByte)
   }
+
+  test("stub resize: strided subsample hits the target size, deterministic") {
+    val content = Array.tabulate[Byte](100)(_.toByte)
+    val small = Multimodal.FakeDecoder.resize(content, 4, 4)
+    assert(small.length == 16)
+    assert(small.head == 0.toByte && small(1) == 6.toByte) // stride 100/16 = 6
+    // upscale request larger than the source keeps every byte
+    assert(Multimodal.FakeDecoder.resize(content, 20, 20).length == 100)
+    assert(Multimodal.FakeDecoder.resize(Array.emptyByteArray, 4, 4).isEmpty)
+    // determinism
+    assert(Multimodal.FakeDecoder.resize(content, 4, 4).toSeq == small.toSeq)
+  }
 }
