@@ -111,8 +111,10 @@ object Bench {
     // each thunk is self-contained (parquet reads happen inside the thunk:
     // a layout overwritten by a build thunk is re-listed, never stale)
     val synthBenches: Seq[(String, () => Unit)] = Seq(
+      // uncompressed like the store's segment writer (entropy-dense floats)
       "synth_bulk_load" -> (() =>
-        synthVectors(spark, n, dim).write.mode("overwrite").parquet(bulkDir)),
+        synthVectors(spark, n, dim).write.mode("overwrite")
+          .option("compression", "uncompressed").parquet(bulkDir)),
       "synth_knn_batch100" -> (() =>
         noop(Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10))),
       "synth_knn_batch100_fast" -> (() => KernelMode.withFast(true) {

@@ -1,34 +1,34 @@
 package graft
-
-import org.apache.spark.sql.SparkSession
-import graft.query.Search
-
+// scratch profiling main (not part of the public API): bulk-load write-path
+// codec / layout experiments
 object SparkPathBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dim = 128
-    val rnd = new java.util.Random(7L)
-    val queries: Seq[(Long, Array[Float])] = (0 until 100).map(i =>
-      i.toLong -> Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
-    graft.functions.KernelMode.fast = true
-    for (n <- Seq(500000, 500000, 1000000, 2000000, 4000000)) {
-      val df = Bench.synthVectors(spark, n, dim).cache()
-      df.count()
-      def run(): Double = {
-        val t0 = System.nanoTime()
-        Search.batchSearchMatrix(df, "vec", "id", queries, k = 10)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      run()
-      val t = math.min(run(), run())
-      println(f"PATHBENCH n=$n%d t=$t%.3f rate=${100.0 * n / t / 1e6}%.1f M/s")
-      df.unpersist()
+    val n = 50000L
+    val tmp = sys.props("java.io.tmpdir")
+    def time(name: String)(f: => Unit): Unit = {
+      f; val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.3f s  (${n / s / 1000}%.0f k vec/s)")
     }
+    val src = Bench.synthVectors(spark, n, 128)
+    time("write_snappy")(src.write.mode("overwrite")
+      .parquet(s"$tmp/bp_snappy"))
+    time("write_uncompressed")(src.write.mode("overwrite")
+      .option("compression", "uncompressed").parquet(s"$tmp/bp_unc"))
+    time("write_zstd")(src.write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$tmp/bp_zstd"))
+    // how much is the synthesis itself?
+    time("noop_synth")(src.write.format("noop").mode("overwrite").save())
+    // cached source → write isolates the writer cost
+    val cached = src.cache(); cached.count()
+    time("write_snappy_cached")(cached.write.mode("overwrite")
+      .parquet(s"$tmp/bp_snappy2"))
+    time("write_unc_cached")(cached.write.mode("overwrite")
+      .option("compression", "uncompressed").parquet(s"$tmp/bp_unc2"))
     spark.stop()
   }
 }

@@ -66,7 +66,10 @@ object IVF {
     * partition filters prune whole directories.
     */
   def writeLayout(assigned: DataFrame, path: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("ivf_part").parquet(path)
+    assigned.write.mode("overwrite")
+      // entropy-dense float vectors: uncompressed, like the store segments
+      .option("compression", "uncompressed")
+      .partitionBy("ivf_part").parquet(path)
 
   /** Probe-pruned k-NN: scan only the nprobe nearest partitions, then
     * exact top-k within them.

@@ -72,6 +72,9 @@ object SegmentIndex {
       .withColumn(PartCol, ivf.assignCol(col(vecCol)))
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#id", "true")
+      // raw-bytes segments, like SnapshotStore.writeSegment: float vectors
+      // and SQ8 codes are entropy-dense, snappy is all cost no win
+      .option("compression", "uncompressed")
       .partitionBy(PartCol)
       .parquet(dir)
     Meta("ivf_sq8", ivf.k, levels,
