@@ -95,13 +95,42 @@ object EventQueries {
       .orderBy(col("op").asc, col("nk").asc)
   }
 
+  /** AS-OF (point-in-time) join — the feature-store / training-snapshot
+    * primitive a large pipeline needs constantly: for every `click`, the
+    * most recent `purchase` by the same user at or before the click's
+    * timestamp. NOT implemented as a join: both streams union into ONE
+    * user-keyed shuffle and a running `last(..., ignoreNulls)` window
+    * carries the purchase state forward — at 100 TB that is a single
+    * partition-and-sort with no build side, no skew amplification, and no
+    * per-row probe. Ties at one timestamp resolve purchase-first then
+    * event-id, so results are deterministic on every engine.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+    val isP = col("event_type") === "purchase"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, isP.desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_p_id",
+        last(when(isP, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_p_value",
+        last(when(isP, col("value")), ignoreNulls = true).over(w))
+      .where(!isP)
+      .select(col("event_id"), col("user_id"), col("last_p_id"),
+        round(col("last_p_value"), 6).as("last_p_value"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_agg" -> (tumblingAgg _),
     "events_sessionize" -> (sessionize _),
     "events_json_props" -> (jsonProps _),
     "scalar_funcs" -> (scalarFuncs _),
     "rollup_agg" -> (rollupAgg _),
-    "set_ops" -> (setOps _)
+    "set_ops" -> (setOps _),
+    "events_asof_join" -> (asofJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -151,6 +180,23 @@ object EventQueries {
         |SELECT 'supplier_only' AS op, nk FROM (SELECT nk FROM sup EXCEPT SELECT nk FROM cus)
         |UNION ALL
         |SELECT 'both' AS op, nk FROM (SELECT nk FROM sup INTERSECT SELECT nk FROM cus)
-        |ORDER BY op ASC, nk ASC""".stripMargin
+        |ORDER BY op ASC, nk ASC""".stripMargin,
+    "events_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts ASC, (event_type = 'purchase') DESC, event_id ASC
+        |            ROWS UNBOUNDED PRECEDING) AS last_p_id,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts ASC, (event_type = 'purchase') DESC, event_id ASC
+        |            ROWS UNBOUNDED PRECEDING) AS last_p_value
+        |  FROM ev)
+        |SELECT event_id, user_id, last_p_id, round(last_p_value, 6) AS last_p_value
+        |FROM w WHERE event_type = 'click' ORDER BY event_id ASC""".stripMargin
   )
 }

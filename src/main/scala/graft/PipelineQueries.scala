@@ -23,11 +23,23 @@ object PipelineQueries {
     * Within one application the path is stable, so repeated runs (bench
     * warm-up + measured iterations) reuse the same dirs in overwrite mode.
     */
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def scratch(s: SparkSession, dir: String, name: String): String = {
+    val appRoot = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}")
+    // one shutdown hook per JVM reclaims this application's scratch tree —
+    // per-app paths stop collisions but would otherwise accumulate forever
+    if (cleanupRegistered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(appRoot)
+      }))
     val dsetTag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir))
-    s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/" +
-      s"q_${name}_$dsetTag"
+    s"$appRoot/q_${name}_$dsetTag"
   }
 
   // ------------------------------------------------------- text analysis
