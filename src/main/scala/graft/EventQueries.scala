@@ -112,11 +112,14 @@ object EventQueries {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, isP.desc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // both running-state columns in ONE select → a single Window operator
+    // (sequential withColumns would split into two Sort+Window passes)
     ev
-      .withColumn("last_p_id",
-        last(when(isP, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("last_p_value",
-        last(when(isP, col("value")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        last(when(isP, col("event_id")), ignoreNulls = true).over(w)
+          .as("last_p_id"),
+        last(when(isP, col("value")), ignoreNulls = true).over(w)
+          .as("last_p_value"))
       .where(!isP)
       .select(col("event_id"), col("user_id"), col("last_p_id"),
         round(col("last_p_value"), 6).as("last_p_value"))
