@@ -107,8 +107,9 @@ object FacadeQueries {
     * query — the engine path twin of the operator-level `bq_hamming`,
     * hash-checked against the same sign-disagreement-count oracle.
     */
-  def hamming(s: SparkSession, dir: String): DataFrame = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_hamming"
+  private def buildHammingDb(s: SparkSession, dir: String,
+      name: String): (GraftDB, Array[Long]) = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_$name"
     val p = new Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -125,7 +126,23 @@ object FacadeQueries {
         if (qe(w * 32 + i) > 0f) acc | (1L << i) else acc
       }
     }
+    (db, q)
+  }
+
+  def hamming(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_hamming")
     db.searchCodes(q, 10)
+      .select(col("id").as("vec_id"), col("score").cast("bigint").as("hamming"))
+  }
+
+  /** Hamming RANGE query over packed codes (vecgo serves threshold search
+    * on Hamming stores too): all ids within 26 bits of the packed query,
+    * best-first, capped — the `searchThresholdCodes` facade path,
+    * hash-checked against the sign-disagreement-count oracle.
+    */
+  def thresholdHamming(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_thr_ham")
+    db.searchThresholdCodes(q, threshold = 26L, maxResults = 100)
       .select(col("id").as("vec_id"), col("score").cast("bigint").as("hamming"))
   }
 
@@ -268,7 +285,8 @@ object FacadeQueries {
     "graftdb_records" -> (records _),
     "graftdb_search_iter" -> (searchIterQ _),
     "graftdb_stats" -> (statsQ _),
-    "graftdb_query_stats" -> (queryStats _)
+    "graftdb_query_stats" -> (queryStats _),
+    "graftdb_threshold_hamming" -> (thresholdHamming _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -291,6 +309,14 @@ object FacadeQueries {
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
     "graftdb_threshold_indexed" -> Queries.oracle("search_threshold"),
     "graftdb_records" -> Queries.oracle("knn_l2"),
+    "graftdb_threshold_hamming" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 8),
+        |s AS (SELECT e.vec_id,
+        |             len(list_filter(range(1, 65),
+        |                 i -> (e.embedding[i] > 0) <> (q.qv[i] > 0)))::BIGINT AS hamming
+        |      FROM embeddings e, q)
+        |SELECT vec_id, hamming FROM s WHERE hamming <= 26
+        |ORDER BY hamming ASC, vec_id ASC LIMIT 100""".stripMargin,
     "graftdb_search_iter" -> Queries.oracle("knn_l2"),
     // buildDb corpus = embeddings JOIN documents (1:1 on id); the delete
     // tombstones label-3 rows without rewriting segments

@@ -119,6 +119,16 @@ object StoreQueries {
       s"expected 1 surviving segment dir, got ${left.mkString(",")}")
     require(!left.exists(_.startsWith("del-")),
       "vacuum must reclaim delete lists referenced only by dropped versions")
+    // orphan cleanup (W11): a stray unreferenced segment dir — a crash
+    // leftover or the loser of a commit race — is reclaimed, while every
+    // manifest-referenced file survives
+    fs.mkdirs(new Path(root, "seg-999-deadbeef"))
+    store.cleanOrphans()
+    val after = fs.listStatus(p).map(_.getPath.getName)
+    require(!after.contains("seg-999-deadbeef"),
+      "cleanOrphans must remove unreferenced segment dirs")
+    require(after.count(_.startsWith("seg-")) == 1,
+      "cleanOrphans must keep referenced segments")
     store.read()
       .select(col("id"), col("label"))
       .orderBy(col("id").asc)
