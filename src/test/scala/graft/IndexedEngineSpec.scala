@@ -236,6 +236,43 @@ class IndexedEngineSpec extends AnyFunSuite {
     assert(plain.count() == 10)
   }
 
+  test("threshold search matches brute force for random queries/thresholds, all metrics") {
+    import graft.types.Metric
+    val rng = new scala.util.Random(11)
+    for (metricName <- Seq("l2", "cosine", "dot")) {
+      val db = freshDb(metric = metricName)
+      val rows = clustered(300)
+      // multi-segment store first, then indexed — the gate must hold on both
+      (0 until NClusters).foreach { c =>
+        db.insertBatch(rows.filter(_._3 == c).toDF("id", "vector", "label", "body"))
+      }
+      def brute(q: Array[Float], t: Double): Set[Long] = {
+        val score = db.metric.score(col("vector"), lit(q))
+        val kept =
+          if (db.metric.ascending) db.read().where(score <= t)
+          else db.read().where(score >= t)
+        kept.select("id").as[Long].collect().toSet
+      }
+      def trial(round: String): Unit = (0 until 8).foreach { i =>
+        val base = rows(rng.nextInt(rows.length))._2
+        val q = base.map(x => x + (rng.nextFloat() - 0.5f))
+        val t = metricName match {
+          case "l2" => (0.5 + rng.nextDouble() * 8) * (0.5 + rng.nextDouble() * 8)
+          case "cosine" => 0.2 + rng.nextDouble() * 0.75
+          case "dot" => 20.0 + rng.nextDouble() * 80.0
+        }
+        val got = db.searchThreshold(q, t, maxResults = 1000)
+          .select("id").as[Long].collect().toSet
+        assert(got == brute(q, t),
+          s"$metricName/$round trial $i at threshold $t: " +
+            s"missing=${brute(q, t) -- got} extra=${got -- brute(q, t)}")
+      }
+      trial("segments")
+      db.buildIndex(nlist = NClusters)
+      trial("indexed")
+    }
+  }
+
   test("cosine metric routes through the index too") {
     val db = freshDb(metric = "cosine")
     val rows = clustered(200)
