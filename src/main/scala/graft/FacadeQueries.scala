@@ -135,6 +135,33 @@ object FacadeQueries {
       .select(col("id").as("vec_id"), col("score").cast("bigint").as("hamming"))
   }
 
+  /** Facade k-NN on an INDEXED COSINE store: vectors are L2-normalized at
+    * write time (vecgo `prepareVector` under Cosine, `hnsw.go:799+`) and
+    * cosine is scale-invariant, so the engine's scores over normalized
+    * vectors hash-match the raw-vector oracle of the operator-level
+    * `knn_cosine`. All lists probed + corpus-fraction refine → exact
+    * through the probe-pruned quantized path — the second metric driven
+    * end-to-end through the index.
+    */
+  def knnCosineIndexed(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_knn_cos"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label").cast("int").as("label"))
+    val db = GraftDB.open(s, root, dim = 64, metric = "cosine",
+      schema = Map("label" -> "int"))
+    db.insertBatch(emb.where(col("id") < 250))
+    db.insertBatch(emb.where(col("id") >= 250))
+    db.buildIndex(nlist = 8)
+    val rows = db.stats()("segment_rows").asInstanceOf[Long]
+    val refine = math.max(10, math.ceil(rows * 0.25 / 10).toInt)
+    db.search(qvec(s, dir, 1), 10, nprobe = 8, refineFactor = refine)
+      .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Hamming RANGE query over packed codes (vecgo serves threshold search
     * on Hamming stores too): all ids within 26 bits of the packed query,
     * best-first, capped — the `searchThresholdCodes` facade path,
@@ -286,7 +313,8 @@ object FacadeQueries {
     "graftdb_search_iter" -> (searchIterQ _),
     "graftdb_stats" -> (statsQ _),
     "graftdb_query_stats" -> (queryStats _),
-    "graftdb_threshold_hamming" -> (thresholdHamming _)
+    "graftdb_threshold_hamming" -> (thresholdHamming _),
+    "graftdb_knn_cosine_indexed" -> (knnCosineIndexed _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -301,6 +329,7 @@ object FacadeQueries {
         |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_batch_indexed" -> Queries.oracle("batch_search"),
     "graftdb_hamming" -> IndexQueries.oracle("bq_hamming"),
+    "graftdb_knn_cosine_indexed" -> Queries.oracle("knn_cosine"),
     // facade corpus = embeddings JOIN documents; at scale factors where
     // the two tables differ in size the BM25 side must be restricted to
     // the joined ids
