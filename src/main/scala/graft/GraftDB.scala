@@ -632,15 +632,35 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       kept0.map(s => s.seq -> s.stats.flatMap(_.vec)), q, metric)
     val kept = visit.flatMap(seq => kept0.find(_.seq == seq))
     var gated = 0
+    var listsPruned = 0
     val frames = kept.map { s =>
       val base = store.visibleSegment(s, m).where(filter.toColumn)
       val pre = s.index match {
         case Some(ref) =>
+          gated += 1
+          val meta = indexMeta(ref)
+          // per-LIST ball pruning (the directory-level analog of segment
+          // distance pruning): every member of IVF list i is within
+          // listRadii(i) of its centroid, so a list whose best possible
+          // score fails the threshold is never even listed — Parquet
+          // partition filters drop its directory. Sidecars written before
+          // listRadii existed carry none → pruning simply disabled.
+          val listGated =
+            if (meta.listRadii.size == meta.nlist && meta.nlist > 0) {
+              val keptLists = (0 until meta.nlist).filter { i =>
+                val vs = graft.stats.SegmentStats.VecStats(
+                  meta.centroids(i).map(_.toDouble), meta.listRadii(i))
+                !graft.stats.SegmentStats.canPruneByScore(vs, q, threshold, metric)
+              }
+              listsPruned += meta.nlist - keptLists.size
+              if (keptLists.size == meta.nlist) base
+              else base.where(col(graft.index.SegmentIndex.PartCol)
+                .isin(keptLists: _*))
+            } else base
           // recall-proof SQ8 pre-filter: |x̃ − x| ≤ eps bounds how far the
           // approximate score can sit from the exact one under each metric
           // (L2: euclid ±eps; Dot: ±eps·|q|; Cosine on unit vectors: ±2eps)
-          gated += 1
-          val sq8 = graft.index.SegmentIndex.sq8Model(indexMeta(ref))
+          val sq8 = graft.index.SegmentIndex.sq8Model(meta)
           val eps = sq8.maxDecodeError
           val approx = metric.score(
             sq8.decodeCol(col(graft.index.SegmentIndex.CodeCol)), lit(q))
@@ -654,7 +674,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
             case Metric.Cosine => approx >= lit(threshold - 2 * eps)
             case Metric.Hamming => lit(true) // unreachable (guarded above)
           }
-          base.where(gate)
+          listGated.where(gate)
         case None => base
       }
       pre.withColumn("score", metric.score(col("vector"), lit(q)))
@@ -668,6 +688,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       exact.orderBy(metric.sort(col("score")), col("id").asc)
         .limit(maxResults),
       s"threshold(segments=${kept.size}, sq8_gated=$gated, " +
+        s"ivf_lists_pruned=$listsPruned, " +
         s"pruned_distance=${distPruned.size}, pruned_stats=${statsPruned.size}, " +
         s"visit=${visit.mkString("[", ",", "]")})",
       kept.size, prunedCount)

@@ -35,6 +35,10 @@ object SegmentIndex {
   /** Sidecar index metadata (JSON-serializable; Lists for json4s).
     * `vecCol` makes the sidecar self-describing, so a later `compact()`
     * can rebuild the same index without the caller re-supplying params.
+    * `listRadii(i)` = max L2 distance of any member of list i to its
+    * centroid — the per-list ball that lets threshold search prune whole
+    * IVF directories (empty on sidecars written before this field
+    * existed, which simply disables the pruning).
     */
   case class Meta(
       kind: String,
@@ -43,7 +47,8 @@ object SegmentIndex {
       centroids: List[List[Float]],
       mins: List[Double],
       maxs: List[Double],
-      vecCol: String = "vector")
+      vecCol: String = "vector",
+      listRadii: List[Double] = Nil)
 
   def ivfModel(meta: Meta): IVF.Model =
     IVF.Model(meta.centroids.map(_.toArray).toArray)
@@ -77,9 +82,23 @@ object SegmentIndex {
       .option("compression", "uncompressed")
       .partitionBy(PartCol)
       .parquet(dir)
+    // per-list radius: one agg over the WRITTEN layout (vecgo keeps
+    // per-partition stats in its flat-segment block stats) — enables
+    // sound per-directory pruning for threshold queries
+    val back = live.sparkSession.read.parquet(dir)
+    val centroidLit = org.apache.spark.sql.functions.typedlit(
+      ivf.centroids.map(_.toSeq).toSeq)
+    val radiusRows = back
+      .select(col(PartCol).cast("int").as("p"),
+        graft.functions.vec_l2(col(vecCol),
+          org.apache.spark.sql.functions.element_at(
+            centroidLit, col(PartCol).cast("int") + 1)).as("r"))
+      .groupBy("p").agg(org.apache.spark.sql.functions.max("r").as("rmax"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val radii = List.tabulate(ivf.k)(i => radiusRows.getOrElse(i, 0.0))
     Meta("ivf_sq8", ivf.k, levels,
       ivf.centroids.map(_.toList).toList,
-      sq8.mins.toList, sq8.maxs.toList, vecCol)
+      sq8.mins.toList, sq8.maxs.toList, vecCol, radii)
   }
 
   private implicit val fmts: Formats = DefaultFormats

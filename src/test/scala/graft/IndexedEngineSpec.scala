@@ -201,12 +201,19 @@ class IndexedEngineSpec extends AnyFunSuite {
     val filtered = db.searchThreshold(q, 4.0, 500,
       FilterSet.of(Filter.Eq("label", 0))).select("id").as[Long].collect().toSet
     assert(filtered == got.filter(_ % NClusters == 0))
-    // indexed store: the SQ8 approximate gate must not drop a single row
+    // indexed store: the SQ8 approximate gate must not drop a single row,
+    // and cluster-aligned IVF lists whose ball cannot reach the threshold
+    // are pruned at the directory level
     db.buildIndex(nlist = NClusters)
     val got2 = db.searchThreshold(q, 4.0, 500).select("id").as[Long].collect().toSet
     assert(got2 == want(4.0), "SQ8-gated threshold search diverged from exact")
     val ex2 = db.explainThreshold(q, 4.0, 500)
     assert(ex2.contains("sq8_gated=1"), ex2)
+    val listsPruned = "ivf_lists_pruned=(\\d+)".r
+      .findFirstMatchIn(ex2).map(_.group(1).toInt).getOrElse(-1)
+    assert(listsPruned >= NClusters - 1,
+      s"expected ≥${NClusters - 1} IVF lists distance-pruned, got $listsPruned:\n$ex2")
+    assert(ex2.contains("_ivf_part"), s"expected a partition filter:\n$ex2")
     // a threshold no segment can reach returns empty via all-pruned fast path
     assert(db.searchThreshold(q, 0.000001, 10).count() <= 1)
   }
