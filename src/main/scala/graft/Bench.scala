@@ -95,6 +95,13 @@ object Bench {
     val li = Tables.load(spark, sfDir, "lineitem")
     val liRows = li.count()
     val dels = spark.range(0, 1000).select((col("id") * 7).as("id"))
+    // serving replica (BASELINE "single query latency": the reference is an
+    // in-process engine, so the honest comparison is our in-process serving
+    // tier, not a scheduled local-mode job)
+    val replica = graft.serve.LocalReplica.fromDataFrame(
+      stored, "vec", "id", Metric.L2, nlist = 64)
+    val replicaBrute = graft.serve.LocalReplica.fromDataFrame(
+      stored, "vec", "id", Metric.L2)
 
     // ------------------------------------- benchmark registry (fixed order)
     val headline = Seq(
@@ -164,7 +171,34 @@ object Bench {
           10, Metric.L2))),
       // tombstone-delete throughput: anti-join n rows against 1k deletes
       "synth_delete_antijoin" -> (() =>
-        noop(stored.join(broadcast(dels), Seq("id"), "left_anti")))
+        noop(stored.join(broadcast(dels), Seq("id"), "left_anti"))),
+      // serving-replica path: export (collect + k-means + CSR pack) is the
+      // Spark-side build; the query loops are pure in-process (no job) —
+      // per-query latency derives from these (÷1000 / ÷100)
+      "synth_local_export" -> (() => {
+        graft.serve.LocalReplica.fromDataFrame(
+          stored, "vec", "id", Metric.L2, nlist = 64); ()
+      }),
+      "synth_local_knn_x1000" -> (() => {
+        var i = 0
+        while (i < 1000) {
+          replica.search(queries(i % queries.length)._2, 10, nprobe = 8)
+          i += 1
+        }
+      }),
+      "synth_local_brute_x100" -> (() => {
+        var i = 0
+        while (i < 100) {
+          replicaBrute.search(queries(i % queries.length)._2, 10)
+          i += 1
+        }
+      }),
+      // replica throughput: same 1000 probed queries, parallel across cores
+      "synth_local_batch_x1000" -> (() => {
+        val qs = (0 until 1000).map(i =>
+          (i.toLong, queries(i % queries.length)._2))
+        replica.batchSearch(qs, 10, nprobe = 8); ()
+      })
     )
 
     val benches = headlineBenches ++ synthBenches
@@ -201,6 +235,13 @@ object Bench {
       results("synth_knn_single_parquet") / results("synth_ivf_probe4")
     derived("ivf_build_vec_per_sec_big") = nBig / results("synth_ivf_build_big")
     derived("delete_rows_per_sec") = n / results("synth_delete_antijoin")
+    derived("local_export_vec_per_sec") = n / results("synth_local_export")
+    derived("local_knn_latency_us") =
+      results("synth_local_knn_x1000") / 1000.0 * 1e6
+    derived("local_knn_qps") = 1000.0 / results("synth_local_knn_x1000")
+    derived("local_brute_latency_us") =
+      results("synth_local_brute_x100") / 100.0 * 1e6
+    derived("local_batch_qps") = 1000.0 / results("synth_local_batch_x1000")
 
     // wall-clock at 500k is still fixed-overhead-bound, so the ratio that
     // extrapolates to cluster scale is rows actually scanned — probe vs

@@ -300,6 +300,21 @@ object FacadeQueries {
         "rows_scanned", "distance_computations")
   }
 
+  /** Serving-replica k-NN ([[graft.serve.LocalReplica]]): the snapshot is
+    * exported ONCE into an in-process IVF-clustered replica, the query is
+    * answered without a Spark job (every list probed here → exact, so the
+    * same brute-force oracle hash-checks the whole export→serve path:
+    * collect, CSR layout, probing, heap selection, tie-breaks).
+    */
+  def localKnn(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local")
+    val rep = graft.serve.LocalReplica.fromStore(db, nlist = 8)
+    val res = rep.search(qvec(s, dir, 0), 10, nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
@@ -314,12 +329,14 @@ object FacadeQueries {
     "graftdb_stats" -> (statsQ _),
     "graftdb_query_stats" -> (queryStats _),
     "graftdb_threshold_hamming" -> (thresholdHamming _),
-    "graftdb_knn_cosine_indexed" -> (knnCosineIndexed _)
+    "graftdb_knn_cosine_indexed" -> (knnCosineIndexed _),
+    "graftdb_local_knn" -> (localKnn _)
   )
 
   val oracle: Map[String, String] = Map(
     "graftdb_knn" -> Queries.oracle("knn_l2"),
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
+    "graftdb_local_knn" -> Queries.oracle("knn_l2"),
     "graftdb_knn_prefilter" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
         |s AS (SELECT e.vec_id, e.label,

@@ -1,0 +1,142 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.KernelMode
+import graft.query.Search
+import graft.types.{Candidate, Metric}
+
+class LocalReplicaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dim = 32
+  private val n = 2000
+
+  private def corpus = {
+    spark.range(0, n, 1, 4).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vec"))
+  }
+
+  private def queryVec(seed: Long): Array[Float] =
+    Array.tabulate(dim)(i => (((seed * 131 + i * 7919) % 1000) / 500.0 - 1.0).toFloat)
+
+  private def sparkKnn(metric: Metric, q: Array[Float], k: Int): Seq[Candidate] =
+    Search.knn(corpus, "vec", "id", lit(q), k, metric).collect()
+      .map(r => Candidate(r.getLong(0), r.getDouble(1))).toSeq
+
+  test("brute replica matches the distributed scan bit-for-bit, all metrics") {
+    for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.Dot)) {
+      val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", metric)
+      val q = queryVec(7)
+      val local = rep.search(q, k = 25)
+      val dist = sparkKnn(metric, q, 25)
+      assert(local.map(_.id) == dist.map(_.id))
+      assert(local.map(_.score) == dist.map(_.score)) // exact kernels: same bits
+    }
+  }
+
+  test("IVF replica probing all lists is exact; layout is CSR-consistent") {
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      nlist = 8)
+    assert(rep.nlist == 8)
+    assert(rep.size == n)
+    val q = queryVec(3)
+    val allProbes = rep.search(q, 10, nprobe = 8)
+    val brute = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+      .search(q, 10)
+    assert(allProbes == brute)
+  }
+
+  test("probed recall@10 over a query panel; monotone in nprobe") {
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      nlist = 16)
+    val brute = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+    def meanRecall(nprobe: Int): Double = {
+      val rs = (0 until 20).map { s =>
+        val q = queryVec(s)
+        val approx = rep.search(q, 10, nprobe = nprobe).map(_.id).toSet
+        val exact = brute.search(q, 10).map(_.id).toSet
+        (approx & exact).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    // UNIFORM vectors are IVF's worst case (no cluster structure), so the
+    // gates are probe-fraction-shaped: half the lists must recover >=0.9,
+    // and recall must not degrade as nprobe grows
+    val r4 = meanRecall(4); val r8 = meanRecall(8)
+    assert(r8 >= 0.9, s"mean recall@10 at nprobe=8 was $r8 < 0.9")
+    assert(r8 >= r4, s"recall regressed with more probes: $r4 -> $r8")
+  }
+
+  test("threshold matches a filtered brute scan; cap and order respected") {
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+    val q = queryVec(11)
+    val all = rep.search(q, n) // full ranking
+    val cut = all(49).score    // a threshold that keeps exactly 50 rows
+    val thr = rep.searchThreshold(q, cut)
+    assert(thr.size == 50)
+    assert(thr == all.take(50))
+    assert(rep.searchThreshold(q, cut, maxResults = 5) == all.take(5))
+    // descending metric: keep scores >= threshold
+    val repDot = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.Dot)
+    val allDot = repDot.search(q, n)
+    val thrDot = repDot.searchThreshold(q, allDot(9).score)
+    assert(thrDot == allDot.take(10))
+  }
+
+  test("batch search agrees with per-query search") {
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      nlist = 8)
+    val qs = (0L until 16L).map(s => s -> queryVec(s))
+    val batch = rep.batchSearch(qs, 5, nprobe = 3).toMap
+    qs.foreach { case (qid, q) =>
+      assert(batch(qid) == rep.search(q, 5, nprobe = 3))
+    }
+  }
+
+  test("fast kernels agree with exact on rank order (no near-ties here)") {
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+    val q = queryVec(5)
+    val exact = rep.search(q, 10)
+    val fast = KernelMode.withFast(true)(rep.search(q, 10))
+    // the synthetic lattice can produce exact score ties whose float-sum
+    // order differs — compare the rank-aligned scores, not ids
+    exact.zip(fast).foreach { case (e, f) =>
+      assert(math.abs(e.score - f.score) <= 1e-3 * math.max(1.0, e.score))
+    }
+  }
+
+  test("maxRows guard refuses oversized exports") {
+    val e = intercept[IllegalArgumentException] {
+      LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+        maxRows = n - 1)
+    }
+    assert(e.getMessage.contains("per-shard"))
+  }
+
+  test("replica from an engine store serves the snapshot (MVCC-frozen)") {
+    import graft.GraftDB
+    val root = s"${sys.props("java.io.tmpdir")}/graft_replica_spec"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val db = GraftDB.open(spark, root, dim = dim, metric = "l2")
+    db.insertBatch(corpus.select(col("id"), col("vec").as("vector")))
+    val rep = LocalReplica.fromStore(db)
+    val q = queryVec(9)
+    val local = rep.search(q, 10)
+    val engine = db.search(q, 10).collect()
+      .map(r => Candidate(r.getLong(0), r.getDouble(1))).toSeq
+    assert(local == engine)
+    // replica stays frozen while the store moves on
+    db.delete(local.map(_.id))
+    assert(rep.search(q, 10) == local)
+    assert(db.search(q, 10).collect().map(_.getLong(0)).toSeq
+      .intersect(local.map(_.id)).isEmpty)
+  }
+}
