@@ -97,9 +97,11 @@ object Bench {
     val dels = spark.range(0, 1000).select((col("id") * 7).as("id"))
     // serving replica (BASELINE "single query latency": the reference is an
     // in-process engine, so the honest comparison is our in-process serving
-    // tier, not a scheduled local-mode job)
+    // tier, not a scheduled local-mode job). Serving fixture uses a finer
+    // 256-list layout (~195 rows/list at 50k): the scan is memory-bound,
+    // so latency tracks probed mass ≈ nprobe/nlist + list skew
     val replica = graft.serve.LocalReplica.fromDataFrame(
-      stored, "vec", "id", Metric.L2, nlist = 64)
+      stored, "vec", "id", Metric.L2, nlist = 256)
     val replicaBrute = graft.serve.LocalReplica.fromDataFrame(
       stored, "vec", "id", Metric.L2)
 
@@ -182,7 +184,7 @@ object Bench {
       "synth_local_knn_x1000" -> (() => {
         var i = 0
         while (i < 1000) {
-          replica.search(queries(i % queries.length)._2, 10, nprobe = 8)
+          replica.search(queries(i % queries.length)._2, 10, nprobe = 16)
           i += 1
         }
       }),
@@ -197,7 +199,7 @@ object Bench {
       "synth_local_batch_x1000" -> (() => {
         val qs = (0 until 1000).map(i =>
           (i.toLong, queries(i % queries.length)._2))
-        replica.batchSearch(qs, 10, nprobe = 8); ()
+        replica.batchSearch(qs, 10, nprobe = 16); ()
       })
     )
 

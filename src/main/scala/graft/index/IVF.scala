@@ -33,15 +33,18 @@ object IVF {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
 
-    /** Probe order: centroid indices sorted by distance to the query. */
+    /** Probe order: centroid indices sorted by distance to the query.
+      * Fast-kernel-scored in production ([[KernelMode]] — at serving-
+      * replica latencies the centroid pass is on the critical path);
+      * verify/oracle sessions pin exact, where probe choice must be
+      * deterministic (ties break by index either way).
+      */
     def probes(query: Array[Float], nprobe: Int): Seq[Int] = {
-      def l2sq(a: Array[Float], b: Array[Float]): Double = {
-        var s = 0.0; var i = 0
-        while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-        s
-      }
+      val fast = KernelMode.fast && KernelMode.simdAvailable
+      def d(c: Array[Float]): Double =
+        if (fast) SimdKernels.l2sq(c, query) else DistanceKernels.l2sqFF(c, query)
       centroids.indices
-        .sortBy(i => (l2sq(centroids(i), query), i))
+        .sortBy(i => (d(centroids(i)), i))
         .take(math.min(nprobe, k))
     }
   }

@@ -274,7 +274,9 @@ object LocalReplica {
         val frac = math.min(1.0, 20000.0 / rows.length)
         val sample =
           if (frac >= 1.0) df else df.sample(withReplacement = false, frac, 42L)
-        Some(IVF.train(sample, vecCol, k = nlist))
+        // bounded sample + bounded iterations: the export is a build-time
+        // op but shouldn't cost more k-means than the layout is worth
+        Some(IVF.train(sample, vecCol, k = nlist, maxIter = 10))
       }
 
     // assign each row to its nearest centroid (exact kernel: layout is
