@@ -245,12 +245,100 @@ final class LocalReplica private (
     }
     out.toSeq
   }
+
+  /** Persist the replica as a single self-contained artifact (any Hadoop
+    * FS scheme — the export job writes it next to the store, serving
+    * hosts pull it like any other build artifact). Atomic: temp + rename,
+    * same discipline as the store's manifest commits.
+    */
+  def save(path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20))
+    try {
+      out.writeInt(LocalReplica.Magic)
+      out.writeInt(LocalReplica.FormatVersion)
+      out.writeUTF(metric match {
+        case Metric.L2 => "l2"
+        case Metric.Cosine => "cosine"
+        case Metric.Dot => "dot"
+        case Metric.Hamming => "hamming"
+      })
+      out.writeInt(dim)
+      out.writeInt(size)
+      out.writeInt(nlist)
+      var i = 0
+      while (i < size) { out.writeLong(ids(i)); i += 1 }
+      i = 0
+      while (i < flat.length) { out.writeFloat(flat(i)); i += 1 }
+      centroids.foreach { c =>
+        var j = 0
+        while (j < dim) { out.writeFloat(c(j)); j += 1 }
+      }
+      listStart.foreach(out.writeInt)
+    } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
 }
 
 object LocalReplica {
 
   /** Default collect guard: 4M rows × 128d ≈ 2 GiB of floats. */
   val DefaultMaxRows: Long = 4L * 1000 * 1000
+
+  private[serve] val Magic = 0x47524c52 // "GRLR"
+  private[serve] val FormatVersion = 1
+
+  /** Load a [[save]]d artifact. Fails loudly on a bad magic/version or a
+    * truncated file — a serving host must never come up on a torn pull.
+    */
+  def load(path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): LocalReplica = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p), 1 << 20))
+    try {
+      val magic = in.readInt()
+      require(magic == Magic,
+        f"not a replica artifact: bad magic 0x$magic%08x at $path")
+      val ver = in.readInt()
+      require(ver == FormatVersion,
+        s"replica format version $ver unsupported (expected $FormatVersion)")
+      val metric = Metric.fromString(in.readUTF())
+      val dim = in.readInt()
+      val n = in.readInt()
+      val lists = in.readInt()
+      require(dim > 0 && n > 0 && lists >= 0,
+        s"corrupt replica header: dim=$dim n=$n nlist=$lists")
+      val ids = new Array[Long](n)
+      var i = 0
+      while (i < n) { ids(i) = in.readLong(); i += 1 }
+      val flat = new Array[Float](n * dim)
+      i = 0
+      while (i < flat.length) { flat(i) = in.readFloat(); i += 1 }
+      val centroids = Array.fill(lists) {
+        val c = new Array[Float](dim)
+        var j = 0
+        while (j < dim) { c(j) = in.readFloat(); j += 1 }
+        c
+      }
+      val listStart = new Array[Int](math.max(1, lists) + 1)
+      i = 0
+      while (i < listStart.length) { listStart(i) = in.readInt(); i += 1 }
+      require(listStart(listStart.length - 1) == n,
+        s"corrupt replica: CSR end ${listStart(listStart.length - 1)} != $n")
+      new LocalReplica(metric, dim, ids, flat, centroids, listStart)
+    } finally in.close()
+  }
 
   /** Export a replica from any (id, vector) DataFrame. `nlist > 0`
     * clusters rows into IVF lists (MLlib k-means on a bounded sample —

@@ -119,6 +119,38 @@ class LocalReplicaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("per-shard"))
   }
 
+  test("save/load round-trips bit-exactly; torn artifacts fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replica_io")
+    val path = s"$dir/replica.grlr"
+    for ((nlist, metric) <- Seq((0, Metric.L2), (8, Metric.Cosine))) {
+      val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", metric,
+        nlist = nlist)
+      rep.save(path)
+      val loaded = LocalReplica.load(path)
+      assert(loaded.size == rep.size && loaded.nlist == rep.nlist &&
+        loaded.dim == rep.dim && loaded.metric == rep.metric)
+      for (s <- 0 until 5) {
+        val q = queryVec(s)
+        assert(loaded.search(q, 10, nprobe = 3) == rep.search(q, 10, nprobe = 3))
+      }
+    }
+    // bad magic (fresh path: no checksum sidecar from a prior save)
+    val badPath = s"$dir/bad.grlr"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badPath),
+      Array.fill[Byte](64)(0x5a))
+    val bad = intercept[IllegalArgumentException](LocalReplica.load(badPath))
+    assert(bad.getMessage.contains("bad magic"))
+    // truncation: chop the tail off a valid artifact
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+    rep.save(path)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val tornPath = s"$dir/torn.grlr"
+    java.nio.file.Files.write(java.nio.file.Paths.get(tornPath),
+      bytes.dropRight(bytes.length / 3))
+    intercept[java.io.IOException](LocalReplica.load(tornPath))
+  }
+
   test("replica from an engine store serves the snapshot (MVCC-frozen)") {
     import graft.GraftDB
     val root = s"${sys.props("java.io.tmpdir")}/graft_replica_spec"
