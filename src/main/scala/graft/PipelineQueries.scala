@@ -52,6 +52,34 @@ object PipelineQueries {
         TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"))
       .orderBy(col("doc_id").asc)
 
+  /** PII scrubbing ([[graft.text.Scrub]]): mask emails/URLs/phones and
+    * count the masks. The synthetic corpus contains none, so the query
+    * INJECTS deterministic PII-shaped suffixes (keyed on doc_id, written
+    * identically in the SQL oracle) — the check then covers the real
+    * machinery: portable regex masking + match counting on both engines.
+    */
+  def textScrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Scrub
+    val aug = t(s, dir, "documents").select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" see https://example.org/item/"), col("doc_id"),
+          lit(" today"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" soon"))).otherwise(lit(""))).as("aug"))
+    aug.select(col("doc_id"),
+      Scrub.count(col("aug"), Scrub.EmailRe).cast("long").as("n_email"),
+      Scrub.count(col("aug"), Scrub.UrlRe).cast("long").as("n_url"),
+      Scrub.count(col("aug"), Scrub.PhoneRe).cast("long").as("n_phone"),
+      Scrub.scrub(col("aug")).as("scrubbed"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Language-ID + quality scoring over the documents corpus. The token
     * array is materialized ONCE into a column — langId/quality reference
     * it ~12 times and Catalyst does not CSE the regex split.
@@ -245,6 +273,7 @@ object PipelineQueries {
     "text_lang_quality" -> (langQuality _),
     "text_fingerprint" -> (fingerprintQ _),
     "text_repetition" -> (textRepetition _),
+    "text_scrub" -> (textScrub _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -346,6 +375,22 @@ object PipelineQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "text_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/item/' || doc_id::VARCHAR || ' today' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' soon' ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(aug, 'https?://[A-Za-z0-9./_-]+'))::BIGINT AS n_url,
+        |  len(regexp_extract_all(aug, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    'https?://[A-Za-z0-9./_-]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM aug ORDER BY doc_id ASC""".stripMargin,
     "text_repetition" ->
       s"""WITH $TOK,
          |gr AS (SELECT doc_id,

@@ -57,6 +57,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L).isEmpty, "docs shorter than n yield NO grams (not a descending sequence)")
   }
 
+  test("scrub masks emails/urls/phones and counts them") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or bob@x.io thanks"),
+      (2L, "docs at https://example.com/a/b_c and http://foo.org/x"),
+      (3L, "call +1-555-0199 or +44-555-0200"),
+      (4L, "clean text with no contact info at all")).toDF("id", "text")
+    val got = df.select(col("id"),
+        Scrub.count(col("text"), Scrub.EmailRe).as("ne"),
+        Scrub.count(col("text"), Scrub.UrlRe).as("nu"),
+        Scrub.count(col("text"), Scrub.PhoneRe).as("np"),
+        Scrub.scrub(col("text")).as("s"))
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 2 && got(1L)._5 ==
+      "reach me at <EMAIL> or <EMAIL> thanks")
+    assert(got(2L)._3 == 2 && got(2L)._5 == "docs at <URL> and <URL>")
+    assert(got(3L)._4 == 2 && got(3L)._5 == "call <PHONE> or <PHONE>")
+    assert(got(4L) == ((4L, 0, 0, 0, "clean text with no contact info at all")))
+  }
+
   test("quality score is bounded and favors clean stopword-rich text") {
     val df = Seq(
       (1L, "the quick brown fox is in the garden and it is a fine day today"),
