@@ -315,6 +315,19 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** Hamming serving replica ([[graft.serve.LocalCodeReplica]]): packed
+    * codes exported from the engine, popcount top-k in-process — integer-
+    * exact, so the full export→serve path hash-checks against the same
+    * oracle as the engine's own `graftdb_hamming`.
+    */
+  def localHamming(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_hamming")
+    val rep = graft.serve.LocalCodeReplica.fromStore(db)
+    import s.implicits._
+    rep.search(q, 10).map(c => (c.id, c.score.toLong))
+      .toDF("vec_id", "hamming")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
@@ -330,7 +343,8 @@ object FacadeQueries {
     "graftdb_query_stats" -> (queryStats _),
     "graftdb_threshold_hamming" -> (thresholdHamming _),
     "graftdb_knn_cosine_indexed" -> (knnCosineIndexed _),
-    "graftdb_local_knn" -> (localKnn _)
+    "graftdb_local_knn" -> (localKnn _),
+    "graftdb_local_hamming" -> (localHamming _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -346,6 +360,7 @@ object FacadeQueries {
         |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_batch_indexed" -> Queries.oracle("batch_search"),
     "graftdb_hamming" -> IndexQueries.oracle("bq_hamming"),
+    "graftdb_local_hamming" -> IndexQueries.oracle("bq_hamming"),
     "graftdb_knn_cosine_indexed" -> Queries.oracle("knn_cosine"),
     // facade corpus = embeddings JOIN documents; at scale factors where
     // the two tables differ in size the BM25 side must be restricted to

@@ -80,6 +80,51 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** The composite keep/drop decision a training pipeline actually ships:
+    * length bounds, quality floor ([[TextAnalysis.qualityFromParts]] over
+    * once-materialized signals), contact-spam ceiling ([[graft.text.Scrub]]
+    * counts over the same deterministic PII injection as `text_scrub`) —
+    * first failing rule wins, decisions made on ROUNDED quality so the
+    * boundary is reproducible cross-engine. One scan, no shuffle until the
+    * output sort.
+    */
+  def pipelineFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Scrub
+    val aug = t(s, dir, "documents").select(col("doc_id"), col("text"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" see https://example.org/item/"), col("doc_id"),
+          lit(" today"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" soon"))).otherwise(lit(""))).as("aug"))
+    aug
+      .withColumn("toks", TextAnalysis.wsTokens(col("text")))
+      .withColumn("ntok", size(col("toks")).cast("long"))
+      .withColumn("quality", round(TextAnalysis.qualityFromParts(
+        size(col("toks")).cast("double"),
+        TextAnalysis.markerRatio(col("toks"), "en"),
+        TextAnalysis.punctRatio(col("text")),
+        TextAnalysis.meanWordLen(col("toks"))), 6))
+      .withColumn("n_contact",
+        (Scrub.count(col("aug"), Scrub.EmailRe) +
+          Scrub.count(col("aug"), Scrub.UrlRe) +
+          Scrub.count(col("aug"), Scrub.PhoneRe)).cast("long"))
+      .withColumn("reason",
+        when(col("ntok") < 20, "too_short")
+          .when(col("ntok") > 120, "too_long")
+          .when(col("quality") < 0.6, "low_quality")
+          .when(col("n_contact") >= 3, "contact_spam")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("ntok"), col("quality"), col("n_contact"),
+        (col("reason") === "ok").as("keep"), col("reason"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Language-ID + quality scoring over the documents corpus. The token
     * array is materialized ONCE into a column — langId/quality reference
     * it ~12 times and Catalyst does not CSE the regex split.
@@ -274,6 +319,7 @@ object PipelineQueries {
     "text_fingerprint" -> (fingerprintQ _),
     "text_repetition" -> (textRepetition _),
     "text_scrub" -> (textScrub _),
+    "pipeline_filter" -> (pipelineFilter _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -375,6 +421,33 @@ object PipelineQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "pipeline_filter" ->
+      s"""WITH $TOK,
+         |aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/item/' || doc_id::VARCHAR || ' today' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' soon' ELSE '' END AS aug
+         |  FROM documents),
+         |sig AS (SELECT d.doc_id,
+         |  len(t.ts)::BIGINT AS ntok,
+         |  round(least(1.0::DOUBLE, len(t.ts)::DOUBLE / 100.0::DOUBLE) * 0.3::DOUBLE
+         |      + least(1.0::DOUBLE, (len(list_filter(t.ts, x -> list_contains(['the','a','an','of','and','to','in','is'], x)))::DOUBLE / len(t.ts)::DOUBLE) * 4.0::DOUBLE) * 0.3::DOUBLE
+         |      + (1.0::DOUBLE - len(regexp_replace(d.text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / len(d.text)::DOUBLE) * 0.2::DOUBLE
+         |      + least(1.0::DOUBLE, (list_sum(list_transform(t.ts, x -> len(x)))::DOUBLE / len(t.ts)::DOUBLE) / 8.0::DOUBLE) * 0.2::DOUBLE, 6) AS quality,
+         |  (len(regexp_extract_all(a.aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |   + len(regexp_extract_all(a.aug, 'https?://[A-Za-z0-9./_-]+'))
+         |   + len(regexp_extract_all(a.aug, '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')))::BIGINT AS n_contact
+         |  FROM documents d JOIN tok t ON t.doc_id = d.doc_id
+         |  JOIN aug a ON a.doc_id = d.doc_id),
+         |r AS (SELECT doc_id, ntok, quality, n_contact,
+         |  CASE WHEN ntok < 20 THEN 'too_short'
+         |       WHEN ntok > 120 THEN 'too_long'
+         |       WHEN quality < 0.6::DOUBLE THEN 'low_quality'
+         |       WHEN n_contact >= 3 THEN 'contact_spam'
+         |       ELSE 'ok' END AS reason FROM sig)
+         |SELECT doc_id, ntok, quality, n_contact, reason = 'ok' AS keep, reason
+         |FROM r ORDER BY doc_id ASC""".stripMargin,
     "text_scrub" ->
       """WITH aug AS (
         |  SELECT doc_id, text ||

@@ -1,0 +1,77 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.query.Search
+import graft.types.{Candidate, Metric}
+
+class LocalCodeReplicaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val bits = 64
+  private val n = 2000
+
+  private def corpus = {
+    val vecs = spark.range(0, n, 1, 4).select(
+      col("id"),
+      transform(sequence(lit(0), lit(bits - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vec"))
+    vecs.select(col("id"),
+      graft.index.BQ.packCol(col("vec"), bits).as("code"))
+  }
+
+  private def queryCode(seed: Long): Array[Long] =
+    corpus.where(col("id") === seed).select("code")
+      .collect()(0).getSeq[Long](0).toArray
+
+  test("replica top-k matches the distributed hamming scan exactly") {
+    val rep = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
+    assert(rep.size == n && rep.words == (bits + 31) / 32)
+    for (seed <- Seq(0L, 7L, 42L)) {
+      val q = queryCode(seed)
+      val local = rep.search(q, 15)
+      val dist = Search.knn(corpus, "code", "id", lit(q), 15, Metric.Hamming)
+        .collect().map(r => Candidate(r.getLong(0), r.getLong(1).toDouble)).toSeq
+      assert(local == dist)
+    }
+  }
+
+  test("threshold equals the filtered ranking; batch equals per-query") {
+    val rep = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
+    val q = queryCode(3)
+    val all = rep.search(q, n)
+    val cut = all(29).score.toLong
+    val thr = rep.searchThreshold(q, cut)
+    assert(thr == all.takeWhile(_.score <= cut))
+    assert(rep.searchThreshold(q, cut, maxResults = 7) == thr.take(7))
+    val qs = Seq(1L -> queryCode(1), 2L -> queryCode(2))
+    val batch = rep.batchSearch(qs, 5).toMap
+    qs.foreach { case (qid, qc) => assert(batch(qid) == rep.search(qc, 5)) }
+  }
+
+  test("hamming store export refuses float stores and serves engine results") {
+    import graft.GraftDB
+    val root = s"${sys.props("java.io.tmpdir")}/graft_code_replica_spec"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val db = GraftDB.open(spark, root, dim = bits, metric = "hamming")
+    db.insertBatch(corpus.select(col("id"), col("code").as("vector")))
+    val rep = LocalCodeReplica.fromStore(db)
+    val q = queryCode(11)
+    val local = rep.search(q, 10)
+    val engine = db.searchCodes(q, 10).collect()
+      .map(r => Candidate(r.getLong(0), r.getLong(1).toDouble)).toSeq
+    assert(local == engine)
+
+    val floatRoot = s"${sys.props("java.io.tmpdir")}/graft_code_replica_l2"
+    val fp = new org.apache.hadoop.fs.Path(floatRoot)
+    if (fs.exists(fp)) fs.delete(fp, true)
+    val fdb = GraftDB.open(spark, floatRoot, dim = 4, metric = "l2")
+    val e = intercept[IllegalArgumentException](LocalCodeReplica.fromStore(fdb))
+    assert(e.getMessage.contains("Hamming"))
+  }
+}
