@@ -149,6 +149,22 @@ final class LocalReplica private (
         else m.probes(q, np).sorted.map(l => (listStart(l), listStart(l + 1)))
     }
 
+  /** [[search]] plus the serving twin of the engine's QueryStats (vecgo
+    * `WithStats`): wall time, rows actually scanned (≡ distance
+    * computations), lists probed of the layout total.
+    */
+  def searchWithStats(q0: Array[Float], k: Int,
+      nprobe: Int = 0): (Seq[Candidate], LocalReplica.Stats) = {
+    val t0 = System.nanoTime()
+    val ranges = probeRanges(prepQuery(q0), nprobe)
+    val out = search(q0, k, nprobe)
+    (out, LocalReplica.Stats(
+      durationNanos = System.nanoTime() - t0,
+      rowsScanned = ranges.map { case (lo, hi) => hi - lo }.sum,
+      listsProbed = if (centroids.isEmpty) 1 else ranges.length,
+      listsTotal = math.max(1, nlist)))
+  }
+
   /** Top-k nearest, best-first — in-process, no Spark job. */
   // fast path requires Panama (the scalar-unrolled fallback kernels take
   // slice copies — at replica latencies the copy dominates, so non-Panama
@@ -292,6 +308,12 @@ object LocalReplica {
 
   /** Default collect guard: 4M rows × 128d ≈ 2 GiB of floats. */
   val DefaultMaxRows: Long = 4L * 1000 * 1000
+
+  /** Per-query cost counters (serving twin of `GraftDB.QueryStats`). */
+  final case class Stats(durationNanos: Long, rowsScanned: Int,
+      listsProbed: Int, listsTotal: Int) {
+    def scanFraction: Double = listsProbed.toDouble / listsTotal
+  }
 
   private[serve] val Magic = 0x47524c52 // "GRLR"
   private[serve] val FormatVersion = 1

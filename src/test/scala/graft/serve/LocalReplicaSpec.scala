@@ -89,6 +89,21 @@ class LocalReplicaSpec extends AnyFunSuite {
     assert(thrDot == allDot.take(10))
   }
 
+  test("searchWithStats reports probed mass; results identical to search") {
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      nlist = 8)
+    val q = queryVec(13)
+    val (res, st) = rep.searchWithStats(q, 10, nprobe = 2)
+    assert(res == rep.search(q, 10, nprobe = 2))
+    assert(st.listsProbed == 2 && st.listsTotal == 8)
+    assert(st.rowsScanned > 0 && st.rowsScanned < n,
+      s"2/8 probes must scan a strict subset, got ${st.rowsScanned}")
+    assert(st.scanFraction == 0.25)
+    val brute = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+    val (_, bst) = brute.searchWithStats(q, 10)
+    assert(bst.rowsScanned == n && bst.scanFraction == 1.0)
+  }
+
   test("batch search agrees with per-query search") {
     val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
       nlist = 8)
