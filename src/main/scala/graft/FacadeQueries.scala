@@ -328,6 +328,24 @@ object FacadeQueries {
       .toDF("vec_id", "hamming")
   }
 
+  /** Filtered serving-replica k-NN: the metadata predicate runs ENGINE-
+    * side (stats-pruned scan) and only the surviving id-set ships to the
+    * replica ([[graft.serve.LocalReplica.searchFiltered]] — vecgo
+    * `WithFilter` on the embedded path). Pre-filter semantics are exact,
+    * so the result hash-checks against the brute-force filtered oracle.
+    */
+  def localKnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_pre")
+    val allowed = db.scan(
+      Seq(graft.types.Filter.Eq("label", 4)), Seq("id"))
+      .collect().map(_.getLong(0)).toSet
+    val rep = graft.serve.LocalReplica.fromStore(db, nlist = 8)
+    val res = rep.searchFiltered(qvec(s, dir, 3), 10, allowed, nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
@@ -344,13 +362,21 @@ object FacadeQueries {
     "graftdb_threshold_hamming" -> (thresholdHamming _),
     "graftdb_knn_cosine_indexed" -> (knnCosineIndexed _),
     "graftdb_local_knn" -> (localKnn _),
-    "graftdb_local_hamming" -> (localHamming _)
+    "graftdb_local_hamming" -> (localHamming _),
+    "graftdb_local_knn_filtered" -> (localKnnFiltered _)
   )
 
   val oracle: Map[String, String] = Map(
     "graftdb_knn" -> Queries.oracle("knn_l2"),
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn" -> Queries.oracle("knn_l2"),
+    "graftdb_local_knn_filtered" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q WHERE e.label = 4)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_knn_prefilter" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
         |s AS (SELECT e.vec_id, e.label,

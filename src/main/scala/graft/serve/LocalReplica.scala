@@ -221,6 +221,33 @@ final class LocalReplica private (
     out.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
   }
 
+  /** Filtered top-k (vecgo `WithFilter` on the embedded path): `allowed`
+    * is the id-set of filter survivors — in the intended deployment the
+    * metadata predicate runs Spark-side (pushed down, stats-pruned) and
+    * only the surviving ids ship to the serving tier; the replica skips
+    * the kernel entirely for everything else (pre-filter semantics, so
+    * results are exact over the allowed set, never recall-lossy).
+    */
+  def searchFiltered(q0: Array[Float], k: Int, allowed: Long => Boolean,
+      nprobe: Int = 0): Seq[Candidate] = {
+    val q = prepQuery(q0)
+    val fast = fastMode
+    val qNorm =
+      if (metric == Metric.Cosine && fast)
+        math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    probeRanges(q, nprobe).foreach { case (lo, hi0) =>
+      var r = lo
+      while (r < hi0) {
+        val id = ids(r)
+        if (allowed(id)) buf += Candidate(id, scoreRow(fast, r * dim, q, qNorm))
+        r += 1
+      }
+    }
+    buf.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
+      .take(k).toSeq
+  }
+
   /** All rows at or better than `threshold`, best-first, capped at
     * `maxResults` (vecgo `SearchThreshold`, `engine.go:1485`). Scans the
     * probed ranges (all rows when unclustered) — threshold semantics over

@@ -89,6 +89,18 @@ class LocalReplicaSpec extends AnyFunSuite {
     assert(thrDot == allDot.take(10))
   }
 
+  test("filtered search is exact over the allowed set") {
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      nlist = 8)
+    val q = queryVec(4)
+    val allowed = (0L until n.toLong).filter(_ % 5 == 2).toSet
+    val got = rep.searchFiltered(q, 10, allowed, nprobe = 8)
+    assert(got.size == 10 && got.forall(c => allowed(c.id)))
+    val brute = rep.search(q, n, nprobe = 8).filter(c => allowed(c.id)).take(10)
+    assert(got == brute)
+    assert(rep.searchFiltered(q, 10, _ => false).isEmpty)
+  }
+
   test("searchWithStats reports probed mass; results identical to search") {
     val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
       nlist = 8)
