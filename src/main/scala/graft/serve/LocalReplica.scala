@@ -172,13 +172,11 @@ final class LocalReplica private (
   @inline private def fastMode: Boolean =
     KernelMode.fast && KernelMode.simdAvailable
 
-  def search(q0: Array[Float], k: Int, nprobe: Int = 0): Seq[Candidate] = {
-    val q = prepQuery(q0)
-    val fast = fastMode
-    val qNorm =
-      if (metric == Metric.Cosine && fast)
-        math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
-    // bounded selection: size-k binary heap keyed worst-at-root
+  /** Scan `[lo, hi)`, returning the (unsorted) top-k candidates via a
+    * bounded worst-at-root binary heap.
+    */
+  private def scanTopK(lo: Int, hi0: Int, q: Array[Float], k: Int,
+      fast: Boolean, qNorm: Double): IndexedSeq[Candidate] = {
     val hs = new Array[Double](math.max(1, k))
     val hi = new Array[Long](math.max(1, k))
     var hn = 0
@@ -200,25 +198,56 @@ final class LocalReplica private (
         }
       }
     }
-    probeRanges(q, nprobe).foreach { case (lo, hi0) =>
-      var r = lo
-      while (r < hi0) {
-        val s = scoreRow(fast, r * dim, q, qNorm)
-        val id = ids(r)
-        if (hn < k) {
-          hs(hn) = s; hi(hn) = id; hn += 1
-          if (hn == k) { // heapify once full
-            var i = hn / 2 - 1
-            while (i >= 0) { siftDown(i); i -= 1 }
-          }
-        } else if (k > 0 && better(s, id, hs(0), hi(0))) {
-          hs(0) = s; hi(0) = id; siftDown(0)
+    var r = lo
+    while (r < hi0) {
+      val s = scoreRow(fast, r * dim, q, qNorm)
+      val id = ids(r)
+      if (hn < k) {
+        hs(hn) = s; hi(hn) = id; hn += 1
+        if (hn == k) { // heapify once full
+          var i = hn / 2 - 1
+          while (i >= 0) { siftDown(i); i -= 1 }
         }
-        r += 1
+      } else if (k > 0 && better(s, id, hs(0), hi(0))) {
+        hs(0) = s; hi(0) = id; siftDown(0)
       }
+      r += 1
     }
-    val out = (0 until hn).map(i => Candidate(hi(i), hs(i)))
-    out.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
+    (0 until hn).map(i => Candidate(hi(i), hs(i)))
+  }
+
+  def search(q0: Array[Float], k: Int, nprobe: Int = 0): Seq[Candidate] = {
+    val q = prepQuery(q0)
+    val fast = fastMode
+    val qNorm =
+      if (metric == Metric.Cosine && fast)
+        math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
+    val ranges = probeRanges(q, nprobe)
+    val total = ranges.map { case (lo, hi) => hi - lo }.sum
+    // large scans fan out across cores in fixed-size chunks, each keeping
+    // its own bounded heap; the global top-k of the merged per-chunk
+    // top-ks is EXACTLY the sequential result (every row is scored
+    // independently), so parallelism never changes answers — skipped when
+    // already inside a FJ worker (batchSearch parallelizes across queries)
+    val cands: IndexedSeq[Candidate] =
+      if (total >= LocalReplica.ParallelScanRows &&
+          !java.util.concurrent.ForkJoinTask.inForkJoinPool()) {
+        val step = LocalReplica.ChunkRows
+        val chunks = ranges.flatMap { case (lo, hi) =>
+          (lo until hi by step).map(c => (c, math.min(hi, c + step)))
+        }.toIndexedSeq
+        val out = new Array[IndexedSeq[Candidate]](chunks.length)
+        java.util.stream.IntStream.range(0, chunks.length).parallel()
+          .forEach { i =>
+            out(i) = scanTopK(chunks(i)._1, chunks(i)._2, q, k, fast, qNorm)
+          }
+        out.toIndexedSeq.flatten
+      } else {
+        ranges.toIndexedSeq.flatMap { case (lo, hi) =>
+          scanTopK(lo, hi, q, k, fast, qNorm)
+        }
+      }
+    cands.sortWith((a, b) => better(a.score, a.id, b.score, b.id)).take(k)
   }
 
   /** Filtered top-k (vecgo `WithFilter` on the embedded path): `allowed`
@@ -335,6 +364,15 @@ object LocalReplica {
 
   /** Default collect guard: 4M rows × 128d ≈ 2 GiB of floats. */
   val DefaultMaxRows: Long = 4L * 1000 * 1000
+
+  /** Scans at or above this many rows fan out across cores. */
+  val ParallelScanRows: Int = 8192
+
+  /** Rows per parallel chunk (~80 µs of 128d kernel work: small enough to
+    * load-balance a skewed probe set, big enough to amortize task
+    * dispatch).
+    */
+  val ChunkRows: Int = 2048
 
   /** Per-query cost counters (serving twin of `GraftDB.QueryStats`). */
   final case class Stats(durationNanos: Long, rowsScanned: Int,

@@ -89,6 +89,21 @@ class LocalReplicaSpec extends AnyFunSuite {
     assert(thrDot == allDot.take(10))
   }
 
+  test("parallel scan path (n >= threshold) is bit-identical to the distributed scan") {
+    val big = spark.range(0, 20000, 1, 4).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vec"))
+    val rep = LocalReplica.fromDataFrame(big, "vec", "id", Metric.L2)
+    assert(rep.size >= LocalReplica.ParallelScanRows)
+    val q = queryVec(21)
+    val local = rep.search(q, 25) // brute over 20k rows → parallel chunks
+    val dist = Search.knn(big, "vec", "id", lit(q), 25, Metric.L2).collect()
+      .map(r => Candidate(r.getLong(0), r.getDouble(1))).toSeq
+    assert(local == dist)
+  }
+
   test("filtered search is exact over the allowed set") {
     val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
       nlist = 8)
