@@ -110,8 +110,8 @@ object Bench {
       "knn_l2", "knn_filtered", "batch_search", "search_threshold",
       "bm25_search", "hybrid_rrf", "q1_agg", "join_agg", "topn_window",
       "filter_ops", "dedup_exact", "dedup_minhash_lsh", "neardup_cosine",
-      "text_lang_quality", "events_tumbling_agg", "ivf_knn", "sq8_rerank",
-      "bq_hamming")
+      "text_lang_quality", "text_scrub", "pipeline_filter",
+      "events_tumbling_agg", "ivf_knn", "sq8_rerank", "bq_hamming")
     val qmap = SparkEntry.queries
     val headlineBenches: Seq[(String, () => Unit)] = headline.flatMap { name =>
       qmap.get(name).map(fn => name -> (() => noop(fn(spark, sfDir))))
