@@ -1,0 +1,92 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.types.{Candidate, Metric}
+
+/** Property-style equivalence for the serving replica: across random
+  * (dim, k, nprobe, metric, nlist) draws, replica results must equal an
+  * INDEPENDENT in-memory reference ranking (plain Scala, no shared kernel
+  * code, double sequential accumulation — the same arithmetic the DuckDB
+  * oracle performs), including tie-breaks and the probed-subset contract.
+  */
+class ReplicaPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val rng = new scala.util.Random(7)
+
+  private def mkCorpus(n: Int, dim: Int, seed: Int) = {
+    spark.range(0, n, 1, 4).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131 + seed) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vec"))
+  }
+
+  /** Reference scoring: same definitions as types.Metric, written
+    * independently of the replica/kernel code.
+    */
+  private def refScore(metric: Metric, v: Array[Float], q: Array[Float]): Double =
+    metric match {
+      case Metric.L2 =>
+        var s = 0.0; var i = 0
+        while (i < q.length) { val d = v(i).toDouble - q(i).toDouble; s += d * d; i += 1 }
+        s
+      case Metric.Dot =>
+        var s = 0.0; var i = 0
+        while (i < q.length) { s += v(i).toDouble * q(i).toDouble; i += 1 }
+        s
+      case Metric.Cosine =>
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < q.length) {
+          val x = v(i).toDouble; val y = q(i).toDouble
+          d += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+      case Metric.Hamming => fail("float replica has no hamming")
+    }
+
+  private def refRank(metric: Metric, rows: Array[(Long, Array[Float])],
+      q: Array[Float], k: Int): Seq[Candidate] =
+    rows.map { case (id, v) => Candidate(id, refScore(metric, v, q)) }
+      .sortWith { (a, b) =>
+        if (a.score != b.score) {
+          if (metric.ascending) a.score < b.score else a.score > b.score
+        } else a.id < b.id
+      }.take(k).toSeq
+
+  test("replica equals the independent reference over random draws") {
+    for (trial <- 0 until 10) {
+      val dim = Seq(3, 8, 17, 33, 64)(trial % 5)
+      val n = 200 + rng.nextInt(800)
+      val k = 1 + rng.nextInt(30)
+      val metric = Seq(Metric.L2, Metric.Cosine, Metric.Dot)(trial % 3)
+      val corpus = mkCorpus(n, dim, trial)
+      val rows = corpus.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val q = Array.tabulate(dim)(i =>
+        (rng.nextInt(2000) - 1000) / 1000.0f)
+
+      val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", metric)
+      assert(rep.search(q, k) == refRank(metric, rows, q, k),
+        s"trial $trial: dim=$dim n=$n k=$k metric=$metric")
+
+      // clustered replica with all lists probed must still be exact
+      val nlist = 2 + rng.nextInt(6)
+      val clustered = LocalReplica.fromDataFrame(corpus, "vec", "id", metric,
+        nlist = nlist)
+      assert(clustered.search(q, k, nprobe = nlist) ==
+        refRank(metric, rows, q, k),
+        s"trial $trial clustered: nlist=$nlist")
+
+      // probed subset: results must be a ranked subset of the full ranking
+      val probed = clustered.search(q, k, nprobe = 1)
+      val full = refRank(metric, rows, q, n)
+      assert(probed.map(_.id).toSet.subsetOf(full.map(_.id).toSet))
+      assert(probed == full.filter(c => probed.map(_.id).contains(c.id)).take(probed.size),
+        s"trial $trial: probed results must preserve the global ranking order")
+    }
+  }
+}
