@@ -68,9 +68,10 @@ object Bench {
     val nBig = 10 * n
     val dim = 128
     val synthDir = s"${sys.props("java.io.tmpdir")}/graft_bench_synth"
-    // bulk-load writes its OWN dir: `stored` caches a frame whose FileIndex
-    // lists synthDir — overwriting that dir after the listing was captured
-    // would make any cache-block loss recompute against deleted part files
+    // bulk-load gets its OWN store dir: `stored` caches a frame whose
+    // FileIndex lists synthDir — touching that dir after the listing was
+    // captured would make any cache-block loss recompute against deleted
+    // part files
     val bulkDir = s"${sys.props("java.io.tmpdir")}/graft_bench_bulk"
     val ivfDir = s"${sys.props("java.io.tmpdir")}/graft_bench_ivf"
     val ivfDirBig = s"${sys.props("java.io.tmpdir")}/graft_bench_ivf_big"
@@ -119,11 +120,23 @@ object Bench {
 
     // each thunk is self-contained (parquet reads happen inside the thunk:
     // a layout overwritten by a build thunk is re-listed, never stale)
+    // deferred-bulk-load fixture: the ENGINE's write path (validate inline +
+    // segment write + commit), fed a pre-materialized cached input so the
+    // number measures the load, not the synthesis — the honest analog of
+    // the reference's BatchInsertDeferred (BASELINE.md 2.06 M vec/s, which
+    // also appends pre-built in-memory rows). collectStats=false matches
+    // the "deferred" contract (stats/index work happens at compaction).
+    val bulkFs = new org.apache.hadoop.fs.Path(bulkDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    bulkFs.delete(new org.apache.hadoop.fs.Path(bulkDir), true)
+    val bulkDb = GraftDB.open(spark, bulkDir, dim = dim, metric = "l2")
+    val bulkInput = stored.select(col("id"), col("vec").as("vector"),
+      col("label"))
+
     val synthBenches: Seq[(String, () => Unit)] = Seq(
-      // uncompressed like the store's segment writer (entropy-dense floats)
-      "synth_bulk_load" -> (() =>
-        synthVectors(spark, n, dim).write.mode("overwrite")
-          .option("compression", "uncompressed").parquet(bulkDir)),
+      "synth_bulk_load" -> (() => {
+        bulkDb.insertBatch(bulkInput, collectStats = false); ()
+      }),
       "synth_knn_batch100" -> (() =>
         noop(Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10))),
       "synth_knn_batch100_fast" -> (() => KernelMode.withFast(true) {

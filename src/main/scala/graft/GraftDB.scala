@@ -133,7 +133,16 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 
   // ------------------------------------------------------------ validation
 
-  /** Validate + canonicalize a record batch (vecgo insert-path checks). */
+  /** Validate + canonicalize a record batch (vecgo insert-path checks)
+    * in the SAME scan that writes it: schema/type pins are metadata-only
+    * driver checks, and the per-row vector checks ride inside the
+    * projected `vector` column as a `raise_error` branch — vecgo likewise
+    * validates inline during insert (`engine.go:781-791`), and the old
+    * separate `limit(1).count()` probe pass made every clean bulk load
+    * read its input plan twice. A bad row aborts the write job;
+    * [[translateValidation]] restores the IllegalArgumentException
+    * contract at the driver.
+    */
   private def prepare(records: DataFrame): DataFrame = {
     require(records.columns.contains("id"), "records need an `id` column")
     require(records.columns.contains("vector"), "records need a `vector` column")
@@ -151,48 +160,71 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       }
       require(ok, s"field `$field` has type $dt, schema pins $kind")
     }
+    // the failing row's id rides in the message (null-safe: a null id is
+    // itself reported, not a second error)
+    def tagged(msg: String): Column = concat(lit(GraftDB.ValidationTag),
+      lit(msg), lit("; first bad id="),
+      coalesce(col("id").cast("string"), lit("null")))
     if (metric == Metric.Hamming) {
       // Hamming stores serve PACKED BINARY CODES (vecgo `distance/
       // distance.go:36-38`): `vector` is array<long> of ceil(dim/32)
       // words ([[graft.index.BQ.packCol]]'s 32-bits-per-word, ANSI-safe
       // packing), dim = number of BITS. No NaN/normalize semantics.
+      // NULL-proof: `size(null)===n` and `exists(null,...)` are NULL and
+      // would never trip the branch, so nulls are checked explicitly.
       val hasBadElem = exists(col("vector"), x => x.isNull)
-      val vecOk = records.withColumn("_vec_bad",
-        col("vector").isNull ||
-          size(col("vector")) =!= codeWords ||
-          coalesce(hasBadElem, lit(true)))
-      val bad = vecOk.where(col("_vec_bad")).limit(1).count()
-      require(bad == 0,
-        s"invalid code vectors: null or wrong word count (expect $codeWords " +
-          s"longs for ${config.dim} bits)")
-      vecOk.drop("_vec_bad")
-        .withColumn("vector", col("vector").cast("array<bigint>"))
+      val bad = col("vector").isNull ||
+        size(col("vector")) =!= codeWords ||
+        coalesce(hasBadElem, lit(true))
+      records.withColumn("vector",
+        when(bad, raise_error(tagged(
+          s"invalid code vectors: null or wrong word count (expect " +
+            s"$codeWords longs for ${config.dim} bits)")).cast("array<bigint>"))
+          .otherwise(col("vector").cast("array<bigint>")))
     } else {
-      // NULL-proof: `size(null)===dim` and `exists(null,...)` are NULL, and a
-      // NULL predicate would never count the row as bad — so null vectors /
-      // null elements are checked explicitly (vecgo rejects empty vectors in
-      // prepareVector, `hnsw.go:799`). Zero vectors are rejected under Cosine
+      // NULL-proof as above (vecgo rejects empty vectors in prepareVector,
+      // `hnsw.go:799`). Zero vectors are rejected under Cosine
       // (vecgo `distance.go:42-53`: NormalizeL2InPlace refuses zero norm).
       val hasBadElem = exists(col("vector"),
         x => x.isNull || isnan(x) || x === Float.PositiveInfinity ||
           x === Float.NegativeInfinity)
       val zeroNormBad =
         if (metric == Metric.Cosine) vec_norm(col("vector")) === 0.0 else lit(false)
-      val vecOk = records.withColumn("_vec_bad",
-        col("vector").isNull ||
-          size(col("vector")) =!= config.dim ||
-          coalesce(hasBadElem, lit(true)) ||
-          coalesce(zeroNormBad, lit(true)))
-      val bad = vecOk.where(col("_vec_bad")).limit(1).count()
-      require(bad == 0,
-        s"invalid vectors: null, wrong dimension (expect ${config.dim}), " +
-          "NaN/Inf, or zero-norm under cosine")
-      val canon = vecOk.drop("_vec_bad")
-      if (metric == Metric.Cosine)
-        canon.withColumn("vector", vec_normalize(col("vector")))
-      else canon
+      val bad = col("vector").isNull ||
+        size(col("vector")) =!= config.dim ||
+        coalesce(hasBadElem, lit(true)) ||
+        coalesce(zeroNormBad, lit(true))
+      val canon =
+        if (metric == Metric.Cosine) vec_normalize(col("vector"))
+        else col("vector")
+      records.withColumn("vector",
+        when(bad, raise_error(tagged(
+          s"invalid vectors: null, wrong dimension (expect ${config.dim}), " +
+            "NaN/Inf, or zero-norm under cosine")).cast("array<float>"))
+          .otherwise(canon))
     }
   }
+
+  /** Re-surface an executor-side inline-validation failure (the
+    * `raise_error` branch planted by [[prepare]], arriving wrapped in
+    * Spark's job-failure chain) as the driver-side
+    * IllegalArgumentException the write API documents; anything else
+    * rethrows untouched.
+    */
+  private def translateValidation[T](f: => T): T =
+    try f catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null) {
+          val m = c.getMessage
+          if (m != null && m.contains(GraftDB.ValidationTag))
+            throw new IllegalArgumentException(
+              m.substring(m.indexOf(GraftDB.ValidationTag) +
+                GraftDB.ValidationTag.length), e)
+          c = c.getCause
+        }
+        throw e
+    }
 
   /** Packed-code word count for Hamming stores: ceil(dim-bits / 32). */
   def codeWords: Int = (config.dim + 31) / 32
@@ -205,8 +237,9 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     */
   def insertBatch(records: DataFrame, collectStats: Boolean = true): Long = {
     requireWritable()
-    val (v, ms) = timedOp(store.insert(prepare(records), collectStats,
-      if (metric == Metric.Hamming) None else Some("vector")))
+    val (v, ms) = timedOp(translateValidation(
+      store.insert(prepare(records), collectStats,
+        if (metric == Metric.Hamming) None else Some("vector"))))
     notifyObs(_.onWrite("insert", lastSegmentRows(v), ms, v))
     v
   }
@@ -246,7 +279,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   /** Upsert by id (re-insert tombstones the old row, `engine.go:993`). */
   def upsert(records: DataFrame): Long = {
     requireWritable()
-    val (v, ms) = timedOp(store.upsert(prepare(records)))
+    val (v, ms) = timedOp(translateValidation(store.upsert(prepare(records))))
     notifyObs(_.onWrite("upsert", lastSegmentRows(v), ms, v))
     v
   }
@@ -975,6 +1008,11 @@ object GraftDB {
     * `selectivityCutoff`.
     */
   val DefaultSelectivityCutoff = 0.10
+
+  /** Marker carried by inline-validation `raise_error` messages so the
+    * driver can recognize (and re-type) them out of Spark's job-failure
+    * wrapping. */
+  private[graft] val ValidationTag = "GRAFT_INVALID: "
 
   /** Create or open an engine at `root`. On create, the config is written
     * to `root/db.json`; on open it is read back (config args ignored).

@@ -65,6 +65,12 @@ package object functions {
   def vec_sum_long(a: Column, n: Int): Column =
     asCol(VecSumLong(expr(a), n).toAggregateExpression())
 
+  /** Element-wise sum aggregate over fixed-length array<float|double>
+    * columns (partial-aggregated double[n] buffers — see [[VecSumDouble]]).
+    */
+  def vec_sum_double(a: Column, n: Int): Column =
+    asCol(VecSumDouble(expr(a), n).toAggregateExpression())
+
   /** Register all vector functions for SQL use in this session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

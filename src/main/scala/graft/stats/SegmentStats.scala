@@ -102,6 +102,14 @@ object SegmentStats {
     val presenceOnly = df.schema.fields.filterNot(scalarCols.contains).map { f =>
       f.name -> ColStats(num = false, None, None, None, None, 0L, 0L)
     }.toMap
+    // the vector centroid rides in the SAME wide agg as the scalar bounds:
+    // vec_sum_double is a narrow partial aggregate (one double[d] buffer
+    // per task), so the centroid costs zero extra passes — the old
+    // posexplode+groupBy alternative shuffled d rows per input vector
+    val vecDim = vecCol.flatMap { vc =>
+      df.select(size(col(vc)).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0))
+    }
     val aggs = scalarCols.flatMap { f =>
       val c = col(f.name)
       val isNum = f.dataType.isInstanceOf[NumericType]
@@ -114,6 +122,8 @@ object SegmentStats {
         (if (!isNum) max(c) else lit(null).cast("string")).as(s"${f.name}__maxS"),
         count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
         approx_count_distinct(c).as(s"${f.name}__ndv"))
+    } ++ vecCol.zip(vecDim).map { case (vc, d) =>
+      graft.functions.vec_sum_double(col(vc), d).as("__vecsum")
     } :+ count(lit(1)).as("__rows")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val cols = scalarCols.map { f =>
@@ -152,10 +162,8 @@ object SegmentStats {
     val vec =
       if (rows == 0) None // empty segment: no vector stats to collect
       else vecCol.map { vc =>
-        val centroid = df
-          .select(posexplode(col(vc)).as(Seq("d", "x")))
-          .groupBy("d").agg(avg(col("x").cast("double")).as("m"))
-          .orderBy("d").collect().map(_.getDouble(1))
+        val centroid = row.getSeq[Double](row.fieldIndex("__vecsum"))
+          .map(_ / rows).toArray
         val radius = df
           .select(graft.functions.vec_l2(col(vc),
             lit(centroid.map(_.toFloat))).as("r"))

@@ -241,19 +241,30 @@ final class SnapshotStore(spark: SparkSession, val root: String,
 
   private def writeSegment(df: DataFrame, seq: Long, prefix: String): (String, Long) = {
     val dir = s"$root/$prefix-$seq-${uniqueToken()}"
-    df.write.mode("overwrite")
-      // per-column bloom filter on the primary key (vecgo I14 categorical
-      // blooms): point-get / delete anti-joins skip row groups by id
-      .option("parquet.bloom.filter.enabled#id", "true")
-      // segments are dominated by float-vector bytes, which are entropy-
-      // dense: snappy costs ~2.4x write CPU for <5% size win (measured on
-      // the 128d synthetic corpus), so the store writes uncompressed —
-      // the same raw-bytes choice the reference's segment writer makes
-      .option("compression", "uncompressed")
-      .parquet(dir)
-    // row count from the written footers (metadata-only scan), not by
-    // recomputing the input plan
-    (dir, spark.read.parquet(dir).count())
+    // row count observed DURING the write job (zero extra passes, zero
+    // extra jobs — the old read-back-the-footers count paid a listing +
+    // schema-inference + count job per segment)
+    val obs = org.apache.spark.sql.Observation()
+    try {
+      df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite")
+        // per-column bloom filter on the primary key (vecgo I14 categorical
+        // blooms): point-get / delete anti-joins skip row groups by id
+        .option("parquet.bloom.filter.enabled#id", "true")
+        // segments are dominated by float-vector bytes, which are entropy-
+        // dense: snappy costs ~2.4x write CPU for <5% size win (measured on
+        // the 128d synthetic corpus), so the store writes uncompressed —
+        // the same raw-bytes choice the reference's segment writer makes
+        .option("compression", "uncompressed")
+        .parquet(dir)
+    } catch {
+      case e: Throwable =>
+        // a failed write (e.g. an inline-validation abort) must not leave
+        // a half-written dir for vacuum to find — it was never committed
+        try fs.delete(new Path(dir), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    (dir, obs.get("rows").asInstanceOf[Long])
   }
 
   /** Tombstone anti-join, vecgo LSN rule: a delete with seq d hides ids in
