@@ -33,19 +33,34 @@ object IVF {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
 
-    /** Probe order: centroid indices sorted by distance to the query.
-      * Fast-kernel-scored in production ([[KernelMode]] — at serving-
-      * replica latencies the centroid pass is on the critical path);
-      * verify/oracle sessions pin exact, where probe choice must be
-      * deterministic (ties break by index either way).
+    /** Probe order: the `nprobe` centroid indices nearest the query, by
+      * (distance, index). Always the EXACT double kernel: the centroid
+      * pass is tiny relative to the list scans, and exact scoring keeps
+      * the probed list set — hence approximate results and recall —
+      * machine-deterministic (the fast kernel's lane-order accumulation
+      * can flip near-ties across JVMs). Bounded insertion selection over
+      * primitive arrays: the old boxed sortBy cost more than the probed
+      * scan itself at serving-replica latencies.
       */
     def probes(query: Array[Float], nprobe: Int): Seq[Int] = {
-      val fast = KernelMode.fast && KernelMode.simdAvailable
-      def d(c: Array[Float]): Double =
-        if (fast) SimdKernels.l2sq(c, query) else DistanceKernels.l2sqFF(c, query)
-      centroids.indices
-        .sortBy(i => (d(centroids(i)), i))
-        .take(math.min(nprobe, k))
+      val np = math.min(math.max(1, nprobe), k)
+      val bestD = Array.fill(np)(Double.MaxValue)
+      val bestI = Array.fill(np)(Int.MaxValue)
+      var i = 0
+      while (i < k) {
+        val di = DistanceKernels.l2sqFF(centroids(i), query)
+        val last = np - 1
+        if (di < bestD(last) || (di == bestD(last) && i < bestI(last))) {
+          var j = last
+          while (j > 0 &&
+              (bestD(j - 1) > di || (bestD(j - 1) == di && bestI(j - 1) > i))) {
+            bestD(j) = bestD(j - 1); bestI(j) = bestI(j - 1); j -= 1
+          }
+          bestD(j) = di; bestI(j) = i
+        }
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bestI)
     }
   }
 

@@ -24,6 +24,16 @@ import graft.types.{Candidate, Metric}
   * [[KernelMode]] resolves which, so verify paths stay bit-exact with the
   * DuckDB oracle while production serves SIMD).
   *
+  * Coded first pass (format v2, the serving twin of vecgo's SQ8-coded
+  * flat segments, `internal/segment/flat/segment.go:488-604`): the
+  * artifact also carries per-dim SQ8 codes + bounds, and top-k scans the
+  * 1-byte codes first — a ~4× memory-traffic cut on a memory-bound scan —
+  * then reranks the survivors on the exact float kernels. Admission uses
+  * the same recall-PROOF decode-error margin as the engine's threshold
+  * search (`GraftDB.planThreshold`): a row is only skipped when its
+  * approximate score provably cannot reach the exact top-k, so coded
+  * results are IDENTICAL to the uncoded scan, not approximately so.
+  *
   * 100 TB story: a replica is a SERVING-TIER EXPORT, not the store. The
   * `maxRows` guard refuses to collect more than fits one process; at
   * corpus scale you export one replica per shard/tenant/partition from
@@ -46,7 +56,12 @@ final class LocalReplica private (
     ids: Array[Long],
     flat: Array[Float],
     centroids: Array[Array[Float]],
-    listStart: Array[Int]) {
+    listStart: Array[Int],
+    // SQ8 coded mirror of `flat` (format v2); null on v1 artifacts
+    codes: Array[Byte],
+    codeMins: Array[Double],
+    codeSteps: Array[Double],
+    minRowNorm: Double) {
 
   require(metric != Metric.Hamming,
     "LocalReplica serves float metrics; Hamming stores serve packed codes " +
@@ -54,6 +69,15 @@ final class LocalReplica private (
 
   def size: Int = ids.length
   def nlist: Int = centroids.length
+  /** Whether the coded (SQ8 first pass) scan is available. */
+  def coded: Boolean = codes != null
+
+  /** The same replica without its coded mirror (always serves the full
+    * float scan) — the uncoded twin the coded path is verified against.
+    */
+  private[graft] def withoutCodes: LocalReplica =
+    new LocalReplica(metric, dim, ids, flat, centroids, listStart,
+      null, null, null, 0.0)
   private val ivfModel: Option[IVF.Model] =
     if (centroids.isEmpty) None else Some(IVF.Model(centroids))
 
@@ -73,6 +97,25 @@ final class LocalReplica private (
     }
     out
   }
+
+  /** Sound Euclidean bound on the per-row SQ8 reconstruction error: each
+    * dim rounds to a step/2 half-cell, so ‖x̃ − x‖ ≤ √Σ(step/2)²; the
+    * absolute slack absorbs the float decode arithmetic (the coded scan
+    * accumulates in float lanes — same construction as
+    * `index.SQ8.Model.maxDecodeError`, slack sized for SIMD accumulation).
+    */
+  private lazy val codeEps: Double = {
+    var ss = 0.0
+    var i = 0
+    while (i < dim) { val e = codeSteps(i) / 2.0; ss += e * e; i += 1 }
+    math.sqrt(ss) + 1e-5
+  }
+
+  // float mirrors of the decode parameters for the SIMD coded kernels
+  private lazy val codeMinsF: Array[Float] =
+    Array.tabulate(dim)(i => codeMins(i).toFloat)
+  private lazy val codeStepsF: Array[Float] =
+    Array.tabulate(dim)(i => codeSteps(i).toFloat)
 
   // --- kernels over one packed row (exact = same accumulation order as
   // DistanceKernels.l2sqFF/dotQ/cosineQ on the row slice → same bits) ---
@@ -151,17 +194,26 @@ final class LocalReplica private (
 
   /** [[search]] plus the serving twin of the engine's QueryStats (vecgo
     * `WithStats`): wall time, rows actually scanned (≡ distance
-    * computations), lists probed of the layout total.
+    * computations — the coded path's exact-rerank rows ride inside the
+    * same count), lists probed of the layout total. The probe set is
+    * computed ONCE and shared with the scan, and a full-coverage probe
+    * (nprobe ≥ nlist collapses to one all-rows range) reports every list
+    * as probed, not 1.
     */
   def searchWithStats(q0: Array[Float], k: Int,
       nprobe: Int = 0): (Seq[Candidate], LocalReplica.Stats) = {
     val t0 = System.nanoTime()
-    val ranges = probeRanges(prepQuery(q0), nprobe)
-    val out = search(q0, k, nprobe)
+    val q = prepQuery(q0)
+    val ranges = probeRanges(q, nprobe)
+    val out = searchRanges(q, k, ranges, inBatch = false)
+    val fullCoverage = ranges == Seq((0, size))
     (out, LocalReplica.Stats(
       durationNanos = System.nanoTime() - t0,
       rowsScanned = ranges.map { case (lo, hi) => hi - lo }.sum,
-      listsProbed = if (centroids.isEmpty) 1 else ranges.length,
+      listsProbed =
+        if (centroids.isEmpty) 1
+        else if (fullCoverage) nlist
+        else ranges.length,
       listsTotal = math.max(1, nlist)))
   }
 
@@ -216,22 +268,322 @@ final class LocalReplica private (
     (0 until hn).map(i => Candidate(hi(i), hs(i)))
   }
 
-  def search(q0: Array[Float], k: Int, nprobe: Int = 0): Seq[Candidate] = {
-    val q = prepQuery(q0)
+  // ------------------------------------------------ coded (SQ8) first pass
+
+  /** Approximate scores of rows `[lo, hi)` from their codes into `out`
+    * (decoded in-loop against per-query precomputed float arrays — one
+    * byte load + zero-extend + FMA per lane group on the SIMD tier, the
+    * 1/4-memory-traffic shape). The metric dispatch is hoisted OUT of the
+    * row loop so each branch is a monomorphic tight loop over a static
+    * kernel — Panama vector ops only compile to SIMD when the whole chain
+    * inlines; a per-row megamorphic scorer drops them onto the boxed
+    * fallback path. `p1`/`p2` carry the metric-specific precomputation
+    * (see [[codedSearch]]).
+    */
+  private def approxChunk(lo: Int, hi0: Int, fast: Boolean,
+      p1: Array[Float], p2: Array[Float], qArr: Array[Float],
+      dotBase: Double, qNorm: Double, out: Array[Double]): Unit = {
+    metric match {
+      case Metric.L2 =>
+        // p1(i) = mins(i) - q(i), p2 = steps
+        if (fast) {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            out(j) = SimdKernels.sq8L2At(codes, r * dim, p1, p2)
+            r += 1; j += 1
+          }
+        } else {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val base = r * dim
+            var s = 0.0; var i = 0
+            while (i < dim) {
+              val d = p1(i) + (codes(base + i) & 0xFF) * p2(i)
+              s += d * d; i += 1
+            }
+            out(j) = s; r += 1; j += 1
+          }
+        }
+      case Metric.Dot =>
+        // p1(i) = q(i) * steps(i); dotBase = Σ q(i)·mins(i)
+        if (fast) {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            out(j) = dotBase + SimdKernels.sq8DotAt(codes, r * dim, p1)
+            r += 1; j += 1
+          }
+        } else {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val base = r * dim
+            var s = dotBase; var i = 0
+            while (i < dim) {
+              s += p1(i).toDouble * (codes(base + i) & 0xFF); i += 1
+            }
+            out(j) = s; r += 1; j += 1
+          }
+        }
+      case Metric.Cosine =>
+        // p1 = mins, p2 = steps; reconstruct x̃ for both dot and norm
+        if (fast) {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val (d, na) = SimdKernels.sq8DotNormAt(codes, r * dim, p1, p2, qArr)
+            out(j) =
+              if (na == 0.0 || qNorm == 0.0) 0.0
+              else d / (math.sqrt(na) * qNorm)
+            r += 1; j += 1
+          }
+        } else {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val base = r * dim
+            var d = 0.0; var na = 0.0; var i = 0
+            while (i < dim) {
+              val x = p1(i) + (codes(base + i) & 0xFF).toDouble * p2(i)
+              na += x * x; d += x * qArr(i); i += 1
+            }
+            out(j) =
+              if (na == 0.0 || qNorm == 0.0) 0.0
+              else d / (math.sqrt(na) * qNorm)
+            r += 1; j += 1
+          }
+        }
+      case Metric.Hamming => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Scan `[lo, hi)` on codes, returning every row index whose exact
+    * score could still reach the top-k: a bounded approx-score heap plus
+    * a margin buffer. Rows evicted from the heap drop into the buffer
+    * (the new kth bound may not exclude them) and rows outside the heap
+    * are buffered when within the decode-error margin of the current kth
+    * bound. Rejection only ever happens against a bound that is LOOSER
+    * than the final one, so no true top-k row is lost — the proof shape
+    * of the engine's threshold gate (`GraftDB.planThreshold`).
+    */
+  private def codedAdmitChunk(lo: Int, hi0: Int, k: Int, fast: Boolean,
+      p1: Array[Float], p2: Array[Float], qArr: Array[Float],
+      dotBase: Double, qNorm: Double, margin: Double)
+      : (Array[Int], Array[Double]) = {
+    val hs = new Array[Double](math.max(1, k))
+    val hr = new Array[Int](math.max(1, k))
+    var hn = 0
+    val asc = metric.ascending
+    // admit bound derived from the current approx kth (heap root) score
+    var admit = if (asc) Double.MaxValue else Double.MinValue
+    @inline def recomputeAdmit(): Unit =
+      admit = if (asc) {
+        if (metric == Metric.L2) {
+          // squared space: exact_euclid ∈ approx_euclid ± eps, so the
+          // admissible squared bound is (√τ + 2eps)²
+          val t = math.sqrt(math.max(0.0, hs(0))) + margin
+          t * t
+        } else hs(0) + margin
+      } else hs(0) - margin
+    @inline def worse(a: Int, b: Int): Boolean =
+      if (hs(a) != hs(b)) { if (asc) hs(a) > hs(b) else hs(a) < hs(b) }
+      else ids(hr(a)) > ids(hr(b))
+    def siftDown(i0: Int): Unit = {
+      var i = i0
+      var go = true
+      while (go) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < hn && worse(l, m)) m = l
+        if (r < hn && worse(r, m)) m = r
+        if (m == i) go = false
+        else {
+          val ts = hs(i); hs(i) = hs(m); hs(m) = ts
+          val ti = hr(i); hr(i) = hr(m); hr(m) = ti
+          i = m
+        }
+      }
+    }
+    var bufR = new Array[Int](math.max(16, 2 * k))
+    var bufS = new Array[Double](bufR.length)
+    var bn = 0
+    @inline def push(r: Int, a: Double): Unit = {
+      if (bn == bufR.length) {
+        bufR = java.util.Arrays.copyOf(bufR, bn * 2)
+        bufS = java.util.Arrays.copyOf(bufS, bn * 2)
+      }
+      bufR(bn) = r; bufS(bn) = a; bn += 1
+    }
+    // score a block into a primitive buffer (metric-specialized tight
+    // loop), then run the branchy admission over the buffer — keeps the
+    // SIMD kernels in an inlinable loop
+    val block = math.min(LocalReplica.ChunkRows, hi0 - lo)
+    val scores = new Array[Double](math.max(1, block))
+    var blo = lo
+    while (blo < hi0) {
+      val bhi = math.min(hi0, blo + block)
+      approxChunk(blo, bhi, fast, p1, p2, qArr, dotBase, qNorm, scores)
+      var r = blo
+      while (r < bhi) {
+        val a = scores(r - blo)
+        if (hn < k) {
+          hs(hn) = a; hr(hn) = r; hn += 1
+          if (hn == k) {
+            var i = hn / 2 - 1
+            while (i >= 0) { siftDown(i); i -= 1 }
+            recomputeAdmit()
+          }
+        } else {
+          val beatsRoot =
+            if (a != hs(0)) { if (asc) a < hs(0) else a > hs(0) }
+            else ids(r) < ids(hr(0))
+          if (beatsRoot) {
+            push(hr(0), hs(0)) // evicted row may still be within the margin
+            hs(0) = a; hr(0) = r; siftDown(0)
+            recomputeAdmit()
+          } else if (if (asc) a <= admit else a >= admit) {
+            push(r, a)
+          }
+        }
+        r += 1
+      }
+      blo = bhi
+    }
+    var i = 0
+    while (i < hn) { push(hr(i), hs(i)); i += 1 }
+    (java.util.Arrays.copyOf(bufR, bn), java.util.Arrays.copyOf(bufS, bn))
+  }
+
+  /** Coded two-phase top-k over the probed ranges: SQ8 first pass admits
+    * a provably sufficient candidate set, exact kernels rerank it. The
+    * final scores come from the SAME kernels as the uncoded scan, so
+    * results (values and tie-breaks) are identical.
+    */
+  private def codedSearch(q: Array[Float], k: Int, ranges: Seq[(Int, Int)],
+      fast: Boolean, qNorm: Double, inBatch: Boolean): Seq[Candidate] = {
+    // metric-specific precomputation + sound margin (2·per-row error);
+    // float arrays feed the SIMD kernels, double accumulators keep the
+    // margin arithmetic honest
+    val simd = fast && SimdKernels.sq8Ok
+    var p1: Array[Float] = null
+    var p2: Array[Float] = null
+    var qArr: Array[Float] = null
+    var dotBase = 0.0
+    var qn = 0.0
+    var margin = 0.0
+    metric match {
+      case Metric.L2 =>
+        p1 = new Array[Float](dim); p2 = codeStepsF
+        var i = 0
+        while (i < dim) { p1(i) = (codeMins(i) - q(i)).toFloat; i += 1 }
+        // margin is applied in EUCLIDEAN space inside the admit bound
+        margin = 2.0 * codeEps
+      case Metric.Dot =>
+        p1 = new Array[Float](dim); p2 = codeStepsF
+        var i = 0
+        while (i < dim) {
+          p1(i) = (q(i).toDouble * codeSteps(i)).toFloat
+          dotBase += q(i).toDouble * codeMins(i)
+          qn += q(i).toDouble * q(i)
+          i += 1
+        }
+        qn = math.sqrt(qn)
+        margin = 2.0 * codeEps * qn
+      case Metric.Cosine =>
+        p1 = codeMinsF; p2 = codeStepsF
+        qArr = q
+        var i = 0
+        while (i < dim) { qn += q(i).toDouble * q(i); i += 1 }
+        qn = math.sqrt(qn)
+        // |cos(x̃,q) − cos(x,q)| ≤ 2‖x̃−x‖ / ‖x‖ for ‖x̃−x‖ < ‖x‖
+        margin = 4.0 * codeEps / minRowNorm
+      case Metric.Hamming => throw new IllegalStateException("unreachable")
+    }
+    val total = ranges.map { case (lo, hi) => hi - lo }.sum
+    val chunksOut: IndexedSeq[(Array[Int], Array[Double])] =
+      if (total >= LocalReplica.ParallelScanRows && !inBatch) {
+        val step = LocalReplica.ChunkRows
+        val chunks = ranges.flatMap { case (lo, hi) =>
+          (lo until hi by step).map(c => (c, math.min(hi, c + step)))
+        }.toIndexedSeq
+        val out = new Array[(Array[Int], Array[Double])](chunks.length)
+        java.util.stream.IntStream.range(0, chunks.length).parallel()
+          .forEach { i =>
+            out(i) = codedAdmitChunk(chunks(i)._1, chunks(i)._2, k, simd,
+              p1, p2, qArr, dotBase, qn, margin)
+          }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      } else {
+        ranges.toIndexedSeq.map { case (lo, hi) =>
+          codedAdmitChunk(lo, hi, k, simd, p1, p2, qArr, dotBase, qn, margin)
+        }
+      }
+    // chunk-local admission is necessarily loose (each chunk only knows
+    // its own kth bound, and every heap eviction is buffered); now that
+    // the GLOBAL kth-best approx score is known, re-derive the admit
+    // bound once and drop everything provably outside it before paying
+    // exact-kernel reranks
+    val asc = metric.ascending
+    val nAdmit = chunksOut.iterator.map(_._1.length).sum
+    val topApprox = new Array[Double](math.max(1, math.min(k, nAdmit)))
+    java.util.Arrays.fill(topApprox, if (asc) Double.MaxValue else Double.MinValue)
+    chunksOut.foreach { case (_, ss) =>
+      var i = 0
+      while (i < ss.length) {
+        val a = ss(i)
+        val last = topApprox.length - 1
+        if (if (asc) a < topApprox(last) else a > topApprox(last)) {
+          var j = last
+          while (j > 0 && (if (asc) topApprox(j - 1) > a
+                           else topApprox(j - 1) < a)) {
+            topApprox(j) = topApprox(j - 1); j -= 1
+          }
+          topApprox(j) = a
+        }
+        i += 1
+      }
+    }
+    val tauG = topApprox(topApprox.length - 1)
+    val admitG =
+      if (asc) {
+        if (metric == Metric.L2) {
+          val t = math.sqrt(math.max(0.0, tauG)) + margin
+          t * t
+        } else tauG + margin
+      } else tauG - margin
+    val cands = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    chunksOut.foreach { case (rs, ss) =>
+      var i = 0
+      while (i < rs.length) {
+        if (if (asc) ss(i) <= admitG else ss(i) >= admitG)
+          cands += Candidate(ids(rs(i)), scoreRow(fast, rs(i) * dim, q, qNorm))
+        i += 1
+      }
+    }
+    cands.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
+      .take(k).toSeq
+  }
+
+  /** Shared scan driver: coded two-phase when the artifact carries codes,
+    * full float scan otherwise. `inBatch` suppresses nested parallelism
+    * when [[batchSearch]] already fans out across queries (an explicit
+    * flag — `inForkJoinPool()` misses the queries a parallel stream runs
+    * on the calling thread).
+    */
+  private def searchRanges(q: Array[Float], k: Int, ranges: Seq[(Int, Int)],
+      inBatch: Boolean): Seq[Candidate] = {
     val fast = fastMode
     val qNorm =
       if (metric == Metric.Cosine && fast)
         math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
-    val ranges = probeRanges(q, nprobe)
+    // cosine margin soundness needs rows meaningfully longer than the
+    // decode error; degenerate exports fall back to the float scan
+    val codedOk = coded && k > 0 &&
+      (metric != Metric.Cosine || minRowNorm > 4.0 * codeEps)
+    if (codedOk) return codedSearch(q, k, ranges, fast, qNorm, inBatch)
     val total = ranges.map { case (lo, hi) => hi - lo }.sum
     // large scans fan out across cores in fixed-size chunks, each keeping
     // its own bounded heap; the global top-k of the merged per-chunk
     // top-ks is EXACTLY the sequential result (every row is scored
-    // independently), so parallelism never changes answers — skipped when
-    // already inside a FJ worker (batchSearch parallelizes across queries)
+    // independently), so parallelism never changes answers
     val cands: IndexedSeq[Candidate] =
-      if (total >= LocalReplica.ParallelScanRows &&
-          !java.util.concurrent.ForkJoinTask.inForkJoinPool()) {
+      if (total >= LocalReplica.ParallelScanRows && !inBatch) {
         val step = LocalReplica.ChunkRows
         val chunks = ranges.flatMap { case (lo, hi) =>
           (lo until hi by step).map(c => (c, math.min(hi, c + step)))
@@ -248,6 +600,11 @@ final class LocalReplica private (
         }
       }
     cands.sortWith((a, b) => better(a.score, a.id, b.score, b.id)).take(k)
+  }
+
+  def search(q0: Array[Float], k: Int, nprobe: Int = 0): Seq[Candidate] = {
+    val q = prepQuery(q0)
+    searchRanges(q, k, probeRanges(q, nprobe), inBatch = false)
   }
 
   /** Filtered top-k (vecgo `WithFilter` on the embedded path): `allowed`
@@ -306,22 +663,30 @@ final class LocalReplica private (
 
   /** Per-query top-k for a query batch; parallel across queries (common
     * FJ pool — each query is an independent read of shared immutable
-    * arrays).
+    * arrays). Per-query scans stay sequential via an explicit flag, so a
+    * query that happens to run on the CALLING thread (parallel streams do
+    * that) cannot trigger a nested parallel chunk scan and oversubscribe
+    * cores.
     */
   def batchSearch(queries: Seq[(Long, Array[Float])], k: Int,
       nprobe: Int = 0): Seq[(Long, Seq[Candidate])] = {
     val arr = queries.toArray
     val out = new Array[(Long, Seq[Candidate])](arr.length)
     java.util.stream.IntStream.range(0, arr.length).parallel().forEach { i =>
-      out(i) = (arr(i)._1, search(arr(i)._2, k, nprobe))
+      val q = prepQuery(arr(i)._2)
+      out(i) = (arr(i)._1,
+        searchRanges(q, k, probeRanges(q, nprobe), inBatch = true))
     }
     out.toSeq
   }
 
   /** Persist the replica as a single self-contained artifact (any Hadoop
     * FS scheme — the export job writes it next to the store, serving
-    * hosts pull it like any other build artifact). Atomic: temp + rename,
-    * same discipline as the store's manifest commits.
+    * hosts pull it like any other build artifact). Atomic: temp + rename
+    * with OVERWRITE where the filesystem supports it (FileContext), so a
+    * serving host never observes a missing artifact mid-replace; on
+    * filesystems without overwrite-rename the replacement falls back to
+    * delete+rename (briefly non-atomic, same as the store's CURRENT).
     */
   def save(path: String,
       conf: org.apache.hadoop.conf.Configuration =
@@ -353,10 +718,28 @@ final class LocalReplica private (
         while (j < dim) { out.writeFloat(c(j)); j += 1 }
       }
       listStart.foreach(out.writeInt)
+      // v2 trailer: the SQ8 coded mirror
+      out.writeBoolean(coded)
+      if (coded) {
+        i = 0
+        while (i < dim) { out.writeDouble(codeMins(i)); i += 1 }
+        i = 0
+        while (i < dim) { out.writeDouble(codeSteps(i)); i += 1 }
+        out.writeDouble(minRowNorm)
+        out.write(codes)
+      }
     } finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"rename $tmp -> $p failed")
+    // prefer an atomic overwrite rename; FileContext throws
+    // UnsupportedFileSystemException for schemes without an AbstractFileSystem
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"rename $tmp -> $p failed")
+    }
   }
 }
 
@@ -381,10 +764,12 @@ object LocalReplica {
   }
 
   private[serve] val Magic = 0x47524c52 // "GRLR"
-  private[serve] val FormatVersion = 1
+  private[serve] val FormatVersion = 2
 
-  /** Load a [[save]]d artifact. Fails loudly on a bad magic/version or a
-    * truncated file — a serving host must never come up on a torn pull.
+  /** Load a [[save]]d artifact (v2, or v1 without the coded trailer).
+    * Fails loudly on a bad magic/version, a truncated file, or a
+    * length-plausible but corrupt CSR directory — a serving host must
+    * never come up on a torn pull.
     */
   def load(path: String,
       conf: org.apache.hadoop.conf.Configuration =
@@ -398,8 +783,8 @@ object LocalReplica {
       require(magic == Magic,
         f"not a replica artifact: bad magic 0x$magic%08x at $path")
       val ver = in.readInt()
-      require(ver == FormatVersion,
-        s"replica format version $ver unsupported (expected $FormatVersion)")
+      require(ver == 1 || ver == FormatVersion,
+        s"replica format version $ver unsupported (expected ≤ $FormatVersion)")
       val metric = Metric.fromString(in.readUTF())
       val dim = in.readInt()
       val n = in.readInt()
@@ -421,16 +806,46 @@ object LocalReplica {
       val listStart = new Array[Int](math.max(1, lists) + 1)
       i = 0
       while (i < listStart.length) { listStart(i) = in.readInt(); i += 1 }
+      // full CSR validation, not just the endpoint: a corrupt directory
+      // with in-range lengths would otherwise surface as wrong probe
+      // ranges (or an AIOOBE) at query time
+      require(listStart(0) == 0,
+        s"corrupt replica: CSR start ${listStart(0)} != 0")
+      i = 1
+      while (i < listStart.length) {
+        require(listStart(i) >= listStart(i - 1) && listStart(i) <= n,
+          s"corrupt replica: CSR entry $i = ${listStart(i)} out of order " +
+            s"(prev ${listStart(i - 1)}, n=$n)")
+        i += 1
+      }
       require(listStart(listStart.length - 1) == n,
         s"corrupt replica: CSR end ${listStart(listStart.length - 1)} != $n")
-      new LocalReplica(metric, dim, ids, flat, centroids, listStart)
+      var codes: Array[Byte] = null
+      var codeMins: Array[Double] = null
+      var codeSteps: Array[Double] = null
+      var minNorm = 0.0
+      if (ver >= 2 && in.readBoolean()) {
+        codeMins = new Array[Double](dim)
+        codeSteps = new Array[Double](dim)
+        i = 0
+        while (i < dim) { codeMins(i) = in.readDouble(); i += 1 }
+        i = 0
+        while (i < dim) { codeSteps(i) = in.readDouble(); i += 1 }
+        minNorm = in.readDouble()
+        codes = new Array[Byte](n * dim)
+        in.readFully(codes)
+      }
+      new LocalReplica(metric, dim, ids, flat, centroids, listStart,
+        codes, codeMins, codeSteps, minNorm)
     } finally in.close()
   }
 
   /** Export a replica from any (id, vector) DataFrame. `nlist > 0`
     * clusters rows into IVF lists (MLlib k-means on a bounded sample —
     * the Spark-side build) so point queries scan ~nprobe/nlist of the
-    * replica; `nlist = 0` serves brute-force exact.
+    * replica; `nlist = 0` serves brute-force exact. The export always
+    * carries the SQ8 coded mirror (format v2) — the coded first pass is
+    * recall-proof, so there is no accuracy knob to expose.
     */
   def fromDataFrame(df: DataFrame, vecCol: String, idCol: String,
       metric: Metric, nlist: Int = 0,
@@ -497,8 +912,46 @@ object LocalReplica {
     var l = 0
     while (l < lists) { listStart(l + 1) = listStart(l) + counts(l); l += 1 }
 
+    // SQ8 coded mirror: per-dim bounds + codes + the min row norm that
+    // sizes the cosine error margin (one driver pass over the packed rows)
+    val mins = Array.fill(dim)(Double.MaxValue)
+    val maxs = Array.fill(dim)(Double.MinValue)
+    var j = 0
+    while (j < flat.length) {
+      val x = flat(j).toDouble
+      val d = j % dim
+      if (x < mins(d)) mins(d) = x
+      if (x > maxs(d)) maxs(d) = x
+      j += 1
+    }
+    val steps = Array.tabulate(dim)(i => (maxs(i) - mins(i)) / 255.0)
+    val codes = new Array[Byte](n * dim)
+    var minNorm = Double.MaxValue
+    r = 0
+    while (r < n) {
+      val base = r * dim
+      var nn = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = flat(base + i).toDouble
+        nn += x * x
+        val c =
+          if (steps(i) == 0.0) 0
+          else {
+            val v = math.round((x - mins(i)) / steps(i)).toInt
+            if (v < 0) 0 else if (v > 255) 255 else v
+          }
+        codes(base + i) = c.toByte
+        i += 1
+      }
+      val norm = math.sqrt(nn)
+      if (norm < minNorm) minNorm = norm
+      r += 1
+    }
+
     new LocalReplica(metric, dim, ids, flat,
-      model.map(_.centroids).getOrElse(Array.empty), listStart)
+      model.map(_.centroids).getOrElse(Array.empty), listStart,
+      codes, mins, steps, minNorm)
   }
 
   /** Export a replica from an engine snapshot (current or pinned version —

@@ -153,6 +153,65 @@ class LocalReplicaSpec extends AnyFunSuite {
     }
   }
 
+  test("coded first pass is identical to the uncoded scan, all metrics, both kernels") {
+    for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.Dot)) {
+      val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", metric,
+        nlist = 8)
+      assert(rep.coded)
+      val plain = rep.withoutCodes
+      for (s <- 0 until 10; nprobe <- Seq(2, 8)) {
+        val q = queryVec(s)
+        assert(rep.search(q, 10, nprobe) == plain.search(q, 10, nprobe),
+          s"coded/uncoded divergence: metric=$metric seed=$s nprobe=$nprobe")
+        val fast = KernelMode.withFast(true)(rep.search(q, 10, nprobe))
+        val plainFast = KernelMode.withFast(true)(plain.search(q, 10, nprobe))
+        assert(fast == plainFast,
+          s"coded/uncoded fast divergence: metric=$metric seed=$s nprobe=$nprobe")
+      }
+    }
+  }
+
+  test("coded parallel-chunk scan and cosine batch agree with sequential") {
+    val big = spark.range(0, 20000, 1, 4).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vec"))
+    val rep = LocalReplica.fromDataFrame(big, "vec", "id", Metric.Cosine)
+    assert(rep.size >= LocalReplica.ParallelScanRows && rep.coded)
+    val plain = rep.withoutCodes
+    val q = queryVec(21)
+    assert(rep.search(q, 25) == plain.search(q, 25))
+    // batch fan-out: per-query scans share immutable per-query state only
+    val qs = (0L until 32L).map(s => s -> queryVec(s))
+    val batch = rep.batchSearch(qs, 5).toMap
+    qs.foreach { case (qid, qv) =>
+      assert(batch(qid) == plain.search(qv, 5), s"batch query $qid diverged")
+    }
+  }
+
+  test("corrupt CSR directory fails at load, not at query time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replica_csr")
+    val path = s"$dir/replica.grlr"
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      nlist = 8)
+    rep.save(path)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    // header: magic(4) ver(4) utf"l2"(2+2) dim(4) n(4) nlist(4) = 24, then
+    // ids 8n, flat 4·n·dim, centroids 4·nlist·dim, then the 9-int CSR
+    val csrOff = 24 + 8 * n + 4 * n * dim + 4 * 8 * dim
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(csrOff + 4, n + 7) // entry 1 out of range; endpoint intact
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    // drop the local-FS checksum sidecar so the CSR gate (not the
+    // transport checksum) is what catches the corruption
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/.replica.grlr.crc"))
+    val e = intercept[IllegalArgumentException](LocalReplica.load(path))
+    assert(e.getMessage.contains("CSR"), e.getMessage)
+  }
+
   test("maxRows guard refuses oversized exports") {
     val e = intercept[IllegalArgumentException] {
       LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
