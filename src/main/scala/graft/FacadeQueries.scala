@@ -58,6 +58,25 @@ object FacadeQueries {
       .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
   }
 
+  /** Facade k-NN THROUGH a PQ index (vecgo's large-segment coded path:
+    * PQ codes + ADC scoring with exact rerank,
+    * `internal/segment/diskann/writer.go:73-95`, `quantization/pq.go:
+    * 468-500`): `buildIndex(kind = "pq")` compacts into an
+    * IVF-partitioned segment whose coded column is m product codes per
+    * row; probes are ADC-scored (per-query table lookups, no UDF) and
+    * exact-reranked. All lists probed + corpus-fraction refine pool →
+    * exact, same brute-force oracle; recall at realistic nprobe is gated
+    * in `IndexedEngineSpec`.
+    */
+  def knnPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_knn_pq")
+    db.buildIndex(nlist = 8, kind = "pq", pqM = 16)
+    val rows = db.stats()("segment_rows").asInstanceOf[Long]
+    val refine = math.max(10, math.ceil(rows * 0.25 / 10).toInt)
+    db.search(qvec(s, dir, 0), 10, nprobe = 8, refineFactor = refine)
+      .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
+  }
+
   /** Facade filtered k-NN on an INDEXED store through the ADAPTIVE
     * pre-filter route (vecgo's selectivity-based cursor pre-filter,
     * `search.go:215-233`): `label = 4` matches ~10% of rows, the manifest
@@ -349,6 +368,7 @@ object FacadeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
+    "graftdb_knn_pq_indexed" -> (knnPqIndexed _),
     "graftdb_knn_prefilter" -> (knnPrefilter _),
     "graftdb_batch_indexed" -> (batchIndexed _),
     "graftdb_hamming" -> (hamming _),
@@ -369,6 +389,7 @@ object FacadeQueries {
   val oracle: Map[String, String] = Map(
     "graftdb_knn" -> Queries.oracle("knn_l2"),
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
+    "graftdb_knn_pq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn_filtered" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),

@@ -311,20 +311,36 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 
   /** Build the vector index INTO the store (vecgo builds IVF flat segments
     * at compaction, `compaction.go:136-151`): compacts live rows into one
-    * IVF-partitioned, SQ8-coded segment and records the model in the
-    * manifest. Subsequent [[search]] calls route through probe-pruned
-    * two-phase rerank automatically. `nlist = 0` → rows/4096 heuristic
-    * (bounded to [2, 1024]); pass explicitly to tune.
+    * IVF-partitioned coded segment and records the model in the manifest.
+    * Subsequent [[search]] calls route through probe-pruned two-phase
+    * rerank automatically. `nlist = 0` → rows/4096 heuristic (bounded to
+    * [2, 1024]); pass explicitly to tune.
+    *
+    * `kind` picks the coded first pass (vecgo's quantizer choice per
+    * segment, `internal/segment/diskann/writer.go:73-95`):
+    *   - `"sq8"` (default): per-dim scalar codes, `levels` = 255
+    *     (or 15 for INT4 — vecgo I10);
+    *   - `"pq"`: product quantization + ADC-scored probes — `pqM`
+    *     sub-codebooks (0 → dim/4); at real embedding dims the PQ codes
+    *     are 6–12× smaller than SQ8, the 100 TB layout.
     */
-  def buildIndex(nlist: Int = 0, levels: Int = 255): Long = {
+  def buildIndex(nlist: Int = 0, levels: Int = 255, kind: String = "sq8",
+      pqM: Int = 0): Long = {
     requireWritable()
     require(metric != Metric.Hamming,
-      "IVF+SQ8 index applies to float-vector metrics (l2/cosine/dot)")
+      "IVF indexes apply to float-vector metrics (l2/cosine/dot)")
+    val idxKind = kind match {
+      case "sq8" | "int4" => "ivf_sq8"
+      case "pq" => "ivf_pq"
+      case other => throw new IllegalArgumentException(
+        s"unknown index kind `$other` (sq8 | int4 | pq)")
+    }
     val rows = store.manifest().map(_.segments.map(_.rows).sum).getOrElse(0L)
     val n =
       if (nlist > 0) nlist
       else math.max(2, math.min(1024, (rows / 4096).toInt))
-    val (v, ms) = timedOp(store.compactIndexed("vector", n, levels))
+    val (v, ms) = timedOp(store.compactIndexed("vector", n,
+      if (kind == "int4") 15 else levels, kind = idxKind, pqM = pqM))
     notifyObs(_.onMaintenance("buildIndex", ms, v))
     v
   }
@@ -538,17 +554,35 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     val pools = idxSegs.map { s =>
       val meta = indexMeta(s.index.get)
       val ivf = SegmentIndex.ivfModel(meta)
-      val sq8 = SegmentIndex.sq8Model(meta)
       val np =
         if (nprobe0 > 0) math.min(nprobe0, ivf.k)
         else math.max(1, math.ceil(math.sqrt(ivf.k)).toInt)
       val parts = ivf.probes(q, np)
+      // approximate phase per index kind: SQ8 decodes per-dim codes and
+      // scores the metric directly; PQ sums m ADC table lookups — an L2²
+      // table for L2/Cosine (stored cosine rows are unit-normalized, so
+      // ascending L2² IS descending cosine order) or an IP table for Dot
+      val (approx, approxSort) = meta.kind match {
+        case "ivf_pq" =>
+          val pq = SegmentIndex.pqModel(meta)
+          metric match {
+            case Metric.Dot =>
+              (pq.adcScoreColDot(col(SegmentIndex.PqCol), q),
+                (c: Column) => c.desc)
+            case _ =>
+              (pq.adcScoreCol(col(SegmentIndex.PqCol), q),
+                (c: Column) => c.asc)
+          }
+        case _ =>
+          val sq8 = SegmentIndex.sq8Model(meta)
+          (metric.score(sq8.decodeCol(col(SegmentIndex.CodeCol)), lit(q)),
+            (c: Column) => metric.sort(c))
+      }
       store.visibleSegment(s, m)
         .where(col(SegmentIndex.PartCol).isin(parts: _*))
         .where(filter.toColumn)
-        .withColumn("_approx",
-          metric.score(sq8.decodeCol(col(SegmentIndex.CodeCol)), lit(q)))
-        .orderBy(metric.sort(col("_approx")), col("id").asc)
+        .withColumn("_approx", approx)
+        .orderBy(approxSort(col("_approx")), col("id").asc)
         .limit(k * refine)
         .select(poolCols: _*)
     }
@@ -670,7 +704,6 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       val base = store.visibleSegment(s, m).where(filter.toColumn)
       val pre = s.index match {
         case Some(ref) =>
-          gated += 1
           val meta = indexMeta(ref)
           // per-LIST ball pruning (the directory-level analog of segment
           // distance pruning): every member of IVF list i is within
@@ -692,22 +725,28 @@ final class GraftDB private (val spark: SparkSession, val root: String,
             } else base
           // recall-proof SQ8 pre-filter: |x̃ − x| ≤ eps bounds how far the
           // approximate score can sit from the exact one under each metric
-          // (L2: euclid ±eps; Dot: ±eps·|q|; Cosine on unit vectors: ±2eps)
-          val sq8 = graft.index.SegmentIndex.sq8Model(meta)
-          val eps = sq8.maxDecodeError
-          val approx = metric.score(
-            sq8.decodeCol(col(graft.index.SegmentIndex.CodeCol)), lit(q))
-          val gate = metric match {
-            case Metric.L2 =>
-              val bound = math.sqrt(math.max(0.0, threshold)) + eps
-              approx <= lit(bound * bound)
-            case Metric.Dot =>
-              approx >= lit(threshold - eps * math.sqrt(
-                q.foldLeft(0.0)((acc, x) => acc + x.toDouble * x)))
-            case Metric.Cosine => approx >= lit(threshold - 2 * eps)
-            case Metric.Hamming => lit(true) // unreachable (guarded above)
+          // (L2: euclid ±eps; Dot: ±eps·|q|; Cosine on unit vectors: ±2eps).
+          // Only SQ8-coded segments carry the per-dim bounds this proof
+          // needs — PQ segments keep the list-ball pruning and scan exact.
+          if (meta.kind != "ivf_sq8") listGated
+          else {
+            gated += 1
+            val sq8 = graft.index.SegmentIndex.sq8Model(meta)
+            val eps = sq8.maxDecodeError
+            val approx = metric.score(
+              sq8.decodeCol(col(graft.index.SegmentIndex.CodeCol)), lit(q))
+            val gate = metric match {
+              case Metric.L2 =>
+                val bound = math.sqrt(math.max(0.0, threshold)) + eps
+                approx <= lit(bound * bound)
+              case Metric.Dot =>
+                approx >= lit(threshold - eps * math.sqrt(
+                  q.foldLeft(0.0)((acc, x) => acc + x.toDouble * x)))
+              case Metric.Cosine => approx >= lit(threshold - 2 * eps)
+              case Metric.Hamming => lit(true) // unreachable (guarded above)
+            }
+            listGated.where(gate)
           }
-          listGated.where(gate)
         case None => base
       }
       pre.withColumn("score", metric.score(col("vector"), lit(q)))
@@ -813,21 +852,42 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     val pools = idxSegs.map { s =>
       val meta = indexMeta(s.index.get)
       val ivf = SegmentIndex.ivfModel(meta)
-      val sq8 = SegmentIndex.sq8Model(meta)
       val np =
         if (nprobe0 > 0) math.min(nprobe0, ivf.k)
         else math.max(1, math.ceil(math.sqrt(ivf.k)).toInt)
       val probed = queries.map { case (qid, q) => (qid, q, ivf.probes(q, np)) }
-      val pairs = probed.toDF("query_id", "qv", "probes")
       val allParts = probed.flatMap(_._3).distinct
       val seg = store.visibleSegment(s, m)
         .where(col(SegmentIndex.PartCol).isin(allParts: _*))
         .where(filter.toColumn)
-      val cand = seg.join(broadcast(pairs),
-          array_contains(col("probes"), col(SegmentIndex.PartCol)))
-        .withColumn("_approx",
-          metric.score(sq8.decodeCol(col(SegmentIndex.CodeCol)), col("qv")))
-      val os = if (metric.ascending) col("_approx") else -col("_approx")
+      // approximate phase per index kind (see indexedSearch): SQ8 decodes
+      // against the query column; PQ ships each query's driver-built ADC
+      // table in the broadcast pair frame and sums m lookups per row
+      val (cand, approxAsc) = meta.kind match {
+        case "ivf_pq" =>
+          val pq = SegmentIndex.pqModel(meta)
+          val withTables = probed.map { case (qid, q, parts) =>
+            (qid, q, parts,
+              if (metric == Metric.Dot) pq.adcTableDot(q) else pq.adcTable(q))
+          }
+          val pairs = withTables.toDF("query_id", "qv", "probes", "_adc")
+          val c = seg.join(broadcast(pairs),
+              array_contains(col("probes"), col(SegmentIndex.PartCol)))
+            .withColumn("_approx", aggregate(
+              transform(col(SegmentIndex.PqCol),
+                (code, i) => element_at(col("_adc"), i * pq.ksub + code + 1)),
+              lit(0.0), (acc, x) => acc + x))
+          (c, metric != Metric.Dot)
+        case _ =>
+          val sq8 = SegmentIndex.sq8Model(meta)
+          val pairs = probed.toDF("query_id", "qv", "probes")
+          val c = seg.join(broadcast(pairs),
+              array_contains(col("probes"), col(SegmentIndex.PartCol)))
+            .withColumn("_approx",
+              metric.score(sq8.decodeCol(col(SegmentIndex.CodeCol)), col("qv")))
+          (c, metric.ascending)
+      }
+      val os = if (approxAsc) col("_approx") else -col("_approx")
       Search.topKPerKeyPayload(cand, "query_id", os, "id", col("vector"),
           k * refine)
         .select(col("query_id"), col("id"), col("_payload").as("vector"))

@@ -67,6 +67,38 @@ object PQ {
       val idx = transform(codes, (c, i) => element_at(table, i * ksub + c + 1))
       aggregate(idx, lit(0.0), (acc, x) => acc + x)
     }
+
+    /** Driver-side ADC table for INNER-PRODUCT scoring: the dot product
+      * decomposes additively over subvectors, so `t(s,c) = ⟨q_s, cb_s(c)⟩`
+      * and the approximate dot of a row is the sum of its m lookups
+      * (vecgo's PQ serves IP the same way, `quantization/pq.go:468-500`).
+      */
+    def adcTableDot(query: Array[Float]): Array[Double] = {
+      val t = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          var acc = 0.0
+          var d = 0
+          while (d < subDim) {
+            acc += query(s * subDim + d).toDouble * codebooks(s)(c)(d).toDouble
+            d += 1
+          }
+          t(s * ksub + c) = acc
+          c += 1
+        }
+        s += 1
+      }
+      t
+    }
+
+    /** Column: approximate inner product of a codes row against the query. */
+    def adcScoreColDot(codes: Column, query: Array[Float]): Column = {
+      val table = lit(adcTableDot(query))
+      val idx = transform(codes, (c, i) => element_at(table, i * ksub + c + 1))
+      aggregate(idx, lit(0.0), (acc, x) => acc + x)
+    }
   }
 
   /** Seeded local Lloyd's k-means (the codebook trainer). */

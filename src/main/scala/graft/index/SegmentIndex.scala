@@ -30,7 +30,8 @@ object SegmentIndex {
   /** Internal column names; hidden from all plain read paths. */
   val PartCol = "_ivf_part"
   val CodeCol = "_sq8"
-  val InternalCols: Seq[String] = Seq(PartCol, CodeCol)
+  val PqCol = "_pq"
+  val InternalCols: Seq[String] = Seq(PartCol, CodeCol, PqCol)
 
   /** Sidecar index metadata (JSON-serializable; Lists for json4s).
     * `vecCol` makes the sidecar self-describing, so a later `compact()`
@@ -38,7 +39,11 @@ object SegmentIndex {
     * `listRadii(i)` = max L2 distance of any member of list i to its
     * centroid — the per-list ball that lets threshold search prune whole
     * IVF directories (empty on sidecars written before this field
-    * existed, which simply disables the pruning).
+    * existed, which simply disables the pruning). `kind` picks the coded
+    * first pass: `ivf_sq8` (per-dim scalar codes, default) or `ivf_pq`
+    * (product codes + ADC — `pqM` sub-codebooks of `pqKsub` centroids;
+    * at 768–1536d the PQ codes are 6–12× smaller than SQ8, the layout a
+    * 100 TB corpus wants).
     */
   case class Meta(
       kind: String,
@@ -48,13 +53,23 @@ object SegmentIndex {
       mins: List[Double],
       maxs: List[Double],
       vecCol: String = "vector",
-      listRadii: List[Double] = Nil)
+      listRadii: List[Double] = Nil,
+      pqM: Int = 0,
+      pqKsub: Int = 0,
+      pqCodebooks: List[List[List[Float]]] = Nil)
 
   def ivfModel(meta: Meta): IVF.Model =
     IVF.Model(meta.centroids.map(_.toArray).toArray)
 
   def sq8Model(meta: Meta): SQ8.Model =
     SQ8.Model(meta.mins.toArray, meta.maxs.toArray, meta.levels)
+
+  def pqModel(meta: Meta): PQ.Model = {
+    require(meta.kind == "ivf_pq" && meta.pqM > 0,
+      s"segment index kind ${meta.kind} carries no PQ codebooks")
+    val books = meta.pqCodebooks.map(_.map(_.toArray).toArray).toArray
+    PQ.Model(meta.pqM, meta.pqKsub, books(0)(0).length, books)
+  }
 
   /** Train IVF + SQ8 on the live rows and write the indexed segment at
     * `dir`. K-means trains on a bounded sample (`trainSampleCap` rows of
@@ -64,16 +79,31 @@ object SegmentIndex {
     */
   def build(live: DataFrame, vecCol: String, dir: String, nlist: Int,
       levels: Int = 255, totalRows: Long = 0L,
-      trainSampleCap: Long = 200000L, seed: Long = 42L): Meta = {
+      trainSampleCap: Long = 200000L, seed: Long = 42L,
+      kind: String = "ivf_sq8", pqM: Int = 0): Meta = {
+    require(kind == "ivf_sq8" || kind == "ivf_pq",
+      s"unknown index kind `$kind` (ivf_sq8 | ivf_pq)")
     val trainDf =
       if (totalRows > trainSampleCap && trainSampleCap > 0)
         live.select(col(vecCol)).sample(withReplacement = false,
           math.min(1.0, trainSampleCap.toDouble / totalRows), seed)
       else live
     val ivf = IVF.train(trainDf, vecCol, k = nlist, seed = seed)
-    val sq8 = SQ8.train(live, vecCol, levels)
-    live
-      .withColumn(CodeCol, sq8.encodeCol(col(vecCol)))
+    // the coded first pass: per-dim SQ8 codes, or PQ product codes + ADC
+    val sq8 = if (kind == "ivf_sq8") Some(SQ8.train(live, vecCol, levels)) else None
+    val pq =
+      if (kind == "ivf_pq") {
+        val dim = live.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+        val m = if (pqM > 0) pqM else math.max(1, dim / 4)
+        require(dim % m == 0, s"dim $dim not divisible by pq m=$m")
+        Some(PQ.train(live, vecCol, m, seed = seed))
+      } else None
+    val coded = (sq8, pq) match {
+      case (Some(s), _) => live.withColumn(CodeCol, s.encodeCol(col(vecCol)))
+      case (_, Some(p)) => live.withColumn(PqCol, p.encodeCol(col(vecCol)))
+      case _ => live
+    }
+    coded
       .withColumn(PartCol, ivf.assignCol(col(vecCol)))
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#id", "true")
@@ -96,9 +126,15 @@ object SegmentIndex {
       .groupBy("p").agg(org.apache.spark.sql.functions.max("r").as("rmax"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val radii = List.tabulate(ivf.k)(i => radiusRows.getOrElse(i, 0.0))
-    Meta("ivf_sq8", ivf.k, levels,
+    Meta(kind, ivf.k, levels,
       ivf.centroids.map(_.toList).toList,
-      sq8.mins.toList, sq8.maxs.toList, vecCol, radii)
+      sq8.map(_.mins.toList).getOrElse(Nil),
+      sq8.map(_.maxs.toList).getOrElse(Nil),
+      vecCol, radii,
+      pqM = pq.map(_.m).getOrElse(0),
+      pqKsub = pq.map(_.ksub).getOrElse(0),
+      pqCodebooks = pq.map(_.codebooks.map(_.map(_.toList).toList).toList)
+        .getOrElse(Nil))
   }
 
   private implicit val fmts: Formats = DefaultFormats

@@ -415,7 +415,8 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         val meta = graft.index.SegmentIndex.load(s.index.get.metaPath,
           spark.sparkContext.hadoopConfiguration)
         compactIndexed(meta.vecCol, meta.nlist, meta.levels,
-          collectStats = collectStats || m.segments.exists(_.stats.isDefined))
+          collectStats = collectStats || m.segments.exists(_.stats.isDefined),
+          kind = meta.kind, pqM = meta.pqM)
       case None =>
         val live = read(m.version)
         val seq = m.maxSeq + 1
@@ -440,7 +441,8 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     * automatically. Old versions stay time-travelable.
     */
   def compactIndexed(vecCol: String, nlist: Int, levels: Int = 255,
-      collectStats: Boolean = true, trainSampleCap: Long = 200000L): Long = {
+      collectStats: Boolean = true, trainSampleCap: Long = 200000L,
+      kind: String = "ivf_sq8", pqM: Int = 0): Long = {
     import graft.index.SegmentIndex
     val m = headManifest.getOrElse(
       throw new IllegalStateException("compactIndexed on empty store"))
@@ -449,7 +451,8 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val token = uniqueToken()
     val dir = s"$root/seg-$seq-$token"
     val meta = SegmentIndex.build(live, vecCol, dir, nlist, levels,
-      totalRows = m.segments.map(_.rows).sum, trainSampleCap = trainSampleCap)
+      totalRows = m.segments.map(_.rows).sum, trainSampleCap = trainSampleCap,
+      kind = kind, pqM = pqM)
     val metaPath = s"$root/idx-$seq-$token.json"
     SegmentIndex.save(meta, metaPath, spark.sparkContext.hadoopConfiguration)
     val back = spark.read.parquet(dir)
