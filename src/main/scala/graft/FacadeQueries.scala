@@ -355,11 +355,30 @@ object FacadeQueries {
     */
   def localKnnFiltered(s: SparkSession, dir: String): DataFrame = {
     val db = buildDb(s, dir, "facade_local_pre")
-    val allowed = db.scan(
-      Seq(graft.types.Filter.Eq("label", 4)), Seq("id"))
-      .collect().map(_.getLong(0)).toSet
+    val allowed = db.collectFilterIds(Seq(graft.types.Filter.Eq("label", 4)))
     val rep = graft.serve.LocalReplica.fromStore(db, nlist = 8)
     val res = rep.searchFiltered(qvec(s, dir, 3), 10, allowed, nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
+  /** Filtered serving-replica k-NN with the predicate evaluated REPLICA-
+    * side: the export ships typed metadata columns (format v3) and
+    * [[graft.serve.LocalReplica.searchWhere]] compiles the engine's own
+    * `Filter` leaves against them — no driver-materialized id-set at any
+    * selectivity (vecgo evaluates typed predicates inside the engine,
+    * `metadata/filter.go:122-216`). Numeric range + substring containment
+    * in one conjunction; exact pre-filter semantics, same oracle shape.
+    */
+  def localKnnWhere(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_where")
+    val rep = graft.serve.LocalReplica.fromStore(db, nlist = 8,
+      metaCols = Seq("label", "text"))
+    val res = rep.searchWhere(qvec(s, dir, 7), 10,
+      Seq(graft.types.Filter.Gte("label", 6),
+        graft.types.Filter.Lte("label", 8),
+        graft.types.Filter.Contains("text", "a")), nprobe = 8)
     import s.implicits._
     res.map(c => (c.id, c.score)).toDF("vec_id", "s")
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
@@ -383,7 +402,8 @@ object FacadeQueries {
     "graftdb_knn_cosine_indexed" -> (knnCosineIndexed _),
     "graftdb_local_knn" -> (localKnn _),
     "graftdb_local_hamming" -> (localHamming _),
-    "graftdb_local_knn_filtered" -> (localKnnFiltered _)
+    "graftdb_local_knn_filtered" -> (localKnnFiltered _),
+    "graftdb_local_knn_where" -> (localKnnWhere _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -391,6 +411,14 @@ object FacadeQueries {
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_knn_pq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn" -> Queries.oracle("knn_l2"),
+    "graftdb_local_knn_where" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, q
+        |      WHERE e.label >= 6 AND e.label <= 8 AND contains(d.text, 'a'))
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_local_knn_filtered" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
         |s AS (SELECT e.vec_id,

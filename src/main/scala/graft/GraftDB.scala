@@ -379,6 +379,29 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     if (projectCols.isEmpty) df else df.select(projectCols.map(col): _*)
   }
 
+  /** Survivor id-set of a filter, bounded for serving-tier handoff: the
+    * predicate runs engine-side (stats-pruned, pushed down) and at most
+    * `cap` ids ever reach the driver — `limit(cap + 1)` bounds the collect
+    * itself, so an unselective filter at corpus scale fails LOUDLY instead
+    * of OOMing the process (the id-set analog of the replica's `maxRows`
+    * export guard). Callers hitting the cap should route the query through
+    * the distributed filtered search, or export the metadata columns and
+    * evaluate the predicate replica-side
+    * ([[graft.serve.LocalReplica.searchWhere]]).
+    */
+  def collectFilterIds(filters: Seq[Filter],
+      cap: Int = GraftDB.DefaultFilterIdCap): Set[Long] = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val ids = scan(filters, Seq("id")).limit(cap + 1)
+      .collect().map(_.getLong(0))
+    require(ids.length <= cap,
+      s"filter survivor set exceeds cap=$cap — the filter is too " +
+        "unselective for a driver-materialized id-set; use the " +
+        "distributed filtered search, or export metadata columns and " +
+        "evaluate the predicate replica-side (LocalReplica.searchWhere)")
+    ids.toSet
+  }
+
   /** Point lookup (vecgo R7). */
   def get(id: Long): DataFrame = read().where(col("id") === id)
 
@@ -1056,6 +1079,11 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 
 object GraftDB {
   private implicit val fmts: Formats = DefaultFormats
+
+  /** Default [[GraftDB.collectFilterIds]] bound: 2M ids ≈ 100 MB of boxed
+    * driver heap — generous for a serving handoff, far below OOM.
+    */
+  val DefaultFilterIdCap: Int = 2 * 1000 * 1000
 
   /** Default pre-filter routing cutoff for filtered searches on indexed
     * stores. vecgo defaults to 0.30 (`search.go:215`) because its

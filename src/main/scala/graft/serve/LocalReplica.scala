@@ -61,7 +61,9 @@ final class LocalReplica private (
     codes: Array[Byte],
     codeMins: Array[Double],
     codeSteps: Array[Double],
-    minRowNorm: Double) {
+    minRowNorm: Double,
+    // typed metadata columns for replica-side predicates (format v3)
+    metaCols: Array[LocalReplica.MetaColumn] = Array.empty) {
 
   require(metric != Metric.Hamming,
     "LocalReplica serves float metrics; Hamming stores serve packed codes " +
@@ -77,7 +79,10 @@ final class LocalReplica private (
     */
   private[graft] def withoutCodes: LocalReplica =
     new LocalReplica(metric, dim, ids, flat, centroids, listStart,
-      null, null, null, 0.0)
+      null, null, null, 0.0, metaCols)
+
+  /** Names of the metadata columns this replica carries. */
+  def metaColumns: Seq[String] = metaCols.map(_.name).toSeq
   private val ivfModel: Option[IVF.Model] =
     if (centroids.isEmpty) None else Some(IVF.Model(centroids))
 
@@ -634,6 +639,86 @@ final class LocalReplica private (
       .take(k).toSeq
   }
 
+  // ------------------------------------------- replica-side typed predicates
+
+  private lazy val metaByName: Map[String, LocalReplica.MetaColumn] =
+    metaCols.map(c => c.name -> c).toMap
+
+  /** Compile one engine [[graft.types.Filter]] into a row-index predicate
+    * over the exported metadata columns. Semantics match `Dataset.where`:
+    * NULL input never satisfies any predicate (including `Ne`), numerics
+    * compare cross-type (int~double), strings compare lexically,
+    * `Contains` is substring containment — the same leaf language the
+    * reference evaluates engine-side (`metadata/filter.go:122-216`).
+    */
+  private def compilePredicate(f: graft.types.Filter): Int => Boolean = {
+    import graft.types.Filter._
+    def colOf(field: String): LocalReplica.MetaColumn =
+      metaByName.getOrElse(field, throw new IllegalArgumentException(
+        s"replica carries no metadata column `$field` (have: " +
+          s"${metaCols.map(_.name).mkString(", ")}) — export it via metaCols"))
+    def num(v: Any): Double = v match {
+      case n: java.lang.Number => n.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"numeric predicate value $other is not a number")
+    }
+    // three-valued compare: NaN (never satisfies) marks a NULL row
+    def cmp(c: LocalReplica.MetaColumn, r: Int, v: Any): Double =
+      if (c.nulls(r)) Double.NaN
+      else c.kind match {
+        case LocalReplica.MetaString => c.strings(r).compareTo(v.toString).toDouble
+        case LocalReplica.MetaDouble => java.lang.Double.compare(c.doubles(r), num(v)).toDouble
+        case _ => java.lang.Double.compare(c.longs(r).toDouble, num(v)).toDouble
+      }
+    f match {
+      case Eq(field, v) => val c = colOf(field); r => cmp(c, r, v) == 0.0
+      case Ne(field, v) => val c = colOf(field); r => { val x = cmp(c, r, v); x < 0.0 || x > 0.0 }
+      case Gt(field, v) => val c = colOf(field); r => cmp(c, r, v) > 0.0
+      case Gte(field, v) => val c = colOf(field); r => { val x = cmp(c, r, v); x == 0.0 || x > 0.0 }
+      case Lt(field, v) => val c = colOf(field); r => cmp(c, r, v) < 0.0
+      case Lte(field, v) => val c = colOf(field); r => { val x = cmp(c, r, v); x == 0.0 || x < 0.0 }
+      case In(field, vs) =>
+        val c = colOf(field)
+        r => !c.nulls(r) && vs.exists(v => cmp(c, r, v) == 0.0)
+      case Contains(field, sub) =>
+        val c = colOf(field)
+        require(c.kind == LocalReplica.MetaString,
+          s"contains() needs a string column; `$field` is not one")
+        r => !c.nulls(r) && c.strings(r).contains(sub)
+    }
+  }
+
+  /** Filtered top-k with the predicate evaluated REPLICA-side against
+    * exported metadata columns (vecgo evaluates typed filters inside the
+    * engine, `metadata/filter.go:122-216`) — no driver-materialized id-set
+    * at all, so selectivity cannot OOM anything: the filter costs one
+    * branch per scanned row. Pre-filter semantics, exact over survivors,
+    * same (score, id) ordering as [[search]].
+    */
+  def searchWhere(q0: Array[Float], k: Int, filters: Seq[graft.types.Filter],
+      nprobe: Int = 0): Seq[Candidate] = {
+    if (filters.isEmpty) return search(q0, k, nprobe)
+    val preds = filters.map(compilePredicate).toArray
+    val q = prepQuery(q0)
+    val fast = fastMode
+    val qNorm =
+      if (metric == Metric.Cosine && fast)
+        math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    probeRanges(q, nprobe).foreach { case (lo, hi0) =>
+      var r = lo
+      while (r < hi0) {
+        var ok = true
+        var i = 0
+        while (ok && i < preds.length) { ok = preds(i)(r); i += 1 }
+        if (ok) buf += Candidate(ids(r), scoreRow(fast, r * dim, q, qNorm))
+        r += 1
+      }
+    }
+    buf.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
+      .take(k).toSeq
+  }
+
   /** All rows at or better than `threshold`, best-first, capped at
     * `maxResults` (vecgo `SearchThreshold`, `engine.go:1485`). Scans the
     * probed ranges (all rows when unclustered) — threshold semantics over
@@ -728,6 +813,27 @@ final class LocalReplica private (
         out.writeDouble(minRowNorm)
         out.write(codes)
       }
+      // v3 trailer: typed metadata columns (row-aligned with ids)
+      out.writeInt(metaCols.length)
+      metaCols.foreach { c =>
+        out.writeUTF(c.name)
+        out.writeByte(c.kind)
+        i = 0
+        while (i < size) { out.writeBoolean(c.nulls(i)); i += 1 }
+        c.kind match {
+          case LocalReplica.MetaString =>
+            i = 0
+            while (i < size) {
+              out.writeUTF(if (c.nulls(i)) "" else c.strings(i)); i += 1
+            }
+          case LocalReplica.MetaDouble =>
+            i = 0
+            while (i < size) { out.writeDouble(c.doubles(i)); i += 1 }
+          case _ =>
+            i = 0
+            while (i < size) { out.writeLong(c.longs(i)); i += 1 }
+        }
+      }
     } finally out.close()
     // prefer an atomic overwrite rename; FileContext throws
     // UnsupportedFileSystemException for schemes without an AbstractFileSystem
@@ -764,7 +870,24 @@ object LocalReplica {
   }
 
   private[serve] val Magic = 0x47524c52 // "GRLR"
-  private[serve] val FormatVersion = 2
+  private[serve] val FormatVersion = 3
+
+  // metadata column type tags (format v3)
+  private[serve] val MetaLong: Byte = 0
+  private[serve] val MetaDouble: Byte = 1
+  private[serve] val MetaString: Byte = 2
+
+  /** One exported metadata column: row-aligned typed values + null mask.
+    * Numerics normalize to long/double at export (the same coercion Spark
+    * applies in predicates); only the array matching `kind` is populated.
+    */
+  private[serve] final class MetaColumn(
+      val name: String,
+      val kind: Byte,
+      val longs: Array[Long],
+      val doubles: Array[Double],
+      val strings: Array[String],
+      val nulls: Array[Boolean])
 
   /** Load a [[save]]d artifact (v2, or v1 without the coded trailer).
     * Fails loudly on a bad magic/version, a truncated file, or a
@@ -783,7 +906,7 @@ object LocalReplica {
       require(magic == Magic,
         f"not a replica artifact: bad magic 0x$magic%08x at $path")
       val ver = in.readInt()
-      require(ver == 1 || ver == FormatVersion,
+      require(ver >= 1 && ver <= FormatVersion,
         s"replica format version $ver unsupported (expected ≤ $FormatVersion)")
       val metric = Metric.fromString(in.readUTF())
       val dim = in.readInt()
@@ -835,8 +958,45 @@ object LocalReplica {
         codes = new Array[Byte](n * dim)
         in.readFully(codes)
       }
+      val meta: Array[MetaColumn] =
+        if (ver < 3) Array.empty
+        else {
+          val count = in.readInt()
+          require(count >= 0 && count <= 4096,
+            s"corrupt replica: metadata column count $count")
+          Array.fill(count) {
+            val name = in.readUTF()
+            val kind = in.readByte()
+            require(kind >= MetaLong && kind <= MetaString,
+              s"corrupt replica: metadata column `$name` kind $kind")
+            val nulls = new Array[Boolean](n)
+            i = 0
+            while (i < n) { nulls(i) = in.readBoolean(); i += 1 }
+            kind match {
+              case MetaString =>
+                val ss = new Array[String](n)
+                i = 0
+                while (i < n) {
+                  val s = in.readUTF()
+                  ss(i) = if (nulls(i)) null else s
+                  i += 1
+                }
+                new MetaColumn(name, kind, null, null, ss, nulls)
+              case MetaDouble =>
+                val ds = new Array[Double](n)
+                i = 0
+                while (i < n) { ds(i) = in.readDouble(); i += 1 }
+                new MetaColumn(name, kind, null, ds, null, nulls)
+              case _ =>
+                val ls = new Array[Long](n)
+                i = 0
+                while (i < n) { ls(i) = in.readLong(); i += 1 }
+                new MetaColumn(name, kind, ls, null, null, nulls)
+            }
+          }
+        }
       new LocalReplica(metric, dim, ids, flat, centroids, listStart,
-        codes, codeMins, codeSteps, minNorm)
+        codes, codeMins, codeSteps, minNorm, meta)
     } finally in.close()
   }
 
@@ -849,8 +1009,30 @@ object LocalReplica {
     */
   def fromDataFrame(df: DataFrame, vecCol: String, idCol: String,
       metric: Metric, nlist: Int = 0,
-      maxRows: Long = DefaultMaxRows): LocalReplica = {
-    val rows = df.select(col(idCol).cast("long"), col(vecCol)).collect()
+      maxRows: Long = DefaultMaxRows,
+      metaCols: Seq[String] = Nil): LocalReplica = {
+    // metadata columns export as normalized long/double/string arrays
+    // (format v3) so predicates can evaluate replica-side
+    import org.apache.spark.sql.types._
+    val metaKinds: Array[Byte] = metaCols.map { name =>
+      df.schema(name).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => MetaLong
+        case FloatType | DoubleType => MetaDouble
+        case StringType => MetaString
+        case other => throw new IllegalArgumentException(
+          s"metadata column `$name` has unsupported type $other " +
+            "(integral, float, or string)")
+      }
+    }.toArray
+    val metaExprs = metaCols.zip(metaKinds).map { case (name, kind) =>
+      (kind match {
+        case MetaString => col(name).cast("string")
+        case MetaDouble => col(name).cast("double")
+        case _ => col(name).cast("long")
+      }).as(name)
+    }
+    val rows = df.select(
+      col(idCol).cast("long") +: col(vecCol) +: metaExprs: _*).collect()
     require(rows.length <= maxRows,
       s"replica export of ${rows.length} rows exceeds maxRows=$maxRows — " +
         "a LocalReplica is a per-shard serving artifact, not the store; " +
@@ -894,7 +1076,7 @@ object LocalReplica {
       val v = r.getSeq[Float](1).toArray
       require(v.length == dim,
         s"ragged vector column: ${v.length} != $dim")
-      (assignOf(v), r.getLong(0), v)
+      (assignOf(v), r.getLong(0), v, r)
     }.sortBy(t => (t._1, t._2))
 
     val n = tagged.length
@@ -908,6 +1090,27 @@ object LocalReplica {
       counts(tagged(r)._1) += 1
       r += 1
     }
+    // pack metadata columns in the same CSR row order
+    val meta: Array[MetaColumn] = metaCols.zipWithIndex.map { case (name, j) =>
+      val kind = metaKinds(j)
+      val fld = 2 + j
+      val nulls = new Array[Boolean](n)
+      val longs = if (kind == MetaLong) new Array[Long](n) else null
+      val doubles = if (kind == MetaDouble) new Array[Double](n) else null
+      val strings = if (kind == MetaString) new Array[String](n) else null
+      var i = 0
+      while (i < n) {
+        val row = tagged(i)._4
+        if (row.isNullAt(fld)) nulls(i) = true
+        else kind match {
+          case MetaString => strings(i) = row.getString(fld)
+          case MetaDouble => doubles(i) = row.getDouble(fld)
+          case _ => longs(i) = row.getLong(fld)
+        }
+        i += 1
+      }
+      new MetaColumn(name, kind, longs, doubles, strings, nulls)
+    }.toArray
     val listStart = new Array[Int](lists + 1)
     var l = 0
     while (l < lists) { listStart(l + 1) = listStart(l) + counts(l); l += 1 }
@@ -951,14 +1154,17 @@ object LocalReplica {
 
     new LocalReplica(metric, dim, ids, flat,
       model.map(_.centroids).getOrElse(Array.empty), listStart,
-      codes, mins, steps, minNorm)
+      codes, mins, steps, minNorm, meta)
   }
 
   /** Export a replica from an engine snapshot (current or pinned version —
     * the read is MVCC-consistent, so the replica is a faithful frozen view
-    * of one committed version).
+    * of one committed version). `metaCols` ships typed metadata columns
+    * for replica-side [[LocalReplica.searchWhere]] predicates.
     */
   def fromStore(db: GraftDB, nlist: Int = 0,
-      maxRows: Long = DefaultMaxRows): LocalReplica =
-    fromDataFrame(db.read(), "vector", "id", db.metric, nlist, maxRows)
+      maxRows: Long = DefaultMaxRows,
+      metaCols: Seq[String] = Nil): LocalReplica =
+    fromDataFrame(db.read(), "vector", "id", db.metric, nlist, maxRows,
+      metaCols)
 }

@@ -98,6 +98,21 @@ class GraftDBSpec extends AnyFunSuite {
     assert(st("segments") == 1 && st("metric") == "l2")
   }
 
+  test("collectFilterIds: engine-side survivors, loud guard above the cap") {
+    val db = freshDb()
+    db.insertBatch(records(0 until 90))
+    // label = 1 matches ids ≡ 1 (mod 3): 30 survivors
+    val got = db.collectFilterIds(Seq(Filter.Eq("label", 1)))
+    assert(got == (0L until 90L).filter(_ % 3 == 1).toSet)
+    // a collect that WOULD exceed the cap must fail loudly, not OOM later
+    val e = intercept[IllegalArgumentException] {
+      db.collectFilterIds(Seq(Filter.Eq("label", 1)), cap = 29)
+    }
+    assert(e.getMessage.contains("exceeds cap"), e.getMessage)
+    // at the boundary it still succeeds
+    assert(db.collectFilterIds(Seq(Filter.Eq("label", 1)), cap = 30).size == 30)
+  }
+
   test("cosine metric normalizes stored vectors and queries rank by similarity") {
     val db = freshDb(metric = "cosine")
     db.insertBatch(records(0 until 50))

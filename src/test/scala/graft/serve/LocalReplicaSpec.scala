@@ -116,6 +116,70 @@ class LocalReplicaSpec extends AnyFunSuite {
     assert(rep.searchFiltered(q, 10, _ => false).isEmpty)
   }
 
+  test("replica-side predicates match the id-set path; nulls never satisfy") {
+    import graft.types.Filter._
+    val df = corpus.select(col("id"), col("vec"),
+      (col("id") % 10).cast("int").as("label"),
+      concat(lit("doc-"), col("id").cast("string")).as("tag"),
+      when(col("id") % 7 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 100).cast("double") / 10.0).as("quality"))
+    val rep = LocalReplica.fromDataFrame(df, "vec", "id", Metric.L2,
+      nlist = 8, metaCols = Seq("label", "tag", "quality"))
+    assert(rep.metaColumns == Seq("label", "tag", "quality"))
+    val q = queryVec(17)
+    // numeric range conjunction ≡ the caller-materialized id-set
+    val got = rep.searchWhere(q, 10,
+      Seq(Gte("label", 6), Lte("label", 8)), nprobe = 8)
+    val rangeIds = (0L until n.toLong).filter(i => i % 10 >= 6 && i % 10 <= 8).toSet
+    assert(got.size == 10 && got == rep.searchFiltered(q, 10, rangeIds, nprobe = 8))
+    // string substring containment
+    val gotTag = rep.searchWhere(q, 5, Seq(Contains("tag", "9")))
+    val tagIds = (0L until n.toLong).filter(i => s"doc-$i".contains("9")).toSet
+    assert(gotTag == rep.searchFiltered(q, 5, tagIds))
+    // NULL input never satisfies a predicate — not even Ne (Spark/vecgo
+    // three-valued semantics)
+    val gotNe = rep.searchWhere(q, 5, Seq(Ne("quality", -1.0)))
+    val neIds = (0L until n.toLong).filter(_ % 7 != 0).toSet
+    assert(gotNe == rep.searchFiltered(q, 5, neIds))
+    // In over a value list; cross-type int value against the int column
+    val gotIn = rep.searchWhere(q, 5, Seq(In("label", Seq(1, 3))))
+    val inIds = (0L until n.toLong).filter(i => i % 10 == 1 || i % 10 == 3).toSet
+    assert(gotIn == rep.searchFiltered(q, 5, inIds))
+    // double-column range with a fractional bound
+    val gotQ = rep.searchWhere(q, 5, Seq(Lt("quality", 2.5)))
+    val qIds = (0L until n.toLong)
+      .filter(i => i % 7 != 0 && (i % 100) / 10.0 < 2.5).toSet
+    assert(gotQ == rep.searchFiltered(q, 5, qIds))
+    // unknown column fails loudly; empty filter list = plain search
+    val e = intercept[IllegalArgumentException](
+      rep.searchWhere(q, 5, Seq(Eq("nope", 1))))
+    assert(e.getMessage.contains("no metadata column"), e.getMessage)
+    assert(rep.searchWhere(q, 10, Nil) == rep.search(q, 10))
+  }
+
+  test("metadata columns round-trip through save/load (format v3)") {
+    import graft.types.Filter._
+    val df = corpus.select(col("id"), col("vec"),
+      (col("id") % 10).cast("int").as("label"),
+      concat(lit("t"), col("id").cast("string")).as("tag"))
+    val rep = LocalReplica.fromDataFrame(df, "vec", "id", Metric.L2,
+      nlist = 4, metaCols = Seq("label", "tag"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_replica_meta")
+    val path = s"$dir/replica.grlr"
+    rep.save(path)
+    val loaded = LocalReplica.load(path)
+    assert(loaded.metaColumns == Seq("label", "tag"))
+    val q = queryVec(23)
+    val fs = Seq(Eq("label", 4), Contains("tag", "1"))
+    assert(loaded.searchWhere(q, 10, fs, nprobe = 4) ==
+      rep.searchWhere(q, 10, fs, nprobe = 4))
+    // a v3 artifact without metadata still loads (empty trailer)
+    val plain = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+    val path2 = s"$dir/plain.grlr"
+    plain.save(path2)
+    assert(LocalReplica.load(path2).metaColumns.isEmpty)
+  }
+
   test("searchWithStats reports probed mass; results identical to search") {
     val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
       nlist = 8)
