@@ -188,11 +188,63 @@ object StreamingQueries {
       .orderBy(col("keep_id").asc)
   }
 
+  /** Streaming MinHash+LSH near-dup — the unbounded-corpus twin of
+    * [[PipelineQueries.dedupMinhashLsh]]: each micro-batch is checked
+    * against the ACCUMULATED corpus via
+    * [[graft.dedup.Dedup.minhashLshIncrement]] (band-key equi-join against
+    * the band state, candidate-only verification sets), and the batch's
+    * band keys + hashed shingles are appended to the state store. A pair
+    * emits exactly once — in the batch where its second member arrives —
+    * so the union of per-batch emissions over any split equals the batch
+    * twin's result, and the shared oracle hash-checks it. Ordering inside
+    * `foreachBatch` matters: the pairs plan lazily reads the PRIOR state
+    * dirs, so it is materialized before the state appends land.
+    */
+  def streamingMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (first, second) = docs.partition(_._1 % 2 == 0)
+    val root = Files.createTempDirectory("graft_stream_minhash").toString
+    val bandsDir = s"$root/bands"
+    val hashedDir = s"$root/hashed"
+    val pairsDir = s"$root/pairs"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def readIf(p: String): Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some(s.read.parquet(p))
+      else None
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (pairs, bBands, bHashed) = graft.dedup.Dedup.minhashLshIncrement(
+          batch, "doc_id", "text", readIf(bandsDir), readIf(hashedDir),
+          n = 3, numHashes = 32, rowsPerBand = 4, minJaccard = 0.8)
+        pairs.write.mode("append").parquet(pairsDir)    // BEFORE state appends
+        bBands.write.mode("append").parquet(bandsDir)
+        bHashed.write.mode("append").parquet(hashedDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt("minhash"))
+      .start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(pairsDir)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_tumbling_agg" -> (streamingTumblingAgg _),
     "streaming_sessionize" -> (streamingSessionize _),
     "streaming_ingest" -> (streamingIngest _),
-    "streaming_dedup_exact" -> (streamingDedupExact _)
+    "streaming_dedup_exact" -> (streamingDedupExact _),
+    "streaming_minhash" -> (streamingMinhash _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -202,6 +254,7 @@ object StreamingQueries {
     "streaming_ingest" ->
       """SELECT vec_id AS id, label::BIGINT AS label
         |FROM embeddings ORDER BY id ASC""".stripMargin,
-    "streaming_dedup_exact" -> PipelineQueries.oracle("dedup_exact")
+    "streaming_dedup_exact" -> PipelineQueries.oracle("dedup_exact"),
+    "streaming_minhash" -> PipelineQueries.oracle("dedup_minhash_lsh")
   )
 }

@@ -313,6 +313,48 @@ object Dedup {
     }
   }
 
+  /** One INCREMENTAL MinHash+LSH step — the streaming micro-batch form of
+    * [[minhashLsh]] (builder brief: new batches must be checkable against
+    * the accumulated corpus without a batch re-run). Given the accumulated
+    * state of all previously-seen documents (band keys + hashed shingles;
+    * `None` on the first batch) and a new batch, returns
+    * `(newPairs, batchBands, batchHashed)`:
+    *
+    *  - `newPairs`: every verified near-dup pair touching the NEW batch on
+    *    at least one side — old↔old pairs were emitted by earlier steps,
+    *    and a pair can never re-emit later (candidates always require one
+    *    side in the current batch), so the union of per-step emissions over
+    *    any batch split equals the one-shot batch result exactly.
+    *  - `batchBands` / `batchHashed`: the rows the caller appends to its
+    *    state store for the next step.
+    *
+    * 100 TB shape: per step this joins the (tiny) batch band keys against
+    * the accumulated band state on (band, band_key) — an equi-join that
+    * shuffles only bucket collisions — and verification sets are built for
+    * candidate ids only, same as the batch pipeline. State grows as one
+    * narrow row per (doc, band) + one per (doc, shingle): both columnar,
+    * partitionable, never collected.
+    */
+  def minhashLshIncrement(batch: DataFrame, idCol: String, textCol: String,
+      priorBands: Option[DataFrame], priorHashed: Option[DataFrame],
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8): (DataFrame, DataFrame, DataFrame) = {
+    val batchHashed = hashedShingles(batch, idCol, textCol, n)
+    val batchBands =
+      lshBands(minhashSignaturesHashed(batchHashed, numHashes), rowsPerBand)
+    val allBands = priorBands.map(_.unionByName(batchBands)).getOrElse(batchBands)
+    val allHashed = priorHashed.map(_.unionByName(batchHashed)).getOrElse(batchHashed)
+    val a = allBands.as("a"); val b = batchBands.as("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    (verifyCandidates(cands, allHashed, minJaccard), batchBands, batchHashed)
+  }
+
   private def minhashLshFrom(hashed: DataFrame, numHashes: Int,
       rowsPerBand: Int, minJaccard: Double): DataFrame = {
     val cands = lshCandidates(

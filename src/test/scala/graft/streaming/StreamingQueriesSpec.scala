@@ -27,6 +27,45 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming minhash equals the batch twin at sf0.001 (pairs emit once)") {
+    val streamed = StreamingQueries.streamingMinhash(spark, sf).collect()
+    val batch = graft.PipelineQueries.dedupMinhashLsh(spark, sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+    // pair uniqueness: no pair may emit in more than one micro-batch
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      streamed.length)
+  }
+
+  test("minhash increment over a 3-way split equals the one-shot batch run") {
+    import graft.dedup.Dedup
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val splits = Seq(
+      docs.where(col("doc_id") % 3 === 0),
+      docs.where(col("doc_id") % 3 === 1),
+      docs.where(col("doc_id") % 3 === 2))
+    var bands: Option[org.apache.spark.sql.DataFrame] = None
+    var hashed: Option[org.apache.spark.sql.DataFrame] = None
+    var pairs = Seq.empty[(Long, Long, Double)]
+    splits.foreach { part =>
+      val (p, bBands, bHashed) = Dedup.minhashLshIncrement(
+        part, "doc_id", "text", bands, hashed)
+      pairs ++= p.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSeq
+      // cache the state unions so each step's plan doesn't re-derive
+      // every earlier batch's shingles (spec-scale convenience; the
+      // streaming query appends to parquet state instead)
+      bands = Some(bands.map(_.unionByName(bBands)).getOrElse(bBands).cache())
+      hashed = Some(hashed.map(_.unionByName(bHashed)).getOrElse(bHashed).cache())
+    }
+    val oneShot = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(pairs.sorted == oneShot.sorted)
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    bands.foreach(_.unpersist()); hashed.foreach(_.unpersist())
+  }
+
   test("session state carries across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
