@@ -127,16 +127,22 @@ object FacadeQueries {
     * hash-checked against the same sign-disagreement-count oracle.
     */
   private def buildHammingDb(s: SparkSession, dir: String,
-      name: String): (GraftDB, Array[Long]) = {
+      name: String, withText: Boolean = false): (GraftDB, Array[Long]) = {
     val root = s"${sys.props("java.io.tmpdir")}/graft_$name"
     val p = new Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     val emb = Tables.load(s, dir, "embeddings")
-    val records = emb.select(col("vec_id").as("id"),
+    val packed = emb.select(col("vec_id").as("id"),
       graft.index.BQ.packCol(col("embedding"), 64).as("vector"), col("label"))
+    val records =
+      if (!withText) packed
+      else packed.join(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("text")), "id")
     val db = GraftDB.open(s, root, dim = 64, metric = "hamming",
-      schema = Map("label" -> "int"))
+      schema = Map("label" -> "int"),
+      textCol = if (withText) Some("text") else None)
     db.insertBatch(records.where(col("id") < 250))
     db.insertBatch(records.where(col("id") >= 250))
     val qe = qvec(s, dir, 8)
@@ -146,6 +152,18 @@ object FacadeQueries {
       }
     }
     (db, q)
+  }
+
+  /** Hybrid RRF on a HAMMING store (vecgo's `HybridSearch` is metric-
+    * agnostic, `engine.go:1538`): popcount k-NN pool over packed sign-bit
+    * codes fused with the BM25 pool — integer Hamming scores need no
+    * rounding key, so pool ranks reproduce on any engine.
+    */
+  def hybridHamming(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_hybrid_hamming",
+      withText = true)
+    db.hybridSearchCodes(q, "spark vector merge", 10)
+      .select(col("id"), round(col("score"), 6).as("score"))
   }
 
   def hamming(s: SparkSession, dir: String): DataFrame = {
@@ -280,12 +298,27 @@ object FacadeQueries {
   def statsQ(s: SparkSession, dir: String): DataFrame = {
     val db = buildDb(s, dir, "facade_stats")
     db.deleteWhere(graft.types.FilterSet.of(graft.types.Filter.Eq("label", 3)))
+    val preDeleteRows = db.stats()("delete_rows").asInstanceOf[Long]
+    // index build compacts live rows into ONE indexed segment (tombstones
+    // fold away); a lexical query persists this version's index tables —
+    // the introspection surface then reports all of it
+    db.buildIndex(nlist = 8)
+    db.lexicalSearch("spark", 1).collect()
     val st = db.stats()
+    val si = db.segmentInfo()
     import s.implicits._
     Seq((st("segments").asInstanceOf[Int].toLong,
         st("segment_rows").asInstanceOf[Long],
-        st("delete_rows").asInstanceOf[Long]))
-      .toDF("segments", "segment_rows", "delete_rows")
+        preDeleteRows,
+        st("indexed_segments").asInstanceOf[Int].toLong,
+        st("index_kinds").asInstanceOf[String],
+        st("stats_segments").asInstanceOf[Int].toLong,
+        st("lexical_versions").asInstanceOf[Int].toLong,
+        si.map(_("rows").asInstanceOf[Long]).sum,
+        si.count(_("index_kind") != "none").toLong))
+      .toDF("segments", "segment_rows", "delete_rows", "indexed_segments",
+        "index_kinds", "stats_segments", "lexical_versions",
+        "seginfo_rows", "seginfo_indexed")
   }
 
   /** Per-query cost counters (vecgo R15 `QueryStats`): a filtered search
@@ -403,7 +436,8 @@ object FacadeQueries {
     "graftdb_local_knn" -> (localKnn _),
     "graftdb_local_hamming" -> (localHamming _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
-    "graftdb_local_knn_where" -> (localKnnWhere _)
+    "graftdb_local_knn_where" -> (localKnnWhere _),
+    "graftdb_hybrid_hamming" -> (hybridHamming _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -443,6 +477,45 @@ object FacadeQueries {
     "graftdb_hybrid" -> Queries.oracle("hybrid_rrf").replace(
       "FROM documents)",
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
+    "graftdb_hybrid_hamming" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    x -> len(x) > 0)) AS term
+        |  FROM documents JOIN embeddings ON vec_id = doc_id),
+        |post AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n, avg(dlen) AS avgdl FROM dl),
+        |qt AS (SELECT unnest(ARRAY['spark', 'vector', 'merge']) AS term),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+        |bscore AS (
+        |  SELECT p.doc_id AS id,
+        |         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |              (p.tf * (1.2::DOUBLE + 1)) /
+        |              (p.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * l.dlen / s.avgdl)) ) AS score
+        |  FROM post p
+        |  JOIN qt USING (term)
+        |  JOIN dfreq d USING (term)
+        |  JOIN dl l ON l.doc_id = p.doc_id, stats s
+        |  GROUP BY p.doc_id),
+        |brank AS (
+        |  SELECT id, row_number() OVER (ORDER BY round(score, 6) DESC, id ASC) AS lrank
+        |  FROM bscore QUALIFY lrank <= 50),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 8),
+        |vscore AS (
+        |  SELECT e.vec_id AS id,
+        |         len(list_filter(range(1, 65),
+        |             i -> (e.embedding[i] > 0) <> (q.qv[i] > 0)))::DOUBLE AS score
+        |  FROM embeddings e, q),
+        |vrank AS (
+        |  SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) AS vrank
+        |  FROM vscore QUALIFY vrank <= 50),
+        |fused AS (
+        |  SELECT coalesce(v.id, b.id) AS id,
+        |         coalesce(1.0::DOUBLE / (60 + v.vrank), 0.0) +
+        |         coalesce(1.0::DOUBLE / (60 + b.lrank), 0.0) AS score
+        |  FROM vrank v FULL OUTER JOIN brank b ON v.id = b.id)
+        |SELECT id, round(score, 6) AS score
+        |FROM fused ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "graftdb_threshold_indexed" -> Queries.oracle("search_threshold"),
     "graftdb_records" -> Queries.oracle("knn_l2"),
     "graftdb_threshold_hamming" ->
@@ -457,10 +530,15 @@ object FacadeQueries {
     // buildDb corpus = embeddings JOIN documents (1:1 on id); the delete
     // tombstones label-3 rows without rewriting segments
     "graftdb_stats" ->
-      """SELECT 2::BIGINT AS segments,
-        |       count(*)::BIGINT AS segment_rows,
-        |       (SELECT count(*) FROM embeddings WHERE label = 3)::BIGINT AS delete_rows
-        |FROM embeddings""".stripMargin,
+      """SELECT 1::BIGINT AS segments,
+        |       (SELECT count(*) FROM embeddings WHERE label <> 3)::BIGINT AS segment_rows,
+        |       (SELECT count(*) FROM embeddings WHERE label = 3)::BIGINT AS delete_rows,
+        |       1::BIGINT AS indexed_segments,
+        |       'ivf_sq8' AS index_kinds,
+        |       1::BIGINT AS stats_segments,
+        |       1::BIGINT AS lexical_versions,
+        |       (SELECT count(*) FROM embeddings WHERE label <> 3)::BIGINT AS seginfo_rows,
+        |       1::BIGINT AS seginfo_indexed""".stripMargin,
     // the filtered search scans only the surviving (vec_id >= 250) segment
     // — every counter reduces to a count over the source table
     "graftdb_query_stats" ->

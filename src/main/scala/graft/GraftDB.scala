@@ -284,11 +284,19 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     v
   }
 
-  /** Tombstone ids (vecgo W5). */
+  /** Tombstone ids (vecgo W5). Small lists take the driver-side fast path
+    * ([[graft.store.SnapshotStore.deleteSmall]] — parquet-mr write, no
+    * Spark job: a scheduled job has a ~100 ms floor that dominated small
+    * interactive deletes); large lists go through the distributed write.
+    */
   def delete(ids: Seq[Long]): Long = {
     requireWritable()
-    import spark.implicits._
-    val (v, ms) = timedOp(store.delete(ids.toDF("id")))
+    val (v, ms) = timedOp(
+      if (ids.size <= GraftDB.SmallDeleteMaxIds) store.deleteSmall(ids)
+      else {
+        import spark.implicits._
+        store.delete(ids.toDF("id"))
+      })
     notifyObs(_.onWrite("delete", ids.size.toLong, ms, v))
     v
   }
@@ -970,6 +978,35 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     RRF.fuse(vranks, branks, k, rrfK)
   }
 
+  /** Hybrid RRF search for HAMMING stores — the packed-code twin of
+    * [[hybridSearch]] (vecgo's `HybridSearch` is metric-agnostic,
+    * `engine.go:1538`; only our query type differs, because Hamming
+    * queries are packed words, not float vectors): popcount k-NN pool +
+    * BM25 pool of max(2k,50), fused by reciprocal rank. Hamming scores
+    * are exact integers, so the pool ranks need no rounding key — they
+    * reproduce bit-identically on any engine — and ties resolve by id
+    * like every other ranked surface.
+    */
+  def hybridSearchCodes(query: Array[Long], textQuery: String, k: Int,
+      rrfK: Int = RRF.DefaultRrfK,
+      filter: FilterSet = FilterSet.empty): DataFrame = {
+    require(metric == Metric.Hamming,
+      s"hybridSearchCodes requires the hamming metric (store is ${config.metric})")
+    config.textCol.getOrElse(
+      throw new IllegalStateException("no textCol configured for hybrid search"))
+    val m = RRF.poolSize(k)
+    val vpool = searchCodes(query, m, filter)
+    val vranks = RRF.ranked(vpool, "id", "score", ascending = true)
+    val idx = lexicalIndex()
+    val allowed =
+      if (filter.filters.isEmpty) None
+      else Some(read().where(filter.toColumn).select("id"))
+    val bpool = BM25.search(idx, textQuery, m, allowed)
+      .select(col("id"), col("score"))
+    val branks = RRF.ranked(bpool, "id", "score", ascending = false)
+    RRF.fuse(vranks, branks, k, rrfK)
+  }
+
   /** BM25-only lexical search (vecgo R10), over the persisted index. */
   def lexicalSearch(textQuery: String, k: Int): DataFrame =
     BM25.search(lexicalIndex(), textQuery, k)
@@ -1038,14 +1075,37 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   def stats(): Map[String, Any] = {
     val m = store.manifest(effectiveVersion).getOrElse(
       return Map("version" -> -1L, "segments" -> 0, "rows" -> 0L))
+    val idxKinds = m.segments.flatMap(_.index).map(_.kind)
     Map(
       "version" -> m.version,
       "segments" -> m.segments.size,
       "segment_rows" -> m.segments.map(_.rows).sum,
       "delete_rows" -> m.deletes.map(_.rows).sum,
       "dim" -> config.dim,
-      "metric" -> config.metric)
+      "metric" -> config.metric,
+      // introspection beyond the headline counters (vecgo DebugInfo /
+      // SegmentInfo, `engine.go:2285-2311`)
+      "indexed_segments" -> idxKinds.size,
+      "index_kinds" -> idxKinds.distinct.sorted.mkString(","),
+      "stats_segments" -> m.segments.count(_.stats.isDefined),
+      "tombstone_files" -> m.deletes.size,
+      "lexical_versions" -> store.lexicalVersions.size)
   }
+
+  /** Per-segment introspection (vecgo `SegmentInfo`, `engine.go:2210-2223`):
+    * seq, rows, physical path, whether manifest stats cover it, and the
+    * index kind + layout width it carries (`none` when unindexed).
+    */
+  def segmentInfo(): Seq[Map[String, Any]] =
+    store.manifest(effectiveVersion).map(_.segments.map { s =>
+      Map[String, Any](
+        "seq" -> s.seq,
+        "rows" -> s.rows,
+        "path" -> s.path,
+        "has_stats" -> s.stats.isDefined,
+        "index_kind" -> s.index.map(_.kind).getOrElse("none"),
+        "nlist" -> s.index.map(_.nlist).getOrElse(0))
+    }).getOrElse(Nil)
 
   /** Query explain (vecgo R15): our planner decisions (segment pruning)
     * plus Catalyst's formatted physical plan.
@@ -1084,6 +1144,12 @@ object GraftDB {
     * driver heap — generous for a serving handoff, far below OOM.
     */
   val DefaultFilterIdCap: Int = 2 * 1000 * 1000
+
+  /** Id-list size at or below which [[GraftDB.delete]] writes the
+    * tombstone file driver-side (no Spark job): 1M longs is ~8 MB — a
+    * few-hundred-ms single-file write, still far cheaper than a job.
+    */
+  val SmallDeleteMaxIds: Int = 1000 * 1000
 
   /** Default pre-filter routing cutoff for filtered searches on indexed
     * stores. vecgo defaults to 0.30 (`search.go:215`) because its

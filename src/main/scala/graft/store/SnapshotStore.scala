@@ -342,6 +342,16 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     next.version
   }
 
+  /** Versions with a persisted lexical index under the root (`lexical-v*`
+    * dirs — the footprint surface for [[graft.GraftDB.stats]]).
+    */
+  def lexicalVersions: Seq[Long] =
+    if (!fs.exists(new Path(root))) Nil
+    else fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("lexical-v"))
+      .flatMap(_.stripPrefix("lexical-v").toLongOption)
+      .sorted
+
   /** Stats-pruned read: drop whole segments whose manifest stats prove the
     * AND-filter can't match (vecgo segment pruning, `segment_pruning.go:
     * 15-121`), then apply the residual filter to the survivors. Returns
@@ -376,6 +386,54 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val (path, rows) = writeSegment(ids.select(col("id")), seq, "del")
     val next = Manifest(m.version + 1, seq, m.segments,
       m.deletes :+ DeleteRef(path, seq, rows))
+    commit(next)
+    next.version
+  }
+
+  /** Driver-side tombstone write for SMALL id lists — no Spark job. The
+    * reference's delete is an in-memory tombstone append (16.5 M ids/s,
+    * `internal/engine/tombstone.go:47-57`); a scheduled Spark job has a
+    * ~100 ms floor regardless of list size, so small deletes — the common
+    * interactive case — write the one-column parquet file directly from
+    * the driver with the parquet-mr writer and pay only file-write +
+    * manifest-commit time. Same `del-` dir layout, same `DeleteRef`, same
+    * CAS commit; read paths cannot tell the two apart. Large lists should
+    * use [[delete]] (the distributed write) — the engine facade routes by
+    * size.
+    */
+  def deleteSmall(ids: Seq[Long]): Long = {
+    val m = headManifest.getOrElse(
+      throw new IllegalStateException("delete on empty store"))
+    val seq = m.maxSeq + 1
+    val dir = s"$root/del-$seq-${uniqueToken()}"
+    val file = new Path(dir, "part-00000.parquet")
+    val schema = org.apache.parquet.schema.MessageTypeParser
+      .parseMessageType("message del { required int64 id; }")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    try {
+      val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+          .fromPath(file, conf))
+        .withConf(conf)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.UNCOMPRESSED)
+        .build()
+      val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        schema)
+      try {
+        val it = ids.iterator
+        while (it.hasNext) writer.write(gf.newGroup().append("id", it.next()))
+      } finally writer.close()
+    } catch {
+      case e: Throwable =>
+        try fs.delete(new Path(dir), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    val next = Manifest(m.version + 1, seq, m.segments,
+      m.deletes :+ DeleteRef(dir, seq, ids.size.toLong))
     commit(next)
     next.version
   }

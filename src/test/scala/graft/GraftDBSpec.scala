@@ -258,6 +258,64 @@ class GraftDBSpec extends AnyFunSuite {
     }
   }
 
+  test("small-delete fast path: driver-side tombstone equals the job path") {
+    val db = freshDb()
+    db.insertBatch(records(0 until 50))
+    val v1 = db.delete(Seq(1L, 5L, 7L)) // ≤ SmallDeleteMaxIds → driver-side
+    assert(db.read().count() == 47)
+    val left = db.read().select("id").as[Long].collect().toSet
+    assert(!left(1L) && !left(5L) && !left(7L))
+    // distributed-path delete on the same store reads the same tombstones
+    val v2 = db.store.delete(Seq(8L, 9L).toDF("id"))
+    assert(v2 == v1 + 1)
+    assert(db.read().count() == 45)
+    // compact folds both; time travel still serves the pre-delete view
+    db.compact()
+    assert(db.read().count() == 45)
+    assert(db.read(v1).count() == 47)
+    // re-insert after delete resurrects (tombstone seq semantics)
+    db.insertBatch(records(1 until 2))
+    assert(db.read().count() == 46)
+  }
+
+  test("hamming hybrid: popcount pool + BM25 pool fuse by RRF") {
+    val root = Files.createTempDirectory("graft-db-hh").toString
+    val db = GraftDB.open(spark, root, dim = 64, metric = "hamming",
+      schema = Map("label" -> "int"), textCol = Some("body"))
+    val rows = (0L until 40L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Array(r.nextLong() & 0xffffffffL, r.nextLong() & 0xffffffffL),
+        (i % 3).toInt,
+        if (i % 4 == 0) s"spark merge doc $i" else s"plain filler text $i")
+    }
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    val q = rows(5)._2
+    val fused = db.hybridSearchCodes(q, "spark merge", 10)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(fused.size == 10)
+    // manual RRF over the two pools must reproduce the fused ranking
+    val m = graft.hybrid.RRF.poolSize(10)
+    val vrank = db.searchCodes(q, m).select("id").as[Long].collect()
+      .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val lrank = db.lexicalSearch("spark merge", m)
+      .select("id").as[Long].collect()
+      .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val expect = (vrank.keySet ++ lrank.keySet).toSeq.map { id =>
+      val s = vrank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        lrank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(fused == expect)
+    // a doc matching the text but far in hamming space still surfaces
+    assert(fused.map(_._1).exists(id => id % 4 == 0 && id != 5))
+    // guards: float store rejects the codes API and vice versa
+    val fdb = freshDb(textCol = Some("body"))
+    fdb.insertBatch(records(0 until 5))
+    intercept[IllegalArgumentException] {
+      fdb.hybridSearchCodes(Array(0L, 0L), "x", 3)
+    }
+  }
+
   test("reopen reads persisted config") {
     val root = Files.createTempDirectory("graft-db-reopen").toString
     val db1 = GraftDB.open(spark, root, dim = 8, metric = "cosine",
