@@ -132,10 +132,22 @@ object Bench {
     val bulkDb = GraftDB.open(spark, bulkDir, dim = dim, metric = "l2")
     val bulkInput = stored.select(col("id"), col("vec").as("vector"),
       col("label"))
+    // 10× bulk-load twin: at 50k rows the engine write is mostly fixed job
+    // overhead (schedule + commit), which caps the apparent vec/s; the
+    // 500k number amortizes it and is the rate that extrapolates to a
+    // cluster-scale load
+    val bulkBigDir = s"${sys.props("java.io.tmpdir")}/graft_bench_bulk_big"
+    bulkFs.delete(new org.apache.hadoop.fs.Path(bulkBigDir), true)
+    val bulkBigDb = GraftDB.open(spark, bulkBigDir, dim = dim, metric = "l2")
+    val bulkBigInput = big.select(col("id"), col("vec").as("vector"),
+      col("label"))
 
     val synthBenches: Seq[(String, () => Unit)] = Seq(
       "synth_bulk_load" -> (() => {
         bulkDb.insertBatch(bulkInput, collectStats = false); ()
+      }),
+      "synth_bulk_load_big" -> (() => {
+        bulkBigDb.insertBatch(bulkBigInput, collectStats = false); ()
       }),
       "synth_knn_batch100" -> (() =>
         noop(Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10))),
@@ -185,8 +197,19 @@ object Bench {
         noop(Search.knn(spark.read.parquet(ivfDirBig), "vec", "id", lit(q0),
           10, Metric.L2))),
       // tombstone-delete throughput: anti-join n rows against 1k deletes
+      // (the READ-side apply cost; the write side is benched below)
       "synth_delete_antijoin" -> (() =>
         noop(stored.join(broadcast(dels), Seq("id"), "left_anti"))),
+      // engine delete, small shape: 1k ids through the driver-side fast
+      // path (parquet-mr tombstone + manifest commit, no Spark job) —
+      // the interactive-latency number vs the reference's in-memory append
+      "synth_delete_engine_1k" -> (() => {
+        bulkDb.delete((0L until 1000L).map(_ * 7)); ()
+      }),
+      // engine delete, bulk shape: 500k ids — the throughput number
+      "synth_delete_engine_500k" -> (() => {
+        bulkBigDb.delete(0L until 500000L); ()
+      }),
       // serving-replica path: export (collect + k-means + CSR pack) is the
       // Spark-side build; the query loops are pure in-process (no job) —
       // per-query latency derives from these (÷1000 / ÷100)
@@ -222,19 +245,29 @@ object Bench {
     benches.foreach { case (_, f) => try f() catch { case _: Throwable => () } }
 
     // ------------------------------------------------------ measured pass
+    // repeat count ∝ 1/runtime: sub-second queries are fixed-job-overhead
+    // dominated, where min-of-2 left 1.3–1.9× spreads (round-5 verdict) —
+    // a 0.3 s query now gets 6 runs while a 3 s query stays at 2, so the
+    // added wall cost is bounded by ~1.5 s per bench
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spread = scala.collection.mutable.LinkedHashMap[String, Double]()
     benches.foreach { case (name, f) =>
       try {
-        val a = timeIt(f()); val b = timeIt(f())
-        results(name) = math.min(a, b)
-        spread(name) = math.max(a, b) / math.max(1e-9, math.min(a, b))
+        val first = timeIt(f())
+        val extra = math.max(1, math.min(5,
+          math.ceil(1.5 / math.max(0.05, first)).toInt))
+        val times = (first +: Seq.fill(extra)(timeIt(f()))).sorted
+        results(name) = times.head
+        // stability of the REPORTED number: best two runs' ratio (max/min
+        // would only grow with more samples and stop meaning anything)
+        spread(name) = times(1) / math.max(1e-9, times.head)
       } catch { case _: Throwable => results(name) = -1.0 }
     }
 
     // ------------------------------------------------------------ derived
     val derived = scala.collection.mutable.LinkedHashMap[String, Double]()
     derived("bulk_load_vec_per_sec") = n / results("synth_bulk_load")
+    derived("bulk_load_vec_per_sec_big") = nBig / results("synth_bulk_load_big")
     derived("knn_batch_qps") = 100.0 / results("synth_knn_batch100")
     derived("knn_dist_per_sec") = 100.0 * n / results("synth_knn_batch100")
     derived("knn_dist_per_sec_fast") = 100.0 * n / results("synth_knn_batch100_fast")
@@ -250,6 +283,8 @@ object Bench {
       results("synth_knn_single_parquet") / results("synth_ivf_probe4")
     derived("ivf_build_vec_per_sec_big") = nBig / results("synth_ivf_build_big")
     derived("delete_rows_per_sec") = n / results("synth_delete_antijoin")
+    derived("delete_1k_latency_ms") = results("synth_delete_engine_1k") * 1e3
+    derived("delete_ids_per_sec_bulk") = 500000.0 / results("synth_delete_engine_500k")
     derived("local_export_vec_per_sec") = n / results("synth_local_export")
     derived("local_knn_latency_us") =
       results("synth_local_knn_x1000") / 1000.0 * 1e6
