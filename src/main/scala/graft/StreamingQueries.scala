@@ -239,12 +239,78 @@ object StreamingQueries {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** Streaming banded-SRP cosine near-dup — the embedding twin of
+    * [[streamingMinhash]] (unbounded-corpus form of
+    * [[PipelineQueries.neardupCosine]]): batch 1 streams the original
+    * embeddings, batch 2 the perturbed twins, so every true pair spans the
+    * batch boundary and must be found by joining the new batch's band keys
+    * against the ACCUMULATED key state. Plane-centering offsets derive
+    * once from the first half and stay fixed (keys must be comparable
+    * across batches); `bands = 64` keeps near-threshold recall under
+    * sample-derived centering. Emitted pairs are exact-cosine-verified, so
+    * the streaming result hash-checks against the same exact all-pairs
+    * oracle as the batch twin.
+    */
+  def streamingNeardupCosine(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    implicit val ctx = s.sqlContext
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val pert = emb.select(col("vec_id").as("src_id"), col("embedding"))
+      .select(
+        (col("src_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val h = Dedup.portableHash(col("src_id"), (i + 1).cast("string"))
+          (x.cast("double") + (h % 201 - 100).cast("double") / 4000.0).cast("float")
+        }).as("embedding"))
+    val offsets = Dedup.srpCenteringOffsets(emb, "embedding", dim = 64,
+      bands = 64)
+    import s.implicits._
+    val first = emb.as[(Long, Seq[Float])].collect()
+    val second = pert.as[(Long, Seq[Float])].collect()
+    val root = Files.createTempDirectory("graft_stream_srp").toString
+    val keysDir = s"$root/keys"
+    val vecsDir = s"$root/vecs"
+    val pairsDir = s"$root/pairs"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def readIf(p: String): Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some(s.read.parquet(p))
+      else None
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (pairs, bKeys, bVecs) = Dedup.srpNearDupIncrement(
+          batch, "vec_id", "embedding", dim = 64, threshold = 0.9,
+          offsets = offsets, priorKeys = readIf(keysDir),
+          priorVecs = readIf(vecsDir), bands = 64)
+        pairs.write.mode("append").parquet(pairsDir) // BEFORE state appends
+        bKeys.write.mode("append").parquet(keysDir)
+        bVecs.write.mode("append").parquet(vecsDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt("srp"))
+      .start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(pairsDir)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_tumbling_agg" -> (streamingTumblingAgg _),
     "streaming_sessionize" -> (streamingSessionize _),
     "streaming_ingest" -> (streamingIngest _),
     "streaming_dedup_exact" -> (streamingDedupExact _),
-    "streaming_minhash" -> (streamingMinhash _)
+    "streaming_minhash" -> (streamingMinhash _),
+    "streaming_neardup_cosine" -> (streamingNeardupCosine _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -255,6 +321,7 @@ object StreamingQueries {
       """SELECT vec_id AS id, label::BIGINT AS label
         |FROM embeddings ORDER BY id ASC""".stripMargin,
     "streaming_dedup_exact" -> PipelineQueries.oracle("dedup_exact"),
-    "streaming_minhash" -> PipelineQueries.oracle("dedup_minhash_lsh")
+    "streaming_minhash" -> PipelineQueries.oracle("dedup_minhash_lsh"),
+    "streaming_neardup_cosine" -> PipelineQueries.oracle("neardup_cosine")
   )
 }

@@ -541,18 +541,69 @@ object Dedup {
     * and both verify joins — [[srpNearDupsTo]] gives the scan a scoped
     * cache; lazy composers persist the input themselves when expensive.
     */
+  /** Plane-centering offsets from a representative (id, vec) frame: the
+    * per-plane projection of the frame's mean vector (one cheap agg pass).
+    * The mean only steers CANDIDATE generation — emitted pairs are exact,
+    * so float non-determinism in the avg cannot change correctness, and a
+    * sample-derived mean (a first micro-batch, a bounded sample at 100 TB)
+    * is as good as the full-corpus one.
+    */
+  def srpCenteringOffsets(df: DataFrame, vecCol: String,
+      dim: Int, nbits: Int = 16, bands: Int = 32,
+      seed: Long = 42L): Array[Double] = {
+    val meanVec = df.agg(array((0 until dim).map(i =>
+      avg(element_at(col(vecCol), i + 1))): _*).as("m"))
+      .head().getSeq[Double](0).toArray
+    Array.tabulate(bands * nbits)(p => srpPlane(p, dim, seed))
+      .map(pl => pl.indices.foldLeft(0.0)((s, d) => s + pl(d) * meanVec(d)))
+  }
+
+  /** One INCREMENTAL banded-SRP near-dup step — the streaming micro-batch
+    * form of [[srpNearDups]] (the embedding twin of
+    * [[minhashLshIncrement]]): band keys of the new batch join against the
+    * accumulated key state, candidates are exact-cosine-verified against
+    * the accumulated vector state, and every emitted pair touches the new
+    * batch on at least one side — a pair emits exactly once, in the batch
+    * where its second member arrives. `offsets` must stay FIXED across
+    * the stream (derive once from a representative batch via
+    * [[srpCenteringOffsets]]) so keys are comparable across batches.
+    * Returns `(newPairs, batchKeys, batchVecs)` — the caller appends the
+    * latter two to its state store.
+    */
+  def srpNearDupIncrement(batch: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, offsets: Array[Double],
+      priorKeys: Option[DataFrame], priorVecs: Option[DataFrame],
+      nbits: Int = 16, bands: Int = 32, seed: Long = 42L)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.vec_cos
+    val vecs = spread(batch.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val keyed = vecs
+      .select(col("id"),
+        explode(srpBandKeys(col("v"), dim, nbits, bands, seed, offsets)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val allKeys = priorKeys.map(_.unionByName(keyed)).getOrElse(keyed)
+    val allVecs = priorVecs.map(_.unionByName(vecs)).getOrElse(vecs)
+    val cands = allKeys.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val pairs = cands
+      .join(allVecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(allVecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos", vec_cos(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+    (pairs, keyed, vecs)
+  }
+
   private def srpNearDupsFrom(vecs: DataFrame, dim: Int,
       threshold: Double, nbits: Int, bands: Int, seed: Long): DataFrame = {
     import graft.functions.vec_cos
-    // center the hyperplanes on the corpus mean (one cheap agg pass; the
-    // mean only steers CANDIDATE generation — emitted pairs are exact, so
-    // float non-determinism in the avg cannot change correctness)
-    val meanVec = vecs.agg(array((0 until dim).map(i =>
-      avg(element_at(col("v"), i + 1))): _*).as("m"))
-      .head().getSeq[Double](0).toArray
-    val planes = Array.tabulate(bands * nbits)(p => srpPlane(p, dim, seed))
-    val offsets = planes.map(p =>
-      p.indices.foldLeft(0.0)((s, d) => s + p(d) * meanVec(d)))
+    // center the hyperplanes on the corpus mean (see srpCenteringOffsets)
+    val offsets = srpCenteringOffsets(vecs, "v", dim, nbits, bands, seed)
     val keyed = vecs
       .select(col("id"),
         explode(srpBandKeys(col("v"), dim, nbits, bands, seed, offsets)).as("bk"))

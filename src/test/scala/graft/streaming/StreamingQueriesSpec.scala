@@ -36,6 +36,14 @@ class StreamingQueriesSpec extends AnyFunSuite {
       streamed.length)
   }
 
+  test("streaming SRP near-dup equals the batch twin at sf0.001 (pairs span the batch boundary)") {
+    val streamed = StreamingQueries.streamingNeardupCosine(spark, sf).collect()
+    val batch = graft.PipelineQueries.neardupCosine(spark, sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      streamed.length)
+  }
+
   test("minhash increment over a 3-way split equals the one-shot batch run") {
     import graft.dedup.Dedup
     val docs = graft.Tables.load(spark, sf, "documents")
