@@ -77,6 +77,21 @@ object FacadeQueries {
       .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
   }
 
+  /** Facade k-NN THROUGH an OPQ index (vecgo I7, `quantization/opq.go`):
+    * `buildIndex(kind = "opq")` learns an orthonormal rotation, stores PQ
+    * codes of R·x, and probes ADC-score against the driver-rotated query —
+    * L2 is rotation-invariant, so ordering semantics (and this exact
+    * all-probe wide-refine check) are identical to the PQ path.
+    */
+  def knnOpqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_knn_opq")
+    db.buildIndex(nlist = 8, kind = "opq", pqM = 16)
+    val rows = db.stats()("segment_rows").asInstanceOf[Long]
+    val refine = math.max(10, math.ceil(rows * 0.25 / 10).toInt)
+    db.search(qvec(s, dir, 0), 10, nprobe = 8, refineFactor = refine)
+      .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
+  }
+
   /** Facade filtered k-NN on an INDEXED store through the ADAPTIVE
     * pre-filter route (vecgo's selectivity-based cursor pre-filter,
     * `search.go:215-233`): `label = 4` matches ~10% of rows, the manifest
@@ -421,6 +436,7 @@ object FacadeQueries {
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
     "graftdb_knn_pq_indexed" -> (knnPqIndexed _),
+    "graftdb_knn_opq_indexed" -> (knnOpqIndexed _),
     "graftdb_knn_prefilter" -> (knnPrefilter _),
     "graftdb_batch_indexed" -> (batchIndexed _),
     "graftdb_hamming" -> (hamming _),
@@ -444,6 +460,7 @@ object FacadeQueries {
     "graftdb_knn" -> Queries.oracle("knn_l2"),
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_knn_pq_indexed" -> Queries.oracle("knn_l2"),
+    "graftdb_knn_opq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn_where" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),

@@ -340,8 +340,9 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     val idxKind = kind match {
       case "sq8" | "int4" => "ivf_sq8"
       case "pq" => "ivf_pq"
+      case "opq" => "ivf_opq"
       case other => throw new IllegalArgumentException(
-        s"unknown index kind `$other` (sq8 | int4 | pq)")
+        s"unknown index kind `$other` (sq8 | int4 | pq | opq)")
     }
     val rows = store.manifest().map(_.segments.map(_.rows).sum).getOrElse(0L)
     val n =
@@ -594,14 +595,21 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       // table for L2/Cosine (stored cosine rows are unit-normalized, so
       // ascending L2² IS descending cosine order) or an IP table for Dot
       val (approx, approxSort) = meta.kind match {
-        case "ivf_pq" =>
-          val pq = SegmentIndex.pqModel(meta)
+        case "ivf_pq" | "ivf_opq" =>
+          // OPQ: rotate the query driver-side and score against the
+          // rotated-space codebooks — L2 and inner product are invariant
+          // under the orthonormal R, so ordering semantics are PQ's
+          val (pq, q2) =
+            if (meta.kind == "ivf_opq") {
+              val o = SegmentIndex.opqModel(meta)
+              (o.pq, o.rotate(q))
+            } else (SegmentIndex.pqModel(meta), q)
           metric match {
             case Metric.Dot =>
-              (pq.adcScoreColDot(col(SegmentIndex.PqCol), q),
+              (pq.adcScoreColDot(col(SegmentIndex.PqCol), q2),
                 (c: Column) => c.desc)
             case _ =>
-              (pq.adcScoreCol(col(SegmentIndex.PqCol), q),
+              (pq.adcScoreCol(col(SegmentIndex.PqCol), q2),
                 (c: Column) => c.asc)
           }
         case _ =>
@@ -895,11 +903,16 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       // against the query column; PQ ships each query's driver-built ADC
       // table in the broadcast pair frame and sums m lookups per row
       val (cand, approxAsc) = meta.kind match {
-        case "ivf_pq" =>
-          val pq = SegmentIndex.pqModel(meta)
+        case "ivf_pq" | "ivf_opq" =>
+          val (pq, rotate) =
+            if (meta.kind == "ivf_opq") {
+              val o = SegmentIndex.opqModel(meta)
+              (o.pq, (v: Array[Float]) => o.rotate(v))
+            } else (SegmentIndex.pqModel(meta), identity[Array[Float]] _)
           val withTables = probed.map { case (qid, q, parts) =>
+            val q2 = rotate(q)
             (qid, q, parts,
-              if (metric == Metric.Dot) pq.adcTableDot(q) else pq.adcTable(q))
+              if (metric == Metric.Dot) pq.adcTableDot(q2) else pq.adcTable(q2))
           }
           val pairs = withTables.toDF("query_id", "qv", "probes", "_adc")
           val c = seg.join(broadcast(pairs),

@@ -56,7 +56,11 @@ object SegmentIndex {
       listRadii: List[Double] = Nil,
       pqM: Int = 0,
       pqKsub: Int = 0,
-      pqCodebooks: List[List[List[Float]]] = Nil)
+      pqCodebooks: List[List[List[Float]]] = Nil,
+      // learned orthonormal rotation (kind = ivf_opq): codes are PQ over
+      // R·x, queries rotate driver-side; L2 is rotation-invariant so the
+      // ADC scoring and ordering are unchanged
+      opqRotation: List[List[Float]] = Nil)
 
   def ivfModel(meta: Meta): IVF.Model =
     IVF.Model(meta.centroids.map(_.toArray).toArray)
@@ -65,10 +69,16 @@ object SegmentIndex {
     SQ8.Model(meta.mins.toArray, meta.maxs.toArray, meta.levels)
 
   def pqModel(meta: Meta): PQ.Model = {
-    require(meta.kind == "ivf_pq" && meta.pqM > 0,
+    require((meta.kind == "ivf_pq" || meta.kind == "ivf_opq") && meta.pqM > 0,
       s"segment index kind ${meta.kind} carries no PQ codebooks")
     val books = meta.pqCodebooks.map(_.map(_.toArray).toArray).toArray
     PQ.Model(meta.pqM, meta.pqKsub, books(0)(0).length, books)
+  }
+
+  def opqModel(meta: Meta): OPQ.Model = {
+    require(meta.kind == "ivf_opq" && meta.opqRotation.nonEmpty,
+      s"segment index kind ${meta.kind} carries no OPQ rotation")
+    OPQ.Model(meta.opqRotation.map(_.toArray).toArray, pqModel(meta))
   }
 
   /** Train IVF + SQ8 on the live rows and write the indexed segment at
@@ -81,26 +91,34 @@ object SegmentIndex {
       levels: Int = 255, totalRows: Long = 0L,
       trainSampleCap: Long = 200000L, seed: Long = 42L,
       kind: String = "ivf_sq8", pqM: Int = 0): Meta = {
-    require(kind == "ivf_sq8" || kind == "ivf_pq",
-      s"unknown index kind `$kind` (ivf_sq8 | ivf_pq)")
+    require(kind == "ivf_sq8" || kind == "ivf_pq" || kind == "ivf_opq",
+      s"unknown index kind `$kind` (ivf_sq8 | ivf_pq | ivf_opq)")
     val trainDf =
       if (totalRows > trainSampleCap && trainSampleCap > 0)
         live.select(col(vecCol)).sample(withReplacement = false,
           math.min(1.0, trainSampleCap.toDouble / totalRows), seed)
       else live
     val ivf = IVF.train(trainDf, vecCol, k = nlist, seed = seed)
-    // the coded first pass: per-dim SQ8 codes, or PQ product codes + ADC
+    // the coded first pass: per-dim SQ8 codes, PQ product codes + ADC, or
+    // OPQ (learned rotation + PQ — same code column, rotated encode)
     val sq8 = if (kind == "ivf_sq8") Some(SQ8.train(live, vecCol, levels)) else None
+    def codedDim: Int =
+      live.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+    def pqSubM(dim: Int): Int = {
+      val m = if (pqM > 0) pqM else math.max(1, dim / 4)
+      require(dim % m == 0, s"dim $dim not divisible by pq m=$m")
+      m
+    }
     val pq =
-      if (kind == "ivf_pq") {
-        val dim = live.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
-        val m = if (pqM > 0) pqM else math.max(1, dim / 4)
-        require(dim % m == 0, s"dim $dim not divisible by pq m=$m")
-        Some(PQ.train(live, vecCol, m, seed = seed))
-      } else None
-    val coded = (sq8, pq) match {
-      case (Some(s), _) => live.withColumn(CodeCol, s.encodeCol(col(vecCol)))
-      case (_, Some(p)) => live.withColumn(PqCol, p.encodeCol(col(vecCol)))
+      if (kind == "ivf_pq") Some(PQ.train(live, vecCol, pqSubM(codedDim), seed = seed))
+      else None
+    val opq =
+      if (kind == "ivf_opq") Some(OPQ.train(live, vecCol, pqSubM(codedDim), seed = seed))
+      else None
+    val coded = (sq8, pq, opq) match {
+      case (Some(s), _, _) => live.withColumn(CodeCol, s.encodeCol(col(vecCol)))
+      case (_, Some(p), _) => live.withColumn(PqCol, p.encodeCol(col(vecCol)))
+      case (_, _, Some(o)) => live.withColumn(PqCol, o.encodeCol(col(vecCol)))
       case _ => live
     }
     coded
@@ -131,10 +149,11 @@ object SegmentIndex {
       sq8.map(_.mins.toList).getOrElse(Nil),
       sq8.map(_.maxs.toList).getOrElse(Nil),
       vecCol, radii,
-      pqM = pq.map(_.m).getOrElse(0),
-      pqKsub = pq.map(_.ksub).getOrElse(0),
-      pqCodebooks = pq.map(_.codebooks.map(_.map(_.toList).toList).toList)
-        .getOrElse(Nil))
+      pqM = pq.orElse(opq.map(_.pq)).map(_.m).getOrElse(0),
+      pqKsub = pq.orElse(opq.map(_.pq)).map(_.ksub).getOrElse(0),
+      pqCodebooks = pq.orElse(opq.map(_.pq))
+        .map(_.codebooks.map(_.map(_.toList).toList).toList).getOrElse(Nil),
+      opqRotation = opq.map(_.rotation.map(_.toList).toList).getOrElse(Nil))
   }
 
   private implicit val fmts: Formats = DefaultFormats

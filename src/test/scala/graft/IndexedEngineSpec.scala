@@ -120,6 +120,40 @@ class IndexedEngineSpec extends AnyFunSuite {
       .exists(_.kind == "ivf_pq"))
   }
 
+  test("OPQ index: rotated ADC probes are exact with wide refine; kind survives compact") {
+    val db = freshDb()
+    val rows = clustered(400)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters, kind = "opq", pqM = 2)
+    val m = db.store.manifest().get
+    assert(m.segments.head.index.exists(_.kind == "ivf_opq"))
+    val q = rows(51)._2
+    val got = db.search(q, 10, nprobe = NClusters, refineFactor = 30)
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute(db, q, 10), "all-probe wide-refine OPQ must be exact")
+    // recall under real pruning (rotation must not hurt the ADC ordering)
+    val recalls = (0 until 10).map { i =>
+      val qv = rows(i * 37)._2
+      val approx = db.search(qv, 10, nprobe = 1, refineFactor = 10)
+        .select("id").as[Long].collect().toSet
+      val exact = brute(db, qv, 10).toSet
+      (approx & exact).size.toDouble / exact.size
+    }
+    assert(recalls.sum / recalls.size >= 0.95,
+      s"OPQ mean recall@10 = ${recalls.sum / recalls.size}")
+    // batch path agrees (rotated per-query ADC tables in the pair frame)
+    val batch = db.batchSearch(Seq((3L, q)), 10,
+      nprobe = NClusters, refineFactor = 30)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(batch == got)
+    // compact() rebuilds the SAME kind (rotation retrained)
+    db.insertBatch(Seq((8888L, rows(0)._2, 0, "tail"))
+      .toDF("id", "vector", "label", "body"))
+    db.compact()
+    assert(db.store.manifest().get.segments.head.index
+      .exists(_.kind == "ivf_opq"))
+  }
+
   test("PQ index under cosine: ascending ADC-L2 order serves the similarity metric exactly") {
     val db = freshDb(metric = "cosine")
     val rows = clustered(300)

@@ -89,4 +89,38 @@ class ReplicaPropertySpec extends AnyFunSuite {
         s"trial $trial: probed results must preserve the global ranking order")
     }
   }
+
+  test("replica-side predicates equal reference filtering over random draws") {
+    import graft.types.Filter
+    for (trial <- 0 until 8) {
+      val dim = Seq(4, 9, 16, 32)(trial % 4)
+      val n = 150 + rng.nextInt(500)
+      val k = 1 + rng.nextInt(20)
+      val metric = Seq(Metric.L2, Metric.Cosine, Metric.Dot)(trial % 3)
+      val mod = 5 + rng.nextInt(10)
+      val corpus = mkCorpus(n, dim, 100 + trial)
+        .withColumn("grp", pmod(col("id"), lit(mod)).cast("int"))
+        .withColumn("name", concat(lit("n"), col("id").cast("string")))
+      val rows = corpus.select("id", "vec").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val q = Array.tabulate(dim)(i => (rng.nextInt(2000) - 1000) / 1000.0f)
+      val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", metric,
+        metaCols = Seq("grp", "name"))
+      // random conjunction: a numeric range + optionally a substring
+      val lo = rng.nextInt(mod); val hi = lo + rng.nextInt(mod - lo)
+      val sub = rng.nextInt(10).toString
+      val withSub = trial % 2 == 0
+      val filters = Seq(Filter.Gte("grp", lo), Filter.Lte("grp", hi)) ++
+        (if (withSub) Seq(Filter.Contains("name", sub)) else Nil)
+      def passes(id: Long): Boolean = {
+        val g = id % mod
+        g >= lo && g <= hi && (!withSub || s"n$id".contains(sub))
+      }
+      val expect = refRank(metric, rows.filter(r => passes(r._1)), q, k)
+      val got = rep.searchWhere(q, k, filters)
+      assert(got == expect,
+        s"trial $trial: dim=$dim n=$n k=$k metric=$metric mod=$mod " +
+          s"range=[$lo,$hi] sub=${if (withSub) sub else "-"}")
+    }
+  }
 }
