@@ -92,6 +92,24 @@ object FacadeQueries {
       .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
   }
 
+  /** Facade k-NN THROUGH a RaBitQ index (vecgo I9,
+    * `quantization/rabitq.go`): `buildIndex(kind = "rabitq")` stores 1
+    * bit/dim sign codes under a seeded data-independent rotation (the
+    * sidecar persists only the seed); probes estimate squared L2 from the
+    * sign-bit Hamming distance (2 − 2cos(πh/d)) and exact-rerank. 1-bit
+    * codes are the coarsest first pass, so the refine pool mirrors the
+    * standalone `rabitq_rerank`'s 0.7 corpus fraction — all probes + that
+    * pool → exact, same brute-force oracle.
+    */
+  def knnRabitqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_knn_rbq")
+    db.buildIndex(nlist = 8, kind = "rabitq")
+    val rows = db.stats()("segment_rows").asInstanceOf[Long]
+    val refine = math.max(10, math.ceil(rows * 0.7 / 10).toInt)
+    db.search(qvec(s, dir, 0), 10, nprobe = 8, refineFactor = refine)
+      .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
+  }
+
   /** Facade filtered k-NN on an INDEXED store through the ADAPTIVE
     * pre-filter route (vecgo's selectivity-based cursor pre-filter,
     * `search.go:215-233`): `label = 4` matches ~10% of rows, the manifest
@@ -437,6 +455,7 @@ object FacadeQueries {
     "graftdb_knn_indexed" -> (knnIndexed _),
     "graftdb_knn_pq_indexed" -> (knnPqIndexed _),
     "graftdb_knn_opq_indexed" -> (knnOpqIndexed _),
+    "graftdb_knn_rabitq_indexed" -> (knnRabitqIndexed _),
     "graftdb_knn_prefilter" -> (knnPrefilter _),
     "graftdb_batch_indexed" -> (batchIndexed _),
     "graftdb_hamming" -> (hamming _),
@@ -461,6 +480,7 @@ object FacadeQueries {
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_knn_pq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_knn_opq_indexed" -> Queries.oracle("knn_l2"),
+    "graftdb_knn_rabitq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn_where" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),

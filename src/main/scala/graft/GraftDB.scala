@@ -341,9 +341,16 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       case "sq8" | "int4" => "ivf_sq8"
       case "pq" => "ivf_pq"
       case "opq" => "ivf_opq"
+      case "rabitq" => "ivf_rabitq"
       case other => throw new IllegalArgumentException(
-        s"unknown index kind `$other` (sq8 | int4 | pq | opq)")
+        s"unknown index kind `$other` (sq8 | int4 | pq | opq | rabitq)")
     }
+    // RaBitQ's first pass estimates the ANGLE from sign-bit Hamming — a
+    // sound proxy for L2/cosine ordering, but not for dot over varying
+    // norms (vecgo's RaBitQ path serves normalized vectors the same way)
+    require(idxKind != "ivf_rabitq" || metric != Metric.Dot,
+      "rabitq's angle estimator serves l2/cosine stores; dot stores " +
+        "should index with sq8/pq/opq")
     val rows = store.manifest().map(_.segments.map(_.rows).sum).getOrElse(0L)
     val n =
       if (nlist > 0) nlist
@@ -612,6 +619,13 @@ final class GraftDB private (val spark: SparkSession, val root: String,
               (pq.adcScoreCol(col(SegmentIndex.PqCol), q2),
                 (c: Column) => c.asc)
           }
+        case "ivf_rabitq" =>
+          // estimated squared L2 from sign-bit Hamming (ascending serves
+          // cosine too: stored cosine rows are unit vectors, so smaller
+          // angle IS larger similarity)
+          val rbq = SegmentIndex.rabitqModel(meta)
+          (rbq.approxScoreCol(col(SegmentIndex.RbqCol), q),
+            (c: Column) => c.asc)
         case _ =>
           val sq8 = SegmentIndex.sq8Model(meta)
           (metric.score(sq8.decodeCol(col(SegmentIndex.CodeCol)), lit(q)),
@@ -922,6 +936,20 @@ final class GraftDB private (val spark: SparkSession, val root: String,
                 (code, i) => element_at(col("_adc"), i * pq.ksub + code + 1)),
               lit(0.0), (acc, x) => acc + x))
           (c, metric != Metric.Dot)
+        case "ivf_rabitq" =>
+          // each query ships its packed sign bits; the estimator is the
+          // same 2 − 2cos(πh/d) column as the single-query path
+          val rbq = SegmentIndex.rabitqModel(meta)
+          val withCodes = probed.map { case (qid, q, parts) =>
+            (qid, q, parts, rbq.packQuery(q))
+          }
+          val pairs = withCodes.toDF("query_id", "qv", "probes", "_rbq_q")
+          val h = vec_hamming(col(SegmentIndex.RbqCol), col("_rbq_q"))
+          val c = seg.join(broadcast(pairs),
+              array_contains(col("probes"), col(SegmentIndex.PartCol)))
+            .withColumn("_approx", lit(2.0) - lit(2.0) *
+              cos(lit(math.Pi) * h.cast("double") / lit(rbq.dim.toDouble)))
+          (c, true)
         case _ =>
           val sq8 = SegmentIndex.sq8Model(meta)
           val pairs = probed.toDF("query_id", "qv", "probes")

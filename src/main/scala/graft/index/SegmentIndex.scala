@@ -31,7 +31,8 @@ object SegmentIndex {
   val PartCol = "_ivf_part"
   val CodeCol = "_sq8"
   val PqCol = "_pq"
-  val InternalCols: Seq[String] = Seq(PartCol, CodeCol, PqCol)
+  val RbqCol = "_rbq"
+  val InternalCols: Seq[String] = Seq(PartCol, CodeCol, PqCol, RbqCol)
 
   /** Sidecar index metadata (JSON-serializable; Lists for json4s).
     * `vecCol` makes the sidecar self-describing, so a later `compact()`
@@ -60,7 +61,11 @@ object SegmentIndex {
       // learned orthonormal rotation (kind = ivf_opq): codes are PQ over
       // R·x, queries rotate driver-side; L2 is rotation-invariant so the
       // ADC scoring and ordering are unchanged
-      opqRotation: List[List[Float]] = Nil)
+      opqRotation: List[List[Float]] = Nil,
+      // kind = ivf_rabitq: the rotation is DATA-INDEPENDENT (seeded
+      // Gram-Schmidt on a Gaussian draw), so the sidecar stores only the
+      // seed and rebuilds the model at load — 1 bit/dim codes
+      rabitqSeed: Long = 0L)
 
   def ivfModel(meta: Meta): IVF.Model =
     IVF.Model(meta.centroids.map(_.toArray).toArray)
@@ -81,6 +86,12 @@ object SegmentIndex {
     OPQ.Model(meta.opqRotation.map(_.toArray).toArray, pqModel(meta))
   }
 
+  def rabitqModel(meta: Meta): RaBitQ.Model = {
+    require(meta.kind == "ivf_rabitq",
+      s"segment index kind ${meta.kind} carries no RaBitQ rotation seed")
+    RaBitQ.train(meta.centroids.head.length, meta.rabitqSeed)
+  }
+
   /** Train IVF + SQ8 on the live rows and write the indexed segment at
     * `dir`. K-means trains on a bounded sample (`trainSampleCap` rows of
     * the estimated `totalRows`) — at 100 TB the centroids only need a
@@ -91,8 +102,9 @@ object SegmentIndex {
       levels: Int = 255, totalRows: Long = 0L,
       trainSampleCap: Long = 200000L, seed: Long = 42L,
       kind: String = "ivf_sq8", pqM: Int = 0): Meta = {
-    require(kind == "ivf_sq8" || kind == "ivf_pq" || kind == "ivf_opq",
-      s"unknown index kind `$kind` (ivf_sq8 | ivf_pq | ivf_opq)")
+    require(kind == "ivf_sq8" || kind == "ivf_pq" || kind == "ivf_opq" ||
+        kind == "ivf_rabitq",
+      s"unknown index kind `$kind` (ivf_sq8 | ivf_pq | ivf_opq | ivf_rabitq)")
     val trainDf =
       if (totalRows > trainSampleCap && trainSampleCap > 0)
         live.select(col(vecCol)).sample(withReplacement = false,
@@ -115,10 +127,13 @@ object SegmentIndex {
     val opq =
       if (kind == "ivf_opq") Some(OPQ.train(live, vecCol, pqSubM(codedDim), seed = seed))
       else None
-    val coded = (sq8, pq, opq) match {
-      case (Some(s), _, _) => live.withColumn(CodeCol, s.encodeCol(col(vecCol)))
-      case (_, Some(p), _) => live.withColumn(PqCol, p.encodeCol(col(vecCol)))
-      case (_, _, Some(o)) => live.withColumn(PqCol, o.encodeCol(col(vecCol)))
+    val rbq =
+      if (kind == "ivf_rabitq") Some(RaBitQ.train(codedDim, seed)) else None
+    val coded = (sq8, pq, opq, rbq) match {
+      case (Some(s), _, _, _) => live.withColumn(CodeCol, s.encodeCol(col(vecCol)))
+      case (_, Some(p), _, _) => live.withColumn(PqCol, p.encodeCol(col(vecCol)))
+      case (_, _, Some(o), _) => live.withColumn(PqCol, o.encodeCol(col(vecCol)))
+      case (_, _, _, Some(r)) => live.withColumn(RbqCol, r.encodeCol(col(vecCol)))
       case _ => live
     }
     coded
@@ -153,7 +168,8 @@ object SegmentIndex {
       pqKsub = pq.orElse(opq.map(_.pq)).map(_.ksub).getOrElse(0),
       pqCodebooks = pq.orElse(opq.map(_.pq))
         .map(_.codebooks.map(_.map(_.toList).toList).toList).getOrElse(Nil),
-      opqRotation = opq.map(_.rotation.map(_.toList).toList).getOrElse(Nil))
+      opqRotation = opq.map(_.rotation.map(_.toList).toList).getOrElse(Nil),
+      rabitqSeed = if (kind == "ivf_rabitq") seed else 0L)
   }
 
   private implicit val fmts: Formats = DefaultFormats

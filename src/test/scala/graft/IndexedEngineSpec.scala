@@ -154,6 +154,38 @@ class IndexedEngineSpec extends AnyFunSuite {
       .exists(_.kind == "ivf_opq"))
   }
 
+  test("RaBitQ index: sign-bit estimator probes are exact with wide refine; dot store rejected") {
+    val db = freshDb()
+    val rows = clustered(400)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters, kind = "rabitq")
+    val m = db.store.manifest().get
+    assert(m.segments.head.index.exists(_.kind == "ivf_rabitq"))
+    val q = rows(29)._2
+    // 1-bit codes: widest refine (0.7 of corpus, like the standalone query)
+    val refine = math.ceil(400 * 0.7 / 10).toInt
+    val got = db.search(q, 10, nprobe = NClusters, refineFactor = refine)
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute(db, q, 10), "all-probe wide-refine RaBitQ must be exact")
+    // batch path agrees (packed query codes in the pair frame)
+    val batch = db.batchSearch(Seq((5L, q)), 10,
+      nprobe = NClusters, refineFactor = refine)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(batch == got)
+    // compact() rebuilds the same kind (seed persists through the sidecar)
+    db.insertBatch(Seq((7777L, rows(0)._2, 0, "tail"))
+      .toDF("id", "vector", "label", "body"))
+    db.compact()
+    assert(db.store.manifest().get.segments.head.index
+      .exists(_.kind == "ivf_rabitq"))
+    // angle estimator is not dot-monotone over varying norms → loud guard
+    val dotDb = freshDb(metric = "dot")
+    dotDb.insertBatch(rows.take(20).toDF("id", "vector", "label", "body"))
+    intercept[IllegalArgumentException] {
+      dotDb.buildIndex(nlist = 2, kind = "rabitq")
+    }
+  }
+
   test("PQ index under cosine: ascending ADC-L2 order serves the similarity metric exactly") {
     val db = freshDb(metric = "cosine")
     val rows = clustered(300)
