@@ -358,17 +358,24 @@ final class LocalReplica private (
     }
   }
 
-  /** Scan `[lo, hi)` on codes, returning every row index whose exact
-    * score could still reach the top-k: a bounded approx-score heap plus
-    * a margin buffer. Rows evicted from the heap drop into the buffer
-    * (the new kth bound may not exclude them) and rows outside the heap
-    * are buffered when within the decode-error margin of the current kth
-    * bound. Rejection only ever happens against a bound that is LOOSER
-    * than the final one, so no true top-k row is lost — the proof shape
-    * of the engine's threshold gate (`GraftDB.planThreshold`).
+  /** Scan the given row ranges on codes, returning every row index whose
+    * exact score could still reach the top-k: a bounded approx-score heap
+    * plus a margin buffer. Rows evicted from the heap drop into the
+    * buffer (the new kth bound may not exclude them) and rows outside the
+    * heap are buffered when within the decode-error margin of the current
+    * kth bound. Rejection only ever happens against a bound that is
+    * LOOSER than the final one, so no true top-k row is lost — the proof
+    * shape of the engine's threshold gate (`GraftDB.planThreshold`).
+    *
+    * ONE call spans ALL the probed ranges on the sequential path (the
+    * parallel path passes single-range chunks): the heap — and therefore
+    * the admit bound — carries across lists, so later lists buffer far
+    * fewer provisional candidates than per-list scans whose fresh heaps
+    * each admit their own top-k, and the setup arrays are allocated once
+    * per query instead of once per probed list.
     */
-  private def codedAdmitChunk(lo: Int, hi0: Int, k: Int, fast: Boolean,
-      p1: Array[Float], p2: Array[Float], qArr: Array[Float],
+  private def codedAdmitRanges(rangesArg: Seq[(Int, Int)], k: Int,
+      fast: Boolean, p1: Array[Float], p2: Array[Float], qArr: Array[Float],
       dotBase: Double, qNorm: Double, margin: Double)
       : (Array[Int], Array[Double]) = {
     val hs = new Array[Double](math.max(1, k))
@@ -418,37 +425,38 @@ final class LocalReplica private (
     // score a block into a primitive buffer (metric-specialized tight
     // loop), then run the branchy admission over the buffer — keeps the
     // SIMD kernels in an inlinable loop
-    val block = math.min(LocalReplica.ChunkRows, hi0 - lo)
-    val scores = new Array[Double](math.max(1, block))
-    var blo = lo
-    while (blo < hi0) {
-      val bhi = math.min(hi0, blo + block)
-      approxChunk(blo, bhi, fast, p1, p2, qArr, dotBase, qNorm, scores)
-      var r = blo
-      while (r < bhi) {
-        val a = scores(r - blo)
-        if (hn < k) {
-          hs(hn) = a; hr(hn) = r; hn += 1
-          if (hn == k) {
-            var i = hn / 2 - 1
-            while (i >= 0) { siftDown(i); i -= 1 }
-            recomputeAdmit()
+    val scores = new Array[Double](LocalReplica.ChunkRows)
+    rangesArg.foreach { case (lo, hi0) =>
+      var blo = lo
+      while (blo < hi0) {
+        val bhi = math.min(hi0, blo + LocalReplica.ChunkRows)
+        approxChunk(blo, bhi, fast, p1, p2, qArr, dotBase, qNorm, scores)
+        var r = blo
+        while (r < bhi) {
+          val a = scores(r - blo)
+          if (hn < k) {
+            hs(hn) = a; hr(hn) = r; hn += 1
+            if (hn == k) {
+              var i = hn / 2 - 1
+              while (i >= 0) { siftDown(i); i -= 1 }
+              recomputeAdmit()
+            }
+          } else {
+            val beatsRoot =
+              if (a != hs(0)) { if (asc) a < hs(0) else a > hs(0) }
+              else ids(r) < ids(hr(0))
+            if (beatsRoot) {
+              push(hr(0), hs(0)) // evicted row may still be within the margin
+              hs(0) = a; hr(0) = r; siftDown(0)
+              recomputeAdmit()
+            } else if (if (asc) a <= admit else a >= admit) {
+              push(r, a)
+            }
           }
-        } else {
-          val beatsRoot =
-            if (a != hs(0)) { if (asc) a < hs(0) else a > hs(0) }
-            else ids(r) < ids(hr(0))
-          if (beatsRoot) {
-            push(hr(0), hs(0)) // evicted row may still be within the margin
-            hs(0) = a; hr(0) = r; siftDown(0)
-            recomputeAdmit()
-          } else if (if (asc) a <= admit else a >= admit) {
-            push(r, a)
-          }
+          r += 1
         }
-        r += 1
+        blo = bhi
       }
-      blo = bhi
     }
     var i = 0
     while (i < hn) { push(hr(i), hs(i)); i += 1 }
@@ -510,14 +518,13 @@ final class LocalReplica private (
         val out = new Array[(Array[Int], Array[Double])](chunks.length)
         java.util.stream.IntStream.range(0, chunks.length).parallel()
           .forEach { i =>
-            out(i) = codedAdmitChunk(chunks(i)._1, chunks(i)._2, k, simd,
+            out(i) = codedAdmitRanges(chunks(i) :: Nil, k, simd,
               p1, p2, qArr, dotBase, qn, margin)
           }
         scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
       } else {
-        ranges.toIndexedSeq.map { case (lo, hi) =>
-          codedAdmitChunk(lo, hi, k, simd, p1, p2, qArr, dotBase, qn, margin)
-        }
+        IndexedSeq(
+          codedAdmitRanges(ranges, k, simd, p1, p2, qArr, dotBase, qn, margin))
       }
     // chunk-local admission is necessarily loose (each chunk only knows
     // its own kth bound, and every heap eviction is buffered); now that
