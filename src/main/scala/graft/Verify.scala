@@ -18,11 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must be LOUD: round 6 shipped a broken table
+    // loader unnoticed because failures here were stderr-only and the
+    // broken queries simply vanished from the dump. Record every failure
+    // in failed.json (checked by tools/check_oracle.py) and exit nonzero.
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,6 +46,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/failed.json"),
+      s"""{"total":${SparkEntry.queries.size},"failed":[${failed.map(q).mkString(",")}]}""")
+    // Don't exit nonzero: the driver must still get the dump for the
+    // queries that DID succeed. failed.json + the check_oracle.py assert
+    // are the gate that keeps a broken query from vanishing silently.
+    if (failed.nonEmpty) System.err.println(
+      s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

@@ -12,6 +12,22 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = fail = 0
+
+# Gate 0: Verify.scala records every query that threw (and the total query
+# count) in failed.json — a broken query must fail this gate, not vanish.
+import os
+if os.path.exists(f"{outdir}/failed.json"):
+    fj = json.load(open(f"{outdir}/failed.json"))
+    if fj.get("failed"):
+        print(f"FAIL verify-harness: {len(fj['failed'])} queries threw: {fj['failed']}")
+        fail += 1
+    ndirs = len([d for d in os.listdir(outdir)
+                 if os.path.isdir(f"{outdir}/{d}")])
+    if ndirs != fj.get("total", ndirs):
+        print(f"FAIL verify-harness: {ndirs} result dirs != {fj['total']} queries")
+        fail += 1
+else:
+    print("WARN no failed.json (old Verify dump?) — count gate skipped")
 for name, sql in sorted(oracle.items()):
     try:
         odf = con.execute(sql).fetchdf()
