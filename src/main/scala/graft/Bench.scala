@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.KernelMode
 import graft.query.Search
 import graft.types.Metric
 
@@ -105,6 +104,26 @@ object Bench {
       stored, "vec", "id", Metric.L2, nlist = 256)
     val replicaBrute = graft.serve.LocalReplica.fromDataFrame(
       stored, "vec", "id", Metric.L2)
+    // real-embedding-dim serving shape (768d): the SQ8 first pass reads
+    // dim bytes/row, the PQ (format v4) pass m bytes/row — at 768d / m=96
+    // that is 8× less scan traffic and an artifact that drops the n·dim
+    // SQ8 block. Trained/encoded untimed; the timed rows are the serving
+    // loops.
+    val dim768 = 768
+    val n768 = math.min(n, 50000L)
+    val corpus768 = synthVectors(spark, n768, dim768)
+      .select("id", "vec").cache()
+    corpus768.count()
+    val pq768 = graft.index.PQ.train(
+      corpus768.limit(5000), "vec", m = 96, iters = 4)
+    val replica768sq8 = graft.serve.LocalReplica.fromDataFrame(
+      corpus768, "vec", "id", Metric.L2, nlist = 64)
+    val replica768pq = graft.serve.LocalReplica.fromDataFrame(
+      corpus768, "vec", "id", Metric.L2, nlist = 64, pqModel = Some(pq768))
+    val queries768 = corpus768.where(col("id") < 100)
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    corpus768.unpersist()
 
     // ------------------------------------- benchmark registry (fixed order)
     val headline = Seq(
@@ -149,16 +168,16 @@ object Bench {
       "synth_bulk_load_big" -> (() => {
         bulkBigDb.insertBatch(bulkBigInput, collectStats = false); ()
       }),
+      // NOTE: there are deliberately no `withFast(true)` twins of these
+      // rows anymore. The production default IS the fast path whenever
+      // Panama is loaded (KernelMode resolution 4), so the twins measured
+      // the same kernels — and the per-call mode flip occasionally
+      // triggered a C2 recompilation storm that made one twin read 12×
+      // slow for a whole process (round-6 verdict, What's wrong 3).
       "synth_knn_batch100" -> (() =>
         noop(Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10))),
-      "synth_knn_batch100_fast" -> (() => KernelMode.withFast(true) {
-        noop(Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10))
-      }),
       "synth_knn_batch100_big" -> (() =>
         noop(Search.batchSearchMatrix(big, "vec", "id", queries, k = 10))),
-      "synth_knn_batch100_big_fast" -> (() => KernelMode.withFast(true) {
-        noop(Search.batchSearchMatrix(big, "vec", "id", queries, k = 10))
-      }),
       "synth_filtered_knn" -> (() =>
         noop(Search.batchSearchMatrix(stored, "vec", "id", queries, k = 10,
           filter = col("label") === 3))),
@@ -236,6 +255,24 @@ object Bench {
         val qs = (0 until 1000).map(i =>
           (i.toLong, queries(i % queries.length)._2))
         replica.batchSearch(qs, 10, nprobe = 16); ()
+      }),
+      // 768d serving twins: same probed loop, SQ8 vs PQ first pass — the
+      // PQ row is the replica RAM/latency story at real embedding dims
+      "synth_local_knn768_sq8_x200" -> (() => {
+        var i = 0
+        while (i < 200) {
+          replica768sq8.search(queries768(i % queries768.length)._2, 10,
+            nprobe = 16)
+          i += 1
+        }
+      }),
+      "synth_local_knn768_pq_x200" -> (() => {
+        var i = 0
+        while (i < 200) {
+          replica768pq.search(queries768(i % queries768.length)._2, 10,
+            nprobe = 16)
+          i += 1
+        }
       })
     )
 
@@ -251,6 +288,7 @@ object Bench {
     // added wall cost is bounded by ~1.5 s per bench
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spread = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     benches.foreach { case (name, f) =>
       try {
         val first = timeIt(f())
@@ -261,7 +299,13 @@ object Bench {
         // stability of the REPORTED number: best two runs' ratio (max/min
         // would only grow with more samples and stop meaning anything)
         spread(name) = times(1) / math.max(1e-9, times.head)
-      } catch { case _: Throwable => results(name) = -1.0 }
+      } catch { case e: Throwable =>
+        // a broken bench must be visible in the output JSON, not silently
+        // absent (round 6 lost events_tumbling_agg this way)
+        results(name) = -1.0
+        failed += name
+        System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+      }
     }
 
     // ------------------------------------------------------------ derived
@@ -270,9 +314,7 @@ object Bench {
     derived("bulk_load_vec_per_sec_big") = nBig / results("synth_bulk_load_big")
     derived("knn_batch_qps") = 100.0 / results("synth_knn_batch100")
     derived("knn_dist_per_sec") = 100.0 * n / results("synth_knn_batch100")
-    derived("knn_dist_per_sec_fast") = 100.0 * n / results("synth_knn_batch100_fast")
     derived("knn_dist_per_sec_big") = 100.0 * nBig / results("synth_knn_batch100_big")
-    derived("knn_dist_per_sec_big_fast") = 100.0 * nBig / results("synth_knn_batch100_big_fast")
     derived("filtered_knn_qps") = 100.0 / results("synth_filtered_knn")
     derived("knn_single_qps") = 1.0 / results("synth_knn_single")
     derived("scan_rows_per_sec") = liRows / results("scan_agg_lineitem")
@@ -292,6 +334,13 @@ object Bench {
     derived("local_brute_latency_us") =
       results("synth_local_brute_x100") / 100.0 * 1e6
     derived("local_batch_qps") = 1000.0 / results("synth_local_batch_x1000")
+    derived("local_knn768_sq8_latency_us") =
+      results("synth_local_knn768_sq8_x200") / 200.0 * 1e6
+    derived("local_knn768_pq_latency_us") =
+      results("synth_local_knn768_pq_x200") / 200.0 * 1e6
+    // structural RAM/traffic ratio of the two 768d first passes: SQ8 codes
+    // are dim bytes/vec, PQ codes m bytes/vec
+    derived("local_768_pq_traffic_ratio") = dim768.toDouble / pq768.m
 
     // wall-clock at 500k is still fixed-overhead-bound, so the ratio that
     // extrapolates to cluster scale is rows actually scanned — probe vs
@@ -309,7 +358,8 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     def fmt(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => s""""$k":${"%.6f".format(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${fmt(results)},"derived":${fmt(derived)},"spread":${fmt(spread)},"sf":"$sfDir","synth_n":$n,"cpus":$cpus}""")
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${fmt(results)},"derived":${fmt(derived)},"spread":${fmt(spread)},"failed":$failedJson,"sf":"$sfDir","synth_n":$n,"cpus":$cpus}""")
     spark.stop()
   }
 }

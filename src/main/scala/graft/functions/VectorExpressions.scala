@@ -191,6 +191,61 @@ case class VecSrpKeys(child: Expression, planes: Array[Array[Float]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** PQ encode against constant codebooks (`books(s)` = flat ksub·subDim
+  * floats of subspace s) → array<int> of m codes. The codebooks ride into
+  * generated code as ONE reference object; composing this from per-
+  * centroid distance sub-expressions embeds m·ksub·subDim literals — 80+
+  * MB task binaries and a 64KB method blowout at real PQ shapes.
+  */
+case class VecPqEncode(child: Expression, books: Array[Array[Float]],
+    ksub: Int, subDim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_pq_encode"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if books.nonEmpty && ksub >= 1 && subDim >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"vec_pq_encode: empty codebooks or bad shape ksub=$ksub subDim=$subDim")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_pq_encode expects array<float>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    DistanceKernels.pqEncode(a.asInstanceOf[ArrayData], books, ksub, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, "float[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.DistanceKernels.pqEncode($a, $ref, $ksub, $subDim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC score of a PQ codes row against a constant per-query table
+  * (`table(s·ksub + code)`), L2 or dot depending on how the table was
+  * built — m primitive lookups in codegen, replacing the
+  * transform+aggregate formulation (boxed lambda eval per element).
+  */
+case class VecPqAdc(child: Expression, table: Array[Double], ksub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_pq_adc"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) if table.nonEmpty && ksub >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckFailure(
+      s"vec_pq_adc: empty table or bad ksub=$ksub")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_pq_adc expects array<int> codes, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    DistanceKernels.pqAdc(a.asInstanceOf[ArrayData], table, ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcTable", table, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.DistanceKernels.pqAdc($a, $ref, $ksub)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Dense rotation by a constant matrix (rows = output dims): the OPQ /
   * RaBitQ preprocessing step as a codegen expression.
   */

@@ -41,6 +41,17 @@ package object functions {
   def vec_matmul(a: Column, matrix: Array[Array[Float]]): Column =
     asCol(VecMatMul(expr(a), matrix))
 
+  /** PQ encode against constant codebooks (`books(s)` = flat ksub·subDim
+    * floats of subspace s) → array<int> of m codes.
+    */
+  def vec_pq_encode(a: Column, books: Array[Array[Float]],
+      ksub: Int, subDim: Int): Column =
+    asCol(VecPqEncode(expr(a), books, ksub, subDim))
+
+  /** ADC score of a PQ codes row against a constant per-query table. */
+  def vec_pq_adc(codes: Column, table: Array[Double], ksub: Int): Column =
+    asCol(VecPqAdc(expr(codes), table, ksub))
+
   /** All SRP band keys (one matmul per row shared across every sign bit),
     * array<struct<band:int, key:string>>.
     */

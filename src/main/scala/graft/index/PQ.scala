@@ -21,21 +21,28 @@ object PQ {
   final case class Model(m: Int, ksub: Int, subDim: Int,
       codebooks: Array[Array[Array[Float]]]) {
 
-    /** Column: encode array<float> → array<int> of m codes. */
-    def encodeCol(vec: Column): Column = {
-      val subs = (0 until m).map { s =>
-        // distances from this subvector to each centroid of codebook s
-        val dists = array((0 until ksub).map { c =>
-          val cb = codebooks(s)(c)
-          (0 until subDim).map { d =>
-            val x = element_at(vec, s * subDim + d + 1).cast("double") - lit(cb(d).toDouble)
-            x * x
-          }.reduce(_ + _)
-        }: _*)
-        (array_position(dists, array_min(dists)) - 1).cast("int")
+    /** Flat per-sub codebooks (`flatBooks(s)` = ksub·subDim floats) — the
+      * ONE reference object the encode expression carries into codegen.
+      */
+    @transient private lazy val flatBooks: Array[Array[Float]] =
+      codebooks.map { book =>
+        val flat = new Array[Float](ksub * subDim)
+        var c = 0
+        while (c < book.length) {
+          System.arraycopy(book(c), 0, flat, c * subDim, subDim)
+          c += 1
+        }
+        flat
       }
-      array(subs: _*)
-    }
+
+    /** Column: encode array<float> → array<int> of m codes. A native
+      * codegen expression ([[graft.functions.vec_pq_encode]]): the old
+      * expression-composed nearest-centroid (ksub distance sub-expressions
+      * per subspace) embedded the whole codebook as literals — 80+ MB task
+      * binaries and a 64KB codegen blowout at real m·ksub.
+      */
+    def encodeCol(vec: Column): Column =
+      graft.functions.vec_pq_encode(vec, flatBooks, ksub, subDim)
 
     /** Driver-side ADC distance table for a query: flat m*ksub doubles. */
     def adcTable(query: Array[Float]): Array[Double] = {
@@ -60,13 +67,11 @@ object PQ {
     }
 
     /** Column: approximate squared L2 of a codes row against the query,
-      * via table lookups (no UDF).
+      * via table lookups — a native codegen kernel
+      * ([[graft.functions.vec_pq_adc]]), no UDF, no boxed lambda eval.
       */
-    def adcScoreCol(codes: Column, query: Array[Float]): Column = {
-      val table = lit(adcTable(query))
-      val idx = transform(codes, (c, i) => element_at(table, i * ksub + c + 1))
-      aggregate(idx, lit(0.0), (acc, x) => acc + x)
-    }
+    def adcScoreCol(codes: Column, query: Array[Float]): Column =
+      graft.functions.vec_pq_adc(codes, adcTable(query), ksub)
 
     /** Driver-side ADC table for INNER-PRODUCT scoring: the dot product
       * decomposes additively over subvectors, so `t(s,c) = ⟨q_s, cb_s(c)⟩`
@@ -94,11 +99,8 @@ object PQ {
     }
 
     /** Column: approximate inner product of a codes row against the query. */
-    def adcScoreColDot(codes: Column, query: Array[Float]): Column = {
-      val table = lit(adcTableDot(query))
-      val idx = transform(codes, (c, i) => element_at(table, i * ksub + c + 1))
-      aggregate(idx, lit(0.0), (acc, x) => acc + x)
-    }
+    def adcScoreColDot(codes: Column, query: Array[Float]): Column =
+      graft.functions.vec_pq_adc(codes, adcTableDot(query), ksub)
   }
 
   /** Seeded local Lloyd's k-means (the codebook trainer). */
