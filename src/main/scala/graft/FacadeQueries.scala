@@ -400,6 +400,27 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** PQ-coded serving-replica k-NN (format v4): the export carries
+    * m-byte PQ codes + codebooks instead of the n·dim SQ8 block; the ADC
+    * first pass admits on a sound reconstruction-error margin and the
+    * exact kernels rerank, so the result is IDENTICAL to the uncoded
+    * scan — the same brute-force oracle hash-checks the whole
+    * train→encode→ADC→rerank path (the reference's coded serving scan is
+    * `internal/segment/diskann/segment.go:510-589`).
+    */
+  def localKnnPq(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_pq")
+    val pm = graft.index.PQ.train(
+      db.read().select(col("vector")), "vector", m = 8, iters = 8)
+    val rep = graft.serve.LocalReplica.fromStore(db, nlist = 8,
+      pqModel = Some(pm))
+    require(rep.pqCoded && !rep.coded, "expected a PQ-coded v4 replica")
+    val res = rep.search(qvec(s, dir, 5), 10, nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
   /** Hamming serving replica ([[graft.serve.LocalCodeReplica]]): packed
     * codes exported from the engine, popcount top-k in-process — integer-
     * exact, so the full export→serve path hash-checks against the same
@@ -469,6 +490,7 @@ object FacadeQueries {
     "graftdb_threshold_hamming" -> (thresholdHamming _),
     "graftdb_knn_cosine_indexed" -> (knnCosineIndexed _),
     "graftdb_local_knn" -> (localKnn _),
+    "graftdb_local_knn_pq" -> (localKnnPq _),
     "graftdb_local_hamming" -> (localHamming _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
     "graftdb_local_knn_where" -> (localKnnWhere _),
@@ -482,6 +504,13 @@ object FacadeQueries {
     "graftdb_knn_opq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_knn_rabitq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn" -> Queries.oracle("knn_l2"),
+    "graftdb_local_knn_pq" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_local_knn_where" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
         |s AS (SELECT e.vec_id,

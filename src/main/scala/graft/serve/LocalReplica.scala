@@ -63,7 +63,9 @@ final class LocalReplica private (
     codeSteps: Array[Double],
     minRowNorm: Double,
     // typed metadata columns for replica-side predicates (format v3)
-    metaCols: Array[LocalReplica.MetaColumn] = Array.empty) {
+    metaCols: Array[LocalReplica.MetaColumn] = Array.empty,
+    // PQ coded mirror: m bytes/vec + codebooks (format v4); null when absent
+    pq: LocalReplica.PQData = null) {
 
   require(metric != Metric.Hamming,
     "LocalReplica serves float metrics; Hamming stores serve packed codes " +
@@ -73,13 +75,15 @@ final class LocalReplica private (
   def nlist: Int = centroids.length
   /** Whether the coded (SQ8 first pass) scan is available. */
   def coded: Boolean = codes != null
+  /** Whether the PQ (ADC first pass) scan is available. */
+  def pqCoded: Boolean = pq != null
 
-  /** The same replica without its coded mirror (always serves the full
-    * float scan) — the uncoded twin the coded path is verified against.
+  /** The same replica without its coded mirrors (always serves the full
+    * float scan) — the uncoded twin the coded paths are verified against.
     */
   private[graft] def withoutCodes: LocalReplica =
     new LocalReplica(metric, dim, ids, flat, centroids, listStart,
-      null, null, null, 0.0, metaCols)
+      null, null, null, 0.0, metaCols, null)
 
   /** Names of the metadata columns this replica carries. */
   def metaColumns: Seq[String] = metaCols.map(_.name).toSeq
@@ -375,8 +379,7 @@ final class LocalReplica private (
     * per query instead of once per probed list.
     */
   private def codedAdmitRanges(rangesArg: Seq[(Int, Int)], k: Int,
-      fast: Boolean, p1: Array[Float], p2: Array[Float], qArr: Array[Float],
-      dotBase: Double, qNorm: Double, margin: Double)
+      margin: Double, scoreChunk: (Int, Int, Array[Double]) => Unit)
       : (Array[Int], Array[Double]) = {
     val hs = new Array[Double](math.max(1, k))
     val hr = new Array[Int](math.max(1, k))
@@ -430,7 +433,7 @@ final class LocalReplica private (
       var blo = lo
       while (blo < hi0) {
         val bhi = math.min(hi0, blo + LocalReplica.ChunkRows)
-        approxChunk(blo, bhi, fast, p1, p2, qArr, dotBase, qNorm, scores)
+        scoreChunk(blo, bhi, scores)
         var r = blo
         while (r < bhi) {
           val a = scores(r - blo)
@@ -508,6 +511,22 @@ final class LocalReplica private (
         margin = 4.0 * codeEps / minRowNorm
       case Metric.Hamming => throw new IllegalStateException("unreachable")
     }
+    val scoreChunk: (Int, Int, Array[Double]) => Unit =
+      (lo, hi0, out) => approxChunk(lo, hi0, simd, p1, p2, qArr, dotBase, qn, out)
+    admitAndRerank(q, k, ranges, fast, qNorm, inBatch, margin, scoreChunk)
+  }
+
+  /** Shared coded-scan driver: run the approximate first pass (any coding
+    * — SQ8 decode or PQ ADC) through the chunked sound admission, then
+    * rerank every admitted row on the exact float kernels. `margin` must
+    * bound twice the coding's score error at the metric (Euclidean-space
+    * for L2 — see [[codedAdmitRanges]]), which is what makes the result
+    * IDENTICAL to the uncoded scan rather than approximately so.
+    */
+  private def admitAndRerank(q: Array[Float], k: Int,
+      ranges: Seq[(Int, Int)], fast: Boolean, qNorm: Double,
+      inBatch: Boolean, margin: Double,
+      scoreChunk: (Int, Int, Array[Double]) => Unit): Seq[Candidate] = {
     val total = ranges.map { case (lo, hi) => hi - lo }.sum
     val chunksOut: IndexedSeq[(Array[Int], Array[Double])] =
       if (total >= LocalReplica.ParallelScanRows && !inBatch) {
@@ -518,13 +537,11 @@ final class LocalReplica private (
         val out = new Array[(Array[Int], Array[Double])](chunks.length)
         java.util.stream.IntStream.range(0, chunks.length).parallel()
           .forEach { i =>
-            out(i) = codedAdmitRanges(chunks(i) :: Nil, k, simd,
-              p1, p2, qArr, dotBase, qn, margin)
+            out(i) = codedAdmitRanges(chunks(i) :: Nil, k, margin, scoreChunk)
           }
         scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
       } else {
-        IndexedSeq(
-          codedAdmitRanges(ranges, k, simd, p1, p2, qArr, dotBase, qn, margin))
+        IndexedSeq(codedAdmitRanges(ranges, k, margin, scoreChunk))
       }
     // chunk-local admission is necessarily loose (each chunk only knows
     // its own kth bound, and every heap eviction is buffered); now that
@@ -572,8 +589,140 @@ final class LocalReplica private (
       .take(k).toSeq
   }
 
-  /** Shared scan driver: coded two-phase when the artifact carries codes,
-    * full float scan otherwise. `inBatch` suppresses nested parallelism
+  // --------------------------------------------- PQ (ADC) first pass, v4
+
+  /** PQ two-phase top-k: ADC-score the probed ranges from the m-byte
+    * codes (the serving twin of the reference's coded large-segment scan,
+    * `internal/segment/diskann/segment.go:510-589`), then rerank admitted
+    * rows on the exact float kernels. Unlike the reference's
+    * oversample-and-hope rerank factor, admission reuses the sound-margin
+    * proof shape of the SQ8 pass — `pq.maxErr` bounds every row's
+    * reconstruction error, so the result is IDENTICAL to the uncoded
+    * scan. First-pass memory traffic is m bytes/row (vs dim for SQ8, 4·dim
+    * for floats): at 768d / m=96 the coded scan reads 8× less than SQ8.
+    */
+  private def pqSearch(q: Array[Float], k: Int, ranges: Seq[(Int, Int)],
+      fast: Boolean, qNorm: Double, inBatch: Boolean): Seq[Candidate] = {
+    val m = pq.m; val ksub = pq.ksub; val subDim = pq.subDim
+    val books = pq.books
+    val pqCodes = pq.codes
+    // per-query ADC tables (m·ksub doubles ≈ L1/L2-resident; built once
+    // per query, shared read-only across parallel chunks)
+    var margin = 0.0
+    var scoreChunk: (Int, Int, Array[Double]) => Unit = null
+    metric match {
+      case Metric.L2 =>
+        val tbl = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < ksub) {
+            val base = (s * ksub + c) * subDim
+            var acc = 0.0; var d = 0
+            while (d < subDim) {
+              val diff = q(s * subDim + d).toDouble - books(base + d).toDouble
+              acc += diff * diff; d += 1
+            }
+            tbl(s * ksub + c) = acc; c += 1
+          }
+          s += 1
+        }
+        margin = 2.0 * pq.maxErr
+        scoreChunk = (lo, hi0, out) => {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val cb = r * m
+            var acc = 0.0; var sub = 0
+            while (sub < m) {
+              acc += tbl(sub * ksub + (pqCodes(cb + sub) & 0xFF)); sub += 1
+            }
+            out(j) = acc; r += 1; j += 1
+          }
+        }
+      case Metric.Dot =>
+        val tbl = new Array[Double](m * ksub)
+        var qn = 0.0
+        var i = 0
+        while (i < dim) { qn += q(i).toDouble * q(i); i += 1 }
+        qn = math.sqrt(qn)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < ksub) {
+            val base = (s * ksub + c) * subDim
+            var acc = 0.0; var d = 0
+            while (d < subDim) {
+              acc += q(s * subDim + d).toDouble * books(base + d).toDouble
+              d += 1
+            }
+            tbl(s * ksub + c) = acc; c += 1
+          }
+          s += 1
+        }
+        // |⟨q,x⟩ − ⟨q,x̃⟩| ≤ ‖q‖·‖x−x̃‖
+        margin = 2.0 * pq.maxErr * qn
+        scoreChunk = (lo, hi0, out) => {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val cb = r * m
+            var acc = 0.0; var sub = 0
+            while (sub < m) {
+              acc += tbl(sub * ksub + (pqCodes(cb + sub) & 0xFF)); sub += 1
+            }
+            out(j) = acc; r += 1; j += 1
+          }
+        }
+      case Metric.Cosine =>
+        // two tables: sub-dot ⟨q_s, cb⟩ and sub-norm² ‖cb‖² — the subspace
+        // decomposition is orthogonal, so ‖x̃‖² is exactly the sum of its
+        // per-sub centroid norms
+        val dotT = new Array[Double](m * ksub)
+        val nrmT = new Array[Double](m * ksub)
+        var qn = 0.0
+        var i = 0
+        while (i < dim) { qn += q(i).toDouble * q(i); i += 1 }
+        qn = math.sqrt(qn)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < ksub) {
+            val base = (s * ksub + c) * subDim
+            var accD = 0.0; var accN = 0.0; var d = 0
+            while (d < subDim) {
+              val b = books(base + d).toDouble
+              accD += q(s * subDim + d).toDouble * b
+              accN += b * b
+              d += 1
+            }
+            dotT(s * ksub + c) = accD; nrmT(s * ksub + c) = accN; c += 1
+          }
+          s += 1
+        }
+        // |cos(x̃,q) − cos(x,q)| ≤ 2‖x̃−x‖ / ‖x‖ for ‖x̃−x‖ < ‖x‖
+        margin = 4.0 * pq.maxErr / minRowNorm
+        scoreChunk = (lo, hi0, out) => {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val cb = r * m
+            var accD = 0.0; var accN = 0.0; var sub = 0
+            while (sub < m) {
+              val idx = sub * ksub + (pqCodes(cb + sub) & 0xFF)
+              accD += dotT(idx); accN += nrmT(idx); sub += 1
+            }
+            out(j) =
+              if (accN == 0.0 || qn == 0.0) 0.0
+              else accD / (math.sqrt(accN) * qn)
+            r += 1; j += 1
+          }
+        }
+      case Metric.Hamming => throw new IllegalStateException("unreachable")
+    }
+    admitAndRerank(q, k, ranges, fast, qNorm, inBatch, margin, scoreChunk)
+  }
+
+  /** Shared scan driver: coded two-phase when the artifact carries codes
+    * (PQ ADC preferred, SQ8 decode otherwise), full float scan when it
+    * carries none. `inBatch` suppresses nested parallelism
     * when [[batchSearch]] already fans out across queries (an explicit
     * flag — `inForkJoinPool()` misses the queries a parallel stream runs
     * on the calling thread).
@@ -585,7 +734,10 @@ final class LocalReplica private (
       if (metric == Metric.Cosine && fast)
         math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
     // cosine margin soundness needs rows meaningfully longer than the
-    // decode error; degenerate exports fall back to the float scan
+    // reconstruction error; degenerate exports fall back to the float scan
+    val pqOk = pqCoded && k > 0 &&
+      (metric != Metric.Cosine || minRowNorm > 4.0 * pq.maxErr)
+    if (pqOk) return pqSearch(q, k, ranges, fast, qNorm, inBatch)
     val codedOk = coded && k > 0 &&
       (metric != Metric.Cosine || minRowNorm > 4.0 * codeEps)
     if (codedOk) return codedSearch(q, k, ranges, fast, qNorm, inBatch)
@@ -820,6 +972,19 @@ final class LocalReplica private (
         out.writeDouble(minRowNorm)
         out.write(codes)
       }
+      // v4 trailer (written before v3's so pre-v4 readers fail on the
+      // version gate rather than misparse): the PQ coded mirror
+      out.writeBoolean(pqCoded)
+      if (pqCoded) {
+        out.writeInt(pq.m)
+        out.writeInt(pq.ksub)
+        out.writeInt(pq.subDim)
+        i = 0
+        while (i < pq.books.length) { out.writeFloat(pq.books(i)); i += 1 }
+        out.writeDouble(pq.maxErr)
+        out.writeDouble(minRowNorm)
+        out.write(pq.codes)
+      }
       // v3 trailer: typed metadata columns (row-aligned with ids)
       out.writeInt(metaCols.length)
       metaCols.foreach { c =>
@@ -877,7 +1042,22 @@ object LocalReplica {
   }
 
   private[serve] val Magic = 0x47524c52 // "GRLR"
-  private[serve] val FormatVersion = 3
+  private[serve] val FormatVersion = 4
+
+  /** PQ coded mirror (format v4): row-major m-byte codes + flat codebooks
+    * (`books((s·ksub + c)·subDim + d)` = dim d of centroid c of subspace
+    * s) + the max per-row Euclidean reconstruction error that sizes the
+    * sound admission margin.
+    */
+  private[serve] final class PQData(
+      val m: Int,
+      val ksub: Int,
+      val subDim: Int,
+      val books: Array[Float],
+      val codes: Array[Byte],
+      val maxErr: Double) {
+    require(ksub >= 1 && ksub <= 256, s"ksub $ksub must fit one byte")
+  }
 
   // metadata column type tags (format v3)
   private[serve] val MetaLong: Byte = 0
@@ -965,6 +1145,24 @@ object LocalReplica {
         codes = new Array[Byte](n * dim)
         in.readFully(codes)
       }
+      var pqData: PQData = null
+      if (ver >= 4 && in.readBoolean()) {
+        val m = in.readInt()
+        val ksub = in.readInt()
+        val subDim = in.readInt()
+        require(m > 0 && ksub > 0 && ksub <= 256 && m * subDim == dim,
+          s"corrupt replica: PQ shape m=$m ksub=$ksub subDim=$subDim dim=$dim")
+        val books = new Array[Float](m * ksub * subDim)
+        i = 0
+        while (i < books.length) { books(i) = in.readFloat(); i += 1 }
+        val maxErr = in.readDouble()
+        require(maxErr >= 0.0 && !maxErr.isNaN,
+          s"corrupt replica: PQ maxErr $maxErr")
+        minNorm = in.readDouble()
+        val pcodes = new Array[Byte](n * m)
+        in.readFully(pcodes)
+        pqData = new PQData(m, ksub, subDim, books, pcodes, maxErr)
+      }
       val meta: Array[MetaColumn] =
         if (ver < 3) Array.empty
         else {
@@ -1003,7 +1201,7 @@ object LocalReplica {
           }
         }
       new LocalReplica(metric, dim, ids, flat, centroids, listStart,
-        codes, codeMins, codeSteps, minNorm, meta)
+        codes, codeMins, codeSteps, minNorm, meta, pqData)
     } finally in.close()
   }
 
@@ -1017,7 +1215,8 @@ object LocalReplica {
   def fromDataFrame(df: DataFrame, vecCol: String, idCol: String,
       metric: Metric, nlist: Int = 0,
       maxRows: Long = DefaultMaxRows,
-      metaCols: Seq[String] = Nil): LocalReplica = {
+      metaCols: Seq[String] = Nil,
+      pqModel: Option[graft.index.PQ.Model] = None): LocalReplica = {
     // metadata columns export as normalized long/double/string arrays
     // (format v3) so predicates can evaluate replica-side
     import org.apache.spark.sql.types._
@@ -1122,46 +1321,120 @@ object LocalReplica {
     var l = 0
     while (l < lists) { listStart(l + 1) = listStart(l) + counts(l); l += 1 }
 
-    // SQ8 coded mirror: per-dim bounds + codes + the min row norm that
-    // sizes the cosine error margin (one driver pass over the packed rows)
-    val mins = Array.fill(dim)(Double.MaxValue)
-    val maxs = Array.fill(dim)(Double.MinValue)
-    var j = 0
-    while (j < flat.length) {
-      val x = flat(j).toDouble
-      val d = j % dim
-      if (x < mins(d)) mins(d) = x
-      if (x > maxs(d)) maxs(d) = x
-      j += 1
-    }
-    val steps = Array.tabulate(dim)(i => (maxs(i) - mins(i)) / 255.0)
-    val codes = new Array[Byte](n * dim)
-    var minNorm = Double.MaxValue
-    r = 0
-    while (r < n) {
-      val base = r * dim
-      var nn = 0.0
-      var i = 0
-      while (i < dim) {
-        val x = flat(base + i).toDouble
-        nn += x * x
-        val c =
-          if (steps(i) == 0.0) 0
-          else {
-            val v = math.round((x - mins(i)) / steps(i)).toInt
-            if (v < 0) 0 else if (v > 255) 255 else v
+    pqModel match {
+      case Some(pm) =>
+        // PQ coded mirror (format v4) INSTEAD of SQ8: m bytes/vec vs dim —
+        // the large-dim serving shape (768d/m=96 scans 8× fewer first-pass
+        // bytes and the artifact drops the n·dim SQ8 block entirely)
+        require(pm.m * pm.subDim == dim,
+          s"PQ model shape m=${pm.m}·subDim=${pm.subDim} != dim $dim")
+        val m = pm.m; val ksub = pm.ksub; val subDim = pm.subDim
+        val books = new Array[Float](m * ksub * subDim)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < math.min(ksub, pm.codebooks(s).length)) {
+            System.arraycopy(pm.codebooks(s)(c), 0, books,
+              (s * ksub + c) * subDim, subDim)
+            c += 1
           }
-        codes(base + i) = c.toByte
-        i += 1
-      }
-      val norm = math.sqrt(nn)
-      if (norm < minNorm) minNorm = norm
-      r += 1
-    }
+          s += 1
+        }
+        val pcodes = new Array[Byte](n * m)
+        val errSq = new Array[Double](n)
+        val minNorms = new Array[Double](n)
+        // encode driver-side in parallel (the collect already paid the
+        // network; nearest-centroid over 256·subDim floats per sub is pure
+        // compute) and record each row's exact reconstruction error — the
+        // admission margin is only sound if maxErr really bounds every row
+        java.util.stream.IntStream.range(0, n).parallel().forEach { row =>
+          val base = row * dim
+          var nn = 0.0
+          var i = 0
+          while (i < dim) {
+            val x = flat(base + i).toDouble; nn += x * x; i += 1
+          }
+          minNorms(row) = math.sqrt(nn)
+          var es = 0.0
+          var sub = 0
+          while (sub < m) {
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < ksub) {
+              val cb = (sub * ksub + c) * subDim
+              var acc = 0.0; var d = 0
+              while (d < subDim) {
+                val diff = flat(base + sub * subDim + d).toDouble -
+                  books(cb + d).toDouble
+                acc += diff * diff; d += 1
+              }
+              if (acc < bestD) { bestD = acc; best = c }
+              c += 1
+            }
+            pcodes(row * m + sub) = best.toByte
+            es += bestD
+            sub += 1
+          }
+          errSq(row) = es
+        }
+        var minNorm = Double.MaxValue
+        var maxErr = 0.0
+        r = 0
+        while (r < n) {
+          if (minNorms(r) < minNorm) minNorm = minNorms(r)
+          val e = math.sqrt(errSq(r))
+          if (e > maxErr) maxErr = e
+          r += 1
+        }
+        // absolute slack absorbs the table-lookup float arithmetic, same
+        // construction as the SQ8 codeEps
+        val pqData = new PQData(m, ksub, subDim, books, pcodes, maxErr + 1e-5)
+        new LocalReplica(metric, dim, ids, flat,
+          model.map(_.centroids).getOrElse(Array.empty), listStart,
+          null, null, null, minNorm, meta, pqData)
 
-    new LocalReplica(metric, dim, ids, flat,
-      model.map(_.centroids).getOrElse(Array.empty), listStart,
-      codes, mins, steps, minNorm, meta)
+      case None =>
+        // SQ8 coded mirror: per-dim bounds + codes + the min row norm that
+        // sizes the cosine error margin (one driver pass over the packed rows)
+        val mins = Array.fill(dim)(Double.MaxValue)
+        val maxs = Array.fill(dim)(Double.MinValue)
+        var j = 0
+        while (j < flat.length) {
+          val x = flat(j).toDouble
+          val d = j % dim
+          if (x < mins(d)) mins(d) = x
+          if (x > maxs(d)) maxs(d) = x
+          j += 1
+        }
+        val steps = Array.tabulate(dim)(i => (maxs(i) - mins(i)) / 255.0)
+        val codes = new Array[Byte](n * dim)
+        var minNorm = Double.MaxValue
+        r = 0
+        while (r < n) {
+          val base = r * dim
+          var nn = 0.0
+          var i = 0
+          while (i < dim) {
+            val x = flat(base + i).toDouble
+            nn += x * x
+            val c =
+              if (steps(i) == 0.0) 0
+              else {
+                val v = math.round((x - mins(i)) / steps(i)).toInt
+                if (v < 0) 0 else if (v > 255) 255 else v
+              }
+            codes(base + i) = c.toByte
+            i += 1
+          }
+          val norm = math.sqrt(nn)
+          if (norm < minNorm) minNorm = norm
+          r += 1
+        }
+
+        new LocalReplica(metric, dim, ids, flat,
+          model.map(_.centroids).getOrElse(Array.empty), listStart,
+          codes, mins, steps, minNorm, meta)
+    }
   }
 
   /** Export a replica from an engine snapshot (current or pinned version —
@@ -1171,7 +1444,8 @@ object LocalReplica {
     */
   def fromStore(db: GraftDB, nlist: Int = 0,
       maxRows: Long = DefaultMaxRows,
-      metaCols: Seq[String] = Nil): LocalReplica =
+      metaCols: Seq[String] = Nil,
+      pqModel: Option[graft.index.PQ.Model] = None): LocalReplica =
     fromDataFrame(db.read(), "vector", "id", db.metric, nlist, maxRows,
-      metaCols)
+      metaCols, pqModel)
 }

@@ -56,6 +56,19 @@ class IndexSpec extends AnyFunSuite {
       s"expected partition pruning in:\n$plan")
   }
 
+  test("probe selection is identical with the fast kernel on and off") {
+    // IVF.Model.probes must always use the exact double kernel: a
+    // lane-order float accumulation could flip near-ties across JVMs and
+    // make the probed list set — hence recall — machine-dependent
+    val model = IVF.train(df, "vec", k = 16)
+    import graft.functions.KernelMode
+    for (np <- Seq(1, 3, 8, 16)) {
+      val a = KernelMode.withFast(true)(model.probes(q, np))
+      val b = KernelMode.withFast(false)(model.probes(q, np))
+      assert(a == b, s"nprobe=$np: $a vs $b")
+    }
+  }
+
   test("SQ8 round-trip error is small; approx-only search has high recall") {
     val model = SQ8.train(df, "vec")
     val coded = SQ8.encode(df, "vec", model).cache()

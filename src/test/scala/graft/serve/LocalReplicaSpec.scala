@@ -193,6 +193,29 @@ class LocalReplicaSpec extends AnyFunSuite {
     val brute = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
     val (_, bst) = brute.searchWithStats(q, 10)
     assert(bst.rowsScanned == n && bst.scanFraction == 1.0)
+    // full coverage (nprobe ≥ nlist collapses to one all-rows range) must
+    // report EVERY list probed, not 1
+    val (fres, fst) = rep.searchWithStats(q, 10, nprobe = 8)
+    assert(fres == rep.search(q, 10, nprobe = 8))
+    assert(fst.listsProbed == 8 && fst.scanFraction == 1.0)
+    val (_, fst2) = rep.searchWithStats(q, 10, nprobe = 99)
+    assert(fst2.listsProbed == 8 && fst2.rowsScanned == n)
+  }
+
+  test("save atomically replaces an existing artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("replica_ow").toString
+    val path = s"$dir/rep.grlr"
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      nlist = 4)
+    rep.save(path)
+    val q = queryVec(21)
+    // second save lands over the live file (overwrite-rename, no window
+    // where the artifact is missing) and the reloaded replica still answers
+    rep.save(path)
+    assert(LocalReplica.load(path).search(q, 10) == rep.search(q, 10))
+    // no stray .tmp-* left behind by the replace
+    val strays = new java.io.File(dir).list().filter(_.contains(".tmp-"))
+    assert(strays.isEmpty, strays.mkString(","))
   }
 
   test("batch search agrees with per-query search") {
