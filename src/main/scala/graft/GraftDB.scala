@@ -170,12 +170,14 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       // distance.go:36-38`): `vector` is array<long> of ceil(dim/32)
       // words ([[graft.index.BQ.packCol]]'s 32-bits-per-word, ANSI-safe
       // packing), dim = number of BITS. No NaN/normalize semantics.
-      // NULL-proof: `size(null)===n` and `exists(null,...)` are NULL and
-      // would never trip the branch, so nulls are checked explicitly.
-      val hasBadElem = exists(col("vector"), x => x.isNull)
+      // NULL-proof: vec_check(null) is NULL and would never trip the
+      // branch, so the null row is checked explicitly. The check itself is
+      // ONE codegen'd kernel pass (graft.functions.vec_check) — the
+      // composed `exists(vector, λ)` ran interpreted per element on the
+      // ingest hot path.
       val bad = col("vector").isNull ||
-        size(col("vector")) =!= codeWords ||
-        coalesce(hasBadElem, lit(true))
+        coalesce(graft.functions.vec_check(
+          col("vector"), codeWords, zeroNormBad = false) =!= 0, lit(true))
       records.withColumn("vector",
         when(bad, raise_error(tagged(
           s"invalid code vectors: null or wrong word count (expect " +
@@ -185,15 +187,13 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       // NULL-proof as above (vecgo rejects empty vectors in prepareVector,
       // `hnsw.go:799`). Zero vectors are rejected under Cosine
       // (vecgo `distance.go:42-53`: NormalizeL2InPlace refuses zero norm).
-      val hasBadElem = exists(col("vector"),
-        x => x.isNull || isnan(x) || x === Float.PositiveInfinity ||
-          x === Float.NegativeInfinity)
-      val zeroNormBad =
-        if (metric == Metric.Cosine) vec_norm(col("vector")) === 0.0 else lit(false)
+      // ONE codegen'd kernel pass checks length + null/NaN/Inf elements +
+      // (under cosine) zero norm — the composed `exists(vector, λ)`
+      // formulation ran interpreted per element and was most of the
+      // bulk-load gap vs a plain parquet write (BulkLoadProbe)
       val bad = col("vector").isNull ||
-        size(col("vector")) =!= config.dim ||
-        coalesce(hasBadElem, lit(true)) ||
-        coalesce(zeroNormBad, lit(true))
+        coalesce(graft.functions.vec_check(col("vector"), config.dim,
+          zeroNormBad = metric == Metric.Cosine) =!= 0, lit(true))
       val canon =
         if (metric == Metric.Cosine) vec_normalize(col("vector"))
         else col("vector")

@@ -407,6 +407,62 @@ object DistanceKernels {
     s
   }
 
+  /** Ingest validation over a float vector in ONE primitive pass:
+    * 0 = ok, 2 = wrong length, 3 = null/NaN/Inf element, 4 = zero norm
+    * under cosine. The composed `exists(vector, λ)` formulation runs
+    * interpreted (higher-order functions are CodegenFallback) — a boxed
+    * lambda eval per element on every ingested row, measured as most of
+    * the bulk-load gap vs a plain parquet write.
+    */
+  def vecCheckFloat(a: ArrayData, expectLen: Int, zeroNormBad: Boolean): Int = {
+    val n = a.numElements()
+    if (n != expectLen) return 2
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return 3
+      val x = a.getFloat(i)
+      if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x)) return 3
+      if (zeroNormBad) { val d = x.toDouble; ss += d * d }
+      i += 1
+    }
+    if (zeroNormBad && ss == 0.0) 4 else 0
+  }
+
+  /** Ingest validation over a packed array<long> code row: 0 = ok,
+    * 2 = wrong word count, 3 = null element.
+    */
+  def vecCheckLong(a: ArrayData, expectLen: Int): Int = {
+    val n = a.numElements()
+    if (n != expectLen) return 2
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return 3
+      i += 1
+    }
+    0
+  }
+
+  /** L2-normalize in one primitive pass (zero-norm rows pass through
+    * unchanged — vecgo refuses them upstream; the check kernel flags them
+    * under cosine). The `transform(a, x / norm)` formulation re-evaluated
+    * interpreted per element AND recomputed the norm subtree per element.
+    */
+  def normalize(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val af = a.toFloatArray()
+    var ss = 0.0
+    var i = 0
+    while (i < af.length) { val x = af(i).toDouble; ss += x * x; i += 1 }
+    if (ss != 0.0) {
+      // divide (not multiply-by-reciprocal): bit-parity with the previous
+      // expression formulation `(x / norm).cast(float)` and the oracle
+      val norm = java.lang.Math.sqrt(ss)
+      i = 0
+      while (i < af.length) { af(i) = (af(i).toDouble / norm).toFloat; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(af)
+  }
+
   /** Hamming distance over packed binary codes (array<long> words). */
   def hammingLong(a: ArrayData, b: ArrayData): Long = {
     val n = checkDims(a, b)

@@ -191,6 +191,57 @@ case class VecSrpKeys(child: Expression, planes: Array[Array[Float]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass ingest validation (0 ok / 2 wrong length / 3 bad element /
+  * 4 zero-norm-under-cosine) over array<float> vectors or array<long>
+  * packed codes — the codegen'd replacement for the interpreted
+  * `exists(vector, λ)` formulation on the write hot path.
+  */
+case class VecCheck(child: Expression, expectLen: Int, zeroNormBad: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_check"
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_check expects array<float> or array<long>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    if (isFloat)
+      DistanceKernels.vecCheckFloat(a.asInstanceOf[ArrayData], expectLen, zeroNormBad)
+    else DistanceKernels.vecCheckLong(a.asInstanceOf[ArrayData], expectLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isFloat)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.DistanceKernels.vecCheckFloat($a, $expectLen, $zeroNormBad)")
+    else defineCodeGen(ctx, ev, a =>
+      s"graft.functions.DistanceKernels.vecCheckLong($a, $expectLen)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One-pass L2 normalization (zero-norm rows pass through) — the
+  * codegen'd replacement for `transform(a, x / vec_norm(a))`, which ran
+  * interpreted and re-evaluated the norm subtree per element.
+  */
+case class VecNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_normalize"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_normalize expects array<float>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    DistanceKernels.normalize(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.DistanceKernels.normalize($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** PQ encode against constant codebooks (`books(s)` = flat ksub·subDim
   * floats of subspace s) → array<int> of m codes. The codebooks ride into
   * generated code as ONE reference object; composing this from per-

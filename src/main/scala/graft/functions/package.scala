@@ -60,15 +60,18 @@ package object functions {
     asCol(VecSrpKeys(expr(a), planes, offsets, nbits))
 
   /** L2-normalize an array<float> vector (write-time Cosine normalization,
-    * mirroring vecgo `hnsw.go:799+` prepareVector).
+    * mirroring vecgo `hnsw.go:799+` prepareVector). Zero vectors pass
+    * through unchanged instead of producing NaN (vecgo refuses the
+    * normalize outright, `distance.go:42-53`); one codegen'd kernel pass.
     */
-  def vec_normalize(a: Column): Column = {
-    val n = vec_norm(a)
-    // zero-norm guard: pass zero vectors through unchanged instead of
-    // producing NaN (which would sort first under descending cosine order);
-    // vecgo refuses the normalize outright (`distance.go:42-53`)
-    when(n === 0.0, a).otherwise(transform(a, x => (x / n).cast("float")))
-  }
+  def vec_normalize(a: Column): Column = asCol(VecNormalizeExpr(expr(a)))
+
+  /** One-pass ingest validation: 0 ok, 2 wrong length, 3 null/NaN/Inf
+    * element, 4 zero norm under cosine (float vectors or packed long
+    * codes).
+    */
+  def vec_check(a: Column, expectLen: Int, zeroNormBad: Boolean): Column =
+    asCol(VecCheck(expr(a), expectLen, zeroNormBad))
 
   /** Element-wise sum aggregate over fixed-length array<long> columns
     * (partial-aggregated long[n] buffers — see [[VecSumLong]]).
