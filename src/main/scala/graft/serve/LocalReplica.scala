@@ -1278,22 +1278,38 @@ object LocalReplica {
     }
 
     val lists = model.map(_.k).getOrElse(1)
-    val tagged = rows.map { r =>
-      val v = r.getSeq[Float](1).toArray
-      require(v.length == dim,
-        s"ragged vector column: ${v.length} != $dim")
-      (assignOf(v), r.getLong(0), v, r)
-    }.sortBy(t => (t._1, t._2))
+    val n = rows.length
+    // extract + assign in parallel: nearest-centroid over nlist·dim floats
+    // per row is the export's dominant driver-side compute (round-6
+    // verdict flagged the export rate regression; a sequential loop here
+    // left 31 cores idle)
+    val vecs = new Array[Array[Float]](n)
+    val assigns = new Array[Int](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+      val v = rows(i).getSeq[Float](1).toArray
+      require(v.length == dim, s"ragged vector column: ${v.length} != $dim")
+      vecs(i) = v
+      assigns(i) = assignOf(v)
+    }
+    // CSR order by (list, id) via an index permutation — no tuple array
+    val order = Array.range(0, n)
+    val orderBoxed = order.map(Integer.valueOf)
+    java.util.Arrays.sort(orderBoxed, (a: Integer, b: Integer) => {
+      val c = Integer.compare(assigns(a), assigns(b))
+      if (c != 0) c else java.lang.Long.compare(
+        rows(a).getLong(0), rows(b).getLong(0))
+    })
+    val tagged = orderBoxed.map(_.intValue)
 
-    val n = tagged.length
     val ids = new Array[Long](n)
     val flat = new Array[Float](n * dim)
     val counts = new Array[Int](lists)
     var r = 0
     while (r < n) {
-      ids(r) = tagged(r)._2
-      System.arraycopy(tagged(r)._3, 0, flat, r * dim, dim)
-      counts(tagged(r)._1) += 1
+      val src = tagged(r)
+      ids(r) = rows(src).getLong(0)
+      System.arraycopy(vecs(src), 0, flat, r * dim, dim)
+      counts(assigns(src)) += 1
       r += 1
     }
     // pack metadata columns in the same CSR row order
@@ -1306,7 +1322,7 @@ object LocalReplica {
       val strings = if (kind == MetaString) new Array[String](n) else null
       var i = 0
       while (i < n) {
-        val row = tagged(i)._4
+        val row = rows(tagged(i))
         if (row.isNullAt(fld)) nulls(i) = true
         else kind match {
           case MetaString => strings(i) = row.getString(fld)
