@@ -1133,6 +1133,26 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       "lexical_versions" -> store.lexicalVersions.size)
   }
 
+  /** Session-wide read/IO introspection (the batch analog of vecgo's
+    * `CacheStats`, `internal/engine/engine.go:2285-2311`): running scan
+    * totals off the session's [[graft.query.QueryMetrics.Totals]]
+    * listener, plus a read-amplification ratio — rows produced by leaf
+    * file scans per live stored row. In a lakehouse deployment the "cache
+    * hit" question becomes "how much of the store did queries actually
+    * scan": amplification ≈ queries × scan-fraction, and a value far
+    * above the query count means pruning/probing is not engaging.
+    * Listener delivery is async — totals are eventually consistent.
+    */
+  def readStats(): Map[String, Any] = {
+    val t = graft.query.QueryMetrics.totals(spark).snapshot
+    val live = store.manifest(effectiveVersion)
+      .map(_.segments.map(_.rows).sum).getOrElse(0L)
+    t ++ Map(
+      "live_rows" -> live,
+      "read_amplification" ->
+        (if (live <= 0) 0.0 else t("rows_scanned").toDouble / live))
+  }
+
   /** Per-segment introspection (vecgo `SegmentInfo`, `engine.go:2210-2223`):
     * seq, rows, physical path, whether manifest stats cover it, and the
     * index kind + layout width it carries (`none` when unindexed).

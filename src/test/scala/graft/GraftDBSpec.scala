@@ -96,6 +96,17 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.read(vDel).count() == 97)
     val st = db.stats()
     assert(st("segments") == 1 && st("metric") == "l2")
+    // read-amplification surface (CacheStats analog): scans recorded by
+    // the session listener, amplification ≥ the scans this test just did
+    val before = db.readStats()
+    db.read().write.format("noop").mode("overwrite").save()
+    assert(graft.query.QueryMetrics.totals(spark)
+      .awaitAtLeast(before("queries").asInstanceOf[Long] + 1))
+    val rs = db.readStats()
+    assert(rs("live_rows") == 98L)
+    assert(rs("rows_scanned").asInstanceOf[Long] >= 98L)
+    assert(rs("read_amplification").asInstanceOf[Double] >= 1.0)
+    assert(rs("files_read").asInstanceOf[Long] >= 1L)
   }
 
   test("collectFilterIds: engine-side survivors, loud guard above the cap") {
