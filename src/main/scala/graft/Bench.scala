@@ -47,6 +47,29 @@ object Bench {
           .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vec"),
       pmod(col("id"), lit(10)).cast("int").as("label"))
 
+  /** Deterministic CLUSTERED synthetic vectors: `centers` cluster centers
+    * in [-1,1)^dim plus per-row noise of scale `spread` — the embedding-
+    * like shape (real embeddings live on low-dimensional manifolds, not
+    * uniform cubes). Uniform data is the known worst case for any
+    * product quantizer: every subspace is incompressible, reconstruction
+    * error rivals inter-row distance gaps, and a sound-margin coded pass
+    * degenerates to a full rerank. Clustered data is what a 768d corpus
+    * actually looks like, and is the fixture the PQ serving rows use.
+    */
+  def synthClustered(spark: SparkSession, n: Long, dim: Int,
+      centers: Int, spread: Double): DataFrame = {
+    val c = pmod(col("id"), lit(centers))
+    spark.range(0, n, 1, 32).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        ((pmod(xxhash64(c * lit(7919) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)) +
+         (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)) * lit(spread))
+          .cast("float")).as("vec"),
+      pmod(col("id"), lit(10)).cast("int").as("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -111,8 +134,8 @@ object Bench {
     // loops.
     val dim768 = 768
     val n768 = math.min(n, 50000L)
-    val corpus768 = synthVectors(spark, n768, dim768)
-      .select("id", "vec").cache()
+    val corpus768 = synthClustered(spark, n768, dim768,
+      centers = 256, spread = 0.15).select("id", "vec").cache()
     corpus768.count()
     val pq768 = graft.index.PQ.train(
       corpus768.limit(5000), "vec", m = 96, iters = 4)
