@@ -284,6 +284,22 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     v
   }
 
+  /** Atomic mixed batch (vecgo `ApplyBatch` / `WriteBatch`,
+    * `internal/engine/batch.go:70`): validated inserts (upsert semantics)
+    * plus explicit deletes by id, committed as ONE snapshot version —
+    * readers observe none or all of the batch.
+    */
+  def writeBatch(records: Option[DataFrame] = None,
+      deleteIds: Seq[Long] = Nil): Long = {
+    requireWritable()
+    import spark.implicits._
+    val (v, ms) = timedOp(translateValidation(
+      store.writeBatch(records.map(prepare), deleteIds.toDF("id"))))
+    notifyObs(_.onWrite("write_batch",
+      records.map(_ => lastSegmentRows(v)).getOrElse(0L) + deleteIds.size, ms, v))
+    v
+  }
+
   /** Tombstone ids (vecgo W5). Small lists take the driver-side fast path
     * ([[graft.store.SnapshotStore.deleteSmall]] — parquet-mr write, no
     * Spark job: a scheduled job has a ~100 ms floor that dominated small

@@ -33,6 +33,12 @@ object StoreQueries {
     store.delete(store.read().where(col("label") === 3).select("id"))
     store.upsert(emb.where(col("id") < 50)
       .withColumn("label", col("label") + 100))
+    // atomic mixed batch (vecgo ApplyBatch): replace ids 50-59 with
+    // label+200 AND delete ids 480-489, one version commit
+    store.writeBatch(
+      records = Some(emb.where(col("id") >= 50 && col("id") < 60)
+        .withColumn("label", col("label") + 200)),
+      deleteIds = emb.where(col("id") >= 480 && col("id") < 490).select("id"))
     store.compact()
     store
   }
@@ -205,7 +211,11 @@ object StoreQueries {
     "store_lifecycle" ->
       """SELECT vec_id AS id, label + 100 AS label FROM embeddings WHERE vec_id < 50
         |UNION ALL
-        |SELECT vec_id AS id, label FROM embeddings WHERE vec_id >= 50 AND label <> 3
+        |SELECT vec_id AS id, label + 200 AS label FROM embeddings
+        |WHERE vec_id >= 50 AND vec_id < 60
+        |UNION ALL
+        |SELECT vec_id AS id, label FROM embeddings
+        |WHERE vec_id >= 60 AND label <> 3 AND vec_id NOT BETWEEN 480 AND 489
         |ORDER BY id ASC""".stripMargin,
     "store_timetravel" ->
       """SELECT label, count(*) AS n FROM embeddings

@@ -390,6 +390,40 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     next.version
   }
 
+  /** Atomic mixed batch (vecgo `ApplyBatch`, `internal/engine/batch.go:70`):
+    * inserts (upsert semantics — a re-inserted id replaces the old row)
+    * plus explicit deletes of other ids, in ONE version commit. Readers
+    * see either none or all of the batch; a crash between the segment
+    * writes and the manifest rename leaves only orphan dirs for vacuum.
+    */
+  def writeBatch(records: Option[DataFrame], deleteIds: DataFrame): Long = {
+    val m = headManifest.getOrElse(Manifest(-1L, -1L, Nil, Nil))
+    val delSeq = m.maxSeq + 1
+    val segSeq = m.maxSeq + 2
+    // one tombstone list: explicit deletes ∪ upserted ids — both must hide
+    // rows in every pre-batch segment (seq < delSeq), never the new one
+    val tombIds = records match {
+      case Some(df) => deleteIds.select(col("id")).unionByName(
+        df.select(col("id"))).distinct()
+      case None => deleteIds.select(col("id"))
+    }
+    val (delPath, delRows) = writeSegment(tombIds, delSeq, "del")
+    val (segPath, segRows) = records match {
+      case Some(df) => val (p, r) = writeSegment(df, segSeq, "seg"); (Some(p), r)
+      case None => (None, 0L)
+    }
+    if (delRows == 0 && segRows == 0) { // empty batch: no-op
+      fs.delete(new Path(delPath), true)
+      segPath.foreach(p => fs.delete(new Path(p), true))
+      return math.max(m.version, -1L)
+    }
+    val next = Manifest(m.version + 1, segSeq,
+      m.segments ++ segPath.map(p => SegmentRef(p, segSeq, segRows)),
+      m.deletes :+ DeleteRef(delPath, delSeq, delRows))
+    commit(next)
+    next.version
+  }
+
   /** Driver-side tombstone write for SMALL id lists — no Spark job. The
     * reference's delete is an in-memory tombstone append (16.5 M ids/s,
     * `internal/engine/tombstone.go:47-57`); a scheduled Spark job has a

@@ -109,6 +109,35 @@ class GraftDBSpec extends AnyFunSuite {
     assert(rs("files_read").asInstanceOf[Long] >= 1L)
   }
 
+  test("writeBatch: mixed inserts + deletes land as one atomic version") {
+    val db = freshDb()
+    db.insertBatch(records(0 until 50))
+    val v0 = db.stats()("version").asInstanceOf[Long]
+    // one batch: delete ids 0-9, upsert id 10 (replaces), insert 50-54
+    val v1 = db.writeBatch(
+      records = Some(records(10 until 11).unionByName(records(50 until 55))),
+      deleteIds = 0L until 10L)
+    assert(v1 == v0 + 1, "exactly ONE new version for the whole batch")
+    assert(db.read().count() == 45) // 50 - 10 deleted + 5 new (10 replaced)
+    assert(db.get(0L).count() == 0 && db.get(9L).count() == 0)
+    assert(db.get(10L).count() == 1 && db.get(54L).count() == 1)
+    // time travel: the pre-batch version still sees the old world
+    assert(db.read(v0).count() == 50)
+    // pure-delete and pure-insert degenerate forms
+    val v2 = db.writeBatch(deleteIds = Seq(54L))
+    assert(db.read().count() == 44 && v2 == v1 + 1)
+    val v3 = db.writeBatch(records = Some(records(60 until 62)))
+    assert(db.read().count() == 46 && v3 == v2 + 1)
+    // empty batch: no-op, no new version
+    assert(db.writeBatch() == v3)
+    // validation still applies inside the batch
+    intercept[IllegalArgumentException] {
+      db.writeBatch(records = Some(
+        spark.range(1).select(col("id"), lit(null).cast("array<float>")
+          .as("vector"), lit(0).as("label"), lit("x").as("body"))))
+    }
+  }
+
   test("collectFilterIds: engine-side survivors, loud guard above the cap") {
     val db = freshDb()
     db.insertBatch(records(0 until 90))
