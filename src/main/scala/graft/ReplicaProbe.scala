@@ -31,6 +31,12 @@ object ReplicaProbe {
       println(s"--- round $rounds")
       timeUs("probed_coded", 2000)(i =>
         probed.search(queries(i % queries.length)._2, 10, nprobe = 16))
+      // attribution: centroid selection alone (256 exact 128d distances)
+      val fakeModel = graft.index.IVF.Model(
+        (0 until probed.nlist).map(c => queries(c % queries.length)._2).toArray)
+      timeUs("probe_select_only", 2000) { i =>
+        fakeModel.probes(queries(i % queries.length)._2, 16); ()
+      }
       timeUs("probed_uncoded", 2000)(i =>
         probedPlain.search(queries(i % queries.length)._2, 10, nprobe = 16))
       timeUs("brute_coded", 300)(i =>
