@@ -25,6 +25,22 @@ object EventQueries {
         col("n"), col("sum_value"))
       .orderBy(col("window_start").asc, col("event_type").asc)
 
+  /** Sliding 1-hour windows advancing every 30 minutes × event_type: each
+    * event lands in exactly width/slide = 2 windows. The sliding variant
+    * of [[tumblingAgg]] — at 100 TB this is still ONE partial-aggregated
+    * shuffle; the window expansion is a codegen'd 2-row explode, not a
+    * self-join.
+    */
+  def slidingAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+
   /** Gap-based sessionization (30-minute inactivity gap): session counts
     * and event counts per user, for users < 50.
     */
@@ -128,6 +144,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_agg" -> (tumblingAgg _),
+    "events_sliding_agg" -> (slidingAgg _),
     "events_sessionize" -> (sessionize _),
     "events_json_props" -> (jsonProps _),
     "scalar_funcs" -> (scalarFuncs _),
@@ -143,6 +160,17 @@ object EventQueries {
         |       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start ASC, event_type ASC""".stripMargin,
+    "events_sliding_agg" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+        |           AS window_start, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+        |         event_type, value FROM events)
+        |SELECT window_start, event_type, count(*) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY window_start ASC, event_type ASC""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts,

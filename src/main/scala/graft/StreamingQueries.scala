@@ -56,7 +56,18 @@ object StreamingQueries {
   /** Tumbling 1-hour windows × event_type with a 17-minute watermark in
     * append mode — the streaming twin of [[EventQueries.tumblingAgg]].
     */
-  def streamingTumblingAgg(s: SparkSession, dir: String): DataFrame = {
+  def streamingTumblingAgg(s: SparkSession, dir: String): DataFrame =
+    streamingWindowedAgg(s, dir, slide = None, tag = "tumbling")
+
+  /** Sliding 1-hour/30-minute windows — the streaming twin of
+    * [[EventQueries.slidingAgg]]: same watermark/append machinery, each
+    * event feeding width/slide = 2 open windows of state.
+    */
+  def streamingSlidingAgg(s: SparkSession, dir: String): DataFrame =
+    streamingWindowedAgg(s, dir, slide = Some("30 minutes"), tag = "sliding")
+
+  private def streamingWindowedAgg(s: SparkSession, dir: String,
+      slide: Option[String], tag: String): DataFrame = {
     import s.implicits._
     implicit val ctx = s.sqlContext
     val ev = Tables.load(s, dir, "events")
@@ -67,16 +78,20 @@ object StreamingQueries {
     val input = MemoryStream[(Long, String, Double)]
     val stream = input.toDF().toDF("ts_us", "event_type", "value")
       .withColumn("ts", timestamp_micros(col("ts_us")))
+    val win = slide match {
+      case Some(sl) => window(col("ts"), "1 hour", sl)
+      case None => window(col("ts"), "1 hour")
+    }
     val agg = stream
       .withWatermark("ts", "17 minutes")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .groupBy(win.as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
-    val sink = sinkName("tumbling")
+    val sink = sinkName(tag)
     val q = agg.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt("tumbling"))
+      .option("checkpointLocation", ckpt(tag))
       .outputMode(OutputMode.Append())
       .start()
     try {
@@ -306,6 +321,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_tumbling_agg" -> (streamingTumblingAgg _),
+    "streaming_sliding_agg" -> (streamingSlidingAgg _),
     "streaming_sessionize" -> (streamingSessionize _),
     "streaming_ingest" -> (streamingIngest _),
     "streaming_dedup_exact" -> (streamingDedupExact _),
@@ -316,6 +332,7 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     // the streaming plans must reproduce their batch twins' oracles
     "streaming_tumbling_agg" -> EventQueries.oracle("events_tumbling_agg"),
+    "streaming_sliding_agg" -> EventQueries.oracle("events_sliding_agg"),
     "streaming_sessionize" -> EventQueries.oracle("events_sessionize"),
     "streaming_ingest" ->
       """SELECT vec_id AS id, label::BIGINT AS label

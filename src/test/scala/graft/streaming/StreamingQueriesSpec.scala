@@ -21,6 +21,15 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming sliding agg equals the batch twin at sf0.001") {
+    val streamed = StreamingQueries.streamingSlidingAgg(spark, sf).collect()
+    val batch = graft.EventQueries.slidingAgg(spark, sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+    // sliding sanity: each event lands in width/slide = 2 windows
+    val tumbling = graft.EventQueries.tumblingAgg(spark, sf).collect()
+    assert(batch.map(_.getLong(2)).sum == 2 * tumbling.map(_.getLong(2)).sum)
+  }
+
   test("streaming sessionize equals the batch twin at sf0.001") {
     val streamed = StreamingQueries.streamingSessionize(spark, sf).collect()
     val batch = graft.EventQueries.sessionize(spark, sf).collect()
