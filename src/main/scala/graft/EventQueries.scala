@@ -142,6 +142,92 @@ object EventQueries {
       .orderBy(col("event_id").asc)
   }
 
+  /** Interval (range) join — the second join family the brief calls out
+    * beyond as-of: error events with value > 50 open a 5-minute "burst"
+    * interval; every click by users < 30 is matched against the bursts
+    * that CONTAIN its timestamp. There is no equi-key at all, so a naive
+    * plan is a cartesian product. The scale shape: quantize time into
+    * buckets of exactly the max interval length, explode each interval to
+    * the (≤2) buckets it overlaps, and equi-join on the bucket — every
+    * qualifying (event, interval) pair shares the event's own bucket, so
+    * the equi-join finds each pair exactly once (no dedup pass) and the
+    * range predicate is a post-join filter. At 100 TB this is ONE
+    * hash-partitioned shuffle on bucket with ~2× interval duplication,
+    * instead of an O(n·m) nested loop.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val ivLenUs = 300L * 1000000L // 5 minutes, also the bucket width
+    val iv = ev.where(col("event_type") === "error" && col("value") > 50)
+      .select(col("event_id").as("iv_id"), unix_micros(col("ts")).as("s"))
+      // covered buckets: floor(s/len) .. floor((s+len-1)/len) — 2 unless
+      // the interval starts exactly on a bucket boundary
+      .withColumn("bucket", explode(sequence(
+        floor(col("s") / ivLenUs),
+        floor((col("s") + lit(ivLenUs - 1)) / ivLenUs))))
+    val clicks = ev
+      .where(col("event_type") === "click" && col("user_id") < 30)
+      .select(col("event_id"), unix_micros(col("ts")).as("u"))
+      .withColumn("bucket", floor(col("u") / ivLenUs))
+    clicks.join(iv,
+        clicks("bucket") === iv("bucket") &&
+          iv("s") <= clicks("u") && clicks("u") < iv("s") + ivLenUs,
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("iv_id")).as("n_bursts"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** CUBE over (returnflag, linestatus): all four grouping combinations in
+    * one pass — with rollup_agg this completes the grouping-sets surface.
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(28,10)")).cast("double")
+          .as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf").asc, col("ls").asc)
+
+  /** Trailing time-RANGE window frame (not a rows frame): per event, the
+    * count and exact sum of the same user's events in the preceding 10
+    * minutes (inclusive). One user-keyed Sort+Window — the frame bound is
+    * a value offset over event-time micros, so late/dense bursts are
+    * handled without a self-join.
+    */
+  def rangeCount(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").where(col("user_id") < 30)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("u"),
+        col("value").cast("decimal(28,10)").as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("u"))
+      .rangeBetween(-600L * 1000000L, 0L)
+    ev.select(col("event_id"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("v")).over(w).cast("double").as("sum_10m"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** Exact interpolated quantiles of `value` per event type — the
+    * percentile surface of the aggregation library (continuous/linear
+    * interpolation, matching SQL percentile_cont semantics).
+    */
+  def quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.25)).as("q25"),
+        percentile(col("value"), lit(0.5)).as("q50"),
+        percentile(col("value"), lit(0.75)).as("q75"),
+        percentile(col("value"), lit(0.9)).as("q90"))
+      .select(col("event_type"), round(col("q25"), 6).as("q25"),
+        round(col("q50"), 6).as("q50"), round(col("q75"), 6).as("q75"),
+        round(col("q90"), 6).as("q90"))
+      .orderBy(col("event_type").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_agg" -> (tumblingAgg _),
     "events_sliding_agg" -> (slidingAgg _),
@@ -150,7 +236,11 @@ object EventQueries {
     "scalar_funcs" -> (scalarFuncs _),
     "rollup_agg" -> (rollupAgg _),
     "set_ops" -> (setOps _),
-    "events_asof_join" -> (asofJoin _)
+    "events_asof_join" -> (asofJoin _),
+    "events_range_join" -> (rangeJoin _),
+    "cube_agg" -> (cubeAgg _),
+    "events_range_count" -> (rangeCount _),
+    "events_quantiles" -> (quantiles _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -228,6 +318,40 @@ object EventQueries {
         |            ROWS UNBOUNDED PRECEDING) AS last_p_value
         |  FROM ev)
         |SELECT event_id, user_id, last_p_id, round(last_p_value, 6) AS last_p_value
-        |FROM w WHERE event_type = 'click' ORDER BY event_id ASC""".stripMargin
+        |FROM w WHERE event_type = 'click' ORDER BY event_id ASC""".stripMargin,
+    "events_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS iv_id, epoch_us(ts) AS s FROM events
+        |  WHERE event_type = 'error' AND value > 50),
+        |ev AS (
+        |  SELECT event_id, epoch_us(ts) AS u FROM events
+        |  WHERE event_type = 'click' AND user_id < 30)
+        |SELECT ev.event_id, count(iv.iv_id) AS n_bursts
+        |FROM ev LEFT JOIN iv
+        |  ON iv.s <= ev.u AND ev.u < iv.s + 300000000
+        |GROUP BY ev.event_id ORDER BY ev.event_id ASC""".stripMargin,
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf ASC, ls ASC""".stripMargin,
+    "events_range_count" ->
+      """SELECT event_id,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS sum_10m
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id ASC""".stripMargin,
+    "events_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS q25,
+        |  round(quantile_cont(value, 0.5), 6) AS q50,
+        |  round(quantile_cont(value, 0.75), 6) AS q75,
+        |  round(quantile_cont(value, 0.9), 6) AS q90
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin
   )
 }
