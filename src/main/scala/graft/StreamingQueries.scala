@@ -319,6 +319,115 @@ object StreamingQueries {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** Streaming AS-OF join — the streaming twin of
+    * [[EventQueries.asofJoin]] through the custom stateful operator
+    * [[Ingest.asofMatches]] (flatMapGroupsWithState): purchases update
+    * per-user carried state, clicks emit the purchase state as of their
+    * timestamp. The corpus is split at its time midpoint into two
+    * micro-batches, so batch 2's clicks provably read purchase state
+    * carried over from batch 1. Each click emits exactly once, so the
+    * Update-mode memory sink accumulates exactly the batch twin's rows
+    * and hash-checks against the same oracle.
+    */
+  def streamingAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = Tables.load(s, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("u"),
+        (col("event_type") === "purchase").as("is_p"), col("value"))
+      .as[(Long, Long, Long, Boolean, Double)].collect()
+    val mid = {
+      val ts = ev.map(_._3); (ts.min + ts.max) / 2
+    }
+    // time-split batches: state flows forward, never backward
+    val (first, second) = ev.partition(_._3 <= mid)
+    val input = MemoryStream[(Long, Long, Long, Boolean, Double)]
+    val matches = Ingest.asofMatches(input.toDS())
+    val sink = sinkName("asof")
+    val q = matches.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("asof"))
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+        col("lastPId").as("last_p_id"),
+        round(col("lastPValue"), 6).as("last_p_value"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** Streaming interval join — a REAL watermarked stream-stream join with
+    * an event-time range condition, the streaming twin of
+    * [[EventQueries.rangeJoin]]'s matching core: click events join the
+    * 5-minute error-burst intervals that contain their timestamp. Both
+    * sides carry the same bucket quantization as the batch twin (interval
+    * exploded to the ≤2 buckets it overlaps), so the join has an equi-key
+    * for state lookup and every qualifying pair matches exactly once in
+    * the event's own bucket. Each side is fed in two time-split
+    * micro-batches arriving ALTERNATELY (clicks₁, bursts₁, clicks₂,
+    * bursts₂), so pairs provably match against buffered state from
+    * earlier batches of the other stream. Inner-join append mode emits
+    * each pair exactly once; the watermark bounds buffered state by event
+    * time at scale without affecting which pairs emit here.
+    */
+  def streamingRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ivLenUs = 300L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+    val bursts = ev.where(col("event_type") === "error" && col("value") > 50)
+      .select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect()
+    val clicks = ev.where(col("event_type") === "click" && col("user_id") < 30)
+      .select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect()
+    val mid = {
+      val all = bursts.map(_._2) ++ clicks.map(_._2)
+      (all.min + all.max) / 2
+    }
+    val ivInput = MemoryStream[(Long, Long)]
+    val evInput = MemoryStream[(Long, Long)]
+    val ivSide = ivInput.toDF().toDF("iv_id", "s_us")
+      .withColumn("s_ts", timestamp_micros(col("s_us")))
+      .withWatermark("s_ts", "1 hour")
+      .withColumn("bucket", explode(sequence(
+        floor(col("s_us") / ivLenUs),
+        floor((col("s_us") + lit(ivLenUs - 1)) / ivLenUs))))
+    val evSide = evInput.toDF().toDF("event_id", "u_us")
+      .withColumn("u_ts", timestamp_micros(col("u_us")))
+      .withWatermark("u_ts", "1 hour")
+      .withColumn("bucket", floor(col("u_us") / ivLenUs))
+    val joined = evSide.join(ivSide,
+      evSide("bucket") === ivSide("bucket") &&
+        ivSide("s_ts") <= evSide("u_ts") &&
+        evSide("u_ts") < ivSide("s_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("event_id"), col("iv_id"))
+    val sink = sinkName("rangejoin")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("rangejoin"))
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // alternate the two sides' time-split halves: matches must come from
+      // buffered join state in BOTH directions across batch boundaries
+      evInput.addData(clicks.filter(_._2 <= mid).toSeq)
+      q.processAllAvailable()
+      ivInput.addData(bursts.filter(_._2 <= mid).toSeq)
+      q.processAllAvailable()
+      evInput.addData(clicks.filter(_._2 > mid).toSeq)
+      q.processAllAvailable()
+      ivInput.addData(bursts.filter(_._2 > mid).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy(col("event_id").asc, col("iv_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_tumbling_agg" -> (streamingTumblingAgg _),
     "streaming_sliding_agg" -> (streamingSlidingAgg _),
@@ -326,7 +435,9 @@ object StreamingQueries {
     "streaming_ingest" -> (streamingIngest _),
     "streaming_dedup_exact" -> (streamingDedupExact _),
     "streaming_minhash" -> (streamingMinhash _),
-    "streaming_neardup_cosine" -> (streamingNeardupCosine _)
+    "streaming_neardup_cosine" -> (streamingNeardupCosine _),
+    "streaming_asof_join" -> (streamingAsofJoin _),
+    "streaming_range_join" -> (streamingRangeJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -339,6 +450,17 @@ object StreamingQueries {
         |FROM embeddings ORDER BY id ASC""".stripMargin,
     "streaming_dedup_exact" -> PipelineQueries.oracle("dedup_exact"),
     "streaming_minhash" -> PipelineQueries.oracle("dedup_minhash_lsh"),
-    "streaming_neardup_cosine" -> PipelineQueries.oracle("neardup_cosine")
+    "streaming_neardup_cosine" -> PipelineQueries.oracle("neardup_cosine"),
+    "streaming_asof_join" -> EventQueries.oracle("events_asof_join"),
+    "streaming_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS iv_id, epoch_us(ts) AS s FROM events
+        |  WHERE event_type = 'error' AND value > 50),
+        |ev AS (
+        |  SELECT event_id, epoch_us(ts) AS u FROM events
+        |  WHERE event_type = 'click' AND user_id < 30)
+        |SELECT ev.event_id, iv.iv_id
+        |FROM ev JOIN iv ON iv.s <= ev.u AND ev.u < iv.s + 300000000
+        |ORDER BY ev.event_id ASC, iv.iv_id ASC""".stripMargin
   )
 }

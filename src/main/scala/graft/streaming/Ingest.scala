@@ -50,6 +50,46 @@ object Ingest {
   /** One output row per key per micro-batch: running session/event counts. */
   case class SessionUpdate(key: Long, sessions: Long, events: Long)
 
+  /** Per-user as-of state: the most recent purchase carried forward. */
+  case class AsofState(pId: Long, pValue: Double)
+  /** One output row per click: the as-of matched purchase (None = no
+    * purchase at or before the click yet).
+    */
+  case class AsofMatch(eventId: Long, userId: Long,
+      lastPId: Option[Long], lastPValue: Option[Double])
+
+  /** Custom stateful operator (flatMapGroupsWithState): streaming AS-OF
+    * join. Input rows are (userId, eventId, tsUs, isPurchase, value);
+    * purchases update the per-user carried state, clicks emit the state
+    * as of their timestamp. Within a micro-batch rows are processed in
+    * event-time order with purchases winning timestamp ties (the batch
+    * twin [[graft.EventQueries.asofJoin]] orders `isP.desc` at equal ts),
+    * so feeding time-ordered micro-batches reproduces the batch result
+    * exactly — each click emits exactly once, in the batch it arrives.
+    */
+  def asofMatches(events: Dataset[(Long, Long, Long, Boolean, Double)])
+      : Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[AsofState]) =>
+          // event-time order; purchase-first at ties, then event id
+          val sorted = rows.toSeq.sortBy {
+            case (_, eventId, tsUs, isP, _) => (tsUs, !isP, eventId)
+          }
+          val out = Seq.newBuilder[AsofMatch]
+          var st = state.getOption
+          sorted.foreach { case (_, eventId, _, isP, value) =>
+            if (isP) st = Some(AsofState(eventId, value))
+            else out += AsofMatch(eventId, user, st.map(_.pId), st.map(_.pValue))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Custom stateful operator (mapGroupsWithState): gap-based session
     * counting per key over a stream of (key, epochSeconds). The batch-mode
     * twin is [[graft.EventQueries.sessionize]] — same gap rule.

@@ -134,4 +134,60 @@ class StreamingQueriesSpec extends AnyFunSuite {
         Set(1L, 2L, 3L, 4L))
     } finally q.stop()
   }
+
+  test("streaming as-of join equals the batch twin at sf0.001") {
+    val streamed = StreamingQueries.streamingAsofJoin(spark, sf).collect()
+    val batch = graft.EventQueries.asofJoin(spark, sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("as-of state carries purchases across micro-batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Boolean, Double)]
+    val sinkName = "asof_carry_test"
+    val q = Ingest.asofMatches(input.toDS())
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-asof-ckpt").toString)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .start()
+    try {
+      // batch 1: user 7 purchases (id 1) at t=100; a click before any
+      // purchase (id 2, t=50) emits no match
+      input.addData((7L, 2L, 50L, false, 0.0), (7L, 1L, 100L, true, 9.5))
+      q.processAllAvailable()
+      // batch 2: click at t=200 must see batch 1's purchase; a same-ts
+      // purchase+click pair (t=300) resolves purchase-first
+      input.addData((7L, 3L, 200L, false, 0.0),
+        (7L, 4L, 300L, true, 1.5), (7L, 5L, 300L, false, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table(sinkName)
+        .select("eventId", "lastPId", "lastPValue").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (2L, None, None),
+        (3L, Some(1L), Some(9.5)),
+        (5L, Some(4L), Some(1.5))))
+    } finally q.stop()
+  }
+
+  test("streaming range join equals an exact batch inner join at sf0.001") {
+    val streamed = StreamingQueries.streamingRangeJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ev = graft.Tables.load(spark, sf, "events")
+    val iv = ev.where(col("event_type") === "error" && col("value") > 50)
+      .select(col("event_id").as("iv_id"), unix_micros(col("ts")).as("s"))
+    val clicks = ev.where(col("event_type") === "click" && col("user_id") < 30)
+      .select(col("event_id"), unix_micros(col("ts")).as("u"))
+    val exact = clicks.join(iv,
+        iv("s") <= clicks("u") && clicks("u") < iv("s") + 300000000L)
+      .select("event_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(streamed.toSeq == exact.toSeq)
+    // no pair may emit twice across micro-batches
+    assert(streamed.distinct.length == streamed.length)
+  }
 }
