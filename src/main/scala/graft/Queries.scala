@@ -190,6 +190,48 @@ object Queries {
       .orderBy(col("o_orderstatus").asc, col("rank").asc)
   }
 
+  /** Semi/anti join family: suppliers that DO supply a shipped part
+    * (left-semi against lineitem) and suppliers that never shipped
+    * (left-anti), counted per nation in one frame. Both probes are the
+    * same broadcast-friendly distinct-key build; at 100 TB the semi/anti
+    * pair stays one shuffle on s_suppkey with partial aggregation — no
+    * row explosion, unlike an inner join + distinct.
+    */
+  def joinSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val li = t(s, dir, "lineitem").select(col("l_suppkey").as("s_suppkey"))
+    val semi = sup.join(li, Seq("s_suppkey"), "left_semi")
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("supplies"))
+    val anti = sup.join(li, Seq("s_suppkey"), "left_anti")
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("never_shipped"))
+    semi.unionByName(anti)
+      .select(col("op"), col("s_nationkey").as("nationkey"), col("n"))
+      .orderBy(col("op").asc, col("nationkey").asc)
+  }
+
+  /** Analytic window-function sampler — lag/lead, dense_rank, ntile and a
+    * running frame sum in ONE window pass per customer (all functions
+    * share one (partition, order) spec, so Catalyst plans a single
+    * Sort+Window at any scale).
+    */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").where(col("o_custkey") < 200)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        dense_rank().over(w).as("rk"),
+        ntile(4).over(w).as("quartile"),
+        sum(col("o_totalprice").cast("decimal(28,10)")).over(run)
+          .cast("double").as("run_spend"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
   // ---------------------------------------------------------------------
   // Lexical + hybrid search (vecgo R9/R10)
   // ---------------------------------------------------------------------
@@ -287,6 +329,8 @@ object Queries {
     "q1_agg" -> (q1Agg _),
     "join_agg" -> (joinAgg _),
     "topn_window" -> (topnWindow _),
+    "join_semi_anti" -> (joinSemiAnti _),
+    "window_funcs" -> (windowFuncs _),
     "bm25_search" -> (bm25Search _),
     "hybrid_rrf" -> (hybridRrf _)
   )
@@ -446,6 +490,30 @@ object Queries {
         |  FROM orders)
         |SELECT o_orderstatus, rank, o_orderkey, o_totalprice
         |FROM r WHERE rank <= 3
-        |ORDER BY o_orderstatus ASC, rank ASC""".stripMargin
+        |ORDER BY o_orderstatus ASC, rank ASC""".stripMargin,
+    "join_semi_anti" ->
+      """WITH li AS (SELECT DISTINCT l_suppkey FROM lineitem)
+        |SELECT 'supplies' AS op, s_nationkey AS nationkey, count(*) AS n
+        |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM li)
+        |GROUP BY s_nationkey
+        |UNION ALL
+        |SELECT 'never_shipped' AS op, s_nationkey AS nationkey, count(*) AS n
+        |FROM supplier WHERE s_suppkey NOT IN (SELECT l_suppkey FROM li)
+        |GROUP BY s_nationkey
+        |ORDER BY op ASC, nationkey ASC""".stripMargin,
+    "window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  dense_rank() OVER w AS rk,
+        |  ntile(4) OVER w AS quartile,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS run_spend
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin
   )
 }
