@@ -312,11 +312,29 @@ object Queries {
       .select(col("id"), r6(col("score")).as("score"))
   }
 
+  /** SQL-text twin of the k-NN path through the registered function
+    * surface ([[graft.functions.registerAll]] / [[graft.GraftExtensions]]):
+    * the entire query is one SQL string, proving a SQL-only client (Thrift
+    * / Connect) can run vector search with no Scala Column API at all.
+    */
+  def sqlKnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    s.sql(
+      """WITH q AS (SELECT embedding AS qv FROM graft_embeddings WHERE vec_id = 3)
+        |SELECT e.vec_id AS vec_id,
+        |       round(vec_l2(e.embedding, q.qv), 6) AS score
+        |FROM graft_embeddings e CROSS JOIN q
+        |ORDER BY vec_l2(e.embedding, q.qv) ASC, e.vec_id ASC
+        |LIMIT 10""".stripMargin)
+  }
+
   // ---------------------------------------------------------------------
   // SparkEntry wiring
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_knn" -> (sqlKnn _),
     "knn_l2" -> (knnL2 _),
     "knn_cosine" -> (knnCosine _),
     "knn_dot" -> (knnDot _),
@@ -340,6 +358,13 @@ object Queries {
     * list kernels over DOUBLE[] casts ≡ our kernels' accumulation order).
     */
   val oracle: Map[String, String] = Map(
+    "sql_knn" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3)
+        |SELECT e.vec_id AS vec_id,
+        |       round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) ASC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
     "knn_l2" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS vec_id,

@@ -85,17 +85,14 @@ package object functions {
   def vec_sum_double(a: Column, n: Int): Column =
     asCol(VecSumDouble(expr(a), n).toAggregateExpression())
 
-  /** Register all vector functions for SQL use in this session. */
+  /** Register all vector functions for SQL use in this session (temp
+    * functions). For cluster-wide registration use
+    * `spark.sql.extensions=graft.GraftExtensions` — both paths share the
+    * [[SqlFunctions]] builder table.
+    */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-    def add(name: String, builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
-    add("vec_l2sq", es => VecL2Sq(es(0), es(1)))
-    add("vec_dot", es => VecDot(es(0), es(1)))
-    add("vec_cos", es => VecCosine(es(0), es(1)))
-    add("vec_norm", es => VecNorm(es(0)))
-    add("vec_hamming", es => VecHamming(es(0), es(1)))
+    SqlFunctions.all.foreach(fn =>
+      reg.createOrReplaceTempFunction(fn.name, fn.builder, "built-in"))
   }
 }
