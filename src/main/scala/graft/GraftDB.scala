@@ -197,13 +197,31 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       val canon =
         if (metric == Metric.Cosine) vec_normalize(col("vector"))
         else col("vector")
+      // store PACKED: one LE float32 blob per row (binary) instead of
+      // LIST<FLOAT> — parquet then encodes one value per row, not one per
+      // element (1.7x on the segment write, tools/PackProbe; the same
+      // raw-bytes layout as the reference's segment files). Every distance
+      // expression accepts the packed layout directly; public reads
+      // unpack at the API boundary ([[unpackView]]).
       records.withColumn("vector",
         when(bad, raise_error(tagged(
           s"invalid vectors: null, wrong dimension (expect ${config.dim}), " +
-            "NaN/Inf, or zero-norm under cosine")).cast("array<float>"))
-          .otherwise(canon))
+            "NaN/Inf, or zero-norm under cosine")).cast("binary"))
+          .otherwise(graft.functions.vec_pack_f32(canon)))
     }
   }
+
+  /** Public-read boundary of the packed segment layout: records went in
+    * with `vector array<float>`, so they come back out that way — binary
+    * store layout (new segments) unpacks, legacy array<float> segments
+    * pass through. Hamming stores (array<long> codes) are untouched.
+    */
+  private def unpackView(df: DataFrame): DataFrame =
+    if (metric != Metric.Hamming && df.columns.contains("vector") &&
+        df.schema("vector").dataType ==
+          org.apache.spark.sql.types.BinaryType)
+      df.withColumn("vector", graft.functions.vec_unpack_f32(col("vector")))
+    else df
 
   /** Re-surface an executor-side inline-validation failure (the
     * `raise_error` branch planted by [[prepare]], arriving wrapped in
@@ -398,17 +416,18 @@ final class GraftDB private (val spark: SparkSession, val root: String,
 
   /** Current (or time-traveled) snapshot. */
   def read(version: Long = -1L): DataFrame =
-    store.read(if (version < 0) effectiveVersion else version)
+    unpackView(store.read(if (version < 0) effectiveVersion else version))
 
   /** Timestamp time travel: newest snapshot committed at or before
     * `tsMillis` (vecgo asOf reads, `engine.go:499-536`).
     */
-  def readAsOf(tsMillis: Long): DataFrame = store.readAsOf(tsMillis)
+  def readAsOf(tsMillis: Long): DataFrame = unpackView(store.readAsOf(tsMillis))
 
   /** Stats-pruned filtered scan (vecgo R8 + segment pruning). */
   def scan(filters: Seq[Filter] = Nil, projectCols: Seq[String] = Nil): DataFrame = {
     val (df, _, _) = store.prunedRead(filters, effectiveVersion)
-    if (projectCols.isEmpty) df else df.select(projectCols.map(col): _*)
+    val up = unpackView(df)
+    if (projectCols.isEmpty) up else up.select(projectCols.map(col): _*)
   }
 
   /** Survivor id-set of a filter, bounded for serving-tier handoff: the

@@ -94,6 +94,78 @@ object KernelMode {
 
 object DistanceKernels {
 
+  // ---- packed float32 layout ------------------------------------------
+  // Segments store vectors as one little-endian float32 blob per row
+  // (BinaryType) instead of LIST<FLOAT>: parquet then writes/reads one
+  // value per ROW instead of one per ELEMENT (no repetition/definition
+  // levels, no per-element record-consumer calls) — measured 1.7x on the
+  // 500k x 128d segment write and ~1.2x on the read-back scan
+  // (tools/PackProbe). The same raw-bytes layout choice as the
+  // reference's segment files (vecgo stores vectors as contiguous
+  // float32 bytes). On little-endian JVMs (every supported target) the
+  // pack/unpack is a single bulk copyMemory; a big-endian JVM falls back
+  // to a ByteBuffer loop.
+
+  private val littleEndian: Boolean =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
+
+  /** LE float32 blob → primitive float[] (memcpy on LE JVMs). */
+  def bytesToFloats(b: Array[Byte]): Array[Float] = {
+    if ((b.length & 3) != 0)
+      throw new IllegalArgumentException(
+        s"packed vector length ${b.length} is not a multiple of 4")
+    val out = new Array[Float](b.length >> 2)
+    if (littleEndian)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        out, org.apache.spark.unsafe.Platform.FLOAT_ARRAY_OFFSET,
+        b.length)
+    else {
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+      var i = 0
+      while (i < out.length) { out(i) = bb.get(i); i += 1 }
+    }
+    out
+  }
+
+  /** primitive float[] → LE float32 blob (memcpy on LE JVMs). */
+  def floatsToBytes(f: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](f.length << 2)
+    if (littleEndian)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        f, org.apache.spark.unsafe.Platform.FLOAT_ARRAY_OFFSET,
+        out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        out.length)
+    else {
+      val bb = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < f.length) { bb.putFloat(i << 2, f(i)); i += 1 }
+    }
+    out
+  }
+
+  // codegen entry points: materialize either physical layout to float[]
+  def asFloats(a: ArrayData): Array[Float] = a.toFloatArray()
+  def asFloats(b: Array[Byte]): Array[Float] = bytesToFloats(b)
+
+  /** array<float> row → packed LE blob (the segment write kernel). */
+  def packF32(a: ArrayData): Array[Byte] = floatsToBytes(a.toFloatArray())
+
+  /** packed LE blob → array<float> row (the public-read kernel). */
+  def unpackF32(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bytesToFloats(b))
+
+  // KernelMode-dispatching query-side kernels over primitive arrays (the
+  // packed layout arrives as float[] before the kernel, so the ArrayData
+  // Q-variants below forward here)
+  def l2sqQF(af: Array[Float], q: Array[Float]): Double =
+    if (KernelMode.fast) l2sqFFfast(af, q) else l2sqFF(af, q)
+  def dotQF(af: Array[Float], q: Array[Float]): Double =
+    if (KernelMode.fast) dotFFfast(af, q) else dotFF(af, q)
+  def cosineQF(af: Array[Float], q: Array[Float]): Double = cosineFF(af, q)
+
   @inline private def checkDims(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
     if (n != b.numElements())
@@ -111,7 +183,7 @@ object DistanceKernels {
   /** Inner product. */
   def dot(a: ArrayData, b: ArrayData): Double = dotFF(a.toFloatArray(), b.toFloatArray())
 
-  private def dotFF(af: Array[Float], bf: Array[Float]): Double = {
+  def dotFF(af: Array[Float], bf: Array[Float]): Double = {
     if (af.length != bf.length)
       throw new IllegalArgumentException(
         s"vector dimension mismatch: ${af.length} vs ${bf.length}")
@@ -122,9 +194,10 @@ object DistanceKernels {
   }
 
   /** Cosine similarity: dot / (||a|| * ||b||); 0.0 if either norm is 0. */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
-    val af = a.toFloatArray()
-    val bf = b.toFloatArray()
+  def cosine(a: ArrayData, b: ArrayData): Double =
+    cosineFF(a.toFloatArray(), b.toFloatArray())
+
+  def cosineFF(af: Array[Float], bf: Array[Float]): Double = {
     if (af.length != bf.length)
       throw new IllegalArgumentException(
         s"vector dimension mismatch: ${af.length} vs ${bf.length}")
@@ -152,6 +225,14 @@ object DistanceKernels {
       s += x * x
       i += 1
     }
+    java.lang.Math.sqrt(s)
+  }
+
+  /** L2 norm over a primitive float[] (packed-layout entry point). */
+  def normF(af: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < af.length) { val x = af(i).toDouble; s += x * x; i += 1 }
     java.lang.Math.sqrt(s)
   }
 
@@ -286,8 +367,10 @@ object DistanceKernels {
     * wrapped for Catalyst. Honors [[KernelMode]] (mode read once per row,
     * hoisted out of the query loop).
     */
-  def l2sqMulti(a: ArrayData, qs: Array[Array[Float]]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val af = a.toFloatArray() // one bulk copy amortized over ALL queries
+  def l2sqMulti(a: ArrayData, qs: Array[Array[Float]]): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    l2sqMultiF(a.toFloatArray(), qs) // one bulk copy amortized over ALL queries
+
+  def l2sqMultiF(af: Array[Float], qs: Array[Array[Float]]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val m = qs.length
     val out = new Array[Double](m)
     val fast = KernelMode.fast

@@ -44,7 +44,11 @@ case class MultiTopKDirect(
   override def update(buf: MultiTopKBuffer, row: InternalRow): MultiTopKBuffer = {
     val v = vec.eval(row)
     if (v != null) {
-      val af = v.asInstanceOf[ArrayData].toFloatArray()
+      // segments store vectors packed (binary) or as array<float>
+      val af = v match {
+        case b: Array[Byte] => DistanceKernels.bytesToFloats(b)
+        case a: ArrayData => a.toFloatArray()
+      }
       val idv = id.eval(row).asInstanceOf[Long]
       val fast = KernelMode.fast
       var q = 0

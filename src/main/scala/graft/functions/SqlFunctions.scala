@@ -49,6 +49,10 @@ object SqlFunctions {
       es => { check("vec_hamming", 2)(es); VecHamming(es(0), es(1)) }),
     Fn("vec_normalize", 1, "vec_normalize(a) - L2-normalize an array<float> vector (zero vectors pass through)",
       es => { check("vec_normalize", 1)(es); VecNormalizeExpr(es(0)) }),
+    Fn("vec_pack_f32", 1, "vec_pack_f32(a) - pack array<float> into a little-endian float32 blob (segment layout)",
+      es => { check("vec_pack_f32", 1)(es); VecPackF32(es(0)) }),
+    Fn("vec_unpack_f32", 1, "vec_unpack_f32(b) - unpack a little-endian float32 blob back to array<float>",
+      es => { check("vec_unpack_f32", 1)(es); VecUnpackF32(es(0)) }),
     Fn("vec_check", 3, "vec_check(a, expect_len, zero_norm_bad) - ingest validation code (0 ok, 2 bad length, 3 non-finite, 4 zero norm)",
       es => {
         check("vec_check", 3)(es)

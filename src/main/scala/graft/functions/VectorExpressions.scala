@@ -35,49 +35,78 @@ private[functions] trait VecBinaryChecks { self: BinaryExpression =>
   * reference object — the hot scan loop then never touches the boxed
   * GenericArrayData a literal would otherwise produce per row (the
   * difference is ~2 orders of magnitude on a 100 TB-shaped scan).
+  *
+  * Either side may be `array<float>` OR a packed little-endian float32
+  * blob (`binary`, the segment storage layout — see
+  * [[DistanceKernels.bytesToFloats]]): both materialize to a primitive
+  * float[] (one bulk copy, same cost as ArrayData.toFloatArray) before
+  * the same kernel, so the scan path runs directly on packed segments
+  * with no unpack column in the plan.
   */
-private[functions] abstract class VecDistanceBase
-    extends BinaryExpression with VecBinaryChecks {
-  protected def expectedElem: DataType = FloatType
+private[functions] abstract class VecDistanceBase extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
-  /** kernel entry points in [[DistanceKernels]]: generic and const-query */
-  protected def kernel: String
-  protected def applyKernel(a: ArrayData, b: ArrayData): Double
-  protected def applyKernelQ(a: ArrayData, q: Array[Float]): Double
+  /** base kernel name in [[DistanceKernels]]: `<base>FF` is the exact
+    * two-vector kernel, `<base>QF` the const-query KernelMode-dispatching
+    * one (matching the pre-packed-layout exact/fast split).
+    */
+  protected def kernelBase: String
+  protected def applyFF(a: Array[Float], b: Array[Float]): Double
+  protected def applyQF(a: Array[Float], q: Array[Float]): Double
+
+  private def okSide(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | BinaryType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okSide(left.dataType) && okSide(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or packed-binary arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  @inline private def toF(v: Any): Array[Float] = v match {
+    case b: Array[Byte] => DistanceKernels.bytesToFloats(b)
+    case a: ArrayData => a.toFloatArray()
+  }
 
   @transient protected lazy val constQ: Array[Float] =
     if (right.foldable) {
       val v = right.eval(null)
-      if (v == null) null else v.asInstanceOf[ArrayData].toFloatArray()
+      if (v == null) null else toF(v)
     } else null
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    if (constQ != null) applyKernelQ(a.asInstanceOf[ArrayData], constQ)
-    else applyKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (constQ != null) applyQF(toF(a), constQ)
+    else applyFF(toF(a), toF(b))
+
+  // asFloats has ArrayData and byte[] overloads; the generated value's
+  // declared Java type (ArrayData vs byte[]) picks the right one
+  private val conv = "graft.functions.DistanceKernels.asFloats"
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (constQ != null) {
       val ref = ctx.addReferenceObj("qvec", constQ, "float[]")
       val leftGen = left.genCode(ctx)
-      val k = s"graft.functions.DistanceKernels.${kernel}Q"
+      val k = s"graft.functions.DistanceKernels.${kernelBase}QF"
       ev.copy(code = code"""
         ${leftGen.code}
         boolean ${ev.isNull} = ${leftGen.isNull};
         double ${ev.value} = 0.0;
-        if (!${ev.isNull}) { ${ev.value} = $k(${leftGen.value}, $ref); }""")
+        if (!${ev.isNull}) { ${ev.value} = $k($conv(${leftGen.value}), $ref); }""")
     } else {
       defineCodeGen(ctx, ev, (a, b) =>
-        s"graft.functions.DistanceKernels.$kernel($a, $b)")
+        s"graft.functions.DistanceKernels.${kernelBase}FF($conv($a), $conv($b))")
     }
 }
 
 /** Squared L2 distance between two array<float> vectors (double result). */
 case class VecL2Sq(left: Expression, right: Expression) extends VecDistanceBase {
   override def prettyName: String = "vec_l2sq"
-  protected def kernel: String = "l2sq"
-  protected def applyKernel(a: ArrayData, b: ArrayData): Double = DistanceKernels.l2sq(a, b)
-  protected def applyKernelQ(a: ArrayData, q: Array[Float]): Double = DistanceKernels.l2sqQ(a, q)
+  protected def kernelBase: String = "l2sq"
+  protected def applyFF(a: Array[Float], b: Array[Float]): Double = DistanceKernels.l2sqFF(a, b)
+  protected def applyQF(a: Array[Float], q: Array[Float]): Double = DistanceKernels.l2sqQF(a, q)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -85,9 +114,9 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecDistanceBase 
 /** Inner product between two array<float> vectors (double result). */
 case class VecDot(left: Expression, right: Expression) extends VecDistanceBase {
   override def prettyName: String = "vec_dot"
-  protected def kernel: String = "dot"
-  protected def applyKernel(a: ArrayData, b: ArrayData): Double = DistanceKernels.dot(a, b)
-  protected def applyKernelQ(a: ArrayData, q: Array[Float]): Double = DistanceKernels.dotQ(a, q)
+  protected def kernelBase: String = "dot"
+  protected def applyFF(a: Array[Float], b: Array[Float]): Double = DistanceKernels.dotFF(a, b)
+  protected def applyQF(a: Array[Float], q: Array[Float]): Double = DistanceKernels.dotQF(a, q)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -95,26 +124,72 @@ case class VecDot(left: Expression, right: Expression) extends VecDistanceBase {
 /** Cosine similarity between two array<float> vectors (double result). */
 case class VecCosine(left: Expression, right: Expression) extends VecDistanceBase {
   override def prettyName: String = "vec_cos"
-  protected def kernel: String = "cosine"
-  protected def applyKernel(a: ArrayData, b: ArrayData): Double = DistanceKernels.cosine(a, b)
-  protected def applyKernelQ(a: ArrayData, q: Array[Float]): Double = DistanceKernels.cosineQ(a, q)
+  protected def kernelBase: String = "cosine"
+  protected def applyFF(a: Array[Float], b: Array[Float]): Double = DistanceKernels.cosineFF(a, b)
+  protected def applyQF(a: Array[Float], q: Array[Float]): Double = DistanceKernels.cosineQF(a, q)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
-/** L2 norm of one array<float> vector. */
+/** L2 norm of one array<float> vector (or packed-binary blob). */
 case class VecNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
+  private lazy val packed: Boolean = child.dataType == BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm expects array<float> or packed binary, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any = a match {
+    case b: Array[Byte] => DistanceKernels.normF(DistanceKernels.bytesToFloats(b))
+    case d: ArrayData => DistanceKernels.norm(d)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (packed)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.DistanceKernels.normF(graft.functions.DistanceKernels.asFloats($a))")
+    else defineCodeGen(ctx, ev, a => s"graft.functions.DistanceKernels.norm($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Pack an array<float> vector into the segment storage layout: one
+  * little-endian float32 blob (binary). See
+  * [[DistanceKernels.floatsToBytes]] for why (parquet encodes one value
+  * per row instead of one per element).
+  */
+case class VecPackF32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "vec_pack_f32"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckFailure(
+      "vec_pack_f32: input is already packed binary")
     case t => TypeCheckResult.TypeCheckFailure(
-      s"vec_norm expects array<float>, got ${t.simpleString}")
+      s"vec_pack_f32 expects array<float>, got ${t.simpleString}")
   }
   override def nullSafeEval(a: Any): Any =
-    DistanceKernels.norm(a.asInstanceOf[ArrayData])
+    DistanceKernels.packF32(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.DistanceKernels.norm($a)")
+    defineCodeGen(ctx, ev, a => s"graft.functions.DistanceKernels.packF32($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unpack a packed little-endian float32 blob back to array<float> — the
+  * public-read boundary of the packed segment layout.
+  */
+case class VecUnpackF32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_unpack_f32"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_unpack_f32 expects binary, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    DistanceKernels.unpackF32(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.DistanceKernels.unpackF32($a)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -141,16 +216,23 @@ case class VecL2SqMulti(child: Expression, queries: Array[Array[Float]])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "vec_l2sq_multi"
+  private lazy val packed: Boolean = child.dataType == BinaryType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | BinaryType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"vec_l2sq_multi expects array<float>, got ${t.simpleString}")
+      s"vec_l2sq_multi expects array<float> or packed binary, got ${t.simpleString}")
   }
-  override def nullSafeEval(a: Any): Any =
-    DistanceKernels.l2sqMulti(a.asInstanceOf[ArrayData], queries)
+  override def nullSafeEval(a: Any): Any = a match {
+    case b: Array[Byte] =>
+      DistanceKernels.l2sqMultiF(DistanceKernels.bytesToFloats(b), queries)
+    case d: ArrayData => DistanceKernels.l2sqMulti(d, queries)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("qmat", queries, "float[][]")
-    defineCodeGen(ctx, ev, a => s"graft.functions.DistanceKernels.l2sqMulti($a, $ref)")
+    if (packed)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.DistanceKernels.l2sqMultiF(graft.functions.DistanceKernels.asFloats($a), $ref)")
+    else defineCodeGen(ctx, ev, a => s"graft.functions.DistanceKernels.l2sqMulti($a, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -105,44 +105,53 @@ object SegmentIndex {
     require(kind == "ivf_sq8" || kind == "ivf_pq" || kind == "ivf_opq" ||
         kind == "ivf_rabitq",
       s"unknown index kind `$kind` (ivf_sq8 | ivf_pq | ivf_opq | ivf_rabitq)")
+    // packed segment layout: vectors at rest are LE float32 blobs. The
+    // WRITTEN segment keeps the packed column untouched (pass-through);
+    // only the train/encode/assign inputs go through a float view.
+    val isPacked = live.schema(vecCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val vecF =
+      if (isPacked) graft.functions.vec_unpack_f32(col(vecCol)) else col(vecCol)
+    val liveF = if (isPacked) live.withColumn(vecCol, vecF) else live
     val trainDf =
       if (totalRows > trainSampleCap && trainSampleCap > 0)
-        live.select(col(vecCol)).sample(withReplacement = false,
+        liveF.select(col(vecCol)).sample(withReplacement = false,
           math.min(1.0, trainSampleCap.toDouble / totalRows), seed)
-      else live
+      else liveF
     val ivf = IVF.train(trainDf, vecCol, k = nlist, seed = seed)
     // the coded first pass: per-dim SQ8 codes, PQ product codes + ADC, or
     // OPQ (learned rotation + PQ — same code column, rotated encode)
-    val sq8 = if (kind == "ivf_sq8") Some(SQ8.train(live, vecCol, levels)) else None
+    val sq8 = if (kind == "ivf_sq8") Some(SQ8.train(liveF, vecCol, levels)) else None
     def codedDim: Int =
-      live.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+      liveF.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
     def pqSubM(dim: Int): Int = {
       val m = if (pqM > 0) pqM else math.max(1, dim / 4)
       require(dim % m == 0, s"dim $dim not divisible by pq m=$m")
       m
     }
     val pq =
-      if (kind == "ivf_pq") Some(PQ.train(live, vecCol, pqSubM(codedDim), seed = seed))
+      if (kind == "ivf_pq") Some(PQ.train(liveF, vecCol, pqSubM(codedDim), seed = seed))
       else None
     val opq =
-      if (kind == "ivf_opq") Some(OPQ.train(live, vecCol, pqSubM(codedDim), seed = seed))
+      if (kind == "ivf_opq") Some(OPQ.train(liveF, vecCol, pqSubM(codedDim), seed = seed))
       else None
     val rbq =
       if (kind == "ivf_rabitq") Some(RaBitQ.train(codedDim, seed)) else None
     val coded = (sq8, pq, opq, rbq) match {
-      case (Some(s), _, _, _) => live.withColumn(CodeCol, s.encodeCol(col(vecCol)))
-      case (_, Some(p), _, _) => live.withColumn(PqCol, p.encodeCol(col(vecCol)))
-      case (_, _, Some(o), _) => live.withColumn(PqCol, o.encodeCol(col(vecCol)))
-      case (_, _, _, Some(r)) => live.withColumn(RbqCol, r.encodeCol(col(vecCol)))
+      case (Some(s), _, _, _) => live.withColumn(CodeCol, s.encodeCol(vecF))
+      case (_, Some(p), _, _) => live.withColumn(PqCol, p.encodeCol(vecF))
+      case (_, _, Some(o), _) => live.withColumn(PqCol, o.encodeCol(vecF))
+      case (_, _, _, Some(r)) => live.withColumn(RbqCol, r.encodeCol(vecF))
       case _ => live
     }
     coded
-      .withColumn(PartCol, ivf.assignCol(col(vecCol)))
+      .withColumn(PartCol, ivf.assignCol(vecF))
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#id", "true")
       // raw-bytes segments, like SnapshotStore.writeSegment: float vectors
       // and SQ8 codes are entropy-dense, snappy is all cost no win
       .option("compression", "uncompressed")
+      .option(s"parquet.enable.dictionary#$vecCol", "false")
       .partitionBy(PartCol)
       .parquet(dir)
     // per-list radius: one agg over the WRITTEN layout (vecgo keeps

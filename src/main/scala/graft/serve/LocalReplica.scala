@@ -1237,6 +1237,14 @@ object LocalReplica {
         case _ => col(name).cast("long")
       }).as(name)
     }
+    // packed segment layout: the vector column may arrive as an LE
+    // float32 blob — collect the raw bytes (cheaper than a boxed
+    // Seq[Float] row) and bulk-convert driver-side
+    val packed = df.schema(vecCol).dataType == BinaryType
+    def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
+      if (packed)
+        graft.functions.DistanceKernels.bytesToFloats(r.getAs[Array[Byte]](1))
+      else r.getSeq[Float](1).toArray
     val rows = df.select(
       col(idCol).cast("long") +: col(vecCol) +: metaExprs: _*).collect()
     require(rows.length <= maxRows,
@@ -1244,14 +1252,18 @@ object LocalReplica {
         "a LocalReplica is a per-shard serving artifact, not the store; " +
         "export per shard or raise maxRows explicitly")
     require(rows.nonEmpty, "cannot build a replica from an empty frame")
-    val dim = rows(0).getSeq[Float](1).length
+    val dim = vecOf(rows(0)).length
 
     val model: Option[IVF.Model] =
       if (nlist <= 0 || rows.length <= nlist) None
       else {
         val frac = math.min(1.0, 20000.0 / rows.length)
+        val dfF =
+          if (packed)
+            df.withColumn(vecCol, graft.functions.vec_unpack_f32(col(vecCol)))
+          else df
         val sample =
-          if (frac >= 1.0) df else df.sample(withReplacement = false, frac, 42L)
+          if (frac >= 1.0) dfF else dfF.sample(withReplacement = false, frac, 42L)
         // bounded sample + bounded iterations: the export is a build-time
         // op but shouldn't cost more k-means than the layout is worth
         Some(IVF.train(sample, vecCol, k = nlist, maxIter = 10))
@@ -1286,7 +1298,7 @@ object LocalReplica {
     val vecs = new Array[Array[Float]](n)
     val assigns = new Array[Int](n)
     java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
-      val v = rows(i).getSeq[Float](1).toArray
+      val v = vecOf(rows(i))
       require(v.length == dim, s"ragged vector column: ${v.length} != $dim")
       vecs(i) = v
       assigns(i) = assignOf(v)
@@ -1462,6 +1474,9 @@ object LocalReplica {
       maxRows: Long = DefaultMaxRows,
       metaCols: Seq[String] = Nil,
       pqModel: Option[graft.index.PQ.Model] = None): LocalReplica =
-    fromDataFrame(db.read(), "vector", "id", db.metric, nlist, maxRows,
-      metaCols, pqModel)
+    // raw store read: packed segments export as raw bytes (bulk-converted
+    // driver-side), skipping both the unpack column and the boxed
+    // Seq[Float] row deserialization of the public read()
+    fromDataFrame(db.store.read(db.effectiveVersion), "vector", "id",
+      db.metric, nlist, maxRows, metaCols, pqModel)
 }

@@ -87,7 +87,17 @@ object SegmentStats {
       parts.iterator.map(_._4).min, parts.iterator.map(_._5).max)
   }
 
-  def collect(df: DataFrame, vecCol: Option[String] = None): Stats = {
+  def collect(df0: DataFrame, vecCol: Option[String] = None): Stats = {
+    // packed segment layout: the vector column arrives as an LE float32
+    // blob — unpack once here so the centroid/radius aggregates below see
+    // array<float> (stats collection is a build-time pass, not the scan
+    // hot path)
+    val df = vecCol match {
+      case Some(vc) if df0.columns.contains(vc) &&
+          df0.schema(vc).dataType == org.apache.spark.sql.types.BinaryType =>
+        df0.withColumn(vc, graft.functions.vec_unpack_f32(col(vc)))
+      case _ => df0
+    }
     val scalarCols = df.schema.fields.filter {
       case StructField(_, _: NumericType, _, _) => true
       case StructField(_, StringType, _, _) => true

@@ -255,6 +255,10 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         // the 128d synthetic corpus), so the store writes uncompressed —
         // the same raw-bytes choice the reference's segment writer makes
         .option("compression", "uncompressed")
+        // packed vector blobs are unique: the dictionary attempt always
+        // falls back after burning encode CPU (~15% of the segment write,
+        // tools/PackProbe); scalar columns keep the default
+        .option("parquet.enable.dictionary#vector", "false")
         .parquet(dir)
     } catch {
       case e: Throwable =>
@@ -286,6 +290,31 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         "left_anti")
     }
 
+  /** unionByName across segments with packed-layout canonicalization: a
+    * store written across the packed-vector switch can hold the same
+    * column as an LE float32 blob (binary) in newer segments and
+    * array<float> in older ones — pack the array side before the union
+    * (packed is canonical; readers unpack at the public boundary).
+    */
+  private def unionSegs(frames: Seq[DataFrame]): DataFrame =
+    if (frames.lengthCompare(1) == 0) frames.head
+    else {
+      import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType}
+      val packedCols = frames.flatMap(_.schema.fields).collect {
+        case f if f.dataType == BinaryType => f.name
+      }.toSet
+      frames.map { df =>
+        df.schema.fields.collect {
+          case f if packedCols.contains(f.name) &&
+              (f.dataType match {
+                case ArrayType(FloatType, _) => true
+                case _ => false
+              }) => f.name
+        }.foldLeft(df)((d, n) =>
+          d.withColumn(n, graft.functions.vec_pack_f32(col(n))))
+      }.reduce(_ unionByName _)
+    }
+
   /** One segment frame with `_seq` attached; internal index columns
     * (IVF partition, quantized codes) are hidden from logical reads.
     */
@@ -310,7 +339,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val m = manifest(version).getOrElse(
       throw new IllegalStateException(s"no version $version at $root"))
     require(m.segments.nonEmpty, s"version $version has no segments")
-    val segs = m.segments.map(segFrame).reduce(_ unionByName _)
+    val segs = unionSegs(m.segments.map(segFrame))
     applyDeletes(segs, m).drop("_seq")
   }
 
@@ -371,7 +400,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
         Nil, pruned.map(_.seq))
     }
-    val segs = kept.map(segFrame).reduce(_ unionByName _)
+    val segs = unionSegs(kept.map(segFrame))
     (applyDeletes(segs, m).drop("_seq").where(pred),
       kept.map(_.seq), pruned.map(_.seq))
   }
@@ -573,7 +602,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       throw new IllegalStateException("compact on empty store"))
     val chosen = m.segments.filter(s => seqs.contains(s.seq))
     require(chosen.nonEmpty, "no segments chosen")
-    val segs = chosen.map(segFrame).reduce(_ unionByName _)
+    val segs = unionSegs(chosen.map(segFrame))
     val live = applyDeletes(segs, m)
     val seq = m.maxSeq + 1
     val (path, rows) = writeSegment(live.drop("_seq"), seq, "seg")
