@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{vec_l2sq, vec_norm, vec_sum_double}
+
+/** Training-data curation operators beyond the dedup/decontam set: corpus
+  * vocabulary + IDF extraction, nearest-centroid cluster assignment,
+  * per-class centroid embeddings, and embedding-norm outlier detection.
+  * All oracle-checked against DuckDB on the driver corpus.
+  *
+  * 100 TB shapes: every operator here is one partial-aggregated shuffle
+  * (token/label/cluster keyed) over a broadcast model side — no windows
+  * over unpartitioned data, no driver-side loops.
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Corpus vocabulary: top-25 word tokens by document frequency, with
+    * smoothed IDF (`ln(N / (df + 1)) + 1`). Tokenization is the portable
+    * lowercase [^a-z]+ split used by the dedup shingles, distinct per doc
+    * — one explode + one token-keyed partial-aggregated shuffle, the
+    * canonical vocabulary-extraction shape at corpus scale.
+    */
+  def vocabTopk(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    docs
+      .select(explode(array_distinct(
+        split(lower(col("text")), "[^a-z]+"))).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("idf", r6(log(lit(n.toDouble) / (col("df") + 1)) + 1))
+      .orderBy(col("df").desc, col("word").asc)
+      .limit(25)
+  }
+
+  /** Nearest-centroid cluster assignment (the classification half of
+    * k-means, vecgo's IVF assignment step as a standalone operator):
+    * centroids = the embeddings of vec_id 0..7 (broadcast), every vector
+    * assigned by argmin distance with deterministic (rounded-distance,
+    * centroid-id) tie-break via a lexicographic min-struct aggregate —
+    * partial-aggregated, no window sort. Output: per-cluster size + mean
+    * distance.
+    */
+  def clusterAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        r6(sqrt(vec_l2sq(col("embedding"), col("cv")))).as("dr"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dr"), col("cid"))).as("m"))
+      .select(col("m.cid").as("cid"), col("m.dr").as("dr"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), r6(avg(col("dr"))).as("avg_dist"))
+      .orderBy(col("cid").asc)
+  }
+
+  /** Per-class centroid embedding (class prototypes for curriculum /
+    * coverage analysis): element-wise mean per label via the
+    * [[graft.functions.VecSumDouble]] partial aggregate — one double[dim]
+    * buffer per task per label, one label-keyed shuffle; the
+    * posexplode+groupBy alternative shuffles dim rows per vector. First
+    * four dimensions exposed for the oracle.
+    */
+  def classCentroid(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    emb.groupBy("label")
+      .agg(count(lit(1)).as("n"), vec_sum_double(col("embedding"), dim).as("vs"))
+      .select(col("label"), col("n"),
+        r6(element_at(col("vs"), 1) / col("n")).as("c0"),
+        r6(element_at(col("vs"), 2) / col("n")).as("c1"),
+        r6(element_at(col("vs"), 3) / col("n")).as("c2"),
+        r6(element_at(col("vs"), 4) / col("n")).as("c3"))
+      .orderBy(col("label").asc)
+  }
+
+  /** Embedding hygiene: flag vectors whose L2 norm sits outside
+    * mean ± 2·stddev (broken encoders produce near-zero or exploded
+    * norms). The global moments are one tiny aggregate broadcast back
+    * over the scan; comparisons round to 6 decimals on both engines so
+    * boundary membership is deterministic.
+    */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val withNorm = emb.select(col("vec_id"), vec_norm(col("embedding")).as("nrm"))
+    val stats = withNorm.agg(avg(col("nrm")).as("mu"),
+      stddev_pop(col("nrm")).as("sd"))
+    withNorm.crossJoin(broadcast(stats))
+      .select(col("vec_id"), r6(col("nrm")).as("norm"),
+        (r6(col("nrm") - (col("mu") + lit(2) * col("sd"))) > 0 ||
+          r6((col("mu") - lit(2) * col("sd")) - col("nrm")) > 0).as("is_outlier"))
+      .orderBy(col("vec_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_topk" -> (vocabTopk _),
+    "cluster_assign" -> (clusterAssign _),
+    "class_centroid" -> (classCentroid _),
+    "embedding_outliers" -> (embeddingOutliers _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_vocab_topk" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |toks AS (SELECT unnest(list_distinct(
+        |           string_split_regex(lower(text), '[^a-z]+'))) AS word
+        |         FROM documents)
+        |SELECT word, count(*) AS df,
+        |       round(ln((SELECT c FROM n) * 1.0 / (count(*) + 1)) + 1, 6) AS idf
+        |FROM toks WHERE length(word) >= 2
+        |GROUP BY word
+        |ORDER BY df DESC, word ASC
+        |LIMIT 25""".stripMargin,
+    "cluster_assign" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+        |               FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |             round(list_distance(e.embedding::DOUBLE[],
+        |                                 c.cv::DOUBLE[]), 6) AS dr
+        |      FROM embeddings e, cents c),
+        |a AS (SELECT vec_id, cid, dr,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY dr ASC, cid ASC) AS rk
+        |      FROM d)
+        |SELECT cid, count(*) AS n, round(avg(dr), 6) AS avg_dist
+        |FROM a WHERE rk = 1
+        |GROUP BY cid ORDER BY cid ASC""".stripMargin,
+    "class_centroid" ->
+      """SELECT label, count(*) AS n,
+        |       round(sum(embedding[1]::DOUBLE) / count(*), 6) AS c0,
+        |       round(sum(embedding[2]::DOUBLE) / count(*), 6) AS c1,
+        |       round(sum(embedding[3]::DOUBLE) / count(*), 6) AS c2,
+        |       round(sum(embedding[4]::DOUBLE) / count(*), 6) AS c3
+        |FROM embeddings GROUP BY label ORDER BY label ASC""".stripMargin,
+    "embedding_outliers" ->
+      """WITH nn AS (SELECT vec_id,
+        |              sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                      embedding::DOUBLE[])) AS nrm
+        |            FROM embeddings),
+        |st AS (SELECT avg(nrm) AS mu, stddev_pop(nrm) AS sd FROM nn)
+        |SELECT vec_id, round(nrm, 6) AS norm,
+        |       (round(nrm - (mu + 2 * sd), 6) > 0 OR
+        |        round((mu - 2 * sd) - nrm, 6) > 0) AS is_outlier
+        |FROM nn, st ORDER BY vec_id ASC""".stripMargin
+  )
+}

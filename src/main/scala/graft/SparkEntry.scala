@@ -14,7 +14,7 @@ object SparkEntry {
     Queries.queries ++ PipelineQueries.queries ++ StoreQueries.queries ++
       IndexQueries.queries ++ EventQueries.queries ++
       MultimodalQueries.queries ++ FacadeQueries.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +22,5 @@ object SparkEntry {
     Queries.oracle ++ PipelineQueries.oracle ++ StoreQueries.oracle ++
       IndexQueries.oracle ++ EventQueries.oracle ++
       MultimodalQueries.oracle ++ FacadeQueries.oracle ++
-      StreamingQueries.oracle
+      StreamingQueries.oracle ++ CurationQueries.oracle
 }
