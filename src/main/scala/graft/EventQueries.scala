@@ -193,6 +193,26 @@ object EventQueries {
         col("n"), col("sum_qty"))
       .orderBy(col("rf").asc, col("ls").asc)
 
+  /** PIVOT: one row per order priority, order-status counts and
+    * decimal-exact price totals spread across columns. The pivot domain
+    * is DECLARED (`Seq("O","F","P")`) — Spark then plans a single
+    * partial-aggregated pass with no values-discovery job, the shape that
+    * holds at 100 TB (an undeclared domain costs an extra distinct scan
+    * and is capped by `spark.sql.pivotMaxValues`).
+    */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(28,10)")).cast("double")
+          .as("total"))
+      .select(col("o_orderpriority"),
+        col("O_cnt").as("cnt_o"), round(col("O_total"), 4).as("tot_o"),
+        col("F_cnt").as("cnt_f"), round(col("F_total"), 4).as("tot_f"),
+        col("P_cnt").as("cnt_p"), round(col("P_total"), 4).as("tot_p"))
+      .orderBy(col("o_orderpriority").asc)
+
   /** Trailing time-RANGE window frame (not a rows frame): per event, the
     * count and exact sum of the same user's events in the preceding 10
     * minutes (inclusive). One user-keyed Sort+Window — the frame bound is
@@ -239,6 +259,7 @@ object EventQueries {
     "events_asof_join" -> (asofJoin _),
     "events_range_join" -> (rangeJoin _),
     "cube_agg" -> (cubeAgg _),
+    "pivot_agg" -> (pivotAgg _),
     "events_range_count" -> (rangeCount _),
     "events_quantiles" -> (quantiles _)
   )
@@ -338,6 +359,19 @@ object EventQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf ASC, ls ASC""".stripMargin,
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS cnt_o,
+        |  round(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE), 4) AS tot_o,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS cnt_f,
+        |  round(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE), 4) AS tot_f,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS cnt_p,
+        |  round(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE), 4) AS tot_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     "events_range_count" ->
       """SELECT event_id,
         |  count(*) OVER w AS n_10m,

@@ -311,6 +311,39 @@ object PipelineQueries {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id").asc)
 
+  /** Deterministic length-weighted sample
+    * ([[graft.pipeline.Sampling.weightedHash]]): keep probability
+    * ∝ n_chars (saturating at 1 for docs ≥ 556 chars) — the
+    * length-proportional corpus subsample a mixing pass uses when long
+    * documents should survive at higher rates. All-integer threshold,
+    * bit-identical to the DuckDB oracle.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.weightedHash(t(s, dir, "documents"),
+        "doc_id", col("n_chars"), scalePerUnit = 1800L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+
+  /** Unigram-LM perplexity scoring ([[graft.text.UnigramLM]]): per-doc
+    * mean negative log-likelihood under the corpus's own unigram model —
+    * the CCNet-style "how typical is this document" quality signal.
+    */
+  def unigramPpl(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLM.scoreNll(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("nll"))
+      .orderBy(col("doc_id").asc)
+
+  /** Sequence packing ([[graft.pipeline.Packing]]): concat-then-chunk
+    * documents (doc_id order, whitespace tokens) into 512-token packs via
+    * the distributed exclusive prefix sum — NO global-order window.
+    * Output is the per-pack manifest a batch loader reads.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packSummary(
+      graft.pipeline.Packing.packByBudget(
+        t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 512L))
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -328,7 +361,10 @@ object PipelineQueries {
     "decontam_overlap" -> (decontamOverlap _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_simhash" -> (dedupSimhash _),
-    "neardup_cosine" -> (neardupCosine _)
+    "neardup_cosine" -> (neardupCosine _),
+    "sample_weighted" -> (sampleWeighted _),
+    "pipeline_pack_sequences" -> (packSequences _),
+    "text_unigram_ppl" -> (unigramPpl _)
   )
 
   private val TOK =
@@ -588,6 +624,29 @@ object PipelineQueries {
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cos
         |FROM s WHERE cos >= 0.9::DOUBLE
-        |ORDER BY id_a ASC, id_b ASC""".stripMargin
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 1000000 < least(1000000, n_chars * 1800)
+        |ORDER BY doc_id ASC""".stripMargin,
+    "pipeline_pack_sequences" ->
+      s"""WITH $TOK,
+         |tc AS (SELECT doc_id, len(ts)::BIGINT AS tokens FROM tok),
+         |c AS (SELECT doc_id, tokens,
+         |        sum(tokens) OVER (ORDER BY doc_id) AS cum FROM tc)
+         |SELECT CAST((cum - tokens) // 512 AS BIGINT) AS pack_id,
+         |       count(*)::BIGINT AS n_docs, sum(tokens)::BIGINT AS pack_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY pack_id ASC""".stripMargin,
+    "text_unigram_ppl" ->
+      s"""WITH $TOK,
+         |occ AS (SELECT doc_id, t FROM tok, unnest(ts) u(t)),
+         |counts AS (SELECT t, count(*)::BIGINT AS c FROM occ GROUP BY t),
+         |tot AS (SELECT sum(c)::BIGINT AS n FROM counts)
+         |SELECT o.doc_id, count(*)::BIGINT AS n_tokens,
+         |       round(ln((SELECT n FROM tot)::DOUBLE) - avg(ln(c.c::DOUBLE)), 6) AS nll
+         |FROM occ o JOIN counts c ON o.t = c.t
+         |GROUP BY o.doc_id ORDER BY o.doc_id ASC""".stripMargin
   )
 }

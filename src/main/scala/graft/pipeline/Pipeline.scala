@@ -68,4 +68,24 @@ object Sampling {
     }
     df.where(h < threshold)
   }
+
+  /** Weighted hash sampling: keep a row iff
+    * `md5(id) mod 1e6 < min(1e6, weight · scalePerUnit)` — i.e. keep
+    * probability proportional to an integer weight column (length-
+    * proportional corpus sampling), saturating at 1. All-integer
+    * threshold math so the decision is bit-identical on every engine
+    * (no float rounding at a boundary). Single scan, no shuffle,
+    * deterministic — rerunning the pipeline keeps the SAME rows.
+    */
+  def weightedHash(df: DataFrame, idCol: String, weightCol: Column,
+      scalePerUnit: Long): DataFrame = {
+    require(scalePerUnit > 0, "scalePerUnit must be positive")
+    val h = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    val threshold =
+      least(lit(1000000L), weightCol.cast("long") * lit(scalePerUnit))
+    df.where(h < threshold)
+  }
 }

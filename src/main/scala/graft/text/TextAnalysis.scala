@@ -135,3 +135,38 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), mod), mod))
   }
 }
+
+/** Corpus-level unigram language model for perplexity-style quality
+  * scoring (the CCNet-family filter: score each document by how "typical"
+  * its tokens are of the corpus, drop the tails).
+  *
+  * Scale shape: one token-keyed counting shuffle builds the LM, one
+  * token-keyed equi-join + per-doc aggregation scores against it — both
+  * linear, and the count table is exactly the aggregate Spark would
+  * broadcast when the (pruned) vocabulary fits. No driver-side model
+  * materialization: the corpus total N rides along as a broadcast 1-row
+  * cross join.
+  */
+object UnigramLM {
+  import org.apache.spark.sql.DataFrame
+
+  /** Per-document mean negative log-likelihood under the corpus unigram
+    * LM: `nll = ln N − avg(ln c(t))` over the doc's token OCCURRENCES
+    * (maximum-likelihood estimate; every scored token appears in the LM
+    * by construction, so no smoothing term is needed). Lower = more
+    * typical; perplexity = e^nll. Output: (id, n_tokens, nll), docs with
+    * ≥1 token.
+    */
+  def scoreNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("t"))
+    val counts = occ.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    occ.join(counts, "t")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(total))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(log(first(col("n")).cast("double"))
+          - avg(log(col("c").cast("double"))), 6).as("nll"))
+  }
+}

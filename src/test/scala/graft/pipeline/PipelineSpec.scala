@@ -48,4 +48,49 @@ class PipelineSpec extends AnyFunSuite {
     val m0 = more.where(col("stratum") === 0).select("id").as[Long].collect().toSet
     assert(k0.subsetOf(m0))
   }
+
+  test("weighted hash sampling: keep rate tracks the weight, saturates at 1") {
+    // weights 100 / 500 / 1000 at scale 1000 → keep prob 0.1 / 0.5 / 1.0
+    val df = spark.range(0, 3000)
+      .select(col("id"),
+        (pmod(col("id"), lit(3)) * 450 + 100).as("w")) // 100, 550, 1000
+    val kept = Sampling.weightedHash(df, "id", col("w"), 1000L)
+    val byW = kept.groupBy("w").count().as[(Long, Long)].collect().toMap
+    assert(math.abs(byW(100L) - 100) < 50)     // ~10% of 1000
+    assert(math.abs(byW(550L) - 550) < 80)     // ~55% of 1000
+    assert(byW(1000L) == 1000)                 // saturated: ALL kept
+    // deterministic re-run
+    val again = Sampling.weightedHash(df, "id", col("w"), 1000L)
+    assert(again.select("id").as[Long].collect().toSet ==
+      kept.select("id").as[Long].collect().toSet)
+  }
+
+  test("sequence packing: prefix sum exact vs single-partition oracle, any partitioning") {
+    // deterministic irregular token counts, including zeros
+    val docs = spark.range(0, 997)
+      .select(col("id"), pmod(col("id") * 37 + 11, lit(90)).as("tokens"))
+    val budget = 256L
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Packing.packByBudget(docs, "id", col("tokens"), budget, parts)
+        .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+      // oracle: sequential exclusive prefix sum on the driver
+      var cum = 0L
+      val want = docs.orderBy("id").as[(Long, Long)].collect().toSeq.map {
+        case (id, tk) => val start = cum; cum += tk; (id, tk, start / budget)
+      }
+      assert(got == want, s"parts=$parts")
+    }
+    // pack summary: token totals partition the corpus, packs are contiguous
+    val sum1 = Packing.packSummary(
+      Packing.packByBudget(docs, "id", col("tokens"), budget, 8))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sum1.map(_._3).sum ==
+      docs.agg(sum(col("tokens"))).as[Long].head())
+    assert(sum1.map(_._1) == sum1.map(_._1).sorted)
+    sum1.sliding(2).foreach {
+      case Seq((_, _, _, _, lastA), (_, _, _, firstB, _)) =>
+        assert(firstB == lastA + 1, "packs must be doc-contiguous")
+      case _ =>
+    }
+  }
 }

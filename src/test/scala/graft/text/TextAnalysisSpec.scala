@@ -87,4 +87,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(1L) > q(2L))
   }
+
+  test("unigram LM nll: exact on a hand-computed corpus, rare tokens score worse") {
+    // corpus = all docs: tokens a,a,a,b,a,b ⇒ N=6, c(a)=4, c(b)=2
+    val df = Seq((1L, "a a a"), (2L, "b"), (3L, "a b"), (4L, "  ")).toDF("id", "text")
+    val got = UnigramLM.scoreNll(df, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val ln6 = math.log(6.0); val ln4 = math.log(4.0); val ln2 = math.log(2.0)
+    assert(got(1L) == ((1L, 3L, r6(ln6 - ln4))))             // all common tokens
+    assert(got(2L) == ((2L, 1L, r6(ln6 - ln2))))             // rarest-only doc
+    assert(got(3L) == ((3L, 2L, r6(ln6 - (ln4 + ln2) / 2)))) // mixed
+    assert(!got.contains(4L))                                // empty doc absent
+    assert(got(2L)._3 > got(3L)._3 && got(3L)._3 > got(1L)._3)
+  }
 }
