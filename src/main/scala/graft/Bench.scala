@@ -127,6 +127,19 @@ object Bench {
       stored, "vec", "id", Metric.L2, nlist = 256)
     val replicaBrute = graft.serve.LocalReplica.fromDataFrame(
       stored, "vec", "id", Metric.L2)
+    // replica mutation fixtures: the serving-tier delete is ONE in-memory
+    // bitmap flip per id (the apples-to-apples twin of the reference's
+    // 16.5 M ids/s volatile-bitmap delete, BASELINE.md — the durable
+    // engine delete rows above commit a manifest and can't be compared to
+    // a bitmap). clearMutations() inside the timed loop costs two field
+    // writes.
+    val replicaMut = graft.serve.LocalReplica.fromDataFrame(
+      stored, "vec", "id", Metric.L2, nlist = 64)
+    val allIds: Array[Long] = Array.tabulate(n.toInt)(_.toLong)
+    val rng = new java.util.Random(41)
+    val appendIds: Array[Long] = Array.tabulate(10000)(i => nBig + 1 + i.toLong)
+    val appendVecs: Array[Array[Float]] =
+      Array.fill(10000)(Array.fill(dim)(rng.nextFloat() * 2f - 1f))
     // real-embedding-dim serving shape (768d): the SQ8 first pass reads
     // dim bytes/row, the PQ (format v4) pass m bytes/row — at 768d / m=96
     // that is 8× less scan traffic and an artifact that drops the n·dim
@@ -296,6 +309,16 @@ object Bench {
             nprobe = 16)
           i += 1
         }
+      }),
+      // serving-tier freshness: tombstone every row (n bitmap flips) /
+      // append 10k validated rows into the fused delta block
+      "synth_replica_delete_all" -> (() => {
+        replicaMut.clearMutations()
+        replicaMut.delete(allIds); ()
+      }),
+      "synth_replica_append_10k" -> (() => {
+        replicaMut.clearMutations()
+        replicaMut.append(appendIds, appendVecs); ()
       })
     )
 
@@ -361,6 +384,10 @@ object Bench {
       results("synth_local_knn768_sq8_x200") / 200.0 * 1e6
     derived("local_knn768_pq_latency_us") =
       results("synth_local_knn768_pq_x200") / 200.0 * 1e6
+    derived("replica_delete_ids_per_sec") =
+      n / results("synth_replica_delete_all")
+    derived("replica_append_vec_per_sec") =
+      10000.0 / results("synth_replica_append_10k")
     // structural RAM/traffic ratio of the two 768d first passes: SQ8 codes
     // are dim bytes/vec, PQ codes m bytes/vec
     derived("local_768_pq_traffic_ratio") = dim768.toDouble / pq768.m

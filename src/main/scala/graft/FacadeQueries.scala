@@ -471,6 +471,52 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** Serving-tier tombstone deletes ([[graft.serve.LocalReplica.delete]]):
+    * export a replica, tombstone `vec_id ≡ 3 (mod 7)` (one in-memory
+    * bitmap flip per id — the analog of vecgo's delete bitmap,
+    * BASELINE.md's 16.5 M ids/s row), search. The result must equal a
+    * brute-force scan over the surviving rows — deletes through the coded
+    * first pass included, since admission only ever sees live rows.
+    */
+  def localDelete(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_del")
+    val rep = graft.serve.LocalReplica.fromStore(db, nlist = 8)
+    val delIds = Tables.load(s, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(7)) === 3)
+      .select("vec_id").collect().map(_.getLong(0))
+    rep.delete(delIds)
+    val res = rep.search(qvec(s, dir, 11), 10, nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
+  /** Serving-tier delta appends ([[graft.serve.LocalReplica.append]]):
+    * export a replica from 80% of the corpus, append the remaining 20%
+    * in-process (vecgo's insert-then-search freshness — the memtable-
+    * segment analog), search. Appended rows are exact-scanned and fused,
+    * so the result equals the full-corpus brute-force oracle.
+    */
+  def localAppend(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_local_app"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val emb = Tables.load(s, dir, "embeddings")
+    val db = GraftDB.open(s, root, dim = 64, metric = "l2")
+    db.insertBatch(emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vector")))
+    val rep = graft.serve.LocalReplica.fromStore(db, nlist = 8)
+    val rest = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    rep.append(rest.map(_._1), rest.map(_._2))
+    val res = rep.search(qvec(s, dir, 13), 10, nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
@@ -494,6 +540,8 @@ object FacadeQueries {
     "graftdb_local_hamming" -> (localHamming _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
     "graftdb_local_knn_where" -> (localKnnWhere _),
+    "graftdb_local_delete" -> (localDelete _),
+    "graftdb_local_append" -> (localAppend _),
     "graftdb_hybrid_hamming" -> (hybridHamming _)
   )
 
@@ -524,6 +572,20 @@ object FacadeQueries {
         |s AS (SELECT e.vec_id,
         |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
         |      FROM embeddings e, q WHERE e.label = 4)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "graftdb_local_delete" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q WHERE e.vec_id % 7 <> 3)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "graftdb_local_append" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 13),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q)
         |SELECT vec_id, round(score, 6) AS score
         |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_knn_prefilter" ->

@@ -90,6 +90,239 @@ final class LocalReplica private (
   private val ivfModel: Option[IVF.Model] =
     if (centroids.isEmpty) None else Some(IVF.Model(centroids))
 
+  // ------------------------------------------- incremental freshness state
+  //
+  // The serving twin of the reference's between-rebuild mutability: vecgo
+  // deletes flip an in-memory tombstone bitmap (delete-path analog of
+  // `internal/engine/engine.go` — BASELINE.md's 16.5 M ids/s row IS that
+  // bitmap flip) and inserts land in a brute-scanned memtable segment until
+  // compaction folds them into the indexed ones. Here: `tombstones` is an
+  // immutable bitmap over MAIN rows (copy-on-write per delete batch, so
+  // readers take one volatile read and never see a torn word), and `delta`
+  // is an immutable append-only side block of (id, vector) rows that every
+  // search exact-scans and fuses with the main result. Mutators serialize
+  // on `this`; searches are lock-free against their snapshot. A reader
+  // racing a mutation may see the new tombstones with the old delta (or
+  // vice versa) — each snapshot is internally consistent, the same
+  // read-your-own-writes-eventually contract as the reference's bitmap.
+  // The delta is for freshness BETWEEN re-exports, not growth: re-export
+  // from the store (or [[compacted]]) is the compaction path.
+  @volatile private var tombstones: Array[Long] = null
+  @volatile private var delta: LocalReplica.Delta = null
+
+  @inline private def live(tomb: Array[Long], r: Int): Boolean =
+    tomb == null || (tomb(r >>> 6) & (1L << (r & 63))) == 0L
+
+  /** id → main-row index, built once on first delete/append (open-addressed
+    * primitive map — no boxing on the 10M-ids/s delete path).
+    */
+  private lazy val idToRow: LocalReplica.LongIntMap = {
+    val m = new LocalReplica.LongIntMap(size)
+    var r = 0
+    while (r < size) { m.put(ids(r), r); r += 1 }
+    m
+  }
+
+  /** Rows currently visible to searches (main minus tombstones plus delta). */
+  def liveSize: Int = {
+    val tomb = tombstones
+    var dead = 0
+    if (tomb != null) {
+      var w = 0
+      while (w < tomb.length) { dead += java.lang.Long.bitCount(tomb(w)); w += 1 }
+    }
+    val d = delta
+    size - dead + (if (d == null) 0 else d.size)
+  }
+
+  /** Appended-but-not-yet-compacted rows. */
+  def deltaSize: Int = { val d = delta; if (d == null) 0 else d.size }
+
+  /** Tombstone a batch of ids (vecgo `Delete`/`BatchDelete` on the serving
+    * tier): one bitmap flip per id against the prebuilt id index, visible
+    * to every subsequent search — no rebuild, no IO. Unknown ids are
+    * ignored (idempotent, like the reference). Returns how many rows were
+    * NEWLY tombstoned.
+    */
+  def delete(delIds: Array[Long]): Int = this.synchronized {
+    if (delIds.isEmpty) return 0
+    val words =
+      if (tombstones == null) new Array[Long]((size + 63) >>> 6)
+      else tombstones.clone()
+    var newly = 0
+    var i = 0
+    while (i < delIds.length) {
+      val r = idToRow.get(delIds(i))
+      if (r >= 0 && (words(r >>> 6) & (1L << (r & 63))) == 0L) {
+        words(r >>> 6) |= 1L << (r & 63)
+        newly += 1
+      }
+      i += 1
+    }
+    val d = delta
+    if (d != null) {
+      val dead = new java.util.HashSet[Long]()
+      i = 0
+      while (i < delIds.length) { dead.add(delIds(i)); i += 1 }
+      var hit = false
+      i = 0
+      while (!hit && i < d.size) { hit = dead.contains(d.ids(i)); i += 1 }
+      if (hit) {
+        val keepIds = new scala.collection.mutable.ArrayBuffer[Long](d.size)
+        val keepFlat = new scala.collection.mutable.ArrayBuffer[Float](d.flat.length)
+        i = 0
+        while (i < d.size) {
+          if (!dead.contains(d.ids(i))) {
+            keepIds += d.ids(i)
+            var j = 0
+            while (j < dim) { keepFlat += d.flat(i * dim + j); j += 1 }
+          } else newly += 1
+          i += 1
+        }
+        delta =
+          if (keepIds.isEmpty) null
+          else new LocalReplica.Delta(keepIds.toArray, keepFlat.toArray)
+      }
+    }
+    tombstones = words
+    newly
+  }
+
+  /** Append rows searchable immediately (vecgo's insert-then-search
+    * freshness; the memtable-segment analog). Vectors are validated like
+    * the engine ingest (dim, finite, non-zero norm under cosine) and ids
+    * must not collide with a live row. Appended rows carry NO metadata:
+    * [[searchWhere]] treats them as all-NULL (no predicate matches), the
+    * same three-valued semantics as a NULL metadata row in the main block.
+    */
+  def append(newIds: Array[Long], vecs: Array[Array[Float]]): Unit =
+    this.synchronized {
+      require(newIds.length == vecs.length,
+        s"ids (${newIds.length}) and vectors (${vecs.length}) must align")
+      if (newIds.isEmpty) return
+      val tomb = tombstones
+      val d = delta
+      val seen = new java.util.HashSet[Long]()
+      if (d != null) { var i = 0; while (i < d.size) { seen.add(d.ids(i)); i += 1 } }
+      val addFlat = new Array[Float](newIds.length * dim)
+      var i = 0
+      while (i < newIds.length) {
+        val id = newIds(i)
+        val mr = idToRow.get(id)
+        require(mr < 0 || !live(tomb, mr),
+          s"id $id is already live in the replica (delete/upsert first)")
+        require(seen.add(id), s"duplicate id $id in append batch")
+        val v = vecs(i)
+        require(v != null && v.length == dim,
+          s"vector for id $id has dim ${if (v == null) -1 else v.length}, expected $dim")
+        var norm = 0.0
+        var j = 0
+        while (j < dim) {
+          val x = v(j)
+          require(!x.isNaN && !x.isInfinite, s"vector for id $id has NaN/Inf")
+          norm += x.toDouble * x
+          addFlat(i * dim + j) = x
+          j += 1
+        }
+        require(metric != Metric.Cosine || norm > 0.0,
+          s"zero-norm vector for id $id under cosine")
+        i += 1
+      }
+      delta =
+        if (d == null) new LocalReplica.Delta(newIds.clone(), addFlat)
+        else new LocalReplica.Delta(d.ids ++ newIds,
+          java.util.Arrays.copyOf(d.flat, d.flat.length + addFlat.length) match {
+            case merged =>
+              System.arraycopy(addFlat, 0, merged, d.flat.length, addFlat.length)
+              merged
+          })
+    }
+
+  /** Drop all tombstones + delta (bench/test reset — NOT part of the
+    * serving API; production rollback is re-export).
+    */
+  private[graft] def clearMutations(): Unit = this.synchronized {
+    tombstones = null
+    delta = null
+  }
+
+  /** Delete-then-append in one mutator critical section (vecgo upsert:
+    * a WriteBatch of delete + insert on the same ids).
+    */
+  def upsert(upIds: Array[Long], vecs: Array[Array[Float]]): Unit =
+    this.synchronized {
+      delete(upIds)
+      append(upIds, vecs)
+    }
+
+  /** Fold tombstones + delta into a fresh dense replica: live main rows
+    * keep their IVF list placement, delta rows are assigned to their
+    * nearest centroid, and the CSR directory is rebuilt. The coded mirrors
+    * (SQ8/PQ) and metadata columns are NOT carried — their per-dim bounds
+    * and row alignment belong to the original export, and appended rows
+    * sit outside both; re-export from the store/DataFrame for a coded or
+    * predicate-serving artifact (that is the production compaction path —
+    * this is the in-process one).
+    */
+  def compacted(): LocalReplica = this.synchronized {
+    val tomb = tombstones
+    val d = delta
+    if (tomb == null && d == null)
+      return new LocalReplica(metric, dim, ids, flat, centroids, listStart,
+        null, null, null, 0.0, Array.empty, null)
+    val nl = math.max(1, nlist)
+    val perList = Array.fill(nl)(new scala.collection.mutable.ArrayBuffer[Int]())
+    var r = 0
+    var l = 0
+    while (r < size) {
+      if (centroids.nonEmpty) { while (listStart(l + 1) <= r) l += 1 }
+      if (live(tomb, r)) perList(if (centroids.isEmpty) 0 else l) += r
+      r += 1
+    }
+    val deltaList: Array[Int] =
+      if (d == null) Array.empty
+      else Array.tabulate(d.size) { i =>
+        ivfModel match {
+          case None => 0
+          case Some(m) =>
+            val v = new Array[Float](dim)
+            System.arraycopy(d.flat, i * dim, v, 0, dim)
+            m.probes(v, 1).head
+        }
+      }
+    val n2 = perList.map(_.length).sum + (if (d == null) 0 else d.size)
+    require(n2 > 0, "compacted(): no live rows")
+    val outIds = new Array[Long](n2)
+    val outFlat = new Array[Float](n2 * dim)
+    val outStart = new Array[Int](nl + 1)
+    var w = 0
+    var li = 0
+    while (li < nl) {
+      outStart(li) = w
+      perList(li).foreach { row =>
+        outIds(w) = ids(row)
+        System.arraycopy(flat, row * dim, outFlat, w * dim, dim)
+        w += 1
+      }
+      if (d != null) {
+        var i = 0
+        while (i < d.size) {
+          if (deltaList(i) == li) {
+            outIds(w) = d.ids(i)
+            System.arraycopy(d.flat, i * dim, outFlat, w * dim, dim)
+            w += 1
+          }
+          i += 1
+        }
+      }
+      li += 1
+    }
+    outStart(nl) = w
+    new LocalReplica(metric, dim, outIds, outFlat, centroids,
+      if (centroids.isEmpty) Array(0, n2) else outStart,
+      null, null, null, 0.0, Array.empty, null)
+  }
+
   /** Row norms for the fast cosine path (exact cosine recomputes both
     * norms in-loop to stay bit-identical with `DistanceKernels.cosineQ`).
     */
@@ -129,25 +362,25 @@ final class LocalReplica private (
   // --- kernels over one packed row (exact = same accumulation order as
   // DistanceKernels.l2sqFF/dotQ/cosineQ on the row slice → same bits) ---
 
-  private def l2sqExact(base: Int, q: Array[Float]): Double = {
+  private def l2sqExact(arr: Array[Float], base: Int, q: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < dim) {
-      val d = flat(base + i).toDouble - q(i).toDouble
+      val d = arr(base + i).toDouble - q(i).toDouble
       s += d * d; i += 1
     }
     s
   }
 
-  private def dotExact(base: Int, q: Array[Float]): Double = {
+  private def dotExact(arr: Array[Float], base: Int, q: Array[Float]): Double = {
     var s = 0.0; var i = 0
-    while (i < dim) { s += flat(base + i).toDouble * q(i).toDouble; i += 1 }
+    while (i < dim) { s += arr(base + i).toDouble * q(i).toDouble; i += 1 }
     s
   }
 
-  private def cosExact(base: Int, q: Array[Float]): Double = {
+  private def cosExact(arr: Array[Float], base: Int, q: Array[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < dim) {
-      val x = flat(base + i).toDouble
+      val x = arr(base + i).toDouble
       val y = q(i).toDouble
       d += x * y; na += x * x; nb += y * y
       i += 1
@@ -159,14 +392,27 @@ final class LocalReplica private (
   private def scoreRow(fast: Boolean, base: Int, q: Array[Float],
       qNorm: Double): Double = metric match {
     case Metric.L2 =>
-      if (fast) SimdKernels.l2sqAt(flat, base, q) else l2sqExact(base, q)
+      if (fast) SimdKernels.l2sqAt(flat, base, q) else l2sqExact(flat, base, q)
     case Metric.Dot =>
-      if (fast) SimdKernels.dotAt(flat, base, q) else dotExact(base, q)
+      if (fast) SimdKernels.dotAt(flat, base, q) else dotExact(flat, base, q)
     case Metric.Cosine =>
       if (fast) {
         val denom = rowNorms(base / dim) * qNorm
         if (denom == 0.0) 0.0 else SimdKernels.dotAt(flat, base, q) / denom
-      } else cosExact(base, q)
+      } else cosExact(flat, base, q)
+    case Metric.Hamming => throw new IllegalStateException("unreachable")
+  }
+
+  /** Exact score of one DELTA row (same accumulation order as the exact
+    * kernels over the main block, so fused results keep the main scan's
+    * bit-exact score definitions; the delta is small between re-exports,
+    * so it never needs the SIMD tier).
+    */
+  private def scoreDeltaRow(arr: Array[Float], base: Int,
+      q: Array[Float]): Double = metric match {
+    case Metric.L2 => l2sqExact(arr, base, q)
+    case Metric.Dot => dotExact(arr, base, q)
+    case Metric.Cosine => cosExact(arr, base, q)
     case Metric.Hamming => throw new IllegalStateException("unreachable")
   }
 
@@ -214,11 +460,13 @@ final class LocalReplica private (
     val t0 = System.nanoTime()
     val q = prepQuery(q0)
     val ranges = probeRanges(q, nprobe)
-    val out = searchRanges(q, k, ranges, inBatch = false)
+    val d = delta
+    val out = searchRanges(q, k, ranges, inBatch = false, tombstones, d)
     val fullCoverage = ranges == Seq((0, size))
     (out, LocalReplica.Stats(
       durationNanos = System.nanoTime() - t0,
-      rowsScanned = ranges.map { case (lo, hi) => hi - lo }.sum,
+      rowsScanned = ranges.map { case (lo, hi) => hi - lo }.sum +
+        (if (d == null) 0 else d.size),
       listsProbed =
         if (centroids.isEmpty) 1
         else if (fullCoverage) nlist
@@ -237,7 +485,8 @@ final class LocalReplica private (
     * bounded worst-at-root binary heap.
     */
   private def scanTopK(lo: Int, hi0: Int, q: Array[Float], k: Int,
-      fast: Boolean, qNorm: Double): IndexedSeq[Candidate] = {
+      fast: Boolean, qNorm: Double,
+      tomb: Array[Long]): IndexedSeq[Candidate] = {
     val hs = new Array[Double](math.max(1, k))
     val hi = new Array[Long](math.max(1, k))
     var hn = 0
@@ -261,16 +510,18 @@ final class LocalReplica private (
     }
     var r = lo
     while (r < hi0) {
-      val s = scoreRow(fast, r * dim, q, qNorm)
-      val id = ids(r)
-      if (hn < k) {
-        hs(hn) = s; hi(hn) = id; hn += 1
-        if (hn == k) { // heapify once full
-          var i = hn / 2 - 1
-          while (i >= 0) { siftDown(i); i -= 1 }
+      if (live(tomb, r)) { // tombstoned rows are skipped pre-kernel
+        val s = scoreRow(fast, r * dim, q, qNorm)
+        val id = ids(r)
+        if (hn < k) {
+          hs(hn) = s; hi(hn) = id; hn += 1
+          if (hn == k) { // heapify once full
+            var i = hn / 2 - 1
+            while (i >= 0) { siftDown(i); i -= 1 }
+          }
+        } else if (k > 0 && better(s, id, hs(0), hi(0))) {
+          hs(0) = s; hi(0) = id; siftDown(0)
         }
-      } else if (k > 0 && better(s, id, hs(0), hi(0))) {
-        hs(0) = s; hi(0) = id; siftDown(0)
       }
       r += 1
     }
@@ -379,8 +630,8 @@ final class LocalReplica private (
     * per query instead of once per probed list.
     */
   private def codedAdmitRanges(rangesArg: Seq[(Int, Int)], k: Int,
-      margin: Double, scoreChunk: (Int, Int, Array[Double]) => Unit)
-      : (Array[Int], Array[Double]) = {
+      margin: Double, scoreChunk: (Int, Int, Array[Double]) => Unit,
+      tomb: Array[Long]): (Array[Int], Array[Double]) = {
     val hs = new Array[Double](math.max(1, k))
     val hr = new Array[Int](math.max(1, k))
     var hn = 0
@@ -436,24 +687,29 @@ final class LocalReplica private (
         scoreChunk(blo, bhi, scores)
         var r = blo
         while (r < bhi) {
-          val a = scores(r - blo)
-          if (hn < k) {
-            hs(hn) = a; hr(hn) = r; hn += 1
-            if (hn == k) {
-              var i = hn / 2 - 1
-              while (i >= 0) { siftDown(i); i -= 1 }
-              recomputeAdmit()
-            }
-          } else {
-            val beatsRoot =
-              if (a != hs(0)) { if (asc) a < hs(0) else a > hs(0) }
-              else ids(r) < ids(hr(0))
-            if (beatsRoot) {
-              push(hr(0), hs(0)) // evicted row may still be within the margin
-              hs(0) = a; hr(0) = r; siftDown(0)
-              recomputeAdmit()
-            } else if (if (asc) a <= admit else a >= admit) {
-              push(r, a)
+          // tombstoned rows never enter the heap OR the margin buffer, so
+          // the admit bound is derived from live rows only — deleting a
+          // row can only LOOSEN the bound, never hide a live top-k row
+          if (live(tomb, r)) {
+            val a = scores(r - blo)
+            if (hn < k) {
+              hs(hn) = a; hr(hn) = r; hn += 1
+              if (hn == k) {
+                var i = hn / 2 - 1
+                while (i >= 0) { siftDown(i); i -= 1 }
+                recomputeAdmit()
+              }
+            } else {
+              val beatsRoot =
+                if (a != hs(0)) { if (asc) a < hs(0) else a > hs(0) }
+                else ids(r) < ids(hr(0))
+              if (beatsRoot) {
+                push(hr(0), hs(0)) // evicted row may still be within the margin
+                hs(0) = a; hr(0) = r; siftDown(0)
+                recomputeAdmit()
+              } else if (if (asc) a <= admit else a >= admit) {
+                push(r, a)
+              }
             }
           }
           r += 1
@@ -472,7 +728,8 @@ final class LocalReplica private (
     * results (values and tie-breaks) are identical.
     */
   private def codedSearch(q: Array[Float], k: Int, ranges: Seq[(Int, Int)],
-      fast: Boolean, qNorm: Double, inBatch: Boolean): Seq[Candidate] = {
+      fast: Boolean, qNorm: Double, inBatch: Boolean,
+      tomb: Array[Long]): Seq[Candidate] = {
     // metric-specific precomputation + sound margin (2·per-row error);
     // float arrays feed the SIMD kernels, double accumulators keep the
     // margin arithmetic honest
@@ -513,7 +770,7 @@ final class LocalReplica private (
     }
     val scoreChunk: (Int, Int, Array[Double]) => Unit =
       (lo, hi0, out) => approxChunk(lo, hi0, simd, p1, p2, qArr, dotBase, qn, out)
-    admitAndRerank(q, k, ranges, fast, qNorm, inBatch, margin, scoreChunk)
+    admitAndRerank(q, k, ranges, fast, qNorm, inBatch, margin, scoreChunk, tomb)
   }
 
   /** Shared coded-scan driver: run the approximate first pass (any coding
@@ -526,7 +783,8 @@ final class LocalReplica private (
   private def admitAndRerank(q: Array[Float], k: Int,
       ranges: Seq[(Int, Int)], fast: Boolean, qNorm: Double,
       inBatch: Boolean, margin: Double,
-      scoreChunk: (Int, Int, Array[Double]) => Unit): Seq[Candidate] = {
+      scoreChunk: (Int, Int, Array[Double]) => Unit,
+      tomb: Array[Long]): Seq[Candidate] = {
     val total = ranges.map { case (lo, hi) => hi - lo }.sum
     val chunksOut: IndexedSeq[(Array[Int], Array[Double])] =
       if (total >= LocalReplica.ParallelScanRows && !inBatch) {
@@ -537,11 +795,12 @@ final class LocalReplica private (
         val out = new Array[(Array[Int], Array[Double])](chunks.length)
         java.util.stream.IntStream.range(0, chunks.length).parallel()
           .forEach { i =>
-            out(i) = codedAdmitRanges(chunks(i) :: Nil, k, margin, scoreChunk)
+            out(i) = codedAdmitRanges(chunks(i) :: Nil, k, margin, scoreChunk,
+              tomb)
           }
         scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
       } else {
-        IndexedSeq(codedAdmitRanges(ranges, k, margin, scoreChunk))
+        IndexedSeq(codedAdmitRanges(ranges, k, margin, scoreChunk, tomb))
       }
     // chunk-local admission is necessarily loose (each chunk only knows
     // its own kth bound, and every heap eviction is buffered); now that
@@ -602,7 +861,8 @@ final class LocalReplica private (
     * for floats): at 768d / m=96 the coded scan reads 8× less than SQ8.
     */
   private def pqSearch(q: Array[Float], k: Int, ranges: Seq[(Int, Int)],
-      fast: Boolean, qNorm: Double, inBatch: Boolean): Seq[Candidate] = {
+      fast: Boolean, qNorm: Double, inBatch: Boolean,
+      tomb: Array[Long]): Seq[Candidate] = {
     val m = pq.m; val ksub = pq.ksub; val subDim = pq.subDim
     val books = pq.books
     val pqCodes = pq.codes
@@ -717,7 +977,7 @@ final class LocalReplica private (
         }
       case Metric.Hamming => throw new IllegalStateException("unreachable")
     }
-    admitAndRerank(q, k, ranges, fast, qNorm, inBatch, margin, scoreChunk)
+    admitAndRerank(q, k, ranges, fast, qNorm, inBatch, margin, scoreChunk, tomb)
   }
 
   /** Shared scan driver: coded two-phase when the artifact carries codes
@@ -728,7 +988,8 @@ final class LocalReplica private (
     * on the calling thread).
     */
   private def searchRanges(q: Array[Float], k: Int, ranges: Seq[(Int, Int)],
-      inBatch: Boolean): Seq[Candidate] = {
+      inBatch: Boolean, tomb: Array[Long],
+      d: LocalReplica.Delta): Seq[Candidate] = {
     val fast = fastMode
     val qNorm =
       if (metric == Metric.Cosine && fast)
@@ -737,38 +998,64 @@ final class LocalReplica private (
     // reconstruction error; degenerate exports fall back to the float scan
     val pqOk = pqCoded && k > 0 &&
       (metric != Metric.Cosine || minRowNorm > 4.0 * pq.maxErr)
-    if (pqOk) return pqSearch(q, k, ranges, fast, qNorm, inBatch)
-    val codedOk = coded && k > 0 &&
+    val codedOk = !pqOk && coded && k > 0 &&
       (metric != Metric.Cosine || minRowNorm > 4.0 * codeEps)
-    if (codedOk) return codedSearch(q, k, ranges, fast, qNorm, inBatch)
-    val total = ranges.map { case (lo, hi) => hi - lo }.sum
-    // large scans fan out across cores in fixed-size chunks, each keeping
-    // its own bounded heap; the global top-k of the merged per-chunk
-    // top-ks is EXACTLY the sequential result (every row is scored
-    // independently), so parallelism never changes answers
-    val cands: IndexedSeq[Candidate] =
-      if (total >= LocalReplica.ParallelScanRows && !inBatch) {
-        val step = LocalReplica.ChunkRows
-        val chunks = ranges.flatMap { case (lo, hi) =>
-          (lo until hi by step).map(c => (c, math.min(hi, c + step)))
-        }.toIndexedSeq
-        val out = new Array[IndexedSeq[Candidate]](chunks.length)
-        java.util.stream.IntStream.range(0, chunks.length).parallel()
-          .forEach { i =>
-            out(i) = scanTopK(chunks(i)._1, chunks(i)._2, q, k, fast, qNorm)
+    val main: Seq[Candidate] =
+      if (pqOk) pqSearch(q, k, ranges, fast, qNorm, inBatch, tomb)
+      else if (codedOk) codedSearch(q, k, ranges, fast, qNorm, inBatch, tomb)
+      else {
+        val total = ranges.map { case (lo, hi) => hi - lo }.sum
+        // large scans fan out across cores in fixed-size chunks, each
+        // keeping its own bounded heap; the global top-k of the merged
+        // per-chunk top-ks is EXACTLY the sequential result (every row is
+        // scored independently), so parallelism never changes answers
+        val cands: IndexedSeq[Candidate] =
+          if (total >= LocalReplica.ParallelScanRows && !inBatch) {
+            val step = LocalReplica.ChunkRows
+            val chunks = ranges.flatMap { case (lo, hi) =>
+              (lo until hi by step).map(c => (c, math.min(hi, c + step)))
+            }.toIndexedSeq
+            val out = new Array[IndexedSeq[Candidate]](chunks.length)
+            java.util.stream.IntStream.range(0, chunks.length).parallel()
+              .forEach { i =>
+                out(i) =
+                  scanTopK(chunks(i)._1, chunks(i)._2, q, k, fast, qNorm, tomb)
+              }
+            out.toIndexedSeq.flatten
+          } else {
+            ranges.toIndexedSeq.flatMap { case (lo, hi) =>
+              scanTopK(lo, hi, q, k, fast, qNorm, tomb)
+            }
           }
-        out.toIndexedSeq.flatten
-      } else {
-        ranges.toIndexedSeq.flatMap { case (lo, hi) =>
-          scanTopK(lo, hi, q, k, fast, qNorm)
-        }
+        cands.sortWith((a, b) => better(a.score, a.id, b.score, b.id)).take(k)
       }
-    cands.sortWith((a, b) => better(a.score, a.id, b.score, b.id)).take(k)
+    if (d == null) main
+    else {
+      // fuse the delta block: exact-scan every appended row (the delta is
+      // small between re-exports) and merge — both sides carry exact
+      // scores under the same definitions, so the merged top-k is the
+      // top-k of the union
+      (main ++ deltaCandidates(d, q))
+        .sortWith((a, b) => better(a.score, a.id, b.score, b.id)).take(k)
+    }
+  }
+
+  /** Exact scores of every delta row (unfiltered — callers filter). */
+  private def deltaCandidates(d: LocalReplica.Delta,
+      q: Array[Float]): Seq[Candidate] = {
+    val out = new Array[Candidate](d.size)
+    var i = 0
+    while (i < d.size) {
+      out(i) = Candidate(d.ids(i), scoreDeltaRow(d.flat, i * dim, q))
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   def search(q0: Array[Float], k: Int, nprobe: Int = 0): Seq[Candidate] = {
     val q = prepQuery(q0)
-    searchRanges(q, k, probeRanges(q, nprobe), inBatch = false)
+    searchRanges(q, k, probeRanges(q, nprobe), inBatch = false,
+      tombstones, delta)
   }
 
   /** Filtered top-k (vecgo `WithFilter` on the embedded path): `allowed`
@@ -782,6 +1069,8 @@ final class LocalReplica private (
       nprobe: Int = 0): Seq[Candidate] = {
     val q = prepQuery(q0)
     val fast = fastMode
+    val tomb = tombstones
+    val d = delta
     val qNorm =
       if (metric == Metric.Cosine && fast)
         math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
@@ -790,10 +1079,12 @@ final class LocalReplica private (
       var r = lo
       while (r < hi0) {
         val id = ids(r)
-        if (allowed(id)) buf += Candidate(id, scoreRow(fast, r * dim, q, qNorm))
+        if (live(tomb, r) && allowed(id))
+          buf += Candidate(id, scoreRow(fast, r * dim, q, qNorm))
         r += 1
       }
     }
+    if (d != null) buf ++= deltaCandidates(d, q).filter(c => allowed(c.id))
     buf.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
       .take(k).toSeq
   }
@@ -860,6 +1151,10 @@ final class LocalReplica private (
     val preds = filters.map(compilePredicate).toArray
     val q = prepQuery(q0)
     val fast = fastMode
+    val tomb = tombstones
+    // delta rows carry NO metadata → every column is NULL → no predicate
+    // matches (three-valued semantics, same as a NULL row in the main
+    // block), so the delta is not scanned here at all
     val qNorm =
       if (metric == Metric.Cosine && fast)
         math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
@@ -867,7 +1162,7 @@ final class LocalReplica private (
     probeRanges(q, nprobe).foreach { case (lo, hi0) =>
       var r = lo
       while (r < hi0) {
-        var ok = true
+        var ok = live(tomb, r)
         var i = 0
         while (ok && i < preds.length) { ok = preds(i)(r); i += 1 }
         if (ok) buf += Candidate(ids(r), scoreRow(fast, r * dim, q, qNorm))
@@ -888,19 +1183,25 @@ final class LocalReplica private (
       maxResults: Int = Int.MaxValue, nprobe: Int = 0): Seq[Candidate] = {
     val q = prepQuery(q0)
     val fast = fastMode
+    val tomb = tombstones
+    val d = delta
     val qNorm =
       if (metric == Metric.Cosine && fast)
         math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
+    @inline def keep(s: Double): Boolean =
+      if (metric.ascending) s <= threshold else s >= threshold
     val buf = scala.collection.mutable.ArrayBuffer.empty[Candidate]
     probeRanges(q, nprobe).foreach { case (lo, hi0) =>
       var r = lo
       while (r < hi0) {
-        val s = scoreRow(fast, r * dim, q, qNorm)
-        val keep = if (metric.ascending) s <= threshold else s >= threshold
-        if (keep) buf += Candidate(ids(r), s)
+        if (live(tomb, r)) {
+          val s = scoreRow(fast, r * dim, q, qNorm)
+          if (keep(s)) buf += Candidate(ids(r), s)
+        }
         r += 1
       }
     }
+    if (d != null) buf ++= deltaCandidates(d, q).filter(c => keep(c.score))
     buf.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
       .take(maxResults).toSeq
   }
@@ -916,10 +1217,14 @@ final class LocalReplica private (
       nprobe: Int = 0): Seq[(Long, Seq[Candidate])] = {
     val arr = queries.toArray
     val out = new Array[(Long, Seq[Candidate])](arr.length)
+    // one mutation snapshot for the whole batch — every query in the batch
+    // sees the same tombstones + delta
+    val tomb = tombstones
+    val d = delta
     java.util.stream.IntStream.range(0, arr.length).parallel().forEach { i =>
       val q = prepQuery(arr(i)._2)
       out(i) = (arr(i)._1,
-        searchRanges(q, k, probeRanges(q, nprobe), inBatch = true))
+        searchRanges(q, k, probeRanges(q, nprobe), inBatch = true, tomb, d))
     }
     out.toSeq
   }
@@ -935,6 +1240,10 @@ final class LocalReplica private (
   def save(path: String,
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration()): Unit = {
+    require(tombstones == null && delta == null,
+      "replica has pending deletes/appends — the artifact format persists " +
+        "the exported state only; fold them first (compacted()) or " +
+        "re-export from the store, which is the production compaction path")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(
@@ -1039,6 +1348,58 @@ object LocalReplica {
   final case class Stats(durationNanos: Long, rowsScanned: Int,
       listsProbed: Int, listsTotal: Int) {
     def scanFraction: Double = listsProbed.toDouble / listsTotal
+  }
+
+  /** Immutable appended-rows block (the memtable-segment analog): packed
+    * row-major vectors, exact-scanned and fused by every search. Append
+    * publishes a fresh Delta; readers hold whichever snapshot they took.
+    */
+  private[serve] final class Delta(
+      val ids: Array[Long],
+      val flat: Array[Float]) {
+    def size: Int = ids.length
+  }
+
+  /** Open-addressed long → int map (linear probing, power-of-two table,
+    * no boxing): the id → main-row index for the tombstone delete path.
+    * `get` returns -1 for absent keys. Single-writer build, then
+    * read-only — matches the replica's build-once arrays.
+    */
+  private[serve] final class LongIntMap(expected: Int) {
+    private val cap: Int = {
+      var c = 16
+      while (c < expected * 2) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val vals = new Array[Int](cap)
+    private val used = new Array[Boolean](cap)
+
+    @inline private def slot(k: Long): Int = {
+      // 64→32 bit finalizer (splitmix64 tail) — ids are often sequential,
+      // so identity hashing would chain probes
+      var h = k
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      h.toInt & mask
+    }
+
+    def put(k: Long, v: Int): Unit = {
+      var i = slot(k)
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k; vals(i) = v; used(i) = true
+    }
+
+    def get(k: Long): Int = {
+      var i = slot(k)
+      while (used(i)) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      -1
+    }
   }
 
   private[serve] val Magic = 0x47524c52 // "GRLR"

@@ -1,0 +1,162 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.types.{Filter, Metric}
+
+/** Incremental freshness on the serving replica: tombstone deletes and
+  * delta appends (the reference's in-memory bitmap delete + memtable
+  * insert analog — vecgo serves inserts/deletes between rebuilds the same
+  * way). Ground truth everywhere: a replica REBUILT from scratch over the
+  * post-mutation row set must match the mutated replica exactly.
+  */
+class LocalReplicaMutationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dim = 16
+  private val n = 1200
+
+  private def corpus(pred: Long => Boolean = _ => true) = {
+    val keep = udf((id: Long) => pred(id))
+    spark.range(0, n, 1, 4).where(keep(col("id"))).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vec"))
+  }
+
+  private def vecOf(id: Long): Array[Float] = {
+    import spark.implicits._
+    corpus(_ == id).select("vec").as[Array[Float]].head()
+  }
+
+  private def queryVec(seed: Long): Array[Float] =
+    Array.tabulate(dim)(i => (((seed * 131 + i * 7919) % 1000) / 500.0 - 1.0).toFloat)
+
+  test("deletes: mutated replica == replica rebuilt without the ids, every path") {
+    for (metric <- Seq(Metric.L2, Metric.Cosine)) {
+      val rep = LocalReplica.fromDataFrame(corpus(), "vec", "id", metric,
+        nlist = 8)
+      val delIds = (0L until n.toLong).filter(_ % 7 == 3).toArray
+      assert(rep.delete(delIds) == delIds.length)
+      assert(rep.delete(delIds) == 0) // idempotent
+      assert(rep.liveSize == n - delIds.length)
+      val truth = LocalReplica.fromDataFrame(
+        corpus(id => id % 7 != 3), "vec", "id", metric, nlist = 8)
+      val q = queryVec(5)
+      // probed top-k — both replicas share KMeans-seeded centroids over
+      // different row sets, so compare on the exhaustive probe (exact)
+      assert(rep.search(q, 20, nprobe = 8) == truth.search(q, 20, nprobe = 8))
+      // threshold
+      val cut = truth.search(q, 30, nprobe = 8).last.score
+      assert(rep.searchThreshold(q, cut, 30, nprobe = 8) ==
+        truth.searchThreshold(q, cut, 30, nprobe = 8))
+      // batch
+      val qs = (0 until 5).map(s => (s.toLong, queryVec(s)))
+      assert(rep.batchSearch(qs, 10, nprobe = 8) ==
+        truth.batchSearch(qs, 10, nprobe = 8))
+      // filtered
+      val allow: Long => Boolean = id => id % 2 == 0
+      assert(rep.searchFiltered(q, 10, allow, nprobe = 8) ==
+        truth.searchFiltered(q, 10, allow, nprobe = 8))
+    }
+  }
+
+  test("deletes are sound through the SQ8-coded and PQ-coded first passes") {
+    val delIds = (0L until n.toLong).filter(_ % 5 == 1).toArray
+    val base = corpus()
+    val pm = graft.index.PQ.train(base.select(col("vec")), "vec", m = 4,
+      iters = 4)
+    for (pq <- Seq(None, Some(pm))) {
+      val rep = LocalReplica.fromDataFrame(base, "vec", "id", Metric.L2,
+        pqModel = pq)
+      assert(if (pq.isDefined) rep.pqCoded else rep.coded)
+      rep.delete(delIds)
+      val truth = LocalReplica.fromDataFrame(
+        corpus(id => id % 5 != 1), "vec", "id", Metric.L2).withoutCodes
+      for (s <- 0 until 10) {
+        val q = queryVec(s)
+        assert(rep.search(q, 15) == truth.search(q, 15),
+          s"coded(pq=${pq.isDefined}) delete mismatch at seed $s")
+      }
+    }
+  }
+
+  test("appends: searchable immediately, fused exactly; upsert replaces") {
+    val cut = 1000L // build from [0, cut), append the rest
+    val rep = LocalReplica.fromDataFrame(corpus(_ < cut), "vec", "id",
+      Metric.L2, nlist = 6)
+    val restIds = (cut until n.toLong).toArray
+    import spark.implicits._
+    val rest = corpus(_ >= cut).select("id", "vec")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    rep.append(rest.map(_._1), rest.map(_._2))
+    assert(rep.deltaSize == restIds.length)
+    assert(rep.liveSize == n)
+    val truth = LocalReplica.fromDataFrame(corpus(), "vec", "id", Metric.L2,
+      nlist = 6)
+    val q = queryVec(9)
+    assert(rep.search(q, 20, nprobe = 6) == truth.search(q, 20, nprobe = 6))
+    // appended ids collide with live rows → refused; after delete → ok
+    intercept[IllegalArgumentException] {
+      rep.append(Array(5L), Array(vecOf(5L)))
+    }
+    // upsert: replace row 5 with row 7's vector — it must now score AS
+    // row 7's vector does
+    val v7 = vecOf(7L)
+    rep.upsert(Array(5L), Array(v7))
+    val got = rep.search(v7, 3, nprobe = 6)
+    assert(got.take(2).map(_.id).toSet == Set(5L, 7L),
+      s"upserted twin rows should tie at the top, got $got")
+  }
+
+  test("searchWhere: delta rows are all-NULL metadata → excluded by predicates") {
+    val rep = LocalReplica.fromDataFrame(
+      corpus(_ < 100).withColumn("label", (col("id") % 3).cast("int")),
+      "vec", "id", Metric.L2, metaCols = Seq("label"))
+    rep.append(Array(5000L), Array(queryVec(42)))
+    val q = queryVec(42)
+    // unfiltered search sees the appended row at the top
+    assert(rep.search(q, 1).head.id == 5000L)
+    // any predicate excludes it (NULL never matches), including Ne
+    assert(!rep.searchWhere(q, 100, Seq(Filter.Ne("label", 99)))
+      .exists(_.id == 5000L))
+  }
+
+  test("save() refuses pending mutations; compacted() folds them exactly") {
+    val rep = LocalReplica.fromDataFrame(corpus(_ < 600), "vec", "id",
+      Metric.L2, nlist = 4)
+    rep.delete(Array(10L, 20L))
+    rep.append(Array(9000L), Array(queryVec(1)))
+    intercept[IllegalArgumentException] {
+      rep.save(java.nio.file.Files.createTempDirectory("rep").toString + "/r.bin")
+    }
+    val folded = rep.compacted()
+    assert(folded.size == 600 - 2 + 1)
+    assert(folded.deltaSize == 0)
+    for (s <- 0 until 5) {
+      val q = queryVec(s)
+      assert(folded.search(q, 12, nprobe = 4) == rep.search(q, 12, nprobe = 4),
+        s"compacted mismatch at seed $s")
+    }
+    // compacted artifacts save/load round-trip
+    val path = java.nio.file.Files.createTempDirectory("rep").toString + "/r.bin"
+    folded.save(path)
+    val loaded = LocalReplica.load(path)
+    val q = queryVec(3)
+    assert(loaded.search(q, 12, nprobe = 4) == folded.search(q, 12, nprobe = 4))
+  }
+
+  test("delete throughput sanity: bulk tombstoning is millions of ids/sec") {
+    val rep = LocalReplica.fromDataFrame(corpus(), "vec", "id", Metric.L2)
+    val delIds = (0L until n.toLong by 2).toArray
+    val t0 = System.nanoTime()
+    rep.delete(delIds)
+    val perSec = delIds.length / ((System.nanoTime() - t0) / 1e9)
+    // n is tiny here so this is just a smoke gate (the bench row measures
+    // the real rate at 500k); still, sub-100k/s would mean a boxed path
+    assert(perSec > 100000, s"delete path too slow: $perSec ids/s")
+  }
+}
