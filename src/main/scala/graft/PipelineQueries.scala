@@ -344,6 +344,45 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id",
         TextAnalysis.tokenCount(col("text")), budget = 512L))
 
+  /** DSIR importance weights ([[graft.pipeline.Dsir.importanceWeights]]):
+    * target = docs with doc_id ≡ 7 (mod 10), raw = the rest; hashed
+    * unigram buckets, add-one smoothing, length-normalized log ratio —
+    * the domain-upweighting score a mixing pass resamples by.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipeline.Dsir.importanceWeights(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
+        docs.where(pmod(col("doc_id"), lit(10)) === 7),
+        "doc_id", "text", buckets = 1024)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("dsir_logratio"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Deterministic seeded shuffle-shard
+    * ([[graft.pipeline.Sampling.shuffleShards]]): the reproducible
+    * training order (shard, pos) a data loader consumes — md5-permuted,
+    * re-derivable from (data, seed), no global sort.
+    */
+  def shuffleShardsQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.shuffleShards(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        seed = "epoch0", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard").asc, col("pos").asc)
+
+  /** Curriculum length buckets
+    * ([[graft.pipeline.Sampling.curriculumBuckets]]): log2 token-count
+    * buckets + deterministic intra-bucket position — shortest-first
+    * curriculum order with padding-free bucket-homogeneous batches.
+    */
+  def curriculumQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.curriculumBuckets(
+        t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pos"))
+      .orderBy(col("bucket").asc, col("pos").asc)
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -364,7 +403,10 @@ object PipelineQueries {
     "neardup_cosine" -> (neardupCosine _),
     "sample_weighted" -> (sampleWeighted _),
     "pipeline_pack_sequences" -> (packSequences _),
-    "text_unigram_ppl" -> (unigramPpl _)
+    "text_unigram_ppl" -> (unigramPpl _),
+    "pipeline_dsir_weights" -> (dsirWeights _),
+    "pipeline_shuffle_shards" -> (shuffleShardsQ _),
+    "pipeline_curriculum" -> (curriculumQ _)
   )
 
   private val TOK =
@@ -647,6 +689,44 @@ object PipelineQueries {
          |SELECT o.doc_id, count(*)::BIGINT AS n_tokens,
          |       round(ln((SELECT n FROM tot)::DOUBLE) - avg(ln(c.c::DOUBLE)), 6) AS nll
          |FROM occ o JOIN counts c ON o.t = c.t
-         |GROUP BY o.doc_id ORDER BY o.doc_id ASC""".stripMargin
+         |GROUP BY o.doc_id ORDER BY o.doc_id ASC""".stripMargin,
+
+    "pipeline_dsir_weights" ->
+      s"""WITH $TOK,
+         |occ AS (SELECT doc_id,
+         |               CAST('0x' || substring(md5(u.t), 1, 15) AS BIGINT) % 1024 AS b
+         |        FROM tok, unnest(ts) u(t)),
+         |tgt AS (SELECT b, count(*)::BIGINT AS ct FROM occ WHERE doc_id % 10 = 7 GROUP BY 1),
+         |rawc AS (SELECT b, count(*)::BIGINT AS cr FROM occ WHERE doc_id % 10 <> 7 GROUP BY 1),
+         |nt AS (SELECT sum(ct)::BIGINT AS n FROM tgt),
+         |nr AS (SELECT sum(cr)::BIGINT AS n FROM rawc)
+         |SELECT o.doc_id, count(*)::BIGINT AS n_tokens,
+         |       round(avg(ln((coalesce(t.ct, 0) + 1)::DOUBLE) - ln((r.cr + 1)::DOUBLE))
+         |             + ln((nr.n + 1024)::DOUBLE) - ln((nt.n + 1024)::DOUBLE), 6) AS dsir_logratio
+         |FROM occ o LEFT JOIN tgt t USING (b) JOIN rawc r USING (b), nt, nr
+         |WHERE o.doc_id % 10 <> 7
+         |GROUP BY o.doc_id, nt.n, nr.n
+         |ORDER BY o.doc_id ASC""".stripMargin,
+
+    "pipeline_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 15) AS BIGINT) AS hv
+        |           FROM documents)
+        |SELECT doc_id, hv % 8 AS shard,
+        |       row_number() OVER (PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC) AS pos
+        |FROM h
+        |ORDER BY shard ASC, pos ASC""".stripMargin,
+
+    "pipeline_curriculum" ->
+      s"""WITH $TOK,
+         |nt AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM tok),
+         |b AS (SELECT doc_id, n_tokens,
+         |             (length(bin(greatest(n_tokens, 1))) - 1)::BIGINT AS bucket,
+         |             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |      FROM nt)
+         |SELECT doc_id, n_tokens, bucket,
+         |       row_number() OVER (PARTITION BY bucket ORDER BY hv ASC, doc_id ASC) AS pos
+         |FROM b
+         |ORDER BY bucket ASC, pos ASC""".stripMargin
   )
 }

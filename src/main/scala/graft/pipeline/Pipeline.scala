@@ -88,4 +88,119 @@ object Sampling {
       least(lit(1000000L), weightCol.cast("long") * lit(scalePerUnit))
     df.where(h < threshold)
   }
+
+  /** Deterministic seeded shuffle-and-shard: the global training order a
+    * data loader consumes, WITHOUT a global sort. Each row hashes to
+    * `(shard, position)` — shard = md5(id:seed) mod nShards, position =
+    * rank of the hash within the shard — so the full order is (shard asc,
+    * pos asc), reproducible from (data, seed) alone, and changing the
+    * seed is a fresh permutation.
+    *
+    * Scale shape: one hash per row (no shuffle) + one per-shard window
+    * (shuffles by shard, sorts WITHIN shards only). At 100 TB you size
+    * nShards so a shard is a few GB (e.g. 65536): the sort is
+    * per-partition, never global — this is exactly how training-data
+    * orders are materialized (shard files + intra-shard order).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":"), lit(seed))), 1, 15),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h").asc, col(idCol).asc)
+    df.select(col(idCol), h.as("h"), pmod(h, lit(nShards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .drop("h")
+  }
+
+  /** Curriculum length-bucketing: assign every document to a log2 length
+    * bucket (bucket b holds docs of 2^b ≤ tokens < 2^(b+1)) plus a
+    * deterministic hash position within its bucket — the (bucket asc,
+    * pos asc) order is a shortest-first curriculum with intra-bucket
+    * shuffling, and bucket-homogeneous batches waste no padding.
+    *
+    * The bucket is computed in INTEGER space (length of the binary
+    * representation) — `floor(log2(x))` in floats can land on either side
+    * at exact powers of two depending on the engine's libm, and a
+    * boundary flip is a different curriculum.
+    *
+    * Scale shape: same as [[shuffleShards]] — narrow per-row math, one
+    * per-bucket window. Zero-token docs land in bucket 0.
+    */
+  def curriculumBuckets(df: DataFrame, idCol: String,
+      tokenCount: Column): DataFrame = {
+    val nt = tokenCount.cast("long")
+    val bucket = (length(bin(greatest(nt, lit(1L)))) - 1).cast("long")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("h").asc, col(idCol).asc)
+    df.select(col(idCol), nt.as("n_tokens"), bucket.as("bucket"), h.as("h"))
+      .withColumn("pos", row_number().over(w))
+      .drop("h")
+  }
+}
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169): score every raw-corpus document by how much more
+  * likely its hashed-n-gram features are under a TARGET distribution
+  * (the domain you want more of) than under the RAW distribution — then
+  * resample raw data ∝ exp(weight). This is the standard
+  * domain-upweighting pass of LLM pretraining pipelines.
+  */
+object Dsir {
+
+  /** Per-document DSIR log importance weight over hashed unigram
+    * features: tokens hash into `buckets` bins (md5-based — portable to
+    * any engine, so the score is reproducible bit-for-bit across stacks),
+    * both corpora reduce to `buckets`-sized count vectors, and each raw
+    * doc scores
+    *
+    *   avg over token occurrences of ln p̂_target(b)/p̂_raw(b)
+    *
+    * with add-one smoothing (p̂(b) = (c(b)+1)/(N+B)). The average (not
+    * the sum) keeps the weight length-independent — DSIR's n-gram model
+    * normalizes the same way.
+    *
+    * Scale shape: token explode is a narrow map; BOTH distributions are
+    * ≤ `buckets` rows, so the per-occurrence joins are broadcasts; one
+    * per-doc aggregation ends the job. No shuffle touches the corpus
+    * except the final groupBy(id) — linear at 100 TB.
+    *
+    * Output: (id, n_tokens, dsir_logratio), one row per raw doc with ≥1
+    * token, weights rounded to 6 decimals (cross-engine fp determinism).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def occ(df: DataFrame, withId: Boolean): DataFrame = {
+      val tok = explode(graft.text.TextAnalysis.wsTokens(col(textCol))).as("t")
+      val base =
+        if (withId) df.select(col(idCol).as("id"), tok) else df.select(tok)
+      base.withColumn("b",
+        pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    }
+    val occT = occ(target, withId = false)
+    val occR = occ(raw, withId = true)
+    val cntT = occT.groupBy("b").agg(count(lit(1)).as("ct"))
+    val cntR = occR.groupBy("b").agg(count(lit(1)).as("cr"))
+    val nT = cntT.agg(sum(col("ct")).as("nt"))
+    val nR = cntR.agg(sum(col("cr")).as("nr"))
+    // every raw occurrence's bucket exists in cntR by construction (inner
+    // join); target-absent buckets smooth to ln(0+1)
+    occR.join(broadcast(cntT), Seq("b"), "left")
+      .join(broadcast(cntR), Seq("b"))
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(
+          avg(log(coalesce(col("ct"), lit(0L)) + lit(1)) -
+              log(col("cr") + lit(1))) +
+            log(first(col("nr")).cast("double") + lit(buckets.toDouble)) -
+            log(first(col("nt")).cast("double") + lit(buckets.toDouble)),
+          6).as("dsir_logratio"))
+  }
 }

@@ -93,4 +93,51 @@ class PipelineSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("dsir: target-like docs score higher; smoothing keeps absent buckets finite") {
+    // target speaks {alpha beta}, raw is a mix of target-like docs and
+    // docs of out-of-domain tokens — the log ratio must rank the
+    // target-like docs strictly above the out-of-domain ones
+    val target = Seq((100L, "alpha beta alpha beta alpha")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha"),  // in-domain
+      (2L, "gamma delta epsilon"), // out-of-domain (absent from target)
+      (3L, "alpha gamma")        // half in-domain
+    ).toDF("doc_id", "text")
+    val got = Dsir.importanceWeights(raw, target, "doc_id", "text", 1024)
+      .select("id", "dsir_logratio").as[(Long, Double)].collect().toMap
+    assert(got.size == 3)
+    assert(got(1L) > got(3L) && got(3L) > got(2L),
+      s"dsir order wrong: $got")
+    assert(got.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("shuffle shards: a permutation — every id exactly once, pos contiguous, seed-sensitive") {
+    val df = spark.range(0, 3000).select(col("id"))
+    val a = Sampling.shuffleShards(df, "id", "s1", 8)
+      .select("id", "shard", "pos").as[(Long, Long, Int)].collect()
+    assert(a.map(_._1).sorted.toSeq == (0L until 3000L))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        "pos must be 1..count within each shard")
+    }
+    // determinism + seed sensitivity
+    val a2 = Sampling.shuffleShards(df, "id", "s1", 8)
+      .select("id", "shard", "pos").as[(Long, Long, Int)].collect()
+    assert(a.sortBy(_._1).toSeq == a2.sortBy(_._1).toSeq)
+    val b = Sampling.shuffleShards(df, "id", "s2", 8)
+      .select("id", "shard", "pos").as[(Long, Long, Int)].collect()
+    assert(a.sortBy(_._1).toSeq != b.sortBy(_._1).toSeq,
+      "different seed must be a different permutation")
+  }
+
+  test("curriculum buckets: integer-exact log2 boundaries, contiguous pos") {
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 7L),
+      (6L, 8L), (7L, 1023L), (8L, 1024L), (9L, 0L))
+      .toDF("id", "ntok")
+    val got = Sampling.curriculumBuckets(df, "id", col("ntok"))
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 3L, 7L -> 9L, 8L -> 10L, 9L -> 0L))
+  }
 }
