@@ -249,4 +249,40 @@ object SimdKernels {
     while (i < n) { s += a(i) * q(i); i += 1 }
     s.toDouble
   }
+
+  // ---------------------------------------- bit-exact vertical double lanes
+
+  /** Lane count of the double species (callers pad blocks to this). */
+  val doubleLanes: Int = jdk.incubator.vector.DoubleVector.SPECIES_PREFERRED
+    .length()
+
+  /** L2² of `doubleLanes` centroids against one query, VERTICALLY: lane
+    * `l` owns centroid `l` of the block and accumulates over dims in
+    * order with a separate mul and add (NO fma — fma skips the
+    * intermediate rounding and would change low bits). Each lane
+    * therefore performs the exact operation sequence of
+    * `DistanceKernels.l2sqFF`, so results are BIT-IDENTICAL to the
+    * scalar exact kernel while the block runs `doubleLanes`× wider —
+    * SIMD speed without giving up machine-deterministic probe selection.
+    *
+    * `packed((blockOff + d) * L + l)` = dim `d` of lane-`l` centroid,
+    * as double; `blockOff` = block index · dim.
+    */
+  def l2sqVerticalBlock(packed: Array[Double], blockOff: Int,
+      q: Array[Float], out: Array[Double], outOff: Int): Unit = {
+    val DSP = jdk.incubator.vector.DoubleVector.SPECIES_PREFERRED
+    val L = DSP.length()
+    val dim = q.length
+    var acc = jdk.incubator.vector.DoubleVector.zero(DSP)
+    var d = 0
+    val base = blockOff * L
+    while (d < dim) {
+      val c = jdk.incubator.vector.DoubleVector.fromArray(DSP, packed,
+        base + d * L)
+      val diff = c.sub(q(d).toDouble)
+      acc = acc.add(diff.mul(diff))
+      d += 1
+    }
+    acc.intoArray(out, outOff)
+  }
 }

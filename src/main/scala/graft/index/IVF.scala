@@ -33,25 +33,68 @@ object IVF {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
 
+    /** Vertical-lane packed centroids for the SIMD probe pass: block `b`
+      * holds centroids `b·L … b·L+L-1` with dims contiguous per block
+      * (`packed((b·dim + d)·L + l)`), padded lanes zero. Built once,
+      * ~k·dim·8 bytes — trivially resident.
+      */
+    private lazy val vertPacked: Array[Double] = {
+      val L = graft.functions.SimdKernels.doubleLanes
+      val dim = if (k == 0) 0 else centroids(0).length
+      val blocks = (k + L - 1) / L
+      val out = new Array[Double](blocks * dim * L)
+      var c = 0
+      while (c < k) {
+        val b = c / L; val l = c % L
+        var d = 0
+        while (d < dim) {
+          out((b * dim + d) * L + l) = centroids(c)(d).toDouble
+          d += 1
+        }
+        c += 1
+      }
+      out
+    }
+
     /** Probe order: the `nprobe` centroid indices nearest the query, by
-      * (distance, index). Always the EXACT double kernel: the centroid
-      * pass is tiny relative to the list scans, and exact scoring keeps
-      * the probed list set — hence approximate results and recall —
-      * machine-deterministic (the fast kernel's lane-order accumulation
-      * can flip near-ties across JVMs). Bounded insertion selection over
-      * primitive arrays: the old boxed sortBy cost more than the probed
-      * scan itself at serving-replica latencies. (Early-abandonment was
-      * tried and reverted: at 128d, distance concentration means partial
-      * sums rarely exceed the bound before the last few dims, and the
-      * blocked loop defeats JIT unrolling — measured 2.5× slower.)
+      * (distance, index). Scoring is ALWAYS exact-double-deterministic:
+      * the scalar path is `DistanceKernels.l2sqFF`, and when Panama is
+      * available the vertical-lane kernel computes the SAME bits
+      * (each lane accumulates its own centroid in dim order, separate
+      * mul+add — see [[graft.functions.SimdKernels.l2sqVerticalBlock]]),
+      * so the probed list set — hence approximate results and recall —
+      * is machine-deterministic either way (gated in `IndexSpec`).
+      * Bounded insertion selection over primitive arrays: the old boxed
+      * sortBy cost more than the probed scan itself at serving-replica
+      * latencies. (Early-abandonment was tried and reverted: at 128d,
+      * distance concentration means partial sums rarely exceed the bound
+      * before the last few dims, and the blocked loop defeats JIT
+      * unrolling — measured 2.5× slower.)
       */
     def probes(query: Array[Float], nprobe: Int): Seq[Int] = {
+      require(k == 0 || query.length == centroids(0).length,
+        s"query dim ${query.length} != centroid dim ${centroids(0).length}")
       val np = math.min(math.max(1, nprobe), k)
       val bestD = Array.fill(np)(Double.MaxValue)
       val bestI = Array.fill(np)(Int.MaxValue)
+      val simd = graft.functions.KernelMode.simdAvailable && k >= 16
+      var dists: Array[Double] = null
+      if (simd) {
+        val L = graft.functions.SimdKernels.doubleLanes
+        val dim = query.length
+        val blocks = (k + L - 1) / L
+        dists = new Array[Double](blocks * L)
+        var b = 0
+        while (b < blocks) {
+          graft.functions.SimdKernels.l2sqVerticalBlock(
+            vertPacked, b * dim, query, dists, b * L)
+          b += 1
+        }
+      }
       var i = 0
       while (i < k) {
-        val di = DistanceKernels.l2sqFF(centroids(i), query)
+        val di =
+          if (simd) dists(i) else DistanceKernels.l2sqFF(centroids(i), query)
         val last = np - 1
         if (di < bestD(last) || (di == bestD(last) && i < bestI(last))) {
           var j = last

@@ -57,7 +57,7 @@ class IndexSpec extends AnyFunSuite {
   }
 
   test("probe selection is identical with the fast kernel on and off") {
-    // IVF.Model.probes must always use the exact double kernel: a
+    // IVF.Model.probes must always score exact-double-deterministic: a
     // lane-order float accumulation could flip near-ties across JVMs and
     // make the probed list set — hence recall — machine-dependent
     val model = IVF.train(df, "vec", k = 16)
@@ -67,6 +67,40 @@ class IndexSpec extends AnyFunSuite {
       val b = KernelMode.withFast(false)(model.probes(q, np))
       assert(a == b, s"nprobe=$np: $a vs $b")
     }
+  }
+
+  test("SIMD probe path == hand-rolled scalar exact selection (k over and under the gate)") {
+    // k=16 rides the vertical-lane SIMD pass, k=8 the scalar loop — both
+    // must reproduce a from-scratch l2sqFF (distance, index) selection
+    for (k <- Seq(8, 16)) {
+      val model = IVF.train(df, "vec", k = k)
+      val dists = model.centroids.map(c =>
+        graft.functions.DistanceKernels.l2sqFF(c, q))
+      for (np <- Seq(1, 5, k)) {
+        val expect = dists.zipWithIndex
+          .sortBy { case (d, i) => (d, i) }.take(np).map(_._2).toSeq
+        assert(model.probes(q, np) == expect, s"k=$k np=$np")
+      }
+    }
+  }
+
+  test("vertical double kernel matches l2sqFF bit-for-bit") {
+    assume(graft.functions.KernelMode.simdAvailable)
+    import graft.functions.{DistanceKernels, SimdKernels}
+    val L = SimdKernels.doubleLanes
+    val dim = 37 // non-multiple of any lane width
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(L)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val qv = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val packed = new Array[Double](dim * L)
+    for (l <- 0 until L; d <- 0 until dim)
+      packed(d * L + l) = cents(l)(d).toDouble
+    val out = new Array[Double](L)
+    SimdKernels.l2sqVerticalBlock(packed, 0, qv, out, 0)
+    for (l <- 0 until L)
+      assert(java.lang.Double.doubleToLongBits(out(l)) ==
+        java.lang.Double.doubleToLongBits(DistanceKernels.l2sqFF(cents(l), qv)),
+        s"lane $l differs")
   }
 
   test("SQ8 round-trip error is small; approx-only search has high recall") {
