@@ -78,6 +78,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // entropy-dense float vectors don't compress; the columnar-cache
+      // codecs only add decode work on the scan (tools/CacheCodecProbe:
+      // ~22% more dist/s uncompressed) — same call as the segments'
+      // uncompressed parquet
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
