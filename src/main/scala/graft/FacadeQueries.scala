@@ -517,6 +517,35 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** Incremental serving refresh ([[graft.serve.LocalReplica.refreshFrom]]):
+    * export a replica from 60% of the corpus, then move the STORE forward
+    * (insert the rest, delete `vec_id ≡ 2 (mod 9)`) and pull the manifest
+    * diff into the replica — the file-level CDC pattern that keeps a
+    * serving host fresh between re-exports. The refreshed replica must
+    * answer exactly like the store's current version.
+    */
+  def localRefresh(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_local_refresh"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val db = GraftDB.open(s, root, dim = 64, metric = "l2")
+    db.insertBatch(emb.where(pmod(col("id"), lit(5)) < 3))
+    val rep = graft.serve.LocalReplica.fromStore(db, nlist = 8)
+    db.insertBatch(emb.where(pmod(col("id"), lit(5)) >= 3))
+    val delIds = Tables.load(s, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(9)) === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    db.delete(delIds)
+    rep.refreshFrom(db)
+    val res = rep.search(qvec(s, dir, 17), 10, nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
@@ -542,6 +571,7 @@ object FacadeQueries {
     "graftdb_local_knn_where" -> (localKnnWhere _),
     "graftdb_local_delete" -> (localDelete _),
     "graftdb_local_append" -> (localAppend _),
+    "graftdb_local_refresh" -> (localRefresh _),
     "graftdb_hybrid_hamming" -> (hybridHamming _)
   )
 
@@ -586,6 +616,13 @@ object FacadeQueries {
         |s AS (SELECT e.vec_id,
         |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
         |      FROM embeddings e, q)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "graftdb_local_refresh" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q WHERE e.vec_id % 9 <> 2)
         |SELECT vec_id, round(score, 6) AS score
         |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_knn_prefilter" ->

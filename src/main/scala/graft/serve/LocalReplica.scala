@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions.col
 import graft.GraftDB
 import graft.functions.{KernelMode, SimdKernels}
 import graft.index.IVF
+import graft.store.SnapshotStore
 import graft.types.{Candidate, Metric}
 
 /** In-process serving replica: the engine's answer to the reference's
@@ -245,6 +246,98 @@ final class LocalReplica private (
     tombstones = null
     delta = null
   }
+
+  // set by fromStore: what store state this replica was exported from
+  @volatile private[serve] var origin: LocalReplica.Origin = null
+
+  /** Store version this replica was exported at (None when built from a
+    * plain DataFrame).
+    */
+  def exportedVersion: Option[Long] = {
+    val o = origin; if (o == null) None else Some(o.version)
+  }
+
+  /** Incremental pull-refresh from the store this replica was exported
+    * from: applies the MANIFEST DIFF — segments and tombstone files added
+    * since the exported version — in log-sequence order as [[delete]] /
+    * [[append]] batches, without touching the rows already resident. The
+    * serving-tier CDC pattern: between compactions a store version chain
+    * is append-only at the FILE level, so freshness costs only the new
+    * files' rows, not a re-export.
+    *
+    * Seq-order replay reproduces the store's LSN tombstone semantics
+    * exactly: a delete at seq `d` lands before any segment with seq > d,
+    * so it hides precisely the rows from older segments — re-inserts
+    * after the delete survive, like `SnapshotStore.applyDeletes`.
+    *
+    * Fails loudly (nothing applied) when compaction or vacuum rewrote
+    * files the replica was built from — a file-level diff cannot express
+    * a rewrite; re-export then (the production path after compaction,
+    * which also folds the accumulated delta back into the coded arrays).
+    * Appended rows carry no metadata and are not coded, the standing
+    * delta contract.
+    */
+  def refreshFrom(db: GraftDB,
+      maxNewRows: Long = 1000000L): LocalReplica.RefreshStats =
+    this.synchronized {
+      val o = origin
+      require(o != null,
+        "replica was not exported from a store (use fromStore) — nothing " +
+          "to refresh from")
+      require(db.store.root == o.root,
+        s"refreshFrom a different store: ${db.store.root} vs ${o.root}")
+      val v1 = db.effectiveVersion
+      if (v1 == o.version) return LocalReplica.RefreshStats(0, 0, o.version, v1)
+      val m1 = db.store.manifest(v1).getOrElse(
+        throw new IllegalStateException(s"no manifest at version $v1"))
+      val curSegs = m1.segments.map(_.path).toSet
+      val curDels = m1.deletes.map(_.path).toSet
+      require(o.segPaths.subsetOf(curSegs) && o.delPaths.subsetOf(curDels),
+        "store was compacted/vacuumed since the export — a file-level " +
+          "refresh cannot apply a rewrite; re-export the replica")
+      val newSegs = m1.segments.filterNot(s => o.segPaths(s.path))
+      val newDels = m1.deletes.filterNot(d => o.delPaths(d.path))
+      val newRows = newSegs.map(_.rows).sum
+      require(newRows <= maxNewRows,
+        s"refresh would append $newRows rows > maxNewRows=$maxNewRows — " +
+          "re-export instead (delta blocks are for freshness, not growth)")
+      val events: Seq[(Long, Either[SnapshotStore.SegmentRef,
+        SnapshotStore.DeleteRef])] =
+        (newSegs.map(s => (s.seq, Left(s): Either[SnapshotStore.SegmentRef,
+            SnapshotStore.DeleteRef])) ++
+          newDels.map(d => (d.seq, Right(d): Either[SnapshotStore.SegmentRef,
+            SnapshotStore.DeleteRef]))).sortBy(_._1)
+      var appended = 0
+      var deleted = 0
+      events.foreach {
+        case (_, Left(seg)) =>
+          val rows = db.spark.read.parquet(seg.path)
+            .select(org.apache.spark.sql.functions.col("id"),
+              org.apache.spark.sql.functions.col("vector"))
+            .collect()
+          val ids = new Array[Long](rows.length)
+          val vecs = new Array[Array[Float]](rows.length)
+          var i = 0
+          while (i < rows.length) {
+            ids(i) = rows(i).getLong(0)
+            vecs(i) = rows(i).get(1) match {
+              case b: Array[Byte] =>
+                graft.functions.DistanceKernels.bytesToFloats(b)
+              case _ => rows(i).getSeq[Float](1).toArray
+            }
+            i += 1
+          }
+          append(ids, vecs)
+          appended += rows.length
+        case (_, Right(del)) =>
+          val ids = db.spark.read.parquet(del.path)
+            .select(org.apache.spark.sql.functions.col("id"))
+            .collect().map(_.getLong(0))
+          deleted += delete(ids)
+      }
+      origin = LocalReplica.Origin(o.root, v1, curSegs, curDels)
+      LocalReplica.RefreshStats(appended, deleted, o.version, v1)
+    }
 
   /** Delete-then-append in one mutator critical section (vecgo upsert:
     * a WriteBatch of delete + insert on the same ids).
@@ -1350,6 +1443,19 @@ object LocalReplica {
     def scanFraction: Double = listsProbed.toDouble / listsTotal
   }
 
+  /** What store state a [[fromStore]] export captured — the baseline a
+    * [[LocalReplica.refreshFrom]] file-level diff is computed against.
+    */
+  private[serve] final case class Origin(
+      root: String,
+      version: Long,
+      segPaths: Set[String],
+      delPaths: Set[String])
+
+  /** Outcome of one [[LocalReplica.refreshFrom]] pull. */
+  final case class RefreshStats(appended: Int, deleted: Int,
+      fromVersion: Long, toVersion: Long)
+
   /** Immutable appended-rows block (the memtable-segment analog): packed
     * row-major vectors, exact-scanned and fused by every search. Append
     * publishes a fresh Delta; readers hold whichever snapshot they took.
@@ -1834,10 +1940,18 @@ object LocalReplica {
   def fromStore(db: GraftDB, nlist: Int = 0,
       maxRows: Long = DefaultMaxRows,
       metaCols: Seq[String] = Nil,
-      pqModel: Option[graft.index.PQ.Model] = None): LocalReplica =
+      pqModel: Option[graft.index.PQ.Model] = None): LocalReplica = {
+    val v = db.effectiveVersion
     // raw store read: packed segments export as raw bytes (bulk-converted
     // driver-side), skipping both the unpack column and the boxed
     // Seq[Float] row deserialization of the public read()
-    fromDataFrame(db.store.read(db.effectiveVersion), "vector", "id",
+    val rep = fromDataFrame(db.store.read(v), "vector", "id",
       db.metric, nlist, maxRows, metaCols, pqModel)
+    // remember the exported file set so refreshFrom can diff against it
+    db.store.manifest(v).foreach { m =>
+      rep.origin = Origin(db.store.root, v,
+        m.segments.map(_.path).toSet, m.deletes.map(_.path).toSet)
+    }
+    rep
+  }
 }

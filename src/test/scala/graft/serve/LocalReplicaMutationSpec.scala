@@ -149,6 +149,99 @@ class LocalReplicaMutationSpec extends AnyFunSuite {
     assert(loaded.search(q, 12, nprobe = 4) == folded.search(q, 12, nprobe = 4))
   }
 
+  test("searches race mutations without tearing: every result is a valid snapshot") {
+    // readers must never crash or observe a half-applied mutation: any
+    // query result must equal the brute-force top-k over SOME prefix of
+    // the mutation sequence (each mutation batch is atomic). The mutation
+    // schedule deletes even ids in waves, then appends fresh ids.
+    val rep = LocalReplica.fromDataFrame(corpus(), "vec", "id", Metric.L2,
+      nlist = 8)
+    val q = queryVec(21)
+    // precompute the expected top-10 after each of the 5 atomic steps
+    val evens = (0L until n.toLong).filter(_ % 2 == 0)
+    val steps: Seq[Set[Long]] = {
+      val s0 = (0L until n.toLong).toSet
+      val s1 = s0 -- evens.take(200)
+      val s2 = s1 -- evens.slice(200, 400)
+      val s3 = s2 -- evens.drop(400)
+      Seq(s0, s1, s2, s3)
+    }
+    val truthRep = LocalReplica.fromDataFrame(corpus(), "vec", "id", Metric.L2)
+    val full = truthRep.search(q, n)
+    val validTops: Seq[Seq[Long]] =
+      steps.map(live => full.filter(c => live(c.id)).take(10).map(_.id))
+    val errors = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (0 until 4).map { _ =>
+      new Thread(() => {
+        try {
+          while (!stop.get()) {
+            val ids = rep.search(q, 10, nprobe = 8).map(_.id)
+            if (!validTops.contains(ids))
+              errors.compareAndSet(null, s"result $ids matches no atomic step")
+          }
+        } catch {
+          case e: Throwable => errors.compareAndSet(null, s"reader threw: $e")
+        }
+      })
+    }
+    readers.foreach(_.start())
+    Thread.sleep(50)
+    rep.delete(evens.take(200).toArray)
+    Thread.sleep(50)
+    rep.delete(evens.slice(200, 400).toArray)
+    Thread.sleep(50)
+    rep.delete(evens.drop(400).toArray)
+    Thread.sleep(100)
+    stop.set(true)
+    readers.foreach(_.join(5000))
+    assert(errors.get() == null, String.valueOf(errors.get()))
+  }
+
+  test("refreshFrom: manifest-diff pull == fresh re-export; LSN replay; compaction refusal") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_refresh_spec"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    def recs(pred: Long => Boolean) =
+      corpus(pred).select(col("id"), col("vec").as("vector"))
+    val db = graft.GraftDB.open(spark, root, dim = dim, metric = "l2")
+    db.insertBatch(recs(_ < 600))
+    val rep = LocalReplica.fromStore(db, nlist = 4)
+    assert(rep.exportedVersion.contains(db.currentVersion))
+    // store moves on: one insert batch, one delete batch
+    db.insertBatch(recs(id => id >= 600 && id < 700))
+    val delIds = (0L until 600L).filter(_ % 9 == 2)
+    db.delete(delIds)
+    val st = rep.refreshFrom(db)
+    assert(st.appended == 100, s"appended ${st.appended}")
+    assert(st.deleted == delIds.length, s"deleted ${st.deleted}")
+    assert(rep.exportedVersion.contains(db.currentVersion))
+    // refreshed replica == a fresh export of the current version
+    val fresh = LocalReplica.fromStore(db, nlist = 4)
+    for (s <- 0 until 5) {
+      val q = queryVec(s)
+      assert(rep.search(q, 15, nprobe = 4) == fresh.search(q, 15, nprobe = 4),
+        s"refresh parity failed at seed $s")
+    }
+    // LSN semantics: delete then RE-INSERT the same id with a new vector —
+    // seq-order replay must land the re-inserted row, searchable
+    val marker = queryVec(77)
+    db.delete(Seq(650L))
+    import spark.implicits._
+    db.insertBatch(Seq((650L, marker)).toDF("id", "vector"))
+    val st2 = rep.refreshFrom(db)
+    assert(st2.appended == 1 && st2.deleted == 1)
+    assert(rep.search(marker, 1, nprobe = 4).head.id == 650L)
+    // no-op refresh
+    val st3 = rep.refreshFrom(db)
+    assert(st3.appended == 0 && st3.deleted == 0 &&
+      st3.fromVersion == st3.toVersion)
+    // compaction rewrites files -> file-level refresh must refuse
+    db.compact()
+    intercept[IllegalArgumentException] { rep.refreshFrom(db) }
+  }
+
   test("delete throughput sanity: bulk tombstoning is millions of ids/sec") {
     val rep = LocalReplica.fromDataFrame(corpus(), "vec", "id", Metric.L2)
     val delIds = (0L until n.toLong by 2).toArray
