@@ -344,6 +344,22 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id",
         TextAnalysis.tokenCount(col("text")), budget = 512L))
 
+  /** Line-level exact dedup ([[graft.dedup.Dedup.dedupLines]] — the
+    * CCNet/RefinedWeb boilerplate pass): drop every token whose exact
+    * content repeats in ≥ 400 distinct documents and rebuild each doc in
+    * original order. The corpus is single-line synthetic text, so the
+    * verify instance runs at WORD granularity (sep = " ") where the
+    * ultra-common tokens really do repeat corpus-wide; the operator's
+    * default is newline granularity. The reassembly (posexplode →
+    * ordered array_sort rebuild) is the part worth hash-checking.
+    */
+  def dedupLinesQ(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dedupLines(t(s, dir, "documents"), "doc_id", "text",
+        minDocFreq = 400, sep = " ")
+      .select(col("id").as("doc_id"), col("text"), col("n_lines"),
+        col("n_removed"))
+      .orderBy(col("doc_id").asc)
+
   /** DSIR importance weights ([[graft.pipeline.Dsir.importanceWeights]]):
     * target = docs with doc_id ≡ 7 (mod 10), raw = the rest; hashed
     * unigram buckets, add-one smoothing, length-normalized log ratio —
@@ -406,7 +422,8 @@ object PipelineQueries {
     "text_unigram_ppl" -> (unigramPpl _),
     "pipeline_dsir_weights" -> (dsirWeights _),
     "pipeline_shuffle_shards" -> (shuffleShardsQ _),
-    "pipeline_curriculum" -> (curriculumQ _)
+    "pipeline_curriculum" -> (curriculumQ _),
+    "dedup_lines" -> (dedupLinesQ _)
   )
 
   private val TOK =
@@ -716,6 +733,23 @@ object PipelineQueries {
         |       row_number() OVER (PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC) AS pos
         |FROM h
         |ORDER BY shard ASC, pos ASC""".stripMargin,
+
+    "dedup_lines" ->
+      """WITH ls AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS arr
+        |            FROM documents),
+        |lines AS (SELECT doc_id, i AS pos, arr[i] AS line
+        |          FROM ls, unnest(range(1, len(arr) + 1)) t(i)),
+        |hot AS (SELECT line FROM lines WHERE len(trim(line)) > 0
+        |        GROUP BY line HAVING count(DISTINCT doc_id) >= 400),
+        |flags AS (SELECT l.doc_id, l.pos, l.line,
+        |                 (len(trim(l.line)) > 0 AND h.line IS NOT NULL) AS dropped
+        |          FROM lines l LEFT JOIN hot h USING (line))
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN NOT dropped THEN line END, ' '
+        |                           ORDER BY pos), '') AS text,
+        |       count(*)::BIGINT AS n_lines,
+        |       sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_removed
+        |FROM flags GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
 
     "pipeline_curriculum" ->
       s"""WITH $TOK,

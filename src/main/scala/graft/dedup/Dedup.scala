@@ -621,4 +621,48 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Line-level exact dedup (the CCNet/RefinedWeb boilerplate pass):
+    * remove every NON-BLANK line whose exact content appears in at least
+    * `minDocFreq` distinct documents — navigation chrome, cookie banners,
+    * boilerplate headers repeat verbatim across pages while real prose
+    * does not — and rebuild each document from its surviving lines in
+    * the original order. Blank/whitespace-only lines are structural, not
+    * content: they are kept and never counted.
+    *
+    * Scale shape: one posexplode (narrow), one line-keyed aggregation for
+    * document frequencies (the only corpus-wide shuffle — hot boilerplate
+    * lines are exactly the frequent keys, so map-side partial counts
+    * collapse them before the exchange), one equi-join of lines against
+    * the frequent-line set (usually tiny → broadcast), and one per-doc
+    * ordered reassembly. Linear end to end; no pairwise anything.
+    *
+    * Output: (id, text, n_lines, n_removed) — `text` rebuilt with "\n",
+    * empty when every line was boilerplate.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int = 2, sep: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq must be >= 2")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+    val content = length(trim(col("line"))) > 0
+    val hot = lines.where(content)
+      .groupBy("line")
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("line"), lit(true).as("_hot"))
+    lines.join(broadcast(hot), Seq("line"), "left")
+      .withColumn("_drop", content && col("_hot").isNotNull)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_drop"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("_drop"),
+              struct(col("pos"), col("line"))))),
+            x => x("line")),
+          sep).as("text"))
+      .select(col("id"), col("text"), col("n_lines"), col("n_removed"))
+  }
 }

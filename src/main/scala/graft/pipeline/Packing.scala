@@ -31,6 +31,15 @@ object Packing {
   /** Assign every row a `pack_id` by exclusive-prefix-sum of `tokensCol`
     * in ascending `idCol` order, chunked at `budget` tokens.
     *
+    * The id→bucket assignment is an EXPLICIT deterministic function
+    * (binary search over quantile bounds computed once on the driver),
+    * NOT `spark_partition_id()` of a range shuffle: the two passes below
+    * each re-evaluate the frame, and RangePartitioner's sampled
+    * boundaries are not stable across evaluations — relying on them
+    * produced different pids per pass and silently wrong (and unstable)
+    * prefix sums at some partition counts. A pure id function cannot
+    * disagree with itself.
+    *
     * Output: (id, tokens, pack_id) — deterministic for a given input.
     */
   def packByBudget(df: DataFrame, idCol: String, tokensCol: Column,
@@ -41,25 +50,46 @@ object Packing {
     val n =
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df
-      .select(col(idCol).cast("long").as("id"), tokensCol.cast("long").as("tokens"))
-      .repartitionByRange(n, col("id"))
-      .sortWithinPartitions("id")
-      .withColumn("pid", spark_partition_id())
-    // pass 1: per-partition totals (rows on the driver = #partitions)
-    val sums: Array[(Int, Long)] = ranged
-      .groupBy("pid").agg(sum("tokens").as("s"))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      tokensCol.cast("long").as("tokens"))
+    // deterministic bucket bounds: Greenwald-Khanna sketch, no sampling
+    // randomness; upper-bound array b => bucket(id) = #bounds < id
+    val bounds: Array[Long] =
+      if (n <= 1) Array.empty
+      else base.stat
+        .approxQuantile("id", (1 until n).map(_.toDouble / n).toArray, 0.001)
+        .map(_.toLong).distinct.sorted
+    val bucketOf = {
+      val bs = bounds
+      udf((id: Long) => {
+        var lo = 0; var hi = bs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (bs(mid) < id) lo = mid + 1 else hi = mid
+        }
+        lo
+      })
+    }
+    val bucketed = base.withColumn("bucket", bucketOf(col("id")))
+    // pass 1: per-bucket totals (rows on the driver = #buckets)
+    val sums: Array[(Int, Long)] = bucketed
+      .groupBy("bucket").agg(sum("tokens").as("s"))
       .as[(Int, Long)].collect().sortBy(_._1)
     val offsets = scala.collection.mutable.HashMap[Int, Long]()
     var acc = 0L
-    sums.foreach { case (pid, s) => offsets(pid) = acc; acc += s }
+    sums.foreach { case (b, s) => offsets(b) = acc; acc += s }
     val bc = spark.sparkContext.broadcast(offsets.toMap)
-    // pass 2: partition-local running sum + broadcast offset
-    ranged.select("pid", "id", "tokens").as[(Int, Long, Long)]
+    // pass 2: buckets hash-shuffle to executors, rows sorted (bucket, id)
+    // within partitions; a partition may hold several whole buckets, so
+    // the running sum resets to the bucket's broadcast offset on change
+    bucketed.repartition(n, col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .select("bucket", "id", "tokens").as[(Int, Long, Long)]
       .mapPartitions { it =>
-        var cum = Long.MinValue
-        it.map { case (pid, id, tk) =>
-          if (cum == Long.MinValue) cum = bc.value.getOrElse(pid, 0L)
+        var curBucket = Int.MinValue
+        var cum = 0L
+        it.map { case (b, id, tk) =>
+          if (b != curBucket) { curBucket = b; cum = bc.value.getOrElse(b, 0L) }
           val start = cum
           cum += tk
           (id, tk, start / budget)

@@ -93,4 +93,33 @@ class DedupSpec extends AnyFunSuite {
     assert(keys(0L) == keys(1L))
     assert(keys(0L) != keys(2L)) // antipodal vectors flip every plane
   }
+
+  test("line dedup: repeated lines removed, order preserved, blanks kept") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nalpha beta\n\ngamma"),
+      (2L, "COOKIE BANNER\ndelta\n\nepsilon"),
+      (3L, "unique prose\nzeta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", minDocFreq = 2)
+      .select("id", "text", "n_lines", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      // "COOKIE BANNER" repeats in 2 docs -> dropped; the BLANK line is
+      // structural and repeats too, but blanks are never candidates
+      (1L, "alpha beta\n\ngamma", 4L, 1L),
+      (2L, "delta\n\nepsilon", 4L, 1L),
+      (3L, "unique prose\nzeta", 2L, 0L)))
+  }
+
+  test("line dedup: a doc of pure boilerplate rebuilds as empty text") {
+    val docs = Seq(
+      (1L, "SAME\nSAME"),
+      (2L, "SAME"),
+      (3L, "keep me")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", minDocFreq = 2)
+      .select("id", "text", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "", 2L), (2L, "", 1L), (3L, "keep me", 0L)))
+  }
 }

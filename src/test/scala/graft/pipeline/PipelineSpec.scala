@@ -80,6 +80,14 @@ class PipelineSpec extends AnyFunSuite {
       }
       assert(got == want, s"parts=$parts")
     }
+    // re-evaluation stability: the sf0.1 sweep caught pack ids CHANGING
+    // between evaluations of the same frame (range-shuffle pids are not
+    // stable across passes); the bucket function must be a pure id
+    // function so repeated collects agree exactly
+    val assigned = Packing.packByBudget(docs, "id", col("tokens"), budget, 4)
+    val a = assigned.orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val b = assigned.orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "pack assignment must be stable across evaluations")
     // pack summary: token totals partition the corpus, packs are contiguous
     val sum1 = Packing.packSummary(
       Packing.packByBudget(docs, "id", col("tokens"), budget, 8))
