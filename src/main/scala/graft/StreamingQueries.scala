@@ -428,6 +428,43 @@ object StreamingQueries {
     s.table(sink).orderBy(col("event_id").asc, col("iv_id").asc)
   }
 
+  /** Streaming DSIR scoring — the deployment shape of
+    * [[graft.pipeline.Dsir]]: both n-gram distributions are TRAINED ONCE
+    * on static corpora, then the raw stream is scored against the frozen
+    * model (stream-static broadcast joins, totals as literals). The
+    * per-doc weight is a pure function of (doc, model), so any
+    * micro-batch split reproduces the batch twin bit-for-bit and the
+    * oracle is shared.
+    */
+  def streamingDsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = Tables.load(s, dir, "documents")
+    val target = docs.where(pmod(col("doc_id"), lit(10)) === 7)
+    val raw = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+    val m = graft.pipeline.Dsir.train(raw, target, "doc_id", "text", 1024)
+    val rawRows = raw.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val (evens, odds) = rawRows.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.pipeline.Dsir.score(
+      m, input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val sink = sinkName("dsir")
+    val q = scored.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("dsir"))
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(evens.toSeq)
+      q.processAllAvailable()
+      input.addData(odds.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("dsir_logratio"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_tumbling_agg" -> (streamingTumblingAgg _),
     "streaming_sliding_agg" -> (streamingSlidingAgg _),
@@ -437,7 +474,8 @@ object StreamingQueries {
     "streaming_minhash" -> (streamingMinhash _),
     "streaming_neardup_cosine" -> (streamingNeardupCosine _),
     "streaming_asof_join" -> (streamingAsofJoin _),
-    "streaming_range_join" -> (streamingRangeJoin _)
+    "streaming_range_join" -> (streamingRangeJoin _),
+    "streaming_dsir" -> (streamingDsir _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -450,6 +488,7 @@ object StreamingQueries {
         |FROM embeddings ORDER BY id ASC""".stripMargin,
     "streaming_dedup_exact" -> PipelineQueries.oracle("dedup_exact"),
     "streaming_minhash" -> PipelineQueries.oracle("dedup_minhash_lsh"),
+    "streaming_dsir" -> PipelineQueries.oracle("pipeline_dsir_weights"),
     "streaming_neardup_cosine" -> PipelineQueries.oracle("neardup_cosine"),
     "streaming_asof_join" -> EventQueries.oracle("events_asof_join"),
     "streaming_range_join" ->

@@ -174,33 +174,60 @@ object Dsir {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 1024): DataFrame = {
+    val m = train(raw, target, idCol, textCol, buckets)
+    score(m, raw, idCol, textCol)
+  }
+
+  /** The trained pair of hashed-unigram count distributions. Both count
+    * frames are ≤ `buckets` rows (broadcast-sized); the totals are plain
+    * longs so scoring needs no stream-static cross join.
+    */
+  final case class Model(cntT: DataFrame, cntR: DataFrame,
+      nT: Long, nR: Long, buckets: Int)
+
+  private def occOf(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, withId: Boolean): DataFrame = {
+    val tok = explode(graft.text.TextAnalysis.wsTokens(col(textCol))).as("t")
+    val base =
+      if (withId) df.select(col(idCol).as("id"), tok) else df.select(tok)
+    base.withColumn("b",
+      pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+  }
+
+  /** Estimate both distributions ONCE (the DSIR deployment shape: train
+    * on the corpora, then score any number of documents — batch or
+    * stream — against the frozen model).
+    */
+  def train(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): Model = {
     require(buckets > 0, "buckets must be positive")
-    def occ(df: DataFrame, withId: Boolean): DataFrame = {
-      val tok = explode(graft.text.TextAnalysis.wsTokens(col(textCol))).as("t")
-      val base =
-        if (withId) df.select(col(idCol).as("id"), tok) else df.select(tok)
-      base.withColumn("b",
-        pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)))
-    }
-    val occT = occ(target, withId = false)
-    val occR = occ(raw, withId = true)
-    val cntT = occT.groupBy("b").agg(count(lit(1)).as("ct"))
-    val cntR = occR.groupBy("b").agg(count(lit(1)).as("cr"))
-    val nT = cntT.agg(sum(col("ct")).as("nt"))
-    val nR = cntR.agg(sum(col("cr")).as("nr"))
-    // every raw occurrence's bucket exists in cntR by construction (inner
-    // join); target-absent buckets smooth to ln(0+1)
-    occR.join(broadcast(cntT), Seq("b"), "left")
-      .join(broadcast(cntR), Seq("b"))
-      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+    val cntT = occOf(target, idCol, textCol, buckets, withId = false)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val cntR = occOf(raw, idCol, textCol, buckets, withId = true)
+      .groupBy("b").agg(count(lit(1)).as("cr"))
+    val nT = cntT.agg(sum(col("ct"))).collect()(0).getLong(0)
+    val nR = cntR.agg(sum(col("cr"))).collect()(0).getLong(0)
+    Model(cntT, cntR, nT, nR, buckets)
+  }
+
+  /** Score documents against a frozen [[Model]]. Works unchanged on a
+    * STREAMING frame (the count joins are stream-static broadcasts, the
+    * totals are literals) — the per-doc weight is a pure function of the
+    * doc and the model, so any micro-batching yields the batch result.
+    * Buckets absent from a distribution smooth to count 0 (add-one).
+    */
+  def score(m: Model, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    occOf(docs, idCol, textCol, m.buckets, withId = true)
+      .join(broadcast(m.cntT), Seq("b"), "left")
+      .join(broadcast(m.cntR), Seq("b"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
         round(
           avg(log(coalesce(col("ct"), lit(0L)) + lit(1)) -
-              log(col("cr") + lit(1))) +
-            log(first(col("nr")).cast("double") + lit(buckets.toDouble)) -
-            log(first(col("nt")).cast("double") + lit(buckets.toDouble)),
+              log(coalesce(col("cr"), lit(0L)) + lit(1))) +
+            log(lit(m.nR.toDouble) + lit(m.buckets.toDouble)) -
+            log(lit(m.nT.toDouble) + lit(m.buckets.toDouble)),
           6).as("dsir_logratio"))
-  }
 }
