@@ -77,4 +77,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(desc.contains("cosine similarity"))
     }
   }
+
+  test("GraftSession.builder: recommended defaults, caller overrides win") {
+    val prev = SparkTestSession.spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = GraftSession.builder(shufflePartitions = 6)
+        .master("local[4]")
+        .config("spark.sql.session.timeZone", "America/New_York") // override
+        .getOrCreate()
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "6")
+      assert(s.conf.get("spark.sql.inMemoryColumnarStorage.compressed") == "false")
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.conf.get("spark.sql.session.timeZone") == "America/New_York")
+      // the extensions conf took effect: SQL vector functions resolve
+      assert(s.sql("SELECT vec_l2sq(array(1.0f, 2.0f), array(1.0f, 4.0f)) AS d")
+        .head().getDouble(0) == 4.0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
