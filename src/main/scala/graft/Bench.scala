@@ -140,6 +140,13 @@ object Bench {
     // writes.
     val replicaMut = graft.serve.LocalReplica.fromDataFrame(
       stored, "vec", "id", Metric.L2, nlist = 64)
+    // the reference's single-query HEADLINE corpus is 10k rows
+    // (BASELINE.md: 92.9 us HNSW @ 10k×128d) — serve the same shape:
+    // at 10k the probed working set is cache-resident, which is what the
+    // reference's number also measures (tools/ReplicaLatencyProbe
+    // attribution: the 50k row is DRAM-bound, not software-bound)
+    val replica10k = graft.serve.LocalReplica.fromDataFrame(
+      stored.where(col("id") % 5 === 0), "vec", "id", Metric.L2, nlist = 64)
     val allIds: Array[Long] = Array.tabulate(n.toInt)(_.toLong)
     val rng = new java.util.Random(41)
     val appendIds: Array[Long] = Array.tabulate(10000)(i => nBig + 1 + i.toLong)
@@ -315,6 +322,14 @@ object Bench {
           i += 1
         }
       }),
+      // the reference's 10k-row single-query headline shape
+      "synth_local_knn10k_x2000" -> (() => {
+        var i = 0
+        while (i < 2000) {
+          replica10k.search(queries(i % queries.length)._2, 10, nprobe = 8)
+          i += 1
+        }
+      }),
       // serving-tier freshness: tombstone every row (n bitmap flips) /
       // append 10k validated rows into the fused delta block
       "synth_replica_delete_all" -> (() => {
@@ -389,6 +404,8 @@ object Bench {
       results("synth_local_knn768_sq8_x200") / 200.0 * 1e6
     derived("local_knn768_pq_latency_us") =
       results("synth_local_knn768_pq_x200") / 200.0 * 1e6
+    derived("local_knn10k_latency_us") =
+      results("synth_local_knn10k_x2000") / 2000.0 * 1e6
     derived("replica_delete_ids_per_sec") =
       n / results("synth_replica_delete_all")
     derived("replica_append_vec_per_sec") =
