@@ -301,12 +301,18 @@ final class LocalReplica private (
       require(newRows <= maxNewRows,
         s"refresh would append $newRows rows > maxNewRows=$maxNewRows — " +
           "re-export instead (delta blocks are for freshness, not growth)")
+      // deletes sort BEFORE segments at an equal seq: a delete at seq d
+      // hides only rows from segments with seq < d, so a same-seq
+      // segment's rows must land after it. (The store currently never
+      // emits equal seqs — writeBatch gives the tombstone maxSeq+1 and
+      // the segment maxSeq+2 — this is defense in depth.)
       val events: Seq[(Long, Either[SnapshotStore.SegmentRef,
         SnapshotStore.DeleteRef])] =
         (newSegs.map(s => (s.seq, Left(s): Either[SnapshotStore.SegmentRef,
             SnapshotStore.DeleteRef])) ++
           newDels.map(d => (d.seq, Right(d): Either[SnapshotStore.SegmentRef,
-            SnapshotStore.DeleteRef]))).sortBy(_._1)
+            SnapshotStore.DeleteRef])))
+          .sortBy { case (seq, e) => (seq, if (e.isRight) 0 else 1) }
       var appended = 0
       var deleted = 0
       events.foreach {
