@@ -631,11 +631,13 @@ object Dedup {
     * content: they are kept and never counted.
     *
     * Scale shape: one posexplode (narrow), one line-keyed aggregation for
-    * document frequencies (the only corpus-wide shuffle — hot boilerplate
-    * lines are exactly the frequent keys, so map-side partial counts
-    * collapse them before the exchange), one equi-join of lines against
-    * the frequent-line set (usually tiny → broadcast), and one per-doc
-    * ordered reassembly. Linear end to end; no pairwise anything.
+    * document frequencies (a corpus-wide shuffle — hot boilerplate lines
+    * are exactly the frequent keys, so map-side partial counts collapse
+    * them before the exchange), one equi-join of lines against the
+    * frequent-line set (AQE broadcasts it when it measures small; no
+    * forced hint, since at web scale the set is not guaranteed
+    * driver-sized), and one per-doc ordered reassembly. Linear end to
+    * end; no pairwise anything.
     *
     * Output: (id, text, n_lines, n_removed) — `text` rebuilt with "\n",
     * empty when every line was boilerplate.
@@ -652,7 +654,10 @@ object Dedup {
       .agg(countDistinct(col("id")).as("df"))
       .where(col("df") >= minDocFreq)
       .select(col("line"), lit(true).as("_hot"))
-    lines.join(broadcast(hot), Seq("line"), "left")
+    // NO broadcast hint: at web scale the >= minDocFreq line set is not
+    // guaranteed driver-sized (boilerplate can be a few percent of all
+    // distinct lines) — let AQE pick broadcast when it measures small
+    lines.join(hot, Seq("line"), "left")
       .withColumn("_drop", content && col("_hot").isNotNull)
       .groupBy("id")
       .agg(count(lit(1)).as("n_lines"),

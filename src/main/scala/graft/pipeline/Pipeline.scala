@@ -206,9 +206,13 @@ object Dsir {
       .groupBy("b").agg(count(lit(1)).as("ct"))
     val cntR = occOf(raw, idCol, textCol, buckets, withId = true)
       .groupBy("b").agg(count(lit(1)).as("cr"))
-    val nT = cntT.agg(sum(col("ct"))).collect()(0).getLong(0)
-    val nR = cntR.agg(sum(col("cr"))).collect()(0).getLong(0)
-    Model(cntT, cntR, nT, nR, buckets)
+    // sum() over an empty frame is SQL NULL — surface "corpus has no
+    // tokens" instead of an opaque NPE
+    val tRow = cntT.agg(sum(col("ct"))).collect()(0)
+    val rRow = cntR.agg(sum(col("cr"))).collect()(0)
+    require(!tRow.isNullAt(0), "DSIR target corpus has no tokens")
+    require(!rRow.isNullAt(0), "DSIR raw corpus has no tokens")
+    Model(cntT, cntR, tRow.getLong(0), rRow.getLong(0), buckets)
   }
 
   /** Score documents against a frozen [[Model]]. Works unchanged on a

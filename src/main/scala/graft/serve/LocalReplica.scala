@@ -182,7 +182,7 @@ final class LocalReplica private (
         }
         delta =
           if (keepIds.isEmpty) null
-          else new LocalReplica.Delta(keepIds.toArray, keepFlat.toArray)
+          else LocalReplica.Delta.of(keepIds.toArray, keepFlat.toArray, dim)
       }
     }
     tombstones = words
@@ -212,7 +212,21 @@ final class LocalReplica private (
         val mr = idToRow.get(id)
         require(mr < 0 || !live(tomb, mr),
           s"id $id is already live in the replica (delete/upsert first)")
-        require(seen.add(id), s"duplicate id $id in append batch")
+        // seen was pre-seeded with the existing delta's ids, so an add
+        // failure is EITHER a collision with an earlier append (say so —
+        // the fix is delete/upsert, not de-duping the batch) or a true
+        // within-batch duplicate
+        if (!seen.add(id)) {
+          val inDelta = d != null && {
+            var j = 0; var f = false
+            while (!f && j < d.size) { f = d.ids(j) == id; j += 1 }
+            f
+          }
+          throw new IllegalArgumentException(
+            if (inDelta)
+              s"id $id is already live in the replica delta (delete/upsert first)"
+            else s"duplicate id $id in append batch")
+        }
         val v = vecs(i)
         require(v != null && v.length == dim,
           s"vector for id $id has dim ${if (v == null) -1 else v.length}, expected $dim")
@@ -230,13 +244,13 @@ final class LocalReplica private (
         i += 1
       }
       delta =
-        if (d == null) new LocalReplica.Delta(newIds.clone(), addFlat)
-        else new LocalReplica.Delta(d.ids ++ newIds,
+        if (d == null) LocalReplica.Delta.of(newIds.clone(), addFlat, dim)
+        else LocalReplica.Delta.of(d.ids ++ newIds,
           java.util.Arrays.copyOf(d.flat, d.flat.length + addFlat.length) match {
             case merged =>
               System.arraycopy(addFlat, 0, merged, d.flat.length, addFlat.length)
               merged
-          })
+          }, dim)
     }
 
   /** Drop all tombstones + delta (bench/test reset — NOT part of the
@@ -313,33 +327,57 @@ final class LocalReplica private (
           newDels.map(d => (d.seq, Right(d): Either[SnapshotStore.SegmentRef,
             SnapshotStore.DeleteRef])))
           .sortBy { case (seq, e) => (seq, if (e.isRight) 0 else 1) }
+      // phase 1 — READ everything first (no replica state touched): a
+      // parquet read failure or corrupt file aborts with nothing applied
+      val batches: Seq[Either[(Array[Long], Array[Array[Float]]), Array[Long]]] =
+        events.map {
+          case (_, Left(seg)) =>
+            val rows = db.spark.read.parquet(seg.path)
+              .select(org.apache.spark.sql.functions.col("id"),
+                org.apache.spark.sql.functions.col("vector"))
+              .collect()
+            val ids = new Array[Long](rows.length)
+            val vecs = new Array[Array[Float]](rows.length)
+            var i = 0
+            while (i < rows.length) {
+              ids(i) = rows(i).getLong(0)
+              vecs(i) = rows(i).get(1) match {
+                case b: Array[Byte] =>
+                  graft.functions.DistanceKernels.bytesToFloats(b)
+                case _ => rows(i).getSeq[Float](1).toArray
+              }
+              i += 1
+            }
+            Left((ids, vecs))
+          case (_, Right(del)) =>
+            Right(db.spark.read.parquet(del.path)
+              .select(org.apache.spark.sql.functions.col("id"))
+              .collect().map(_.getLong(0)))
+        }
+      // phase 2 — apply under the mutation lock with snapshot rollback:
+      // if any replay step refuses (e.g. a store anomaly produced an id
+      // collision), the replica reverts to its pre-refresh state instead
+      // of wedging half-applied with a stale origin
+      val tombSnap = tombstones
+      val deltaSnap = delta
       var appended = 0
       var deleted = 0
-      events.foreach {
-        case (_, Left(seg)) =>
-          val rows = db.spark.read.parquet(seg.path)
-            .select(org.apache.spark.sql.functions.col("id"),
-              org.apache.spark.sql.functions.col("vector"))
-            .collect()
-          val ids = new Array[Long](rows.length)
-          val vecs = new Array[Array[Float]](rows.length)
-          var i = 0
-          while (i < rows.length) {
-            ids(i) = rows(i).getLong(0)
-            vecs(i) = rows(i).get(1) match {
-              case b: Array[Byte] =>
-                graft.functions.DistanceKernels.bytesToFloats(b)
-              case _ => rows(i).getSeq[Float](1).toArray
-            }
-            i += 1
-          }
-          append(ids, vecs)
-          appended += rows.length
-        case (_, Right(del)) =>
-          val ids = db.spark.read.parquet(del.path)
-            .select(org.apache.spark.sql.functions.col("id"))
-            .collect().map(_.getLong(0))
-          deleted += delete(ids)
+      try {
+        batches.foreach {
+          case Left((ids, vecs)) =>
+            append(ids, vecs)
+            appended += ids.length
+          case Right(ids) =>
+            deleted += delete(ids)
+        }
+      } catch {
+        case e: Throwable =>
+          tombstones = tombSnap
+          delta = deltaSnap
+          throw new IllegalStateException(
+            s"refreshFrom replay failed — replica rolled back to its " +
+              s"pre-refresh state (origin still v${o.version}): ${e.getMessage}",
+            e)
       }
       origin = LocalReplica.Origin(o.root, v1, curSegs, curDels)
       LocalReplica.RefreshStats(appended, deleted, o.version, v1)
@@ -366,9 +404,12 @@ final class LocalReplica private (
   def compacted(): LocalReplica = this.synchronized {
     val tomb = tombstones
     val d = delta
-    if (tomb == null && d == null)
-      return new LocalReplica(metric, dim, ids, flat, centroids, listStart,
-        null, null, null, 0.0, Array.empty, null)
+    if (tomb == null && d == null) {
+      val out = new LocalReplica(metric, dim, ids, flat, centroids,
+        listStart, null, null, null, 0.0, Array.empty, null)
+      out.origin = this.origin
+      return out
+    }
     val nl = math.max(1, nlist)
     val perList = Array.fill(nl)(new scala.collection.mutable.ArrayBuffer[Int]())
     var r = 0
@@ -417,9 +458,14 @@ final class LocalReplica private (
       li += 1
     }
     outStart(nl) = w
-    new LocalReplica(metric, dim, outIds, outFlat, centroids,
+    val out = new LocalReplica(metric, dim, outIds, outFlat, centroids,
       if (centroids.isEmpty) Array(0, n2) else outStart,
       null, null, null, 0.0, Array.empty, null)
+    // folding mutations does not change which STORE FILES the rows came
+    // from, so the compacted replica keeps the refresh baseline — an
+    // in-process compaction must not cost the cheap CDC path
+    out.origin = this.origin
+    out
   }
 
   /** Row norms for the fast cosine path (exact cosine recomputes both
@@ -502,17 +548,32 @@ final class LocalReplica private (
     case Metric.Hamming => throw new IllegalStateException("unreachable")
   }
 
-  /** Exact score of one DELTA row (same accumulation order as the exact
-    * kernels over the main block, so fused results keep the main scan's
-    * bit-exact score definitions; the delta is small between re-exports,
-    * so it never needs the SIMD tier).
+  /** Score one DELTA row on the SAME kernel tier the main block uses for
+    * this query (exact doubles when pinned/unavailable, Panama SIMD when
+    * fast) — identical vectors MUST score identically whether they live
+    * in the main block or the delta, or near-tie rankings would depend
+    * on residency and `search()` would disagree with
+    * `compacted().search()` under the production kernels. The fast
+    * cosine path mirrors the main block's precomputed-row-norm shape via
+    * [[LocalReplica.Delta.norms]].
     */
-  private def scoreDeltaRow(arr: Array[Float], base: Int,
-      q: Array[Float]): Double = metric match {
-    case Metric.L2 => l2sqExact(arr, base, q)
-    case Metric.Dot => dotExact(arr, base, q)
-    case Metric.Cosine => cosExact(arr, base, q)
-    case Metric.Hamming => throw new IllegalStateException("unreachable")
+  private def scoreDeltaRow(d: LocalReplica.Delta, row: Int,
+      q: Array[Float], fast: Boolean, qNorm: Double): Double = {
+    val base = row * dim
+    metric match {
+      case Metric.L2 =>
+        if (fast) SimdKernels.l2sqAt(d.flat, base, q)
+        else l2sqExact(d.flat, base, q)
+      case Metric.Dot =>
+        if (fast) SimdKernels.dotAt(d.flat, base, q)
+        else dotExact(d.flat, base, q)
+      case Metric.Cosine =>
+        if (fast) {
+          val denom = d.norms(row) * qNorm
+          if (denom == 0.0) 0.0 else SimdKernels.dotAt(d.flat, base, q) / denom
+        } else cosExact(d.flat, base, q)
+      case Metric.Hamming => throw new IllegalStateException("unreachable")
+    }
   }
 
   /** Cosine scores the RAW query (the kernel normalizes internally, same
@@ -1134,18 +1195,20 @@ final class LocalReplica private (
       // small between re-exports) and merge — both sides carry exact
       // scores under the same definitions, so the merged top-k is the
       // top-k of the union
-      (main ++ deltaCandidates(d, q))
+      (main ++ deltaCandidates(d, q, fast, qNorm))
         .sortWith((a, b) => better(a.score, a.id, b.score, b.id)).take(k)
     }
   }
 
-  /** Exact scores of every delta row (unfiltered — callers filter). */
-  private def deltaCandidates(d: LocalReplica.Delta,
-      q: Array[Float]): Seq[Candidate] = {
+  /** Scores of every delta row on the query's kernel tier (unfiltered —
+    * callers filter).
+    */
+  private def deltaCandidates(d: LocalReplica.Delta, q: Array[Float],
+      fast: Boolean, qNorm: Double): Seq[Candidate] = {
     val out = new Array[Candidate](d.size)
     var i = 0
     while (i < d.size) {
-      out(i) = Candidate(d.ids(i), scoreDeltaRow(d.flat, i * dim, q))
+      out(i) = Candidate(d.ids(i), scoreDeltaRow(d, i, q, fast, qNorm))
       i += 1
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
@@ -1183,7 +1246,8 @@ final class LocalReplica private (
         r += 1
       }
     }
-    if (d != null) buf ++= deltaCandidates(d, q).filter(c => allowed(c.id))
+    if (d != null)
+      buf ++= deltaCandidates(d, q, fast, qNorm).filter(c => allowed(c.id))
     buf.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
       .take(k).toSeq
   }
@@ -1300,7 +1364,8 @@ final class LocalReplica private (
         r += 1
       }
     }
-    if (d != null) buf ++= deltaCandidates(d, q).filter(c => keep(c.score))
+    if (d != null)
+      buf ++= deltaCandidates(d, q, fast, qNorm).filter(c => keep(c.score))
     buf.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
       .take(maxResults).toSeq
   }
@@ -1338,7 +1403,11 @@ final class LocalReplica private (
     */
   def save(path: String,
       conf: org.apache.hadoop.conf.Configuration =
-        new org.apache.hadoop.conf.Configuration()): Unit = {
+        new org.apache.hadoop.conf.Configuration()): Unit = this.synchronized {
+    // the no-pending-mutations guard and the write run under the mutator
+    // lock: a delete/append racing an unlocked save could pass the guard
+    // and be silently absent from the artifact. Mutators block for the
+    // write's duration — saving is a maintenance op, not a hot path.
     require(tombstones == null && delta == null,
       "replica has pending deletes/appends — the artifact format persists " +
         "the exported state only; fold them first (compacted()) or " +
@@ -1463,13 +1532,33 @@ object LocalReplica {
       fromVersion: Long, toVersion: Long)
 
   /** Immutable appended-rows block (the memtable-segment analog): packed
-    * row-major vectors, exact-scanned and fused by every search. Append
-    * publishes a fresh Delta; readers hold whichever snapshot they took.
+    * row-major vectors scanned and fused by every search on the same
+    * kernel tier as the main block. Append publishes a fresh Delta;
+    * readers hold whichever snapshot they took. `norms` mirrors the main
+    * block's precomputed row norms (same sequential-double accumulation)
+    * for the fast cosine path.
     */
   private[serve] final class Delta(
       val ids: Array[Long],
-      val flat: Array[Float]) {
+      val flat: Array[Float],
+      val norms: Array[Double]) {
     def size: Int = ids.length
+  }
+
+  private[serve] object Delta {
+    def of(ids: Array[Long], flat: Array[Float], dim: Int): Delta = {
+      val norms = new Array[Double](ids.length)
+      var r = 0
+      while (r < ids.length) {
+        val base = r * dim
+        var s = 0.0
+        var i = 0
+        while (i < dim) { val x = flat(base + i).toDouble; s += x * x; i += 1 }
+        norms(r) = math.sqrt(s)
+        r += 1
+      }
+      new Delta(ids, flat, norms)
+    }
   }
 
   /** Open-addressed long → int map (linear probing, power-of-two table,

@@ -112,6 +112,30 @@ class LocalReplicaMutationSpec extends AnyFunSuite {
       s"upserted twin rows should tie at the top, got $got")
   }
 
+  test("delta rows score on the SAME kernel tier as main rows (fast on and off)") {
+    // residency must not affect scores: under the production fast
+    // kernels, a vector in the delta must rank exactly like the same
+    // vector in the main block, so fused search == compacted search
+    import graft.functions.KernelMode
+    for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.Dot)) {
+      val cut = 900L
+      val rep = LocalReplica.fromDataFrame(corpus(_ < cut), "vec", "id", metric)
+      import spark.implicits._
+      val rest = corpus(_ >= cut).select("id", "vec")
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      rep.append(rest.map(_._1), rest.map(_._2))
+      for (fastOn <- Seq(false, true)) {
+        KernelMode.withFast(fastOn) {
+          val q = queryVec(33)
+          val fused = rep.search(q, 25)
+          val folded = rep.compacted().search(q, 25)
+          assert(fused == folded,
+            s"metric=$metric fast=$fastOn: fused != compacted")
+        }
+      }
+    }
+  }
+
   test("searchWhere: delta rows are all-NULL metadata → excluded by predicates") {
     val rep = LocalReplica.fromDataFrame(
       corpus(_ < 100).withColumn("label", (col("id") % 3).cast("int")),
