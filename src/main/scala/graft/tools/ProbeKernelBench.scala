@@ -7,7 +7,20 @@ import graft.functions.{DistanceKernels, KernelMode, SimdKernels}
   */
 object ProbeKernelBench {
   def main(args: Array[String]): Unit = {
-    println(s"simdAvailable=${KernelMode.simdAvailable} doubleLanes=${SimdKernels.doubleLanes}")
+    // optional: bring up a Spark session first to test whether the
+    // in-session environment (executor threads, JIT/code-cache load)
+    // explains the 10us -> ~57us probes slowdown seen in ReplicaProbe
+    val sparkMode = sys.env.getOrElse("PKB_SPARK", "")
+    val spark =
+      if (sparkMode.nonEmpty) {
+        val s = org.apache.spark.sql.SparkSession.builder()
+          .master(s"local[$sparkMode]")
+          .config("spark.ui.enabled", "false").getOrCreate()
+        s.sparkContext.setLogLevel("ERROR")
+        s.range(0, 1000000).selectExpr("sum(id)").collect() // touch the JIT
+        Some(s)
+      } else None
+    println(s"spark=${sparkMode} simdAvailable=${KernelMode.simdAvailable} doubleLanes=${SimdKernels.doubleLanes}")
     val k = 256; val dim = 128
     val rnd = new java.util.Random(3)
     val cents = Array.fill(k)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
@@ -42,6 +55,13 @@ object ProbeKernelBench {
         }
       }
       time("model_probes_np16", 20000) { model.probes(q, 16); () }
+      // 100 distinct query arrays like the replica benches use
+      val qs = Array.fill(100)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+      var qi = 0
+      time("model_probes_np16_100q", 20000) {
+        model.probes(qs(qi % 100), 16); qi += 1; ()
+      }
     }
+    spark.foreach(_.stop())
   }
 }

@@ -43,11 +43,11 @@ object ReplicaLatencyProbe {
       maxIter = 5)
     for (r <- 1 to 3) {
       println(s"--- round $r")
-      timeUs("probed50k_np16", 3000)(i =>
+      if (sys.env.contains("RLP_ALL")) timeUs("probed50k_np16", 3000)(i =>
         probed.search(queries(i % queries.length)._2, 10, nprobe = 16))
-      timeUs("flat3125_coded", 3000)(i =>
+      if (sys.env.contains("RLP_ALL")) timeUs("flat3125_coded", 3000)(i =>
         small.search(queries(i % queries.length)._2, 10))
-      timeUs("flat3125_float", 3000)(i =>
+      if (sys.env.contains("RLP_ALL")) timeUs("flat3125_float", 3000)(i =>
         smallPlain.search(queries(i % queries.length)._2, 10))
       timeUs("model_probes_np16", 3000) { i =>
         model.probes(queries(i % queries.length)._2, 16); ()
@@ -55,14 +55,14 @@ object ReplicaLatencyProbe {
       timeUs("model_probes_1q", 3000) { _ =>
         model.probes(queries(0)._2, 16); ()
       }
-      timeUs("probed50k_np1", 3000)(i =>
+      if (sys.env.contains("RLP_ALL")) timeUs("probed50k_np1", 3000)(i =>
         probed.search(queries(i % queries.length)._2, 10, nprobe = 1))
       val probedPlain = probed.withoutCodes
-      timeUs("probed50k_np16_float", 3000)(i =>
+      if (sys.env.contains("RLP_ALL")) timeUs("probed50k_np16_float", 3000)(i =>
         probedPlain.search(queries(i % queries.length)._2, 10, nprobe = 16))
       // the reference's single-query headline is a 10k-row corpus
       // (BASELINE.md: 92.9 us HNSW @ 10k): measure OUR 10k serving shape
-      timeUs("probed10k_np8", 3000)(i =>
+      if (sys.env.contains("RLP_ALL")) timeUs("probed10k_np8", 3000)(i =>
         probed10k.search(queries(i % queries.length)._2, 10, nprobe = 8))
     }
     spark.stop()
