@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
   * configuration — the knobs every deployment of this library should set
   * and the reasons they are set, so users do not rediscover them:
   *
-  *  - `spark.sql.extensions=graft.GraftExtensions`: registers the vector
-  *    function library (`vec_l2sq`, `vec_cos`, …) for `spark.sql(...)`.
+  *  - [[GraftExtensions]] injected via `withExtensions`: registers the
+  *    vector function library (`vec_l2sq`, `vec_cos`, …) for
+  *    `spark.sql(...)`.
   *  - adaptive execution ON: runtime re-planning (skew joins, partition
   *    coalescing) is part of the 100 TB story.
   *  - `spark.sql.inMemoryColumnarStorage.compressed=false`: packed
@@ -31,10 +32,13 @@ object GraftSession {
       else Runtime.getRuntime.availableProcessors()
     SparkSession.builder()
       // withExtensions injects even when an existing SparkContext is
-      // reused (the static conf below only takes effect on a fresh
-      // cluster — kept so spark-submit --conf deployments match)
+      // reused. Deliberately NOT also setting `spark.sql.extensions`:
+      // on a fresh context Spark would apply the conf-named class into
+      // the same SparkSessionExtensions this builder holds, registering
+      // every function/rule/strategy twice. spark-submit deployments that
+      // bypass GraftSession should pass
+      // `--conf spark.sql.extensions=graft.GraftExtensions` themselves.
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -98,18 +98,25 @@ final class LocalReplica private (
   // `internal/engine/engine.go` — BASELINE.md's 16.5 M ids/s row IS that
   // bitmap flip) and inserts land in a brute-scanned memtable segment until
   // compaction folds them into the indexed ones. Here: `tombstones` is an
-  // immutable bitmap over MAIN rows (copy-on-write per delete batch, so
-  // readers take one volatile read and never see a torn word), and `delta`
-  // is an immutable append-only side block of (id, vector) rows that every
-  // search exact-scans and fuses with the main result. Mutators serialize
-  // on `this`; searches are lock-free against their snapshot. A reader
-  // racing a mutation may see the new tombstones with the old delta (or
-  // vice versa) — each snapshot is internally consistent, the same
-  // read-your-own-writes-eventually contract as the reference's bitmap.
-  // The delta is for freshness BETWEEN re-exports, not growth: re-export
-  // from the store (or [[compacted]]) is the compaction path.
-  @volatile private var tombstones: Array[Long] = null
-  @volatile private var delta: LocalReplica.Delta = null
+  // immutable bitmap over MAIN rows (copy-on-write per delete batch) and
+  // `delta` is an immutable append-only side block of (id, vector) rows
+  // that every search exact-scans and fuses with the main result. BOTH
+  // live in ONE immutable [[LocalReplica.Mut]] snapshot behind a single
+  // @volatile reference: each mutation batch (delete / append / upsert /
+  // refreshFrom) builds a complete new snapshot and publishes it with one
+  // volatile store, so a lock-free reader can never observe a batch
+  // half-applied (e.g. an upsert's delete visible but its re-append not,
+  // or a delete's delta removals without its main-row tombstones — the
+  // skew two separate volatile fields allowed). Mutators serialize on
+  // `this`; searches are lock-free against their snapshot. The delta is
+  // for freshness BETWEEN re-exports, not growth: re-export from the
+  // store (or [[compacted]]) is the compaction path.
+  @volatile private var mut: LocalReplica.Mut = null
+
+  @inline private def mutTomb(m: LocalReplica.Mut): Array[Long] =
+    if (m == null) null else m.tombstones
+  @inline private def mutDelta(m: LocalReplica.Mut): LocalReplica.Delta =
+    if (m == null) null else m.delta
 
   @inline private def live(tomb: Array[Long], r: Int): Boolean =
     tomb == null || (tomb(r >>> 6) & (1L << (r & 63))) == 0L
@@ -126,18 +133,19 @@ final class LocalReplica private (
 
   /** Rows currently visible to searches (main minus tombstones plus delta). */
   def liveSize: Int = {
-    val tomb = tombstones
+    val m = mut
+    val tomb = mutTomb(m)
     var dead = 0
     if (tomb != null) {
       var w = 0
       while (w < tomb.length) { dead += java.lang.Long.bitCount(tomb(w)); w += 1 }
     }
-    val d = delta
+    val d = mutDelta(m)
     size - dead + (if (d == null) 0 else d.size)
   }
 
   /** Appended-but-not-yet-compacted rows. */
-  def deltaSize: Int = { val d = delta; if (d == null) 0 else d.size }
+  def deltaSize: Int = { val d = mutDelta(mut); if (d == null) 0 else d.size }
 
   /** Tombstone a batch of ids (vecgo `Delete`/`BatchDelete` on the serving
     * tier): one bitmap flip per id against the prebuilt id index, visible
@@ -146,10 +154,23 @@ final class LocalReplica private (
     * NEWLY tombstoned.
     */
   def delete(delIds: Array[Long]): Int = this.synchronized {
-    if (delIds.isEmpty) return 0
+    val (m1, newly) = deleteInternal(mut, delIds)
+    mut = m1
+    newly
+  }
+
+  /** Pure snapshot transform for a delete batch — computes the successor
+    * [[LocalReplica.Mut]] without publishing it, so callers (delete,
+    * upsert, refreshFrom) compose mutations and publish exactly once.
+    * Must run under the mutator lock.
+    */
+  private def deleteInternal(m0: LocalReplica.Mut,
+      delIds: Array[Long]): (LocalReplica.Mut, Int) = {
+    if (delIds.isEmpty) return (m0, 0)
+    val tomb0 = mutTomb(m0)
     val words =
-      if (tombstones == null) new Array[Long]((size + 63) >>> 6)
-      else tombstones.clone()
+      if (tomb0 == null) new Array[Long]((size + 63) >>> 6)
+      else tomb0.clone()
     var newly = 0
     var i = 0
     while (i < delIds.length) {
@@ -160,7 +181,8 @@ final class LocalReplica private (
       }
       i += 1
     }
-    val d = delta
+    val d = mutDelta(m0)
+    var dOut = d
     if (d != null) {
       val dead = new java.util.HashSet[Long]()
       i = 0
@@ -180,13 +202,12 @@ final class LocalReplica private (
           } else newly += 1
           i += 1
         }
-        delta =
+        dOut =
           if (keepIds.isEmpty) null
           else LocalReplica.Delta.of(keepIds.toArray, keepFlat.toArray, dim)
       }
     }
-    tombstones = words
-    newly
+    (new LocalReplica.Mut(words, dOut), newly)
   }
 
   /** Append rows searchable immediately (vecgo's insert-then-search
@@ -197,12 +218,18 @@ final class LocalReplica private (
     * same three-valued semantics as a NULL metadata row in the main block.
     */
   def append(newIds: Array[Long], vecs: Array[Array[Float]]): Unit =
-    this.synchronized {
+    this.synchronized { mut = appendInternal(mut, newIds, vecs) }
+
+  /** Pure snapshot transform for an append batch (see [[deleteInternal]]).
+    * Must run under the mutator lock.
+    */
+  private def appendInternal(m0: LocalReplica.Mut, newIds: Array[Long],
+      vecs: Array[Array[Float]]): LocalReplica.Mut = {
       require(newIds.length == vecs.length,
         s"ids (${newIds.length}) and vectors (${vecs.length}) must align")
-      if (newIds.isEmpty) return
-      val tomb = tombstones
-      val d = delta
+      if (newIds.isEmpty) return m0
+      val tomb = mutTomb(m0)
+      val d = mutDelta(m0)
       val seen = new java.util.HashSet[Long]()
       if (d != null) { var i = 0; while (i < d.size) { seen.add(d.ids(i)); i += 1 } }
       val addFlat = new Array[Float](newIds.length * dim)
@@ -243,7 +270,7 @@ final class LocalReplica private (
           s"zero-norm vector for id $id under cosine")
         i += 1
       }
-      delta =
+      val dOut =
         if (d == null) LocalReplica.Delta.of(newIds.clone(), addFlat, dim)
         else LocalReplica.Delta.of(d.ids ++ newIds,
           java.util.Arrays.copyOf(d.flat, d.flat.length + addFlat.length) match {
@@ -251,14 +278,14 @@ final class LocalReplica private (
               System.arraycopy(addFlat, 0, merged, d.flat.length, addFlat.length)
               merged
           }, dim)
+      new LocalReplica.Mut(tomb, dOut)
     }
 
   /** Drop all tombstones + delta (bench/test reset — NOT part of the
     * serving API; production rollback is re-export).
     */
   private[graft] def clearMutations(): Unit = this.synchronized {
-    tombstones = null
-    delta = null
+    mut = null
   }
 
   // set by fromStore: what store state this replica was exported from
@@ -354,42 +381,45 @@ final class LocalReplica private (
               .select(org.apache.spark.sql.functions.col("id"))
               .collect().map(_.getLong(0)))
         }
-      // phase 2 — apply under the mutation lock with snapshot rollback:
-      // if any replay step refuses (e.g. a store anomaly produced an id
-      // collision), the replica reverts to its pre-refresh state instead
-      // of wedging half-applied with a stale origin
-      val tombSnap = tombstones
-      val deltaSnap = delta
+      // phase 2 — replay against a LOCAL snapshot chain and publish the
+      // final state with ONE volatile store: readers see either the
+      // pre-refresh replica or the fully refreshed one, never a partially
+      // replayed intermediate; if any replay step refuses (e.g. a store
+      // anomaly produced an id collision) nothing was ever published
       var appended = 0
       var deleted = 0
+      var m = mut
       try {
         batches.foreach {
           case Left((ids, vecs)) =>
-            append(ids, vecs)
+            m = appendInternal(m, ids, vecs)
             appended += ids.length
           case Right(ids) =>
-            deleted += delete(ids)
+            val (m1, n) = deleteInternal(m, ids)
+            m = m1
+            deleted += n
         }
       } catch {
         case e: Throwable =>
-          tombstones = tombSnap
-          delta = deltaSnap
           throw new IllegalStateException(
-            s"refreshFrom replay failed — replica rolled back to its " +
-              s"pre-refresh state (origin still v${o.version}): ${e.getMessage}",
+            s"refreshFrom replay failed — nothing applied (replica still " +
+              s"serves origin v${o.version}): ${e.getMessage}",
             e)
       }
+      mut = m
       origin = LocalReplica.Origin(o.root, v1, curSegs, curDels)
       LocalReplica.RefreshStats(appended, deleted, o.version, v1)
     }
 
-  /** Delete-then-append in one mutator critical section (vecgo upsert:
-    * a WriteBatch of delete + insert on the same ids).
+  /** Delete-then-append published as ONE snapshot (vecgo upsert: a
+    * WriteBatch of delete + insert on the same ids). A concurrent reader
+    * sees the old row or the new row — never the transient absent state
+    * a delete-then-append pair of publishes would expose.
     */
   def upsert(upIds: Array[Long], vecs: Array[Array[Float]]): Unit =
     this.synchronized {
-      delete(upIds)
-      append(upIds, vecs)
+      val (m1, _) = deleteInternal(mut, upIds)
+      mut = appendInternal(m1, upIds, vecs)
     }
 
   /** Fold tombstones + delta into a fresh dense replica: live main rows
@@ -402,8 +432,9 @@ final class LocalReplica private (
     * this is the in-process one).
     */
   def compacted(): LocalReplica = this.synchronized {
-    val tomb = tombstones
-    val d = delta
+    val m0 = mut
+    val tomb = mutTomb(m0)
+    val d = mutDelta(m0)
     if (tomb == null && d == null) {
       val out = new LocalReplica(metric, dim, ids, flat, centroids,
         listStart, null, null, null, 0.0, Array.empty, null)
@@ -620,8 +651,9 @@ final class LocalReplica private (
     val t0 = System.nanoTime()
     val q = prepQuery(q0)
     val ranges = probeRanges(q, nprobe)
-    val d = delta
-    val out = searchRanges(q, k, ranges, inBatch = false, tombstones, d)
+    val m0 = mut
+    val d = mutDelta(m0)
+    val out = searchRanges(q, k, ranges, inBatch = false, mutTomb(m0), d)
     val fullCoverage = ranges == Seq((0, size))
     (out, LocalReplica.Stats(
       durationNanos = System.nanoTime() - t0,
@@ -1216,8 +1248,9 @@ final class LocalReplica private (
 
   def search(q0: Array[Float], k: Int, nprobe: Int = 0): Seq[Candidate] = {
     val q = prepQuery(q0)
+    val m0 = mut
     searchRanges(q, k, probeRanges(q, nprobe), inBatch = false,
-      tombstones, delta)
+      mutTomb(m0), mutDelta(m0))
   }
 
   /** Filtered top-k (vecgo `WithFilter` on the embedded path): `allowed`
@@ -1231,8 +1264,9 @@ final class LocalReplica private (
       nprobe: Int = 0): Seq[Candidate] = {
     val q = prepQuery(q0)
     val fast = fastMode
-    val tomb = tombstones
-    val d = delta
+    val m0 = mut
+    val tomb = mutTomb(m0)
+    val d = mutDelta(m0)
     val qNorm =
       if (metric == Metric.Cosine && fast)
         math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
@@ -1314,7 +1348,7 @@ final class LocalReplica private (
     val preds = filters.map(compilePredicate).toArray
     val q = prepQuery(q0)
     val fast = fastMode
-    val tomb = tombstones
+    val tomb = mutTomb(mut)
     // delta rows carry NO metadata → every column is NULL → no predicate
     // matches (three-valued semantics, same as a NULL row in the main
     // block), so the delta is not scanned here at all
@@ -1346,8 +1380,9 @@ final class LocalReplica private (
       maxResults: Int = Int.MaxValue, nprobe: Int = 0): Seq[Candidate] = {
     val q = prepQuery(q0)
     val fast = fastMode
-    val tomb = tombstones
-    val d = delta
+    val m0 = mut
+    val tomb = mutTomb(m0)
+    val d = mutDelta(m0)
     val qNorm =
       if (metric == Metric.Cosine && fast)
         math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x)) else 0.0
@@ -1383,8 +1418,9 @@ final class LocalReplica private (
     val out = new Array[(Long, Seq[Candidate])](arr.length)
     // one mutation snapshot for the whole batch — every query in the batch
     // sees the same tombstones + delta
-    val tomb = tombstones
-    val d = delta
+    val m0 = mut
+    val tomb = mutTomb(m0)
+    val d = mutDelta(m0)
     java.util.stream.IntStream.range(0, arr.length).parallel().forEach { i =>
       val q = prepQuery(arr(i)._2)
       out(i) = (arr(i)._1,
@@ -1408,7 +1444,7 @@ final class LocalReplica private (
     // lock: a delete/append racing an unlocked save could pass the guard
     // and be silently absent from the artifact. Mutators block for the
     // write's duration — saving is a maintenance op, not a hot path.
-    require(tombstones == null && delta == null,
+    require(mut == null,
       "replica has pending deletes/appends — the artifact format persists " +
         "the exported state only; fold them first (compacted()) or " +
         "re-export from the store, which is the production compaction path")
@@ -1530,6 +1566,15 @@ object LocalReplica {
   /** Outcome of one [[LocalReplica.refreshFrom]] pull. */
   final case class RefreshStats(appended: Int, deleted: Int,
       fromVersion: Long, toVersion: Long)
+
+  /** One immutable mutation snapshot: the tombstone bitmap over main rows
+    * (null = none) plus the appended-rows delta block (null = none). Every
+    * mutation batch builds a complete successor and publishes it with one
+    * volatile store — the atomicity unit of the replica's freshness state.
+    */
+  private[serve] final class Mut(
+      val tombstones: Array[Long],
+      val delta: Delta)
 
   /** Immutable appended-rows block (the memtable-segment analog): packed
     * row-major vectors scanned and fused by every search on the same

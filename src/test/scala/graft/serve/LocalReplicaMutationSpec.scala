@@ -222,6 +222,48 @@ class LocalReplicaMutationSpec extends AnyFunSuite {
     assert(errors.get() == null, String.valueOf(errors.get()))
   }
 
+  test("upsert is atomic: a raced reader never sees the upserted row absent") {
+    // the row being upserted always scores as the unique global best
+    // (its vector IS the query on both sides of every upsert), so any
+    // top-1 result that is NOT this id means a reader observed the
+    // upsert half-applied — the delete published without the re-append
+    // (the exact skew two separate volatile publishes allowed)
+    val rep = LocalReplica.fromDataFrame(corpus(), "vec", "id", Metric.L2,
+      nlist = 8)
+    val star = 424242L
+    val q = queryVec(99)
+    val vA = q.clone() // exactly the query: L2 distance 0, unbeatable
+    val vB = q.clone()
+    vB(0) = vB(0) + 1e-4f // still far closer than any corpus row
+    rep.append(Array(star), Array(vA))
+    val errors = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (0 until 4).map { _ =>
+      new Thread(() => {
+        try {
+          while (!stop.get()) {
+            val top = rep.search(q, 1, nprobe = 8)
+            if (top.isEmpty || top.head.id != star)
+              errors.compareAndSet(null,
+                s"reader saw top-1 ${top.map(_.id)} during an upsert of $star")
+          }
+        } catch {
+          case e: Throwable => errors.compareAndSet(null, s"reader threw: $e")
+        }
+      })
+    }
+    readers.foreach(_.start())
+    val deadline = System.nanoTime() + 300L * 1000 * 1000
+    var flip = false
+    while (System.nanoTime() < deadline && errors.get() == null) {
+      rep.upsert(Array(star), Array(if (flip) vA else vB))
+      flip = !flip
+    }
+    stop.set(true)
+    readers.foreach(_.join(5000))
+    assert(errors.get() == null, String.valueOf(errors.get()))
+  }
+
   test("refreshFrom: manifest-diff pull == fresh re-export; LSN replay; compaction refusal") {
     val root = s"${sys.props("java.io.tmpdir")}/graft_refresh_spec"
     val p = new org.apache.hadoop.fs.Path(root)
