@@ -243,6 +243,51 @@ object FacadeQueries {
       .select(col("id").as("vec_id"), col("score").cast("bigint").as("hamming"))
   }
 
+  /** BM25 after a mixed writeBatch — the INCREMENTAL lexical-maintenance
+    * gate (vecgo updates its inverted index on every insert/delete,
+    * `lexical/bm25/bm25.go:180-278` `Add`/`Delete`): seed half the
+    * corpus, resolve the lexical index once, then append the other half
+    * and tombstone some seeded docs in one atomic batch. The post-batch
+    * search must (a) score the LIVE corpus exactly — df/avgdl/N all
+    * follow the tombstoned row set, hash-checked against DuckDB over the
+    * same predicate — and (b) tokenize ONLY the appended segment's rows,
+    * enforced loudly here via the engine's delta-build counters so the
+    * verified path itself proves no full-corpus rebuild happened.
+    */
+  def bm25AfterAppend(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_bm25_inc"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val emb = Tables.load(s, dir, "embeddings")
+    val docs = Tables.load(s, dir, "documents")
+    val recs = emb
+      .join(docs, emb("vec_id") === docs("doc_id"))
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label"), col("text"))
+    val db = GraftDB.open(s, root, dim = 64, metric = "l2",
+      schema = Map("label" -> "int"), textCol = Some("text"))
+    db.insertBatch(recs.where(col("id") < 250))
+    db.lexicalSearch("spark vector merge", 5).collect() // builds seg-0 delta
+    val preBuilds = db.lexicalDeltaBuilds.get()
+    val preRows = db.lexicalDeltaRowsTokenized.get()
+    val delIds = recs.where(col("id") < 250 && col("id") % 10 === 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    db.writeBatch(Some(recs.where(col("id") >= 250)), deleteIds = delIds)
+    val appended = db.store.manifest().get.segments.last.rows
+    val out = db.lexicalSearch("spark vector merge", 10)
+      .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+    val res = out.collect() // force the resolve before reading the counters
+    require(db.lexicalDeltaBuilds.get() == preBuilds + 1,
+      s"post-append lexical resolve must build exactly the new segment's " +
+        s"delta, built ${db.lexicalDeltaBuilds.get() - preBuilds}")
+    require(db.lexicalDeltaRowsTokenized.get() == preRows + appended,
+      s"post-append lexical build tokenized " +
+        s"${db.lexicalDeltaRowsTokenized.get() - preRows} rows, expected " +
+        s"only the $appended appended ones")
+    s.createDataFrame(java.util.Arrays.asList(res: _*), out.schema)
+  }
+
   /** Facade hybrid == operator-level hybrid_rrf (same oracle). */
   def hybrid(s: SparkSession, dir: String): DataFrame = {
     val db = buildDb(s, dir, "facade_hybrid")
@@ -556,6 +601,7 @@ object FacadeQueries {
     "graftdb_batch_indexed" -> (batchIndexed _),
     "graftdb_hamming" -> (hamming _),
     "graftdb_hybrid" -> (hybrid _),
+    "graftdb_bm25_after_append" -> (bm25AfterAppend _),
     "graftdb_threshold_indexed" -> (thresholdIndexed _),
     "graftdb_hybrid_filtered" -> (hybridFiltered _),
     "graftdb_records" -> (records _),
@@ -642,6 +688,31 @@ object FacadeQueries {
     "graftdb_hybrid" -> Queries.oracle("hybrid_rrf").replace(
       "FROM documents)",
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
+    // live corpus after the mixed batch: everything except the tombstoned
+    // seeded docs (doc_id % 10 = 3 among the first-half ids)
+    "graftdb_bm25_after_append" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    x -> len(x) > 0)) AS term
+        |  FROM documents JOIN embeddings ON vec_id = doc_id
+        |  WHERE NOT (doc_id % 10 = 3 AND doc_id < 250)),
+        |post AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n, avg(dlen) AS avgdl FROM dl),
+        |qt AS (SELECT unnest(ARRAY['spark', 'vector', 'merge']) AS term),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |              (p.tf * (1.2::DOUBLE + 1)) /
+        |              (p.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * l.dlen / s.avgdl)) ) AS score
+        |  FROM post p
+        |  JOIN qt USING (term)
+        |  JOIN dfreq d USING (term)
+        |  JOIN dl l ON l.doc_id = p.doc_id, stats s
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, round(score, 6) AS score
+        |FROM scored ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
     "graftdb_hybrid_hamming" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

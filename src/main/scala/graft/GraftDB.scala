@@ -1087,21 +1087,31 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   def lexicalSearch(textQuery: String, k: Int): DataFrame =
     BM25.search(lexicalIndex(), textQuery, k)
 
-  /** The snapshot's lexical index, persisted as derived Parquet tables
-    * under `root/lexical-v<version>/` (SURVEY §1.1: postings/doc_stats/
-    * term_stats "rebuilt per snapshot"). First call per version builds and
-    * writes it; later calls — and later sessions — read it back, so query
-    * cost is a postings join, not a corpus re-tokenization.
+  /** The snapshot's lexical index, resolved INCREMENTALLY from immutable
+    * per-segment deltas (vecgo updates its inverted index on every
+    * insert/delete, `lexical/bm25/bm25.go:180-278` `Add`/`Delete`; the
+    * immutable-segment analog is one persisted postings/doclen delta per
+    * segment under `root/lexdelta-<seq>-<token>/`, resolved as
+    * union-of-deltas minus the manifest's tombstones). A new version
+    * therefore tokenizes ONLY its new segments' docs — never the corpus —
+    * so hybrid search on a frequently-mutating store (one version per
+    * streaming micro-batch) pays per-batch work proportional to the
+    * batch. Deletes cost nothing at build time: visibility is the same
+    * LSN anti-join the data read uses. Compaction folds deltas naturally
+    * (the merged segment gets one fresh delta; the old ones die with
+    * their segments at vacuum/cleanOrphans).
     *
-    * Read-only / pinned opens never mutate the store root: they use a
-    * previously persisted index when one exists, and otherwise build the
-    * index IN MEMORY for this engine.
+    * Corpus stats (doc count, total token count) merge ADDITIVELY from
+    * per-segment sidecars when the version has no tombstones — zero jobs;
+    * with tombstones, one aggregation over the resolved doc-length frame
+    * (O(numDocs), not O(tokens)).
+    *
+    * Read-only / pinned opens never mutate the store root: they reuse any
+    * persisted deltas and build missing ones IN MEMORY for this engine.
     *
     * The resolved Index is memoized per (engine, version) — versions are
     * immutable, so repeated lexical/hybrid queries on one engine reuse the
-    * same Index object instead of re-running the build's eager stats
-    * actions (the in-memory read-only path) or re-listing the persisted
-    * tables on every call.
+    * same Index object instead of re-running the resolve's stats actions.
     */
   def lexicalIndex(): BM25.Index =
     lexicalCache.computeIfAbsent(effectiveVersion, v => lexicalIndexAt(v))
@@ -1109,40 +1119,92 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   private val lexicalCache =
     new java.util.concurrent.ConcurrentHashMap[Long, BM25.Index]()
 
-  private def lexicalIndexAt(v: Long): BM25.Index = {
-    val textCol = config.textCol.getOrElse(
-      throw new IllegalStateException("no textCol configured"))
-    val dir = s"$root/lexical-v$v"
+  /** Count of per-segment lexical delta BUILDS (persisted or in-memory)
+    * this engine has run, and the total segment rows those builds
+    * tokenized — the observability hook proving incremental maintenance:
+    * after an append, exactly one delta build over exactly the new
+    * segment's rows.
+    */
+  private[graft] val lexicalDeltaBuilds =
+    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val lexicalDeltaRowsTokenized =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** One segment's resolved lexical delta: lazy postings/doclen frames
+    * plus sidecar scalars (docs with ≥1 token, total token count).
+    */
+  private final case class SegLex(postings: DataFrame, docLen: DataFrame,
+      nDocs: Long, totalLen: Long)
+
+  /** Load one segment's lexical delta, building (and persisting, when
+    * this engine may write) on first touch — the build reads ONLY this
+    * segment's rows.
+    */
+  private def segLexDelta(s: graft.store.SnapshotStore.SegmentRef,
+      textCol: String, canWrite: Boolean): SegLex = {
+    val dir = store.lexDeltaDir(s.path)
     val marker = new Path(dir, "_STATS")
     val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(marker) && (readOnly || pinnedVersion.isDefined)) {
-      // a read-only engine must not write derived tables under root (and
-      // genuinely read-only storage would reject the attempt outright)
-      return BM25.build(read(), "id", textCol)
+    def statsOf(dl: DataFrame): (Long, Long) = {
+      val row = dl.agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("dlen")), lit(0.0)).cast("long")).collect()(0)
+      (row.getLong(0), row.getLong(1))
     }
     if (f.exists(marker)) {
       val in = f.open(marker)
       val parts = try scala.io.Source.fromInputStream(in).mkString.trim.split(",")
       finally in.close()
-      BM25.Index(
-        spark.read.parquet(s"$dir/postings"),
-        spark.read.parquet(s"$dir/doclen"),
-        spark.read.parquet(s"$dir/termdf"),
-        parts(0).toLong, parts(1).toDouble)
+      SegLex(spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/doclen"), parts(0).toLong, parts(1).toLong)
     } else {
-      val idx = BM25.build(read(), "id", textCol)
-      idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
-      idx.docLen.write.mode("overwrite").parquet(s"$dir/doclen")
-      idx.termDf.write.mode("overwrite").parquet(s"$dir/termdf")
-      val out = f.create(marker, true)
-      try out.write(s"${idx.numDocs},${idx.avgDocLen}".getBytes("UTF-8"))
-      finally out.close()
-      BM25.Index(
-        spark.read.parquet(s"$dir/postings"),
-        spark.read.parquet(s"$dir/doclen"),
-        spark.read.parquet(s"$dir/termdf"),
-        idx.numDocs, idx.avgDocLen)
+      val (post, dl) = BM25.buildFrames(spark.read.parquet(s.path), "id", textCol)
+      lexicalDeltaBuilds.incrementAndGet()
+      lexicalDeltaRowsTokenized.addAndGet(s.rows)
+      if (canWrite) {
+        post.write.mode("overwrite").parquet(s"$dir/postings")
+        dl.write.mode("overwrite").parquet(s"$dir/doclen")
+        val dlBack = spark.read.parquet(s"$dir/doclen")
+        val (n, len) = statsOf(dlBack)
+        // _STATS is the commit marker, written LAST: a crashed build
+        // leaves data without a marker and is simply rebuilt
+        val out = f.create(marker, true)
+        try out.write(s"$n,$len".getBytes("UTF-8")) finally out.close()
+        SegLex(spark.read.parquet(s"$dir/postings"), dlBack, n, len)
+      } else {
+        // a read-only engine must not write derived tables under root
+        // (and genuinely read-only storage would reject the attempt)
+        val (n, len) = statsOf(dl)
+        SegLex(post, dl, n, len)
+      }
     }
+  }
+
+  private def lexicalIndexAt(v: Long): BM25.Index = {
+    val textCol = config.textCol.getOrElse(
+      throw new IllegalStateException("no textCol configured"))
+    val m = store.manifest(v).getOrElse(
+      throw new IllegalStateException(s"no version $v at $root"))
+    require(m.segments.nonEmpty, s"version $v has no segments")
+    val canWrite = !readOnly && pinnedVersion.isEmpty
+    val parts = m.segments.map(s => s -> segLexDelta(s, textCol, canWrite))
+    def resolve(side: SegLex => DataFrame): DataFrame = {
+      val all = parts.map { case (s, lex) =>
+        side(lex).withColumn("_seq", lit(s.seq))
+      }.reduce(_ unionByName _)
+      store.applyDeletes(all, m).drop("_seq")
+    }
+    val postings = resolve(_.postings)
+    val docLen = resolve(_.docLen)
+    val (nDocs, totalLen) =
+      if (m.deletes.isEmpty)
+        (parts.map(_._2.nDocs).sum, parts.map(_._2.totalLen).sum)
+      else {
+        val row = docLen.agg(count(lit(1)).cast("long"),
+          coalesce(sum(col("dlen")), lit(0.0)).cast("long")).collect()(0)
+        (row.getLong(0), row.getLong(1))
+      }
+    BM25.Index(postings, docLen, nDocs,
+      if (nDocs == 0) 0.0 else totalLen.toDouble / nDocs)
   }
 
   // -------------------------------------------------------- introspection
@@ -1165,7 +1227,7 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       "index_kinds" -> idxKinds.distinct.sorted.mkString(","),
       "stats_segments" -> m.segments.count(_.stats.isDefined),
       "tombstone_files" -> m.deletes.size,
-      "lexical_versions" -> store.lexicalVersions.size)
+      "lexical_versions" -> store.lexicalDeltas.size)
   }
 
   /** Session-wide read/IO introspection (the batch analog of vecgo's

@@ -263,7 +263,6 @@ object Queries {
       val idx = BM25.build(t(s, dir, "documents"), "doc_id", "text")
       idx.postings.write.mode("overwrite").parquet(s"$root/postings")
       idx.docLen.write.mode("overwrite").parquet(s"$root/doclen")
-      idx.termDf.write.mode("overwrite").parquet(s"$root/termdf")
       // _STATS is the commit marker: written LAST via temp + atomic rename
       // so a concurrent run can never observe the marker before the data
       val tmp = java.nio.file.Paths.get(root, s"._STATS.tmp-${Thread.currentThread.getId}")
@@ -281,7 +280,6 @@ object Queries {
     BM25.Index(
       s.read.parquet(s"$root/postings"),
       s.read.parquet(s"$root/doclen"),
-      s.read.parquet(s"$root/termdf"),
       parts(0).toLong, parts(1).toDouble)
   }
 

@@ -1,6 +1,7 @@
 package graft.lexical
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 lexical search as plain aggregation/join pipelines (vecgo
@@ -14,12 +15,19 @@ import org.apache.spark.sql.functions._
   *  - score = Σ_terms idf * tf·(k1+1) / (tf + k1·(1 - b + b·len/avgLen))
   *    (`bm25.go:282-381` DAAT scoring)
   *
-  * Spark shape: the inverted index is a set of derived DataFrames
-  * (postings / doc lengths / term document-frequencies), rebuilt per
-  * snapshot and joinable at scale — postings are partitioned by term, so a
-  * query touches only its own terms' postings (the DAAT analog). The big
-  * side (postings) is joined against a broadcast of the tiny query-term
-  * set, so no full shuffle of the corpus happens at query time.
+  * Spark shape: the inverted index is a pair of derived DataFrames —
+  * postings (term, id, tf) and doc lengths (id, dlen) — over the LIVE
+  * corpus, plus two scalars (doc count, average doc length). A query
+  * joins the postings against a broadcast of its own tiny term set (the
+  * DAAT analog: only the query terms' postings lists are touched) and
+  * derives per-term document frequencies from those same hit rows with a
+  * window count — ONE postings pass per query, and df needs no separate
+  * maintained table, which is what lets the index resolve incrementally
+  * from per-segment deltas + tombstones (vecgo maintains its inverted
+  * index incrementally on every insert/delete, `bm25.go:180-278`
+  * `Add`/`Delete`; here segment postings are immutable deltas and deletes
+  * are the store's tombstone anti-join, so df/avgdl/N follow the live
+  * row set automatically).
   */
 object BM25 {
 
@@ -34,33 +42,46 @@ object BM25 {
   def tokenizeQuery(text: String): Seq[String] =
     text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
 
-  /** The inverted index as derived DataFrames (SURVEY.md §1.1 "Lexical
-    * index" row): postings(term, id, tf), docLen(id, dlen),
-    * termDf(term, df), plus corpus constants.
+  /** The inverted index over the live corpus: postings(term, id, tf) and
+    * docLen(id, dlen) frames plus corpus constants. Per-term document
+    * frequencies are derived at query time from the query's own hit rows
+    * (see [[search]]) — they are NOT a third maintained table, so any
+    * union/anti-join composition of immutable segment deltas is already
+    * a complete index.
     */
   final case class Index(
       postings: DataFrame,
       docLen: DataFrame,
-      termDf: DataFrame,
       numDocs: Long,
       avgDocLen: Double)
 
-  /** Build the index from a (id, text) corpus. One explode + three
-    * aggregations; all map-side-combinable.
+  /** Tokenized postings + doc lengths of one (id, text) frame, lazily —
+    * the per-segment delta build (one explode + two map-side-combinable
+    * aggregations over ONLY this frame's rows). Docs with zero tokens
+    * produce no rows on either side, matching [[build]] and the oracle.
     */
-  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
+  def buildFrames(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val toks = docs
       .select(col(idCol).as("id"), explode(tokenize(col(textCol))).as("term"))
     val postings = toks.groupBy("term", "id")
       .agg(count(lit(1)).cast("double").as("tf"))
     val docLen = toks.groupBy("id")
       .agg(count(lit(1)).cast("double").as("dlen"))
-    val termDf = postings.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("df"))
+    (postings, docLen)
+  }
+
+  /** Build a complete in-memory index from a (id, text) corpus (the
+    * whole-corpus path: read-only engines and the operator-level
+    * queries). One eager stats aggregation; everything else lazy.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val (postings, docLen) = buildFrames(docs, idCol, textCol)
     val stats = docLen.agg(
       count(lit(1)).cast("long").as("n"), avg(col("dlen")).as("avgdl"))
       .collect()(0)
-    Index(postings, docLen, termDf, stats.getLong(0), stats.getDouble(1))
+    Index(postings, docLen, stats.getLong(0),
+      if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
   }
 
   /** idf column for a df (document frequency) column. */
@@ -74,13 +95,18 @@ object BM25 {
       (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dlen / lit(avgdl)))
 
   /** Top-k BM25 search. The query-term frame is broadcast into the
-    * postings join; scoring aggregates per doc id (partial aggregation
-    * does the per-partition heavy lifting).
+    * postings join; per-term document frequencies come from a window
+    * count over those same hit rows (df is a corpus statistic, so it is
+    * computed BEFORE any filter), then scoring aggregates per doc id
+    * (partial aggregation does the per-partition heavy lifting). One
+    * postings pass total; the window's per-term shuffle touches only the
+    * query terms' hit rows, never the corpus.
     *
     * `allowedIds` (one id column) restricts scoring to those documents via
-    * a left-semi join BEFORE aggregation — the lexical half of a filtered
-    * hybrid search. Postings for other docs are dropped at the join, so
-    * the filter narrows work instead of adding a post-pass.
+    * a left-semi join AFTER the df window and BEFORE aggregation — the
+    * lexical half of a filtered hybrid search. Postings for other docs
+    * are dropped at the join, so the filter narrows work instead of
+    * adding a post-pass.
     */
   def search(index: Index, query: String, k: Int,
       allowedIds: Option[DataFrame] = None): DataFrame = {
@@ -88,9 +114,10 @@ object BM25 {
     import spark.implicits._
     val qterms = tokenizeQuery(query).toDF("term")
     val hits = index.postings.join(broadcast(qterms), "term")
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")).cast("double"))
     allowedIds.fold(hits)(ids => hits.join(
         ids.select(col(ids.columns.head).as("id")), Seq("id"), "left_semi"))
-      .join(broadcast(index.termDf.join(broadcast(qterms), "term")), "term")
       .join(index.docLen, "id")
       .groupBy(col("id"))
       .agg(sum(

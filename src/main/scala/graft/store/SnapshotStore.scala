@@ -273,9 +273,12 @@ final class SnapshotStore(spark: SparkSession, val root: String,
 
   /** Tombstone anti-join, vecgo LSN rule: a delete with seq d hides ids in
     * segments with seq < d; later segments (re-inserts) are unaffected.
-    * Expects `segs` to carry a `_seq` column.
+    * Expects `segs` to carry `id` and `_seq` columns — any per-row derived
+    * frame qualifies (the lexical layer runs its per-segment postings and
+    * doc-length deltas through the SAME join, so lexical visibility is
+    * definitionally identical to row visibility).
     */
-  private def applyDeletes(segs: DataFrame, m: Manifest): DataFrame =
+  private[graft] def applyDeletes(segs: DataFrame, m: Manifest): DataFrame =
     if (m.deletes.isEmpty) segs
     else {
       val dels = m.deletes.map { d =>
@@ -371,14 +374,25 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     next.version
   }
 
-  /** Versions with a persisted lexical index under the root (`lexical-v*`
-    * dirs — the footprint surface for [[graft.GraftDB.stats]]).
+  /** Derived-lexical-delta directory for a segment: one immutable
+    * postings/doclen delta per segment dir, named after it
+    * (`seg-<seq>-<token>` -> `lexdelta-<seq>-<token>`), so the delta's
+    * lifetime is keyed to its segment's — built lazily by
+    * [[graft.GraftDB.lexicalIndex]], reclaimed here when the segment's
+    * files are (vecgo maintains its inverted index incrementally per
+    * insert/delete, `lexical/bm25/bm25.go:180-278`; the immutable-segment
+    * analog is one delta per segment plus the tombstone anti-join).
     */
-  def lexicalVersions: Seq[Long] =
+  def lexDeltaDir(segPath: String): String =
+    s"$root/lexdelta-${new Path(segPath).getName.stripPrefix("seg-")}"
+
+  /** Names of persisted per-segment lexical deltas under the root (the
+    * footprint surface for [[graft.GraftDB.stats]]).
+    */
+  def lexicalDeltas: Seq[String] =
     if (!fs.exists(new Path(root))) Nil
     else fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("lexical-v"))
-      .flatMap(_.stripPrefix("lexical-v").toLongOption)
+      .filter(_.startsWith("lexdelta-"))
       .sorted
 
   /** Stats-pruned read: drop whole segments whose manifest stats prove the
@@ -661,22 +675,20 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val referenced: Set[String] = kept.flatMap(refs).toSet
     val dropped = (0L until keepFrom).flatMap(manifest(_))
     val candidates: Set[String] = dropped.flatMap(refs).toSet
-    (candidates -- referenced).foreach(p => f.delete(new Path(p), true))
-    (0L until keepFrom).foreach { v =>
-      f.delete(manifestPath(v), false)
-      // derived per-version artifacts die with their version: a dropped
-      // version's lexical index tables (`lexical-v<v>/`, written by
-      // GraftDB.lexicalIndex) are unreachable once the manifest is gone —
-      // without this they leak forever (vecgo refcounts everything
-      // reachable, engine.go:2048-2108)
-      f.delete(new Path(root, s"lexical-v$v"), true)
+    (candidates -- referenced).foreach { p =>
+      f.delete(new Path(p), true)
+      // a segment's derived lexical delta dies with it (vecgo refcounts
+      // everything reachable, engine.go:2048-2108)
+      if (new Path(p).getName.startsWith("seg-"))
+        f.delete(new Path(lexDeltaDir(p)), true)
     }
+    (0L until keepFrom).foreach(v => f.delete(manifestPath(v), false))
   }
 
   /** Orphan cleanup (vecgo W11): remove `seg-*`/`del-*`/`idx-*` artifacts
     * not referenced by ANY surviving manifest — crash leftovers from
-    * interrupted commits and losers of commit races — plus `lexical-v*`
-    * index dirs whose version no longer has a manifest.
+    * interrupted commits and losers of commit races — plus `lexdelta-*`
+    * lexical deltas whose segment is gone.
     */
   def cleanOrphans(): Unit = {
     val f = fs
@@ -691,10 +703,12 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         p.getName.startsWith("idx-"))
     listed.filterNot(p => referenced.contains(p.getName))
       .foreach(p => f.delete(p, true))
+    // a lexical delta is an orphan exactly when its segment is — same
+    // rule, keyed by the shared dir-name suffix
     f.listStatus(new Path(root)).map(_.getPath)
-      .filter(_.getName.startsWith("lexical-v"))
-      .filterNot(p => p.getName.stripPrefix("lexical-v").toLongOption
-        .exists(live.contains))
+      .filter(_.getName.startsWith("lexdelta-"))
+      .filterNot(p => referenced.contains(
+        "seg-" + p.getName.stripPrefix("lexdelta-")))
       .foreach(p => f.delete(p, true))
   }
 }

@@ -197,19 +197,69 @@ class GraftDBSpec extends AnyFunSuite {
     assert(hyb.head._1 == 7L) // top of both lists
   }
 
-  test("lexical index persists per snapshot version and tracks new data") {
+  test("lexical index persists per-segment deltas and maintains incrementally") {
     val db = freshDb(textCol = Some("body"))
     db.insertBatch(records(0 until 20))
-    val v0 = db.currentVersion
     assert(db.lexicalSearch("number 7", 3).as[(Long, Double)].collect().head._1 == 7L)
-    assert(new java.io.File(s"${db.root}/lexical-v$v0/postings").exists())
-    // cached read-back path (marker exists) returns the same result
+    // one segment -> one persisted delta, named after the segment dir
+    val seg0 = db.store.manifest().get.segments.head
+    assert(new java.io.File(s"${db.store.lexDeltaDir(seg0.path)}/postings").exists())
+    assert(db.lexicalDeltaBuilds.get() == 1)
+    assert(db.lexicalDeltaRowsTokenized.get() == 20)
+    // cached read-back path (marker exists) returns the same result, no
+    // further builds
     assert(db.lexicalSearch("number 7", 3).as[(Long, Double)].collect().head._1 == 7L)
-    // new version -> new index reflecting the new docs
+    assert(db.lexicalDeltaBuilds.get() == 1)
+    // new version -> index reflects the new docs, and the post-append
+    // build tokenized ONLY the new segment's rows (the incrementality
+    // proof: 1 new delta build over exactly 20 appended rows, not a
+    // 40-row corpus rebuild)
     db.insertBatch(records(20 until 40))
     val hits = db.lexicalSearch("number 25", 3).as[(Long, Double)].collect()
     assert(hits.head._1 == 25L)
-    assert(new java.io.File(s"${db.root}/lexical-v${db.currentVersion}/postings").exists())
+    assert(db.lexicalDeltaBuilds.get() == 2,
+      s"post-append resolve must build only the new segment's delta, " +
+        s"got ${db.lexicalDeltaBuilds.get()} builds")
+    assert(db.lexicalDeltaRowsTokenized.get() == 40,
+      s"post-append build must tokenize only the 20 new rows, " +
+        s"got ${db.lexicalDeltaRowsTokenized.get() - 20}")
+    val seg1 = db.store.manifest().get.segments.last
+    assert(new java.io.File(s"${db.store.lexDeltaDir(seg1.path)}/postings").exists())
+    // a SECOND engine on the same root reuses both persisted deltas:
+    // zero builds
+    val db2 = GraftDB.open(spark, db.root)
+    assert(db2.lexicalSearch("number 25", 3)
+      .as[(Long, Double)].collect().head._1 == 25L)
+    assert(db2.lexicalDeltaBuilds.get() == 0,
+      "persisted deltas must be reused across engines")
+  }
+
+  test("lexical index after a mixed writeBatch: tombstones + append, no corpus rebuild") {
+    val db = freshDb(textCol = Some("body"))
+    db.insertBatch(records(0 until 20))
+    db.lexicalSearch("number 7", 3).collect() // builds seg-0's delta
+    val pre = db.lexicalDeltaBuilds.get()
+    // atomic mixed batch: delete docs 7 and 13, append 20..30
+    db.writeBatch(Some(records(20 until 30)), deleteIds = Seq(7L, 13L))
+    // deleted docs must be invisible to lexical search...
+    val gone = db.lexicalSearch("number 7", 3).as[(Long, Double)].collect()
+    assert(!gone.exists(_._1 == 7L), s"deleted doc 7 still served: $gone")
+    // ...new docs visible...
+    assert(db.lexicalSearch("number 25", 3)
+      .as[(Long, Double)].collect().head._1 == 25L)
+    // ...and the resolve built exactly one new delta (the appended
+    // segment) — deletes cost zero lexical build work
+    assert(db.lexicalDeltaBuilds.get() == pre + 1,
+      s"writeBatch resolve built ${db.lexicalDeltaBuilds.get() - pre} deltas")
+    // ground truth: the incremental index == a scratch rebuild over the
+    // live corpus (df/avgdl/N all follow the tombstoned row set)
+    val scratch = graft.lexical.BM25.build(
+      db.read().select(col("id"), col("body")), "id", "body")
+    val want = graft.lexical.BM25.search(scratch, "number 15 17", 10)
+      .as[(Long, Double)].collect().toSeq
+    val got = db.lexicalSearch("number 15 17", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"incremental $got != scratch $want")
   }
 
   test("vacuum keeps retained versions readable; explain reports pruning") {
@@ -417,50 +467,55 @@ class GraftDBSpec extends AnyFunSuite {
     // NO prior writable lexicalIndex() call: the read-only open must build
     // in memory, not persist under root
     val ro = GraftDB.open(spark, root, readOnly = true)
+    def lexDeltaDirs(): Seq[String] = db.store.lexicalDeltas
     assert(ro.lexicalSearch("number 7", 3).as[(Long, Double)]
       .collect().head._1 == 7L)
     assert(ro.hybridSearch(vec(7), "number 7", 5)
       .as[(Long, Double)].collect().head._1 == 7L)
-    assert(!new java.io.File(s"$root/lexical-v$v").exists(),
+    assert(lexDeltaDirs().isEmpty,
       "read-only open must not write derived tables under the store root")
     // a pinned open takes the same in-memory path
     val pinned = GraftDB.open(spark, root, atVersion = v)
     assert(pinned.lexicalSearch("number 7", 3).as[(Long, Double)]
       .collect().head._1 == 7L)
-    assert(!new java.io.File(s"$root/lexical-v$v").exists())
-    // and a writable engine still persists + the read-only open reuses it
+    assert(lexDeltaDirs().isEmpty)
+    // and a writable engine still persists + a fresh read-only open
+    // reuses the persisted deltas (zero builds)
     db.lexicalIndex()
-    assert(new java.io.File(s"$root/lexical-v$v/postings").exists())
-    assert(ro.lexicalSearch("number 7", 3).as[(Long, Double)]
+    assert(lexDeltaDirs().nonEmpty)
+    val ro2 = GraftDB.open(spark, root, readOnly = true)
+    assert(ro2.lexicalSearch("number 7", 3).as[(Long, Double)]
       .collect().head._1 == 7L)
+    assert(ro2.lexicalDeltaBuilds.get() == 0,
+      "read-only open must reuse persisted deltas")
   }
 
-  test("vacuum reclaims dropped versions' lexical indexes, keeps retained ones served") {
+  test("lexical deltas die with their segments at vacuum/cleanOrphans, survive otherwise") {
     val root = Files.createTempDirectory("graft-db-lexvac").toString
     val db = GraftDB.open(spark, root, dim = 8, textCol = Some("body"))
-    db.insertBatch(records(0 until 10))   // v0
-    db.lexicalIndex()                     // persists lexical-v0
-    db.insertBatch(records(10 until 20))  // v1
-    db.lexicalIndex()                     // persists lexical-v1
-    db.insertBatch(records(20 until 30))  // v2
-    db.lexicalIndex()                     // persists lexical-v2
-    assert((0 to 2).forall(v =>
-      new java.io.File(s"$root/lexical-v$v/postings").exists()))
-    db.vacuum(keepVersions = 2) // drops v0
-    assert(!new java.io.File(s"$root/lexical-v0").exists(),
-      "dropped version's lexical index must be reclaimed")
-    assert((1 to 2).forall(v =>
-      new java.io.File(s"$root/lexical-v$v/postings").exists()),
-      "retained versions' lexical indexes must survive vacuum")
-    // the retained head index still serves queries (read-back path)
-    assert(db.lexicalSearch("number 25", 3).as[(Long, Double)]
-      .collect().head._1 == 25L)
-    // orphan cleanup also reclaims a lexical dir whose manifest is gone
-    val stray = new java.io.File(s"$root/lexical-v99")
+    db.insertBatch(records(0 until 10))   // v0, seg A
+    db.lexicalIndex()                     // builds seg A's delta
+    val segA = db.store.manifest().get.segments.head.path
+    assert(new java.io.File(s"${db.store.lexDeltaDir(segA)}/postings").exists())
+    db.compact()                          // v1: merged seg B; seg A only in v0
+    db.lexicalIndex()                     // builds seg B's delta (fold point)
+    val segB = db.store.manifest().get.segments.head.path
+    assert(segB != segA)
+    assert(new java.io.File(s"${db.store.lexDeltaDir(segB)}/postings").exists())
+    db.vacuum(keepVersions = 1)           // drops v0 -> seg A unreferenced
+    assert(!new java.io.File(db.store.lexDeltaDir(segA)).exists(),
+      "a vacuumed segment's lexical delta must be reclaimed with it")
+    assert(new java.io.File(s"${db.store.lexDeltaDir(segB)}/postings").exists(),
+      "the live segment's lexical delta must survive vacuum")
+    // the live delta still serves queries (read-back path, zero rebuilds)
+    assert(db.lexicalSearch("number 7", 3).as[(Long, Double)]
+      .collect().head._1 == 7L)
+    // orphan cleanup reclaims a lexical delta whose segment is gone
+    val stray = new java.io.File(s"$root/lexdelta-99-deadbeef")
     stray.mkdirs()
     db.store.cleanOrphans()
-    assert(!stray.exists(), "lexical dir without a manifest must be cleaned")
-    assert(new java.io.File(s"$root/lexical-v2/postings").exists())
+    assert(!stray.exists(), "lexdelta without a segment must be cleaned")
+    assert(new java.io.File(s"${db.store.lexDeltaDir(segB)}/postings").exists())
   }
 
   test("open modes: readOnly rejects writes, pinned opens serve history") {
