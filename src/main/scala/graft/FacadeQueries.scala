@@ -466,6 +466,56 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** Replica-side HYBRID search (format v5): the export carries a compact
+    * lexical postings section (sorted vocab + CSR (row, tf) + doc
+    * lengths), the replica scores BM25 in-process and fuses with the
+    * coded vector pass by RRF — vecgo's embedded `HybridSearch`
+    * (`internal/engine/engine.go:1538-1635`) without a Spark job on the
+    * query path. The artifact is SAVED and RELOADED here, so the oracle
+    * hash-checks the full v5 round-trip: pools, rounded rank keys, id
+    * tie-breaks, and fused ordering must all equal the engine's
+    * distributed `hybridSearch` (same oracle as `graftdb_hybrid`).
+    */
+  def localHybrid(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_hybrid")
+    val rep0 = graft.serve.LocalReplica.fromStore(db, nlist = 8,
+      textCol = Some("text"))
+    require(rep0.lexical, "expected a lexical v5 replica")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_facade_local_hybrid.bin"
+    rep0.save(path, s.sparkContext.hadoopConfiguration)
+    val rep = graft.serve.LocalReplica.load(path,
+      s.sparkContext.hadoopConfiguration)
+    val res = rep.hybridSearch(qvec(s, dir, 5), "spark vector merge", 10,
+      nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("id", "s")
+      .select(col("id"), round(col("s"), 6).as("score"))
+  }
+
+  /** RaBitQ-coded serving replica (format v5): 1 bit/dim sign codes under
+    * a seeded rotation (seed-only in the artifact — the rotation
+    * regenerates at load), Hamming-estimate first pass + exact rerank.
+    * The estimator has no sound error bound, so exactness here comes from
+    * the same 0.7-corpus rerank pool the engine's own
+    * `graftdb_knn_rabitq_indexed` uses; realistic-pool recall is gated in
+    * `LocalReplicaSpec`. Save+load round-trips the codes.
+    */
+  def localKnnRabitq(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_rbq")
+    val rep0 = graft.serve.LocalReplica.fromStore(db, nlist = 8,
+      rabitq = true)
+    require(rep0.rbqCoded, "expected a RaBitQ-coded v5 replica")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_facade_local_rbq.bin"
+    rep0.save(path, s.sparkContext.hadoopConfiguration)
+    val rep = graft.serve.LocalReplica.load(path,
+      s.sparkContext.hadoopConfiguration)
+    val res = rep.searchRabitq(qvec(s, dir, 0), 10,
+      rerankPool = math.ceil(rep.size * 0.7).toInt, nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
   /** Hamming serving replica ([[graft.serve.LocalCodeReplica]]): packed
     * codes exported from the engine, popcount top-k in-process — integer-
     * exact, so the full export→serve path hash-checks against the same
@@ -612,6 +662,8 @@ object FacadeQueries {
     "graftdb_knn_cosine_indexed" -> (knnCosineIndexed _),
     "graftdb_local_knn" -> (localKnn _),
     "graftdb_local_knn_pq" -> (localKnnPq _),
+    "graftdb_local_hybrid" -> (localHybrid _),
+    "graftdb_local_knn_rabitq" -> (localKnnRabitq _),
     "graftdb_local_hamming" -> (localHamming _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
     "graftdb_local_knn_where" -> (localKnnWhere _),
@@ -628,6 +680,7 @@ object FacadeQueries {
     "graftdb_knn_opq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_knn_rabitq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn" -> Queries.oracle("knn_l2"),
+    "graftdb_local_knn_rabitq" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn_pq" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
         |s AS (SELECT e.vec_id,
@@ -686,6 +739,9 @@ object FacadeQueries {
     // the two tables differ in size the BM25 side must be restricted to
     // the joined ids
     "graftdb_hybrid" -> Queries.oracle("hybrid_rrf").replace(
+      "FROM documents)",
+      "FROM documents JOIN embeddings ON vec_id = doc_id)"),
+    "graftdb_local_hybrid" -> Queries.oracle("hybrid_rrf").replace(
       "FROM documents)",
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
     // live corpus after the mixed batch: everything except the tombstoned

@@ -66,7 +66,11 @@ final class LocalReplica private (
     // typed metadata columns for replica-side predicates (format v3)
     metaCols: Array[LocalReplica.MetaColumn] = Array.empty,
     // PQ coded mirror: m bytes/vec + codebooks (format v4); null when absent
-    pq: LocalReplica.PQData = null) {
+    pq: LocalReplica.PQData = null,
+    // compact lexical postings for in-process BM25/hybrid (format v5)
+    lex: LocalReplica.LexData = null,
+    // RaBitQ sign-bit codes: 1 bit/dim + rotation seed (format v5)
+    rbq: LocalReplica.RbqData = null) {
 
   require(metric != Metric.Hamming,
     "LocalReplica serves float metrics; Hamming stores serve packed codes " +
@@ -78,6 +82,10 @@ final class LocalReplica private (
   def coded: Boolean = codes != null
   /** Whether the PQ (ADC first pass) scan is available. */
   def pqCoded: Boolean = pq != null
+  /** Whether the lexical postings section (BM25/hybrid) is available. */
+  def lexical: Boolean = lex != null
+  /** Whether the RaBitQ 1-bit coarse pass is available. */
+  def rbqCoded: Boolean = rbq != null
 
   /** The same replica without its coded mirrors (always serves the full
     * float scan) — the uncoded twin the coded paths are verified against.
@@ -1429,6 +1437,220 @@ final class LocalReplica private (
     out.toSeq
   }
 
+  // --------------------------------------------- lexical + hybrid, v5
+
+  /** Spark's `round(x, 6)` (HALF_UP on the decimal value) — the rank key
+    * every engine surface (and the DuckDB oracle) sorts pools by, so
+    * replica ranks reproduce the distributed ranks bit-for-bit.
+    */
+  @inline private def round6(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The score a pool RANKS by (the engine's hybrid pool reports L2 as
+    * euclidean distance, not the internal squared score).
+    */
+  @inline private def displayScore(s: Double): Double =
+    if (metric == Metric.L2) math.sqrt(s) else s
+
+  /** BM25 scores of every live doc containing ≥1 query term, best-first
+    * by the engine's (rounded score desc, id asc) rank order, capped at
+    * `m` — the in-process DAAT walk over the exported postings CSR
+    * (vecgo's embedded engine scores BM25 in-process the same way,
+    * `internal/engine/engine.go:1538-1635` via `lexical/bm25`).
+    *
+    * Corpus statistics (df per term, N, avgdl) are FROZEN at export;
+    * tombstoned rows are excluded from scoring but not from the frozen
+    * stats — the same freshness contract as the delta block (appended
+    * rows carry no text and are invisible to the lexical side;
+    * re-export for full parity after heavy churn).
+    */
+  private def lexicalPool(textQuery: String, m: Int,
+      tomb: Array[Long]): Seq[(Long, Double)] = {
+    val l = lex
+    require(l != null,
+      "replica carries no lexical section — export with textCol to serve " +
+        "BM25/hybrid in-process")
+    import graft.lexical.BM25.{K1, B}
+    val acc = new java.util.HashMap[Integer, java.lang.Double]()
+    graft.lexical.BM25.tokenizeQuery(textQuery).foreach { t =>
+      val ti = java.util.Arrays.binarySearch(
+        l.terms.asInstanceOf[Array[AnyRef]], t)
+      if (ti >= 0) {
+        val lo = l.postStart(ti); val hi = l.postStart(ti + 1)
+        val df = (hi - lo).toDouble
+        val idf = math.log(1.0 + (l.numDocs - df + 0.5) / (df + 0.5))
+        var i = lo
+        while (i < hi) {
+          val row = l.postRow(i)
+          if (live(tomb, row)) {
+            val tf = l.postTf(i).toDouble
+            val dlen = l.docLen(row).toDouble
+            val sc = idf * (tf * (K1 + 1.0)) /
+              (tf + K1 * ((1.0 - B) + B * dlen / l.avgdl))
+            acc.merge(row, sc, (a, b) => a + b)
+          }
+          i += 1
+        }
+      }
+    }
+    val out = new Array[(Long, Double)](acc.size())
+    val it = acc.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = (ids(e.getKey.intValue), e.getValue.doubleValue)
+      j += 1
+    }
+    out.sortWith { (a, b) =>
+      val ra = round6(a._2); val rb = round6(b._2)
+      if (ra != rb) ra > rb else a._1 < b._1
+    }.take(m).toSeq
+  }
+
+  /** In-process BM25 top-k (vecgo R10 served embedded): same scores and
+    * (rounded score desc, id asc) ordering as `GraftDB.lexicalSearch`
+    * over the exported snapshot.
+    */
+  def lexicalSearch(textQuery: String, k: Int): Seq[Candidate] =
+    lexicalPool(textQuery, k, mutTomb(mut)).map { case (id, s) =>
+      Candidate(id, s)
+    }
+
+  /** In-process hybrid RRF search (vecgo `HybridSearch` on the embedded
+    * path, `engine.go:1538-1635`): vector top-m pool (m = max(2k, 50))
+    * fused with the BM25 top-m pool by reciprocal rank, rank keys rounded
+    * to 6 decimals with id tie-breaks — identical pools, ranks, and fused
+    * ordering to `GraftDB.hybridSearch` on the exported snapshot, with no
+    * Spark job on the query path.
+    *
+    * The vector pool is drawn raw-score-deep (2m) and re-cut on the
+    * ROUNDED rank key, so a rounded tie straddling the pool boundary
+    * resolves by id exactly as the engine's TakeOrdered does.
+    */
+  def hybridSearch(q0: Array[Float], textQuery: String, k: Int,
+      rrfK: Int = 60, nprobe: Int = 0): Seq[Candidate] = {
+    val q = prepQuery(q0)
+    val m0 = mut // ONE snapshot for both pools
+    val tomb = mutTomb(m0)
+    val m = math.max(2 * k, 50)
+    val vRaw = searchRanges(q, math.min(2 * m, size + deltaSize),
+      probeRanges(q, nprobe), inBatch = false, tomb, mutDelta(m0))
+    val vPool = vRaw.map(c => (c.id, displayScore(c.score)))
+      .sortWith { (a, b) =>
+        val ra = round6(a._2); val rb = round6(b._2)
+        if (ra != rb) { if (metric.ascending) ra < rb else ra > rb }
+        else a._1 < b._1
+      }.take(m)
+    val lPool = lexicalPool(textQuery, m, tomb)
+    val fused = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    def addRanks(pool: Seq[(Long, Double)]): Unit = {
+      var r = 0
+      while (r < pool.length) {
+        fused.merge(pool(r)._1, 1.0 / (rrfK + r + 1.0), (a, b) => a + b)
+        r += 1
+      }
+    }
+    addRanks(vPool)
+    addRanks(lPool)
+    val out = new Array[Candidate](fused.size())
+    val it = fused.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = Candidate(e.getKey.longValue, e.getValue.doubleValue)
+      j += 1
+    }
+    out.sortWith { (a, b) =>
+      if (a.score != b.score) a.score > b.score else a.id < b.id
+    }.take(k).toSeq
+  }
+
+  // --------------------------------------------- RaBitQ coarse pass, v5
+
+  /** Approximate top-k through the RaBitQ 1-bit codes (vecgo I9 serving
+    * twin, `internal/quantization/rabitq.go` after the SIGMOD'24 paper):
+    * the first pass scores each probed row by the sign-bit Hamming
+    * distance estimate 2 − 2·cos(π·h/d) — ONE word-XOR-popcount sweep
+    * over dim/8 bytes per row, 32× less traffic than the float scan —
+    * keeps the best `rerankPool` rows, and exact-reranks those on the
+    * float kernels. Unlike the SQ8/PQ passes the estimator carries no
+    * sound error bound, so this is the explicitly-approximate tier:
+    * recall grows with `rerankPool` (gated ≥0.95 at pool = 4k in
+    * `LocalReplicaSpec`); [[search]] stays exact. L2 replicas only.
+    */
+  def searchRabitq(q0: Array[Float], k: Int, rerankPool: Int,
+      nprobe: Int = 0): Seq[Candidate] = {
+    val r = rbq
+    require(r != null, "replica carries no RaBitQ codes — export with rabitq = true")
+    require(metric == Metric.L2, "RaBitQ estimates squared L2")
+    val q = prepQuery(q0)
+    val m0 = mut
+    val tomb = mutTomb(m0)
+    val d = mutDelta(m0)
+    val pool = math.max(k, rerankPool)
+    // pack the rotated query's signs once
+    val qWords = r.packQuery(q, dim)
+    val nw = r.nwords
+    // bounded worst-at-root heap over (hamming, row): smaller h is better
+    val hh = new Array[Int](math.max(1, pool))
+    val hr = new Array[Int](math.max(1, pool))
+    var hn = 0
+    @inline def worse(a: Int, b: Int): Boolean =
+      if (hh(a) != hh(b)) hh(a) > hh(b) else ids(hr(a)) > ids(hr(b))
+    def siftDown(i0: Int): Unit = {
+      var i = i0
+      var go = true
+      while (go) {
+        val lch = 2 * i + 1; val rch = lch + 1
+        var mx = i
+        if (lch < hn && worse(lch, mx)) mx = lch
+        if (rch < hn && worse(rch, mx)) mx = rch
+        if (mx == i) go = false
+        else {
+          val th = hh(i); hh(i) = hh(mx); hh(mx) = th
+          val tr = hr(i); hr(i) = hr(mx); hr(mx) = tr
+          i = mx
+        }
+      }
+    }
+    probeRanges(q, nprobe).foreach { case (lo, hi0) =>
+      var row = lo
+      while (row < hi0) {
+        if (live(tomb, row)) {
+          val base = row * nw
+          var h = 0
+          var w = 0
+          while (w < nw) {
+            h += java.lang.Long.bitCount(r.words(base + w) ^ qWords(w))
+            w += 1
+          }
+          if (hn < pool) {
+            hh(hn) = h; hr(hn) = row; hn += 1
+            if (hn == pool) {
+              var i = hn / 2 - 1
+              while (i >= 0) { siftDown(i); i -= 1 }
+            }
+          } else if (h < hh(0) || (h == hh(0) && ids(row) < ids(hr(0)))) {
+            hh(0) = h; hr(0) = row; siftDown(0)
+          }
+        }
+        row += 1
+      }
+    }
+    val fast = fastMode
+    val cands = new scala.collection.mutable.ArrayBuffer[Candidate](hn + 8)
+    var i = 0
+    while (i < hn) {
+      cands += Candidate(ids(hr(i)), scoreRow(fast, hr(i) * dim, q, 0.0))
+      i += 1
+    }
+    // delta rows have no codes: exact-scan them like every other path
+    if (d != null) cands ++= deltaCandidates(d, q, fast, 0.0)
+    cands.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
+      .take(k).toSeq
+  }
+
   /** Persist the replica as a single self-contained artifact (any Hadoop
     * FS scheme — the export job writes it next to the store, serving
     * hosts pull it like any other build artifact). Atomic: temp + rename
@@ -1518,6 +1740,32 @@ final class LocalReplica private (
             i = 0
             while (i < size) { out.writeLong(c.longs(i)); i += 1 }
         }
+      }
+      // v5 trailer 1: RaBitQ sign-bit codes (seed-only sidecar — the
+      // rotation regenerates deterministically at load)
+      out.writeBoolean(rbqCoded)
+      if (rbqCoded) {
+        out.writeLong(rbq.seed)
+        out.writeInt(rbq.nwords)
+        i = 0
+        while (i < rbq.words.length) { out.writeLong(rbq.words(i)); i += 1 }
+      }
+      // v5 trailer 2: compact lexical postings
+      out.writeBoolean(lexical)
+      if (lexical) {
+        out.writeLong(lex.numDocs)
+        out.writeDouble(lex.avgdl)
+        i = 0
+        while (i < size) { out.writeInt(lex.docLen(i)); i += 1 }
+        out.writeInt(lex.terms.length)
+        i = 0
+        while (i < lex.terms.length) { out.writeUTF(lex.terms(i)); i += 1 }
+        i = 0
+        while (i < lex.postStart.length) { out.writeInt(lex.postStart(i)); i += 1 }
+        i = 0
+        while (i < lex.postRow.length) { out.writeInt(lex.postRow(i)); i += 1 }
+        i = 0
+        while (i < lex.postTf.length) { out.writeFloat(lex.postTf(i)); i += 1 }
       }
     } finally out.close()
     // prefer an atomic overwrite rename; FileContext throws
@@ -1649,7 +1897,7 @@ object LocalReplica {
   }
 
   private[serve] val Magic = 0x47524c52 // "GRLR"
-  private[serve] val FormatVersion = 4
+  private[serve] val FormatVersion = 5
 
   /** PQ coded mirror (format v4): row-major m-byte codes + flat codebooks
     * (`books((s·ksub + c)·subDim + d)` = dim d of centroid c of subspace
@@ -1664,6 +1912,54 @@ object LocalReplica {
       val codes: Array[Byte],
       val maxErr: Double) {
     require(ksub >= 1 && ksub <= 256, s"ksub $ksub must fit one byte")
+  }
+
+  /** Compact lexical postings (format v5): sorted vocab + CSR postings
+    * (main-row index, tf) + per-row doc lengths + frozen corpus stats —
+    * the in-process twin of the engine's per-segment lexical deltas.
+    */
+  private[serve] final class LexData(
+      val terms: Array[String],
+      val postStart: Array[Int],
+      val postRow: Array[Int],
+      val postTf: Array[Float],
+      val docLen: Array[Int],
+      val numDocs: Long,
+      val avgdl: Double)
+
+  /** RaBitQ sign-bit codes (format v5): `nwords` longs per row, 32
+    * rotated-dimension signs per word (matching `index.RaBitQ`'s packing),
+    * plus the rotation seed — the rotation itself regenerates
+    * deterministically from the seed, so the artifact stays 1 bit/dim.
+    */
+  private[serve] final class RbqData(
+      val seed: Long,
+      val nwords: Int,
+      val words: Array[Long]) {
+    // regenerated once per loaded replica; ~d^3 flops, amortized across
+    // every query's d^2 rotation
+    private[serve] var rotation: Array[Array[Float]] = null
+    private[serve] def rotationFor(dim: Int): Array[Array[Float]] = {
+      var r = rotation
+      if (r == null) {
+        r = graft.index.RaBitQ.train(dim, seed).rotation
+        rotation = r
+      }
+      r
+    }
+    /** Pack the rotated query's signs, same layout as the row codes. */
+    def packQuery(q: Array[Float], dim: Int): Array[Long] = {
+      val rot = rotationFor(dim)
+      val out = new Array[Long](nwords)
+      var j = 0
+      while (j < dim) {
+        var acc = 0.0; var i = 0
+        while (i < dim) { acc += rot(j)(i).toDouble * q(i).toDouble; i += 1 }
+        if (acc.toFloat > 0f) out(j / 32) |= (1L << (j % 32))
+        j += 1
+      }
+      out
+    }
   }
 
   // metadata column type tags (format v3)
@@ -1807,8 +2103,58 @@ object LocalReplica {
             }
           }
         }
+      var rbqData: RbqData = null
+      if (ver >= 5 && in.readBoolean()) {
+        val seed = in.readLong()
+        val nwords = in.readInt()
+        require(nwords == (dim + 31) / 32,
+          s"corrupt replica: RaBitQ nwords $nwords for dim $dim")
+        val words = new Array[Long](n * nwords)
+        i = 0
+        while (i < words.length) { words(i) = in.readLong(); i += 1 }
+        rbqData = new RbqData(seed, nwords, words)
+      }
+      var lexData: LexData = null
+      if (ver >= 5 && in.readBoolean()) {
+        val numDocs = in.readLong()
+        val avgdl = in.readDouble()
+        require(numDocs >= 0 && numDocs <= n && !avgdl.isNaN && avgdl >= 0.0,
+          s"corrupt replica: lexical stats numDocs=$numDocs avgdl=$avgdl")
+        val docLen = new Array[Int](n)
+        i = 0
+        while (i < n) { docLen(i) = in.readInt(); i += 1 }
+        val v = in.readInt()
+        require(v >= 0, s"corrupt replica: lexical vocab size $v")
+        val terms = new Array[String](v)
+        i = 0
+        while (i < v) { terms(i) = in.readUTF(); i += 1 }
+        val postStart = new Array[Int](v + 1)
+        i = 0
+        while (i <= v) { postStart(i) = in.readInt(); i += 1 }
+        require(postStart(0) == 0, "corrupt replica: lexical CSR start != 0")
+        i = 1
+        while (i <= v) {
+          require(postStart(i) >= postStart(i - 1),
+            s"corrupt replica: lexical CSR entry $i out of order")
+          i += 1
+        }
+        val nPost = postStart(v)
+        val postRow = new Array[Int](nPost)
+        i = 0
+        while (i < nPost) {
+          postRow(i) = in.readInt()
+          require(postRow(i) >= 0 && postRow(i) < n,
+            s"corrupt replica: lexical posting row ${postRow(i)}")
+          i += 1
+        }
+        val postTf = new Array[Float](nPost)
+        i = 0
+        while (i < nPost) { postTf(i) = in.readFloat(); i += 1 }
+        lexData = new LexData(terms, postStart, postRow, postTf, docLen,
+          numDocs, avgdl)
+      }
       new LocalReplica(metric, dim, ids, flat, centroids, listStart,
-        codes, codeMins, codeSteps, minNorm, meta, pqData)
+        codes, codeMins, codeSteps, minNorm, meta, pqData, lexData, rbqData)
     } finally in.close()
   }
 
@@ -1823,7 +2169,9 @@ object LocalReplica {
       metric: Metric, nlist: Int = 0,
       maxRows: Long = DefaultMaxRows,
       metaCols: Seq[String] = Nil,
-      pqModel: Option[graft.index.PQ.Model] = None): LocalReplica = {
+      pqModel: Option[graft.index.PQ.Model] = None,
+      textCol: Option[String] = None,
+      rabitq: Boolean = false, rabitqSeed: Long = 42L): LocalReplica = {
     // metadata columns export as normalized long/double/string arrays
     // (format v3) so predicates can evaluate replica-side
     import org.apache.spark.sql.types._
@@ -1852,8 +2200,10 @@ object LocalReplica {
       if (packed)
         graft.functions.DistanceKernels.bytesToFloats(r.getAs[Array[Byte]](1))
       else r.getSeq[Float](1).toArray
+    val textExpr = textCol.map(tc => col(tc).cast("string").as(tc)).toSeq
     val rows = df.select(
-      col(idCol).cast("long") +: col(vecCol) +: metaExprs: _*).collect()
+      col(idCol).cast("long") +: col(vecCol) +: (metaExprs ++ textExpr): _*)
+      .collect()
     require(rows.length <= maxRows,
       s"replica export of ${rows.length} rows exceeds maxRows=$maxRows — " +
         "a LocalReplica is a per-shard serving artifact, not the store; " +
@@ -1956,6 +2306,99 @@ object LocalReplica {
     var l = 0
     while (l < lists) { listStart(l + 1) = listStart(l) + counts(l); l += 1 }
 
+    // compact lexical postings (format v5): tokenize each row's text with
+    // the SAME semantics as BM25.tokenize (lowercase, \s+ split, empty
+    // dropped), CSR by sorted term with rows ascending per term
+    val lexData: LexData = textCol match {
+      case None => null
+      case Some(_) =>
+        val fld = 2 + metaCols.length
+        val docLen = new Array[Int](n)
+        val byTerm = new java.util.TreeMap[String,
+          scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
+        var nd = 0L
+        var total = 0L
+        var r2 = 0
+        while (r2 < n) {
+          val row = rows(tagged(r2))
+          if (!row.isNullAt(fld)) {
+            val toks = row.getString(fld).toLowerCase
+              .split("\\s+").filter(_.nonEmpty)
+            if (toks.nonEmpty) {
+              docLen(r2) = toks.length
+              nd += 1
+              total += toks.length
+              val tf = new java.util.HashMap[String, Integer]()
+              toks.foreach(t => tf.merge(t, 1, (a, b) => a + b))
+              val rowIdx = r2
+              tf.forEach { (t, c) =>
+                byTerm.computeIfAbsent(t,
+                  _ => new scala.collection.mutable.ArrayBuffer[(Int, Int)]())
+                  .addOne((rowIdx, c.intValue))
+              }
+            }
+          }
+          r2 += 1
+        }
+        val v = byTerm.size()
+        val terms = new Array[String](v)
+        val postStart = new Array[Int](v + 1)
+        val nPost = {
+          var acc = 0
+          val it = byTerm.values().iterator()
+          while (it.hasNext) acc += it.next().length
+          acc
+        }
+        val postRow = new Array[Int](nPost)
+        val postTf = new Array[Float](nPost)
+        var ti = 0
+        var pi = 0
+        val it = byTerm.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          terms(ti) = e.getKey
+          postStart(ti) = pi
+          e.getValue.foreach { case (row, c) =>
+            postRow(pi) = row; postTf(pi) = c.toFloat; pi += 1
+          }
+          ti += 1
+        }
+        postStart(v) = pi
+        new LexData(terms, postStart, postRow, postTf, docLen, nd,
+          if (nd == 0) 0.0 else total.toDouble / nd)
+    }
+
+    // RaBitQ sign-bit codes (format v5): rotate each packed row under the
+    // seeded orthonormal rotation and keep only the signs — 1 bit/dim
+    val rbqData: RbqData =
+      if (!rabitq) null
+      else {
+        require(metric == Metric.L2,
+          "RaBitQ codes estimate squared L2 — export rabitq on L2 replicas")
+        val model = graft.index.RaBitQ.train(dim, rabitqSeed)
+        val rot = model.rotation
+        val nwords = (dim + 31) / 32
+        val words = new Array[Long](n * nwords)
+        java.util.stream.IntStream.range(0, n).parallel().forEach { row =>
+          val base = row * dim
+          var j = 0
+          while (j < dim) {
+            var acc = 0.0
+            var i = 0
+            while (i < dim) {
+              acc += rot(j)(i).toDouble * flat(base + i).toDouble
+              i += 1
+            }
+            if (acc.toFloat > 0f)
+              words(row * nwords + j / 32) |= (1L << (j % 32))
+            j += 1
+          }
+        }
+        val rd = new RbqData(rabitqSeed, nwords, words)
+        rd.rotation = rot
+        rd
+      }
+
     pqModel match {
       case Some(pm) =>
         // PQ coded mirror (format v4) INSTEAD of SQ8: m bytes/vec vs dim —
@@ -2026,7 +2469,7 @@ object LocalReplica {
         val pqData = new PQData(m, ksub, subDim, books, pcodes, maxErr + 1e-5)
         new LocalReplica(metric, dim, ids, flat,
           model.map(_.centroids).getOrElse(Array.empty), listStart,
-          null, null, null, minNorm, meta, pqData)
+          null, null, null, minNorm, meta, pqData, lexData, rbqData)
 
       case None =>
         // SQ8 coded mirror: per-dim bounds + codes + the min row norm that
@@ -2068,7 +2511,7 @@ object LocalReplica {
 
         new LocalReplica(metric, dim, ids, flat,
           model.map(_.centroids).getOrElse(Array.empty), listStart,
-          codes, mins, steps, minNorm, meta)
+          codes, mins, steps, minNorm, meta, null, lexData, rbqData)
     }
   }
 
@@ -2080,13 +2523,16 @@ object LocalReplica {
   def fromStore(db: GraftDB, nlist: Int = 0,
       maxRows: Long = DefaultMaxRows,
       metaCols: Seq[String] = Nil,
-      pqModel: Option[graft.index.PQ.Model] = None): LocalReplica = {
+      pqModel: Option[graft.index.PQ.Model] = None,
+      textCol: Option[String] = None,
+      rabitq: Boolean = false, rabitqSeed: Long = 42L): LocalReplica = {
     val v = db.effectiveVersion
     // raw store read: packed segments export as raw bytes (bulk-converted
     // driver-side), skipping both the unpack column and the boxed
     // Seq[Float] row deserialization of the public read()
     val rep = fromDataFrame(db.store.read(v), "vector", "id",
-      db.metric, nlist, maxRows, metaCols, pqModel)
+      db.metric, nlist, maxRows, metaCols, pqModel, textCol,
+      rabitq, rabitqSeed)
     // remember the exported file set so refreshFrom can diff against it
     db.store.manifest(v).foreach { m =>
       rep.origin = Origin(db.store.root, v,
