@@ -1044,9 +1044,15 @@ final class LocalReplica private (
         i += 1
       }
     }
+    lastAdmitted = cands.length
     cands.sortWith((a, b) => better(a.score, a.id, b.score, b.id))
       .take(k).toSeq
   }
+
+  /** Exact-rerank rows admitted by the most recent coded pass on this
+    * replica (diagnostics for the bench probes; racy by design).
+    */
+  @volatile private[graft] var lastAdmitted: Int = -1
 
   // --------------------------------------------- PQ (ADC) first pass, v4
 
@@ -1060,12 +1066,49 @@ final class LocalReplica private (
     * scan. First-pass memory traffic is m bytes/row (vs dim for SQ8, 4·dim
     * for floats): at 768d / m=96 the coded scan reads 8× less than SQ8.
     */
+  /** One ADC accumulation pass over rows `[lo, hi0)` into `out` (offset
+    * by `lo`), sub-outer/row-inner on the blocked sub-major code layout:
+    * per (block, sub) the code bytes stream sequentially, the 8·ksub-byte
+    * table slice sits in L1, and the accumulator walks sequentially —
+    * no per-row dependent gather chain. Accumulation order per row is
+    * sub 0..m-1, identical to the row-major loop, so values (and the
+    * sound admission downstream) are bit-identical.
+    */
+  private def adcChunk(pqd: LocalReplica.PQData, sm: Array[Byte],
+      tbl: Array[Double], init: Double, lo: Int, hi0: Int,
+      out: Array[Double]): Unit = {
+    val m = pqd.m; val ksub = pqd.ksub; val bsz = pqd.Block
+    java.util.Arrays.fill(out, 0, hi0 - lo, init)
+    var pieceLo = lo
+    while (pieceLo < hi0) {
+      val blockStart = (pieceLo / bsz) * bsz
+      val blockLen = math.min(bsz, size - blockStart)
+      val pieceHi = math.min(hi0, blockStart + blockLen)
+      val blockBase = blockStart * m
+      val outOff = pieceLo - lo
+      val cnt = pieceHi - pieceLo
+      var sub = 0
+      while (sub < m) {
+        val tOff = sub * ksub
+        val cBase = blockBase + sub * blockLen + (pieceLo - blockStart)
+        var r = 0
+        while (r < cnt) {
+          out(outOff + r) += tbl(tOff + (sm(cBase + r) & 0xFF))
+          r += 1
+        }
+        sub += 1
+      }
+      pieceLo = pieceHi
+    }
+  }
+
   private def pqSearch(q: Array[Float], k: Int, ranges: Seq[(Int, Int)],
       fast: Boolean, qNorm: Double, inBatch: Boolean,
       tomb: Array[Long]): Seq[Candidate] = {
     val m = pq.m; val ksub = pq.ksub; val subDim = pq.subDim
     val books = pq.books
-    val pqCodes = pq.codes
+    val pqd = pq
+    val subMajor = pq.subMajor
     // per-query ADC tables (m·ksub doubles ≈ L1/L2-resident; built once
     // per query, shared read-only across parallel chunks)
     var margin = 0.0
@@ -1088,17 +1131,8 @@ final class LocalReplica private (
           s += 1
         }
         margin = 2.0 * pq.maxErr
-        scoreChunk = (lo, hi0, out) => {
-          var r = lo; var j = 0
-          while (r < hi0) {
-            val cb = r * m
-            var acc = 0.0; var sub = 0
-            while (sub < m) {
-              acc += tbl(sub * ksub + (pqCodes(cb + sub) & 0xFF)); sub += 1
-            }
-            out(j) = acc; r += 1; j += 1
-          }
-        }
+        scoreChunk = (lo, hi0, out) =>
+          adcChunk(pqd, subMajor, tbl, 0.0, lo, hi0, out)
       case Metric.Dot =>
         val tbl = new Array[Double](m * ksub)
         var qn = 0.0
@@ -1121,17 +1155,8 @@ final class LocalReplica private (
         }
         // |⟨q,x⟩ − ⟨q,x̃⟩| ≤ ‖q‖·‖x−x̃‖
         margin = 2.0 * pq.maxErr * qn
-        scoreChunk = (lo, hi0, out) => {
-          var r = lo; var j = 0
-          while (r < hi0) {
-            val cb = r * m
-            var acc = 0.0; var sub = 0
-            while (sub < m) {
-              acc += tbl(sub * ksub + (pqCodes(cb + sub) & 0xFF)); sub += 1
-            }
-            out(j) = acc; r += 1; j += 1
-          }
-        }
+        scoreChunk = (lo, hi0, out) =>
+          adcChunk(pqd, subMajor, tbl, 0.0, lo, hi0, out)
       case Metric.Cosine =>
         // two tables: sub-dot ⟨q_s, cb⟩ and sub-norm² ‖cb‖² — the subspace
         // decomposition is orthogonal, so ‖x̃‖² is exactly the sum of its
@@ -1161,18 +1186,19 @@ final class LocalReplica private (
         // |cos(x̃,q) − cos(x,q)| ≤ 2‖x̃−x‖ / ‖x‖ for ‖x̃−x‖ < ‖x‖
         margin = 4.0 * pq.maxErr / minRowNorm
         scoreChunk = (lo, hi0, out) => {
-          var r = lo; var j = 0
-          while (r < hi0) {
-            val cb = r * m
-            var accD = 0.0; var accN = 0.0; var sub = 0
-            while (sub < m) {
-              val idx = sub * ksub + (pqCodes(cb + sub) & 0xFF)
-              accD += dotT(idx); accN += nrmT(idx); sub += 1
-            }
+          // two blocked passes (dot, norm²) into scratch, then combine;
+          // scratch is per-call so parallel chunks never share state
+          val cnt = hi0 - lo
+          val accD = new Array[Double](cnt)
+          val accN = new Array[Double](cnt)
+          adcChunk(pqd, subMajor, dotT, 0.0, lo, hi0, accD)
+          adcChunk(pqd, subMajor, nrmT, 0.0, lo, hi0, accN)
+          var j = 0
+          while (j < cnt) {
             out(j) =
-              if (accN == 0.0 || qn == 0.0) 0.0
-              else accD / (math.sqrt(accN) * qn)
-            r += 1; j += 1
+              if (accN(j) == 0.0 || qn == 0.0) 0.0
+              else accD(j) / (math.sqrt(accN(j)) * qn)
+            j += 1
           }
         }
       case Metric.Hamming => throw new IllegalStateException("unreachable")
@@ -1912,6 +1938,44 @@ object LocalReplica {
       val codes: Array[Byte],
       val maxErr: Double) {
     require(ksub >= 1 && ksub <= 256, s"ksub $ksub must fit one byte")
+
+    /** Rows per sub-major block: sized so one block's double accumulator
+      * (8·B bytes = 16 KB) plus one sub's table slice (8·ksub ≤ 2 KB)
+      * stay L1/L2-resident across the m per-sub passes.
+      */
+    val Block: Int = 2048
+
+    /** Sub-major BLOCKED mirror of `codes` (built lazily, never
+      * persisted): rows are grouped in blocks of [[Block]]; within a
+      * block, sub s's codes for all its rows are contiguous. The ADC
+      * first pass then runs sub-outer/row-inner per block — sequential
+      * code-byte reads, an L1-resident 2 KB table slice, and a sequential
+      * accumulator — instead of the row-major loop's m dependent
+      * table gathers per row, which bound ADC latency (measured: the
+      * row-major 768d/m=96 pass LOST to SQ8's SIMD decode despite 8×
+      * less traffic; see tools/Probe768). The FAISS-style layout trade.
+      */
+    lazy val subMajor: Array[Byte] = {
+      val n = codes.length / m
+      val out = new Array[Byte](codes.length)
+      var blockStart = 0
+      while (blockStart < n) {
+        val blockLen = math.min(Block, n - blockStart)
+        val blockBase = blockStart * m
+        var sub = 0
+        while (sub < m) {
+          val dst = blockBase + sub * blockLen
+          var r = 0
+          while (r < blockLen) {
+            out(dst + r) = codes((blockStart + r) * m + sub)
+            r += 1
+          }
+          sub += 1
+        }
+        blockStart += Block
+      }
+      out
+    }
   }
 
   /** Compact lexical postings (format v5): sorted vocab + CSR postings
