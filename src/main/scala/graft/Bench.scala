@@ -152,6 +152,21 @@ object Bench {
       stored.where(col("id") < 10000), "vec", "id", Metric.L2, nlist = 64)
     require(replica10k.size == 10000,
       s"10k headline fixture has ${replica10k.size} rows — need synth n >= 10000")
+    // hybrid serving fixture: same 10k rows with a synthetic text column
+    // (zipfy common tokens + one discriminative token per doc) — the
+    // reference's embedded HybridSearch headline is 216 us at the 10k
+    // shape (BASELINE.md), served here by the v5 lexical section + coded
+    // vector pass fused in-process
+    val hybridWords = typedLit(Seq("spark", "vector", "merge", "index",
+      "scan", "join", "the", "a", "of", "data"))
+    val replica10kHybrid = graft.serve.LocalReplica.fromDataFrame(
+      stored.where(col("id") < 10000).select(col("id"), col("vec"),
+        concat_ws(" ",
+          element_at(hybridWords, (pmod(xxhash64(col("id") * 7), lit(10)) + 1).cast("int")),
+          element_at(hybridWords, (pmod(xxhash64(col("id") * 13), lit(10)) + 1).cast("int")),
+          element_at(hybridWords, (pmod(xxhash64(col("id") * 17), lit(4)) + 1).cast("int")),
+          concat(lit("tok"), col("id"))).as("text")),
+      "vec", "id", Metric.L2, nlist = 64, textCol = Some("text"))
     val allIds: Array[Long] = Array.tabulate(n.toInt)(_.toLong)
     val rng = new java.util.Random(41)
     val appendIds: Array[Long] = Array.tabulate(10000)(i => nBig + 1 + i.toLong)
@@ -335,6 +350,16 @@ object Bench {
           i += 1
         }
       }),
+      // in-process hybrid (vector pool + BM25 pool + RRF fuse) at the
+      // reference's 10k hybrid headline shape (216 us, BASELINE.md)
+      "synth_local_hybrid_x500" -> (() => {
+        var i = 0
+        while (i < 500) {
+          replica10kHybrid.hybridSearch(queries(i % queries.length)._2,
+            "spark vector merge", 10, nprobe = 8)
+          i += 1
+        }
+      }),
       // serving-tier freshness: tombstone every row (n bitmap flips) /
       // append 10k validated rows into the fused delta block
       "synth_replica_delete_all" -> (() => {
@@ -360,6 +385,7 @@ object Bench {
       "synth_local_knn_x1000", "synth_local_brute_x100",
       "synth_local_batch_x1000", "synth_local_knn768_sq8_x200",
       "synth_local_knn768_pq_x200", "synth_local_knn10k_x2000",
+      "synth_local_hybrid_x500",
       "synth_replica_delete_all", "synth_replica_append_10k")
 
     def syncFs(): Unit =
@@ -431,6 +457,8 @@ object Bench {
       results("synth_local_knn768_pq_x200") / 200.0 * 1e6
     derived("local_knn10k_latency_us") =
       results("synth_local_knn10k_x2000") / 2000.0 * 1e6
+    derived("local_hybrid_latency_us") =
+      results("synth_local_hybrid_x500") / 500.0 * 1e6
     derived("replica_delete_ids_per_sec") =
       n / results("synth_replica_delete_all")
     derived("replica_append_vec_per_sec") =

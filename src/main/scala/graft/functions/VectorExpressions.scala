@@ -193,6 +193,34 @@ case class VecUnpackF32(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Lower-bound bucket assignment over a driver-small sorted bounds
+  * array: bucket(id) = #bounds strictly below id — the `width_bucket`
+  * analog for ARBITRARY (quantile-derived) bounds, as a native codegen'd
+  * expression instead of a Scala UDF (a UDF boxes every input and walls
+  * off whole-stage codegen; this stays inside the generated loop and
+  * calls one static binary search). Used by the sequence-packing
+  * exclusive prefix sum ([[graft.pipeline.Packing.packByBudget]]).
+  */
+case class LowerBoundBucket(child: Expression, bounds: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lower_bound_bucket"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lower_bound_bucket expects an integral id, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    BucketSearch.bucket(bounds, a.asInstanceOf[Number].longValue)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketBounds", bounds, "long[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.BucketSearch.bucket($ref, (long)$a)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hamming (popcount) distance over packed binary codes (array<long>). */
 case class VecHamming(left: Expression, right: Expression)
     extends BinaryExpression with VecBinaryChecks {

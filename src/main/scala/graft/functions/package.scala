@@ -28,6 +28,12 @@ package object functions {
   /** L2 norm of a vector, double. */
   def vec_norm(a: Column): Column = asCol(VecNorm(expr(a)))
 
+  /** Bucket of `id` among sorted `bounds` (#bounds < id) — codegen'd
+    * width_bucket analog for arbitrary bounds.
+    */
+  def lower_bound_bucket(id: Column, bounds: Array[Long]): Column =
+    asCol(LowerBoundBucket(expr(id), bounds))
+
   /** Hamming distance over packed array<long> binary codes. */
   def vec_hamming(a: Column, b: Column): Column = asCol(VecHamming(expr(a), expr(b)))
 

@@ -59,18 +59,11 @@ object Packing {
       else base.stat
         .approxQuantile("id", (1 until n).map(_.toDouble / n).toArray, 0.001)
         .map(_.toLong).distinct.sorted
-    val bucketOf = {
-      val bs = bounds
-      udf((id: Long) => {
-        var lo = 0; var hi = bs.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (bs(mid) < id) lo = mid + 1 else hi = mid
-        }
-        lo
-      })
-    }
-    val bucketed = base.withColumn("bucket", bucketOf(col("id")))
+    // native codegen'd binary search (graft.functions.LowerBoundBucket)
+    // — no UDF in the assignment path, so both passes stay inside
+    // whole-stage codegen
+    val bucketed = base.withColumn("bucket",
+      graft.functions.lower_bound_bucket(col("id"), bounds))
     // pass 1: per-bucket totals (rows on the driver = #buckets)
     val sums: Array[(Int, Long)] = bucketed
       .groupBy("bucket").agg(sum("tokens").as("s"))
