@@ -152,20 +152,18 @@ object Bench {
       stored.where(col("id") < 10000), "vec", "id", Metric.L2, nlist = 64)
     require(replica10k.size == 10000,
       s"10k headline fixture has ${replica10k.size} rows — need synth n >= 10000")
-    // hybrid serving fixture: same 10k rows with a synthetic text column
-    // (zipfy common tokens + one discriminative token per doc) — the
-    // reference's embedded HybridSearch headline is 216 us at the 10k
-    // shape (BASELINE.md), served here by the v5 lexical section + coded
-    // vector pass fused in-process
-    val hybridWords = typedLit(Seq("spark", "vector", "merge", "index",
-      "scan", "join", "the", "a", "of", "data"))
+    // hybrid serving fixture MATCHED to the reference's hybrid benchmark
+    // (benchmark_test/hybrid_bench_test.go: 10k docs, each text = 2 words
+    // drawn from an 8-word vocab, query "apple banana", k=10, rrfK=60 —
+    // the 216 us headline, BASELINE.md) — served here by the v5 lexical
+    // section + coded vector pass fused in-process
+    val hybridWords = typedLit(Seq("apple", "banana", "cherry", "date",
+      "elderberry", "fig", "grape", "honeydew"))
     val replica10kHybrid = graft.serve.LocalReplica.fromDataFrame(
       stored.where(col("id") < 10000).select(col("id"), col("vec"),
         concat_ws(" ",
-          element_at(hybridWords, (pmod(xxhash64(col("id") * 7), lit(10)) + 1).cast("int")),
-          element_at(hybridWords, (pmod(xxhash64(col("id") * 13), lit(10)) + 1).cast("int")),
-          element_at(hybridWords, (pmod(xxhash64(col("id") * 17), lit(4)) + 1).cast("int")),
-          concat(lit("tok"), col("id"))).as("text")),
+          element_at(hybridWords, (pmod(xxhash64(col("id") * 7), lit(8)) + 1).cast("int")),
+          element_at(hybridWords, (pmod(xxhash64(col("id") * 13), lit(8)) + 1).cast("int"))).as("text")),
       "vec", "id", Metric.L2, nlist = 64, textCol = Some("text"))
     val allIds: Array[Long] = Array.tabulate(n.toInt)(_.toLong)
     val rng = new java.util.Random(41)
@@ -356,7 +354,7 @@ object Bench {
         var i = 0
         while (i < 500) {
           replica10kHybrid.hybridSearch(queries(i % queries.length)._2,
-            "spark vector merge", 10, nprobe = 8)
+            "apple banana", 10, nprobe = 8)
           i += 1
         }
       }),

@@ -1465,13 +1465,28 @@ final class LocalReplica private (
 
   // --------------------------------------------- lexical + hybrid, v5
 
-  /** Spark's `round(x, 6)` (HALF_UP on the decimal value) — the rank key
-    * every engine surface (and the DuckDB oracle) sorts pools by, so
-    * replica ranks reproduce the distributed ranks bit-for-bit.
+  /** Spark's `round(x, 6)` (HALF_UP on the decimal string value — Spark's
+    * Round goes through `BigDecimal.valueOf`, i.e. `Double.toString`, not
+    * the exact binary expansion) — the rank key every engine surface (and
+    * the DuckDB oracle) sorts pools by, so replica ranks reproduce the
+    * distributed ranks bit-for-bit.
     */
-  @inline private def round6(x: Double): Double =
-    new java.math.BigDecimal(x)
+  @inline private def round6(x: Double): Double = {
+    // fast path: scale + floor, valid when x·1e6 sits clearly away from a
+    // .5 rounding boundary — the double multiply's error (~ulp) cannot
+    // flip the decision through the 1e-4 guard band, and k/1e6 for
+    // integral k is the same correctly-rounded double BigDecimal yields.
+    // Boundary-adjacent values take the exact decimal-string path.
+    val y = x * 1e6
+    if (math.abs(y) < 4.5e15) {
+      val f = math.floor(y)
+      val frac = y - f
+      if (math.abs(frac - 0.5) > 1e-4)
+        return (if (frac > 0.5) f + 1 else f) / 1e6
+    }
+    java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
 
   /** The score a pool RANKS by (the engine's hybrid pool reports L2 as
     * euclidean distance, not the internal squared score).
@@ -1497,41 +1512,155 @@ final class LocalReplica private (
     require(l != null,
       "replica carries no lexical section — export with textCol to serve " +
         "BM25/hybrid in-process")
-    import graft.lexical.BM25.{K1, B}
-    val acc = new java.util.HashMap[Integer, java.lang.Double]()
-    graft.lexical.BM25.tokenizeQuery(textQuery).foreach { t =>
+    // resolve query terms to posting ranges (DAAT setup); scores come
+    // from the precomputed per-posting impact array — no arithmetic
+    // beyond additions on the walk
+    val termsIn = graft.lexical.BM25.tokenizeQuery(textQuery)
+    val tLo = new Array[Int](termsIn.length)
+    val tHi = new Array[Int](termsIn.length)
+    var nt = 0
+    termsIn.foreach { t =>
       val ti = java.util.Arrays.binarySearch(
         l.terms.asInstanceOf[Array[AnyRef]], t)
       if (ti >= 0) {
-        val lo = l.postStart(ti); val hi = l.postStart(ti + 1)
-        val df = (hi - lo).toDouble
-        val idf = math.log(1.0 + (l.numDocs - df + 0.5) / (df + 0.5))
-        var i = lo
-        while (i < hi) {
-          val row = l.postRow(i)
-          if (live(tomb, row)) {
-            val tf = l.postTf(i).toDouble
-            val dlen = l.docLen(row).toDouble
-            val sc = idf * (tf * (K1 + 1.0)) /
-              (tf + K1 * ((1.0 - B) + B * dlen / l.avgdl))
-            acc.merge(row, sc, (a, b) => a + b)
-          }
-          i += 1
+        tLo(nt) = l.postStart(ti)
+        tHi(nt) = l.postStart(ti + 1)
+        nt += 1
+      }
+    }
+    if (nt == 0) return Nil
+    val imp = l.impact
+    // Document-at-a-time merge over the row-sorted posting lists (the
+    // reference's DAAT shape, `bm25.go:282-381`): each step advances the
+    // cursor(s) at the minimum row, so one doc's full score materializes
+    // at a time — no hash accumulation, no full sort of every scored doc.
+    // Selection: bounded worst-at-root heap of m by RAW score (id-desc
+    // tie), plus a margin buffer of entries within the 6-decimal rounding
+    // quantum of the heap root — the rounded rank key can only promote an
+    // entry across the boundary if its raw score is within 1e-6 of the
+    // boundary, so heap ∪ buffer provably contains the rounded top-m
+    // (the codedAdmitRanges proof shape applied to rank rounding).
+    val hs = new Array[Double](math.max(1, m))
+    val hr = new Array[Long](math.max(1, m))
+    var hn = 0
+    @inline def worse(a: Int, b: Int): Boolean =
+      if (hs(a) != hs(b)) hs(a) < hs(b) else hr(a) > hr(b)
+    def siftDown(i0: Int): Unit = {
+      var i = i0
+      var go = true
+      while (go) {
+        val lc = 2 * i + 1; val rc = lc + 1
+        var mx = i
+        if (lc < hn && worse(lc, mx)) mx = lc
+        if (rc < hn && worse(rc, mx)) mx = rc
+        if (mx == i) go = false
+        else {
+          val ts = hs(i); hs(i) = hs(mx); hs(mx) = ts
+          val ti = hr(i); hr(i) = hr(mx); hr(mx) = ti
+          i = mx
         }
       }
     }
-    val out = new Array[(Long, Double)](acc.size())
-    val it = acc.entrySet().iterator()
-    var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      out(j) = (ids(e.getKey.intValue), e.getValue.doubleValue)
-      j += 1
+    val Margin = 1.01e-6
+    var bufId = new Array[Long](math.max(16, m))
+    var bufS = new Array[Double](bufId.length)
+    var bn = 0
+    @inline def push(id: Long, s: Double): Unit = {
+      if (bn == bufId.length) {
+        bufId = java.util.Arrays.copyOf(bufId, bn * 2)
+        bufS = java.util.Arrays.copyOf(bufS, bn * 2)
+      }
+      bufId(bn) = id; bufS(bn) = s; bn += 1
     }
+    @inline def offer(row: Int, s: Double): Unit = {
+      val id = ids(row)
+      if (hn < m) {
+        hs(hn) = s; hr(hn) = id; hn += 1
+        if (hn == m) {
+          var i = hn / 2 - 1
+          while (i >= 0) { siftDown(i); i -= 1 }
+        }
+      } else if (s > hs(0) || (s == hs(0) && id < hr(0))) {
+        if (hs(0) >= s - Margin) push(hr(0), hs(0))
+        hs(0) = s; hr(0) = id; siftDown(0)
+      } else if (s >= hs(0) - Margin) {
+        push(id, s)
+      }
+    }
+    if (nt == 1) {
+      // single posting list: straight walk over precomputed impacts
+      var i = tLo(0)
+      val hi = tHi(0)
+      while (i < hi) {
+        val row = l.postRow(i)
+        if (live(tomb, row)) offer(row, imp(i))
+        i += 1
+      }
+    } else if (nt == 2) {
+      // two-pointer merge (the dominant query shape): no cursor scans
+      var a = tLo(0); val ah = tHi(0)
+      var b = tLo(1); val bh = tHi(1)
+      while (a < ah && b < bh) {
+        val ra = l.postRow(a); val rb = l.postRow(b)
+        if (ra == rb) {
+          if (live(tomb, ra)) offer(ra, imp(a) + imp(b))
+          a += 1; b += 1
+        } else if (ra < rb) {
+          if (live(tomb, ra)) offer(ra, imp(a))
+          a += 1
+        } else {
+          if (live(tomb, rb)) offer(rb, imp(b))
+          b += 1
+        }
+      }
+      while (a < ah) {
+        val ra = l.postRow(a)
+        if (live(tomb, ra)) offer(ra, imp(a))
+        a += 1
+      }
+      while (b < bh) {
+        val rb = l.postRow(b)
+        if (live(tomb, rb)) offer(rb, imp(b))
+        b += 1
+      }
+    } else {
+      val cur = tLo.clone()
+      var active = nt
+      while (active > 0) {
+        // find the minimum row among live cursors
+        var minRow = Int.MaxValue
+        var t = 0
+        while (t < nt) {
+          if (cur(t) < tHi(t)) {
+            val r = l.postRow(cur(t))
+            if (r < minRow) minRow = r
+          }
+          t += 1
+        }
+        // accumulate every term's contribution for this doc, advance
+        var s = 0.0
+        t = 0
+        active = 0
+        while (t < nt) {
+          if (cur(t) < tHi(t) && l.postRow(cur(t)) == minRow) {
+            s += imp(cur(t))
+            cur(t) += 1
+          }
+          if (cur(t) < tHi(t)) active += 1
+          t += 1
+        }
+        if (live(tomb, minRow)) offer(minRow, s)
+      }
+    }
+    // round only the survivors (heap + margin buffer), rank-sort, cut
+    var i = 0
+    while (i < hn) { push(hr(i), hs(i)); i += 1 }
+    val out = new Array[(Long, Double, Double)](bn)
+    i = 0
+    while (i < bn) { out(i) = (bufId(i), bufS(i), round6(bufS(i))); i += 1 }
     out.sortWith { (a, b) =>
-      val ra = round6(a._2); val rb = round6(b._2)
-      if (ra != rb) ra > rb else a._1 < b._1
-    }.take(m).toSeq
+      if (a._3 != b._3) a._3 > b._3 else a._1 < b._1
+    }.take(m).map(t => (t._1, t._2)).toSeq
   }
 
   /** In-process BM25 top-k (vecgo R10 served embedded): same scores and
@@ -1560,14 +1689,25 @@ final class LocalReplica private (
     val m0 = mut // ONE snapshot for both pools
     val tomb = mutTomb(m0)
     val m = math.max(2 * k, 50)
-    val vRaw = searchRanges(q, math.min(2 * m, size + deltaSize),
-      probeRanges(q, nprobe), inBatch = false, tomb, mutDelta(m0))
-    val vPool = vRaw.map(c => (c.id, displayScore(c.score)))
+    // fetch m+1 raw: when the rounded key separates positions m and m+1
+    // the raw top-m IS the rounded top-m (rounding is monotone, so every
+    // excluded row rounds ≤ position m+1 < position m); only a rounded
+    // tie straddling the boundary needs the deeper fetch to resolve its
+    // id order like the engine's TakeOrdered does
+    val ranges = probeRanges(q, nprobe)
+    val d0 = mutDelta(m0)
+    val probe = searchRanges(q, m + 1, ranges, inBatch = false, tomb, d0)
+    val vRaw =
+      if (probe.length <= m ||
+          round6(displayScore(probe(m - 1).score)) !=
+            round6(displayScore(probe(m).score))) probe
+      else searchRanges(q, math.min(2 * m, size + deltaSize), ranges,
+        inBatch = false, tomb, d0)
+    val vPool = vRaw.map(c => (c.id, displayScore(c.score), round6(displayScore(c.score))))
       .sortWith { (a, b) =>
-        val ra = round6(a._2); val rb = round6(b._2)
-        if (ra != rb) { if (metric.ascending) ra < rb else ra > rb }
+        if (a._3 != b._3) { if (metric.ascending) a._3 < b._3 else a._3 > b._3 }
         else a._1 < b._1
-      }.take(m)
+      }.take(m).map(t => (t._1, t._2))
     val lPool = lexicalPool(textQuery, m, tomb)
     val fused = new java.util.HashMap[java.lang.Long, java.lang.Double]()
     def addRanks(pool: Seq[(Long, Double)]): Unit = {
@@ -1989,7 +2129,35 @@ object LocalReplica {
       val postTf: Array[Float],
       val docLen: Array[Int],
       val numDocs: Long,
-      val avgdl: Double)
+      val avgdl: Double) {
+    /** Precomputed per-posting BM25 contribution (impact score): idf, tf
+      * and the length normalization are ALL frozen at export, so the
+      * whole termScore is a constant per posting — the query-time DAAT
+      * walk then sums precomputed doubles with zero divides (the
+      * impact-ordered-postings idea from the IR literature, minus the
+      * reordering). 8 bytes/posting, built on first lexical query.
+      */
+    lazy val impact: Array[Double] = {
+      import graft.lexical.BM25.{K1, B}
+      val out = new Array[Double](postRow.length)
+      var t = 0
+      while (t < terms.length) {
+        val lo = postStart(t); val hi = postStart(t + 1)
+        val df = (hi - lo).toDouble
+        val idf = math.log(1.0 + (numDocs - df + 0.5) / (df + 0.5))
+        var i = lo
+        while (i < hi) {
+          val tf = postTf(i).toDouble
+          val lenNorm =
+            K1 * ((1.0 - B) + B * docLen(postRow(i)).toDouble / avgdl)
+          out(i) = idf * (tf * (K1 + 1.0)) / (tf + lenNorm)
+          i += 1
+        }
+        t += 1
+      }
+      out
+    }
+  }
 
   /** RaBitQ sign-bit codes (format v5): `nwords` longs per row, 32
     * rotated-dimension signs per word (matching `index.RaBitQ`'s packing),
