@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
+
 /** Fused batch-search aggregate: distance computation + bounded top-k in
   * ONE update call. [[MultiTopK]] consumes a pre-computed distances
   * array, which costs one 100-double `GenericArrayData` allocation plus
@@ -51,6 +52,16 @@ case class MultiTopKDirect(
       }
       val idv = id.eval(row).asInstanceOf[Long]
       val fast = KernelMode.fast
+      // NOTE: a query-vertical multi-query kernel (one accumulator lane
+      // per query, no reduceLanes — SimdKernels.l2sqMultiVertical) was
+      // built and measured as the alternative here: single-thread it is
+      // within noise of these per-query horizontal calls (~68 vs 60
+      // Mdist/s, tools/BatchKernelProbe) and inside the aggregate it
+      // REGRESSED knn_dist_per_sec_big ~20% (254-309M vs 359-384M across
+      // runs). This box's double-pumped AVX-512 (~2.9 G vec-FMA/s/thread
+      // ceiling, tools/FmaCeiling) makes the extra broadcast+pad ops cost
+      // more than the saved reductions. Kept unwired; revisit on
+      // hardware with full-width FMA units.
       var q = 0
       while (q < m) {
         val d =

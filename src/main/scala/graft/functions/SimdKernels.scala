@@ -285,4 +285,93 @@ object SimdKernels {
     }
     acc.intoArray(out, outOff)
   }
+
+  /** Number of float lanes of the preferred species (query-transpose
+    * padding unit for the multi-query kernels).
+    */
+  val floatLanes: Int = SP.length()
+
+  /** Squared L2 of ONE row against MANY queries, query-VERTICAL: `qT` is
+    * the dim-major transpose of the query matrix padded to `mPad` lanes
+    * (`qT(d * mPad + j)` = dim d of query j), and `out(j)` receives
+    * |row − q_j|². Why this layout beats per-query horizontal kernels for
+    * batch search: each accumulator LANE is one query, so (a) there are
+    * no reduceLanes at all — the accumulator vectors ARE the results —
+    * and (b) the 4 group accumulators give 4 independent FMA chains, so
+    * the loop is FMA-throughput-bound instead of latency-bound. One row
+    * element is broadcast once per dim per group and amortized over every
+    * query. Float-lane accumulation, same contract as the other fast
+    * kernels (verify paths use the exact double kernels).
+    */
+  def l2sqMultiVertical(row: Array[Float], dim: Int, qT: Array[Float],
+      mPad: Int, out: Array[Float]): Unit = {
+    val L = SP.length()
+    var g = 0
+    while (g + 4 * L <= mPad) {
+      var acc0 = FloatVector.zero(SP)
+      var acc1 = FloatVector.zero(SP)
+      var acc2 = FloatVector.zero(SP)
+      var acc3 = FloatVector.zero(SP)
+      var d = 0
+      while (d < dim) {
+        val r = FloatVector.broadcast(SP, row(d))
+        val base = d * mPad + g
+        val d0 = r.sub(FloatVector.fromArray(SP, qT, base))
+        acc0 = d0.fma(d0, acc0)
+        val d1 = r.sub(FloatVector.fromArray(SP, qT, base + L))
+        acc1 = d1.fma(d1, acc1)
+        val d2 = r.sub(FloatVector.fromArray(SP, qT, base + 2 * L))
+        acc2 = d2.fma(d2, acc2)
+        val d3 = r.sub(FloatVector.fromArray(SP, qT, base + 3 * L))
+        acc3 = d3.fma(d3, acc3)
+        d += 1
+      }
+      acc0.intoArray(out, g)
+      acc1.intoArray(out, g + L)
+      acc2.intoArray(out, g + 2 * L)
+      acc3.intoArray(out, g + 3 * L)
+      g += 4 * L
+    }
+    while (g + 2 * L <= mPad) {
+      var acc0 = FloatVector.zero(SP)
+      var acc1 = FloatVector.zero(SP)
+      var d = 0
+      while (d < dim) {
+        val r = FloatVector.broadcast(SP, row(d))
+        val base = d * mPad + g
+        val d0 = r.sub(FloatVector.fromArray(SP, qT, base))
+        acc0 = d0.fma(d0, acc0)
+        val d1 = r.sub(FloatVector.fromArray(SP, qT, base + L))
+        acc1 = d1.fma(d1, acc1)
+        d += 1
+      }
+      acc0.intoArray(out, g)
+      acc1.intoArray(out, g + L)
+      g += 2 * L
+    }
+    while (g < mPad) {
+      // single-vector tail: split the dim walk over two accumulators to
+      // keep two chains in flight
+      var acc0 = FloatVector.zero(SP)
+      var acc1 = FloatVector.zero(SP)
+      var d = 0
+      val ub = dim - 1
+      while (d < ub) {
+        val r0 = FloatVector.broadcast(SP, row(d))
+        val d0 = r0.sub(FloatVector.fromArray(SP, qT, d * mPad + g))
+        acc0 = d0.fma(d0, acc0)
+        val r1 = FloatVector.broadcast(SP, row(d + 1))
+        val d1 = r1.sub(FloatVector.fromArray(SP, qT, (d + 1) * mPad + g))
+        acc1 = d1.fma(d1, acc1)
+        d += 2
+      }
+      if (d < dim) {
+        val r = FloatVector.broadcast(SP, row(d))
+        val d0 = r.sub(FloatVector.fromArray(SP, qT, d * mPad + g))
+        acc0 = d0.fma(d0, acc0)
+      }
+      acc0.add(acc1).intoArray(out, g)
+      g += L
+    }
+  }
 }
