@@ -492,6 +492,24 @@ object FacadeQueries {
       .select(col("id"), round(col("s"), 6).as("score"))
   }
 
+  /** FILTERED replica-side hybrid (vecgo embedded `HybridSearch` +
+    * `WithFilter`): typed predicates compiled against the exported
+    * metadata columns restrict both pools in-process — same oracle as
+    * the engine's `graftdb_hybrid_filtered` (corpus-level BM25 stats,
+    * label >= 2 survivors only).
+    */
+  def localHybridFiltered(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_hybrid_f")
+    val rep = graft.serve.LocalReplica.fromStore(db, nlist = 8,
+      metaCols = Seq("label"), textCol = Some("text"))
+    require(rep.lexical && rep.metaColumns == Seq("label"))
+    val res = rep.hybridSearchWhere(qvec(s, dir, 5), "spark vector merge",
+      10, Seq(graft.types.Filter.Gte("label", 2)), nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("id", "s")
+      .select(col("id"), round(col("s"), 6).as("score"))
+  }
+
   /** RaBitQ-coded serving replica (format v5): 1 bit/dim sign codes under
     * a seeded rotation (seed-only in the artifact — the rotation
     * regenerates at load), Hamming-estimate first pass + exact rerank.
@@ -663,6 +681,7 @@ object FacadeQueries {
     "graftdb_local_knn" -> (localKnn _),
     "graftdb_local_knn_pq" -> (localKnnPq _),
     "graftdb_local_hybrid" -> (localHybrid _),
+    "graftdb_local_hybrid_filtered" -> (localHybridFiltered _),
     "graftdb_local_knn_rabitq" -> (localKnnRabitq _),
     "graftdb_local_hamming" -> (localHamming _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
@@ -744,6 +763,7 @@ object FacadeQueries {
     "graftdb_local_hybrid" -> Queries.oracle("hybrid_rrf").replace(
       "FROM documents)",
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
+
     // live corpus after the mixed batch: everything except the tombstoned
     // seeded docs (doc_id % 10 = 3 among the first-half ids)
     "graftdb_bm25_after_append" ->
@@ -887,4 +907,8 @@ object FacadeQueries {
         |SELECT id, round(score, 6) AS score
         |FROM fused ORDER BY score DESC, id ASC LIMIT 10""".stripMargin
   )
+
+  /** Derived aliases: rows whose oracle is literally another row's. */
+  val oracleAliases: Map[String, String] = Map(
+    "graftdb_local_hybrid_filtered" -> "graftdb_hybrid_filtered")
 }

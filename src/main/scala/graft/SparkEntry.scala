@@ -18,9 +18,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    Queries.oracle ++ PipelineQueries.oracle ++ StoreQueries.oracle ++
-      IndexQueries.oracle ++ EventQueries.oracle ++
-      MultimodalQueries.oracle ++ FacadeQueries.oracle ++
-      StreamingQueries.oracle ++ CurationQueries.oracle
+  def oracleSql: Map[String, String] = {
+    val base =
+      Queries.oracle ++ PipelineQueries.oracle ++ StoreQueries.oracle ++
+        IndexQueries.oracle ++ EventQueries.oracle ++
+        MultimodalQueries.oracle ++ FacadeQueries.oracle ++
+        StreamingQueries.oracle ++ CurationQueries.oracle
+    base ++ FacadeQueries.oracleAliases.view.mapValues(base).toMap
+  }
 }

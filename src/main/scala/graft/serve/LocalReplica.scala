@@ -1379,10 +1379,18 @@ final class LocalReplica private (
   def searchWhere(q0: Array[Float], k: Int, filters: Seq[graft.types.Filter],
       nprobe: Int = 0): Seq[Candidate] = {
     if (filters.isEmpty) return search(q0, k, nprobe)
-    val preds = filters.map(compilePredicate).toArray
+    searchWhereInternal(q0, k, filters.map(compilePredicate).toArray,
+      nprobe, mutTomb(mut))
+  }
+
+  /** [[searchWhere]] against an explicit mutation snapshot — callers that
+    * combine pools (filtered hybrid) pass ONE snapshot to every pool.
+    */
+  private def searchWhereInternal(q0: Array[Float], k: Int,
+      preds: Array[Int => Boolean], nprobe: Int,
+      tomb: Array[Long]): Seq[Candidate] = {
     val q = prepQuery(q0)
     val fast = fastMode
-    val tomb = mutTomb(mut)
     // delta rows carry NO metadata → every column is NULL → no predicate
     // matches (three-valued semantics, same as a NULL row in the main
     // block), so the delta is not scanned here at all
@@ -1507,7 +1515,7 @@ final class LocalReplica private (
     * re-export for full parity after heavy churn).
     */
   private def lexicalPool(textQuery: String, m: Int,
-      tomb: Array[Long]): Seq[(Long, Double)] = {
+      tomb: Array[Long], pred: Int => Boolean = null): Seq[(Long, Double)] = {
     val l = lex
     require(l != null,
       "replica carries no lexical section — export with textCol to serve " +
@@ -1573,6 +1581,7 @@ final class LocalReplica private (
       bufId(bn) = id; bufS(bn) = s; bn += 1
     }
     @inline def offer(row: Int, s: Double): Unit = {
+      if (pred != null && !pred(row)) return
       val id = ids(row)
       if (hn < m) {
         hs(hn) = s; hr(hn) = id; hn += 1
@@ -1709,6 +1718,63 @@ final class LocalReplica private (
         else a._1 < b._1
       }.take(m).map(t => (t._1, t._2))
     val lPool = lexicalPool(textQuery, m, tomb)
+    val fused = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    def addRanks(pool: Seq[(Long, Double)]): Unit = {
+      var r = 0
+      while (r < pool.length) {
+        fused.merge(pool(r)._1, 1.0 / (rrfK + r + 1.0), (a, b) => a + b)
+        r += 1
+      }
+    }
+    addRanks(vPool)
+    addRanks(lPool)
+    val out = new Array[Candidate](fused.size())
+    val it = fused.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = Candidate(e.getKey.longValue, e.getValue.doubleValue)
+      j += 1
+    }
+    out.sortWith { (a, b) =>
+      if (a.score != b.score) a.score > b.score else a.id < b.id
+    }.take(k).toSeq
+  }
+
+  /** FILTERED in-process hybrid (vecgo `HybridSearch` + `WithFilter`,
+    * `engine.go:1538-1545`): the typed predicates compile against the
+    * exported metadata columns and restrict BOTH pools — the vector pool
+    * scores only predicate survivors (pre-filter semantics, exact over
+    * the allowed set) and the lexical DAAT walk skips non-matching rows
+    * before they can claim a pool slot, while df/avgdl/N stay
+    * corpus-level exactly like the engine's semi-join-after-df shape.
+    * Delta rows carry neither metadata nor text, so they are absent from
+    * both pools (the standing freshness contract).
+    */
+  def hybridSearchWhere(q0: Array[Float], textQuery: String, k: Int,
+      filters: Seq[graft.types.Filter], rrfK: Int = 60,
+      nprobe: Int = 0): Seq[Candidate] = {
+    if (filters.isEmpty) return hybridSearch(q0, textQuery, k, rrfK, nprobe)
+    val preds = filters.map(compilePredicate).toArray
+    @inline def pred(r: Int): Boolean = {
+      var i = 0
+      while (i < preds.length) { if (!preds(i)(r)) return false; i += 1 }
+      true
+    }
+    val m0 = mut
+    val tomb = mutTomb(m0)
+    val m = math.max(2 * k, 50)
+    // the filtered scan scores every predicate survivor regardless of k,
+    // so one 2m-deep call costs the same scan and the rounded-rank recut
+    // has the same tie depth as the unfiltered pool
+    val vRaw = searchWhereInternal(q0, 2 * m, preds, nprobe, tomb)
+    val vPool = vRaw
+      .map(c => (c.id, displayScore(c.score), round6(displayScore(c.score))))
+      .sortWith { (a, b) =>
+        if (a._3 != b._3) { if (metric.ascending) a._3 < b._3 else a._3 > b._3 }
+        else a._1 < b._1
+      }.take(m).map(t => (t._1, t._2))
+    val lPool = lexicalPool(textQuery, m, tomb, pred)
     val fused = new java.util.HashMap[java.lang.Long, java.lang.Double]()
     def addRanks(pool: Seq[(Long, Double)]): Unit = {
       var r = 0

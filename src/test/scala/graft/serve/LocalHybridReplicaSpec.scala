@@ -150,6 +150,83 @@ class LocalHybridReplicaSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"rabitq recall@10 (pool 20%) = $recall")
   }
 
+  test("filtered hybrid == engine hybridSearch(filter): predicates gate both pools") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_hyb_rep_filtered"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val db = graft.GraftDB.open(spark, root, dim = dim, metric = "l2",
+      schema = Map("label" -> "int"), textCol = Some("text"))
+    db.insertBatch(corpus.withColumn("label",
+      pmod(col("id"), lit(10)).cast("int")))
+    val rep = LocalReplica.fromStore(db, nlist = 4,
+      metaCols = Seq("label"), textCol = Some("text"))
+    import spark.implicits._
+    for ((f, seed) <- Seq(
+        (graft.types.Filter.Gte("label", 4), 7L),
+        (graft.types.Filter.In("label", Seq(1, 3, 5)), 13L))) {
+      val q = queryVec(seed)
+      val engine = db.hybridSearch(q, "spark vector", 10,
+        filter = graft.types.FilterSet.of(f))
+        .as[(Long, Double)].collect().toSeq
+      val local = rep.hybridSearchWhere(q, "spark vector", 10, Seq(f),
+        nprobe = 4).map(c => (c.id, c.score))
+      assert(local.map(_._1) == engine.map(_._1),
+        s"filtered hybrid ids diverged under $f: $local vs $engine")
+      local.zip(engine).foreach { case ((_, ls), (_, es)) =>
+        assert(math.abs(ls - es) < 1e-9)
+      }
+    }
+    // empty filter delegates to the unfiltered path
+    val q0 = queryVec(3)
+    assert(rep.hybridSearchWhere(q0, "spark vector", 10, Nil, nprobe = 4) ==
+      rep.hybridSearch(q0, "spark vector", 10, nprobe = 4))
+  }
+
+
+  test("streaming ingest keeps lexical/hybrid search fresh with delta-only builds") {
+    // one store version per micro-batch is the worst case the incremental
+    // lexical index exists for: each batch's resolve must tokenize ONLY
+    // that batch's segment (vecgo updates its inverted index per insert,
+    // bm25.go:180-278) — a full-corpus rebuild per micro-batch was the
+    // round-7 scale-killer
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = s"${sys.props("java.io.tmpdir")}/graft_hyb_stream_lex"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val db = graft.GraftDB.open(spark, root, dim = dim, metric = "l2",
+      textCol = Some("text"))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float], String)]
+    val q = db.insertStream(
+      input.toDF().toDF("id", "vector", "text"),
+      java.nio.file.Files.createTempDirectory("graft-lex-ckpt").toString,
+      collectStats = false)
+    try {
+      input.addData((1L, queryVec(1), "spark streams fresh"),
+        (2L, queryVec(2), "vector engines scale"))
+      q.processAllAvailable()
+      assert(db.lexicalSearch("fresh", 3).as[(Long, Double)]
+        .collect().head._1 == 1L)
+      val builds0 = db.lexicalDeltaBuilds.get()
+      val rows0 = db.lexicalDeltaRowsTokenized.get()
+      input.addData((3L, queryVec(3), "streaming lexical deltas"))
+      q.processAllAvailable()
+      assert(db.lexicalSearch("deltas", 3).as[(Long, Double)]
+        .collect().head._1 == 3L)
+      // the post-batch resolve built exactly one delta over exactly the
+      // new batch's one row
+      assert(db.lexicalDeltaBuilds.get() == builds0 + 1)
+      assert(db.lexicalDeltaRowsTokenized.get() == rows0 + 1)
+      // hybrid over the streamed store agrees with a scratch-built index
+      val hy = db.hybridSearch(queryVec(3), "streaming lexical deltas", 2)
+        .as[(Long, Double)].collect()
+      assert(hy.head._1 == 3L)
+    } finally q.stop()
+  }
+
   test("hybrid pool boundary uses the rounded rank key (engine tie semantics)") {
     // duplicate vectors force exact rounded-score ties at every pool
     // depth: id ordering inside the tie must match the engine
