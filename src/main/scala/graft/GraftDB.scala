@@ -1161,7 +1161,13 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       lexicalDeltaBuilds.incrementAndGet()
       lexicalDeltaRowsTokenized.addAndGet(s.rows)
       if (canWrite) {
-        post.write.mode("overwrite").parquet(s"$dir/postings")
+        // postings persist SORTED by term with a term bloom: the query's
+        // IN(term) predicate then prunes row groups at the scan, so a
+        // lexical query reads its terms' posting ranges, not the corpus
+        post.sort("term", "id")
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#term", "true")
+          .parquet(s"$dir/postings")
         dl.write.mode("overwrite").parquet(s"$dir/doclen")
         val dlBack = spark.read.parquet(s"$dir/doclen")
         val (n, len) = statsOf(dlBack)

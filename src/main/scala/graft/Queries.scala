@@ -261,7 +261,10 @@ object Queries {
     val stats = java.nio.file.Paths.get(root, "_STATS")
     if (!java.nio.file.Files.exists(stats)) {
       val idx = BM25.build(t(s, dir, "documents"), "doc_id", "text")
-      idx.postings.write.mode("overwrite").parquet(s"$root/postings")
+      idx.postings.sort("term", "id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .parquet(s"$root/postings")
       idx.docLen.write.mode("overwrite").parquet(s"$root/doclen")
       // _STATS is the commit marker: written LAST via temp + atomic rename
       // so a concurrent run can never observe the marker before the data

@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
   * Spark shape: the inverted index is a pair of derived DataFrames —
   * postings (term, id, tf) and doc lengths (id, dlen) — over the LIVE
   * corpus, plus two scalars (doc count, average doc length). A query
-  * joins the postings against a broadcast of its own tiny term set (the
-  * DAAT analog: only the query terms' postings lists are touched) and
-  * derives per-term document frequencies from those same hit rows with a
-  * window count — ONE postings pass per query, and df needs no separate
-  * maintained table, which is what lets the index resolve incrementally
-  * from per-segment deltas + tombstones (vecgo maintains its inverted
-  * index incrementally on every insert/delete, `bm25.go:180-278`
+  * filters the postings with its own tiny term set as an IN predicate
+  * (pushed down to the term-sorted parquet scan — the DAAT analog: only
+  * the query terms' posting ranges are read) and derives per-term
+  * document frequencies from those same hit rows with a window count —
+  * ONE postings pass per query, and df needs no separate maintained
+  * table, which is what lets the index resolve incrementally from
+  * per-segment deltas + tombstones (vecgo maintains its inverted index
+  * incrementally on every insert/delete, `bm25.go:180-278`
   * `Add`/`Delete`; here segment postings are immutable deltas and deletes
   * are the store's tombstone anti-join, so df/avgdl/N follow the live
   * row set automatically).
@@ -94,13 +95,17 @@ object BM25 {
       (tf * lit(K1 + 1.0)) /
       (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dlen / lit(avgdl)))
 
-  /** Top-k BM25 search. The query-term frame is broadcast into the
-    * postings join; per-term document frequencies come from a window
-    * count over those same hit rows (df is a corpus statistic, so it is
+  /** Top-k BM25 search. The query's term set becomes an `IN` PREDICATE
+    * on the postings scan — not a broadcast join — so it pushes down to
+    * the parquet reader (`PushedFilters: In(term, …)`): with the
+    * persisted per-segment postings SORTED by term (see
+    * `GraftDB.segLexDelta`), row-group min/max stats plus the term bloom
+    * filter skip everything but the query terms' posting ranges. That is
+    * the 100 TB shape: query cost scales with the matched postings, not
+    * the corpus's postings. Per-term document frequencies come from a
+    * window count over the hit rows (df is a corpus statistic, so it is
     * computed BEFORE any filter), then scoring aggregates per doc id
-    * (partial aggregation does the per-partition heavy lifting). One
-    * postings pass total; the window's per-term shuffle touches only the
-    * query terms' hit rows, never the corpus.
+    * (partial aggregation does the per-partition heavy lifting).
     *
     * `allowedIds` (one id column) restricts scoring to those documents via
     * a left-semi join AFTER the df window and BEFORE aggregation — the
@@ -112,8 +117,8 @@ object BM25 {
       allowedIds: Option[DataFrame] = None): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val qterms = tokenizeQuery(query).toDF("term")
-    val hits = index.postings.join(broadcast(qterms), "term")
+    val hits = index.postings
+      .where(col("term").isInCollection(tokenizeQuery(query)))
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy("term")).cast("double"))
     allowedIds.fold(hits)(ids => hits.join(

@@ -232,6 +232,13 @@ class GraftDBSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().head._1 == 25L)
     assert(db2.lexicalDeltaBuilds.get() == 0,
       "persisted deltas must be reused across engines")
+    // the query's term set reaches the postings scan as a pushed IN
+    // predicate (postings persist term-sorted, so row-group stats prune)
+    val plan = db2.lexicalSearch("number 25", 3).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"query terms must push into the postings scan:\n$plan")
   }
 
   test("lexical index after a mixed writeBatch: tombstones + append, no corpus rebuild") {
