@@ -466,6 +466,28 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** Hamming serving-tier freshness ([[graft.serve.LocalCodeReplica]]
+    * mutations): tombstone-delete a family of ids on the exported code
+    * replica, search — integer-exact against the brute-force oracle over
+    * the surviving rows. The artifact is saved+loaded first, covering
+    * the GRCR format round-trip in the verified path.
+    */
+  def localHammingDelete(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_ham_del")
+    val rep0 = graft.serve.LocalCodeReplica.fromStore(db)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_facade_local_ham.bin"
+    rep0.save(path, s.sparkContext.hadoopConfiguration)
+    val rep = graft.serve.LocalCodeReplica.load(path,
+      s.sparkContext.hadoopConfiguration)
+    val delIds = Tables.load(s, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(7)) === 3)
+      .select("vec_id").collect().map(_.getLong(0))
+    rep.delete(delIds)
+    import s.implicits._
+    rep.search(q, 10).map(c => (c.id, c.score.toLong))
+      .toDF("vec_id", "hamming")
+  }
+
   /** Replica-side HYBRID search (format v5): the export carries a compact
     * lexical postings section (sorted vocab + CSR (row, tf) + doc
     * lengths), the replica scores BM25 in-process and fuses with the
@@ -684,6 +706,7 @@ object FacadeQueries {
     "graftdb_local_hybrid_filtered" -> (localHybridFiltered _),
     "graftdb_local_knn_rabitq" -> (localKnnRabitq _),
     "graftdb_local_hamming" -> (localHamming _),
+    "graftdb_local_hamming_delete" -> (localHammingDelete _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
     "graftdb_local_knn_where" -> (localKnnWhere _),
     "graftdb_local_delete" -> (localDelete _),
@@ -753,6 +776,9 @@ object FacadeQueries {
     "graftdb_batch_indexed" -> Queries.oracle("batch_search"),
     "graftdb_hamming" -> IndexQueries.oracle("bq_hamming"),
     "graftdb_local_hamming" -> IndexQueries.oracle("bq_hamming"),
+    "graftdb_local_hamming_delete" -> IndexQueries.oracle("bq_hamming")
+      .replace("FROM embeddings e, q",
+        "FROM embeddings e, q WHERE e.vec_id % 7 <> 3"),
     "graftdb_knn_cosine_indexed" -> Queries.oracle("knn_cosine"),
     // facade corpus = embeddings JOIN documents; at scale factors where
     // the two tables differ in size the BM25 side must be restricted to

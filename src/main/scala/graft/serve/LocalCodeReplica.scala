@@ -27,6 +27,149 @@ final class LocalCodeReplica private (
 
   def size: Int = ids.length
 
+  // ---------------------------------------------- incremental freshness
+  // Same atomicity design as [[LocalReplica]]: tombstone bitmap + delta
+  // code block live in ONE immutable snapshot behind a single volatile
+  // reference; each mutation batch publishes exactly once, so lock-free
+  // readers never observe a half-applied batch.
+  @volatile private var mut: LocalCodeReplica.Mut = null
+
+  @inline private def live(tomb: Array[Long], r: Int): Boolean =
+    tomb == null || (tomb(r >>> 6) & (1L << (r & 63))) == 0L
+
+  private lazy val idToRow: LocalReplica.LongIntMap = {
+    val m = new LocalReplica.LongIntMap(size)
+    var r = 0
+    while (r < size) { m.put(ids(r), r); r += 1 }
+    m
+  }
+
+  /** Rows currently visible (main minus tombstones plus delta). */
+  def liveSize: Int = {
+    val m = mut
+    var dead = 0
+    if (m != null && m.tombstones != null) {
+      var w = 0
+      while (w < m.tombstones.length) {
+        dead += java.lang.Long.bitCount(m.tombstones(w)); w += 1
+      }
+    }
+    size - dead + (if (m == null || m.deltaIds == null) 0 else m.deltaIds.length)
+  }
+
+  /** Appended-but-not-yet-reexported rows. */
+  def deltaSize: Int = {
+    val m = mut
+    if (m == null || m.deltaIds == null) 0 else m.deltaIds.length
+  }
+
+  /** Tombstone ids (vecgo delete on a Hamming serving tier): one bitmap
+    * flip per id, idempotent, returns newly tombstoned count.
+    */
+  def delete(delIds: Array[Long]): Int = this.synchronized {
+    val (m1, newly) = deleteInternal(mut, delIds)
+    mut = m1
+    newly
+  }
+
+  private def deleteInternal(m0: LocalCodeReplica.Mut,
+      delIds: Array[Long]): (LocalCodeReplica.Mut, Int) = {
+    if (delIds.isEmpty) return (m0, 0)
+    val tomb0 = if (m0 == null) null else m0.tombstones
+    val wordsArr =
+      if (tomb0 == null) new Array[Long]((size + 63) >>> 6)
+      else tomb0.clone()
+    var newly = 0
+    var i = 0
+    while (i < delIds.length) {
+      val r = idToRow.get(delIds(i))
+      if (r >= 0 && (wordsArr(r >>> 6) & (1L << (r & 63))) == 0L) {
+        wordsArr(r >>> 6) |= 1L << (r & 63)
+        newly += 1
+      }
+      i += 1
+    }
+    var dIds = if (m0 == null) null else m0.deltaIds
+    var dFlat = if (m0 == null) null else m0.deltaFlat
+    if (dIds != null) {
+      val dead = new java.util.HashSet[Long]()
+      i = 0
+      while (i < delIds.length) { dead.add(delIds(i)); i += 1 }
+      if (dIds.exists(dead.contains)) {
+        val keepI = new scala.collection.mutable.ArrayBuffer[Long](dIds.length)
+        val keepF = new scala.collection.mutable.ArrayBuffer[Long](dFlat.length)
+        i = 0
+        while (i < dIds.length) {
+          if (!dead.contains(dIds(i))) {
+            keepI += dIds(i)
+            var j = 0
+            while (j < words) { keepF += dFlat(i * words + j); j += 1 }
+          } else newly += 1
+          i += 1
+        }
+        if (keepI.isEmpty) { dIds = null; dFlat = null }
+        else { dIds = keepI.toArray; dFlat = keepF.toArray }
+      }
+    }
+    (new LocalCodeReplica.Mut(wordsArr, dIds, dFlat), newly)
+  }
+
+  /** Append packed code rows, searchable immediately (the memtable-
+    * segment analog). Ids must not collide with a live row.
+    */
+  def append(newIds: Array[Long], codes: Array[Array[Long]]): Unit =
+    this.synchronized { mut = appendInternal(mut, newIds, codes) }
+
+  private def appendInternal(m0: LocalCodeReplica.Mut, newIds: Array[Long],
+      codes: Array[Array[Long]]): LocalCodeReplica.Mut = {
+      require(newIds.length == codes.length,
+        s"ids (${newIds.length}) and codes (${codes.length}) must align")
+      if (newIds.isEmpty) return m0
+      val tomb = if (m0 == null) null else m0.tombstones
+      val d0Ids = if (m0 == null) null else m0.deltaIds
+      val d0Flat = if (m0 == null) null else m0.deltaFlat
+      val seen = new java.util.HashSet[Long]()
+      if (d0Ids != null) d0Ids.foreach(seen.add(_))
+      val addFlat = new Array[Long](newIds.length * words)
+      var i = 0
+      while (i < newIds.length) {
+        val id = newIds(i)
+        val mr = idToRow.get(id)
+        require(mr < 0 || !live(tomb, mr),
+          s"id $id is already live in the replica (delete/upsert first)")
+        require(seen.add(id),
+          s"id $id is already live in the replica delta or duplicated in " +
+            "the batch (delete/upsert first)")
+        val c = codes(i)
+        require(c != null && c.length == words,
+          s"code row for id $id has ${if (c == null) -1 else c.length} " +
+            s"words, expected $words")
+        System.arraycopy(c, 0, addFlat, i * words, words)
+        i += 1
+      }
+      val (dIds, dFlat) =
+        if (d0Ids == null) (newIds.clone(), addFlat)
+        else {
+          val mi = java.util.Arrays.copyOf(d0Ids, d0Ids.length + newIds.length)
+          System.arraycopy(newIds, 0, mi, d0Ids.length, newIds.length)
+          val mf = java.util.Arrays.copyOf(d0Flat, d0Flat.length + addFlat.length)
+          System.arraycopy(addFlat, 0, mf, d0Flat.length, addFlat.length)
+          (mi, mf)
+        }
+      new LocalCodeReplica.Mut(tomb, dIds, dFlat)
+    }
+
+  /** Delete-then-append published as ONE snapshot: a raced reader sees
+    * the old code row or the new one, never a transient absence.
+    */
+  def upsert(upIds: Array[Long], codes: Array[Array[Long]]): Unit =
+    this.synchronized {
+      val (m1, _) = deleteInternal(mut, upIds)
+      mut = appendInternal(m1, upIds, codes)
+    }
+
+  private[graft] def clearMutations(): Unit = this.synchronized { mut = null }
+
   @inline private def distAt(base: Int, q: Array[Long]): Long = {
     var s = 0L
     var i = 0
@@ -41,8 +184,13 @@ final class LocalCodeReplica private (
     if (s1 != s2) s1 < s2 else id1 < id2
 
   /** Top-k nearest codes, best-first. */
-  def search(q: Array[Long], k: Int): Seq[Candidate] = {
+  def search(q: Array[Long], k: Int): Seq[Candidate] =
+    searchInternal(q, k, mut)
+
+  private def searchInternal(q: Array[Long], k: Int,
+      m0: LocalCodeReplica.Mut): Seq[Candidate] = {
     require(q.length == words, s"query has ${q.length} words, replica packs $words")
+    val tomb = if (m0 == null) null else m0.tombstones
     val hs = new Array[Long](math.max(1, k))
     val hi = new Array[Long](math.max(1, k))
     var hn = 0
@@ -64,10 +212,7 @@ final class LocalCodeReplica private (
         }
       }
     }
-    var r = 0
-    while (r < size) {
-      val s = distAt(r * words, q)
-      val id = ids(r)
+    @inline def offer(s: Long, id: Long): Unit = {
       if (hn < k) {
         hs(hn) = s; hi(hn) = id; hn += 1
         if (hn == k) {
@@ -77,7 +222,24 @@ final class LocalCodeReplica private (
       } else if (k > 0 && better(s, id, hs(0), hi(0))) {
         hs(0) = s; hi(0) = id; siftDown(0)
       }
+    }
+    var r = 0
+    while (r < size) {
+      if (live(tomb, r)) offer(distAt(r * words, q), ids(r))
       r += 1
+    }
+    if (m0 != null && m0.deltaIds != null) {
+      var i = 0
+      while (i < m0.deltaIds.length) {
+        var s = 0L
+        var w = 0
+        while (w < words) {
+          s += java.lang.Long.bitCount(m0.deltaFlat(i * words + w) ^ q(w))
+          w += 1
+        }
+        offer(s, m0.deltaIds(i))
+        i += 1
+      }
     }
     (0 until hn).map(i => Candidate(hi(i), hs(i).toDouble))
       .sortWith((a, b) => better(a.score.toLong, a.id, b.score.toLong, b.id))
@@ -89,30 +251,129 @@ final class LocalCodeReplica private (
   def searchThreshold(q: Array[Long], threshold: Long,
       maxResults: Int = Int.MaxValue): Seq[Candidate] = {
     require(q.length == words, s"query has ${q.length} words, replica packs $words")
+    val m0 = mut
+    val tomb = if (m0 == null) null else m0.tombstones
     val buf = scala.collection.mutable.ArrayBuffer.empty[Candidate]
     var r = 0
     while (r < size) {
-      val s = distAt(r * words, q)
-      if (s <= threshold) buf += Candidate(ids(r), s.toDouble)
+      if (live(tomb, r)) {
+        val s = distAt(r * words, q)
+        if (s <= threshold) buf += Candidate(ids(r), s.toDouble)
+      }
       r += 1
+    }
+    if (m0 != null && m0.deltaIds != null) {
+      var i = 0
+      while (i < m0.deltaIds.length) {
+        var s = 0L
+        var w = 0
+        while (w < words) {
+          s += java.lang.Long.bitCount(m0.deltaFlat(i * words + w) ^ q(w))
+          w += 1
+        }
+        if (s <= threshold) buf += Candidate(m0.deltaIds(i), s.toDouble)
+        i += 1
+      }
     }
     buf.sortWith((a, b) => better(a.score.toLong, a.id, b.score.toLong, b.id))
       .take(maxResults).toSeq
   }
 
-  /** Per-query top-k, parallel across the batch. */
+  /** Per-query top-k, parallel across the batch — every query sees ONE
+    * mutation snapshot.
+    */
   def batchSearch(queries: Seq[(Long, Array[Long])],
       k: Int): Seq[(Long, Seq[Candidate])] = {
     val arr = queries.toArray
     val out = new Array[(Long, Seq[Candidate])](arr.length)
+    val m0 = mut
     java.util.stream.IntStream.range(0, arr.length).parallel().forEach { i =>
-      out(i) = (arr(i)._1, search(arr(i)._2, k))
+      out(i) = (arr(i)._1, searchInternal(arr(i)._2, k, m0))
     }
     out.toSeq
+  }
+
+  /** Persist as a single self-contained artifact (same contract as
+    * [[LocalReplica.save]]: atomic temp+rename, refuses pending
+    * mutations — fold by re-export, the production path).
+    */
+  def save(path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit = this.synchronized {
+    require(mut == null,
+      "replica has pending deletes/appends — re-export from the store " +
+        "before persisting")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20))
+    try {
+      out.writeInt(LocalCodeReplica.Magic)
+      out.writeInt(LocalCodeReplica.FormatVersion)
+      out.writeInt(bits)
+      out.writeInt(words)
+      out.writeInt(size)
+      var i = 0
+      while (i < size) { out.writeLong(ids(i)); i += 1 }
+      i = 0
+      while (i < flat.length) { out.writeLong(flat(i)); i += 1 }
+    } finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"rename $tmp -> $p failed")
+    }
   }
 }
 
 object LocalCodeReplica {
+
+  private[serve] val Magic = 0x47524352 // "GRCR"
+  private[serve] val FormatVersion = 1
+
+  /** One immutable mutation snapshot (see [[LocalReplica.Mut]]). */
+  private[serve] final class Mut(
+      val tombstones: Array[Long],
+      val deltaIds: Array[Long],
+      val deltaFlat: Array[Long])
+
+  /** Load a [[LocalCodeReplica#save]]d artifact; fails loudly on bad
+    * magic/version or a truncated file.
+    */
+  def load(path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): LocalCodeReplica = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p), 1 << 20))
+    try {
+      val magic = in.readInt()
+      require(magic == Magic,
+        f"not a code-replica artifact: bad magic 0x$magic%08x at $path")
+      val ver = in.readInt()
+      require(ver == FormatVersion,
+        s"code-replica format version $ver unsupported")
+      val bits = in.readInt()
+      val words = in.readInt()
+      val n = in.readInt()
+      require(bits > 0 && words == (bits + 31) / 32 && n > 0,
+        s"corrupt code replica header: bits=$bits words=$words n=$n")
+      val ids = new Array[Long](n)
+      var i = 0
+      while (i < n) { ids(i) = in.readLong(); i += 1 }
+      val flat = new Array[Long](n * words)
+      i = 0
+      while (i < flat.length) { flat(i) = in.readLong(); i += 1 }
+      new LocalCodeReplica(bits, words, ids, flat)
+    } finally in.close()
+  }
 
   /** Export from any (id, array<long> codes) DataFrame. `bits` documents
     * the code width (= Hamming store `dim`); rows must pack

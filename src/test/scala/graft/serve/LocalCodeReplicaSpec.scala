@@ -74,4 +74,43 @@ class LocalCodeReplicaSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](LocalCodeReplica.fromStore(fdb))
     assert(e.getMessage.contains("Hamming"))
   }
+
+  test("mutations: delete/append/upsert match a rebuilt replica; save/load round-trips") {
+    val rep = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
+    val q = queryCode(11)
+    // delete: equals a replica rebuilt without the ids, every path
+    val delIds = (0L until n.toLong).filter(_ % 7 == 3).toArray
+    assert(rep.delete(delIds) == delIds.length)
+    assert(rep.delete(delIds) == 0) // idempotent
+    assert(rep.liveSize == n - delIds.length)
+    val truth = LocalCodeReplica.fromDataFrame(
+      corpus.where(pmod(col("id"), lit(7)) =!= 3), "code", "id", bits)
+    assert(rep.search(q, 20) == truth.search(q, 20))
+    val cut = truth.search(q, 30).last.score.toLong
+    assert(rep.searchThreshold(q, cut, 30) == truth.searchThreshold(q, cut, 30))
+    assert(rep.batchSearch(Seq(1L -> q), 10) == truth.batchSearch(Seq(1L -> q), 10))
+    // append: new codes fused exactly (give id 9000 the query's code: top-1)
+    rep.append(Array(9000L), Array(q.clone()))
+    assert(rep.deltaSize == 1)
+    // ties at distance 0 with the original row 11 (same code) resolve by
+    // id — both must sit at the top
+    assert(rep.search(q, 2) == Seq(graft.types.Candidate(11L, 0.0),
+      graft.types.Candidate(9000L, 0.0)))
+    // upsert replaces the delta row atomically
+    val q2 = queryCode(12)
+    rep.upsert(Array(9000L), Array(q2.clone()))
+    assert(rep.deltaSize == 1)
+    assert(rep.search(q2, 2) == Seq(graft.types.Candidate(12L, 0.0),
+      graft.types.Candidate(9000L, 0.0)))
+    // save refuses pending mutations; a clean export round-trips
+    intercept[IllegalArgumentException] {
+      rep.save(java.nio.file.Files.createTempDirectory("crep").toString + "/c.bin")
+    }
+    val clean = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
+    val path = java.nio.file.Files.createTempDirectory("crep").toString + "/c.bin"
+    clean.save(path)
+    val loaded = LocalCodeReplica.load(path)
+    assert(loaded.size == n && loaded.bits == bits)
+    assert(loaded.search(q, 15) == clean.search(q, 15))
+  }
 }
