@@ -170,6 +170,96 @@ final class LocalCodeReplica private (
 
   private[graft] def clearMutations(): Unit = this.synchronized { mut = null }
 
+  // set by fromStore: what store state this replica was exported from
+  @volatile private[serve] var origin: LocalReplica.Origin = null
+
+  /** Store version this replica was exported at. */
+  def exportedVersion: Option[Long] = {
+    val o = origin; if (o == null) None else Some(o.version)
+  }
+
+  /** Incremental pull-refresh from the exporting store: the Hamming twin
+    * of [[LocalReplica.refreshFrom]] — replays the manifest diff (new
+    * code segments / tombstone files) in LSN order into a LOCAL snapshot
+    * chain, published with ONE volatile store; refuses rewrites
+    * (compaction/vacuum → re-export). A failed replay publishes nothing.
+    */
+  def refreshFrom(db: GraftDB,
+      maxNewRows: Long = 1000000L): LocalReplica.RefreshStats =
+    this.synchronized {
+      val o = origin
+      require(o != null,
+        "replica was not exported from a store (use fromStore) — nothing " +
+          "to refresh from")
+      require(db.store.root == o.root,
+        s"refreshFrom a different store: ${db.store.root} vs ${o.root}")
+      val v1 = db.effectiveVersion
+      if (v1 == o.version)
+        return LocalReplica.RefreshStats(0, 0, o.version, v1)
+      val m1 = db.store.manifest(v1).getOrElse(
+        throw new IllegalStateException(s"no manifest at version $v1"))
+      val curSegs = m1.segments.map(_.path).toSet
+      val curDels = m1.deletes.map(_.path).toSet
+      require(o.segPaths.subsetOf(curSegs) && o.delPaths.subsetOf(curDels),
+        "store was compacted/vacuumed since the export — a file-level " +
+          "refresh cannot apply a rewrite; re-export the replica")
+      val newSegs = m1.segments.filterNot(s => o.segPaths(s.path))
+      val newDels = m1.deletes.filterNot(d => o.delPaths(d.path))
+      require(newSegs.map(_.rows).sum <= maxNewRows,
+        s"refresh would append ${newSegs.map(_.rows).sum} rows > " +
+          s"maxNewRows=$maxNewRows — re-export instead")
+      val events =
+        (newSegs.map(sg => (sg.seq, Left(sg): Either[
+            graft.store.SnapshotStore.SegmentRef,
+            graft.store.SnapshotStore.DeleteRef])) ++
+          newDels.map(d => (d.seq, Right(d): Either[
+            graft.store.SnapshotStore.SegmentRef,
+            graft.store.SnapshotStore.DeleteRef])))
+          .sortBy { case (seq, e) => (seq, if (e.isRight) 0 else 1) }
+      // phase 1 — READ everything first (abort applies nothing)
+      val batches: Seq[Either[(Array[Long], Array[Array[Long]]), Array[Long]]] =
+        events.map {
+          case (_, Left(seg)) =>
+            val rows = db.spark.read.parquet(seg.path)
+              .select(col("id"), col("vector")).collect()
+            val rid = new Array[Long](rows.length)
+            val rcodes = new Array[Array[Long]](rows.length)
+            var i = 0
+            while (i < rows.length) {
+              rid(i) = rows(i).getLong(0)
+              rcodes(i) = rows(i).getSeq[Long](1).toArray
+              i += 1
+            }
+            Left((rid, rcodes))
+          case (_, Right(del)) =>
+            Right(db.spark.read.parquet(del.path)
+              .select(col("id")).collect().map(_.getLong(0)))
+        }
+      // phase 2 — replay into a local chain, publish once
+      var appended = 0
+      var deleted = 0
+      var m = mut
+      try {
+        batches.foreach {
+          case Left((rid, rcodes)) =>
+            m = appendInternal(m, rid, rcodes)
+            appended += rid.length
+          case Right(rid) =>
+            val (m1b, nDel) = deleteInternal(m, rid)
+            m = m1b
+            deleted += nDel
+        }
+      } catch {
+        case e: Throwable =>
+          throw new IllegalStateException(
+            s"refreshFrom replay failed — nothing applied (replica still " +
+              s"serves origin v${o.version}): ${e.getMessage}", e)
+      }
+      mut = m
+      origin = LocalReplica.Origin(o.root, v1, curSegs, curDels)
+      LocalReplica.RefreshStats(appended, deleted, o.version, v1)
+    }
+
   @inline private def distAt(base: Int, q: Array[Long]): Long = {
     var s = 0L
     var i = 0
@@ -408,6 +498,13 @@ object LocalCodeReplica {
     require(db.metric == Metric.Hamming,
       s"LocalCodeReplica serves Hamming stores (store is ${db.config.metric}); " +
         "float metrics go through LocalReplica")
-    fromDataFrame(db.read(), "vector", "id", db.config.dim, maxRows)
+    val v = db.effectiveVersion
+    val rep = fromDataFrame(db.store.read(v), "vector", "id",
+      db.config.dim, maxRows)
+    db.store.manifest(v).foreach { m =>
+      rep.origin = LocalReplica.Origin(db.store.root, v,
+        m.segments.map(_.path).toSet, m.deletes.map(_.path).toSet)
+    }
+    rep
   }
 }

@@ -113,4 +113,34 @@ class LocalCodeReplicaSpec extends AnyFunSuite {
     assert(loaded.size == n && loaded.bits == bits)
     assert(loaded.search(q, 15) == clean.search(q, 15))
   }
+
+  test("refreshFrom: manifest-diff pull == fresh re-export (hamming twin)") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_coderep_refresh"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    def recs(pred: org.apache.spark.sql.Column) =
+      corpus.where(pred).select(col("id"), col("code").as("vector"))
+    val db = graft.GraftDB.open(spark, root, dim = bits, metric = "hamming")
+    db.insertBatch(recs(col("id") < 1500))
+    val rep = LocalCodeReplica.fromStore(db)
+    assert(rep.exportedVersion.contains(db.currentVersion))
+    // store moves on: one insert batch, one delete batch
+    db.insertBatch(recs(col("id") >= 1500))
+    val delIds = (0L until 1500L).filter(_ % 9 == 2)
+    db.delete(delIds)
+    val st = rep.refreshFrom(db)
+    assert(st.appended == n - 1500 && st.toVersion == db.currentVersion)
+    val fresh = LocalCodeReplica.fromStore(db)
+    val q = queryCode(5)
+    assert(rep.search(q, 25) == fresh.search(q, 25))
+    assert(rep.liveSize == fresh.size)
+    // refresh is idempotent at the same version
+    assert(rep.refreshFrom(db).appended == 0)
+    // compaction rewrites files: refresh must refuse, nothing applied
+    db.compact()
+    val before = rep.search(q, 10)
+    intercept[IllegalArgumentException] { rep.refreshFrom(db) }
+    assert(rep.search(q, 10) == before)
+  }
 }
