@@ -1161,21 +1161,53 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       lexicalDeltaBuilds.incrementAndGet()
       lexicalDeltaRowsTokenized.addAndGet(s.rows)
       if (canWrite) {
+        // build into a UNIQUE hidden temp dir and publish with a
+        // no-overwrite rename — two engines racing the first lexical
+        // query on the same segment then can't write one dir
+        // concurrently (mode("overwrite") into a shared path deletes
+        // under the other writer); exactly one rename lands, the loser
+        // discards its temp and reads the winner's delta. Same CAS
+        // discipline as the store's segment/manifest writes.
+        val tmp = s"${new Path(dir).getParent}/.lexdelta-tmp-" +
+          java.util.UUID.randomUUID().toString.take(8)
         // postings persist SORTED by term with a term bloom: the query's
         // IN(term) predicate then prunes row groups at the scan, so a
         // lexical query reads its terms' posting ranges, not the corpus
         post.sort("term", "id")
           .write.mode("overwrite")
           .option("parquet.bloom.filter.enabled#term", "true")
-          .parquet(s"$dir/postings")
-        dl.write.mode("overwrite").parquet(s"$dir/doclen")
-        val dlBack = spark.read.parquet(s"$dir/doclen")
-        val (n, len) = statsOf(dlBack)
-        // _STATS is the commit marker, written LAST: a crashed build
-        // leaves data without a marker and is simply rebuilt
-        val out = f.create(marker, true)
+          .parquet(s"$tmp/postings")
+        dl.write.mode("overwrite").parquet(s"$tmp/doclen")
+        val (n, len) = statsOf(spark.read.parquet(s"$tmp/doclen"))
+        // _STATS is written INSIDE the temp before the publish rename, so
+        // a visible delta dir is always complete (a crashed build leaves
+        // only an unreferenced temp for cleanOrphans)
+        val out = f.create(new Path(tmp, "_STATS"), true)
         try out.write(s"$n,$len".getBytes("UTF-8")) finally out.close()
-        SegLex(spark.read.parquet(s"$dir/postings"), dlBack, n, len)
+        def publish(): Unit = {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+          fc.rename(f.makeQualified(new Path(tmp)),
+            f.makeQualified(new Path(dir)),
+            org.apache.hadoop.fs.Options.Rename.NONE)
+        }
+        try publish()
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException |
+               _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+            if (f.exists(marker)) {
+              // lost the race to a COMPLETE delta: use the winner's
+              f.delete(new Path(tmp), true)
+            } else {
+              // stale torn dir from a pre-rename layout / crashed writer:
+              // replace it
+              f.delete(new Path(dir), true)
+              publish()
+            }
+        }
+        SegLex(spark.read.parquet(s"$dir/postings"),
+          spark.read.parquet(s"$dir/doclen"), n, len)
       } else {
         // a read-only engine must not write derived tables under root
         // (and genuinely read-only storage would reject the attempt)

@@ -704,10 +704,12 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     listed.filterNot(p => referenced.contains(p.getName))
       .foreach(p => f.delete(p, true))
     // a lexical delta is an orphan exactly when its segment is — same
-    // rule, keyed by the shared dir-name suffix
+    // rule, keyed by the shared dir-name suffix; crashed/raced delta
+    // builds leave hidden `.lexdelta-tmp-*` dirs, reclaimed here too
     f.listStatus(new Path(root)).map(_.getPath)
-      .filter(_.getName.startsWith("lexdelta-"))
-      .filterNot(p => referenced.contains(
+      .filter(p => p.getName.startsWith("lexdelta-") ||
+        p.getName.startsWith(".lexdelta-tmp-"))
+      .filterNot(p => !p.getName.startsWith(".") && referenced.contains(
         "seg-" + p.getName.stripPrefix("lexdelta-")))
       .foreach(p => f.delete(p, true))
   }

@@ -497,6 +497,39 @@ class GraftDBSpec extends AnyFunSuite {
       "read-only open must reuse persisted deltas")
   }
 
+
+  test("two engines racing the same segment's lexical delta both serve correctly") {
+    val root = Files.createTempDirectory("graft-db-lexrace").toString
+    val w = GraftDB.open(spark, root, dim = 8, textCol = Some("body"))
+    w.insertBatch(records(0 until 30))
+    val a = GraftDB.open(spark, root)
+    val b = GraftDB.open(spark, root)
+    // both engines resolve the SAME version's lexical index concurrently:
+    // the delta publication is a no-overwrite rename, so exactly one build
+    // lands and the loser reads the winner's — neither may corrupt the dir
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Seq[(Long, Double)]] {
+        def call() = a.lexicalSearch("number 7", 3)
+          .as[(Long, Double)].collect().toSeq
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Seq[(Long, Double)]] {
+        def call() = b.lexicalSearch("number 7", 3)
+          .as[(Long, Double)].collect().toSeq
+      })
+      val (ra, rb) = (fa.get(), fb.get())
+      assert(ra == rb && ra.head._1 == 7L, s"raced lexical results: $ra vs $rb")
+    } finally pool.shutdown()
+    // the published delta is complete and reusable; temps are reclaimable
+    val c = GraftDB.open(spark, root)
+    assert(c.lexicalSearch("number 7", 3).as[(Long, Double)]
+      .collect().head._1 == 7L)
+    assert(c.lexicalDeltaBuilds.get() == 0, "published delta must be reused")
+    w.store.cleanOrphans()
+    assert(c.lexicalSearch("number 9", 3).as[(Long, Double)]
+      .collect().head._1 == 9L)
+  }
+
   test("lexical deltas die with their segments at vacuum/cleanOrphans, survive otherwise") {
     val root = Files.createTempDirectory("graft-db-lexvac").toString
     val db = GraftDB.open(spark, root, dim = 8, textCol = Some("body"))
