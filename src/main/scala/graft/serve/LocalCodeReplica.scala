@@ -273,6 +273,31 @@ final class LocalCodeReplica private (
   @inline private def better(s1: Long, id1: Long, s2: Long, id2: Long): Boolean =
     if (s1 != s2) s1 < s2 else id1 < id2
 
+  /** Point lookup by id (vecgo R7 `Get`): the live row's packed code,
+    * delta rows included, tombstones respected.
+    */
+  def get(id: Long): Option[Array[Long]] = {
+    val m0 = mut
+    if (m0 != null && m0.deltaIds != null) {
+      var i = m0.deltaIds.length - 1
+      while (i >= 0) {
+        if (m0.deltaIds(i) == id) {
+          val out = new Array[Long](words)
+          System.arraycopy(m0.deltaFlat, i * words, out, 0, words)
+          return Some(out)
+        }
+        i -= 1
+      }
+    }
+    val r = idToRow.get(id)
+    if (r < 0 || !live(if (m0 == null) null else m0.tombstones, r)) None
+    else {
+      val out = new Array[Long](words)
+      System.arraycopy(flat, r * words, out, 0, words)
+      Some(out)
+    }
+  }
+
   /** Top-k nearest codes, best-first. */
   def search(q: Array[Long], k: Int): Seq[Candidate] =
     searchInternal(q, k, mut)

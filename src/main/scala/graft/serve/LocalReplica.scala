@@ -1280,6 +1280,33 @@ final class LocalReplica private (
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
+  /** Point lookup by id (vecgo R7 `Get` on the embedded path): the live
+    * row's vector, delta rows included, tombstones respected. O(1) via
+    * the id→row index plus a delta scan bounded by the (small) delta.
+    */
+  def get(id: Long): Option[Array[Float]] = {
+    val m0 = mut
+    val d = mutDelta(m0)
+    if (d != null) {
+      var i = d.size - 1 // newest append wins (delta is append-ordered)
+      while (i >= 0) {
+        if (d.ids(i) == id) {
+          val out = new Array[Float](dim)
+          System.arraycopy(d.flat, i * dim, out, 0, dim)
+          return Some(out)
+        }
+        i -= 1
+      }
+    }
+    val r = idToRow.get(id)
+    if (r < 0 || !live(mutTomb(m0), r)) None
+    else {
+      val out = new Array[Float](dim)
+      System.arraycopy(flat, r * dim, out, 0, dim)
+      Some(out)
+    }
+  }
+
   def search(q0: Array[Float], k: Int, nprobe: Int = 0): Seq[Candidate] = {
     val q = prepQuery(q0)
     val m0 = mut

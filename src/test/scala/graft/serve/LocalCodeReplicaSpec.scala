@@ -143,4 +143,16 @@ class LocalCodeReplicaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { rep.refreshFrom(db) }
     assert(rep.search(q, 10) == before)
   }
+
+  test("get: point lookup respects tombstones and delta (hamming)") {
+    val rep = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
+    val c7 = queryCode(7)
+    assert(rep.get(7L).map(_.toSeq).contains(c7.toSeq))
+    assert(rep.get(424242L).isEmpty)
+    rep.delete(Array(7L))
+    assert(rep.get(7L).isEmpty)
+    val fresh = queryCode(8)
+    rep.append(Array(7L), Array(fresh.clone()))
+    assert(rep.get(7L).map(_.toSeq).contains(fresh.toSeq))
+  }
 }

@@ -318,4 +318,20 @@ class LocalReplicaMutationSpec extends AnyFunSuite {
     // the real rate at 500k); still, sub-100k/s would mean a boxed path
     assert(perSec > 100000, s"delete path too slow: $perSec ids/s")
   }
+
+  test("get: point lookup respects tombstones and delta, newest-append wins") {
+    val rep = LocalReplica.fromDataFrame(corpus(_ < 100), "vec", "id",
+      Metric.L2, nlist = 4)
+    assert(rep.get(7L).map(_.toSeq).contains(vecOf(7L).toSeq))
+    assert(rep.get(4242L).isEmpty)
+    rep.delete(Array(7L))
+    assert(rep.get(7L).isEmpty, "tombstoned row must be invisible")
+    val fresh = queryVec(77)
+    rep.append(Array(7L), Array(fresh))
+    assert(rep.get(7L).map(_.toSeq).contains(fresh.toSeq),
+      "re-appended row must be served from the delta")
+    val fresher = queryVec(78)
+    rep.upsert(Array(7L), Array(fresher))
+    assert(rep.get(7L).map(_.toSeq).contains(fresher.toSeq))
+  }
 }
