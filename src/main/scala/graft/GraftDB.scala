@@ -1191,23 +1191,38 @@ final class GraftDB private (val spark: SparkSession, val root: String,
             f.makeQualified(new Path(dir)),
             org.apache.hadoop.fs.Options.Rename.NONE)
         }
-        try publish()
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-               _: java.nio.file.FileAlreadyExistsException |
-               _: org.apache.hadoop.fs.ParentNotDirectoryException =>
-            if (f.exists(marker)) {
-              // lost the race to a COMPLETE delta: use the winner's
-              f.delete(new Path(tmp), true)
-            } else {
-              // stale torn dir from a pre-rename layout / crashed writer:
-              // replace it
-              f.delete(new Path(dir), true)
-              publish()
-            }
+        // outcomes: our rename lands; a COMPLETE winner already sits at
+        // dir (use it); a stale torn dir blocks (clear it, retry once);
+        // or our temp vanished under us (a concurrent cleanOrphans raced
+        // the age gate — serve this resolve from the in-memory frames).
+        var published = false
+        var attempt = 0
+        var tmpLost = false
+        while (!published && !tmpLost && attempt < 2) {
+          attempt += 1
+          try { publish(); published = true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.nio.file.FileAlreadyExistsException |
+                 _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+              if (f.exists(marker)) {
+                // lost the race to a COMPLETE delta: use the winner's
+                try f.delete(new Path(tmp), true)
+                catch { case scala.util.control.NonFatal(_) => () }
+                published = true
+              } else {
+                // stale torn dir (crashed pre-rename writer): replace it
+                f.delete(new Path(dir), true)
+              }
+            case _: java.io.FileNotFoundException =>
+              if (f.exists(marker)) published = true
+              else tmpLost = true
+          }
         }
-        SegLex(spark.read.parquet(s"$dir/postings"),
-          spark.read.parquet(s"$dir/doclen"), n, len)
+        if (published)
+          SegLex(spark.read.parquet(s"$dir/postings"),
+            spark.read.parquet(s"$dir/doclen"), n, len)
+        else SegLex(post, dl, n, len)
       } else {
         // a read-only engine must not write derived tables under root
         // (and genuinely read-only storage would reject the attempt)

@@ -241,11 +241,11 @@ object Queries {
 
   private val TextQuery = "spark vector merge"
 
-  /** Persisted per-dataset BM25 index, mirroring `GraftDB.lexicalIndex`
-    * (which persists per snapshot version): first call builds + writes the
-    * postings/doclen/termdf tables, later calls read them back — so the
-    * benched cost of `bm25_search`/`hybrid_rrf` is the query-time postings
-    * join, not a corpus re-tokenization per query.
+  /** Persisted per-dataset BM25 index, mirroring `GraftDB.lexicalIndex`:
+    * first call builds + writes the postings/doclen tables (df derives
+    * from the query's hit rows at search time), later calls read them
+    * back — so the benched cost of `bm25_search`/`hybrid_rrf` is the
+    * query-time postings scan, not a corpus re-tokenization per query.
     */
   private def persistedBm25(s: SparkSession, dir: String): BM25.Index = {
     // the cache key carries a content fingerprint (size + mtime of the

@@ -39,9 +39,14 @@ object BM25 {
   def tokenize(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Tokenize a query string driver-side with identical semantics. */
+  /** Tokenize a query string driver-side with identical semantics —
+    * Locale.ROOT lowercasing to match Spark's locale-insensitive
+    * `lower()` (default-locale toLowerCase diverges under e.g. tr-TR:
+    * 'I' → dotless 'ı' would miss the postings the engine built).
+    */
   def tokenizeQuery(text: String): Seq[String] =
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
 
   /** The inverted index over the live corpus: postings(term, id, tf) and
     * docLen(id, dlen) frames plus corpus constants. Per-term document

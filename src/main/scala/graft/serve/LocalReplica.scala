@@ -1508,12 +1508,14 @@ final class LocalReplica private (
     */
   @inline private def round6(x: Double): Double = {
     // fast path: scale + floor, valid when x·1e6 sits clearly away from a
-    // .5 rounding boundary — the double multiply's error (~ulp) cannot
-    // flip the decision through the 1e-4 guard band, and k/1e6 for
-    // integral k is the same correctly-rounded double BigDecimal yields.
-    // Boundary-adjacent values take the exact decimal-string path.
+    // .5 rounding boundary — sound only while the double multiply's error
+    // stays far inside the 1e-4 guard band: ulp(4.5e10) ≈ 1e-5, an order
+    // of magnitude of headroom (a 4.5e15 bound would admit ulp ≈ 1 and
+    // let the fast path round the opposite way from BigDecimal for
+    // |x| ≳ 5e5). Larger magnitudes and boundary-adjacent values take
+    // the exact decimal-string path.
     val y = x * 1e6
-    if (math.abs(y) < 4.5e15) {
+    if (math.abs(y) < 4.5e10) {
       val f = math.floor(y)
       val frac = y - f
       if (math.abs(frac - 0.5) > 1e-4)
@@ -1617,9 +1619,17 @@ final class LocalReplica private (
           while (i >= 0) { siftDown(i); i -= 1 }
         }
       } else if (s > hs(0) || (s == hs(0) && id < hr(0))) {
-        if (hs(0) >= s - Margin) push(hr(0), hs(0))
+        // evicted roots are ALWAYS buffered: the final boundary is only
+        // known at the end, and a root evicted by a far-better score can
+        // still round-tie with the eventual heap minimum (conditioning
+        // the push on the INCOMING score dropped such candidates — the
+        // same unconditional rule codedAdmitRanges uses)
+        push(hr(0), hs(0))
         hs(0) = s; hr(0) = id; siftDown(0)
       } else if (s >= hs(0) - Margin) {
+        // sound: the heap minimum only rises, so anything below the
+        // CURRENT minimum minus the quantum can never reach the final
+        // boundary's tie window
         push(id, s)
       }
     }
@@ -1719,32 +1729,21 @@ final class LocalReplica private (
     * ROUNDED rank key, so a rounded tie straddling the pool boundary
     * resolves by id exactly as the engine's TakeOrdered does.
     */
-  def hybridSearch(q0: Array[Float], textQuery: String, k: Int,
-      rrfK: Int = 60, nprobe: Int = 0): Seq[Candidate] = {
-    val q = prepQuery(q0)
-    val m0 = mut // ONE snapshot for both pools
-    val tomb = mutTomb(m0)
-    val m = math.max(2 * k, 50)
-    // fetch m+1 raw: when the rounded key separates positions m and m+1
-    // the raw top-m IS the rounded top-m (rounding is monotone, so every
-    // excluded row rounds ≤ position m+1 < position m); only a rounded
-    // tie straddling the boundary needs the deeper fetch to resolve its
-    // id order like the engine's TakeOrdered does
-    val ranges = probeRanges(q, nprobe)
-    val d0 = mutDelta(m0)
-    val probe = searchRanges(q, m + 1, ranges, inBatch = false, tomb, d0)
-    val vRaw =
-      if (probe.length <= m ||
-          round6(displayScore(probe(m - 1).score)) !=
-            round6(displayScore(probe(m).score))) probe
-      else searchRanges(q, math.min(2 * m, size + deltaSize), ranges,
-        inBatch = false, tomb, d0)
-    val vPool = vRaw.map(c => (c.id, displayScore(c.score), round6(displayScore(c.score))))
+  /** Cut a raw best-first candidate list to the ROUNDED-rank top-m —
+    * the engine's pool ordering (round-6 key, id tie-break).
+    */
+  private def roundedCut(raw: Seq[Candidate], m: Int): Seq[(Long, Double)] =
+    raw.map(c => (c.id, displayScore(c.score), round6(displayScore(c.score))))
       .sortWith { (a, b) =>
         if (a._3 != b._3) { if (metric.ascending) a._3 < b._3 else a._3 > b._3 }
         else a._1 < b._1
       }.take(m).map(t => (t._1, t._2))
-    val lPool = lexicalPool(textQuery, m, tomb)
+
+  /** RRF-fuse two rank pools (shared by the plain and filtered hybrids —
+    * ONE copy of the rank/fuse math, so the two paths cannot fork).
+    */
+  private def rrfFuse(vPool: Seq[(Long, Double)],
+      lPool: Seq[(Long, Double)], k: Int, rrfK: Int): Seq[Candidate] = {
     val fused = new java.util.HashMap[java.lang.Long, java.lang.Double]()
     def addRanks(pool: Seq[(Long, Double)]): Unit = {
       var r = 0
@@ -1766,6 +1765,38 @@ final class LocalReplica private (
     out.sortWith { (a, b) =>
       if (a.score != b.score) a.score > b.score else a.id < b.id
     }.take(k).toSeq
+  }
+
+  def hybridSearch(q0: Array[Float], textQuery: String, k: Int,
+      rrfK: Int = 60, nprobe: Int = 0): Seq[Candidate] = {
+    val q = prepQuery(q0)
+    val m0 = mut // ONE snapshot for both pools
+    val tomb = mutTomb(m0)
+    val m = math.max(2 * k, 50)
+    // fetch m+1 raw: when the rounded key separates positions m and m+1
+    // the raw top-m IS the rounded top-m (rounding is monotone, so every
+    // excluded row rounds ≤ position m+1 < position m). A rounded tie
+    // straddling the boundary deepens ITERATIVELY until the fetched list
+    // provably contains the whole boundary tie class (its last element
+    // rounds strictly worse, or everything is fetched) — so id order
+    // inside the tie resolves exactly like the engine's TakeOrdered, at
+    // any tie width.
+    val ranges = probeRanges(q, nprobe)
+    val d0 = mutDelta(m0)
+    val total = size + deltaSize
+    var depth = math.min(m + 1, total)
+    var vRaw = searchRanges(q, depth, ranges, inBatch = false, tomb, d0)
+    def tieUnresolved: Boolean =
+      vRaw.length > m && vRaw.length == depth && depth < total && {
+        val c = round6(displayScore(vRaw(m - 1).score))
+        round6(displayScore(vRaw(m).score)) == c &&
+          round6(displayScore(vRaw.last.score)) == c
+      }
+    while (tieUnresolved) {
+      depth = math.min(total, depth * 4)
+      vRaw = searchRanges(q, depth, ranges, inBatch = false, tomb, d0)
+    }
+    rrfFuse(roundedCut(vRaw, m), lexicalPool(textQuery, m, tomb), k, rrfK)
   }
 
   /** FILTERED in-process hybrid (vecgo `HybridSearch` + `WithFilter`,
@@ -1791,38 +1822,12 @@ final class LocalReplica private (
     val m0 = mut
     val tomb = mutTomb(m0)
     val m = math.max(2 * k, 50)
-    // the filtered scan scores every predicate survivor regardless of k,
-    // so one 2m-deep call costs the same scan and the rounded-rank recut
-    // has the same tie depth as the unfiltered pool
-    val vRaw = searchWhereInternal(q0, 2 * m, preds, nprobe, tomb)
-    val vPool = vRaw
-      .map(c => (c.id, displayScore(c.score), round6(displayScore(c.score))))
-      .sortWith { (a, b) =>
-        if (a._3 != b._3) { if (metric.ascending) a._3 < b._3 else a._3 > b._3 }
-        else a._1 < b._1
-      }.take(m).map(t => (t._1, t._2))
-    val lPool = lexicalPool(textQuery, m, tomb, pred)
-    val fused = new java.util.HashMap[java.lang.Long, java.lang.Double]()
-    def addRanks(pool: Seq[(Long, Double)]): Unit = {
-      var r = 0
-      while (r < pool.length) {
-        fused.merge(pool(r)._1, 1.0 / (rrfK + r + 1.0), (a, b) => a + b)
-        r += 1
-      }
-    }
-    addRanks(vPool)
-    addRanks(lPool)
-    val out = new Array[Candidate](fused.size())
-    val it = fused.entrySet().iterator()
-    var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      out(j) = Candidate(e.getKey.longValue, e.getValue.doubleValue)
-      j += 1
-    }
-    out.sortWith { (a, b) =>
-      if (a.score != b.score) a.score > b.score else a.id < b.id
-    }.take(k).toSeq
+    // the filtered scan scores and sorts EVERY predicate survivor
+    // regardless of k, so fetching them all costs the same scan and the
+    // rounded-rank recut is exact at any tie width (no depth cap at all)
+    val vRaw = searchWhereInternal(q0, Int.MaxValue, preds, nprobe, tomb)
+    rrfFuse(roundedCut(vRaw, m), lexicalPool(textQuery, m, tomb, pred),
+      k, rrfK)
   }
 
   // --------------------------------------------- RaBitQ coarse pass, v5
@@ -1977,7 +1982,7 @@ final class LocalReplica private (
         while (i < pq.books.length) { out.writeFloat(pq.books(i)); i += 1 }
         out.writeDouble(pq.maxErr)
         out.writeDouble(minRowNorm)
-        out.write(pq.codes)
+        out.write(pq.rowMajor) // artifact stays row-major (format v4)
       }
       // v3 trailer: typed metadata columns (row-aligned with ids)
       out.writeInt(metaCols.length)
@@ -2168,7 +2173,7 @@ object LocalReplica {
       val ksub: Int,
       val subDim: Int,
       val books: Array[Float],
-      val codes: Array[Byte],
+      val subMajor: Array[Byte],
       val maxErr: Double) {
     require(ksub >= 1 && ksub <= 256, s"ksub $ksub must fit one byte")
 
@@ -2176,19 +2181,48 @@ object LocalReplica {
       * (8·B bytes = 16 KB) plus one sub's table slice (8·ksub ≤ 2 KB)
       * stay L1/L2-resident across the m per-sub passes.
       */
+    val Block: Int = PQData.Block
+
+    /** Row-major codes derived on demand (pure inverse permutation of
+      * the blocked layout) — needed only by `save()`, so the resident
+      * footprint stays ONE copy of the code block: the sub-major mirror
+      * the ADC pass scans (row-major scanning paid m dependent table
+      * gathers per row — see tools/Probe768 — so sub-major is primary).
+      */
+    def rowMajor: Array[Byte] = {
+      val n = subMajor.length / m
+      val out = new Array[Byte](subMajor.length)
+      var blockStart = 0
+      while (blockStart < n) {
+        val blockLen = math.min(Block, n - blockStart)
+        val blockBase = blockStart * m
+        var sub = 0
+        while (sub < m) {
+          val src = blockBase + sub * blockLen
+          var r = 0
+          while (r < blockLen) {
+            out((blockStart + r) * m + sub) = subMajor(src + r)
+            r += 1
+          }
+          sub += 1
+        }
+        blockStart += Block
+      }
+      out
+    }
+  }
+
+  private[serve] object PQData {
     val Block: Int = 2048
 
-    /** Sub-major BLOCKED mirror of `codes` (built lazily, never
-      * persisted): rows are grouped in blocks of [[Block]]; within a
-      * block, sub s's codes for all its rows are contiguous. The ADC
-      * first pass then runs sub-outer/row-inner per block — sequential
-      * code-byte reads, an L1-resident 2 KB table slice, and a sequential
-      * accumulator — instead of the row-major loop's m dependent
-      * table gathers per row, which bound ADC latency (measured: the
-      * row-major 768d/m=96 pass LOST to SQ8's SIMD decode despite 8×
-      * less traffic; see tools/Probe768). The FAISS-style layout trade.
+    /** Build from row-major codes (the export/artifact order): blocked
+      * sub-major transpose — rows grouped in [[Block]]s, one sub's codes
+      * for a block contiguous, so the ADC first pass runs sub-outer/
+      * row-inner with sequential code reads and an L1-resident table
+      * slice (the FAISS-style layout trade).
       */
-    lazy val subMajor: Array[Byte] = {
+    def fromRowMajor(m: Int, ksub: Int, subDim: Int, books: Array[Float],
+        codes: Array[Byte], maxErr: Double): PQData = {
       val n = codes.length / m
       val out = new Array[Byte](codes.length)
       var blockStart = 0
@@ -2207,7 +2241,7 @@ object LocalReplica {
         }
         blockStart += Block
       }
-      out
+      new PQData(m, ksub, subDim, books, out, maxErr)
     }
   }
 
@@ -2389,7 +2423,7 @@ object LocalReplica {
         minNorm = in.readDouble()
         val pcodes = new Array[Byte](n * m)
         in.readFully(pcodes)
-        pqData = new PQData(m, ksub, subDim, books, pcodes, maxErr)
+        pqData = PQData.fromRowMajor(m, ksub, subDim, books, pcodes, maxErr)
       }
       val meta: Array[MetaColumn] =
         if (ver < 3) Array.empty
@@ -2647,7 +2681,8 @@ object LocalReplica {
         while (r2 < n) {
           val row = rows(tagged(r2))
           if (!row.isNullAt(fld)) {
-            val toks = row.getString(fld).toLowerCase
+            val toks = row.getString(fld)
+              .toLowerCase(java.util.Locale.ROOT)
               .split("\\s+").filter(_.nonEmpty)
             if (toks.nonEmpty) {
               docLen(r2) = toks.length
@@ -2791,7 +2826,8 @@ object LocalReplica {
         }
         // absolute slack absorbs the table-lookup float arithmetic, same
         // construction as the SQ8 codeEps
-        val pqData = new PQData(m, ksub, subDim, books, pcodes, maxErr + 1e-5)
+        val pqData = PQData.fromRowMajor(m, ksub, subDim, books, pcodes,
+          maxErr + 1e-5)
         new LocalReplica(metric, dim, ids, flat,
           model.map(_.centroids).getOrElse(Array.empty), listStart,
           null, null, null, minNorm, meta, pqData, lexData, rbqData)

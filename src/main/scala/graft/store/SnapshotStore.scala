@@ -705,12 +705,18 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       .foreach(p => f.delete(p, true))
     // a lexical delta is an orphan exactly when its segment is — same
     // rule, keyed by the shared dir-name suffix; crashed/raced delta
-    // builds leave hidden `.lexdelta-tmp-*` dirs, reclaimed here too
-    f.listStatus(new Path(root)).map(_.getPath)
-      .filter(p => p.getName.startsWith("lexdelta-") ||
-        p.getName.startsWith(".lexdelta-tmp-"))
-      .filterNot(p => !p.getName.startsWith(".") && referenced.contains(
-        "seg-" + p.getName.stripPrefix("lexdelta-")))
-      .foreach(p => f.delete(p, true))
+    // builds leave hidden `.lexdelta-tmp-*` dirs, reclaimed only past an
+    // AGE GATE so a build that is in flight right now (Spark jobs take
+    // seconds) is never deleted under its writer
+    val tmpCutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    f.listStatus(new Path(root))
+      .filter { st =>
+        val nm = st.getPath.getName
+        (nm.startsWith("lexdelta-") && !referenced.contains(
+          "seg-" + nm.stripPrefix("lexdelta-"))) ||
+        (nm.startsWith(".lexdelta-tmp-") &&
+          st.getModificationTime < tmpCutoff)
+      }
+      .foreach(st => f.delete(st.getPath, true))
   }
 }

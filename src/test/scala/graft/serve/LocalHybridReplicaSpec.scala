@@ -239,4 +239,38 @@ class LocalHybridReplicaSpec extends AnyFunSuite {
     val local = rep.hybridSearch(q, "the data", 25).map(c => (c.id, c.score))
     assert(local.map(_._1) == engine.map(_._1))
   }
+
+  test("randomized lexical parity: replica == engine across corpora shapes") {
+    // broad-coverage guard for the pool-selection machinery (margin
+    // buffering, eviction, rounded tie cuts): randomized doc lengths and
+    // vocab skews produce arbitrary score clustering at the pool
+    // boundary; replica DAAT selection must match the engine's rounded
+    // TakeOrdered on every draw
+    import spark.implicits._
+    val rng = new scala.util.Random(1234)
+    for (trial <- 0 until 4) {
+      val vocabN = 4 + rng.nextInt(12)
+      val vocab = (0 until vocabN).map(i => s"w$i")
+      val docs = (0 until 300).map { i =>
+        val len = 1 + rng.nextInt(12)
+        (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocabN))).mkString(" "))
+      }
+      val root = s"${sys.props("java.io.tmpdir")}/graft_hyb_rep_rand$trial"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val db = graft.GraftDB.open(spark, root, dim = dim, metric = "l2",
+        textCol = Some("text"))
+      db.insertBatch(docs.toDF("id", "text").join(
+        corpus.select(col("id"), col("vector")), "id"))
+      val rep = LocalReplica.fromStore(db, textCol = Some("text"))
+      val tq = Seq.fill(1 + rng.nextInt(3))(vocab(rng.nextInt(vocabN)))
+        .mkString(" ")
+      val engine = db.lexicalSearch(tq, 20).as[(Long, Double)]
+        .collect().toSeq
+      val local = rep.lexicalSearch(tq, 20).map(c => (c.id, c.score))
+      assert(local.map(_._1) == engine.map(_._1),
+        s"trial=$trial query='$tq': $local vs $engine")
+    }
+  }
 }
