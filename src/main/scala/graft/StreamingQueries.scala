@@ -167,6 +167,46 @@ object StreamingQueries {
       .orderBy(col("id").asc)
   }
 
+  /** Streaming ingest feeding LEXICAL search — the W1+R10 integration
+    * the incremental index exists for: every micro-batch commits one
+    * store version, the per-segment lexical deltas resolve WITHOUT a
+    * corpus re-tokenize (each delta built once over its own batch's
+    * rows, enforced loudly via the engine counters), and the post-stream
+    * BM25 top-10 hash-checks against DuckDB over the full corpus.
+    */
+  def streamingLexical(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val src = emb.join(docs, emb("vec_id") === docs("doc_id"))
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("text"))
+    val srcDir = Files.createTempDirectory("graft_stream_lex_src").toString
+    src.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = s.readStream.schema(
+        s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val dbRoot = Files.createTempDirectory("graft_stream_lex_db").toString
+    val db = GraftDB.open(s, dbRoot, dim = 64, metric = "l2",
+      textCol = Some("text"))
+    val q = db.insertStream(stream, ckpt("lex_ingest"), collectStats = false)
+    try q.processAllAvailable() finally q.stop()
+    val out = db.lexicalSearch("spark vector merge", 10)
+      .select(col("id").as("doc_id"),
+        org.apache.spark.sql.functions.round(col("score"), 6).as("score"))
+    val res = out.collect()
+    // incrementality gate: one delta build per micro-batch segment, total
+    // rows tokenized == corpus size (no per-version corpus rebuilds)
+    val segs = db.store.manifest().get.segments
+    require(db.lexicalDeltaBuilds.get() == segs.size,
+      s"expected ${segs.size} delta builds (one per streamed segment), " +
+        s"got ${db.lexicalDeltaBuilds.get()}")
+    require(db.lexicalDeltaRowsTokenized.get() == segs.map(_.rows).sum,
+      s"tokenized ${db.lexicalDeltaRowsTokenized.get()} rows, corpus has " +
+        s"${segs.map(_.rows).sum}")
+    s.createDataFrame(java.util.Arrays.asList(res: _*), out.schema)
+  }
+
   /** Streaming exact dedup — the unbounded-corpus twin of
     * [[PipelineQueries.dedupExact]]: a running stateful aggregation keyed
     * by canonical fingerprint (min surviving id + duplicate count),
@@ -470,6 +510,7 @@ object StreamingQueries {
     "streaming_sliding_agg" -> (streamingSlidingAgg _),
     "streaming_sessionize" -> (streamingSessionize _),
     "streaming_ingest" -> (streamingIngest _),
+    "streaming_lexical" -> (streamingLexical _),
     "streaming_dedup_exact" -> (streamingDedupExact _),
     "streaming_minhash" -> (streamingMinhash _),
     "streaming_neardup_cosine" -> (streamingNeardupCosine _),
@@ -486,6 +527,10 @@ object StreamingQueries {
     "streaming_ingest" ->
       """SELECT vec_id AS id, label::BIGINT AS label
         |FROM embeddings ORDER BY id ASC""".stripMargin,
+    // streamed corpus = embeddings JOIN documents, like the facade rows
+    "streaming_lexical" -> Queries.oracle("bm25_search").replace(
+      "FROM documents)",
+      "FROM documents JOIN embeddings ON vec_id = doc_id)"),
     "streaming_dedup_exact" -> PipelineQueries.oracle("dedup_exact"),
     "streaming_minhash" -> PipelineQueries.oracle("dedup_minhash_lsh"),
     "streaming_dsir" -> PipelineQueries.oracle("pipeline_dsir_weights"),
