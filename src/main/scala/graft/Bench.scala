@@ -186,6 +186,8 @@ object Bench {
       corpus768, "vec", "id", Metric.L2, nlist = 64)
     val replica768pq = graft.serve.LocalReplica.fromDataFrame(
       corpus768, "vec", "id", Metric.L2, nlist = 64, pqModel = Some(pq768))
+    val replica768int4 = graft.serve.LocalReplica.fromDataFrame(
+      corpus768, "vec", "id", Metric.L2, nlist = 64, int4 = true)
     val queries768 = corpus768.where(col("id") < 100)
       .select(col("id"), col("vec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
@@ -340,6 +342,16 @@ object Bench {
           i += 1
         }
       }),
+      // INT4 (format v6): ½ SQ8's first-pass bytes at the same sound
+      // admission — the middle point of the coded-latency spectrum
+      "synth_local_knn768_int4_x200" -> (() => {
+        var i = 0
+        while (i < 200) {
+          replica768int4.search(queries768(i % queries768.length)._2, 10,
+            nprobe = 16)
+          i += 1
+        }
+      }),
       // the reference's 10k-row single-query headline shape
       "synth_local_knn10k_x2000" -> (() => {
         var i = 0
@@ -382,7 +394,8 @@ object Bench {
     val memTier: Set[String] = Set(
       "synth_local_knn_x1000", "synth_local_brute_x100",
       "synth_local_batch_x1000", "synth_local_knn768_sq8_x200",
-      "synth_local_knn768_pq_x200", "synth_local_knn10k_x2000",
+      "synth_local_knn768_pq_x200", "synth_local_knn768_int4_x200",
+      "synth_local_knn10k_x2000",
       "synth_local_hybrid_x500",
       "synth_replica_delete_all", "synth_replica_append_10k")
 
@@ -453,6 +466,8 @@ object Bench {
       results("synth_local_knn768_sq8_x200") / 200.0 * 1e6
     derived("local_knn768_pq_latency_us") =
       results("synth_local_knn768_pq_x200") / 200.0 * 1e6
+    derived("local_knn768_int4_latency_us") =
+      results("synth_local_knn768_int4_x200") / 200.0 * 1e6
     derived("local_knn10k_latency_us") =
       results("synth_local_knn10k_x2000") / 2000.0 * 1e6
     derived("local_hybrid_latency_us") =

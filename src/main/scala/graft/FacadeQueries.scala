@@ -466,6 +466,31 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** INT4-coded serving-replica k-NN (format v6): the export packs two
+    * 4-bit codes per byte (split-plane nibbles) — ½ the coded-block RAM
+    * and first-pass memory traffic of SQ8 — and the wider half-cells ride
+    * the same sound-margin admission, so the result is IDENTICAL to the
+    * uncoded scan (vecgo's int4 cell coding,
+    * `internal/segment/diskann/writer.go:73-95`). The artifact is SAVED
+    * and RELOADED here, so the oracle row also hash-checks the v6 format
+    * round-trip.
+    */
+  def localKnnInt4(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_int4")
+    val rep0 = graft.serve.LocalReplica.fromStore(db, nlist = 8, int4 = true)
+    require(rep0.int4Coded && !rep0.coded && !rep0.pqCoded,
+      "expected an INT4-coded v6 replica")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_facade_local_int4.bin"
+    rep0.save(path, s.sparkContext.hadoopConfiguration)
+    val rep = graft.serve.LocalReplica.load(path,
+      s.sparkContext.hadoopConfiguration)
+    require(rep.int4Coded, "v6 round-trip dropped the INT4 section")
+    val res = rep.search(qvec(s, dir, 9), 10, nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
   /** Hamming serving-tier freshness ([[graft.serve.LocalCodeReplica]]
     * mutations): tombstone-delete a family of ids on the exported code
     * replica, search — integer-exact against the brute-force oracle over
@@ -702,6 +727,7 @@ object FacadeQueries {
     "graftdb_knn_cosine_indexed" -> (knnCosineIndexed _),
     "graftdb_local_knn" -> (localKnn _),
     "graftdb_local_knn_pq" -> (localKnnPq _),
+    "graftdb_local_knn_int4" -> (localKnnInt4 _),
     "graftdb_local_hybrid" -> (localHybrid _),
     "graftdb_local_hybrid_filtered" -> (localHybridFiltered _),
     "graftdb_local_knn_rabitq" -> (localKnnRabitq _),
@@ -723,6 +749,13 @@ object FacadeQueries {
     "graftdb_knn_rabitq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn_rabitq" -> Queries.oracle("knn_l2"),
+    "graftdb_local_knn_int4" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_local_knn_pq" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
         |s AS (SELECT e.vec_id,

@@ -135,6 +135,152 @@ object SimdKernels {
     (d, nn)
   }
 
+  // --- INT4 packed kernels (split-plane nibble layout): byte j of a row
+  // holds the code for dim j in its LOW nibble and dim half+j in its HIGH
+  // nibble (half = ceil(dim/2)), so ONE byte load feeds two contiguous
+  // float lane groups — half the first-pass memory traffic of SQ8 at two
+  // extra mask/shift ops per load. The shape of vecgo's int4-coded
+  // segment scan (`internal/segment/diskann/writer.go:73-95` codes the
+  // same 4-bit cells), laid out for Panama instead of hand-written asm.
+
+  @inline private def loNibblesAsInts(codes: Array[Byte],
+      off: Int): jdk.incubator.vector.IntVector =
+    jdk.incubator.vector.ByteVector.fromArray(BSP, codes, off)
+      .convertShape(VectorOperators.B2I, ISP, 0)
+      .asInstanceOf[jdk.incubator.vector.IntVector].and(0x0F)
+
+  @inline private def hiNibblesAsInts(codes: Array[Byte],
+      off: Int): jdk.incubator.vector.IntVector =
+    jdk.incubator.vector.ByteVector.fromArray(BSP, codes, off)
+      .convertShape(VectorOperators.B2I, ISP, 0)
+      .asInstanceOf[jdk.incubator.vector.IntVector].and(0xFF)
+      .lanewise(VectorOperators.LSHR, 4)
+
+  /** Approximate squared L2 against one INT4-packed row starting at byte
+    * `base`: decoded difference is `p1 + c·step` with
+    * `p1(i) = mins(i) − q(i)` precomputed per query (same contract as
+    * [[sq8L2At]]); `half = (dim+1)/2` is the row's nibble-plane width.
+    */
+  def int4L2At(codes: Array[Byte], base: Int, half: Int, p1: Array[Float],
+      step: Array[Float]): Double = {
+    val dim = p1.length
+    val hiLen = dim - half // hi plane width (== half, or half-1 for odd dim)
+    val L = SP.length()
+    var acc0 = FloatVector.zero(SP)
+    var acc1 = FloatVector.zero(SP)
+    var i = 0
+    val ub = SP.loopBound(hiLen)
+    while (i < ub) {
+      val bv = jdk.incubator.vector.ByteVector.fromArray(BSP, codes, base + i)
+        .convertShape(VectorOperators.B2I, ISP, 0)
+        .asInstanceOf[jdk.incubator.vector.IntVector]
+      val lo = bv.and(0x0F).convert(VectorOperators.I2F, 0)
+        .asInstanceOf[FloatVector]
+      val hi = bv.and(0xFF).lanewise(VectorOperators.LSHR, 4)
+        .convert(VectorOperators.I2F, 0).asInstanceOf[FloatVector]
+      val d0 = lo.fma(FloatVector.fromArray(SP, step, i),
+        FloatVector.fromArray(SP, p1, i))
+      acc0 = d0.fma(d0, acc0)
+      val d1 = hi.fma(FloatVector.fromArray(SP, step, half + i),
+        FloatVector.fromArray(SP, p1, half + i))
+      acc1 = d1.fma(d1, acc1)
+      i += L
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD)
+    while (i < half) {
+      val b = codes(base + i) & 0xFF
+      val dl = p1(i) + (b & 0x0F) * step(i)
+      s += dl * dl
+      if (i < hiLen) {
+        val dh = p1(half + i) + (b >>> 4) * step(half + i)
+        s += dh * dh
+      }
+      i += 1
+    }
+    s.toDouble
+  }
+
+  /** Approximate inner product against one INT4-packed row:
+    * Σ qs(i)·c(i) with `qs(i) = q(i)·step(i)`; the caller adds
+    * Σ q(i)·mins(i) (same contract as [[sq8DotAt]]).
+    */
+  def int4DotAt(codes: Array[Byte], base: Int, half: Int,
+      qs: Array[Float]): Double = {
+    val dim = qs.length
+    val hiLen = dim - half
+    val L = SP.length()
+    var acc0 = FloatVector.zero(SP)
+    var acc1 = FloatVector.zero(SP)
+    var i = 0
+    val ub = SP.loopBound(hiLen)
+    while (i < ub) {
+      val bv = jdk.incubator.vector.ByteVector.fromArray(BSP, codes, base + i)
+        .convertShape(VectorOperators.B2I, ISP, 0)
+        .asInstanceOf[jdk.incubator.vector.IntVector]
+      val lo = bv.and(0x0F).convert(VectorOperators.I2F, 0)
+        .asInstanceOf[FloatVector]
+      val hi = bv.and(0xFF).lanewise(VectorOperators.LSHR, 4)
+        .convert(VectorOperators.I2F, 0).asInstanceOf[FloatVector]
+      acc0 = lo.fma(FloatVector.fromArray(SP, qs, i), acc0)
+      acc1 = hi.fma(FloatVector.fromArray(SP, qs, half + i), acc1)
+      i += L
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD)
+    while (i < half) {
+      val b = codes(base + i) & 0xFF
+      s += (b & 0x0F) * qs(i)
+      if (i < hiLen) s += (b >>> 4) * qs(half + i)
+      i += 1
+    }
+    s.toDouble
+  }
+
+  /** Approximate (dot, squared-norm) of one decoded INT4 row against the
+    * query — the cosine first pass (same contract as [[sq8DotNormAt]]).
+    */
+  def int4DotNormAt(codes: Array[Byte], base: Int, half: Int,
+      mins: Array[Float], step: Array[Float],
+      q: Array[Float]): (Double, Double) = {
+    val dim = q.length
+    val hiLen = dim - half
+    val L = SP.length()
+    var accD = FloatVector.zero(SP)
+    var accN = FloatVector.zero(SP)
+    var i = 0
+    val ub = SP.loopBound(hiLen)
+    while (i < ub) {
+      val bv = jdk.incubator.vector.ByteVector.fromArray(BSP, codes, base + i)
+        .convertShape(VectorOperators.B2I, ISP, 0)
+        .asInstanceOf[jdk.incubator.vector.IntVector]
+      val lo = bv.and(0x0F).convert(VectorOperators.I2F, 0)
+        .asInstanceOf[FloatVector]
+      val hi = bv.and(0xFF).lanewise(VectorOperators.LSHR, 4)
+        .convert(VectorOperators.I2F, 0).asInstanceOf[FloatVector]
+      val x0 = lo.fma(FloatVector.fromArray(SP, step, i),
+        FloatVector.fromArray(SP, mins, i))
+      accD = x0.fma(FloatVector.fromArray(SP, q, i), accD)
+      accN = x0.fma(x0, accN)
+      val x1 = hi.fma(FloatVector.fromArray(SP, step, half + i),
+        FloatVector.fromArray(SP, mins, half + i))
+      accD = x1.fma(FloatVector.fromArray(SP, q, half + i), accD)
+      accN = x1.fma(x1, accN)
+      i += L
+    }
+    var d = accD.reduceLanes(VectorOperators.ADD).toDouble
+    var nn = accN.reduceLanes(VectorOperators.ADD).toDouble
+    while (i < half) {
+      val b = codes(base + i) & 0xFF
+      val x0 = mins(i) + (b & 0x0F) * step(i)
+      d += x0 * q(i); nn += x0 * x0
+      if (i < hiLen) {
+        val x1 = mins(half + i) + (b >>> 4) * step(half + i)
+        d += x1 * q(half + i); nn += x1 * x1
+      }
+      i += 1
+    }
+    (d, nn)
+  }
+
   def l2sq(a: Array[Float], q: Array[Float]): Double = {
     val n = q.length
     if (a.length != n)

@@ -70,7 +70,9 @@ final class LocalReplica private (
     // compact lexical postings for in-process BM25/hybrid (format v5)
     lex: LocalReplica.LexData = null,
     // RaBitQ sign-bit codes: 1 bit/dim + rotation seed (format v5)
-    rbq: LocalReplica.RbqData = null) {
+    rbq: LocalReplica.RbqData = null,
+    // INT4 packed mirror: 2 codes/byte split-plane nibbles (format v6)
+    i4: LocalReplica.Int4Data = null) {
 
   require(metric != Metric.Hamming,
     "LocalReplica serves float metrics; Hamming stores serve packed codes " +
@@ -86,6 +88,8 @@ final class LocalReplica private (
   def lexical: Boolean = lex != null
   /** Whether the RaBitQ 1-bit coarse pass is available. */
   def rbqCoded: Boolean = rbq != null
+  /** Whether the INT4 (packed-nibble first pass) scan is available. */
+  def int4Coded: Boolean = i4 != null
 
   /** The same replica without its coded mirrors (always serves the full
     * float scan) — the uncoded twin the coded paths are verified against.
@@ -973,6 +977,152 @@ final class LocalReplica private (
     admitAndRerank(q, k, ranges, fast, qNorm, inBatch, margin, scoreChunk, tomb)
   }
 
+  // ------------------------------------------ INT4 (packed) first pass, v6
+
+  /** One INT4 approximate-score pass over rows `[lo, hi0)` into `out`.
+    * Split-plane nibble layout (see [[SimdKernels.int4L2At]]): row r's
+    * codes live at bytes `[r·half, (r+1)·half)` with dims `[0, half)` in
+    * the low nibbles and `[half, dim)` in the high — half the first-pass
+    * bytes of SQ8 on a memory-bound scan.
+    */
+  private def int4ApproxChunk(lo: Int, hi0: Int, fast: Boolean,
+      p1: Array[Float], p2: Array[Float], qArr: Array[Float],
+      dotBase: Double, qNorm: Double, out: Array[Double]): Unit = {
+    val d4 = i4
+    val half = d4.half
+    val cs = d4.codes
+    val hiLen = dim - half
+    metric match {
+      case Metric.L2 =>
+        if (fast) {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            out(j) = SimdKernels.int4L2At(cs, r * half, half, p1, p2)
+            r += 1; j += 1
+          }
+        } else {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val base = r * half
+            var s = 0.0; var i = 0
+            while (i < half) {
+              val b = cs(base + i) & 0xFF
+              val dl = p1(i) + (b & 0x0F) * p2(i)
+              s += dl * dl
+              if (i < hiLen) {
+                val dh = p1(half + i) + (b >>> 4) * p2(half + i)
+                s += dh * dh
+              }
+              i += 1
+            }
+            out(j) = s; r += 1; j += 1
+          }
+        }
+      case Metric.Dot =>
+        if (fast) {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            out(j) = dotBase + SimdKernels.int4DotAt(cs, r * half, half, p1)
+            r += 1; j += 1
+          }
+        } else {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val base = r * half
+            var s = dotBase; var i = 0
+            while (i < half) {
+              val b = cs(base + i) & 0xFF
+              s += p1(i).toDouble * (b & 0x0F)
+              if (i < hiLen) s += p1(half + i).toDouble * (b >>> 4)
+              i += 1
+            }
+            out(j) = s; r += 1; j += 1
+          }
+        }
+      case Metric.Cosine =>
+        if (fast) {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val (d, na) =
+              SimdKernels.int4DotNormAt(cs, r * half, half, p1, p2, qArr)
+            out(j) =
+              if (na == 0.0 || qNorm == 0.0) 0.0
+              else d / (math.sqrt(na) * qNorm)
+            r += 1; j += 1
+          }
+        } else {
+          var r = lo; var j = 0
+          while (r < hi0) {
+            val base = r * half
+            var d = 0.0; var na = 0.0; var i = 0
+            while (i < half) {
+              val b = cs(base + i) & 0xFF
+              val x0 = p1(i) + (b & 0x0F).toDouble * p2(i)
+              na += x0 * x0; d += x0 * qArr(i)
+              if (i < hiLen) {
+                val x1 = p1(half + i) + (b >>> 4).toDouble * p2(half + i)
+                na += x1 * x1; d += x1 * qArr(half + i)
+              }
+              i += 1
+            }
+            out(j) =
+              if (na == 0.0 || qNorm == 0.0) 0.0
+              else d / (math.sqrt(na) * qNorm)
+            r += 1; j += 1
+          }
+        }
+      case Metric.Hamming => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** INT4 two-phase top-k: same sound-margin admission as the SQ8 pass
+    * ([[codedSearch]]) with the wider 4-bit half-cells in the margin, so
+    * results stay IDENTICAL to the uncoded scan — the coarser coding only
+    * admits more rerank candidates, never loses a true top-k row.
+    */
+  private def int4Search(q: Array[Float], k: Int, ranges: Seq[(Int, Int)],
+      fast: Boolean, qNorm: Double, inBatch: Boolean,
+      tomb: Array[Long]): Seq[Candidate] = {
+    val d4 = i4
+    val simd = fast && SimdKernels.sq8Ok
+    var p1: Array[Float] = null
+    var p2: Array[Float] = null
+    var qArr: Array[Float] = null
+    var dotBase = 0.0
+    var qn = 0.0
+    var margin = 0.0
+    metric match {
+      case Metric.L2 =>
+        p1 = new Array[Float](dim); p2 = d4.stepsF
+        var i = 0
+        while (i < dim) { p1(i) = (d4.mins(i) - q(i)).toFloat; i += 1 }
+        margin = 2.0 * d4.eps
+      case Metric.Dot =>
+        p1 = new Array[Float](dim); p2 = d4.stepsF
+        var i = 0
+        while (i < dim) {
+          p1(i) = (q(i).toDouble * d4.steps(i)).toFloat
+          dotBase += q(i).toDouble * d4.mins(i)
+          qn += q(i).toDouble * q(i)
+          i += 1
+        }
+        qn = math.sqrt(qn)
+        margin = 2.0 * d4.eps * qn
+      case Metric.Cosine =>
+        p1 = d4.minsF; p2 = d4.stepsF
+        qArr = q
+        var i = 0
+        while (i < dim) { qn += q(i).toDouble * q(i); i += 1 }
+        qn = math.sqrt(qn)
+        margin = 4.0 * d4.eps / minRowNorm
+      case Metric.Hamming => throw new IllegalStateException("unreachable")
+    }
+    val scoreChunk: (Int, Int, Array[Double]) => Unit =
+      (lo, hi0, out) =>
+        int4ApproxChunk(lo, hi0, simd, p1, p2, qArr, dotBase, qn, out)
+    admitAndRerank(q, k, ranges, fast, qNorm, inBatch, margin, scoreChunk, tomb)
+  }
+
   /** Shared coded-scan driver: run the approximate first pass (any coding
     * — SQ8 decode or PQ ADC) through the chunked sound admission, then
     * rerank every admitted row on the exact float kernels. `margin` must
@@ -1224,10 +1374,13 @@ final class LocalReplica private (
     // reconstruction error; degenerate exports fall back to the float scan
     val pqOk = pqCoded && k > 0 &&
       (metric != Metric.Cosine || minRowNorm > 4.0 * pq.maxErr)
-    val codedOk = !pqOk && coded && k > 0 &&
+    val int4Ok = !pqOk && int4Coded && k > 0 &&
+      (metric != Metric.Cosine || minRowNorm > 4.0 * i4.eps)
+    val codedOk = !pqOk && !int4Ok && coded && k > 0 &&
       (metric != Metric.Cosine || minRowNorm > 4.0 * codeEps)
     val main: Seq[Candidate] =
       if (pqOk) pqSearch(q, k, ranges, fast, qNorm, inBatch, tomb)
+      else if (int4Ok) int4Search(q, k, ranges, fast, qNorm, inBatch, tomb)
       else if (codedOk) codedSearch(q, k, ranges, fast, qNorm, inBatch, tomb)
       else {
         val total = ranges.map { case (lo, hi) => hi - lo }.sum
@@ -2031,6 +2184,16 @@ final class LocalReplica private (
         i = 0
         while (i < lex.postTf.length) { out.writeFloat(lex.postTf(i)); i += 1 }
       }
+      // v6 trailer: INT4 packed codes
+      out.writeBoolean(int4Coded)
+      if (int4Coded) {
+        i = 0
+        while (i < dim) { out.writeDouble(i4.mins(i)); i += 1 }
+        i = 0
+        while (i < dim) { out.writeDouble(i4.steps(i)); i += 1 }
+        out.writeDouble(minRowNorm)
+        out.write(i4.codes)
+      }
     } finally out.close()
     // prefer an atomic overwrite rename; FileContext throws
     // UnsupportedFileSystemException for schemes without an AbstractFileSystem
@@ -2161,7 +2324,7 @@ object LocalReplica {
   }
 
   private[serve] val Magic = 0x47524c52 // "GRLR"
-  private[serve] val FormatVersion = 5
+  private[serve] val FormatVersion = 6
 
   /** PQ coded mirror (format v4): row-major m-byte codes + flat codebooks
     * (`books((s·ksub + c)·subDim + d)` = dim d of centroid c of subspace
@@ -2319,6 +2482,32 @@ object LocalReplica {
       }
       out
     }
+  }
+
+  /** INT4 packed codes (format v6): 2 codes/byte in the split-plane
+    * nibble layout ([[graft.functions.SimdKernels.int4L2At]]) with
+    * per-dim bounds at 15 levels — ½ the RAM and first-pass memory
+    * traffic of SQ8 (the int4 cell coding of vecgo's coded segments,
+    * `internal/segment/diskann/writer.go:73-95`, laid out for Panama).
+    */
+  private[serve] final class Int4Data(
+      val codes: Array[Byte],
+      val mins: Array[Double],
+      val steps: Array[Double]) {
+    val half: Int = (mins.length + 1) / 2
+    /** Sound Euclidean reconstruction-error bound — the SQ8 `codeEps`
+      * construction with the 4-bit half-cells (17× wider steps).
+      */
+    lazy val eps: Double = {
+      var ss = 0.0
+      var i = 0
+      while (i < mins.length) { val e = steps(i) / 2.0; ss += e * e; i += 1 }
+      math.sqrt(ss) + 1e-5
+    }
+    lazy val minsF: Array[Float] =
+      Array.tabulate(mins.length)(i => mins(i).toFloat)
+    lazy val stepsF: Array[Float] =
+      Array.tabulate(steps.length)(i => steps(i).toFloat)
   }
 
   // metadata column type tags (format v3)
@@ -2512,8 +2701,23 @@ object LocalReplica {
         lexData = new LexData(terms, postStart, postRow, postTf, docLen,
           numDocs, avgdl)
       }
+      var i4Data: Int4Data = null
+      if (ver >= 6 && in.readBoolean()) {
+        val mins = new Array[Double](dim)
+        val steps = new Array[Double](dim)
+        i = 0
+        while (i < dim) { mins(i) = in.readDouble(); i += 1 }
+        i = 0
+        while (i < dim) { steps(i) = in.readDouble(); i += 1 }
+        minNorm = in.readDouble()
+        val half = (dim + 1) / 2
+        val i4codes = new Array[Byte](n * half)
+        in.readFully(i4codes)
+        i4Data = new Int4Data(i4codes, mins, steps)
+      }
       new LocalReplica(metric, dim, ids, flat, centroids, listStart,
-        codes, codeMins, codeSteps, minNorm, meta, pqData, lexData, rbqData)
+        codes, codeMins, codeSteps, minNorm, meta, pqData, lexData, rbqData,
+        i4Data)
     } finally in.close()
   }
 
@@ -2530,7 +2734,11 @@ object LocalReplica {
       metaCols: Seq[String] = Nil,
       pqModel: Option[graft.index.PQ.Model] = None,
       textCol: Option[String] = None,
-      rabitq: Boolean = false, rabitqSeed: Long = 42L): LocalReplica = {
+      rabitq: Boolean = false, rabitqSeed: Long = 42L,
+      int4: Boolean = false): LocalReplica = {
+    require(!(int4 && pqModel.isDefined),
+      "pick ONE coded mirror: int4 replaces the SQ8 block, pqModel " +
+        "replaces both")
     // metadata columns export as normalized long/double/string arrays
     // (format v3) so predicates can evaluate replica-side
     import org.apache.spark.sql.types._
@@ -2833,8 +3041,10 @@ object LocalReplica {
           null, null, null, minNorm, meta, pqData, lexData, rbqData)
 
       case None =>
-        // SQ8 coded mirror: per-dim bounds + codes + the min row norm that
-        // sizes the cosine error margin (one driver pass over the packed rows)
+        // SQ8 (default) or INT4 coded mirror: per-dim bounds + codes +
+        // the min row norm that sizes the cosine error margin (one driver
+        // pass over the packed rows)
+        val levels = if (int4) 15.0 else 255.0
         val mins = Array.fill(dim)(Double.MaxValue)
         val maxs = Array.fill(dim)(Double.MinValue)
         var j = 0
@@ -2845,8 +3055,10 @@ object LocalReplica {
           if (x > maxs(d)) maxs(d) = x
           j += 1
         }
-        val steps = Array.tabulate(dim)(i => (maxs(i) - mins(i)) / 255.0)
-        val codes = new Array[Byte](n * dim)
+        val steps = Array.tabulate(dim)(i => (maxs(i) - mins(i)) / levels)
+        val half = (dim + 1) / 2
+        val codes =
+          if (int4) new Array[Byte](n * half) else new Array[Byte](n * dim)
         var minNorm = Double.MaxValue
         r = 0
         while (r < n) {
@@ -2860,9 +3072,17 @@ object LocalReplica {
               if (steps(i) == 0.0) 0
               else {
                 val v = math.round((x - mins(i)) / steps(i)).toInt
-                if (v < 0) 0 else if (v > 255) 255 else v
+                if (v < 0) 0
+                else if (v > levels.toInt) levels.toInt
+                else v
               }
-            codes(base + i) = c.toByte
+            if (int4) {
+              // split-plane nibbles: dim i < half → low nibble of byte i,
+              // dim i ≥ half → high nibble of byte i-half
+              if (i < half) codes(r * half + i) = c.toByte
+              else codes(r * half + (i - half)) =
+                (codes(r * half + (i - half)) | (c << 4)).toByte
+            } else codes(base + i) = c.toByte
             i += 1
           }
           val norm = math.sqrt(nn)
@@ -2870,9 +3090,15 @@ object LocalReplica {
           r += 1
         }
 
-        new LocalReplica(metric, dim, ids, flat,
-          model.map(_.centroids).getOrElse(Array.empty), listStart,
-          codes, mins, steps, minNorm, meta, null, lexData, rbqData)
+        if (int4)
+          new LocalReplica(metric, dim, ids, flat,
+            model.map(_.centroids).getOrElse(Array.empty), listStart,
+            null, null, null, minNorm, meta, null, lexData, rbqData,
+            new Int4Data(codes, mins, steps))
+        else
+          new LocalReplica(metric, dim, ids, flat,
+            model.map(_.centroids).getOrElse(Array.empty), listStart,
+            codes, mins, steps, minNorm, meta, null, lexData, rbqData)
     }
   }
 
@@ -2886,14 +3112,15 @@ object LocalReplica {
       metaCols: Seq[String] = Nil,
       pqModel: Option[graft.index.PQ.Model] = None,
       textCol: Option[String] = None,
-      rabitq: Boolean = false, rabitqSeed: Long = 42L): LocalReplica = {
+      rabitq: Boolean = false, rabitqSeed: Long = 42L,
+      int4: Boolean = false): LocalReplica = {
     val v = db.effectiveVersion
     // raw store read: packed segments export as raw bytes (bulk-converted
     // driver-side), skipping both the unpack column and the boxed
     // Seq[Float] row deserialization of the public read()
     val rep = fromDataFrame(db.store.read(v), "vector", "id",
       db.metric, nlist, maxRows, metaCols, pqModel, textCol,
-      rabitq, rabitqSeed)
+      rabitq, rabitqSeed, int4)
     // remember the exported file set so refreshFrom can diff against it
     db.store.manifest(v).foreach { m =>
       rep.origin = Origin(db.store.root, v,

@@ -42,6 +42,8 @@ object Probe768 {
       corpus768, "vec", "id", Metric.L2, nlist = 64)
     val pq = graft.serve.LocalReplica.fromDataFrame(
       corpus768, "vec", "id", Metric.L2, nlist = 64, pqModel = Some(pq768))
+    val int4 = graft.serve.LocalReplica.fromDataFrame(
+      corpus768, "vec", "id", Metric.L2, nlist = 64, int4 = true)
     val queries = corpus768.where(col("id") < 100)
       .select(col("id"), col("vec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
@@ -63,13 +65,15 @@ object Probe768 {
       s"panama=${graft.functions.KernelMode.simdAvailable} n=$n768 " +
       s"sq8_bytes_per_probe=${(n768 * 16 / 64) * dim768} " +
       s"pq_bytes_per_probe=${(n768 * 16 / 64) * 96}")
-    // warm both paths once (discarded)
-    loop(sq8); loop(pq)
+    // warm all paths once (discarded)
+    loop(sq8); loop(pq); loop(int4)
     for (r <- 1 to rounds) {
       val (sqUs, sqAdm) = loop(sq8)
       val (pqUs, pqAdm) = loop(pq)
+      val (i4Us, i4Adm) = loop(int4)
       println(f"round=$r sq8_us=$sqUs%.1f sq8_admit=$sqAdm%.1f " +
         f"pq_us=$pqUs%.1f pq_admit=$pqAdm%.1f " +
+        f"int4_us=$i4Us%.1f int4_admit=$i4Adm%.1f " +
         f"order=${if (pqUs <= sqUs) "PQ_WINS" else "SQ8_WINS"}")
     }
     spark.stop()

@@ -258,6 +258,58 @@ class LocalReplicaSpec extends AnyFunSuite {
     }
   }
 
+  test("int4 first pass is identical to the uncoded scan, all metrics, both kernels") {
+    for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.Dot)) {
+      val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", metric,
+        nlist = 8, int4 = true)
+      assert(rep.int4Coded && !rep.coded)
+      val plain = rep.withoutCodes
+      for (s <- 0 until 10; nprobe <- Seq(2, 8)) {
+        val q = queryVec(s)
+        assert(rep.search(q, 10, nprobe) == plain.search(q, 10, nprobe),
+          s"int4/uncoded divergence: metric=$metric seed=$s nprobe=$nprobe")
+        val fast = KernelMode.withFast(true)(rep.search(q, 10, nprobe))
+        val plainFast = KernelMode.withFast(true)(plain.search(q, 10, nprobe))
+        assert(fast == plainFast,
+          s"int4/uncoded fast divergence: metric=$metric seed=$s nprobe=$nprobe")
+      }
+    }
+  }
+
+  test("int4 odd dim packs the dangling low nibble; v6 round-trip; deletes respected") {
+    val oddDim = 33
+    val odd = spark.range(0, 500, 1, 2).select(
+      col("id"),
+      transform(sequence(lit(0), lit(oddDim - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vec"))
+    val rep = LocalReplica.fromDataFrame(odd, "vec", "id", Metric.L2,
+      int4 = true)
+    val plain = rep.withoutCodes
+    def qv(seed: Long): Array[Float] = Array.tabulate(oddDim)(
+      i => (((seed * 131 + i * 7919) % 1000) / 500.0 - 1.0).toFloat)
+    for (s <- 0 until 5) {
+      assert(rep.search(qv(s), 10) == plain.search(qv(s), 10))
+      val fast = KernelMode.withFast(true)(rep.search(qv(s), 10))
+      assert(fast == KernelMode.withFast(true)(plain.search(qv(s), 10)))
+    }
+    // v6 save/load round-trip keeps the INT4 section and its answers
+    val dir = java.nio.file.Files.createTempDirectory("graft_replica_i4")
+    val path = s"$dir/replica.grlr"
+    rep.save(path)
+    val loaded = LocalReplica.load(path)
+    assert(loaded.int4Coded)
+    for (s <- 0 until 5)
+      assert(loaded.search(qv(s), 10) == rep.search(qv(s), 10))
+    // tombstoned rows never surface through the int4 admission pass
+    val victims = loaded.search(qv(1), 3).map(_.id).toArray
+    loaded.delete(victims)
+    val after = loaded.search(qv(1), 10)
+    assert(after.forall(c => !victims.contains(c.id)))
+    assert(after == plain.search(qv(1), 13).filter(
+      c => !victims.contains(c.id)).take(10))
+  }
+
   test("coded parallel-chunk scan and cosine batch agree with sequential") {
     val big = spark.range(0, 20000, 1, 4).select(
       col("id"),
