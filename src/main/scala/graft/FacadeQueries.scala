@@ -491,6 +491,23 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** Sharded serving set ([[graft.serve.ReplicaSet]]): the corpus
+    * exported as 4 hash-partitioned per-shard replicas, a query fanned
+    * out and the per-shard pools merged — the single-process twin of the
+    * 100 TB "replica per shard, route shard-side" deployment. The oracle
+    * is the SAME brute-force scan as the unsharded rows, so the
+    * hash-match proves partitioning+merge is invisible to results.
+    */
+  def localSharded(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_sharded")
+    val set = graft.serve.ReplicaSet.fromStore(db, shards = 4, nlist = 4)
+    require(set.numShards >= 2, "expected a multi-shard set")
+    val res = set.search(qvec(s, dir, 21), 10, nprobe = 4)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
   /** Hamming serving-tier freshness ([[graft.serve.LocalCodeReplica]]
     * mutations): tombstone-delete a family of ids on the exported code
     * replica, search — integer-exact against the brute-force oracle over
@@ -728,6 +745,7 @@ object FacadeQueries {
     "graftdb_local_knn" -> (localKnn _),
     "graftdb_local_knn_pq" -> (localKnnPq _),
     "graftdb_local_knn_int4" -> (localKnnInt4 _),
+    "graftdb_local_sharded" -> (localSharded _),
     "graftdb_local_hybrid" -> (localHybrid _),
     "graftdb_local_hybrid_filtered" -> (localHybridFiltered _),
     "graftdb_local_knn_rabitq" -> (localKnnRabitq _),
@@ -749,6 +767,13 @@ object FacadeQueries {
     "graftdb_knn_rabitq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn_rabitq" -> Queries.oracle("knn_l2"),
+    "graftdb_local_sharded" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 21),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_local_knn_int4" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
         |s AS (SELECT e.vec_id,

@@ -1467,6 +1467,19 @@ final class LocalReplica private (
       mutTomb(m0), mutDelta(m0))
   }
 
+  /** [[search]] with the internal chunk fan-out forced sequential — the
+    * [[ReplicaSet]] shard router parallelizes ACROSS shards and must not
+    * nest a second parallel level inside each (the [[batchSearch]]
+    * oversubscription discipline).
+    */
+  private[serve] def searchSeq(q0: Array[Float], k: Int,
+      nprobe: Int): Seq[Candidate] = {
+    val q = prepQuery(q0)
+    val m0 = mut
+    searchRanges(q, k, probeRanges(q, nprobe), inBatch = true,
+      mutTomb(m0), mutDelta(m0))
+  }
+
   /** Filtered top-k (vecgo `WithFilter` on the embedded path): `allowed`
     * is the id-set of filter survivors — in the intended deployment the
     * metadata predicate runs Spark-side (pushed down, stats-pruned) and

@@ -1,0 +1,226 @@
+package graft.serve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+
+import graft.GraftDB
+import graft.types.{Candidate, Metric}
+
+/** Shard router over per-shard [[LocalReplica]] artifacts — the code for
+  * the 100 TB serving story the single replica only documents: "export one
+  * replica per shard/tenant/partition and route queries shard-side". A
+  * query fans out to every shard (each shard's scan stays sequential —
+  * the cross-shard fan-out is the parallel level), and the per-shard
+  * top-k pools merge under the SAME (score, id) ordering every other
+  * surface uses, so a ReplicaSet over any partitioning of the rows
+  * answers IDENTICALLY to one replica holding them all (gated in
+  * `ReplicaSetSpec` and the `graftdb_local_sharded` oracle row).
+  *
+  * In production the shards of a 100 TB corpus live in many processes
+  * and the fan-out is an RPC scatter-gather; this class is the
+  * single-process twin that fixes the merge semantics (and serves the
+  * fits-on-one-box multi-tenant case directly). It deliberately has no
+  * opinion about WHERE a row lives: ids must be unique across shards
+  * (the exporters partition by id hash), but mutations preserve that
+  * invariant for ANY placement — deletes broadcast (tombstone flips are
+  * cheap), appends route by id hash, and upsert is broadcast-delete +
+  * routed-append, so a re-appended row never ends up live in two shards.
+  *
+  * Hybrid/BM25 is intentionally NOT fanned out here: BM25's document
+  * statistics (idf, avgdl) are per-shard, so per-shard scores are not
+  * comparable to a single global replica's — distributed lexical search
+  * needs a global-stats exchange, which is the engine-side
+  * (`GraftDB.hybridSearch`) job, not a replica merge.
+  */
+final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
+  require(shards.nonEmpty, "a ReplicaSet needs at least one shard")
+  val metric: Metric = shards.head.metric
+  val dim: Int = shards.head.dim
+  require(shards.forall(s => s.metric == metric && s.dim == dim),
+    "all shards must share one metric and dimension")
+
+  def numShards: Int = shards.length
+  /** Total exported rows across shards (mutations not reflected — same
+    * contract as [[LocalReplica.size]]).
+    */
+  def size: Int = shards.map(_.size).sum
+
+  @inline private def better(a: Candidate, b: Candidate): Boolean =
+    if (a.score != b.score) {
+      if (metric.ascending) a.score < b.score else a.score > b.score
+    } else a.id < b.id
+
+  private def mergeK(pools: Array[Seq[Candidate]], k: Int): Seq[Candidate] = {
+    val all = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    pools.foreach(all ++= _)
+    all.sortWith(better).take(k).toSeq
+  }
+
+  /** Top-k nearest across every shard. `nprobe` applies per shard (each
+    * shard probes its own IVF layout).
+    */
+  def search(q: Array[Float], k: Int, nprobe: Int = 0): Seq[Candidate] = {
+    if (shards.length == 1) return shards(0).search(q, k, nprobe)
+    val pools = new Array[Seq[Candidate]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach(i => pools(i) = shards(i).searchSeq(q, k, nprobe))
+    mergeK(pools, k)
+  }
+
+  /** Filtered top-k over the allowed id set (pre-filter semantics, exact
+    * over survivors — [[LocalReplica.searchFiltered]] per shard).
+    */
+  def searchFiltered(q: Array[Float], k: Int, allowed: Long => Boolean,
+      nprobe: Int = 0): Seq[Candidate] = {
+    val pools = new Array[Seq[Candidate]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach(i => pools(i) = shards(i).searchFiltered(q, k, allowed, nprobe))
+    mergeK(pools, k)
+  }
+
+  /** Typed-predicate top-k ([[LocalReplica.searchWhere]] per shard —
+    * shards must carry the referenced metadata columns).
+    */
+  def searchWhere(q: Array[Float], k: Int, filters: Seq[graft.types.Filter],
+      nprobe: Int = 0): Seq[Candidate] = {
+    val pools = new Array[Seq[Candidate]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach(i => pools(i) = shards(i).searchWhere(q, k, filters, nprobe))
+    mergeK(pools, k)
+  }
+
+  /** All rows at or better than `threshold` across shards, best-first,
+    * capped at `maxResults`.
+    */
+  def searchThreshold(q: Array[Float], threshold: Double,
+      maxResults: Int = Int.MaxValue, nprobe: Int = 0): Seq[Candidate] = {
+    val pools = new Array[Seq[Candidate]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach(i =>
+        pools(i) = shards(i).searchThreshold(q, threshold, maxResults, nprobe))
+    mergeK(pools, if (maxResults == Int.MaxValue) Int.MaxValue else maxResults)
+  }
+
+  /** Per-query top-k for a batch: each shard answers the whole batch
+    * under ONE mutation snapshot ([[LocalReplica.batchSearch]] — queries
+    * parallel, scans sequential), then the per-shard pools merge per
+    * query. Shards run sequentially here: the per-shard batch already
+    * saturates the cores.
+    */
+  def batchSearch(queries: Seq[(Long, Array[Float])], k: Int,
+      nprobe: Int = 0): Seq[(Long, Seq[Candidate])] = {
+    val perShard: IndexedSeq[Map[Long, Seq[Candidate]]] =
+      shards.map(_.batchSearch(queries, k, nprobe).toMap)
+    queries.map { case (qid, _) =>
+      qid -> mergeK(perShard.map(_(qid)).toArray, k)
+    }
+  }
+
+  /** Point lookup by id — checks every shard (ids are unique across
+    * shards, so at most one answers).
+    */
+  def get(id: Long): Option[Array[Float]] = {
+    var i = 0
+    while (i < shards.length) {
+      val v = shards(i).get(id)
+      if (v.isDefined) return v
+      i += 1
+    }
+    None
+  }
+
+  /** Tombstone-delete ids wherever they live (broadcast — a bitmap flip
+    * per shard is cheaper than tracking placement). Returns how many rows
+    * were newly tombstoned across shards.
+    */
+  def delete(delIds: Array[Long]): Int = shards.map(_.delete(delIds)).sum
+
+  /** Route an id to its append shard (splitmix64 finalizer — placement
+    * only has to be deterministic and balanced, not aligned with the
+    * export partitioner; search fans out regardless).
+    */
+  @inline private def shardOf(id: Long): Int = {
+    var h = id
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    (((h % shards.length) + shards.length) % shards.length).toInt
+  }
+
+  /** Append rows searchable immediately, routed by id hash. Fails (per
+    * shard, like [[LocalReplica.append]]) if an id is already live.
+    */
+  def append(newIds: Array[Long], vecs: Array[Array[Float]]): Unit = {
+    require(newIds.length == vecs.length,
+      s"ids (${newIds.length}) and vectors (${vecs.length}) must align")
+    val byShard = Array.fill(shards.length)(
+      new scala.collection.mutable.ArrayBuffer[Int]())
+    var i = 0
+    while (i < newIds.length) { byShard(shardOf(newIds(i))) += i; i += 1 }
+    var s = 0
+    while (s < shards.length) {
+      val idx = byShard(s)
+      if (idx.nonEmpty)
+        shards(s).append(idx.map(newIds).toArray, idx.map(vecs).toArray)
+      s += 1
+    }
+  }
+
+  /** Broadcast-delete + routed-append: replaces each row wherever its old
+    * version lives, so an id is never live in two shards. Not atomic
+    * ACROSS shards (each shard's snapshot publish is atomic — a
+    * concurrent reader may briefly see the row deleted); single-shard
+    * sets keep [[LocalReplica.upsert]]'s full atomicity.
+    */
+  def upsert(upIds: Array[Long], vecs: Array[Array[Float]]): Unit = {
+    if (shards.length == 1) { shards(0).upsert(upIds, vecs); return }
+    delete(upIds)
+    append(upIds, vecs)
+  }
+}
+
+object ReplicaSet {
+
+  def apply(shards: Seq[LocalReplica]): ReplicaSet =
+    new ReplicaSet(shards.toIndexedSeq)
+
+  /** Export one replica per shard from any (id, vector) DataFrame,
+    * partitioned by id hash (`pmod(xxhash64(id), shards)` — evaluated
+    * Spark-side, so each shard's collect is bounded by ~n/shards).
+    * Options pass through to [[LocalReplica.fromDataFrame]]; a PQ model
+    * (codebooks are partitioning-independent) is shared across shards.
+    */
+  def fromDataFrame(df: DataFrame, vecCol: String, idCol: String,
+      metric: Metric, shards: Int, nlist: Int = 0,
+      maxRows: Long = LocalReplica.DefaultMaxRows,
+      metaCols: Seq[String] = Nil,
+      pqModel: Option[graft.index.PQ.Model] = None,
+      int4: Boolean = false): ReplicaSet = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    // a hash cell can be empty on small corpora — skip it (placement is
+    // not load-bearing; search fans out over whatever shards exist)
+    val reps = (0 until shards).flatMap { s =>
+      val part =
+        df.where(pmod(xxhash64(col(idCol)), lit(shards)) === lit(s))
+      if (part.isEmpty) None
+      else Some(LocalReplica.fromDataFrame(part, vecCol, idCol, metric,
+        nlist, maxRows, metaCols, pqModel, textCol = None, int4 = int4))
+    }
+    require(reps.nonEmpty, "cannot build a ReplicaSet from an empty frame")
+    new ReplicaSet(reps)
+  }
+
+  /** Export a sharded serving set from an engine snapshot (the per-shard
+    * twin of [[LocalReplica.fromStore]]; one MVCC version pins every
+    * shard, so the set is a consistent frozen view).
+    */
+  def fromStore(db: GraftDB, shards: Int, nlist: Int = 0,
+      maxRows: Long = LocalReplica.DefaultMaxRows,
+      metaCols: Seq[String] = Nil,
+      pqModel: Option[graft.index.PQ.Model] = None,
+      int4: Boolean = false): ReplicaSet = {
+    val v = db.effectiveVersion
+    fromDataFrame(db.store.read(v), "vector", "id", db.metric, shards,
+      nlist, maxRows, metaCols, pqModel, int4)
+  }
+}

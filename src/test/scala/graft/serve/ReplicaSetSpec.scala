@@ -1,0 +1,133 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.KernelMode
+import graft.types.Metric
+
+/** The shard-router invariant: a [[ReplicaSet]] over ANY partitioning of
+  * the rows answers identically to one [[LocalReplica]] holding them all.
+  */
+class ReplicaSetSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dim = 32
+  private val n = 2000
+
+  private def corpus = {
+    spark.range(0, n, 1, 4).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vec"),
+      (col("id") % 10).cast("long").as("label"))
+  }
+
+  private def queryVec(seed: Long): Array[Float] =
+    Array.tabulate(dim)(
+      i => (((seed * 131 + i * 7919) % 1000) / 500.0 - 1.0).toFloat)
+
+  test("sharded search equals the single replica, all metrics, both kernels") {
+    for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.Dot)) {
+      val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", metric,
+        shards = 4, nlist = 4)
+      val one = LocalReplica.fromDataFrame(corpus, "vec", "id", metric)
+      assert(set.numShards == 4 && set.size == n)
+      for (s <- 0 until 8) {
+        val q = queryVec(s)
+        // full coverage per shard (nprobe >= nlist) → exact merge equality
+        assert(set.search(q, 15, nprobe = 4) == one.search(q, 15),
+          s"sharded/single divergence: metric=$metric seed=$s")
+        val fast = KernelMode.withFast(true)(set.search(q, 15, nprobe = 4))
+        assert(fast == KernelMode.withFast(true)(one.search(q, 15)),
+          s"sharded/single fast divergence: metric=$metric seed=$s")
+      }
+    }
+  }
+
+  test("sharded batch/filtered/where/threshold equal the single replica") {
+    val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      shards = 3, metaCols = Seq("label"))
+    val one = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      metaCols = Seq("label"))
+    val qs = (0L until 16L).map(s => s -> queryVec(s))
+    val batch = set.batchSearch(qs, 5).toMap
+    qs.foreach { case (qid, qv) =>
+      assert(batch(qid) == one.search(qv, 5), s"batch query $qid diverged")
+    }
+    val q = queryVec(3)
+    val allowed = (0L until n.toLong).filter(_ % 7 == 2).toSet
+    assert(set.searchFiltered(q, 10, allowed) ==
+      one.searchFiltered(q, 10, allowed))
+    import graft.types.Filter
+    val preds = Seq(Filter.Gte("label", 4L), Filter.Lte("label", 6L))
+    assert(set.searchWhere(q, 10, preds) == one.searchWhere(q, 10, preds))
+    val cut = one.search(q, 40).last.score
+    assert(set.searchThreshold(q, cut) == one.searchThreshold(q, cut))
+    assert(set.searchThreshold(q, cut, maxResults = 7) ==
+      one.searchThreshold(q, cut, maxResults = 7))
+  }
+
+  test("mutations route correctly: broadcast delete, hashed append, upsert") {
+    val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      shards = 4)
+    val one = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+    val q = queryVec(5)
+    // delete wherever the rows live; same count and answers as unsharded
+    val victims = one.search(q, 5).map(_.id).toArray
+    assert(set.delete(victims) == victims.length)
+    assert(one.delete(victims) == victims.length)
+    assert(set.search(q, 10) == one.search(q, 10))
+    // appended rows are findable and searchable regardless of which
+    // shard the hash routed them to
+    val rng = new java.util.Random(7)
+    val newIds = Array.tabulate(50)(i => (n + 1 + i).toLong)
+    val newVecs = Array.fill(50)(Array.fill(dim)(rng.nextFloat() * 2f - 1f))
+    set.append(newIds, newVecs)
+    one.append(newIds, newVecs)
+    assert(set.search(q, 20) == one.search(q, 20))
+    newIds.take(5).foreach { id =>
+      assert(set.get(id).isDefined, s"appended id $id not found")
+      assert(set.get(id).get.toSeq == one.get(id).get.toSeq)
+    }
+    // upsert moves a row: old placement tombstoned, exactly one live copy
+    val moved = newIds.take(3)
+    val movedVecs = Array.fill(3)(Array.fill(dim)(rng.nextFloat()))
+    set.upsert(moved, movedVecs)
+    one.upsert(moved, movedVecs)
+    moved.zip(movedVecs).foreach { case (id, v) =>
+      assert(set.get(id).get.toSeq == v.toSeq)
+    }
+    assert(set.search(q, 20) == one.search(q, 20))
+    // tombstoned ids resolve to None across every shard
+    assert(set.get(victims.head).isEmpty)
+  }
+
+  test("int4-coded shards keep the exactness invariant") {
+    val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      shards = 4, int4 = true)
+    assert(set.shards.forall(_.int4Coded))
+    val one = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+    for (s <- 0 until 5) {
+      val q = queryVec(s)
+      assert(set.search(q, 10) == one.search(q, 10))
+      val fast = KernelMode.withFast(true)(set.search(q, 10))
+      assert(fast == KernelMode.withFast(true)(one.search(q, 10)))
+    }
+  }
+
+  test("single-shard set is the plain replica; empty frame refused") {
+    val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      shards = 1)
+    val one = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+    val q = queryVec(9)
+    assert(set.numShards == 1 && set.search(q, 10) == one.search(q, 10))
+    val e = intercept[IllegalArgumentException] {
+      ReplicaSet.fromDataFrame(corpus.where(lit(false)), "vec", "id",
+        Metric.L2, shards = 2)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+}
