@@ -556,6 +556,26 @@ object FacadeQueries {
       .select(col("id"), round(col("s"), 6).as("score"))
   }
 
+  /** Cross-shard replica hybrid ([[graft.serve.ReplicaSet.hybridSearch]]):
+    * 4 hash-partitioned shards, global-stats exchange (df/N/avgdl summed
+    * exactly across shards) so every shard scores BM25 under corpus-level
+    * idf, vector + lexical pools merged and RRF-fused. Same oracle as the
+    * unsharded `graftdb_local_hybrid` — the hash-match proves the
+    * exchange reproduces global scoring, not a per-shard approximation.
+    */
+  def localShardedHybrid(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_sh_hybrid")
+    val set = graft.serve.ReplicaSet.fromStore(db, shards = 4, nlist = 4,
+      textCol = Some("text"))
+    require(set.numShards >= 2 && set.lexical,
+      "expected a multi-shard lexical set")
+    val res = set.hybridSearch(qvec(s, dir, 5), "spark vector merge", 10,
+      nprobe = 4)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("id", "s")
+      .select(col("id"), round(col("s"), 6).as("score"))
+  }
+
   /** FILTERED replica-side hybrid (vecgo embedded `HybridSearch` +
     * `WithFilter`): typed predicates compiled against the exported
     * metadata columns restrict both pools in-process — same oracle as
@@ -746,6 +766,7 @@ object FacadeQueries {
     "graftdb_local_knn_pq" -> (localKnnPq _),
     "graftdb_local_knn_int4" -> (localKnnInt4 _),
     "graftdb_local_sharded" -> (localSharded _),
+    "graftdb_local_sharded_hybrid" -> (localShardedHybrid _),
     "graftdb_local_hybrid" -> (localHybrid _),
     "graftdb_local_hybrid_filtered" -> (localHybridFiltered _),
     "graftdb_local_knn_rabitq" -> (localKnnRabitq _),
@@ -845,6 +866,9 @@ object FacadeQueries {
       "FROM documents)",
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
     "graftdb_local_hybrid" -> Queries.oracle("hybrid_rrf").replace(
+      "FROM documents)",
+      "FROM documents JOIN embeddings ON vec_id = doc_id)"),
+    "graftdb_local_sharded_hybrid" -> Queries.oracle("hybrid_rrf").replace(
       "FROM documents)",
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
 

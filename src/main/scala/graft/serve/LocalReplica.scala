@@ -1480,6 +1480,42 @@ final class LocalReplica private (
       mutTomb(m0), mutDelta(m0))
   }
 
+  // --- [[ReplicaSet]] cross-shard hooks: pin ONE mutation snapshot per
+  // shard across a hybrid query's repeated fetches (the per-shard analog
+  // of hybridSearch's single-snapshot discipline) ---
+
+  private[serve] def snapshotMut: LocalReplica.Mut = mut
+
+  private[serve] def searchSnap(q0: Array[Float], k: Int, nprobe: Int,
+      m0: LocalReplica.Mut): Seq[Candidate] = {
+    val q = prepQuery(q0)
+    searchRanges(q, k, probeRanges(q, nprobe), inBatch = true,
+      mutTomb(m0), mutDelta(m0))
+  }
+
+  private[serve] def lexicalPoolSnap(textQuery: String, m: Int,
+      m0: LocalReplica.Mut,
+      global: LocalReplica.GlobalLex): Seq[(Long, Double)] =
+    lexicalPool(textQuery, m, mutTomb(m0), null, global)
+
+  private[serve] def totalRowsSnap(m0: LocalReplica.Mut): Int = {
+    val d = mutDelta(m0)
+    size + (if (d == null) 0 else d.size)
+  }
+
+  private[serve] def lexData: LocalReplica.LexData = lex
+
+  /** This shard's document frequency for one term (0 when absent or no
+    * lexical section) — the [[ReplicaSet]] global-idf sum input.
+    */
+  private[serve] def termDf(term: String): Int = {
+    val l = lex
+    if (l == null) return 0
+    val ti = java.util.Arrays.binarySearch(
+      l.terms.asInstanceOf[Array[AnyRef]], term)
+    if (ti < 0) 0 else l.postStart(ti + 1) - l.postStart(ti)
+  }
+
   /** Filtered top-k (vecgo `WithFilter` on the embedded path): `allowed`
     * is the id-set of filter survivors — in the intended deployment the
     * metadata predicate runs Spark-side (pushed down, stats-pruned) and
@@ -1672,7 +1708,7 @@ final class LocalReplica private (
     * the DuckDB oracle) sorts pools by, so replica ranks reproduce the
     * distributed ranks bit-for-bit.
     */
-  @inline private def round6(x: Double): Double = {
+  @inline private[serve] def round6(x: Double): Double = {
     // fast path: scale + floor, valid when x·1e6 sits clearly away from a
     // .5 rounding boundary — sound only while the double multiply's error
     // stays far inside the 1e-4 guard band: ulp(4.5e10) ≈ 1e-5, an order
@@ -1694,7 +1730,7 @@ final class LocalReplica private (
   /** The score a pool RANKS by (the engine's hybrid pool reports L2 as
     * euclidean distance, not the internal squared score).
     */
-  @inline private def displayScore(s: Double): Double =
+  @inline private[serve] def displayScore(s: Double): Double =
     if (metric == Metric.L2) math.sqrt(s) else s
 
   /** BM25 scores of every live doc containing ≥1 query term, best-first
@@ -1710,17 +1746,23 @@ final class LocalReplica private (
     * re-export for full parity after heavy churn).
     */
   private def lexicalPool(textQuery: String, m: Int,
-      tomb: Array[Long], pred: Int => Boolean = null): Seq[(Long, Double)] = {
+      tomb: Array[Long], pred: Int => Boolean = null,
+      global: LocalReplica.GlobalLex = null): Seq[(Long, Double)] = {
     val l = lex
     require(l != null,
       "replica carries no lexical section — export with textCol to serve " +
         "BM25/hybrid in-process")
     // resolve query terms to posting ranges (DAAT setup); scores come
     // from the precomputed per-posting impact array — no arithmetic
-    // beyond additions on the walk
+    // beyond additions on the walk. With `global` set (the [[ReplicaSet]]
+    // cross-shard path) the per-posting score is instead computed on the
+    // fly from tf/doclen with the CALLER's idf/avgdl — the exact
+    // expression `LexData.impact` uses, so a shard scoring under global
+    // stats is bit-identical to a single global replica's impact
     val termsIn = graft.lexical.BM25.tokenizeQuery(textQuery)
     val tLo = new Array[Int](termsIn.length)
     val tHi = new Array[Int](termsIn.length)
+    val tIdf = new Array[Double](termsIn.length)
     var nt = 0
     termsIn.foreach { t =>
       val ti = java.util.Arrays.binarySearch(
@@ -1728,11 +1770,22 @@ final class LocalReplica private (
       if (ti >= 0) {
         tLo(nt) = l.postStart(ti)
         tHi(nt) = l.postStart(ti + 1)
+        if (global != null) tIdf(nt) = global.idf(t)
         nt += 1
       }
     }
     if (nt == 0) return Nil
-    val imp = l.impact
+    val imp = if (global == null) l.impact else null
+    val gAvg = if (global == null) 0.0 else global.avgdl
+    @inline def sc(t: Int, i: Int): Double =
+      if (imp != null) imp(i)
+      else {
+        import graft.lexical.BM25.{K1, B}
+        val tf = l.postTf(i).toDouble
+        val lenNorm =
+          K1 * ((1.0 - B) + B * l.docLen(l.postRow(i)).toDouble / gAvg)
+        tIdf(t) * (tf * (K1 + 1.0)) / (tf + lenNorm)
+      }
     // Document-at-a-time merge over the row-sorted posting lists (the
     // reference's DAAT shape, `bm25.go:282-381`): each step advances the
     // cursor(s) at the minimum row, so one doc's full score materializes
@@ -1805,7 +1858,7 @@ final class LocalReplica private (
       val hi = tHi(0)
       while (i < hi) {
         val row = l.postRow(i)
-        if (live(tomb, row)) offer(row, imp(i))
+        if (live(tomb, row)) offer(row, sc(0, i))
         i += 1
       }
     } else if (nt == 2) {
@@ -1815,24 +1868,24 @@ final class LocalReplica private (
       while (a < ah && b < bh) {
         val ra = l.postRow(a); val rb = l.postRow(b)
         if (ra == rb) {
-          if (live(tomb, ra)) offer(ra, imp(a) + imp(b))
+          if (live(tomb, ra)) offer(ra, sc(0, a) + sc(1, b))
           a += 1; b += 1
         } else if (ra < rb) {
-          if (live(tomb, ra)) offer(ra, imp(a))
+          if (live(tomb, ra)) offer(ra, sc(0, a))
           a += 1
         } else {
-          if (live(tomb, rb)) offer(rb, imp(b))
+          if (live(tomb, rb)) offer(rb, sc(1, b))
           b += 1
         }
       }
       while (a < ah) {
         val ra = l.postRow(a)
-        if (live(tomb, ra)) offer(ra, imp(a))
+        if (live(tomb, ra)) offer(ra, sc(0, a))
         a += 1
       }
       while (b < bh) {
         val rb = l.postRow(b)
-        if (live(tomb, rb)) offer(rb, imp(b))
+        if (live(tomb, rb)) offer(rb, sc(1, b))
         b += 1
       }
     } else {
@@ -1855,7 +1908,7 @@ final class LocalReplica private (
         active = 0
         while (t < nt) {
           if (cur(t) < tHi(t) && l.postRow(cur(t)) == minRow) {
-            s += imp(cur(t))
+            s += sc(t, cur(t))
             cur(t) += 1
           }
           if (cur(t) < tHi(t)) active += 1
@@ -1898,7 +1951,7 @@ final class LocalReplica private (
   /** Cut a raw best-first candidate list to the ROUNDED-rank top-m —
     * the engine's pool ordering (round-6 key, id tie-break).
     */
-  private def roundedCut(raw: Seq[Candidate], m: Int): Seq[(Long, Double)] =
+  private[serve] def roundedCut(raw: Seq[Candidate], m: Int): Seq[(Long, Double)] =
     raw.map(c => (c.id, displayScore(c.score), round6(displayScore(c.score))))
       .sortWith { (a, b) =>
         if (a._3 != b._3) { if (metric.ascending) a._3 < b._3 else a._3 > b._3 }
@@ -1908,7 +1961,7 @@ final class LocalReplica private (
   /** RRF-fuse two rank pools (shared by the plain and filtered hybrids —
     * ONE copy of the rank/fuse math, so the two paths cannot fork).
     */
-  private def rrfFuse(vPool: Seq[(Long, Double)],
+  private[serve] def rrfFuse(vPool: Seq[(Long, Double)],
       lPool: Seq[(Long, Double)], k: Int, rrfK: Int): Seq[Candidate] = {
     val fused = new java.util.HashMap[java.lang.Long, java.lang.Double]()
     def addRanks(pool: Seq[(Long, Double)]): Unit = {
@@ -2461,6 +2514,14 @@ object LocalReplica {
       out
     }
   }
+
+  /** Corpus-level lexical statistics for cross-shard BM25 scoring
+    * ([[ReplicaSet]]): per-query-term idf and the global average doc
+    * length, recovered exactly from per-shard integer sums so a shard
+    * scoring under them is bit-identical to a single global replica.
+    */
+  private[serve] final class GlobalLex(val idf: String => Double,
+      val avgdl: Double)
 
   /** RaBitQ sign-bit codes (format v5): `nwords` longs per row, 32
     * rotated-dimension signs per word (matching `index.RaBitQ`'s packing),

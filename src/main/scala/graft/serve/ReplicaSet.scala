@@ -26,11 +26,13 @@ import graft.types.{Candidate, Metric}
   * cheap), appends route by id hash, and upsert is broadcast-delete +
   * routed-append, so a re-appended row never ends up live in two shards.
   *
-  * Hybrid/BM25 is intentionally NOT fanned out here: BM25's document
-  * statistics (idf, avgdl) are per-shard, so per-shard scores are not
-  * comparable to a single global replica's — distributed lexical search
-  * needs a global-stats exchange, which is the engine-side
-  * (`GraftDB.hybridSearch`) job, not a replica merge.
+  * Lexical/hybrid fan-out does a GLOBAL-STATS EXCHANGE first (the
+  * distributed-IR move naive scatter-gather skips): document counts,
+  * total token length, and per-query-term df sum exactly across shards,
+  * so every shard scores BM25 under the corpus-level idf/avgdl and the
+  * merged pools are bit-identical to a single global replica's — not
+  * merely rank-comparable. Filtered hybrid stays engine-side
+  * (`GraftDB.hybridSearch` + pushdown).
   */
 final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
   require(shards.nonEmpty, "a ReplicaSet needs at least one shard")
@@ -177,6 +179,130 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     delete(upIds)
     append(upIds, vecs)
   }
+
+  // ------------------------------------------ cross-shard lexical / hybrid
+
+  /** Whether every shard carries a lexical postings section. */
+  def lexical: Boolean = shards.forall(_.lexical)
+
+  /** Global (numDocs, avgdl) recovered EXACTLY from the shards: doc
+    * counts and total token length are integer sums over the per-shard
+    * frozen stats (`docLen` is stored per row), so the derived doubles
+    * are bit-identical to what a single global export would compute —
+    * the reason sharded BM25 can match an unsharded replica exactly
+    * rather than approximately (naive distributed IR scores with
+    * per-shard idf and merges incomparable pools).
+    */
+  private lazy val globalLexStats: (Long, Double) = {
+    require(lexical,
+      "a shard carries no lexical section — export with textCol to serve " +
+        "sharded BM25/hybrid")
+    var nd = 0L
+    var total = 0L
+    shards.foreach { s =>
+      val l = s.lexData
+      nd += l.numDocs
+      var i = 0
+      while (i < l.docLen.length) { total += l.docLen(i); i += 1 }
+    }
+    (nd, if (nd == 0) 0.0 else total.toDouble / nd)
+  }
+
+  /** Per-query global idf: df sums across shards (a term's postings are
+    * per-doc, and a doc lives in exactly one shard).
+    */
+  private def globalFor(terms: Seq[String]): LocalReplica.GlobalLex = {
+    val (nd, avgdl) = globalLexStats
+    val idf = new java.util.HashMap[String, java.lang.Double]()
+    terms.distinct.foreach { t =>
+      var df = 0.0
+      shards.foreach(s => df += s.termDf(t))
+      if (df > 0)
+        idf.put(t, math.log(1.0 + (nd - df + 0.5) / (df + 0.5)))
+    }
+    new LocalReplica.GlobalLex(
+      t => { val v = idf.get(t); if (v == null) 0.0 else v.doubleValue },
+      avgdl)
+  }
+
+  /** Merge per-shard lexical pools under the engine's rank order
+    * (rounded score desc, id asc) — each pool is its shard's top-m under
+    * GLOBAL stats, so the merged top-m is the corpus top-m.
+    */
+  private def mergeLex(pools: Seq[Seq[(Long, Double)]],
+      m: Int): Seq[(Long, Double)] = {
+    val r6 = shards.head
+    pools.flatten.map(t => (t._1, t._2, r6.round6(t._2)))
+      .sortWith((a, b) => if (a._3 != b._3) a._3 > b._3 else a._1 < b._1)
+      .take(m).map(t => (t._1, t._2))
+  }
+
+  /** Cross-shard BM25 top-k — identical scores and order to a single
+    * replica over the whole corpus (global-stats exchange, not a naive
+    * per-shard-idf merge).
+    */
+  def lexicalSearch(textQuery: String, k: Int): Seq[Candidate] = {
+    if (shards.length == 1) return shards(0).lexicalSearch(textQuery, k)
+    val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
+    val pools = new Array[Seq[(Long, Double)]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach { i =>
+        pools(i) = shards(i).lexicalPoolSnap(textQuery, k,
+          shards(i).snapshotMut, g)
+      }
+    mergeLex(pools.toIndexedSeq, k).map { case (id, s) => Candidate(id, s) }
+  }
+
+  /** Cross-shard hybrid RRF: the vector pool is the exact global
+    * rounded-rank top-m (per-shard fetches merged, boundary ties
+    * deepened iteratively like [[LocalReplica.hybridSearch]]), the
+    * lexical pool is the global-stats BM25 top-m, and the fuse is the
+    * shared RRF math — answers match a single replica over the whole
+    * corpus when each shard's probe covers its lists (`nprobe` applies
+    * per shard). One mutation snapshot is pinned per shard for both
+    * pools and every deepened fetch.
+    */
+  def hybridSearch(q: Array[Float], textQuery: String, k: Int,
+      rrfK: Int = 60, nprobe: Int = 0): Seq[Candidate] = {
+    if (shards.length == 1)
+      return shards(0).hybridSearch(q, textQuery, k, rrfK, nprobe)
+    val head = shards.head
+    val m = math.max(2 * k, 50)
+    val snaps = shards.map(_.snapshotMut)
+    val totals = shards.indices.map(i => shards(i).totalRowsSnap(snaps(i)))
+    val total = totals.sum
+    var depth = math.min(m + 1, total)
+    def fetch(d: Int): Seq[Candidate] = {
+      val pools = new Array[Seq[Candidate]](shards.length)
+      java.util.stream.IntStream.range(0, shards.length).parallel()
+        .forEach { i =>
+          pools(i) =
+            shards(i).searchSnap(q, math.min(d, totals(i)), nprobe, snaps(i))
+        }
+      // exact global top-d: every shard contributed min(d, its rows)
+      mergeK(pools, d)
+    }
+    var vRaw = fetch(depth)
+    @inline def r6(c: Candidate): Double =
+      head.round6(head.displayScore(c.score))
+    def tieUnresolved: Boolean =
+      vRaw.length > m && vRaw.length == depth && depth < total && {
+        val c = r6(vRaw(m - 1))
+        r6(vRaw(m)) == c && r6(vRaw.last) == c
+      }
+    while (tieUnresolved) {
+      depth = math.min(total, depth * 4)
+      vRaw = fetch(depth)
+    }
+    val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
+    val lPools = new Array[Seq[(Long, Double)]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach { i =>
+        lPools(i) = shards(i).lexicalPoolSnap(textQuery, m, snaps(i), g)
+      }
+    head.rrfFuse(head.roundedCut(vRaw, m),
+      mergeLex(lPools.toIndexedSeq, m), k, rrfK)
+  }
 }
 
 object ReplicaSet {
@@ -195,6 +321,7 @@ object ReplicaSet {
       maxRows: Long = LocalReplica.DefaultMaxRows,
       metaCols: Seq[String] = Nil,
       pqModel: Option[graft.index.PQ.Model] = None,
+      textCol: Option[String] = None,
       int4: Boolean = false): ReplicaSet = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     // a hash cell can be empty on small corpora — skip it (placement is
@@ -204,7 +331,7 @@ object ReplicaSet {
         df.where(pmod(xxhash64(col(idCol)), lit(shards)) === lit(s))
       if (part.isEmpty) None
       else Some(LocalReplica.fromDataFrame(part, vecCol, idCol, metric,
-        nlist, maxRows, metaCols, pqModel, textCol = None, int4 = int4))
+        nlist, maxRows, metaCols, pqModel, textCol, int4 = int4))
     }
     require(reps.nonEmpty, "cannot build a ReplicaSet from an empty frame")
     new ReplicaSet(reps)
@@ -218,9 +345,10 @@ object ReplicaSet {
       maxRows: Long = LocalReplica.DefaultMaxRows,
       metaCols: Seq[String] = Nil,
       pqModel: Option[graft.index.PQ.Model] = None,
+      textCol: Option[String] = None,
       int4: Boolean = false): ReplicaSet = {
     val v = db.effectiveVersion
     fromDataFrame(db.store.read(v), "vector", "id", db.metric, shards,
-      nlist, maxRows, metaCols, pqModel, int4)
+      nlist, maxRows, metaCols, pqModel, textCol, int4)
   }
 }

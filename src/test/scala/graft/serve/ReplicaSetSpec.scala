@@ -118,6 +118,42 @@ class ReplicaSetSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded BM25/hybrid under global stats equal the single replica") {
+    val words = Seq("spark", "vector", "merge", "shard", "index", "scan",
+      "fuse", "rank")
+    val withText = corpus.select(col("id"), col("vec"),
+      concat_ws(" ",
+        element_at(typedLit(words), (pmod(xxhash64(col("id") * 7), lit(8)) + 1).cast("int")),
+        element_at(typedLit(words), (pmod(xxhash64(col("id") * 13), lit(8)) + 1).cast("int")),
+        element_at(typedLit(words), (pmod(xxhash64(col("id") * 29), lit(8)) + 1).cast("int"))).as("text"))
+    val set = ReplicaSet.fromDataFrame(withText, "vec", "id", Metric.L2,
+      shards = 4, nlist = 4, textCol = Some("text"))
+    val one = LocalReplica.fromDataFrame(withText, "vec", "id", Metric.L2,
+      textCol = Some("text"))
+    assert(set.lexical)
+    // 1/2/3-term queries hit every DAAT branch; global idf/avgdl must
+    // reproduce the single replica's frozen-impact scores bit-for-bit
+    for (tq <- Seq("spark", "spark vector", "spark vector merge",
+        "shard rank absentterm")) {
+      assert(set.lexicalSearch(tq, 12) == one.lexicalSearch(tq, 12),
+        s"sharded/single BM25 divergence on '$tq'")
+    }
+    for (s <- 0 until 5; tq <- Seq("spark vector", "merge rank scan")) {
+      val q = queryVec(s)
+      assert(set.hybridSearch(q, tq, 10, nprobe = 4) ==
+        one.hybridSearch(q, tq, 10),
+        s"sharded/single hybrid divergence: seed=$s query='$tq'")
+      val fast = KernelMode.withFast(true)(
+        set.hybridSearch(q, tq, 10, nprobe = 4))
+      assert(fast == KernelMode.withFast(true)(one.hybridSearch(q, tq, 10)),
+        s"sharded/single fast hybrid divergence: seed=$s query='$tq'")
+    }
+    // absent-everywhere query: empty lexical pool, still fuses
+    assert(set.lexicalSearch("absentterm", 5).isEmpty)
+    assert(set.hybridSearch(queryVec(1), "absentterm", 5, nprobe = 4) ==
+      one.hybridSearch(queryVec(1), "absentterm", 5))
+  }
+
   test("single-shard set is the plain replica; empty frame refused") {
     val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
       shards = 1)
