@@ -152,6 +152,12 @@ object Bench {
       stored.where(col("id") < 10000), "vec", "id", Metric.L2, nlist = 64)
     require(replica10k.size == 10000,
       s"10k headline fixture has ${replica10k.size} rows — need synth n >= 10000")
+    // router-overhead twin: the SAME 10k rows as 4 hash shards behind the
+    // ReplicaSet fan-out — the delta vs local_knn10k_latency_us is the
+    // scatter-gather cost of the sharded deployment shape
+    val sharded10k = graft.serve.ReplicaSet.fromDataFrame(
+      stored.where(col("id") < 10000), "vec", "id", Metric.L2,
+      shards = 4, nlist = 16)
     // hybrid serving fixture MATCHED to the reference's hybrid benchmark
     // (benchmark_test/hybrid_bench_test.go: 10k docs, each text = 2 words
     // drawn from an 8-word vocab, query "apple banana", k=10, rrfK=60 —
@@ -360,6 +366,15 @@ object Bench {
           i += 1
         }
       }),
+      // same 10k rows behind the 4-shard router at the same scan fraction
+      // (nprobe 2/16 per shard vs 8/64 single) — isolates fan-out overhead
+      "synth_local_sharded10k_x2000" -> (() => {
+        var i = 0
+        while (i < 2000) {
+          sharded10k.search(queries(i % queries.length)._2, 10, nprobe = 2)
+          i += 1
+        }
+      }),
       // in-process hybrid (vector pool + BM25 pool + RRF fuse) at the
       // reference's 10k hybrid headline shape (216 us, BASELINE.md)
       "synth_local_hybrid_x500" -> (() => {
@@ -395,7 +410,7 @@ object Bench {
       "synth_local_knn_x1000", "synth_local_brute_x100",
       "synth_local_batch_x1000", "synth_local_knn768_sq8_x200",
       "synth_local_knn768_pq_x200", "synth_local_knn768_int4_x200",
-      "synth_local_knn10k_x2000",
+      "synth_local_knn10k_x2000", "synth_local_sharded10k_x2000",
       "synth_local_hybrid_x500",
       "synth_replica_delete_all", "synth_replica_append_10k")
 
@@ -468,6 +483,8 @@ object Bench {
       results("synth_local_knn768_pq_x200") / 200.0 * 1e6
     derived("local_knn768_int4_latency_us") =
       results("synth_local_knn768_int4_x200") / 200.0 * 1e6
+    derived("local_sharded10k_latency_us") =
+      results("synth_local_sharded10k_x2000") / 2000.0 * 1e6
     derived("local_knn10k_latency_us") =
       results("synth_local_knn10k_x2000") / 2000.0 * 1e6
     derived("local_hybrid_latency_us") =
