@@ -143,18 +143,9 @@ object SimdKernels {
   // segment scan (`internal/segment/diskann/writer.go:73-95` codes the
   // same 4-bit cells), laid out for Panama instead of hand-written asm.
 
-  @inline private def loNibblesAsInts(codes: Array[Byte],
-      off: Int): jdk.incubator.vector.IntVector =
-    jdk.incubator.vector.ByteVector.fromArray(BSP, codes, off)
-      .convertShape(VectorOperators.B2I, ISP, 0)
-      .asInstanceOf[jdk.incubator.vector.IntVector].and(0x0F)
-
-  @inline private def hiNibblesAsInts(codes: Array[Byte],
-      off: Int): jdk.incubator.vector.IntVector =
-    jdk.incubator.vector.ByteVector.fromArray(BSP, codes, off)
-      .convertShape(VectorOperators.B2I, ISP, 0)
-      .asInstanceOf[jdk.incubator.vector.IntVector].and(0xFF)
-      .lanewise(VectorOperators.LSHR, 4)
+  // each kernel loads the byte vector ONCE and derives both nibble planes
+  // from it (two masks + two converts) — separate lo/hi helpers would pay
+  // the byte load twice
 
   /** Approximate squared L2 against one INT4-packed row starting at byte
     * `base`: decoded difference is `p1 + c·step` with

@@ -1505,6 +1505,21 @@ final class LocalReplica private (
 
   private[serve] def lexData: LocalReplica.LexData = lex
 
+  /** Whether `id` is currently live in this shard (main row not
+    * tombstoned, or present in the delta) — the [[ReplicaSet]]
+    * cross-shard append pre-validation probe. No vector copy.
+    */
+  private[serve] def hasLive(id: Long): Boolean = {
+    val m0 = mut
+    val d = mutDelta(m0)
+    if (d != null) {
+      var i = 0
+      while (i < d.size) { if (d.ids(i) == id) return true; i += 1 }
+    }
+    val r = idToRow.get(id)
+    r >= 0 && live(mutTomb(m0), r)
+  }
+
   /** This shard's document frequency for one term (0 when absent or no
     * lexical section) — the [[ReplicaSet]] global-idf sum input.
     */

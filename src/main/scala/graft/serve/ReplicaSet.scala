@@ -111,10 +111,14 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     */
   def batchSearch(queries: Seq[(Long, Array[Float])], k: Int,
       nprobe: Int = 0): Seq[(Long, Seq[Candidate])] = {
-    val perShard: IndexedSeq[Map[Long, Seq[Candidate]]] =
-      shards.map(_.batchSearch(queries, k, nprobe).toMap)
-    queries.map { case (qid, _) =>
-      qid -> mergeK(perShard.map(_(qid)).toArray, k)
+    // positional merge, not a qid-keyed map: query ids may repeat with
+    // different vectors, and each position must get ITS vector's answer
+    // (the single replica's batchSearch is positional too)
+    val perShard: IndexedSeq[IndexedSeq[(Long, Seq[Candidate])]] =
+      shards.map(_.batchSearch(queries, k, nprobe).toIndexedSeq)
+    val qs = queries.toIndexedSeq
+    qs.indices.map { i =>
+      qs(i)._1 -> mergeK(Array.tabulate(shards.length)(s => perShard(s)(i)._2), k)
     }
   }
 
@@ -135,7 +139,11 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     * per shard is cheaper than tracking placement). Returns how many rows
     * were newly tombstoned across shards.
     */
-  def delete(delIds: Array[Long]): Int = shards.map(_.delete(delIds)).sum
+  def delete(delIds: Array[Long]): Int = this.synchronized {
+    // set-level mutators serialize on the set (reentrant from upsert), so
+    // a delete cannot interleave with append's validate→apply window
+    shards.map(_.delete(delIds)).sum
+  }
 
   /** Route an id to its append shard (splitmix64 finalizer — placement
     * only has to be deterministic and balanced, not aligned with the
@@ -149,12 +157,59 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     (((h % shards.length) + shards.length) % shards.length).toInt
   }
 
-  /** Append rows searchable immediately, routed by id hash. Fails (per
-    * shard, like [[LocalReplica.append]]) if an id is already live.
+  /** The whole-batch validation every set-level mutation runs BEFORE any
+    * shard mutates: id/vector alignment, within-batch duplicates, and the
+    * per-vector checks [[LocalReplica.append]] would apply (dim, NaN/Inf,
+    * cosine norm). With it, a batch that would fail mid-way is rejected
+    * up front instead of leaving earlier shards' appends applied — the
+    * set-level twin of the single replica's all-or-nothing snapshot
+    * publish (modulo mutators bypassing the set to touch shards
+    * directly, which this class does not arbitrate).
     */
-  def append(newIds: Array[Long], vecs: Array[Array[Float]]): Unit = {
+  private def validateBatch(newIds: Array[Long],
+      vecs: Array[Array[Float]], requireAbsent: Boolean): Unit = {
     require(newIds.length == vecs.length,
       s"ids (${newIds.length}) and vectors (${vecs.length}) must align")
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < newIds.length) {
+      val id = newIds(i)
+      require(seen.add(id), s"duplicate id $id in batch")
+      if (requireAbsent)
+        require(!shards.exists(_.hasLive(id)),
+          s"id $id is already live in the set (delete/upsert first)")
+      val v = vecs(i)
+      require(v != null && v.length == dim,
+        s"vector for id $id has dim ${if (v == null) -1 else v.length}, " +
+          s"expected $dim")
+      var norm = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = v(j)
+        require(!x.isNaN && !x.isInfinite, s"vector for id $id has NaN/Inf")
+        norm += x.toDouble * x
+        j += 1
+      }
+      require(metric != Metric.Cosine || norm > 0.0,
+        s"zero-norm vector for id $id under cosine")
+      i += 1
+    }
+  }
+
+  /** Append rows searchable immediately, routed by id hash. The batch is
+    * validated against EVERY shard first (the routing hash is independent
+    * of export placement, so without the membership check an id already
+    * live in another shard would silently go live twice); only a fully
+    * valid batch mutates any shard.
+    */
+  def append(newIds: Array[Long], vecs: Array[Array[Float]]): Unit =
+    this.synchronized {
+      validateBatch(newIds, vecs, requireAbsent = true)
+      appendRouted(newIds, vecs)
+    }
+
+  private def appendRouted(newIds: Array[Long],
+      vecs: Array[Array[Float]]): Unit = {
     val byShard = Array.fill(shards.length)(
       new scala.collection.mutable.ArrayBuffer[Int]())
     var i = 0
@@ -169,16 +224,20 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
   }
 
   /** Broadcast-delete + routed-append: replaces each row wherever its old
-    * version lives, so an id is never live in two shards. Not atomic
-    * ACROSS shards (each shard's snapshot publish is atomic — a
-    * concurrent reader may briefly see the row deleted); single-shard
-    * sets keep [[LocalReplica.upsert]]'s full atomicity.
+    * version lives, so an id is never live in two shards. The batch is
+    * fully validated BEFORE the delete, so the delete+append pair cannot
+    * fail half-way on bad input. Not atomic ACROSS shards (each shard's
+    * snapshot publish is atomic — a concurrent reader may briefly see a
+    * row deleted); single-shard sets keep [[LocalReplica.upsert]]'s full
+    * atomicity.
     */
-  def upsert(upIds: Array[Long], vecs: Array[Array[Float]]): Unit = {
-    if (shards.length == 1) { shards(0).upsert(upIds, vecs); return }
-    delete(upIds)
-    append(upIds, vecs)
-  }
+  def upsert(upIds: Array[Long], vecs: Array[Array[Float]]): Unit =
+    this.synchronized {
+      if (shards.length == 1) { shards(0).upsert(upIds, vecs); return }
+      validateBatch(upIds, vecs, requireAbsent = false)
+      delete(upIds)
+      appendRouted(upIds, vecs)
+    }
 
   // ------------------------------------------ cross-shard lexical / hybrid
 
@@ -324,17 +383,24 @@ object ReplicaSet {
       textCol: Option[String] = None,
       int4: Boolean = false): ReplicaSet = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    // a hash cell can be empty on small corpora — skip it (placement is
-    // not load-bearing; search fans out over whatever shards exist)
-    val reps = (0 until shards).flatMap { s =>
-      val part =
-        df.where(pmod(xxhash64(col(idCol)), lit(shards)) === lit(s))
-      if (part.isEmpty) None
-      else Some(LocalReplica.fromDataFrame(part, vecCol, idCol, metric,
-        nlist, maxRows, metaCols, pqModel, textCol, int4 = int4))
-    }
-    require(reps.nonEmpty, "cannot build a ReplicaSet from an empty frame")
-    new ReplicaSet(reps)
+    // one pass decides which hash cells are populated (a cell can be
+    // empty on small corpora — skipped, placement is not load-bearing),
+    // and the input is cached across the per-cell export collects so a
+    // shards-N export does not rescan the source N times
+    val cell = pmod(xxhash64(col(idCol)), lit(shards))
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val present = cached.groupBy(cell.as("cell")).count()
+        .collect().map(_.getLong(0)).sorted
+      require(present.nonEmpty, "cannot build a ReplicaSet from an empty frame")
+      val reps = present.toIndexedSeq.map { s =>
+        LocalReplica.fromDataFrame(cached.where(cell === lit(s)),
+          vecCol, idCol, metric, nlist, maxRows, metaCols, pqModel,
+          textCol, int4 = int4)
+      }
+      new ReplicaSet(reps)
+    } finally { cached.unpersist(); () }
   }
 
   /** Export a sharded serving set from an engine snapshot (the per-shard

@@ -118,6 +118,32 @@ class ReplicaSetSpec extends AnyFunSuite {
     }
   }
 
+  test("append rejects cross-shard duplicates and bad batches before any shard mutates") {
+    val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      shards = 4)
+    val q = queryVec(2)
+    val before = set.search(q, 15)
+    // id 5 is live in whatever shard the EXPORT placed it; the append
+    // routing hash is independent, so without the membership check this
+    // would silently go live twice
+    val e1 = intercept[IllegalArgumentException] {
+      set.append(Array(5L), Array(Array.fill(dim)(0.1f)))
+    }
+    assert(e1.getMessage.contains("already live"))
+    // a bad vector ANYWHERE in the batch leaves the whole set untouched
+    val ids = Array((n + 1).toLong, (n + 2).toLong, (n + 3).toLong)
+    val vecs = Array(Array.fill(dim)(0.2f), Array.fill(dim)(Float.NaN),
+      Array.fill(dim)(0.3f))
+    intercept[IllegalArgumentException](set.append(ids, vecs))
+    assert(set.search(q, 15) == before, "failed append mutated a shard")
+    assert(ids.forall(set.get(_).isEmpty))
+    // duplicate query ids with different vectors answer positionally
+    val batch = set.batchSearch(
+      Seq((1L, queryVec(4)), (1L, queryVec(6))), 5)
+    assert(batch(0)._2 == set.search(queryVec(4), 5))
+    assert(batch(1)._2 == set.search(queryVec(6), 5))
+  }
+
   test("sharded BM25/hybrid under global stats equal the single replica") {
     val words = Seq("spark", "vector", "merge", "shard", "index", "scan",
       "fuse", "rank")
