@@ -743,6 +743,36 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** Sharded CDC refresh ([[graft.serve.ReplicaSet.refreshFrom]]): a
+    * 4-shard set exported mid-history, then the store takes an insert
+    * batch and a delete batch; each shard pulls ONLY its hash cell's
+    * slice of the manifest diff (tombstones apply wherever the rows
+    * live). Same oracle as the single-replica `graftdb_local_refresh` —
+    * the hash-match proves the partitioned replay reconstructs the same
+    * corpus state.
+    */
+  def localShardedRefresh(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_set_refresh"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val db = GraftDB.open(s, root, dim = 64, metric = "l2")
+    db.insertBatch(emb.where(pmod(col("id"), lit(5)) < 3))
+    val set = graft.serve.ReplicaSet.fromStore(db, shards = 4, nlist = 2)
+    db.insertBatch(emb.where(pmod(col("id"), lit(5)) >= 3))
+    val delIds = Tables.load(s, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(9)) === 2)
+      .select("vec_id").collect().map(_.getLong(0))
+    db.delete(delIds.toSeq)
+    set.refreshFrom(db)
+    val res = set.search(qvec(s, dir, 17), 10, nprobe = 2)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_knn_indexed" -> (knnIndexed _),
@@ -777,6 +807,7 @@ object FacadeQueries {
     "graftdb_local_delete" -> (localDelete _),
     "graftdb_local_append" -> (localAppend _),
     "graftdb_local_refresh" -> (localRefresh _),
+    "graftdb_local_sharded_refresh" -> (localShardedRefresh _),
     "graftdb_hybrid_hamming" -> (hybridHamming _)
   )
 
@@ -836,6 +867,13 @@ object FacadeQueries {
         |s AS (SELECT e.vec_id,
         |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
         |      FROM embeddings e, q)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "graftdb_local_sharded_refresh" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q WHERE e.vec_id % 9 <> 2)
         |SELECT vec_id, round(score, 6) AS score
         |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_local_refresh" ->

@@ -303,6 +303,12 @@ final class LocalReplica private (
   // set by fromStore: what store state this replica was exported from
   @volatile private[serve] var origin: LocalReplica.Origin = null
 
+  // set by ReplicaSet.fromStore on hash-cell shards: which store rows
+  // BELONG to this shard — refreshFrom applies only matching rows, so a
+  // sharded set's per-shard refreshes partition the store diff instead
+  // of each pulling all of it
+  @volatile private[serve] var originCellFilter: Long => Boolean = null
+
   /** Store version this replica was exported at (None when built from a
     * plain DataFrame).
     */
@@ -371,10 +377,16 @@ final class LocalReplica private (
       val batches: Seq[Either[(Array[Long], Array[Array[Float]]), Array[Long]]] =
         events.map {
           case (_, Left(seg)) =>
-            val rows = db.spark.read.parquet(seg.path)
+            val cellF = originCellFilter
+            val rows0 = db.spark.read.parquet(seg.path)
               .select(org.apache.spark.sql.functions.col("id"),
                 org.apache.spark.sql.functions.col("vector"))
               .collect()
+            // hash-cell shard: keep only the rows that belong here (the
+            // other shards' refreshes pick up the rest of the segment)
+            val rows =
+              if (cellF == null) rows0
+              else rows0.filter(r => cellF(r.getLong(0)))
             val ids = new Array[Long](rows.length)
             val vecs = new Array[Array[Float]](rows.length)
             var i = 0

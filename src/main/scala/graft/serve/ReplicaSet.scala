@@ -41,6 +41,18 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
   require(shards.forall(s => s.metric == metric && s.dim == dim),
     "all shards must share one metric and dimension")
 
+  // hash-cell layout when built by fromDataFrame/fromStore: the export
+  // partitioned ids into `cellsTotal` cells via Spark's xxhash64 and
+  // shard i holds cell cellOfShard(i); 0/null on directly-assembled sets
+  private[serve] var cellsTotal: Int = 0
+  private[serve] var cellOfShard: IndexedSeq[Int] = null
+
+  private lazy val cellToShard: Array[Int] = {
+    val m = Array.fill(cellsTotal)(-1)
+    cellOfShard.zipWithIndex.foreach { case (c, i) => m(c) = i }
+    m
+  }
+
   def numShards: Int = shards.length
   /** Total exported rows across shards (mutations not reflected — same
     * contract as [[LocalReplica.size]]).
@@ -145,11 +157,21 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     shards.map(_.delete(delIds)).sum
   }
 
-  /** Route an id to its append shard (splitmix64 finalizer — placement
-    * only has to be deterministic and balanced, not aligned with the
-    * export partitioner; search fans out regardless).
+  /** Route an id to its append shard. Exported sets route by the SAME
+    * xxhash64 cell the export partitioned on, so a directly-appended row
+    * lands in the shard whose [[refreshFrom]] cell filter would later
+    * claim it (an append/CDC id collision then fails loudly in that one
+    * shard, exactly like the single replica, instead of silently going
+    * live twice). Directly-assembled sets fall back to a splitmix64
+    * spread — placement is then only deterministic and balanced, and the
+    * membership validation enforces uniqueness.
     */
   @inline private def shardOf(id: Long): Int = {
+    if (cellsTotal > 0) {
+      val s = cellToShard(ReplicaSet.cellOf(id, cellsTotal))
+      if (s >= 0) return s
+      // the id's cell was empty at export (dropped shard) — spread below
+    }
     var h = id
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
     h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
@@ -238,6 +260,59 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
       delete(upIds)
       appendRouted(upIds, vecs)
     }
+
+  /** Incremental pull-refresh of every shard from the store the set was
+    * exported from ([[LocalReplica.refreshFrom]] with each shard's hash
+    * cell filter, so the shards PARTITION the store diff: new rows land
+    * only in the shard whose cell claims them, tombstones apply wherever
+    * the rows live). Each shard's replay is individually atomic
+    * (publish-once with rollback); the set refreshes shard-by-shard, so
+    * a concurrent reader can briefly see some shards at the new version
+    * and some at the old — the cross-shard analog of upsert's
+    * non-atomicity, re-export for a frozen cut.
+    */
+  def refreshFrom(db: GraftDB,
+      maxNewRows: Long = 1000000L): LocalReplica.RefreshStats =
+    this.synchronized {
+      require(cellsTotal == shards.length,
+        "set is not refresh-capable: it was assembled directly or an " +
+          "export hash cell was empty (tiny corpus) — re-export via " +
+          "ReplicaSet.fromStore on a corpus that populates every cell")
+      var app = 0
+      var del = 0
+      var from = Long.MaxValue
+      var to = Long.MinValue
+      shards.foreach { s =>
+        val st = s.refreshFrom(db, maxNewRows)
+        app += st.appended
+        del += st.deleted
+        from = math.min(from, st.fromVersion)
+        to = math.max(to, st.toVersion)
+      }
+      LocalReplica.RefreshStats(app, del, from, to)
+    }
+
+  /** Persist the set as a directory of per-shard replica artifacts plus
+    * a tiny manifest (`set.json`: shard count + hash-cell layout). Same
+    * constraints as [[LocalReplica.save]] (fold pending mutations
+    * first); like the single artifact, the saved form serves and mutates
+    * but does not carry the store origin — re-export to refresh.
+    */
+  def save(dir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    shards.indices.foreach(i => shards(i).save(s"$dir/shard-$i.grlr", conf))
+    val cells =
+      if (cellOfShard == null) Seq.fill(shards.length)(-1) else cellOfShard
+    val json = s"""{"shards":${shards.length},"cellsTotal":$cellsTotal,""" +
+      s""""cells":[${cells.mkString(",")}]}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/set.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   // ------------------------------------------ cross-shard lexical / hybrid
 
@@ -369,6 +444,47 @@ object ReplicaSet {
   def apply(shards: Seq[LocalReplica]): ReplicaSet =
     new ReplicaSet(shards.toIndexedSeq)
 
+  /** The JVM-side twin of the export partitioner
+    * `pmod(xxhash64(id), total)` — Spark's `xxhash64` over one LongType
+    * column is XXH64 of the 8-byte value at seed 42 (gated against a
+    * real Spark evaluation in `ReplicaSetSpec`), so append routing and
+    * refresh cell filters agree with where the export put each id.
+    */
+  private[serve] def cellOf(id: Long, total: Int): Int =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L),
+      total.toLong).toInt
+
+  /** Load a set saved by [[ReplicaSet.save]]. */
+  def load(dir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): ReplicaSet = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/set.json")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var r = in.read(buf)
+      while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    val n = (parsed \ "shards").extract[Int]
+    val cellsTotal = (parsed \ "cellsTotal").extract[Int]
+    val cells = (parsed \ "cells").extract[Seq[Int]]
+    require(n >= 1 && cells.length == n,
+      s"corrupt set manifest: shards=$n cells=${cells.length}")
+    val set = new ReplicaSet(
+      (0 until n).map(i => LocalReplica.load(s"$dir/shard-$i.grlr", conf)))
+    if (cellsTotal > 0 && cells.forall(_ >= 0)) {
+      set.cellsTotal = cellsTotal
+      set.cellOfShard = cells.toIndexedSeq
+    }
+    set
+  }
+
   /** Export one replica per shard from any (id, vector) DataFrame,
     * partitioned by id hash (`pmod(xxhash64(id), shards)` — evaluated
     * Spark-side, so each shard's collect is bounded by ~n/shards).
@@ -399,7 +515,10 @@ object ReplicaSet {
           vecCol, idCol, metric, nlist, maxRows, metaCols, pqModel,
           textCol, int4 = int4)
       }
-      new ReplicaSet(reps)
+      val set = new ReplicaSet(reps)
+      set.cellsTotal = shards
+      set.cellOfShard = present.toIndexedSeq.map(_.toInt)
+      set
     } finally { cached.unpersist(); () }
   }
 
@@ -414,7 +533,24 @@ object ReplicaSet {
       textCol: Option[String] = None,
       int4: Boolean = false): ReplicaSet = {
     val v = db.effectiveVersion
-    fromDataFrame(db.store.read(v), "vector", "id", db.metric, shards,
-      nlist, maxRows, metaCols, pqModel, textCol, int4)
+    val set = fromDataFrame(db.store.read(v), "vector", "id", db.metric,
+      shards, nlist, maxRows, metaCols, pqModel, textCol, int4)
+    // refresh capability needs every cell to have a shard (a diff row in
+    // an unrepresented cell would silently never land anywhere) — on
+    // full coverage, each shard remembers the exported file set plus ITS
+    // cell, so refreshFrom partitions the store diff across shards
+    if (set.shards.length == shards) {
+      db.store.manifest(v).foreach { m =>
+        val segs = m.segments.map(_.path).toSet
+        val dels = m.deletes.map(_.path).toSet
+        set.shards.indices.foreach { i =>
+          val c = set.cellOfShard(i)
+          set.shards(i).origin =
+            LocalReplica.Origin(db.store.root, v, segs, dels)
+          set.shards(i).originCellFilter = id => cellOf(id, shards) == c
+        }
+      }
+    }
+    set
   }
 }

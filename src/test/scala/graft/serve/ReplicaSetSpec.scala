@@ -180,6 +180,86 @@ class ReplicaSetSpec extends AnyFunSuite {
       one.hybridSearch(queryVec(1), "absentterm", 5))
   }
 
+  test("JVM-side cell routing matches Spark's xxhash64 export partitioner") {
+    val sparkCells = spark.range(0, 1000).select(col("id"),
+      pmod(xxhash64(col("id")), lit(8)).as("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    (0L until 1000L).foreach { id =>
+      assert(ReplicaSet.cellOf(id, 8) == sparkCells(id),
+        s"cell mismatch for id $id")
+    }
+  }
+
+  test("sharded refreshFrom partitions the store diff; parity with fresh export") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_set_refresh_spec"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    def recs(pred: org.apache.spark.sql.Column) =
+      corpus.where(pred).select(col("id"), col("vec").as("vector"))
+    val db = graft.GraftDB.open(spark, root, dim = dim, metric = "l2")
+    db.insertBatch(recs(col("id") < 1200))
+    val set = ReplicaSet.fromDataFrame(corpus.where(col("id") < 1200),
+      "vec", "id", Metric.L2, shards = 4)
+    intercept[IllegalArgumentException](set.refreshFrom(db)) // no origin
+    val set2 = ReplicaSet.fromStore(db, shards = 4, nlist = 2)
+    // store moves on: an insert batch and a delete batch
+    db.insertBatch(recs(col("id") >= 1200 && col("id") < 1400))
+    val delIds = (0L until 1200L).filter(_ % 9 == 2)
+    db.delete(delIds)
+    val st = set2.refreshFrom(db)
+    assert(st.appended == 200, s"appended ${st.appended}")
+    assert(st.deleted == delIds.length, s"deleted ${st.deleted}")
+    // every appended row landed in exactly ONE shard — the one whose
+    // hash cell claims it
+    for (id <- 1200L until 1210L) {
+      val holders = set2.shards.count(_.hasLive(id))
+      assert(holders == 1, s"id $id live in $holders shards")
+    }
+    // refreshed set == a fresh sharded export AND a fresh single replica
+    val freshSet = ReplicaSet.fromStore(db, shards = 4, nlist = 2)
+    val freshOne = LocalReplica.fromStore(db)
+    for (s <- 0 until 5) {
+      val q = queryVec(s)
+      assert(set2.search(q, 15, nprobe = 2) ==
+        freshSet.search(q, 15, nprobe = 2), s"set parity failed seed $s")
+      assert(set2.search(q, 15, nprobe = 2) == freshOne.search(q, 15),
+        s"single parity failed seed $s")
+    }
+    // direct append then a CDC pull of the SAME id: the cell-aligned
+    // routing makes the collision fail loudly in the owning shard
+    set2.append(Array(5000L), Array(Array.fill(dim)(0.5f)))
+    import spark.implicits._
+    db.insertBatch(Seq((5000L, Array.fill(dim)(0.6f))).toDF("id", "vector"))
+    intercept[IllegalStateException](set2.refreshFrom(db))
+  }
+
+  test("set save/load round-trips shards and routing metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_set_io").toString
+    val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      shards = 4, nlist = 2)
+    set.save(s"$dir/set")
+    val loaded = ReplicaSet.load(s"$dir/set")
+    assert(loaded.numShards == set.numShards && loaded.size == set.size)
+    for (s <- 0 until 5) {
+      val q = queryVec(s)
+      assert(loaded.search(q, 10, nprobe = 2) == set.search(q, 10, nprobe = 2))
+    }
+    // routing metadata survived: a live id is rejected by the membership
+    // check (and lands cell-consistently when absent)
+    val e = intercept[IllegalArgumentException] {
+      loaded.append(Array(3L), Array(Array.fill(dim)(0.1f)))
+    }
+    assert(e.getMessage.contains("already live"))
+    loaded.append(Array((n + 50).toLong), Array(Array.fill(dim)(0.4f)))
+    assert(loaded.shards.count(_.hasLive((n + 50).toLong)) == 1)
+    // the saved form carries no store origin — refresh is re-export
+    val db = graft.GraftDB.open(spark,
+      s"$dir/db", dim = dim, metric = "l2")
+    db.insertBatch(corpus.select(col("id"), col("vec").as("vector")))
+    intercept[IllegalArgumentException](loaded.refreshFrom(db))
+  }
+
   test("single-shard set is the plain replica; empty frame refused") {
     val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
       shards = 1)
