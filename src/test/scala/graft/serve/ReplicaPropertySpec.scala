@@ -123,4 +123,33 @@ class ReplicaPropertySpec extends AnyFunSuite {
           s"range=[$lo,$hi] sub=${if (withSub) sub else "-"}")
     }
   }
+
+  test("sharded set equals the independent reference over random draws") {
+    for (trial <- 0 until 8) {
+      val dim = Seq(4, 7, 16, 32)(trial % 4)
+      val n = 200 + rng.nextInt(600)
+      val k = 1 + rng.nextInt(25)
+      val shards = 2 + rng.nextInt(5)
+      val metric = Seq(Metric.L2, Metric.Cosine, Metric.Dot)(trial % 3)
+      val corpus = mkCorpus(n, dim, 200 + trial)
+      val rows = corpus.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val q = Array.tabulate(dim)(i => (rng.nextInt(2000) - 1000) / 1000.0f)
+      // alternate the per-shard coding across trials: the merge contract
+      // must hold whatever first pass each shard runs
+      val int4 = trial % 2 == 1
+      val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", metric,
+        shards = shards, int4 = int4)
+      assert(set.search(q, k) == refRank(metric, rows, q, k),
+        s"trial $trial: dim=$dim n=$n k=$k shards=$shards metric=$metric " +
+          s"int4=$int4 (got ${set.numShards} shards)")
+      // threshold across shards: same cut, same rows, same order
+      val full = refRank(metric, rows, q, n)
+      val cut = full(math.min(25, n - 1)).score
+      val expectThr = full.takeWhile(c =>
+        if (metric.ascending) c.score <= cut else c.score >= cut)
+      assert(set.searchThreshold(q, cut) == expectThr,
+        s"trial $trial threshold: cut=$cut")
+    }
+  }
 }
