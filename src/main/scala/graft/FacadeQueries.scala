@@ -631,6 +631,34 @@ object FacadeQueries {
       .toDF("vec_id", "hamming")
   }
 
+  /** Sharded Hamming serving ([[graft.serve.CodeReplicaSet]]): the code
+    * store exported as 4 hash-cell shards, queried through the router
+    * with a mixed mutation pass (broadcast delete + cell-routed append
+    * of re-inserted rows) and a save/load round-trip of the set
+    * directory — integer-exact against the brute-force popcount oracle
+    * over the surviving rows.
+    */
+  def localShardedHamming(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_sh_hamming")
+    val set0 = graft.serve.CodeReplicaSet.fromStore(db, shards = 4)
+    val dir0 = s"${sys.props("java.io.tmpdir")}/graft_facade_codeset"
+    val p0 = new Path(dir0)
+    val fs0 = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs0.exists(p0)) fs0.delete(p0, true)
+    set0.save(dir0, s.sparkContext.hadoopConfiguration)
+    val set = graft.serve.CodeReplicaSet.load(dir0,
+      s.sparkContext.hadoopConfiguration)
+    val moved = Tables.load(s, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(7)) === 3)
+      .select("vec_id").collect().map(_.getLong(0))
+    val codes = moved.map(id => set.get(id).get)
+    set.delete(moved)
+    set.append(moved, codes) // delete + re-insert: same corpus state
+    import s.implicits._
+    set.search(q, 10).map(c => (c.id, c.score.toLong))
+      .toDF("vec_id", "hamming")
+  }
+
   /** Filtered serving-replica k-NN: the metadata predicate runs ENGINE-
     * side (stats-pruned scan) and only the surviving id-set ships to the
     * replica ([[graft.serve.LocalReplica.searchFiltered]] — vecgo
@@ -801,6 +829,7 @@ object FacadeQueries {
     "graftdb_local_hybrid_filtered" -> (localHybridFiltered _),
     "graftdb_local_knn_rabitq" -> (localKnnRabitq _),
     "graftdb_local_hamming" -> (localHamming _),
+    "graftdb_local_sharded_hamming" -> (localShardedHamming _),
     "graftdb_local_hamming_delete" -> (localHammingDelete _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
     "graftdb_local_knn_where" -> (localKnnWhere _),
@@ -893,6 +922,7 @@ object FacadeQueries {
     "graftdb_batch_indexed" -> Queries.oracle("batch_search"),
     "graftdb_hamming" -> IndexQueries.oracle("bq_hamming"),
     "graftdb_local_hamming" -> IndexQueries.oracle("bq_hamming"),
+    "graftdb_local_sharded_hamming" -> IndexQueries.oracle("bq_hamming"),
     "graftdb_local_hamming_delete" -> IndexQueries.oracle("bq_hamming")
       .replace("FROM embeddings e, q",
         "FROM embeddings e, q WHERE e.vec_id % 7 <> 3"),

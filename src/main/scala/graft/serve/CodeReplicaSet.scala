@@ -1,0 +1,301 @@
+package graft.serve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+
+import graft.GraftDB
+import graft.types.{Candidate, Metric}
+
+/** The Hamming twin of [[ReplicaSet]]: a shard router over per-shard
+  * [[LocalCodeReplica]]s. Popcount distances are integers, so the merge
+  * contract is even simpler than the float router's — per-shard top-k
+  * pools merged under (distance asc, id asc) are EXACTLY the global
+  * ranking for any partitioning of the rows. Same mutation discipline
+  * (whole-batch validation before any shard mutates, broadcast deletes,
+  * cell-aligned appends, two-phase upsert), same set-level CDC
+  * ([[refreshFrom]] partitions the store diff by hash cell), same
+  * directory persistence.
+  */
+final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
+  require(shards.nonEmpty, "a CodeReplicaSet needs at least one shard")
+  val bits: Int = shards.head.bits
+  val words: Int = shards.head.words
+  require(shards.forall(s => s.bits == bits && s.words == words),
+    "all shards must share one code width")
+
+  // hash-cell layout when built by fromDataFrame/fromStore (see
+  // ReplicaSet.cellsTotal)
+  private[serve] var cellsTotal: Int = 0
+  private[serve] var cellOfShard: IndexedSeq[Int] = null
+
+  private lazy val cellToShard: Array[Int] = {
+    val m = Array.fill(cellsTotal)(-1)
+    cellOfShard.zipWithIndex.foreach { case (c, i) => m(c) = i }
+    m
+  }
+
+  def numShards: Int = shards.length
+  def size: Int = shards.map(_.size).sum
+  def liveSize: Int = shards.map(_.liveSize).sum
+
+  @inline private def better(a: Candidate, b: Candidate): Boolean =
+    if (a.score != b.score) a.score < b.score else a.id < b.id
+
+  private def mergeK(pools: Array[Seq[Candidate]], k: Int): Seq[Candidate] = {
+    val all = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    pools.foreach(all ++= _)
+    all.sortWith(better).take(k).toSeq
+  }
+
+  /** Top-k nearest codes across every shard. */
+  def search(q: Array[Long], k: Int): Seq[Candidate] = {
+    if (shards.length == 1) return shards(0).search(q, k)
+    val pools = new Array[Seq[Candidate]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach(i => pools(i) = shards(i).search(q, k))
+    mergeK(pools, k)
+  }
+
+  /** All codes within `threshold` bits across shards, best-first, capped
+    * at `maxResults`.
+    */
+  def searchThreshold(q: Array[Long], threshold: Long,
+      maxResults: Int = Int.MaxValue): Seq[Candidate] = {
+    val pools = new Array[Seq[Candidate]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach(i => pools(i) = shards(i).searchThreshold(q, threshold,
+        maxResults))
+    mergeK(pools, if (maxResults == Int.MaxValue) Int.MaxValue else maxResults)
+  }
+
+  /** Per-query top-k for a batch — positional merge of per-shard batches
+    * (each shard answers under ONE snapshot).
+    */
+  def batchSearch(queries: Seq[(Long, Array[Long])],
+      k: Int): Seq[(Long, Seq[Candidate])] = {
+    val perShard: IndexedSeq[IndexedSeq[(Long, Seq[Candidate])]] =
+      shards.map(_.batchSearch(queries, k).toIndexedSeq)
+    val qs = queries.toIndexedSeq
+    qs.indices.map { i =>
+      qs(i)._1 ->
+        mergeK(Array.tabulate(shards.length)(s => perShard(s)(i)._2), k)
+    }
+  }
+
+  /** Point lookup by id across shards. */
+  def get(id: Long): Option[Array[Long]] = {
+    var i = 0
+    while (i < shards.length) {
+      val v = shards(i).get(id)
+      if (v.isDefined) return v
+      i += 1
+    }
+    None
+  }
+
+  def delete(delIds: Array[Long]): Int = this.synchronized {
+    shards.map(_.delete(delIds)).sum
+  }
+
+  @inline private def shardOf(id: Long): Int = {
+    if (cellsTotal > 0) {
+      val s = cellToShard(ReplicaSet.cellOf(id, cellsTotal))
+      if (s >= 0) return s
+    }
+    var h = id
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    (((h % shards.length) + shards.length) % shards.length).toInt
+  }
+
+  /** Whole-batch validation before any shard mutates (see
+    * [[ReplicaSet]]): alignment, duplicates, membership, code width.
+    */
+  private def validateBatch(newIds: Array[Long], codes: Array[Array[Long]],
+      requireAbsent: Boolean): Unit = {
+    require(newIds.length == codes.length,
+      s"ids (${newIds.length}) and codes (${codes.length}) must align")
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < newIds.length) {
+      val id = newIds(i)
+      require(seen.add(id), s"duplicate id $id in batch")
+      if (requireAbsent)
+        require(!shards.exists(_.hasLive(id)),
+          s"id $id is already live in the set (delete/upsert first)")
+      val c = codes(i)
+      require(c != null && c.length == words,
+        s"code row for id $id has ${if (c == null) -1 else c.length} " +
+          s"words, expected $words")
+      i += 1
+    }
+  }
+
+  /** Append code rows searchable immediately, cell-routed. */
+  def append(newIds: Array[Long], codes: Array[Array[Long]]): Unit =
+    this.synchronized {
+      validateBatch(newIds, codes, requireAbsent = true)
+      appendRouted(newIds, codes)
+    }
+
+  private def appendRouted(newIds: Array[Long],
+      codes: Array[Array[Long]]): Unit = {
+    val byShard = Array.fill(shards.length)(
+      new scala.collection.mutable.ArrayBuffer[Int]())
+    var i = 0
+    while (i < newIds.length) { byShard(shardOf(newIds(i))) += i; i += 1 }
+    var s = 0
+    while (s < shards.length) {
+      val idx = byShard(s)
+      if (idx.nonEmpty)
+        shards(s).append(idx.map(newIds).toArray, idx.map(codes).toArray)
+      s += 1
+    }
+  }
+
+  /** Broadcast-delete + routed-append (validated first — see
+    * [[ReplicaSet.upsert]] for the cross-shard atomicity contract).
+    */
+  def upsert(upIds: Array[Long], codes: Array[Array[Long]]): Unit =
+    this.synchronized {
+      if (shards.length == 1) { shards(0).upsert(upIds, codes); return }
+      validateBatch(upIds, codes, requireAbsent = false)
+      delete(upIds)
+      appendRouted(upIds, codes)
+    }
+
+  /** Per-shard manifest-diff CDC with each shard's cell filter (see
+    * [[ReplicaSet.refreshFrom]]).
+    */
+  def refreshFrom(db: GraftDB,
+      maxNewRows: Long = 1000000L): LocalReplica.RefreshStats =
+    this.synchronized {
+      require(cellsTotal == shards.length,
+        "set is not refresh-capable: it was assembled directly or an " +
+          "export hash cell was empty (tiny corpus) — re-export via " +
+          "CodeReplicaSet.fromStore on a corpus that populates every cell")
+      var app = 0
+      var del = 0
+      var from = Long.MaxValue
+      var to = Long.MinValue
+      shards.foreach { s =>
+        val st = s.refreshFrom(db, maxNewRows)
+        app += st.appended
+        del += st.deleted
+        from = math.min(from, st.fromVersion)
+        to = math.max(to, st.toVersion)
+      }
+      LocalReplica.RefreshStats(app, del, from, to)
+    }
+
+  /** Persist as per-shard GRCR artifacts + a routing manifest (see
+    * [[ReplicaSet.save]]).
+    */
+  def save(dir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    shards.indices.foreach(i => shards(i).save(s"$dir/shard-$i.grcr", conf))
+    val cells =
+      if (cellOfShard == null) Seq.fill(shards.length)(-1) else cellOfShard
+    val json = s"""{"shards":${shards.length},"cellsTotal":$cellsTotal,""" +
+      s""""cells":[${cells.mkString(",")}]}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/set.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+object CodeReplicaSet {
+
+  def apply(shards: Seq[LocalCodeReplica]): CodeReplicaSet =
+    new CodeReplicaSet(shards.toIndexedSeq)
+
+  /** Load a set saved by [[CodeReplicaSet#save]]. */
+  def load(dir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): CodeReplicaSet = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/set.json")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var r = in.read(buf)
+      while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    val n = (parsed \ "shards").extract[Int]
+    val cellsTotal = (parsed \ "cellsTotal").extract[Int]
+    val cells = (parsed \ "cells").extract[Seq[Int]]
+    require(n >= 1 && cells.length == n,
+      s"corrupt set manifest: shards=$n cells=${cells.length}")
+    val set = new CodeReplicaSet(
+      (0 until n).map(i => LocalCodeReplica.load(s"$dir/shard-$i.grcr", conf)))
+    if (cellsTotal > 0 && cells.forall(_ >= 0)) {
+      set.cellsTotal = cellsTotal
+      set.cellOfShard = cells.toIndexedSeq
+    }
+    set
+  }
+
+  /** Export one code replica per xxhash64 cell (see
+    * [[ReplicaSet.fromDataFrame]] — one counts pass + cached per-cell
+    * collects; empty cells are skipped).
+    */
+  def fromDataFrame(df: DataFrame, codeCol: String, idCol: String,
+      bits: Int, shards: Int,
+      maxRows: Long = LocalReplica.DefaultMaxRows): CodeReplicaSet = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val cell = pmod(xxhash64(col(idCol)), lit(shards))
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val present = cached.groupBy(cell.as("cell")).count()
+        .collect().map(_.getLong(0)).sorted
+      require(present.nonEmpty,
+        "cannot build a CodeReplicaSet from an empty frame")
+      val reps = present.toIndexedSeq.map { s =>
+        LocalCodeReplica.fromDataFrame(cached.where(cell === lit(s)),
+          codeCol, idCol, bits, maxRows)
+      }
+      val set = new CodeReplicaSet(reps)
+      set.cellsTotal = shards
+      set.cellOfShard = present.toIndexedSeq.map(_.toInt)
+      set
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Export a sharded Hamming serving set from an engine snapshot; on
+    * full cell coverage each shard records the exported file set plus
+    * its cell, enabling [[CodeReplicaSet#refreshFrom]].
+    */
+  def fromStore(db: GraftDB, shards: Int,
+      maxRows: Long = LocalReplica.DefaultMaxRows): CodeReplicaSet = {
+    require(db.metric == Metric.Hamming,
+      s"CodeReplicaSet serves Hamming stores (store is ${db.config.metric}); " +
+        "float metrics go through ReplicaSet")
+    val v = db.effectiveVersion
+    val set = fromDataFrame(db.store.read(v), "vector", "id",
+      db.config.dim, shards, maxRows)
+    if (set.shards.length == shards) {
+      db.store.manifest(v).foreach { m =>
+        val segs = m.segments.map(_.path).toSet
+        val dels = m.deletes.map(_.path).toSet
+        set.shards.indices.foreach { i =>
+          val c = set.cellOfShard(i)
+          set.shards(i).origin =
+            LocalReplica.Origin(db.store.root, v, segs, dels)
+          set.shards(i).originCellFilter =
+            id => ReplicaSet.cellOf(id, shards) == c
+        }
+      }
+    }
+    set
+  }
+}

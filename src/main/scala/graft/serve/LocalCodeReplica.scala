@@ -173,6 +173,26 @@ final class LocalCodeReplica private (
   // set by fromStore: what store state this replica was exported from
   @volatile private[serve] var origin: LocalReplica.Origin = null
 
+  // set by CodeReplicaSet.fromStore on hash-cell shards: which store rows
+  // BELONG to this shard (see LocalReplica.originCellFilter)
+  @volatile private[serve] var originCellFilter: Long => Boolean = null
+
+  /** Whether `id` is currently live here (the [[CodeReplicaSet]]
+    * membership probe — no code-row copy).
+    */
+  private[serve] def hasLive(id: Long): Boolean = {
+    val m0 = mut
+    if (m0 != null && m0.deltaIds != null) {
+      var i = 0
+      while (i < m0.deltaIds.length) {
+        if (m0.deltaIds(i) == id) return true
+        i += 1
+      }
+    }
+    val r = idToRow.get(id)
+    r >= 0 && live(if (m0 == null) null else m0.tombstones, r)
+  }
+
   /** Store version this replica was exported at. */
   def exportedVersion: Option[Long] = {
     val o = origin; if (o == null) None else Some(o.version)
@@ -220,8 +240,12 @@ final class LocalCodeReplica private (
       val batches: Seq[Either[(Array[Long], Array[Array[Long]]), Array[Long]]] =
         events.map {
           case (_, Left(seg)) =>
-            val rows = db.spark.read.parquet(seg.path)
+            val cellF = originCellFilter
+            val rows0 = db.spark.read.parquet(seg.path)
               .select(col("id"), col("vector")).collect()
+            val rows =
+              if (cellF == null) rows0
+              else rows0.filter(r => cellF(r.getLong(0)))
             val rid = new Array[Long](rows.length)
             val rcodes = new Array[Array[Long]](rows.length)
             var i = 0

@@ -1,0 +1,122 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The Hamming router invariant: a [[CodeReplicaSet]] over any
+  * partitioning of the code rows answers identically to one
+  * [[LocalCodeReplica]] holding them all.
+  */
+class CodeReplicaSetSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val bits = 64
+  private val n = 1500
+
+  private def corpus = {
+    val vecs = spark.range(0, n, 1, 4).select(
+      col("id"),
+      transform(sequence(lit(0), lit(bits - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vec"))
+    vecs.select(col("id"),
+      graft.index.BQ.packCol(col("vec"), bits).as("code"))
+  }
+
+  private lazy val queryPool: Map[Long, Array[Long]] =
+    corpus.where(col("id") < 50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+  test("sharded code search/threshold/batch equal the single replica") {
+    val set = CodeReplicaSet.fromDataFrame(corpus, "code", "id", bits,
+      shards = 4)
+    val one = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
+    assert(set.numShards == 4 && set.size == n && set.words == one.words)
+    for (seed <- Seq(0L, 7L, 42L)) {
+      val q = queryPool(seed)
+      assert(set.search(q, 15) == one.search(q, 15), s"seed $seed")
+    }
+    val q = queryPool(3)
+    val cut = one.search(q, 40).last.score.toLong
+    assert(set.searchThreshold(q, cut) == one.searchThreshold(q, cut))
+    assert(set.searchThreshold(q, cut, maxResults = 9) ==
+      one.searchThreshold(q, cut, maxResults = 9))
+    // positional batch merge (duplicate query ids allowed)
+    val qs = Seq(1L -> queryPool(1), 1L -> queryPool(2))
+    val batch = set.batchSearch(qs, 5)
+    assert(batch(0)._2 == one.search(queryPool(1), 5))
+    assert(batch(1)._2 == one.search(queryPool(2), 5))
+  }
+
+  test("mutations: broadcast delete, validated cell-routed append, upsert, get") {
+    val set = CodeReplicaSet.fromDataFrame(corpus, "code", "id", bits,
+      shards = 4)
+    val one = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
+    val q = queryPool(5)
+    val victims = one.search(q, 5).map(_.id).toArray
+    assert(set.delete(victims) == victims.length)
+    assert(one.delete(victims) == victims.length)
+    assert(set.search(q, 10) == one.search(q, 10))
+    // membership check fires before any shard mutates
+    val before = set.search(q, 15)
+    val e = intercept[IllegalArgumentException] {
+      set.append(Array(9L), Array(new Array[Long](set.words)))
+    }
+    assert(e.getMessage.contains("already live"))
+    assert(set.search(q, 15) == before)
+    // valid appends land in exactly one shard and are searchable
+    val newIds = Array((n + 1).toLong, (n + 2).toLong)
+    val newCodes = Array(queryPool(11), queryPool(12))
+    set.append(newIds, newCodes)
+    one.append(newIds, newCodes)
+    assert(set.search(q, 20) == one.search(q, 20))
+    newIds.foreach { id =>
+      assert(set.shards.count(_.hasLive(id)) == 1, s"id $id multi-homed")
+      assert(set.get(id).get.toSeq == one.get(id).get.toSeq)
+    }
+    // upsert replaces wherever the old row lives
+    set.upsert(Array(newIds(0)), Array(queryPool(13)))
+    one.upsert(Array(newIds(0)), Array(queryPool(13)))
+    assert(set.get(newIds(0)).get.toSeq == queryPool(13).toSeq)
+    assert(set.search(q, 20) == one.search(q, 20))
+  }
+
+  test("sharded CDC refresh partitions the diff; save/load round-trips") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_codeset_refresh_spec"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val db = graft.GraftDB.open(spark, root, dim = bits, metric = "hamming")
+    db.insertBatch(corpus.where(col("id") < 1000)
+      .select(col("id"), col("code").as("vector")))
+    val set = CodeReplicaSet.fromStore(db, shards = 4)
+    db.insertBatch(corpus.where(col("id") >= 1000)
+      .select(col("id"), col("code").as("vector")))
+    val delIds = (0L until 1000L).filter(_ % 11 == 3)
+    db.delete(delIds)
+    val st = set.refreshFrom(db)
+    assert(st.appended == 500, s"appended ${st.appended}")
+    assert(st.deleted == delIds.length, s"deleted ${st.deleted}")
+    for (id <- 1000L until 1010L)
+      assert(set.shards.count(_.hasLive(id)) == 1, s"id $id multi-homed")
+    val fresh = LocalCodeReplica.fromStore(db)
+    for (seed <- Seq(2L, 8L)) {
+      val q = queryPool(seed)
+      assert(set.search(q, 15) == fresh.search(q, 15), s"seed $seed")
+    }
+    // persistence: saved sets serve identically (mutations folded by the
+    // store export here — the set above has none pending)
+    val dir = java.nio.file.Files.createTempDirectory("graft_codeset_io")
+    val freshSet = CodeReplicaSet.fromStore(db, shards = 4)
+    freshSet.save(s"$dir/set")
+    val loaded = CodeReplicaSet.load(s"$dir/set")
+    assert(loaded.numShards == 4 && loaded.size == freshSet.size)
+    for (seed <- Seq(2L, 8L)) {
+      val q = queryPool(seed)
+      assert(loaded.search(q, 15) == freshSet.search(q, 15))
+    }
+    intercept[IllegalArgumentException](loaded.refreshFrom(db))
+  }
+}
