@@ -145,8 +145,33 @@ object IndexQueries {
       .select(col("vec_id"), col("hamming"))
   }
 
+  /** Distributed k-NN JOIN ([[graft.query.Search.knnJoinIvf]]): every
+    * embeddings row finds its 3 nearest OTHER rows through the IVF
+    * cell-routed equi-join — both sides shuffle once on the cell key,
+    * per-query bounded heaps, no broadcast of either side. Probing ALL
+    * cells (nprobe = nlist) makes the result exact, so the same SQL cross
+    * join + row_number oracle checks the whole join path (cell assignment,
+    * probe explosion, join, heap merge); partial-nprobe recall is gated in
+    * `KnnJoinSpec`. Self-match excluded like near-dup linking would.
+    */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = IVF.train(emb, "embedding", k = 8, maxIter = 8)
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    Search.knnJoinIvf(
+        emb, "embedding", "vec_id", queries, "query_id", "qv",
+        k = 3, model = model, nprobe = model.k,
+        filter = lit(true))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        r6(sqrt(col("score"))).as("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_knn" -> (ivfKnn _),
+    "knn_join" -> (knnJoin _),
     "sq8_rerank" -> (sq8Rerank _),
     "int4_rerank" -> (int4Rerank _),
     "pq_adc_rerank" -> (pqAdcRerank _),
@@ -165,6 +190,17 @@ object IndexQueries {
 
   val oracle: Map[String, String] = Map(
     "ivf_knn" -> exactKnnSql(6),
+    "knn_join" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |         list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) ASC,
+        |                    e.vec_id ASC) AS rank
+        |  FROM embeddings e, embeddings q)
+        |SELECT query_id, vec_id, rank, round(score, 6) AS score
+        |FROM s WHERE rank <= 3 AND query_id <> vec_id
+        |ORDER BY query_id ASC, rank ASC""".stripMargin,
     "sq8_rerank" -> exactKnnSql(7),
     "int4_rerank" -> exactKnnSql(1),
     "pq_adc_rerank" -> exactKnnSql(9),

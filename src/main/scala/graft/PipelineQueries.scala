@@ -270,6 +270,34 @@ object PipelineQueries {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** SemDeDup ([[graft.dedup.Dedup.semanticDedup]], Abbas et al. 2023):
+    * cluster-scoped semantic dedup over the same perturbed-twin corpus as
+    * `neardup_cosine`, with `label` as the cluster key (any assignment
+    * works — IVF cells at scale; label is the oracle-expressible choice).
+    * Each >= 0.9-cosine duplicate group keeps the member farthest from
+    * its cluster centroid.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val pert = emb
+      .select(col("vec_id").as("src_id"), col("embedding"), col("label"))
+      .select(
+        (col("src_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val h = Dedup.portableHash(col("src_id"), (i + 1).cast("string"))
+          (x.cast("double") + (h % 201 - 100).cast("double") / 4000.0)
+            .cast("float")
+        }).as("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(pert)
+    Dedup.semanticDedup(corpus, "vec_id", "embedding", "label",
+        eps = 0.9, dim = 64)
+      .select(col("id").as("vec_id"), col("cluster").as("label"),
+        col("component"), col("centroid_cos"), col("keep"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** Cluster-dedup RETENTION: the corpus a dedup pass actually ships —
     * exactly one canonical (minimum-id) document per duplicate cluster
     * ([[graft.dedup.Components.keepCanonical]] over the exact+MinHash-LSH
@@ -360,6 +388,30 @@ object PipelineQueries {
         col("n_removed"))
       .orderBy(col("doc_id").asc)
 
+  /** Exact duplicated-substring spans ([[graft.dedup.Dedup.duplicateSpans]],
+    * Lee et al. 2022 ExactSubstr): maximal character spans covered by a
+    * >=30-char substring occurring at least twice in the corpus.
+    */
+  def dedupSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.duplicateSpans(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 30)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"))
+      .orderBy(col("doc_id").asc, col("span_start").asc)
+
+  /** ExactSubstr removal ([[graft.dedup.Dedup.removeDuplicateSpans]]):
+    * every doc with its duplicated spans cut; compared by md5 so the
+    * oracle hashes the rebuilt strings, not just counts.
+    */
+  def dedupSubstrClean(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.removeDuplicateSpans(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 30)
+      .select(col("id").as("doc_id"), md5(col("text").cast("binary"))
+          .as("clean_md5"),
+        length(col("text")).cast("long").as("clean_len"),
+        col("n_spans"), col("n_removed"))
+      .orderBy(col("doc_id").asc)
+
   /** DSIR importance weights ([[graft.pipeline.Dsir.importanceWeights]]):
     * target = docs with doc_id ≡ 7 (mod 10), raw = the rest; hashed
     * unigram buckets, add-one smoothing, length-normalized log ratio —
@@ -423,7 +475,10 @@ object PipelineQueries {
     "pipeline_dsir_weights" -> (dsirWeights _),
     "pipeline_shuffle_shards" -> (shuffleShardsQ _),
     "pipeline_curriculum" -> (curriculumQ _),
-    "dedup_lines" -> (dedupLinesQ _)
+    "dedup_lines" -> (dedupLinesQ _),
+    "dedup_substr_spans" -> (dedupSubstrSpans _),
+    "dedup_substr_clean" -> (dedupSubstrClean _),
+    "dedup_semantic" -> (dedupSemantic _)
   )
 
   private val TOK =
@@ -750,6 +805,124 @@ object PipelineQueries {
         |       count(*)::BIGINT AS n_lines,
         |       sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_removed
         |FROM flags GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+
+    "dedup_substr_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id AS id, i AS pos,
+        |         CAST('0x' || substring(md5('ss:' || substring(text, i, 30)), 1, 15)
+        |              AS BIGINT) AS h
+        |  FROM documents, unnest(range(1, len(text) - 30 + 2)) t(i)
+        |  WHERE len(text) >= 30),
+        |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT id, pos, pos + 30 AS e FROM g
+        |      WHERE h IN (SELECT h FROM d)),
+        |isl AS (SELECT id, pos, e,
+        |          CASE WHEN max(e) OVER (PARTITION BY id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |                OR pos > max(e) OVER (PARTITION BY id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               THEN 1 ELSE 0 END AS nw
+        |        FROM m),
+        |isl2 AS (SELECT id, pos, e,
+        |           sum(nw) OVER (PARTITION BY id ORDER BY pos) AS island
+        |         FROM isl)
+        |SELECT id AS doc_id, min(pos)::BIGINT AS span_start,
+        |       max(e)::BIGINT AS span_end,
+        |       (max(e) - min(pos))::BIGINT AS span_len
+        |FROM isl2 GROUP BY id, island
+        |ORDER BY doc_id ASC, span_start ASC""".stripMargin,
+
+    "dedup_substr_clean" ->
+      """WITH g AS (
+        |  SELECT doc_id AS id, i AS pos,
+        |         CAST('0x' || substring(md5('ss:' || substring(text, i, 30)), 1, 15)
+        |              AS BIGINT) AS h
+        |  FROM documents, unnest(range(1, len(text) - 30 + 2)) t(i)
+        |  WHERE len(text) >= 30),
+        |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT id, pos, pos + 30 AS e FROM g
+        |      WHERE h IN (SELECT h FROM d)),
+        |isl AS (SELECT id, pos, e,
+        |          CASE WHEN max(e) OVER (PARTITION BY id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |                OR pos > max(e) OVER (PARTITION BY id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               THEN 1 ELSE 0 END AS nw
+        |        FROM m),
+        |isl2 AS (SELECT id, pos, e,
+        |           sum(nw) OVER (PARTITION BY id ORDER BY pos) AS island
+        |         FROM isl),
+        |spans AS (SELECT id, min(pos) AS s, max(e) AS e
+        |          FROM isl2 GROUP BY id, island),
+        |segs AS (
+        |  SELECT id,
+        |         coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 1) AS ks,
+        |         s AS ke
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT sp.id, max(sp.e), len(dd.text) + 1
+        |  FROM spans sp JOIN documents dd ON dd.doc_id = sp.id
+        |  GROUP BY sp.id, len(dd.text)),
+        |rebuilt AS (
+        |  SELECT sg.id,
+        |         string_agg(substring(dd.text, sg.ks, sg.ke - sg.ks), ''
+        |                    ORDER BY sg.ks) AS clean,
+        |         (SELECT count(*) FROM spans x WHERE x.id = sg.id) AS n_spans,
+        |         (SELECT sum(x.e - x.s) FROM spans x WHERE x.id = sg.id) AS n_removed
+        |  FROM segs sg JOIN documents dd ON dd.doc_id = sg.id
+        |  GROUP BY sg.id)
+        |SELECT d.doc_id,
+        |       md5(coalesce(r.clean, d.text)) AS clean_md5,
+        |       coalesce(len(r.clean), len(d.text))::BIGINT AS clean_len,
+        |       coalesce(r.n_spans, 0)::BIGINT AS n_spans,
+        |       coalesce(r.n_removed, 0)::BIGINT AS n_removed
+        |FROM documents d LEFT JOIN rebuilt r ON r.id = d.doc_id
+        |ORDER BY d.doc_id ASC""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH RECURSIVE pert AS (
+        |  SELECT src_id + 1000000 AS vec_id,
+        |         list_transform(range(1, 65), i -> CAST(
+        |           embedding[i]::DOUBLE +
+        |           ((CAST('0x' || substring(md5(src_id || ':' || i), 1, 15) AS BIGINT)
+        |             % 201 - 100)::DOUBLE / 4000.0::DOUBLE)
+        |         AS FLOAT)) AS embedding,
+        |         label
+        |  FROM (SELECT vec_id AS src_id, embedding, label FROM embeddings)),
+        |corpus AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding, label FROM pert),
+        |e0 AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM corpus a JOIN corpus b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |        (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |         sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        |        >= 0.9::DOUBLE),
+        |edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+        |reach AS (
+        |  SELECT vec_id AS a, vec_id AS b FROM corpus
+        |  UNION
+        |  SELECT r.a, e.v AS b FROM reach r JOIN edges e ON e.u = r.b),
+        |comp AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a),
+        |cen AS (SELECT label, i, CAST(avg(embedding[i]::DOUBLE) AS FLOAT) AS c
+        |        FROM corpus, unnest(range(1, 65)) t(i) GROUP BY label, i),
+        |cenl AS (SELECT label, list(c ORDER BY i) AS centroid FROM cen GROUP BY label),
+        |sc AS (
+        |  SELECT c.vec_id, c.label, m.component,
+        |         round(list_inner_product(c.embedding::DOUBLE[], l.centroid::DOUBLE[]) /
+        |           (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+        |            sqrt(list_inner_product(l.centroid::DOUBLE[], l.centroid::DOUBLE[]))), 6)
+        |           AS centroid_cos
+        |  FROM corpus c JOIN comp m ON m.vec_id = c.vec_id
+        |                JOIN cenl l ON l.label = c.label),
+        |k AS (SELECT vec_id, label, component, centroid_cos,
+        |        row_number() OVER (PARTITION BY component
+        |          ORDER BY centroid_cos ASC, vec_id ASC) AS rn
+        |      FROM sc)
+        |SELECT vec_id, label, component, centroid_cos, (rn = 1) AS keep
+        |FROM k ORDER BY vec_id ASC""".stripMargin,
 
     "pipeline_curriculum" ->
       s"""WITH $TOK,

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{vec_cos, vec_sum_double}
 import graft.text.TextAnalysis
 
 /** Deduplication operators for training-data pipelines, each designed for
@@ -669,5 +670,160 @@ object Dedup {
             x => x("line")),
           sep).as("text"))
       .select(col("id"), col("text"), col("n_lines"), col("n_removed"))
+  }
+
+  // ------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
+    * to precomputed clusters. Within each cluster, rows whose embeddings
+    * are pairwise-similar above `eps` form duplicate groups (connected
+    * components of the >= eps graph, [[Components.connectedComponents]]);
+    * each group keeps exactly ONE representative — the member with the
+    * LOWEST cosine to the cluster centroid (the paper's rule: keep the
+    * outlier, drop the redundant near-centroid copies), ties by id.
+    *
+    * The pairwise pass is deliberately cluster-scoped — that is the
+    * paper's own scale design: cluster count grows with the corpus
+    * (k ≈ n/target_cluster_size, e.g. the paper's 50k clusters on LAION),
+    * so per-cluster work stays bounded and the join is an equi-join on
+    * the cluster key, never a corpus cartesian. Callers bring any cluster
+    * assignment: an IVF cell ([[graft.index.IVF.Model.assignCol]]), a
+    * KMeans label, or an SRP bucket for a cheap sub-linear variant.
+    *
+    * Centroids are computed from members (per-dim mean, float32
+    * round-trip so engines agree), one tiny aggregate per cluster.
+    *
+    * Output: every input row as (id, cluster, component, centroid_cos,
+    * keep) — component = min id of the duplicate group (own id when
+    * unduplicated), centroid_cos rounded to 6 decimals, keep = survives
+    * the dedup.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, eps: Double, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(clusterCol).as("cluster"),
+      col(vecCol).as("v"))
+    val edges = base.select(col("cluster"), col("id").as("u"), col("v").as("va"))
+      .join(base.select(col("cluster"), col("id").as("w"), col("v").as("vb")),
+        Seq("cluster"))
+      .where(col("u") < col("w"))
+      .where(vec_cos(col("va"), col("vb")) >= eps)
+      .select(col("u"), col("w").as("v"))
+    val comp = Components.connectedComponents(edges)
+    val cent = base.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), vec_sum_double(col("v"), dim).as("vs"))
+      .select(col("cluster"),
+        transform(col("vs"), x => (x / col("n")).cast("float")).as("c"))
+    val scored = base
+      .join(comp, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .join(cent, Seq("cluster"))
+      .withColumn("centroid_cos", round(vec_cos(col("v"), col("c")), 6))
+    val w = Window.partitionBy("component")
+      .orderBy(col("centroid_cos").asc, col("id").asc)
+    scored
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("id"), col("cluster"), col("component"),
+        col("centroid_cos"), col("keep"))
+  }
+
+  // ------------------------------------------- exact duplicated substrings
+
+  /** Exact duplicated-substring SPANS — the ExactSubstr pass of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499), reproduced without the suffix array: a character is
+    * duplicated iff it lies inside some substring of length >= `minLen`
+    * occurring at least twice in the corpus (any doc, any position,
+    * including twice within one doc). That set equals the union of all
+    * duplicated length-`minLen` windows — every length-`minLen` window of a
+    * longer duplicated substring is itself duplicated — so fixed-length
+    * gram marking gives the suffix-array answer with pure dataframe ops:
+    *
+    *  1. every length-`minLen` window → (id, pos, hash): one narrow
+    *     explode, rows = total chars;
+    *  2. hashes occurring >= 2 times globally: one hash-keyed aggregation
+    *     (map-side partial counts collapse hot grams before the exchange);
+    *  3. left-semi join of windows against the duplicated-hash set (AQE
+    *     broadcasts it when it measures small) — steps 2+3 are the two
+    *     total-chars shuffles this operator honestly costs at 100 TB;
+    *  4. per-doc gaps-and-islands merge of marked windows [pos, pos+L)
+    *     into maximal spans — one doc-keyed window, no self-join.
+    *
+    * Grouping on the portable 60-bit hash keeps the shuffle narrow; a
+    * collision can only ADD a false span (P ~ 1e-9 at a billion grams) —
+    * swap in the gram itself (or a 128-bit hash) when exactness must be
+    * absolute.
+    *
+    * Output: (id, span_start, span_end, span_len) — 1-based inclusive
+    * start, exclusive end, one row per maximal span.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 2, "minLen must be >= 2")
+    val L = minLen
+    val grams = df
+      .where(length(col(textCol)) >= L)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - (L - 1))).as("pos"),
+        col(textCol).as("_t"))
+      .select(col("id"), col("pos"),
+        portableHash(lit("ss"), col("_t").substr(col("pos"), lit(L))).as("h"))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("h")
+    val marked = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("id"), col("pos"), (col("pos") + L).as("e"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("_new",
+        when(prevMax.isNull || col("pos") > prevMax, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(w))
+      .groupBy(col("id"), col("_island"))
+      .agg(min(col("pos")).as("_s"), max(col("e")).as("_e"))
+      .select(col("id"), col("_s").cast("long").as("span_start"),
+        col("_e").cast("long").as("span_end"),
+        (col("_e") - col("_s")).cast("long").as("span_len"))
+  }
+
+  /** Cut every duplicated span found by [[duplicateSpans]] out of every
+    * document — the remove-all-occurrences policy: deterministic, join-free
+    * per doc, and the right default for training data, where repeated text
+    * is exactly what over-trains (keep-one-occurrence needs a global owner
+    * election per span and changes nothing downstream). Spans arrive as a
+    * per-doc sorted array; the rebuild is one `aggregate` fold over kept
+    * segments — all built-in HOFs, codegen'd, no UDF.
+    *
+    * Output: every input row as (id, text, n_spans, n_removed) — text with
+    * spans cut (unchanged when none), n_removed = characters removed.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, minLen)
+      .groupBy("id")
+      .agg(
+        sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+          .as("_spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("n_removed"))
+    val t = col("_t")
+    val clean = aggregate(
+      col("_spans"),
+      struct(lit("").as("acc"), lit(1L).as("last")),
+      (st, sp) => struct(
+        concat(st("acc"),
+          t.substr(st("last").cast("int"),
+            (sp("span_start") - st("last")).cast("int"))).as("acc"),
+        sp("span_end").as("last")),
+      st => concat(st("acc"),
+        t.substr(st("last").cast("int"),
+          (length(t) - st("last") + 1).cast("int"))))
+    df.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        when(col("_spans").isNull, t).otherwise(clean).as("text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 }

@@ -33,6 +33,22 @@ object IVF {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
 
+    /** Column: the `nprobe` nearest centroid indices, nearest first — the
+      * distributed twin of [[probes]] for a whole query COLUMN (every row
+      * gets its own probe list, no driver round-trip). Ties break by
+      * centroid index ascending: `array_sort` over (distance, index)
+      * structs orders by field position, matching [[probes]]'
+      * (dist, idx) comparator. All built-in functions → whole-stage
+      * codegen, k centroid literals ride in as constants.
+      */
+    def probeCol(vec: Column, nprobe: Int): Column = {
+      val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(vec_l2sq(vec, lit(c)).as("d"), lit(i).as("i"))
+      }: _*)
+      transform(slice(array_sort(pairs), 1, math.min(math.max(nprobe, 1), k)),
+        p => p.getField("i"))
+    }
+
     /** Vertical-lane packed centroids for the SIMD probe pass: block `b`
       * holds centroids `b·L … b·L+L-1` with dims contiguous per block
       * (`packed((b·dim + d)·L + l)`), padded lanes zero. Built once,

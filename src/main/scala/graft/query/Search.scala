@@ -221,6 +221,71 @@ object Search {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Distributed k-NN JOIN: the top-k corpus neighbors of EVERY query row,
+    * where BOTH sides are large datasets. [[batchSearch]] broadcasts the
+    * query set — right for thousands of queries, impossible for millions.
+    * This is the shape that remains at 100 TB: embed a whole table and
+    * find each row's neighbors in another table (near-dup linking,
+    * retrieval-augmented labeling, kNN classification).
+    *
+    * Plan: corpus rows are tagged with their IVF cell (one nearest-centroid
+    * expression, no shuffle — or reuse a persisted `ivf_part` layout
+    * column); each query row explodes to its `nprobe` nearest cells; both
+    * sides shuffle ONCE on the cell key into an equi-join (no cartesian —
+    * a query meets only the ~nprobe/nlist fraction of the corpus it probes,
+    * and each (query, corpus) pair meets at most once because a corpus row
+    * lives in exactly one cell); per-query bounded top-k heaps
+    * ([[topKPerKey]]) reduce before the final shuffle. Skewed cells are
+    * AQE's skew-join case. With `nprobe = model.k` the join is EXACT
+    * (every pair is scored); with nprobe < nlist it is the standard IVF
+    * approximation — gate recall like the engine does (≥0.95 at the
+    * benched shapes; `KnnJoinSpec`).
+    *
+    * The reference's engine has no two-large-sides analog — its
+    * `BatchSearch` (`engine.go:1303-1366`) iterates queries against the
+    * in-process index; this operator is the missing cluster-scale twin.
+    *
+    * Caller aliases query columns so names don't collide with corpus
+    * columns (same contract as [[batchSearch]]). Cosine callers should
+    * L2-normalize both sides first (IVF cells are L2-trained); Dot is
+    * rejected — inner-product has no metric cell geometry (same loud
+    * refusal as the RaBitQ route).
+    *
+    * @return (queryIdCol, idCol, score, rank), rank 1..k per query
+    */
+  def knnJoinIvf(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      model: graft.index.IVF.Model,
+      nprobe: Int,
+      metric: Metric = Metric.L2,
+      filter: Column = lit(true)): DataFrame = {
+    require(metric == Metric.L2 || metric == Metric.Cosine,
+      s"knnJoinIvf: $metric unsupported — IVF cells are L2-trained " +
+        "(L2/Cosine only; pre-normalize for Cosine)")
+    val assigned =
+      if (corpus.columns.contains("ivf_part")) corpus.where(filter)
+      else corpus.where(filter)
+        .withColumn("ivf_part", model.assignCol(col(vecCol)))
+    val probed = queries
+      .select(col(queryIdCol), col(queryVecCol))
+      .withColumn("ivf_part",
+        explode(model.probeCol(col(queryVecCol), nprobe)))
+    val score = metric.score(col(vecCol), col(queryVecCol))
+    val orderScore = if (metric.ascending) score else -score
+    val scored = assigned
+      .join(probed, "ivf_part")
+      .withColumn("_os_in", orderScore)
+    val restore = if (metric.ascending) col("_os") else -col("_os")
+    topKPerKey(scored, queryIdCol, col("_os_in"), idCol, k)
+      .select(col(queryIdCol), col(idCol), restore.as("score"), col("rank"))
+  }
+
   /** Point lookup by primary key (vecgo R7 `Get`). */
   def get(df: DataFrame, idCol: String, id: Long): DataFrame =
     df.where(col(idCol) === lit(id))
