@@ -205,7 +205,8 @@ object Bench {
       "bm25_search", "hybrid_rrf", "q1_agg", "join_agg", "topn_window",
       "filter_ops", "dedup_exact", "dedup_minhash_lsh", "neardup_cosine",
       "text_lang_quality", "text_scrub", "pipeline_filter",
-      "events_tumbling_agg", "ivf_knn", "sq8_rerank", "bq_hamming")
+      "events_tumbling_agg", "ivf_knn", "sq8_rerank", "bq_hamming",
+      "knn_join", "dedup_substr_clean", "dedup_semantic")
     val qmap = SparkEntry.queries
     val headlineBenches: Seq[(String, () => Unit)] = headline.flatMap { name =>
       qmap.get(name).map(fn => name -> (() => noop(fn(spark, sfDir))))
@@ -289,6 +290,23 @@ object Bench {
       "synth_knn_single_parquet_big" -> (() =>
         noop(Search.knn(spark.read.parquet(ivfDirBig), "vec", "id", lit(q0),
           10, Metric.L2))),
+      // two-large-sides k-NN JOIN over the persisted big layout: 1k query
+      // rows explode to their 2/64 nearest cells and equi-join the 500k
+      // corpus on the cell key (reusing the stored ivf_part column) —
+      // the per-row neighbor-linking shape batchSearch can't broadcast
+      // ExactSubstr span removal at the production hash (xxhash64); the
+      // headline dedup_substr_clean twin pays the md5-portable hash the
+      // DuckDB oracle needs — this row is the rate a deployment sees
+      "synth_substr_dedup_fast" -> (() =>
+        noop(graft.dedup.Dedup.removeDuplicateSpans(
+          Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+          minLen = 30))),
+      "synth_knn_join_big1k" -> (() => {
+        val qdf = stored.where(col("id") < 1000)
+          .select(col("id").as("qid"), col("vec").as("qv"))
+        noop(Search.knnJoinIvf(spark.read.parquet(ivfDirBig), "vec", "id",
+          qdf, "qid", "qv", k = 10, ivfModelBig, nprobe = 2))
+      }),
       // tombstone-delete throughput: anti-join n rows against 1k deletes
       // (the READ-side apply cost; the write side is benched below)
       "synth_delete_antijoin" -> (() =>
@@ -467,6 +485,7 @@ object Bench {
     derived("ivf_speedup_vs_brute") =
       results("synth_knn_single_parquet") / results("synth_ivf_probe4")
     derived("ivf_build_vec_per_sec_big") = nBig / results("synth_ivf_build_big")
+    derived("knn_join_qps_big") = 1000.0 / results("synth_knn_join_big1k")
     derived("delete_rows_per_sec") = n / results("synth_delete_antijoin")
     derived("delete_1k_latency_ms") = results("synth_delete_engine_1k") * 1e3
     derived("delete_ids_per_sec_bulk") = 500000.0 / results("synth_delete_engine_500k")

@@ -394,7 +394,7 @@ object PipelineQueries {
     */
   def dedupSubstrSpans(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.duplicateSpans(t(s, dir, "documents"),
-        "doc_id", "text", minLen = 30)
+        "doc_id", "text", minLen = 30, portable = true)
       .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
         col("span_len"))
       .orderBy(col("doc_id").asc, col("span_start").asc)
@@ -405,7 +405,7 @@ object PipelineQueries {
     */
   def dedupSubstrClean(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.removeDuplicateSpans(t(s, dir, "documents"),
-        "doc_id", "text", minLen = 30)
+        "doc_id", "text", minLen = 30, portable = true)
       .select(col("id").as("doc_id"), md5(col("text").cast("binary"))
           .as("clean_md5"),
         length(col("text")).cast("long").as("clean_len"),

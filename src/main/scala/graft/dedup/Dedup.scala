@@ -749,26 +749,33 @@ object Dedup {
     *  4. per-doc gaps-and-islands merge of marked windows [pos, pos+L)
     *     into maximal spans — one doc-keyed window, no self-join.
     *
-    * Grouping on the portable 60-bit hash keeps the shuffle narrow; a
-    * collision can only ADD a false span (P ~ 1e-9 at a billion grams) —
-    * swap in the gram itself (or a 128-bit hash) when exactness must be
-    * absolute.
+    * Grouping on a 64-bit hash keeps the shuffle narrow; a collision can
+    * only ADD a false span (P ~ 1e-9 at a billion grams) — swap in the
+    * gram itself (or a 128-bit hash) when exactness must be absolute.
+    * `portable = true` selects the md5-derived 60-bit hash the DuckDB
+    * oracle reproduces (~8× the hashing CPU; oracle queries only —
+    * production default is codegen'd xxhash64).
     *
     * Output: (id, span_start, span_end, span_len) — 1-based inclusive
     * start, exclusive end, one row per maximal span.
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int): DataFrame = {
+      minLen: Int, portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minLen >= 2, "minLen must be >= 2")
     val L = minLen
+    // production hash = xxhash64 (codegen'd, ~8x cheaper than md5 and the
+    // gram pass hashes every character L times); portable=true switches to
+    // the md5-derived 60-bit hash DuckDB can reproduce (oracle queries)
+    def gramHash(g: Column): Column =
+      if (portable) portableHash(lit("ss"), g) else xxhash64(g)
     val grams = df
       .where(length(col(textCol)) >= L)
       .select(col(idCol).as("id"),
         explode(sequence(lit(1), length(col(textCol)) - (L - 1))).as("pos"),
         col(textCol).as("_t"))
       .select(col("id"), col("pos"),
-        portableHash(lit("ss"), col("_t").substr(col("pos"), lit(L))).as("h"))
+        gramHash(col("_t").substr(col("pos"), lit(L))).as("h"))
     val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2).select("h")
     val marked = grams.join(dup, Seq("h"), "left_semi")
@@ -799,8 +806,8 @@ object Dedup {
     * spans cut (unchanged when none), n_removed = characters removed.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, minLen)
+      minLen: Int, portable: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, minLen, portable)
       .groupBy("id")
       .agg(
         sort_array(collect_list(struct(col("span_start"), col("span_end"))))
