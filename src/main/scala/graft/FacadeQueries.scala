@@ -801,8 +801,27 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** Engine k-NN JOIN ([[GraftDB.knnJoin]]): every embeddings row joined
+    * to its 3 nearest store rows through the built index's persisted
+    * `_ivf_part` cells. All cells probed (nprobe = nlist) ⇒ exact ⇒ same
+    * cross-join + row_number oracle as the operator-level `knn_join`;
+    * partial-probe recall is gated in `IndexedEngineSpec`.
+    */
+  def knnJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_knn_join")
+    db.buildIndex(nlist = 8)
+    val queries = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    db.knnJoin(queries, "query_id", "qv", k = 3, nprobe = 8)
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("vec_id"), col("rank"),
+        round(sqrt(col("score")), 6).as("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
+    "graftdb_knn_join" -> (knnJoinQ _),
     "graftdb_knn_indexed" -> (knnIndexed _),
     "graftdb_knn_pq_indexed" -> (knnPqIndexed _),
     "graftdb_knn_opq_indexed" -> (knnOpqIndexed _),
@@ -1086,5 +1105,6 @@ object FacadeQueries {
 
   /** Derived aliases: rows whose oracle is literally another row's. */
   val oracleAliases: Map[String, String] = Map(
-    "graftdb_local_hybrid_filtered" -> "graftdb_hybrid_filtered")
+    "graftdb_local_hybrid_filtered" -> "graftdb_hybrid_filtered",
+    "graftdb_knn_join" -> "knn_join")
 }

@@ -918,6 +918,73 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Distributed k-NN JOIN against this store: the top-k visible rows for
+    * EVERY row of a table-sized `queries` frame. [[batchSearch]] takes a
+    * driver-materialized query matrix (thousands of queries); this is the
+    * two-large-sides shape — embed a whole table and link each row to its
+    * store neighbors — that no reference operator serves and a cluster
+    * must: per indexed segment, each query explodes to its `nprobe`
+    * nearest cells ([[graft.index.IVF.Model.probeCol]]) and equi-joins the
+    * segment on the persisted `_ivf_part` key (Parquet partition column,
+    * so the shuffle join co-locates by cell); matches score EXACTLY on the
+    * raw vector (packed blobs scored in place); unindexed tail segments
+    * brute-join so results stay correct between compactions (their cost is
+    * tail_rows × queries — compact before corpus-scale joins). One global
+    * per-query bounded-heap top-k ([[Search.topKPerKey]]) fuses all pools.
+    *
+    * Exact when nprobe = nlist on every segment; the usual IVF recall
+    * trade below it. Requires an IVF-partitioned index — without cells a
+    * table-sized query side degenerates to a corpus cartesian, refused
+    * loudly like the other unplannable routes.
+    *
+    * @return (queryIdCol, id, score, rank), rank 1..k per query
+    */
+  def knnJoin(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, filter: FilterSet = FilterSet.empty,
+      nprobe: Int = 0): DataFrame = {
+    import graft.index.SegmentIndex
+    require(metric == Metric.L2 || metric == Metric.Cosine,
+      s"knnJoin supports L2/Cosine stores (IVF cell geometry); got $metric")
+    val m = store.manifest(effectiveVersion).getOrElse(
+      throw new IllegalStateException(s"no readable version at $root"))
+    val (idxSegs, plainSegs) = m.segments.partition(_.index.isDefined)
+    require(idxSegs.nonEmpty,
+      "knnJoin needs an IVF-partitioned index (buildIndex) — without " +
+        "cells a table-sized query side is a corpus cartesian; for " +
+        "driver-sized query sets use batchSearch")
+    val qsel0 = queries.select(col(queryIdCol).as("_qid"),
+      col(queryVecCol).as("_qv"))
+    val qsel =
+      if (metric == Metric.Cosine)
+        qsel0.withColumn("_qv", graft.functions.vec_normalize(col("_qv")))
+      else qsel0
+    val keptPlain = plainSegs.filterNot(s => s.stats.exists(st =>
+      graft.stats.SegmentStats.canPruneAll(st, filter.filters)))
+    val score = metric.score(col("vector"), col("_qv"))
+    val orderScore = if (metric.ascending) score else -score
+    val pools = idxSegs.map { s =>
+      val meta = indexMeta(s.index.get)
+      val ivf = SegmentIndex.ivfModel(meta)
+      val np =
+        if (nprobe > 0) math.min(nprobe, ivf.k)
+        else math.max(1, math.ceil(math.sqrt(ivf.k)).toInt)
+      val probed = qsel.withColumn(SegmentIndex.PartCol,
+        explode(ivf.probeCol(col("_qv"), np)))
+      store.visibleSegment(s, m).where(filter.toColumn)
+        .join(probed, SegmentIndex.PartCol)
+        .select(col("_qid"), col("id"), orderScore.as("_os_in"))
+    }
+    val tails = keptPlain.map(s =>
+      store.visibleSegment(s, m).where(filter.toColumn)
+        .crossJoin(qsel)
+        .select(col("_qid"), col("id"), orderScore.as("_os_in")))
+    val all = (pools ++ tails).reduce(_ unionByName _)
+    val restore = if (metric.ascending) col("_os") else -col("_os")
+    Search.topKPerKey(all, "_qid", col("_os_in"), "id", k)
+      .select(col("_qid").as(queryIdCol), col("id"), restore.as("score"),
+        col("rank"))
+  }
+
   /** Probe-pruned quantized BATCH search (vecgo fans BatchSearch out per
     * query over the same index, `engine.go:1303-1366`). The scan is
     * pruned ONCE with the union of all queries' probe lists (a literal

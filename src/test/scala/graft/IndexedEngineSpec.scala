@@ -223,6 +223,51 @@ class IndexedEngineSpec extends AnyFunSuite {
     assert(!db.scan(Seq(Filter.Eq("label", 1))).columns.contains("_sq8"))
   }
 
+  test("knnJoin: exact at all probes, tail joined, recall gated, unindexed refused") {
+    import graft.query.Search
+    val db = freshDb()
+    val rows = clustered(240)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    // unindexed store: refused loudly, not a silent cartesian
+    val queries = rows.map(r => (r._1, r._2)).toDF("qid", "qv")
+    intercept[IllegalArgumentException] {
+      db.knnJoin(queries, "qid", "qv", k = 3)
+    }
+    db.buildIndex(nlist = NClusters)
+    // a tail row inserted after the index must be joinable too
+    val tailVec = rows(17)._2.map(x => x + 0.005f)
+    db.insertBatch(Seq((9999L, tailVec, 1, "tail")).toDF(
+      "id", "vector", "label", "body"))
+    def bruteJoin(k: Int): Map[Long, Seq[Long]] = {
+      val qdf = queries.select(col("qid"), col("qv"))
+      Search.batchSearch(db.read(), "vector", "id", qdf, "qid", "qv", k)
+        .select("qid", "id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    }
+    // all probes ⇒ exact: ids AND order match the brute per-query ranking
+    val exact = db.knnJoin(queries, "qid", "qv", k = 4, nprobe = NClusters)
+      .orderBy(col("qid"), col("rank"))
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val want = bruteJoin(4)
+    assert(exact == want)
+    // query 17's neighborhood must include the post-index tail row
+    assert(exact(17L).contains(9999L), "tail segment must join")
+    // partial probes on clustered data clear the engine's recall gate
+    val approx = db.knnJoin(queries, "qid", "qv", k = 4, nprobe = 1)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = rows.map { case (qid, _, _, _) =>
+      want(qid).count(approx.getOrElse(qid, Set.empty)).toDouble / 4
+    }.sum / rows.size
+    assert(recall >= 0.95, f"knnJoin recall $recall%.3f < 0.95 at nprobe=1")
+    // metadata filter applies to the corpus side
+    val filtered = db.knnJoin(queries, "qid", "qv", k = 2,
+        filter = FilterSet.of(Filter.Eq("label", 2)), nprobe = NClusters)
+      .select("id").as[Long].collect()
+    assert(filtered.nonEmpty && filtered.forall(id => id % NClusters == 2))
+  }
+
   test("compact() preserves the index: tail is folded in, search stays indexed") {
     val db = freshDb()
     val rows = clustered(300)
