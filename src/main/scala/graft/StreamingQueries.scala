@@ -505,7 +505,56 @@ object StreamingQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Streaming ExactSubstr marking ([[graft.dedup.Dedup.duplicateSpanIncrement]]):
+    * batch 1 streams the even doc_ids, batch 2 the odd, so cross-batch
+    * duplicated substrings must be found by probing the ACCUMULATED
+    * window-gram state — a batch window marks when its hash count over
+    * state ∪ batch reaches 2, and a previously-unique STATE window marks
+    * the moment a later batch collides with it. The union of emitted
+    * marks equals the batch marking of the full corpus, so the final
+    * gaps-and-islands merge hash-checks against the same DuckDB spans
+    * oracle as the batch twin `dedup_substr_spans`.
+    */
+  def streamingDedupSubstr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (first, second) = docs.partition(_._1 % 2 == 0)
+    val root = Files.createTempDirectory("graft_stream_substr").toString
+    val gramsDir = s"$root/grams"
+    val marksDir = s"$root/marks"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def readIf(p: String): Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some(s.read.parquet(p))
+      else None
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (marked, bg) = graft.dedup.Dedup.duplicateSpanIncrement(
+          batch, "doc_id", "text", minLen = 30, readIf(gramsDir),
+          portable = true)
+        marked.write.mode("append").parquet(marksDir) // BEFORE state append
+        bg.write.mode("append").parquet(gramsDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt("substr"))
+      .start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.dedup.Dedup.mergeWindowSpans(s.read.parquet(marksDir), minLen = 30)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"))
+      .orderBy(col("doc_id").asc, col("span_start").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_dedup_substr" -> (streamingDedupSubstr _),
     "streaming_tumbling_agg" -> (streamingTumblingAgg _),
     "streaming_sliding_agg" -> (streamingSlidingAgg _),
     "streaming_sessionize" -> (streamingSessionize _),
@@ -533,6 +582,7 @@ object StreamingQueries {
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
     "streaming_dedup_exact" -> PipelineQueries.oracle("dedup_exact"),
     "streaming_minhash" -> PipelineQueries.oracle("dedup_minhash_lsh"),
+    "streaming_dedup_substr" -> PipelineQueries.oracle("dedup_substr_spans"),
     "streaming_dsir" -> PipelineQueries.oracle("pipeline_dsir_weights"),
     "streaming_neardup_cosine" -> PipelineQueries.oracle("neardup_cosine"),
     "streaming_asof_join" -> EventQueries.oracle("events_asof_join"),

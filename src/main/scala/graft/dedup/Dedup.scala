@@ -761,29 +761,44 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int, portable: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val grams = windowGrams(df, idCol, textCol, minLen, portable)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("h")
+    mergeWindowSpans(
+      grams.join(dup, Seq("h"), "left_semi").select("id", "pos"), minLen)
+  }
+
+  /** Every length-`minLen` character window of every doc as
+    * (id, pos, h) — pos 1-based; production hash = xxhash64 (codegen'd,
+    * ~8x cheaper than md5 and the gram pass hashes every character
+    * `minLen` times); portable=true switches to the md5-derived 60-bit
+    * hash DuckDB can reproduce (oracle queries).
+    */
+  def windowGrams(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, portable: Boolean = false): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     val L = minLen
-    // production hash = xxhash64 (codegen'd, ~8x cheaper than md5 and the
-    // gram pass hashes every character L times); portable=true switches to
-    // the md5-derived 60-bit hash DuckDB can reproduce (oracle queries)
     def gramHash(g: Column): Column =
       if (portable) portableHash(lit("ss"), g) else xxhash64(g)
-    val grams = df
-      .where(length(col(textCol)) >= L)
+    df.where(length(col(textCol)) >= L)
       .select(col(idCol).as("id"),
         explode(sequence(lit(1), length(col(textCol)) - (L - 1))).as("pos"),
         col(textCol).as("_t"))
       .select(col("id"), col("pos"),
         gramHash(col("_t").substr(col("pos"), lit(L))).as("h"))
-    val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
-      .where(col("n") >= 2).select("h")
-    val marked = grams.join(dup, Seq("h"), "left_semi")
-      .select(col("id"), col("pos"), (col("pos") + L).as("e"))
+  }
+
+  /** Merge marked windows [pos, pos+minLen) into maximal per-doc spans —
+    * the gaps-and-islands pass shared by the batch and streaming paths.
+    * `marked`: (id, pos). Output: (id, span_start, span_end, span_len).
+    */
+  def mergeWindowSpans(marked: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
     val prevMax = max(col("e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     marked
+      .select(col("id"), col("pos"), (col("pos") + minLen).as("e"))
       .withColumn("_new",
         when(prevMax.isNull || col("pos") > prevMax, 1L).otherwise(0L))
       .withColumn("_island", sum(col("_new")).over(w))
@@ -792,6 +807,53 @@ object Dedup {
       .select(col("id"), col("_s").cast("long").as("span_start"),
         col("_e").cast("long").as("span_end"),
         (col("_e") - col("_s")).cast("long").as("span_len"))
+  }
+
+  /** Streaming increment of the ExactSubstr marking: given a batch of new
+    * docs and the ACCUMULATED window-gram state (id, pos, h) of every
+    * earlier batch, emit the window positions that become duplicated by
+    * this batch — each marked position exactly once across the stream:
+    *
+    *  - a batch window is marked now iff its hash count over
+    *    state ∪ batch is >= 2;
+    *  - a STATE window is marked now iff it was previously unique
+    *    (state count 1) and this batch collides with it — if its hash was
+    *    already duplicated it was emitted when the second copy arrived.
+    *
+    * The union of emitted positions over all batches equals the batch
+    * [[duplicateSpans]] marking of the full corpus, so
+    * [[mergeWindowSpans]] over the accumulated marks reproduces the batch
+    * spans exactly (the stream-vs-batch hash check in
+    * `streaming_dedup_substr`). Joins are hash-keyed equi-joins against
+    * the batch's hash set — per-batch work scales with the batch, plus
+    * one probe of the state table.
+    *
+    * @return (marked (id, pos) to append to the marks store,
+    *         batch grams (id, pos, h) to append to the gram state)
+    */
+  def duplicateSpanIncrement(batch: DataFrame, idCol: String,
+      textCol: String, minLen: Int, stateGrams: Option[DataFrame],
+      portable: Boolean = false): (DataFrame, DataFrame) = {
+    val bg = windowGrams(batch, idCol, textCol, minLen, portable)
+    val bc = bg.groupBy("h").agg(count(lit(1)).as("_bn"))
+    val sc = stateGrams match {
+      case Some(st) => st.groupBy("h").agg(count(lit(1)).as("_sn"))
+      case None => bc.limit(0).select(col("h"), col("_bn").as("_sn"))
+    }
+    val tot = bc.join(sc, Seq("h"), "left")
+      .select(col("h"), col("_bn"),
+        (col("_bn") + coalesce(col("_sn"), lit(0L))).as("_tot"),
+        coalesce(col("_sn"), lit(0L)).as("_snv"))
+    val dupNow = tot.where(col("_tot") >= 2)
+    val markedNew = bg.join(dupNow.select("h"), Seq("h"), "left_semi")
+      .select("id", "pos")
+    val markedOld = stateGrams match {
+      case Some(st) =>
+        st.join(dupNow.where(col("_snv") === 1).select("h"),
+          Seq("h"), "left_semi").select("id", "pos")
+      case None => markedNew.limit(0)
+    }
+    (markedNew.unionByName(markedOld), bg)
   }
 
   /** Cut every duplicated span found by [[duplicateSpans]] out of every

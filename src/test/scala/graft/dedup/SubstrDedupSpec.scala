@@ -95,6 +95,39 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(got(1L)._2 == "" || got(1L)._4 > 0)
   }
 
+  test("streaming increment marks each position once; merged spans == batch") {
+    // three batches; duplicates within a batch, across adjacent batches,
+    // and a batch-3 collision that retro-marks a batch-1 window
+    val batches = Seq(
+      Seq(docs(0), docs(1)),                 // doc 1 (dup of 6, later)
+      Seq(docs(2), docs(3), docs(4)),        // doc 3 dups doc 1's phrase
+      Seq(docs(5))                           // doc 6 == doc 1 end-to-end
+    )
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var allMarks: org.apache.spark.sql.DataFrame = null
+    batches.foreach { b =>
+      val (marked, bg) = Dedup.duplicateSpanIncrement(
+        b.toDF("id", "text"), "id", "text", L, state)
+      val m = marked.cache(); m.count()
+      val g = bg.cache(); g.count()
+      allMarks = if (allMarks == null) m else allMarks.unionByName(m)
+      state = Some(state.map(_.unionByName(g)).getOrElse(g))
+    }
+    // exactly-once: no (id, pos) emitted twice across the stream
+    val dupEmits = allMarks.groupBy("id", "pos").count()
+      .where(col("count") > 1).count()
+    assert(dupEmits == 0, "a window position was emitted more than once")
+    val got = Dedup.mergeWindowSpans(allMarks, L)
+      .select("id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2.toInt, r._3.toInt)).sortBy(_._1).toSeq)
+      .toMap
+    val want = bruteSpans(docs).filter(_._2.nonEmpty)
+    assert(got == want,
+      "incrementally-merged spans differ from the batch marking")
+  }
+
   test("a fully-duplicated doc is cut to empty") {
     val twins = Seq(10L -> "aaaaaaaaaaaaaaaaaaaaaaaa",
       11L -> "aaaaaaaaaaaaaaaaaaaaaaaa").toDF("id", "text")
