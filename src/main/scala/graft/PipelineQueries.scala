@@ -270,6 +270,36 @@ object PipelineQueries {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** Hard per-source cap ([[graft.pipeline.Sampling.capPerKey]]): at most
+    * 10 docs per source, chosen by seeded-hash rank — the CCNet/Gopher
+    * per-domain limit.
+    */
+  def capPerKeyQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.capPerKey(t(s, dir, "documents"),
+        "doc_id", "source", maxPerKey = 10, seed = "cap0")
+      .select(col("doc_id"), col("source"), col("pos"))
+      .orderBy(col("doc_id").asc)
+
+  /** Token-budget corpus mixing ([[graft.pipeline.Sampling.mixToBudget]]):
+    * mix four sources to binary-exact target weights under a budget of
+    * 3/4 of their total chars — src0's 0.5 share saturates (keeps all),
+    * the others sample at their computed ppm rate. Weights are powers of
+    * two so the normalization and rate doubles are bit-identical in
+    * DuckDB regardless of summation order.
+    */
+  def mixBudgetQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25,
+      "src2" -> 0.125, "src3" -> 0.125)
+    val total = docs.where(col("source").isin(srcs: _*))
+      .agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    graft.pipeline.Sampling.mixToBudget(docs, "doc_id", "source",
+        col("n_chars"), weights, budgetTokens = total * 3 / 4, seed = "mix0")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rate_ppm"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** SemDeDup ([[graft.dedup.Dedup.semanticDedup]], Abbas et al. 2023):
     * cluster-scoped semantic dedup over the same perturbed-twin corpus as
     * `neardup_cosine`, with `label` as the cluster key (any assignment
@@ -478,7 +508,9 @@ object PipelineQueries {
     "dedup_lines" -> (dedupLinesQ _),
     "dedup_substr_spans" -> (dedupSubstrSpans _),
     "dedup_substr_clean" -> (dedupSubstrClean _),
-    "dedup_semantic" -> (dedupSemantic _)
+    "dedup_semantic" -> (dedupSemantic _),
+    "pipeline_cap_per_key" -> (capPerKeyQ _),
+    "pipeline_mix_budget" -> (mixBudgetQ _)
   )
 
   private val TOK =
@@ -877,6 +909,37 @@ object PipelineQueries {
         |       coalesce(r.n_spans, 0)::BIGINT AS n_spans,
         |       coalesce(r.n_removed, 0)::BIGINT AS n_removed
         |FROM documents d LEFT JOIN rebuilt r ON r.id = d.doc_id
+        |ORDER BY d.doc_id ASC""".stripMargin,
+
+    "pipeline_cap_per_key" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY
+        |           CAST('0x' || substring(md5(doc_id || ':cap0'), 1, 15) AS BIGINT) ASC,
+        |           doc_id ASC) AS pos
+        |  FROM documents)
+        |SELECT doc_id, source, pos FROM r WHERE pos <= 10
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    "pipeline_mix_budget" ->
+      """WITH st AS (
+        |  SELECT source, sum(n_chars)::BIGINT AS t FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+        |tot AS (SELECT (sum(t) * 3) // 4 AS budget FROM st),
+        |rates AS (
+        |  SELECT source,
+        |         CAST(floor(least(1.0::DOUBLE,
+        |           (SELECT budget FROM tot)::DOUBLE *
+        |           (CASE source WHEN 'src0' THEN 0.5::DOUBLE
+        |                        WHEN 'src1' THEN 0.25::DOUBLE
+        |                        WHEN 'src2' THEN 0.125::DOUBLE
+        |                        ELSE 0.125::DOUBLE END) / t::DOUBLE)
+        |           * 1000000.0::DOUBLE) AS BIGINT) AS ppm
+        |  FROM st)
+        |SELECT d.doc_id, d.source, d.n_chars, r.ppm AS rate_ppm
+        |FROM documents d JOIN rates r ON r.source = d.source
+        |WHERE CAST('0x' || substring(md5(d.doc_id || ':mix0'), 1, 15) AS BIGINT)
+        |        % 1000000 < r.ppm
         |ORDER BY d.doc_id ASC""".stripMargin,
 
     "dedup_semantic" ->

@@ -141,6 +141,83 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
       .drop("h")
   }
+
+  /** Hard per-key cap (the CCNet/Gopher per-domain limit): keep at most
+    * `maxPerKey` rows of each key, chosen deterministically — rank rows
+    * within a key by (seeded md5 hash, id) and keep rank <= cap, so the
+    * retained subset is a uniform seeded sample, stable across reruns,
+    * and changing the seed redraws it.
+    *
+    * Scale shape: one key-partitioned window (sort WITHIN keys only — the
+    * shuffle key is the domain, a hot domain is AQE's skew case). For
+    * web-scale hot keys, pre-thin with [[stratifiedHash]] at a rate
+    * comfortably above cap/keyRows, then apply the exact cap to the
+    * survivors — the window then sorts thousands of rows per key, not
+    * millions.
+    *
+    * Output: the kept rows with their `pos` (1..cap) within the key.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String,
+      maxPerKey: Int, seed: String): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      lit(seed))), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_h").asc, col(idCol).asc)
+    df.withColumn("_h", h)
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= maxPerKey)
+      .drop("_h")
+  }
+
+  /** Mix a corpus to target source weights under a token budget (the
+    * Pile/Dolma-style mixture step): given per-source mixture weights and
+    * a total token budget, each source s gets acceptance rate
+    * `min(1, budget · w_s / tokens_s)` (w normalized over the given
+    * sources) and rows pass a deterministic md5 gate at that rate —
+    * integer-threshold decisions, so membership is bit-identical on every
+    * engine and stable across reruns. Rates saturate at 1: a source too
+    * small for its target share contributes everything it has (the
+    * standard single-epoch mix; oversample by repeating the pass with a
+    * different seed downstream if a source must be up-sampled).
+    *
+    * Scale shape: one per-source token aggregation (sources are the
+    * weight map's keys — driver-bounded by construction), broadcast back
+    * as a literal rate expression; the gate is a single scan, no shuffle.
+    * Sources absent from `weights` are dropped (weight 0).
+    *
+    * Output: kept rows + (rate_ppm) — parts-per-million acceptance rate
+    * of the row's source, for downstream accounting.
+    */
+  def mixToBudget(df: DataFrame, idCol: String, keyCol: String,
+      tokensCol: Column, weights: Map[String, Double], budgetTokens: Long,
+      seed: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "weights must be non-negative, not all zero")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val wNorm = {
+      val tot = weights.values.sum
+      weights.view.mapValues(_ / tot).toMap
+    }
+    val srcTokens: Map[String, Long] = df
+      .where(col(keyCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(keyCol)).agg(sum(tokensCol.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ppm thresholds computed driver-side in one deterministic expression
+    // per source: floor(min(1, budget*w/tokens) * 1e6)
+    val ppm: Map[String, Long] = srcTokens.map { case (s, t) =>
+      val rate = math.min(1.0, budgetTokens.toDouble * wNorm(s) / t.toDouble)
+      s -> math.floor(rate * 1000000.0).toLong
+    }
+    val h = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        lit(seed))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val thr = ppm.foldLeft(lit(0L): Column) { case (acc, (s, p)) =>
+      when(col(keyCol) === lit(s), lit(p)).otherwise(acc)
+    }
+    df.withColumn("rate_ppm", thr).where(h < col("rate_ppm"))
+  }
 }
 
 /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,

@@ -25,6 +25,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
   }
 
+  test("capPerKey: exact cap per key, seeded rank deterministic, seed redraws") {
+    val df = spark.range(0, 3000)
+      .select(col("id"), concat(lit("k"), pmod(col("id"), lit(3))).as("key"))
+    val kept = Sampling.capPerKey(df, "id", "key", maxPerKey = 50, "s1")
+      .select("id", "key", "pos").as[(Long, String, Int)].collect()
+    // exactly 50 per key, pos contiguous 1..50
+    kept.groupBy(_._2).foreach { case (k, rows) =>
+      assert(rows.length == 50, s"key $k kept ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq == (1 to 50), s"key $k pos gap")
+    }
+    // deterministic rerun; different seed draws a different subset
+    val again = Sampling.capPerKey(df, "id", "key", 50, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    val other = Sampling.capPerKey(df, "id", "key", 50, "s2")
+      .select("id").as[Long].collect().toSet
+    assert(other != again)
+    // a key with fewer rows than the cap keeps everything
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "key")
+    assert(Sampling.capPerKey(small, "id", "key", 50, "s1").count() == 3)
+  }
+
+  test("mixToBudget: rates track weights, saturate at 1, gate deterministic") {
+    // k0 huge, k1 small: with w=(0.5, 0.5) and a budget bigger than 2x
+    // k1's tokens, k1 saturates (rate 1) and k0 samples at its rate
+    val df = spark.range(0, 10000)
+      .select(col("id"),
+        when(col("id") < 9000, "k0").otherwise("k1").as("key"),
+        lit(10L).as("tok"))
+    val budget = 2L * 1000 * 10 + 4000 // k1 share = budget/2 = 12000 > 10000
+    val kept = Sampling.mixToBudget(df, "id", "key", col("tok"),
+        Map("k0" -> 0.5, "k1" -> 0.5), budget, "m1")
+      .select("id", "key", "rate_ppm").as[(Long, String, Long)].collect()
+    val byKey = kept.groupBy(_._2)
+    assert(byKey("k1").length == 1000, "saturated source must keep all rows")
+    assert(byKey("k1").forall(_._3 == 1000000L))
+    // k0 rate = min(1, 12000/90000) = 2/15 -> ~1200 of 9000 kept
+    val k0ppm = byKey("k0").head._3
+    assert(k0ppm == math.floor(12000.0 / 90000.0 * 1000000.0).toLong)
+    val k0n = byKey("k0").length
+    assert(math.abs(k0n - 9000.0 * k0ppm / 1000000.0) < 150,
+      s"k0 kept $k0n, expected ~${9000.0 * k0ppm / 1e6}")
+    // unknown sources are dropped
+    assert(!kept.exists(_._2 == "k2"))
+    // deterministic
+    val again = Sampling.mixToBudget(df, "id", "key", col("tok"),
+        Map("k0" -> 0.5, "k1" -> 0.5), budget, "m1")
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("stratified hash sampling: deterministic, quota-shaped, subset-stable") {
     val df = spark.range(0, 4000)
       .select(col("id"), pmod(col("id"), lit(4)).as("stratum"))
