@@ -290,10 +290,6 @@ object Bench {
       "synth_knn_single_parquet_big" -> (() =>
         noop(Search.knn(spark.read.parquet(ivfDirBig), "vec", "id", lit(q0),
           10, Metric.L2))),
-      // two-large-sides k-NN JOIN over the persisted big layout: 1k query
-      // rows explode to their 2/64 nearest cells and equi-join the 500k
-      // corpus on the cell key (reusing the stored ivf_part column) —
-      // the per-row neighbor-linking shape batchSearch can't broadcast
       // ExactSubstr span removal at the production hash (xxhash64); the
       // headline dedup_substr_clean twin pays the md5-portable hash the
       // DuckDB oracle needs — this row is the rate a deployment sees
@@ -301,11 +297,17 @@ object Bench {
         noop(graft.dedup.Dedup.removeDuplicateSpans(
           Tables.load(spark, sfDir, "documents"), "doc_id", "text",
           minLen = 30))),
+      // two-large-sides k-NN JOIN over the persisted big layout: 1k query
+      // rows explode to their 2/32 nearest cells and equi-join the 500k
+      // corpus on the cell key (reusing the stored ivf_part column,
+      // written from this same ivfModelBig) — the per-row neighbor-
+      // linking shape batchSearch can't broadcast
       "synth_knn_join_big1k" -> (() => {
         val qdf = stored.where(col("id") < 1000)
           .select(col("id").as("qid"), col("vec").as("qv"))
         noop(Search.knnJoinIvf(spark.read.parquet(ivfDirBig), "vec", "id",
-          qdf, "qid", "qv", k = 10, ivfModelBig, nprobe = 2))
+          qdf, "qid", "qv", k = 10, ivfModelBig, nprobe = 2,
+          reuseLayoutCol = true))
       }),
       // tombstone-delete throughput: anti-join n rows against 1k deletes
       // (the READ-side apply cost; the write side is benched below)

@@ -611,6 +611,22 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       graft.index.SegmentIndex.load(ref.metaPath,
         spark.sparkContext.hadoopConfiguration))
 
+  /** Unindexed tail segments surviving manifest-stats pruning — the
+    * pruning rule shared by every indexed read route.
+    */
+  private def unprunedPlain(
+      plainSegs: Seq[graft.store.SnapshotStore.SegmentRef],
+      filter: FilterSet): Seq[graft.store.SnapshotStore.SegmentRef] =
+    plainSegs.filterNot(s => s.stats.exists(st =>
+      graft.stats.SegmentStats.canPruneAll(st, filter.filters)))
+
+  /** Probe-count default shared by every indexed route: the caller's
+    * nprobe capped at nlist, else ceil(sqrt(nlist)).
+    */
+  private def effectiveNprobe(nprobe0: Int, nlist: Int): Int =
+    if (nprobe0 > 0) math.min(nprobe0, nlist)
+    else math.max(1, math.ceil(math.sqrt(nlist)).toInt)
+
   /** Probe-pruned quantized search over indexed segments, brute force over
     * the unindexed tail, one global exact top-k.
     */
@@ -622,15 +638,12 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     val refine = if (refine0 > 0) refine0 else 4
     val (idxSegs, plainSegs) = m.segments.partition(_.index.isDefined)
     // manifest-stats pruning still applies to the unindexed tail
-    val keptPlain = plainSegs.filterNot(s => s.stats.exists(st =>
-      graft.stats.SegmentStats.canPruneAll(st, filter.filters)))
+    val keptPlain = unprunedPlain(plainSegs, filter)
     val poolCols = (("id" +: projectCols) :+ "vector").distinct.map(col)
     val pools = idxSegs.map { s =>
       val meta = indexMeta(s.index.get)
       val ivf = SegmentIndex.ivfModel(meta)
-      val np =
-        if (nprobe0 > 0) math.min(nprobe0, ivf.k)
-        else math.max(1, math.ceil(math.sqrt(ivf.k)).toInt)
+      val np = effectiveNprobe(nprobe0, ivf.k)
       val parts = ivf.probes(q, np)
       // approximate phase per index kind: SQ8 decodes per-dim codes and
       // scores the metric directly; PQ sums m ADC table lookups — an L2²
@@ -952,22 +965,22 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       "knnJoin needs an IVF-partitioned index (buildIndex) — without " +
         "cells a table-sized query side is a corpus cartesian; for " +
         "driver-sized query sets use batchSearch")
+    require(queryIdCol != "id",
+      "knnJoin: queryIdCol 'id' collides with the store's id column in " +
+        "the output schema — alias the query id (e.g. 'query_id')")
     val qsel0 = queries.select(col(queryIdCol).as("_qid"),
       col(queryVecCol).as("_qv"))
     val qsel =
       if (metric == Metric.Cosine)
         qsel0.withColumn("_qv", graft.functions.vec_normalize(col("_qv")))
       else qsel0
-    val keptPlain = plainSegs.filterNot(s => s.stats.exists(st =>
-      graft.stats.SegmentStats.canPruneAll(st, filter.filters)))
+    val keptPlain = unprunedPlain(plainSegs, filter)
     val score = metric.score(col("vector"), col("_qv"))
     val orderScore = if (metric.ascending) score else -score
     val pools = idxSegs.map { s =>
       val meta = indexMeta(s.index.get)
       val ivf = SegmentIndex.ivfModel(meta)
-      val np =
-        if (nprobe > 0) math.min(nprobe, ivf.k)
-        else math.max(1, math.ceil(math.sqrt(ivf.k)).toInt)
+      val np = effectiveNprobe(nprobe, ivf.k)
       val probed = qsel.withColumn(SegmentIndex.PartCol,
         explode(ivf.probeCol(col("_qv"), np)))
       store.visibleSegment(s, m).where(filter.toColumn)
@@ -1001,15 +1014,12 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     import spark.implicits._
     val refine = math.max(1, if (refine0 > 0) refine0 else 4)
     val (idxSegs, plainSegs) = m.segments.partition(_.index.isDefined)
-    val keptPlain = plainSegs.filterNot(s => s.stats.exists(st =>
-      graft.stats.SegmentStats.canPruneAll(st, filter.filters)))
+    val keptPlain = unprunedPlain(plainSegs, filter)
     val qids = queries.map(_._1)
     val pools = idxSegs.map { s =>
       val meta = indexMeta(s.index.get)
       val ivf = SegmentIndex.ivfModel(meta)
-      val np =
-        if (nprobe0 > 0) math.min(nprobe0, ivf.k)
-        else math.max(1, math.ceil(math.sqrt(ivf.k)).toInt)
+      val np = effectiveNprobe(nprobe0, ivf.k)
       val probed = queries.map { case (qid, q) => (qid, q, ivf.probes(q, np)) }
       val allParts = probed.flatMap(_._3).distinct
       val seg = store.visibleSegment(s, m)

@@ -246,10 +246,19 @@ object Search {
     * in-process index; this operator is the missing cluster-scale twin.
     *
     * Caller aliases query columns so names don't collide with corpus
-    * columns (same contract as [[batchSearch]]). Cosine callers should
-    * L2-normalize both sides first (IVF cells are L2-trained); Dot is
-    * rejected — inner-product has no metric cell geometry (same loud
-    * refusal as the RaBitQ route).
+    * columns (same contract as [[batchSearch]]); queryIdCol must differ
+    * from idCol or the output schema would carry two identical names.
+    * Cosine callers should L2-normalize both sides first (IVF cells are
+    * L2-trained); Dot is rejected — inner-product has no metric cell
+    * geometry (same loud refusal as the RaBitQ route).
+    *
+    * `reuseLayoutCol = true` skips cell assignment and trusts the
+    * corpus's existing `ivf_part` column (e.g. an [[graft.index.IVF
+    * .writeLayout]] directory) — the caller asserts that column was
+    * produced by THIS `model`: a foreign or retrained layout would leave
+    * cells >= model.k unprobeable and silently drop their rows from
+    * every result, so by default the column is ignored and assignment is
+    * recomputed from the model (consistent by construction).
     *
     * @return (queryIdCol, idCol, score, rank), rank 1..k per query
     */
@@ -264,12 +273,17 @@ object Search {
       model: graft.index.IVF.Model,
       nprobe: Int,
       metric: Metric = Metric.L2,
-      filter: Column = lit(true)): DataFrame = {
+      filter: Column = lit(true),
+      reuseLayoutCol: Boolean = false): DataFrame = {
     require(metric == Metric.L2 || metric == Metric.Cosine,
       s"knnJoinIvf: $metric unsupported — IVF cells are L2-trained " +
         "(L2/Cosine only; pre-normalize for Cosine)")
+    require(queryIdCol != idCol,
+      s"knnJoinIvf: queryIdCol and idCol are both '$idCol' — alias the " +
+        "query id so the output schema is unambiguous")
     val assigned =
-      if (corpus.columns.contains("ivf_part")) corpus.where(filter)
+      if (reuseLayoutCol && corpus.columns.contains("ivf_part"))
+        corpus.where(filter)
       else corpus.where(filter)
         .withColumn("ivf_part", model.assignCol(col(vecCol)))
     val probed = queries

@@ -266,6 +266,11 @@ class IndexedEngineSpec extends AnyFunSuite {
         filter = FilterSet.of(Filter.Eq("label", 2)), nprobe = NClusters)
       .select("id").as[Long].collect()
     assert(filtered.nonEmpty && filtered.forall(id => id % NClusters == 2))
+    // a query id named like the store's id column would emit an ambiguous
+    // output schema — rejected loudly
+    intercept[IllegalArgumentException] {
+      db.knnJoin(queries.withColumnRenamed("qid", "id"), "id", "qv", k = 2)
+    }
   }
 
   test("compact() preserves the index: tail is folded in, search stays indexed") {

@@ -99,6 +99,30 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._2 % 2 == 0))
   }
 
+  test("a foreign ivf_part column is ignored unless reuse is asserted") {
+    // poison the corpus with a layout column no model produced: every row
+    // in a cell the model can't probe. Default must recompute assignment
+    // (exact result); reuseLayoutCol = true must trust it (empty result).
+    val poisoned = corpus.withColumn("ivf_part", lit(model.k + 5))
+    val safe = Search.knnJoinIvf(poisoned, "vec", "id",
+        queries.limit(5), "qid", "qv", k = 3, model, nprobe = model.k)
+      .count()
+    assert(safe == 15, "default must recompute cells from the model")
+    val trusted = Search.knnJoinIvf(poisoned, "vec", "id",
+        queries.limit(5), "qid", "qv", k = 3, model, nprobe = model.k,
+        reuseLayoutCol = true)
+      .count()
+    assert(trusted == 0, "asserted reuse must take the column as-is")
+  }
+
+  test("colliding query/corpus id names are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Search.knnJoinIvf(corpus, "vec", "id",
+        corpus.select(col("id"), col("vec").as("qv")), "id", "qv",
+        k = 3, model, nprobe = 1)
+    }
+  }
+
   test("dot metric is rejected loudly") {
     intercept[IllegalArgumentException] {
       Search.knnJoinIvf(corpus, "vec", "id", queries, "qid", "qv",
