@@ -101,11 +101,36 @@ object CurationQueries {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Overlapping token-window chunking ([[graft.text.Features.chunk]]):
+    * 48-token windows advancing by 40 (8 tokens of shared context) — the
+    * step every embedding/retrieval pipeline runs before a model with a
+    * context limit sees a long document. Pure per-row explode, no
+    * shuffle until the output sort.
+    */
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    graft.text.Features.chunk(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 48, overlap = 8)
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+
+  /** Hashed TF-IDF features ([[graft.text.Features.hashedTfIdf]]), 64
+    * buckets: the text→vector front door checked end-to-end — tf shuffle,
+    * broadcast idf, windowed L2 norm, all reproduced in the DuckDB oracle
+    * via the corpus-wide portable md5 bucket hash.
+    */
+  def hashedTfIdfQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.Features.hashedTfIdf(docs, "doc_id", "text",
+        dim = 64, numDocs = docs.count())
+      .orderBy(col("doc_id").asc, col("bucket").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_topk" -> (vocabTopk _),
     "cluster_assign" -> (clusterAssign _),
     "class_centroid" -> (classCentroid _),
-    "embedding_outliers" -> (embeddingOutliers _)
+    "embedding_outliers" -> (embeddingOutliers _),
+    "text_chunk" -> (textChunk _),
+    "text_hashed_tfidf" -> (hashedTfIdfQ _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +175,46 @@ object CurationQueries {
         |SELECT vec_id, round(nrm, 6) AS norm,
         |       (round(nrm - (mu + 2 * sd), 6) > 0 OR
         |        round((mu - 2 * sd) - nrm, 6) > 0) AS is_outlier
-        |FROM nn, st ORDER BY vec_id ASC""".stripMargin
+        |FROM nn, st ORDER BY vec_id ASC""".stripMargin,
+    // 48-token windows, step 40 (overlap 8); chunks are original-case —
+    // tokenization must round-trip the document text
+    "text_chunk" ->
+      """WITH tk AS (SELECT doc_id,
+        |              list_filter(regexp_split_to_array(text, '\s+'),
+        |                          x -> len(x) > 0) AS ts
+        |            FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) > 0),
+        |c AS (SELECT doc_id, ts, n,
+        |        unnest(range(0, 1 + CASE WHEN n <= 48 THEN 0
+        |          ELSE ceil((n - 48)::DOUBLE / 40.0)::BIGINT END)) AS chunk_idx
+        |      FROM n)
+        |SELECT doc_id, chunk_idx,
+        |       array_to_string(ts[(chunk_idx*40 + 1):(chunk_idx*40 + 48)],
+        |                       ' ') AS chunk_text,
+        |       least(48, n - chunk_idx*40)::BIGINT AS n_tokens
+        |FROM c ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+    // same portable md5 bucket hash as the Spark side; idf is sklearn
+    // smooth idf over bucket df; w is L2-normalized per doc
+    "text_hashed_tfidf" ->
+      """WITH nd AS (SELECT count(*) AS c FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_filter(
+        |          regexp_split_to_array(lower(text), '\s+'),
+        |          x -> len(x) > 0)) AS tk
+        |        FROM documents),
+        |tfx AS (SELECT doc_id,
+        |          CAST('0x' || substring(md5('tfidf:' || tk), 1, 15)
+        |               AS BIGINT) % 64 AS bucket,
+        |          count(*) AS tf
+        |        FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT bucket, count(*) AS dfb FROM tfx GROUP BY 1),
+        |w0 AS (SELECT t.doc_id, t.bucket, t.tf,
+        |         t.tf::DOUBLE * (ln(((SELECT c FROM nd) + 1)::DOUBLE /
+        |                            (x.dfb + 1)::DOUBLE) + 1) AS w0
+        |       FROM tfx t JOIN dfx x ON x.bucket = t.bucket),
+        |nm AS (SELECT doc_id, sqrt(sum(w0 * w0)) AS nrm
+        |       FROM w0 GROUP BY 1)
+        |SELECT w.doc_id, w.bucket, round(w.w0 / m.nrm, 6) AS w
+        |FROM w0 w JOIN nm m ON m.doc_id = w.doc_id
+        |ORDER BY w.doc_id ASC, w.bucket ASC""".stripMargin
   )
 }

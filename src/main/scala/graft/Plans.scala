@@ -86,7 +86,25 @@ object Plans {
       "dedup_substr_spans" ->
         ("window explode + hash-keyed dup count + left-semi mark (AQE " +
           "may broadcast the dup-hash set), per-doc gaps-and-islands " +
-          "window — no self-join of the corpus, no pairwise work"))
+          "window — no self-join of the corpus, no pairwise work"),
+      "dedup_semantic" ->
+        ("pairwise cosine scoped by an equi-join on the cluster key — " +
+          "never corpus-cartesian; component convergence and the " +
+          "farthest-from-centroid keep rule are keyed aggregates"),
+      "pipeline_mix_budget" ->
+        ("per-source token totals collapse to a tiny aggregate joined " +
+          "back by broadcast; the keep decision is an integer-ppm md5 " +
+          "gate per row — no corpus-wide shuffle at all"),
+      "text_chunk" ->
+        ("chunking is a pure per-row explode (sequence + slice + " +
+          "array_join, all codegen'd) — zero shuffle before the output " +
+          "sort, no UDFs"),
+      "text_hashed_tfidf" ->
+        ("ONE corpus scan/tokenize into a (doc,bucket) partial-aggregated " +
+          "tf shuffle; df and the L2 norm are bucket-/doc-keyed windows " +
+          "over the tiny tf rows (a groupBy df branch re-read the corpus " +
+          "— ReuseExchange defeated by count pruning; tools.ReuseCheck " +
+          "asserts the single scan)"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text → feature operators for the embedding front door of a training /
+  * retrieval pipeline: overlapping token-window chunking (the step before
+  * any embedding model sees a long document) and hashed TF-IDF document
+  * vectors (sklearn `HashingVectorizer` + `TfidfTransformer` semantics,
+  * smooth idf, L2-normalized) that feed the ANN engine directly — the
+  * whole text→vector→index path stays inside the library.
+  *
+  * Everything is column-level (codegen-friendly, zero UDFs) and
+  * deterministic, so both operators are oracle-checkable in DuckDB.
+  *
+  * 100 TB shapes: chunking is a per-row explode (no shuffle at all);
+  * TF-IDF is one token-keyed partial-aggregated shuffle for tf, a
+  * ≤`dim`-row broadcast for df/idf, and one doc-keyed window for the
+  * norm — nothing corpus-cartesian, nothing driver-side.
+  */
+object Features {
+
+  /** Original-case whitespace tokens, empties dropped (chunk text must
+    * round-trip the document, so no lowercasing here — unlike
+    * [[TextAnalysis.wsTokens]]).
+    */
+  def rawTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Overlapping token-window chunks: windows of `maxTokens` whitespace
+    * tokens advancing by `maxTokens - overlap`, so consecutive chunks
+    * share `overlap` tokens of context. The last window is allowed to be
+    * short; all-whitespace documents produce no chunks. Pure per-row
+    * explode — embarrassingly parallel, the plan has no shuffle until a
+    * caller adds one.
+    *
+    * Output: (idCol, chunk_idx, chunk_text, n_tokens), chunk_idx 0-based.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0, s"chunk: maxTokens must be positive ($maxTokens)")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"chunk: overlap $overlap must be in [0, maxTokens) — an overlap >= " +
+        "the window never advances")
+    val step = maxTokens - overlap
+    df.select(col(idCol), rawTokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .where(col("_n") > 0)
+      // nchunks - 1 = ceil((n - maxTokens) / step), floored at 0; the
+      // cast to double is exact for any real token count (< 2^52)
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        when(col("_n") <= maxTokens, lit(0)).otherwise(
+          ceil((col("_n") - maxTokens).cast("double") / step).cast("int")))))
+      .withColumn("_start", col("chunk_idx") * step)
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(maxTokens)),
+          " ").as("chunk_text"),
+        least(lit(maxTokens), col("_n") - col("_start")).cast("long")
+          .as("n_tokens"))
+  }
+
+  /** Engine-portable feature bucket of a (lowercased) token: the 60-bit
+    * md5 hash used corpus-wide ([[graft.dedup.Dedup.portableHash]]),
+    * reduced mod `dim`.
+    */
+  def bucketOf(tok: Column, dim: Int): Column =
+    pmod(graft.dedup.Dedup.portableHash(lit("tfidf"), tok), lit(dim.toLong))
+
+  /** Hashed TF-IDF rows: one (id, bucket, w) per non-zero feature.
+    * tf = token count in the hash bucket, idf = ln((N+1)/(df+1)) + 1
+    * (sklearn smooth idf over bucket document frequency), w L2-normalized
+    * per document. `numDocs` is the corpus size the idf is taken against
+    * (pass `df.count()` — kept explicit so incremental callers can score
+    * new docs under a frozen corpus statistic).
+    *
+    * Shuffle budget: ONE corpus scan/tokenize feeding one
+    * partial-aggregated (id, bucket) shuffle for tf; df and the L2 norm
+    * are windows over the already-tiny tf rows (≤ docs·dim, vs corpus
+    * tokens), keyed by bucket and id respectively. A tf→groupBy(bucket)
+    * formulation reads twice: Catalyst prunes the unused count from the
+    * df branch, the subtrees stop canonicalizing equal, and ReuseExchange
+    * never fires — verified with `tools.ReuseCheck`. Rounded to 6
+    * decimals for cross-engine checks.
+    */
+  def hashedTfIdf(df: DataFrame, idCol: String, textCol: String,
+      dim: Int, numDocs: Long): DataFrame = {
+    require(dim > 0, s"hashedTfIdf: dim must be positive ($dim)")
+    val tf = df
+      .select(col(idCol).as("_fid"),
+        explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
+      .where(length(col("_tok")) > 0)
+      .withColumn("bucket", bucketOf(col("_tok"), dim))
+      .groupBy("_fid", "bucket").agg(count(lit(1)).as("tf"))
+    // tf has one row per (doc, bucket) → df = row count per bucket,
+    // computed as a window over tf so the corpus is scanned exactly once
+    val dfb = count(lit(1)).over(Window.partitionBy("bucket"))
+    val idf = log(lit((numDocs + 1).toDouble) /
+      (col("_df") + 1).cast("double")) + 1
+    val w0 = tf.withColumn("_df", dfb)
+      .withColumn("_w0", col("tf").cast("double") * idf)
+    val nrm = sqrt(sum(col("_w0") * col("_w0"))
+      .over(Window.partitionBy("_fid")))
+    w0.select(col("_fid").as(idCol), col("bucket"),
+      round(col("_w0") / nrm, 6).as("w"))
+  }
+
+  /** Dense hashed-TF-IDF vectors ready for the ANN engine: assembles the
+    * sparse rows of [[hashedTfIdf]] into `array<float>` of length `dim`
+    * (unit L2 norm, so Cosine ≡ Dot for downstream search). Map-backed
+    * densification is O(dim · lookup) per doc — right for the embedding
+    * dims this feeds (64–1024); keep `dim` out of the 100k+ range where a
+    * sparse representation should be used instead.
+    */
+  def tfidfVectors(df: DataFrame, idCol: String, textCol: String,
+      dim: Int, numDocs: Long): DataFrame =
+    hashedTfIdf(df, idCol, textCol, dim, numDocs)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w"))))
+        .as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("_m"), i.cast("long")), lit(0.0))
+            .cast("float")).as("vec"))
+}
