@@ -391,6 +391,15 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("nll"))
       .orderBy(col("doc_id").asc)
 
+  /** Bigram-LM perplexity ([[graft.text.BigramLM.scoreNll]]), add-1
+    * smoothing: the conditional-model upgrade of `text_unigram_ppl` —
+    * word-order anomalies score badly even when every token is common.
+    */
+  def bigramPpl(s: SparkSession, dir: String): DataFrame =
+    graft.text.BigramLM.scoreNll(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("nll"))
+      .orderBy(col("doc_id").asc)
+
   /** Sequence packing ([[graft.pipeline.Packing]]): concat-then-chunk
     * documents (doc_id order, whitespace tokens) into 512-token packs via
     * the distributed exclusive prefix sum — NO global-order window.
@@ -502,6 +511,7 @@ object PipelineQueries {
     "sample_weighted" -> (sampleWeighted _),
     "pipeline_pack_sequences" -> (packSequences _),
     "text_unigram_ppl" -> (unigramPpl _),
+    "text_bigram_ppl" -> (bigramPpl _),
     "pipeline_dsir_weights" -> (dsirWeights _),
     "pipeline_shuffle_shards" -> (shuffleShardsQ _),
     "pipeline_curriculum" -> (curriculumQ _),
@@ -794,6 +804,23 @@ object PipelineQueries {
          |       round(ln((SELECT n FROM tot)::DOUBLE) - avg(ln(c.c::DOUBLE)), 6) AS nll
          |FROM occ o JOIN counts c ON o.t = c.t
          |GROUP BY o.doc_id ORDER BY o.doc_id ASC""".stripMargin,
+    // add-1 smoothed p(t2|t1): c2 = corpus bigram count, c1 = context
+    // count (sum of c2 over the context), V = distinct unigram vocab
+    "text_bigram_ppl" ->
+      s"""WITH $TOK,
+         |big AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS t1,
+         |               unnest(ts[2:len(ts)]) AS t2
+         |        FROM tok WHERE len(ts) >= 2),
+         |c2 AS (SELECT t1, t2, count(*)::BIGINT AS c2 FROM big GROUP BY 1, 2),
+         |c1 AS (SELECT t1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t)::BIGINT AS v
+         |      FROM tok, unnest(ts) u(t))
+         |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         |       round(-avg(ln((x.c2 + 1.0) /
+         |                     (y.c1 + (SELECT v FROM v)::DOUBLE))), 6) AS nll
+         |FROM big b JOIN c2 x ON b.t1 = x.t1 AND b.t2 = x.t2
+         |           JOIN c1 y ON b.t1 = y.t1
+         |GROUP BY b.doc_id ORDER BY b.doc_id ASC""".stripMargin,
 
     "pipeline_dsir_weights" ->
       s"""WITH $TOK,

@@ -104,7 +104,15 @@ object Plans {
           "tf shuffle; df and the L2 norm are bucket-/doc-keyed windows " +
           "over the tiny tf rows (a groupBy df branch re-read the corpus " +
           "— ReuseExchange defeated by count pruning; tools.ReuseCheck " +
-          "asserts the single scan)"))
+          "asserts the single scan)"),
+      "text_bigram_ppl" ->
+        ("one bigram-keyed counting shuffle builds the LM; context " +
+          "counts fold from the bigram counts as a t1-keyed window so " +
+          "the LM table is ONE lineage (a groupBy(t1) branch re-read " +
+          "the corpus — ReuseExchange defeat, same mechanism as " +
+          "hashedTfIdf's df); scoring is an equi-join + per-doc " +
+          "aggregation; at this sf AQE broadcasts the LM table, at " +
+          "scale both sides shuffle once on the bigram key"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -505,6 +505,39 @@ object StreamingQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Streaming hashed-TF-IDF scoring ([[graft.text.Features.scoreTfIdf]])
+    * under a FROZEN idf model trained batch-side on the full corpus —
+    * the same train-once/score-anywhere split as `streaming_dsir`.
+    * Scoring is row-local (zero shuffle, zero state), so the stream runs
+    * in plain APPEND mode and each micro-batch's rows are final the
+    * moment they are scored; the accumulated sink must hash-match the
+    * batch twin's oracle exactly.
+    */
+  def streamingTfIdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = Tables.load(s, dir, "documents")
+    val m = graft.text.Features.trainIdf(docs, "doc_id", "text", dim = 64)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.text.Features.scoreTfIdf(
+      m, input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val sink = sinkName("tfidf")
+    val q = scored.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("tfidf"))
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(evens.toSeq)
+      q.processAllAvailable()
+      input.addData(odds.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy(col("doc_id").asc, col("bucket").asc)
+  }
+
   /** Streaming ExactSubstr marking ([[graft.dedup.Dedup.duplicateSpanIncrement]]):
     * batch 1 streams the even doc_ids, batch 2 the odd, so cross-batch
     * duplicated substrings must be found by probing the ACCUMULATED
@@ -565,7 +598,8 @@ object StreamingQueries {
     "streaming_neardup_cosine" -> (streamingNeardupCosine _),
     "streaming_asof_join" -> (streamingAsofJoin _),
     "streaming_range_join" -> (streamingRangeJoin _),
-    "streaming_dsir" -> (streamingDsir _)
+    "streaming_dsir" -> (streamingDsir _),
+    "streaming_tfidf" -> (streamingTfIdf _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -584,6 +618,7 @@ object StreamingQueries {
     "streaming_minhash" -> PipelineQueries.oracle("dedup_minhash_lsh"),
     "streaming_dedup_substr" -> PipelineQueries.oracle("dedup_substr_spans"),
     "streaming_dsir" -> PipelineQueries.oracle("pipeline_dsir_weights"),
+    "streaming_tfidf" -> CurationQueries.oracle("text_hashed_tfidf"),
     "streaming_neardup_cosine" -> PipelineQueries.oracle("neardup_cosine"),
     "streaming_asof_join" -> EventQueries.oracle("events_asof_join"),
     "streaming_range_join" ->

@@ -105,6 +105,64 @@ object Features {
       round(col("_w0") / nrm, 6).as("w"))
   }
 
+  /** Frozen corpus statistic for TF-IDF scoring: bucket document
+    * frequencies (dense, `df(b)` for b in [0, dim)) and the corpus size
+    * they were taken against. Small by construction (dim ≤ a few
+    * thousand), so it rides along as a plain literal — no broadcast
+    * variable, no join.
+    */
+  final case class TfIdfModel(dim: Int, numDocs: Long, df: Array[Long])
+
+  /** Trains the frozen idf statistic: one corpus scan → (doc, bucket)
+    * partial-aggregated tf → ≤`dim`-row df collect.
+    */
+  def trainIdf(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): TfIdfModel = {
+    require(dim > 0, s"trainIdf: dim must be positive ($dim)")
+    val n = df.count()
+    val dfRows = df
+      .select(col(idCol).as("_fid"),
+        explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
+      .where(length(col("_tok")) > 0)
+      .select(col("_fid"), bucketOf(col("_tok"), dim).as("bucket"))
+      .distinct()
+      .groupBy("bucket").agg(count(lit(1)).as("_df"))
+      .collect()
+    val dense = new Array[Long](dim)
+    dfRows.foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+    TfIdfModel(dim, n, dense)
+  }
+
+  /** Scores documents under a FROZEN [[TfIdfModel]] — same output shape
+    * and arithmetic as [[hashedTfIdf]] (smooth idf, per-doc L2 norm,
+    * round 6), but entirely ROW-LOCAL: each document's buckets, tf, idf
+    * lookup (a `dim`-length array literal), and norm are array
+    * expressions over that row alone. Zero shuffle, zero state — which
+    * makes it the scale path for scoring NEW documents against an
+    * existing corpus statistic, and directly usable on a streaming
+    * DataFrame in append mode (the streaming twin of the batch
+    * operator, like [[graft.pipeline.Dsir.score]]).
+    */
+  def scoreTfIdf(m: TfIdfModel, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val idf = lit(m.df.map(d =>
+      math.log((m.numDocs + 1).toDouble / (d + 1).toDouble) + 1.0))
+    df.select(col(idCol),
+        filter(transform(split(lower(col(textCol)), "\\s+"),
+          t => when(length(t) > 0, bucketOf(t, m.dim))), _.isNotNull)
+          .as("_bs"))
+      .where(size(col("_bs")) > 0)
+      .withColumn("_ws", transform(array_sort(array_distinct(col("_bs"))),
+        b => struct(b.as("bucket"),
+          (size(filter(col("_bs"), x => x === b)).cast("double") *
+            element_at(idf, b.cast("int") + 1)).as("w0"))))
+      .withColumn("_nrm", sqrt(aggregate(col("_ws"), lit(0.0),
+        (acc, s) => acc + s.getField("w0") * s.getField("w0"))))
+      .select(col(idCol), explode(col("_ws")).as("_e"), col("_nrm"))
+      .select(col(idCol), col("_e.bucket").as("bucket"),
+        round(col("_e.w0") / col("_nrm"), 6).as("w"))
+  }
+
   /** Dense hashed-TF-IDF vectors ready for the ANN engine: assembles the
     * sparse rows of [[hashedTfIdf]] into `array<float>` of length `dim`
     * (unit L2 norm, so Cosine ≡ Dot for downstream search). Map-backed

@@ -170,3 +170,59 @@ object UnigramLM {
           - avg(log(col("c").cast("double"))), 6).as("nll"))
   }
 }
+
+/** Corpus bigram language model — the next step up from [[UnigramLM]]
+  * toward the 5-gram KenLM CCNet actually runs: a CONDITIONAL model
+  * p(t₂|t₁), so word-order anomalies (shuffled text, keyword stuffing,
+  * boilerplate splices) score badly even when every individual token is
+  * common. Smoothing is add-α (unseen mass exists, unlike the ML unigram
+  * case where every scored token is in the model by construction).
+  *
+  * Scale shape, same family as the unigram scorer: one bigram-keyed
+  * counting shuffle builds the LM (context counts fold from it for
+  * free), one bigram-keyed equi-join + per-doc aggregation scores — all
+  * linear in corpus tokens, broadcastable when the (pruned) vocabulary
+  * fits, never pairwise.
+  */
+object BigramLM {
+  import org.apache.spark.sql.DataFrame
+
+  /** Per-document mean negative log-likelihood under the corpus bigram
+    * LM with add-α smoothing:
+    *
+    *   p̂(t₂|t₁) = (c(t₁,t₂) + α) / (c₁(t₁) + α·V)
+    *
+    * where c(t₁,t₂) is the corpus bigram count, c₁(t₁) the count of t₁
+    * as a bigram context (= Σ_t c(t₁,t)), and V the distinct unigram
+    * vocabulary size. `nll = −avg ln p̂` over the doc's bigram
+    * occurrences; perplexity = e^nll. Output: (id, n_bigrams, nll), one
+    * row per doc with ≥ 2 tokens.
+    */
+  def scoreNll(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"BigramLM: alpha must be positive ($alpha)")
+    val occ = df
+      .select(col(idCol).as("id"),
+        TextAnalysis.wsTokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .withColumn("_l", slice(col("ts"), lit(1), size(col("ts")) - 1))
+      .withColumn("_r", slice(col("ts"), lit(2), size(col("ts")) - 1))
+      .select(col("id"), explode(arrays_zip(col("_l"), col("_r"))).as("bg"))
+      .select(col("id"), col("bg._l").as("t1"), col("bg._r").as("t2"))
+    // context counts fold from the bigram counts as a t1-keyed WINDOW so
+    // the LM table is ONE lineage — a c2.groupBy(t1) branch re-reads the
+    // corpus (ReuseExchange defeated, same mechanism as hashedTfIdf's df)
+    val lm = occ.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("t1")))
+    // V is a scalar (one cheap distinct-count aggregate) — baked into the
+    // smoothing denominator as a literal, like numDocs in the idf
+    val v = df.select(explode(TextAnalysis.wsTokens(col(textCol))).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    occ.join(lm, Seq("t1", "t2"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log((col("c2").cast("double") + alpha) /
+          (col("c1").cast("double") + alpha * v))), 6).as("nll"))
+  }
+}

@@ -73,6 +73,26 @@ class FeaturesSpec extends AnyFunSuite {
     norms.foreach { case (_, n2) => assert(math.abs(n2 - 1.0) < 1e-4) }
   }
 
+  test("scoreTfIdf under a frozen model ≡ batch hashedTfIdf on the corpus") {
+    val n = docs.count()
+    val m = Features.trainIdf(docs, "doc_id", "text", dim = 64)
+    assert(m.numDocs === n && m.df.length === 64)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = keyed(Features.hashedTfIdf(docs, "doc_id", "text", 64, n)
+      .collect())
+    val frozen = keyed(Features.scoreTfIdf(m, docs, "doc_id", "text")
+      .collect())
+    assert(frozen.keySet === batch.keySet)
+    frozen.foreach { case (k, w) =>
+      assert(math.abs(w - batch(k)) < 1e-6, s"key $k")
+    }
+    // frozen scoring is row-local: the plan must contain no Exchange
+    val plan = Features.scoreTfIdf(m, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "scoreTfIdf must not shuffle")
+  }
+
   test("tfidfVectors: dense assembly matches sparse rows; self-retrieval top-1") {
     val n = docs.count()
     val sparse = Features.hashedTfIdf(docs, "doc_id", "text", 64, n)

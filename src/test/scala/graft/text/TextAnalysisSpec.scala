@@ -101,4 +101,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got.contains(4L))                                // empty doc absent
     assert(got(2L)._3 > got(3L)._3 && got(3L)._3 > got(1L)._3)
   }
+
+  test("bigram LM nll: exact hand-computed add-1 smoothing, order sensitivity") {
+    // corpus bigrams: doc1 "a b a b" → (a,b),(b,a),(a,b); doc2 "b a" →
+    // (b,a); doc3 "a" → none (excluded). V = {a,b} = 2.
+    // c2(a,b)=2, c2(b,a)=2; c1(a)=2, c1(b)=2 ⇒ every p̂ = (2+1)/(2+2)
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "a")).toDF("id", "text")
+    val got = BigramLM.scoreNll(df, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val nll = r6(-math.log(3.0 / 4.0))
+    assert(got(1L) == ((1L, 3L, nll)))
+    assert(got(2L) == ((2L, 1L, nll)))
+    assert(!got.contains(3L)) // single-token doc has no bigrams
+    // order sensitivity: same unigrams, scrambled order → worse bigram nll
+    val corpus = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "mat the on sat cat the")).toDF("id", "text")
+    val s = BigramLM.scoreNll(corpus, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(s(3L) > s(1L), s"scrambled ${s(3L)} should beat natural ${s(1L)}")
+  }
 }
