@@ -206,7 +206,8 @@ object Bench {
       "filter_ops", "dedup_exact", "dedup_minhash_lsh", "neardup_cosine",
       "text_lang_quality", "text_scrub", "pipeline_filter",
       "events_tumbling_agg", "ivf_knn", "sq8_rerank", "bq_hamming",
-      "knn_join", "dedup_substr_clean", "dedup_semantic")
+      "knn_join", "dedup_substr_clean", "dedup_semantic",
+      "text_hashed_tfidf", "text_bigram_ppl")
     val qmap = SparkEntry.queries
     val headlineBenches: Seq[(String, () => Unit)] = headline.flatMap { name =>
       qmap.get(name).map(fn => name -> (() => noop(fn(spark, sfDir))))

@@ -391,6 +391,19 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("nll"))
       .orderBy(col("doc_id").asc)
 
+  /** Exact-size weighted sample ([[graft.pipeline.Sampling.weightedTopK]]):
+    * exactly 120 docs, weight = whitespace token count, A-ES rank keys —
+    * the firm-quota counterpart of `sample_weighted`'s Bernoulli form.
+    */
+  def sampleTopK(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.weightedTopK(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", col("n_tokens"), n = 120, seed = "s8")
+      .select(col("doc_id"), col("n_tokens"), col("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id").asc)
+
   /** Bigram-LM perplexity ([[graft.text.BigramLM.scoreNll]]), add-1
     * smoothing: the conditional-model upgrade of `text_unigram_ppl` —
     * word-order anomalies score badly even when every token is common.
@@ -512,6 +525,7 @@ object PipelineQueries {
     "pipeline_pack_sequences" -> (packSequences _),
     "text_unigram_ppl" -> (unigramPpl _),
     "text_bigram_ppl" -> (bigramPpl _),
+    "sample_weighted_topk" -> (sampleTopK _),
     "pipeline_dsir_weights" -> (dsirWeights _),
     "pipeline_shuffle_shards" -> (shuffleShardsQ _),
     "pipeline_curriculum" -> (curriculumQ _),
@@ -786,6 +800,19 @@ object PipelineQueries {
         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |        % 1000000 < least(1000000, n_chars * 1800)
         |ORDER BY doc_id ASC""".stripMargin,
+    // A-ES rank key ln(u)/w, u = (md5(id:seed) mod 1e6 + 1)/1e6, rounded
+    // to 6 and tie-broken by id — exactly the Spark side's selection rule
+    "sample_weighted_topk" ->
+      s"""WITH $TOK,
+         |w AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM tok
+         |      WHERE len(ts) > 0),
+         |k AS (SELECT doc_id, n_tokens,
+         |        round(ln(((CAST('0x' || substring(md5(doc_id::VARCHAR || ':s8'), 1, 15)
+         |                    AS BIGINT) % 1000000) + 1)::DOUBLE / 1000000.0)
+         |              / n_tokens::DOUBLE, 6) AS sample_key
+         |      FROM w)
+         |SELECT doc_id, n_tokens, sample_key FROM k
+         |ORDER BY sample_key DESC, doc_id ASC LIMIT 120""".stripMargin,
     "pipeline_pack_sequences" ->
       s"""WITH $TOK,
          |tc AS (SELECT doc_id, len(ts)::BIGINT AS tokens FROM tok),

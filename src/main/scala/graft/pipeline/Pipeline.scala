@@ -89,6 +89,35 @@ object Sampling {
     df.where(h < threshold)
   }
 
+  /** EXACT-size weighted sample without replacement (Efraimidis &
+    * Spirakis 2006, A-ES): each row draws a deterministic uniform
+    * u ∈ (0,1] from md5(id:seed) and ranks by ln(u)/w — the top-n ranks
+    * are a weighted sample of exactly n rows. The quota form a curation
+    * pass needs when the downstream budget is firm; [[weightedHash]] is
+    * the Bernoulli (expected-size) form. Rank keys are rounded to 6
+    * decimals and tie-broken by id, so the selection is bit-reproducible
+    * across engines (libm `ln` may differ in the last ulp).
+    *
+    * Scale shape: one hash projection + a global top-n via
+    * TakeOrderedAndProject — bounded per-partition heaps, never a full
+    * sort; only n rows per partition move. Rows with non-positive
+    * weight are excluded (their keep probability is 0).
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: Column,
+      n: Int, seed: String): DataFrame = {
+    require(n > 0, s"weightedTopK: n must be positive ($n)")
+    val h = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        lit(seed))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val u = (h + 1).cast("double") / 1e6
+    df.where(weightCol > 0)
+      .withColumn("sample_key",
+        round(log(u) / weightCol.cast("double"), 6))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(n)
+  }
+
   /** Deterministic seeded shuffle-and-shard: the global training order a
     * data loader consumes, WITHOUT a global sort. Each row hashes to
     * `(shard, position)` — shard = md5(id:seed) mod nShards, position =

@@ -142,6 +142,11 @@ object Features {
     * existing corpus statistic, and directly usable on a streaming
     * DataFrame in append mode (the streaming twin of the batch
     * operator, like [[graft.pipeline.Dsir.score]]).
+    *
+    * Per-row cost is O(distinct buckets × tokens) (the tf count scans
+    * the bucket array once per distinct bucket) — trivial at the
+    * embedding dims this feeds (≤1024); for huge dims prefer the batch
+    * [[hashedTfIdf]], whose tf is a hash aggregate.
     */
   def scoreTfIdf(m: TfIdfModel, df: DataFrame, idCol: String,
       textCol: String): DataFrame = {

@@ -116,6 +116,36 @@ class PipelineSpec extends AnyFunSuite {
       kept.select("id").as[Long].collect().toSet)
   }
 
+  test("weightedTopK: exact-size A-ES selection matches brute force; heavy rows favored") {
+    val rows = (1L to 400L).map(i => (i, 1L + i % 17))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedTopK(df, "id", col("w"), n = 50, seed = "t")
+      .select("id", "sample_key").as[(Long, Double)].collect()
+    assert(got.length === 50)
+    // brute-force the same deterministic keys driver-side
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16) % 1000000L
+      val u = (h + 1).toDouble / 1e6
+      BigDecimal(math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = rows.map { case (i, w) => (i, key(i, w)) }
+      .sortBy { case (i, k) => (-k, i) }.take(50)
+    assert(got.toSeq === want)
+    // exact size even when n exceeds eligible rows; zero-weight excluded
+    val tiny = Seq((1L, 0L), (2L, 3L)).toDF("id", "w")
+    val t2 = Sampling.weightedTopK(tiny, "id", col("w"), 10, "t")
+      .select("id").as[Long].collect()
+    assert(t2.toSeq === Seq(2L))
+    // the plan must be a bounded top-n, not a global sort
+    val plan = Sampling.weightedTopK(df, "id", col("w"), 50, "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("sequence packing: prefix sum exact vs single-partition oracle, any partitioning") {
     // deterministic irregular token counts, including zeros
     val docs = spark.range(0, 997)
