@@ -114,15 +114,15 @@ object CurationQueries {
 
   /** Hashed TF-IDF features ([[graft.text.Features.hashedTfIdf]]), 64
     * buckets: the text→vector front door checked end-to-end — tf shuffle,
-    * broadcast idf, windowed L2 norm, all reproduced in the DuckDB oracle
-    * via the corpus-wide portable md5 bucket hash.
+    * windowed df/idf and L2 norm, all reproduced in the DuckDB oracle via
+    * the corpus-wide portable md5 bucket hash. Uses the lazy overload (N
+    * rides along in-plan), so constructing or benching the frame runs no
+    * eager count job.
     */
-  def hashedTfIdfQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    graft.text.Features.hashedTfIdf(docs, "doc_id", "text",
-        dim = 64, numDocs = docs.count())
+  def hashedTfIdfQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.Features.hashedTfIdf(t(s, dir, "documents"), "doc_id",
+        "text", dim = 64)
       .orderBy(col("doc_id").asc, col("bucket").asc)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_topk" -> (vocabTopk _),

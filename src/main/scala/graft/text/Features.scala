@@ -67,12 +67,49 @@ object Features {
   def bucketOf(tok: Column, dim: Int): Column =
     pmod(graft.dedup.Dedup.portableHash(lit("tfidf"), tok), lit(dim.toLong))
 
+  /** THE tokenize+bucket projection every TF-IDF path shares — one
+    * exploded (\_fid, bucket) row per non-empty lowercased whitespace
+    * token. [[hashedTfIdf]], [[trainIdf]] and (in its per-row array
+    * form, via [[bucketOf]]) [[scoreTfIdf]] must tokenize identically
+    * or frozen-model/batch parity breaks; keeping the expression in one
+    * place removes the drift surface.
+    */
+  private def tokenBuckets(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame =
+    df.select(col(idCol).as("_fid"),
+        explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
+      .where(length(col("_tok")) > 0)
+      .select(col("_fid"), bucketOf(col("_tok"), dim).as("bucket"))
+
+  private def tfRows(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame =
+    tokenBuckets(df, idCol, textCol, dim)
+      .groupBy("_fid", "bucket").agg(count(lit(1)).as("tf"))
+
+  /** Shared tail of both [[hashedTfIdf]] overloads: df-as-window, smooth
+    * idf (`nPlusOne` = N+1 as a column so the corpus size can ride along
+    * lazily), windowed L2 norm, round 6.
+    */
+  private def tfIdfFinish(tf: DataFrame, nPlusOne: Column,
+      idCol: String): DataFrame = {
+    // tf has one row per (doc, bucket) → df = row count per bucket,
+    // computed as a window over tf so the corpus is scanned exactly once
+    val dfb = count(lit(1)).over(Window.partitionBy("bucket"))
+    val idf = log(nPlusOne / (col("_df") + 1).cast("double")) + 1
+    val w0 = tf.withColumn("_df", dfb)
+      .withColumn("_w0", col("tf").cast("double") * idf)
+    val nrm = sqrt(sum(col("_w0") * col("_w0"))
+      .over(Window.partitionBy("_fid")))
+    w0.select(col("_fid").as(idCol), col("bucket"),
+      round(col("_w0") / nrm, 6).as("w"))
+  }
+
   /** Hashed TF-IDF rows: one (id, bucket, w) per non-zero feature.
     * tf = token count in the hash bucket, idf = ln((N+1)/(df+1)) + 1
     * (sklearn smooth idf over bucket document frequency), w L2-normalized
     * per document. `numDocs` is the corpus size the idf is taken against
-    * (pass `df.count()` — kept explicit so incremental callers can score
-    * new docs under a frozen corpus statistic).
+    * — this overload keeps it explicit for callers scoring under a
+    * pinned statistic; the 4-arg overload derives it lazily in-plan.
     *
     * Shuffle budget: ONE corpus scan/tokenize feeding one
     * partial-aggregated (id, bucket) shuffle for tf; df and the L2 norm
@@ -80,29 +117,27 @@ object Features {
     * tokens), keyed by bucket and id respectively. A tf→groupBy(bucket)
     * formulation reads twice: Catalyst prunes the unused count from the
     * df branch, the subtrees stop canonicalizing equal, and ReuseExchange
-    * never fires — verified with `tools.ReuseCheck`. Rounded to 6
-    * decimals for cross-engine checks.
+    * never fires — verified by `tools.ReuseCheck` and the FeaturesSpec
+    * plan gate. Rounded to 6 decimals for cross-engine checks.
     */
   def hashedTfIdf(df: DataFrame, idCol: String, textCol: String,
       dim: Int, numDocs: Long): DataFrame = {
     require(dim > 0, s"hashedTfIdf: dim must be positive ($dim)")
-    val tf = df
-      .select(col(idCol).as("_fid"),
-        explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
-      .where(length(col("_tok")) > 0)
-      .withColumn("bucket", bucketOf(col("_tok"), dim))
-      .groupBy("_fid", "bucket").agg(count(lit(1)).as("tf"))
-    // tf has one row per (doc, bucket) → df = row count per bucket,
-    // computed as a window over tf so the corpus is scanned exactly once
-    val dfb = count(lit(1)).over(Window.partitionBy("bucket"))
-    val idf = log(lit((numDocs + 1).toDouble) /
-      (col("_df") + 1).cast("double")) + 1
-    val w0 = tf.withColumn("_df", dfb)
-      .withColumn("_w0", col("tf").cast("double") * idf)
-    val nrm = sqrt(sum(col("_w0") * col("_w0"))
-      .over(Window.partitionBy("_fid")))
-    w0.select(col("_fid").as(idCol), col("bucket"),
-      round(col("_w0") / nrm, 6).as("w"))
+    tfIdfFinish(tfRows(df, idCol, textCol, dim),
+      lit((numDocs + 1).toDouble), idCol)
+  }
+
+  /** [[hashedTfIdf]] with the corpus size derived IN-PLAN: N rides along
+    * as a broadcast 1-row count (an empty-schema scan — cheap next to
+    * the tokenize pass), so building/explaining the frame runs no eager
+    * driver action and repeated invocations pay no extra count job.
+    */
+  def hashedTfIdf(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"hashedTfIdf: dim must be positive ($dim)")
+    val n = df.agg((count(lit(1)) + 1).cast("double").as("_np1"))
+    tfIdfFinish(tfRows(df, idCol, textCol, dim).crossJoin(broadcast(n)),
+      col("_np1"), idCol)
   }
 
   /** Frozen corpus statistic for TF-IDF scoring: bucket document
@@ -120,11 +155,7 @@ object Features {
       dim: Int): TfIdfModel = {
     require(dim > 0, s"trainIdf: dim must be positive ($dim)")
     val n = df.count()
-    val dfRows = df
-      .select(col(idCol).as("_fid"),
-        explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
-      .where(length(col("_tok")) > 0)
-      .select(col("_fid"), bucketOf(col("_tok"), dim).as("bucket"))
+    val dfRows = tokenBuckets(df, idCol, textCol, dim)
       .distinct()
       .groupBy("bucket").agg(count(lit(1)).as("_df"))
       .collect()

@@ -215,14 +215,16 @@ object BigramLM {
     val lm = occ.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
       .withColumn("c1", sum(col("c2"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("t1")))
-    // V is a scalar (one cheap distinct-count aggregate) — baked into the
-    // smoothing denominator as a literal, like numDocs in the idf
+    // V rides along as a broadcast 1-row distinct-count — no driver-side
+    // action at plan-construction time, matching UnigramLM's lazy
+    // broadcast-scalar pattern for N
     val v = df.select(explode(TextAnalysis.wsTokens(col(textCol))).as("t"))
-      .agg(count_distinct(col("t"))).head().getLong(0)
+      .agg(count_distinct(col("t")).cast("double").as("_v"))
     occ.join(lm, Seq("t1", "t2"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(v))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(-avg(log((col("c2").cast("double") + alpha) /
-          (col("c1").cast("double") + alpha * v))), 6).as("nll"))
+          (col("c1").cast("double") + col("_v") * alpha))), 6).as("nll"))
   }
 }

@@ -73,6 +73,30 @@ class FeaturesSpec extends AnyFunSuite {
     norms.foreach { case (_, n2) => assert(math.abs(n2 - 1.0) < 1e-4) }
   }
 
+  test("hashedTfIdf plan gate: one corpus tokenize; lazy-N overload ≡ explicit") {
+    // parquet-backed so the gate counts real FileScans (the in-memory
+    // fixture plans as LocalTableScan)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfidf_gate")
+      .toString
+    docs.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val out = Features.hashedTfIdf(pq, "doc_id", "text", 64)
+    val got = out.collect()
+    // lazy-N overload must equal the explicit-numDocs form exactly
+    val want = Features.hashedTfIdf(pq, "doc_id", "text", 64, pq.count())
+      .collect()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(keyed(got) === keyed(want))
+    // exactly ONE text-reading scan in the executed plan (the ride-along
+    // N count scans an empty schema and is allowed)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val textScans = plan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("text"))
+    assert(textScans === 1, plan.take(600))
+  }
+
   test("scoreTfIdf under a frozen model ≡ batch hashedTfIdf on the corpus") {
     val n = docs.count()
     val m = Features.trainIdf(docs, "doc_id", "text", dim = 64)
