@@ -503,6 +503,26 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pos"))
       .orderBy(col("bucket").asc, col("pos").asc)
 
+  /** Model-based quality scoring ([[graft.text.QualityClassifier.score]])
+    * under a FROZEN linear model whose weights are a deterministic
+    * function of the bucket id (`w(b) = ((b·2654435761 mod 1000) − 500)
+    * / 1000`), so the DuckDB oracle reproduces the full scoring path —
+    * md5 token buckets, L1 tf normalization, margin, sigmoid, the keep
+    * threshold — without embedding a trained-float array in SQL. Real
+    * training (distributed GD, one aggregate per iteration) is exercised
+    * in `QualityClassifierSpec`; this row pins the scoring arithmetic
+    * both engines must share. Scoring is row-local: the plan is scan →
+    * project → sort, no shuffle before the output ordering.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.text.QualityClassifier.LinearQualityModel(64,
+      Array.tabulate(64)(b => ((b * 2654435761L % 1000) - 500) / 1000.0),
+      bias = 0.1)
+    graft.text.QualityClassifier.score(m, t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.55)
+      .orderBy(col("doc_id").asc)
+  }
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -534,7 +554,8 @@ object PipelineQueries {
     "dedup_substr_clean" -> (dedupSubstrClean _),
     "dedup_semantic" -> (dedupSemantic _),
     "pipeline_cap_per_key" -> (capPerKeyQ _),
-    "pipeline_mix_budget" -> (mixBudgetQ _)
+    "pipeline_mix_budget" -> (mixBudgetQ _),
+    "pipeline_quality_score" -> (qualityScore _)
   )
 
   private val TOK =
@@ -801,7 +822,10 @@ object PipelineQueries {
         |        % 1000000 < least(1000000, n_chars * 1800)
         |ORDER BY doc_id ASC""".stripMargin,
     // A-ES rank key ln(u)/w, u = (md5(id:seed) mod 1e6 + 1)/1e6, rounded
-    // to 6 and tie-broken by id — exactly the Spark side's selection rule
+    // to 6 and tie-broken by id — exactly the Spark side's selection rule.
+    // The `+ 0.0` normalizes IEEE -0.0 (DuckDB round preserves the sign of
+    // a tiny negative key; Spark's BigDecimal round cannot produce -0.0 and
+    // the gate compares stringified values).
     "sample_weighted_topk" ->
       s"""WITH $TOK,
          |w AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM tok
@@ -809,7 +833,7 @@ object PipelineQueries {
          |k AS (SELECT doc_id, n_tokens,
          |        round(ln(((CAST('0x' || substring(md5(doc_id::VARCHAR || ':s8'), 1, 15)
          |                    AS BIGINT) % 1000000) + 1)::DOUBLE / 1000000.0)
-         |              / n_tokens::DOUBLE, 6) AS sample_key
+         |              / n_tokens::DOUBLE, 6) + 0.0 AS sample_key
          |      FROM w)
          |SELECT doc_id, n_tokens, sample_key FROM k
          |ORDER BY sample_key DESC, doc_id ASC LIMIT 120""".stripMargin,
@@ -974,6 +998,28 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT doc_id, source, pos FROM r WHERE pos <= 10
         |ORDER BY doc_id ASC""".stripMargin,
+
+    // frozen linear quality model: same md5 'tfidf:' token buckets as
+    // text_hashed_tfidf, L1-normalized tf, weights w(b) = ((b·2654435761
+    // mod 1000) − 500)/1000, bias 0.1, sigmoid, keep at rounded ≥ 0.55
+    "pipeline_quality_score" ->
+      s"""WITH $TOK,
+         |tfx AS (SELECT doc_id,
+         |          CAST('0x' || substring(md5('tfidf:' || tk), 1, 15)
+         |               AS BIGINT) % 64 AS bucket,
+         |          count(*)::DOUBLE / min(n)::DOUBLE AS x
+         |        FROM (SELECT doc_id, unnest(ts) AS tk, len(ts) AS n
+         |              FROM tok WHERE len(ts) > 0)
+         |        GROUP BY 1, 2),
+         |mg AS (SELECT doc_id,
+         |         0.1::DOUBLE + sum(x * (((bucket * 2654435761) % 1000)
+         |           - 500)::DOUBLE / 1000.0::DOUBLE) AS m
+         |       FROM tfx GROUP BY 1)
+         |SELECT doc_id,
+         |       round(1.0::DOUBLE / (1.0::DOUBLE + exp(-m)), 6) AS q_score,
+         |       round(1.0::DOUBLE / (1.0::DOUBLE + exp(-m)), 6)
+         |         >= 0.55::DOUBLE AS keep
+         |FROM mg ORDER BY doc_id ASC""".stripMargin,
 
     "pipeline_mix_budget" ->
       """WITH st AS (

@@ -538,6 +538,41 @@ object StreamingQueries {
     s.table(sink).orderBy(col("doc_id").asc, col("bucket").asc)
   }
 
+  /** Streaming quality scoring ([[graft.text.QualityClassifier.score]])
+    * under the same frozen linear model as the batch twin
+    * `pipeline_quality_score` — scoring is a row-local expression (zero
+    * shuffle, zero state), so the stream runs in plain APPEND mode and
+    * the accumulated sink must hash-match the batch oracle exactly.
+    * This is the deployment shape of model-based filtering: train once
+    * batch-side, score every arriving document in-flight.
+    */
+  def streamingQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val m = graft.text.QualityClassifier.LinearQualityModel(64,
+      Array.tabulate(64)(b => ((b * 2654435761L % 1000) - 500) / 1000.0),
+      bias = 0.1)
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.text.QualityClassifier.score(
+      m, input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.55)
+    val sink = sinkName("quality")
+    val q = scored.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("quality"))
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(evens.toSeq)
+      q.processAllAvailable()
+      input.addData(odds.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy(col("doc_id").asc)
+  }
+
   /** Streaming ExactSubstr marking ([[graft.dedup.Dedup.duplicateSpanIncrement]]):
     * batch 1 streams the even doc_ids, batch 2 the odd, so cross-batch
     * duplicated substrings must be found by probing the ACCUMULATED
@@ -599,7 +634,8 @@ object StreamingQueries {
     "streaming_asof_join" -> (streamingAsofJoin _),
     "streaming_range_join" -> (streamingRangeJoin _),
     "streaming_dsir" -> (streamingDsir _),
-    "streaming_tfidf" -> (streamingTfIdf _)
+    "streaming_tfidf" -> (streamingTfIdf _),
+    "streaming_quality" -> (streamingQuality _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -619,6 +655,7 @@ object StreamingQueries {
     "streaming_dedup_substr" -> PipelineQueries.oracle("dedup_substr_spans"),
     "streaming_dsir" -> PipelineQueries.oracle("pipeline_dsir_weights"),
     "streaming_tfidf" -> CurationQueries.oracle("text_hashed_tfidf"),
+    "streaming_quality" -> PipelineQueries.oracle("pipeline_quality_score"),
     "streaming_neardup_cosine" -> PipelineQueries.oracle("neardup_cosine"),
     "streaming_asof_join" -> EventQueries.oracle("events_asof_join"),
     "streaming_range_join" ->

@@ -23,12 +23,14 @@ object ReuseCheck {
     val out = graft.text.Features.hashedTfIdf(docs, "doc_id", "text", 64)
     out.collect()
     // AQE's toString repeats the tree under "== Initial Plan ==" — count
-    // scans in the final plan only, and only scans that read the text
-    // column (the ride-along N count scans an empty schema)
+    // scans in the final plan only, and only scans whose output contains
+    // the text attribute ("text#<exprId>"; a bare "text" would also match
+    // the Location path of any sf dir containing that substring — the
+    // ride-along N count scans an empty schema and must not count)
     val plan = out.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     val textScans = plan.linesIterator
-      .count(l => l.contains("FileScan parquet") && l.contains("text"))
+      .count(l => l.contains("FileScan parquet") && l.contains("text#"))
     println(plan)
     println(s"text-reading FileScans in hashedTfIdf plan: $textScans")
     assert(textScans == 1,

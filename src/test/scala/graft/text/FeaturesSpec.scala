@@ -93,7 +93,7 @@ class FeaturesSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     val textScans = plan.linesIterator
-      .count(l => l.contains("FileScan parquet") && l.contains("text"))
+      .count(l => l.contains("FileScan parquet") && l.contains("text#"))
     assert(textScans === 1, plan.take(600))
   }
 
