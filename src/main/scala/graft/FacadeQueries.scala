@@ -466,6 +466,35 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** OPQ-coded serving-replica k-NN (format v7): the PQ mirror over
+    * ROTATED rows — the learned orthonormal rotation decorrelates the
+    * subspaces before coding (lower reconstruction error than plain PQ at
+    * the same m), the query rotates once per search for the ADC tables,
+    * and the exact rerank stays on the ORIGINAL floats, so results are
+    * IDENTICAL to the uncoded scan (the rotated-space drift of the
+    * float-stored rotation is absorbed by the measured-defect margin —
+    * see `LocalReplica.pqSearch`). The artifact is SAVED and RELOADED, so
+    * the oracle row also hash-checks the v7 rotation round-trip.
+    */
+  def localKnnOpq(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_opq")
+    val om = graft.index.OPQ.train(
+      db.read().select(col("vector")), "vector", m = 8, iters = 3)
+    val rep0 = graft.serve.LocalReplica.fromStore(db, nlist = 8,
+      opqModel = Some(om))
+    require(rep0.opqCoded && rep0.pqCoded && !rep0.coded,
+      "expected an OPQ-coded v7 replica")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_facade_local_opq.bin"
+    rep0.save(path, s.sparkContext.hadoopConfiguration)
+    val rep = graft.serve.LocalReplica.load(path,
+      s.sparkContext.hadoopConfiguration)
+    require(rep.opqCoded, "v7 round-trip dropped the OPQ rotation")
+    val res = rep.search(qvec(s, dir, 11), 10, nprobe = 8)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
   /** INT4-coded serving-replica k-NN (format v6): the export packs two
     * 4-bit codes per byte (split-plane nibbles) — ½ the coded-block RAM
     * and first-pass memory traffic of SQ8 — and the wider half-cells ride
@@ -841,6 +870,7 @@ object FacadeQueries {
     "graftdb_knn_cosine_indexed" -> (knnCosineIndexed _),
     "graftdb_local_knn" -> (localKnn _),
     "graftdb_local_knn_pq" -> (localKnnPq _),
+    "graftdb_local_knn_opq" -> (localKnnOpq _),
     "graftdb_local_knn_int4" -> (localKnnInt4 _),
     "graftdb_local_sharded" -> (localSharded _),
     "graftdb_local_sharded_hybrid" -> (localShardedHybrid _),
@@ -883,6 +913,13 @@ object FacadeQueries {
         |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_local_knn_pq" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "graftdb_local_knn_opq" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
         |s AS (SELECT e.vec_id,
         |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
         |      FROM embeddings e, q)

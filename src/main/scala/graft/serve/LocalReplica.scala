@@ -84,6 +84,8 @@ final class LocalReplica private (
   def coded: Boolean = codes != null
   /** Whether the PQ (ADC first pass) scan is available. */
   def pqCoded: Boolean = pq != null
+  /** Whether the PQ mirror is OPQ-rotated (format v7). */
+  def opqCoded: Boolean = pq != null && pq.rot != null
   /** Whether the lexical postings section (BM25/hybrid) is available. */
   def lexical: Boolean = lex != null
   /** Whether the RaBitQ 1-bit coarse pass is available. */
@@ -1271,6 +1273,14 @@ final class LocalReplica private (
     val books = pq.books
     val pqd = pq
     val subMajor = pq.subMajor
+    // OPQ (rot != null): the codes are PQ of R·x, so the ADC tables are
+    // built from the ROTATED query; the exact rerank stays on the
+    // original floats (orthonormal R preserves every metric). The float-
+    // stored R is only orthonormal to ~rotDefect, so rotated-space scores
+    // drift from original-space ones by ≤ rotDefect·‖q−x‖ (L2),
+    // ≤ rotDefect·‖q‖·‖x‖ (dot), ≤ 2·rotDefect (cosine) — each margin
+    // widens by twice that bound, keeping admission provably exact.
+    val tq = if (pq.rot != null) pq.rotate(q) else q
     // per-query ADC tables (m·ksub doubles ≈ L1/L2-resident; built once
     // per query, shared read-only across parallel chunks)
     var margin = 0.0
@@ -1285,7 +1295,7 @@ final class LocalReplica private (
             val base = (s * ksub + c) * subDim
             var acc = 0.0; var d = 0
             while (d < subDim) {
-              val diff = q(s * subDim + d).toDouble - books(base + d).toDouble
+              val diff = tq(s * subDim + d).toDouble - books(base + d).toDouble
               acc += diff * diff; d += 1
             }
             tbl(s * ksub + c) = acc; c += 1
@@ -1293,6 +1303,13 @@ final class LocalReplica private (
           s += 1
         }
         margin = 2.0 * pq.maxErr
+        if (pq.rot != null) {
+          var qn = 0.0
+          var i = 0
+          while (i < dim) { qn += q(i).toDouble * q(i); i += 1 }
+          // ‖q−x‖ ≤ ‖q‖ + max row norm
+          margin += 2.0 * pq.rotDefect * (math.sqrt(qn) + pq.maxRowNorm)
+        }
         scoreChunk = (lo, hi0, out) =>
           adcChunk(pqd, subMajor, tbl, 0.0, lo, hi0, out)
       case Metric.Dot =>
@@ -1308,7 +1325,7 @@ final class LocalReplica private (
             val base = (s * ksub + c) * subDim
             var acc = 0.0; var d = 0
             while (d < subDim) {
-              acc += q(s * subDim + d).toDouble * books(base + d).toDouble
+              acc += tq(s * subDim + d).toDouble * books(base + d).toDouble
               d += 1
             }
             tbl(s * ksub + c) = acc; c += 1
@@ -1317,6 +1334,8 @@ final class LocalReplica private (
         }
         // |⟨q,x⟩ − ⟨q,x̃⟩| ≤ ‖q‖·‖x−x̃‖
         margin = 2.0 * pq.maxErr * qn
+        if (pq.rot != null)
+          margin += 2.0 * pq.rotDefect * qn * pq.maxRowNorm
         scoreChunk = (lo, hi0, out) =>
           adcChunk(pqd, subMajor, tbl, 0.0, lo, hi0, out)
       case Metric.Cosine =>
@@ -1327,7 +1346,7 @@ final class LocalReplica private (
         val nrmT = new Array[Double](m * ksub)
         var qn = 0.0
         var i = 0
-        while (i < dim) { qn += q(i).toDouble * q(i); i += 1 }
+        while (i < dim) { qn += tq(i).toDouble * tq(i); i += 1 }
         qn = math.sqrt(qn)
         var s = 0
         while (s < m) {
@@ -1337,7 +1356,7 @@ final class LocalReplica private (
             var accD = 0.0; var accN = 0.0; var d = 0
             while (d < subDim) {
               val b = books(base + d).toDouble
-              accD += q(s * subDim + d).toDouble * b
+              accD += tq(s * subDim + d).toDouble * b
               accN += b * b
               d += 1
             }
@@ -1347,6 +1366,7 @@ final class LocalReplica private (
         }
         // |cos(x̃,q) − cos(x,q)| ≤ 2‖x̃−x‖ / ‖x‖ for ‖x̃−x‖ < ‖x‖
         margin = 4.0 * pq.maxErr / minRowNorm
+        if (pq.rot != null) margin += 4.0 * pq.rotDefect
         scoreChunk = (lo, hi0, out) => {
           // two blocked passes (dot, norm²) into scratch, then combine;
           // scratch is per-call so parallel chunks never share state
@@ -2228,6 +2248,15 @@ final class LocalReplica private (
         while (i < pq.books.length) { out.writeFloat(pq.books(i)); i += 1 }
         out.writeDouble(pq.maxErr)
         out.writeDouble(minRowNorm)
+        // v7: optional OPQ rotation (+ the orthonormality defect and the
+        // max row norm that size its query-time admission slack)
+        out.writeBoolean(pq.rot != null)
+        if (pq.rot != null) {
+          i = 0
+          while (i < pq.rot.length) { out.writeFloat(pq.rot(i)); i += 1 }
+          out.writeDouble(pq.rotDefect)
+          out.writeDouble(pq.maxRowNorm)
+        }
         out.write(pq.rowMajor) // artifact stays row-major (format v4)
       }
       // v3 trailer: typed metadata columns (row-aligned with ids)
@@ -2417,7 +2446,7 @@ object LocalReplica {
   }
 
   private[serve] val Magic = 0x47524c52 // "GRLR"
-  private[serve] val FormatVersion = 6
+  private[serve] val FormatVersion = 7
 
   /** PQ coded mirror (format v4): row-major m-byte codes + flat codebooks
     * (`books((s·ksub + c)·subDim + d)` = dim d of centroid c of subspace
@@ -2430,8 +2459,40 @@ object LocalReplica {
       val subDim: Int,
       val books: Array[Float],
       val subMajor: Array[Byte],
-      val maxErr: Double) {
+      val maxErr: Double,
+      // OPQ (format v7): learned orthonormal rotation, row-major dim×dim
+      // (codes are PQ of R·x; the query rotates once per search). null on
+      // plain-PQ replicas.
+      val rot: Array[Float] = null,
+      // ‖R_f·R_fᵀ − I‖_F of the FLOAT-stored rotation, measured at export:
+      // float R is only orthonormal to ~1e-6, so rotated-space distances
+      // drift from original-space ones by ≤ rotDefect·‖q−x‖ — the
+      // admission margin widens by rotDefect·(‖q‖ + maxRowNorm) to keep
+      // the coded pass provably exact (0 when rot == null)
+      val rotDefect: Double = 0.0,
+      val maxRowNorm: Double = 0.0) {
     require(ksub >= 1 && ksub <= 256, s"ksub $ksub must fit one byte")
+    require(rot == null || rot.length == m * subDim * m * subDim,
+      s"OPQ rotation length ${if (rot == null) -1 else rot.length} " +
+        s"!= dim² ${m * subDim * m * subDim}")
+
+    /** y = R·v (accumulate in double, round once — the same arithmetic
+      * as [[graft.index.OPQ.Model.rotate]], so export-encoded rows and
+      * query-time rotations see identical values).
+      */
+    def rotate(v: Array[Float]): Array[Float] = {
+      val d = m * subDim
+      val out = new Array[Float](d)
+      var j = 0
+      while (j < d) {
+        var s = 0.0; var i = 0
+        val base = j * d
+        while (i < d) { s += rot(base + i).toDouble * v(i).toDouble; i += 1 }
+        out(j) = s.toFloat
+        j += 1
+      }
+      out
+    }
 
     /** Rows per sub-major block: sized so one block's double accumulator
       * (8·B bytes = 16 KB) plus one sub's table slice (8·ksub ≤ 2 KB)
@@ -2478,7 +2539,8 @@ object LocalReplica {
       * slice (the FAISS-style layout trade).
       */
     def fromRowMajor(m: Int, ksub: Int, subDim: Int, books: Array[Float],
-        codes: Array[Byte], maxErr: Double): PQData = {
+        codes: Array[Byte], maxErr: Double, rot: Array[Float] = null,
+        rotDefect: Double = 0.0, maxRowNorm: Double = 0.0): PQData = {
       val n = codes.length / m
       val out = new Array[Byte](codes.length)
       var blockStart = 0
@@ -2497,7 +2559,8 @@ object LocalReplica {
         }
         blockStart += Block
       }
-      new PQData(m, ksub, subDim, books, out, maxErr)
+      new PQData(m, ksub, subDim, books, out, maxErr, rot, rotDefect,
+        maxRowNorm)
     }
   }
 
@@ -2711,9 +2774,23 @@ object LocalReplica {
         require(maxErr >= 0.0 && !maxErr.isNaN,
           s"corrupt replica: PQ maxErr $maxErr")
         minNorm = in.readDouble()
+        var rot: Array[Float] = null
+        var rotDefect = 0.0
+        var maxRowNorm = 0.0
+        if (ver >= 7 && in.readBoolean()) {
+          rot = new Array[Float](dim * dim)
+          i = 0
+          while (i < rot.length) { rot(i) = in.readFloat(); i += 1 }
+          rotDefect = in.readDouble()
+          maxRowNorm = in.readDouble()
+          require(rotDefect >= 0.0 && !rotDefect.isNaN &&
+            maxRowNorm >= 0.0 && !maxRowNorm.isNaN,
+            s"corrupt replica: OPQ defect=$rotDefect maxRowNorm=$maxRowNorm")
+        }
         val pcodes = new Array[Byte](n * m)
         in.readFully(pcodes)
-        pqData = PQData.fromRowMajor(m, ksub, subDim, books, pcodes, maxErr)
+        pqData = PQData.fromRowMajor(m, ksub, subDim, books, pcodes, maxErr,
+          rot, rotDefect, maxRowNorm)
       }
       val meta: Array[MetaColumn] =
         if (ver < 3) Array.empty
@@ -2836,10 +2913,13 @@ object LocalReplica {
       pqModel: Option[graft.index.PQ.Model] = None,
       textCol: Option[String] = None,
       rabitq: Boolean = false, rabitqSeed: Long = 42L,
-      int4: Boolean = false): LocalReplica = {
-    require(!(int4 && pqModel.isDefined),
-      "pick ONE coded mirror: int4 replaces the SQ8 block, pqModel " +
-        "replaces both")
+      int4: Boolean = false,
+      opqModel: Option[graft.index.OPQ.Model] = None): LocalReplica = {
+    require(!(int4 && (pqModel.isDefined || opqModel.isDefined)),
+      "pick ONE coded mirror: int4 replaces the SQ8 block, pqModel/" +
+        "opqModel replace both")
+    require(!(pqModel.isDefined && opqModel.isDefined),
+      "pick ONE of pqModel / opqModel (OPQ is PQ plus its own rotation)")
     // metadata columns export as normalized long/double/string arrays
     // (format v3) so predicates can evaluate replica-side
     import org.apache.spark.sql.types._
@@ -3068,11 +3148,16 @@ object LocalReplica {
         rd
       }
 
-    pqModel match {
-      case Some(pm) =>
+    val pqSel: Option[(graft.index.PQ.Model, Array[Array[Float]])] =
+      opqModel.map(om => (om.pq, om.rotation))
+        .orElse(pqModel.map(pm => (pm, null: Array[Array[Float]])))
+    pqSel match {
+      case Some((pm, rotM)) =>
         // PQ coded mirror (format v4) INSTEAD of SQ8: m bytes/vec vs dim —
         // the large-dim serving shape (768d/m=96 scans 8× fewer first-pass
-        // bytes and the artifact drops the n·dim SQ8 block entirely)
+        // bytes and the artifact drops the n·dim SQ8 block entirely).
+        // OPQ (format v7) is the same mirror over ROTATED rows: encode
+        // R·x, ship R in the artifact, rotate the query at search.
         require(pm.m * pm.subDim == dim,
           s"PQ model shape m=${pm.m}·subDim=${pm.subDim} != dim $dim")
         val m = pm.m; val ksub = pm.ksub; val subDim = pm.subDim
@@ -3087,6 +3172,54 @@ object LocalReplica {
           }
           s += 1
         }
+        val (encFlat, rotFlat, rotDefect) =
+          if (rotM == null) (flat, null: Array[Float], 0.0)
+          else {
+            require(rotM.length == dim && rotM.forall(_.length == dim),
+              s"OPQ rotation shape ${rotM.length} != dim $dim")
+            val rf = new Array[Float](dim * dim)
+            var j = 0
+            while (j < dim) {
+              System.arraycopy(rotM(j), 0, rf, j * dim, dim); j += 1
+            }
+            // rotate every row driver-side (double accumulate, round once
+            // — the same arithmetic as PQData.rotate, so export-encoded
+            // rows and query-time rotations see identical values)
+            val out = new Array[Float](flat.length)
+            java.util.stream.IntStream.range(0, n).parallel().forEach { row =>
+              val base = row * dim
+              var jj = 0
+              while (jj < dim) {
+                var acc = 0.0; var i = 0
+                val rb = jj * dim
+                while (i < dim) {
+                  acc += rf(rb + i).toDouble * flat(base + i).toDouble; i += 1
+                }
+                out(base + jj) = acc.toFloat
+                jj += 1
+              }
+            }
+            // measured orthonormality defect ‖R_f·R_fᵀ − I‖_F of the
+            // FLOAT-stored rotation — sizes the query-time admission slack
+            // (pqSearch) that keeps the rotated-space coded pass exact
+            var fs = 0.0
+            var a = 0
+            while (a < dim) {
+              var b = 0
+              while (b < dim) {
+                var acc = 0.0; var i = 0
+                while (i < dim) {
+                  acc += rf(a * dim + i).toDouble * rf(b * dim + i).toDouble
+                  i += 1
+                }
+                val e = if (a == b) acc - 1.0 else acc
+                fs += e * e
+                b += 1
+              }
+              a += 1
+            }
+            (out, rf, math.sqrt(fs) + 1e-12)
+          }
         val pcodes = new Array[Byte](n * m)
         val errSq = new Array[Double](n)
         val minNorms = new Array[Double](n)
@@ -3099,7 +3232,7 @@ object LocalReplica {
           var nn = 0.0
           var i = 0
           while (i < dim) {
-            val x = flat(base + i).toDouble; nn += x * x; i += 1
+            val x = encFlat(base + i).toDouble; nn += x * x; i += 1
           }
           minNorms(row) = math.sqrt(nn)
           var es = 0.0
@@ -3111,7 +3244,7 @@ object LocalReplica {
               val cb = (sub * ksub + c) * subDim
               var acc = 0.0; var d = 0
               while (d < subDim) {
-                val diff = flat(base + sub * subDim + d).toDouble -
+                val diff = encFlat(base + sub * subDim + d).toDouble -
                   books(cb + d).toDouble
                 acc += diff * diff; d += 1
               }
@@ -3125,18 +3258,23 @@ object LocalReplica {
           errSq(row) = es
         }
         var minNorm = Double.MaxValue
+        var maxNorm = 0.0
         var maxErr = 0.0
         r = 0
         while (r < n) {
           if (minNorms(r) < minNorm) minNorm = minNorms(r)
+          if (minNorms(r) > maxNorm) maxNorm = minNorms(r)
           val e = math.sqrt(errSq(r))
           if (e > maxErr) maxErr = e
           r += 1
         }
         // absolute slack absorbs the table-lookup float arithmetic, same
-        // construction as the SQ8 codeEps
+        // construction as the SQ8 codeEps; norms are rotated-row norms in
+        // the OPQ case — within rotDefect of the originals, which the
+        // slack and the defect margin absorb
         val pqData = PQData.fromRowMajor(m, ksub, subDim, books, pcodes,
-          maxErr + 1e-5)
+          maxErr + 1e-5, rotFlat, rotDefect,
+          maxNorm * (1.0 + 1e-6) + 1e-5)
         new LocalReplica(metric, dim, ids, flat,
           model.map(_.centroids).getOrElse(Array.empty), listStart,
           null, null, null, minNorm, meta, pqData, lexData, rbqData)
@@ -3214,14 +3352,15 @@ object LocalReplica {
       pqModel: Option[graft.index.PQ.Model] = None,
       textCol: Option[String] = None,
       rabitq: Boolean = false, rabitqSeed: Long = 42L,
-      int4: Boolean = false): LocalReplica = {
+      int4: Boolean = false,
+      opqModel: Option[graft.index.OPQ.Model] = None): LocalReplica = {
     val v = db.effectiveVersion
     // raw store read: packed segments export as raw bytes (bulk-converted
     // driver-side), skipping both the unpack column and the boxed
     // Seq[Float] row deserialization of the public read()
     val rep = fromDataFrame(db.store.read(v), "vector", "id",
       db.metric, nlist, maxRows, metaCols, pqModel, textCol,
-      rabitq, rabitqSeed, int4)
+      rabitq, rabitqSeed, int4, opqModel)
     // remember the exported file set so refreshFrom can diff against it
     db.store.manifest(v).foreach { m =>
       rep.origin = Origin(db.store.root, v,

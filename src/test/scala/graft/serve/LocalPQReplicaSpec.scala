@@ -84,4 +84,65 @@ class LocalPQReplicaSpec extends AnyFunSuite {
       assert(rep.search(q, k) == plain.search(q, k), s"k=$k")
     }
   }
+
+  // ------------------------------------------------------- OPQ (format v7)
+
+  private lazy val opqModel: graft.index.OPQ.Model =
+    graft.index.OPQ.train(corpus, "vec", m = 8, iters = 3, seed = 42L)
+
+  test("OPQ replica equals the uncoded scan exactly, all metrics") {
+    // codes live in ROTATED space; the query rotates for the ADC tables
+    // and the exact rerank runs on the original floats — with the
+    // measured-defect margin the result must EQUAL the uncoded scan
+    for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.Dot)) {
+      val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", metric,
+        opqModel = Some(opqModel))
+      assert(rep.opqCoded && rep.pqCoded && !rep.coded)
+      val plain = rep.withoutCodes
+      for (seed <- Seq(3L, 17L, 55L)) {
+        val q = queryVec(seed)
+        val got = rep.search(q, 20)
+        val want = plain.search(q, 20)
+        assert(got.map(_.id) == want.map(_.id), s"$metric ids")
+        assert(got.map(_.score) == want.map(_.score), s"$metric scores")
+      }
+    }
+  }
+
+  test("OPQ + IVF probed replica equals the probed uncoded scan") {
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      nlist = 8, opqModel = Some(opqModel))
+    val plain = rep.withoutCodes
+    for (seed <- Seq(5L, 23L); np <- Seq(2, 4, 8)) {
+      val q = queryVec(seed)
+      assert(rep.search(q, 10, nprobe = np) == plain.search(q, 10, nprobe = np),
+        s"seed=$seed nprobe=$np")
+    }
+  }
+
+  test("OPQ artifact round-trips through save/load (format v7)") {
+    val dir = java.nio.file.Files.createTempDirectory("replica_opq").toString
+    val rep = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.Cosine,
+      nlist = 4, opqModel = Some(opqModel))
+    val path = s"$dir/rep.grlr"
+    rep.save(path)
+    val loaded = LocalReplica.load(path)
+    assert(loaded.opqCoded && loaded.pqCoded && !loaded.coded)
+    val q = queryVec(9)
+    assert(loaded.search(q, 15) == rep.search(q, 15))
+    assert(loaded.search(q, 10, nprobe = 2) == rep.search(q, 10, nprobe = 2))
+  }
+
+  test("OPQ/PQ/INT4 mirror selection conflicts fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+        pqModel = Some(pqModel), opqModel = Some(opqModel))
+    }
+    assert(e1.getMessage.contains("ONE of pqModel / opqModel"))
+    val e2 = intercept[IllegalArgumentException] {
+      LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2,
+        int4 = true, opqModel = Some(opqModel))
+    }
+    assert(e2.getMessage.contains("ONE coded mirror"))
+  }
 }
