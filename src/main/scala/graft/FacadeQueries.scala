@@ -466,6 +466,44 @@ object FacadeQueries {
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
   }
 
+  /** k-NN through an INCREMENTALLY extended index: the store indexes its
+    * first half (`buildIndex` → IVF+SQ8 segment), appends the second half
+    * as a plain tail segment plus a couple of tail deletes, then folds the
+    * tail into the probed layout with `extendIndex()` — encode + assign
+    * under the FROZEN sidecar model, one pass over the new rows only, no
+    * k-means re-training, the original indexed segment untouched (the
+    * vector-index analog of the per-segment lexical deltas). After the
+    * fold every segment is indexed (gated here) and an all-lists probe
+    * with a corpus-fraction refine pool is exact, so the result
+    * hash-checks against the brute-force oracle over the full corpus
+    * minus the folded deletes.
+    */
+  def knnAfterExtend(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_extend"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val emb = Tables.load(s, dir, "embeddings")
+    val docs = Tables.load(s, dir, "documents")
+    val records = emb.join(docs, emb("vec_id") === docs("doc_id"))
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label"), col("text"))
+    val db = GraftDB.open(s, root, dim = 64, metric = "l2",
+      schema = Map("label" -> "int"), textCol = Some("text"))
+    db.insertBatch(records.where(col("id") < 250))
+    db.buildIndex(nlist = 8)
+    db.insertBatch(records.where(col("id") >= 250))
+    db.delete(Seq(260L, 270L))
+    require(db.extendIndex().isDefined, "extendIndex found no tail to fold")
+    require(db.extendIndex().isEmpty, "second extendIndex must be a no-op")
+    require(db.segmentInfo().forall(_("index_kind") != "none"),
+      "extendIndex left an unindexed segment")
+    val rows = db.stats()("segment_rows").asInstanceOf[Long]
+    val refine = math.max(10, math.ceil(rows * 0.25 / 10).toInt)
+    db.search(qvec(s, dir, 13), 10, nprobe = 8, refineFactor = refine)
+      .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
+  }
+
   /** OPQ-coded serving-replica k-NN (format v7): the PQ mirror over
     * ROTATED rows — the learned orthonormal rotation decorrelates the
     * subspaces before coding (lower reconstruction error than plain PQ at
@@ -852,6 +890,7 @@ object FacadeQueries {
     "graftdb_knn" -> (knn _),
     "graftdb_knn_join" -> (knnJoinQ _),
     "graftdb_knn_indexed" -> (knnIndexed _),
+    "graftdb_knn_after_extend" -> (knnAfterExtend _),
     "graftdb_knn_pq_indexed" -> (knnPqIndexed _),
     "graftdb_knn_opq_indexed" -> (knnOpqIndexed _),
     "graftdb_knn_rabitq_indexed" -> (knnRabitqIndexed _),
@@ -892,6 +931,15 @@ object FacadeQueries {
   val oracle: Map[String, String] = Map(
     "graftdb_knn" -> Queries.oracle("knn_l2"),
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
+    // full corpus minus the two tail deletes folded by extendIndex
+    "graftdb_knn_after_extend" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 13),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q
+        |      WHERE e.vec_id NOT IN (260, 270))
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_knn_pq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_knn_opq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_knn_rabitq_indexed" -> Queries.oracle("knn_l2"),

@@ -394,6 +394,23 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     notifyObs(_.onMaintenance("buildIndex", ms, v))
     v
   }
+  /** Incremental index maintenance: fold the unindexed tail segments into
+    * the probed layout using the existing index's FROZEN model — one pass
+    * over the NEW rows only, no k-means re-training, already-indexed
+    * segments untouched (the vector-index analog of the per-segment
+    * lexical deltas; vecgo's FreshVamana role of absorbing inserts without
+    * a rebuild). Returns the committed version, or None when every segment
+    * is already indexed.
+    */
+  def extendIndex(): Option[Long] = {
+    requireWritable()
+    require(metric != Metric.Hamming,
+      "IVF indexes apply to float-vector metrics (l2/cosine/dot)")
+    val (v, ms) = timedOp(store.extendIndexed())
+    v.foreach(ver => notifyObs(_.onMaintenance("extendIndex", ms, ver)))
+    v
+  }
+
   /** Policy-driven partial compaction (vecgo W9). */
   def compactWith(policy: graft.store.CompactionPolicy): Option[Long] = {
     requireWritable(); store.maybeCompact(policy)

@@ -154,20 +154,7 @@ object SegmentIndex {
       .option(s"parquet.enable.dictionary#$vecCol", "false")
       .partitionBy(PartCol)
       .parquet(dir)
-    // per-list radius: one agg over the WRITTEN layout (vecgo keeps
-    // per-partition stats in its flat-segment block stats) — enables
-    // sound per-directory pruning for threshold queries
-    val back = live.sparkSession.read.parquet(dir)
-    val centroidLit = org.apache.spark.sql.functions.typedlit(
-      ivf.centroids.map(_.toSeq).toSeq)
-    val radiusRows = back
-      .select(col(PartCol).cast("int").as("p"),
-        graft.functions.vec_l2(col(vecCol),
-          org.apache.spark.sql.functions.element_at(
-            centroidLit, col(PartCol).cast("int") + 1)).as("r"))
-      .groupBy("p").agg(org.apache.spark.sql.functions.max("r").as("rmax"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val radii = List.tabulate(ivf.k)(i => radiusRows.getOrElse(i, 0.0))
+    val radii = radiiOf(live, dir, vecCol, ivf)
     Meta(kind, ivf.k, levels,
       ivf.centroids.map(_.toList).toList,
       sq8.map(_.mins.toList).getOrElse(Nil),
@@ -179,6 +166,65 @@ object SegmentIndex {
         .map(_.codebooks.map(_.map(_.toList).toList).toList).getOrElse(Nil),
       opqRotation = opq.map(_.rotation.map(_.toList).toList).getOrElse(Nil),
       rabitqSeed = if (kind == "ivf_rabitq") seed else 0L)
+  }
+
+  /** Per-list radius: one agg over the WRITTEN layout (vecgo keeps
+    * per-partition stats in its flat-segment block stats) — enables
+    * sound per-directory pruning for threshold queries. The packed
+    * layout reads back as binary; `vec_l2` scores blobs in place.
+    */
+  private def radiiOf(live: DataFrame, dir: String, vecCol: String,
+      ivf: IVF.Model): List[Double] = {
+    val back = live.sparkSession.read.parquet(dir)
+    val centroidLit = org.apache.spark.sql.functions.typedlit(
+      ivf.centroids.map(_.toSeq).toSeq)
+    val radiusRows = back
+      .select(col(PartCol).cast("int").as("p"),
+        graft.functions.vec_l2(col(vecCol),
+          org.apache.spark.sql.functions.element_at(
+            centroidLit, col(PartCol).cast("int") + 1)).as("r"))
+      .groupBy("p").agg(org.apache.spark.sql.functions.max("r").as("rmax"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    List.tabulate(ivf.k)(i => radiusRows.getOrElse(i, 0.0))
+  }
+
+  /** Extend an EXISTING trained index over NEW rows: encode + assign with
+    * the sidecar's frozen model (centroids, bounds, codebooks, rotation —
+    * NO re-training, NO touch of the already-indexed segments) and write
+    * another indexed segment at `dir` with its own per-list radii. This is
+    * the incremental index-maintenance path — streaming appends land as
+    * plain segments and `extendIndex` folds them into the probed layout
+    * for the cost of ONE pass over the new rows (the vector-index analog
+    * of the per-segment lexical deltas; FAISS's add-with-frozen-quantizer
+    * move). Rows outside the frozen SQ8 bounds clamp — the coded first
+    * pass is recall-gated oversample-and-rerank engine-side, so clamping
+    * costs recall margin, never correctness of the exact rerank.
+    */
+  def extend(live: DataFrame, meta: Meta, dir: String): Meta = {
+    val vecCol = meta.vecCol
+    val isPacked = live.schema(vecCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val vecF =
+      if (isPacked) graft.functions.vec_unpack_f32(col(vecCol)) else col(vecCol)
+    val ivf = ivfModel(meta)
+    val coded = meta.kind match {
+      case "ivf_sq8" => live.withColumn(CodeCol, sq8Model(meta).encodeCol(vecF))
+      case "ivf_pq" => live.withColumn(PqCol, pqModel(meta).encodeCol(vecF))
+      case "ivf_opq" => live.withColumn(PqCol, opqModel(meta).encodeCol(vecF))
+      case "ivf_rabitq" =>
+        live.withColumn(RbqCol, rabitqModel(meta).encodeCol(vecF))
+      case other => throw new IllegalArgumentException(
+        s"segment index kind `$other` cannot extend")
+    }
+    coded
+      .withColumn(PartCol, ivf.assignCol(vecF))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .option("compression", "uncompressed")
+      .option(s"parquet.enable.dictionary#$vecCol", "false")
+      .partitionBy(PartCol)
+      .parquet(dir)
+    meta.copy(listRadii = radiiOf(live, dir, vecCol, ivf))
   }
 
   private implicit val fmts: Formats = DefaultFormats

@@ -604,6 +604,61 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     next.version
   }
 
+  /** Incremental index maintenance: fold the UNINDEXED tail segments into
+    * one new indexed segment using the newest existing sidecar's FROZEN
+    * model — encode + assign only the tail rows (one pass, no k-means
+    * re-training) and leave every already-indexed segment untouched. The
+    * vector-index analog of the per-segment lexical deltas: appends land
+    * as plain segments, and this folds them into the probed layout without
+    * the full-corpus `compactIndexed` rebuild. Pending deletes against the
+    * tail are applied in the rewrite (the new segment's seq outruns every
+    * existing delete list — the same LSN rule as [[compactSegments]]).
+    * Returns None when there is no tail to fold.
+    */
+  def extendIndexed(): Option[Long] = {
+    import graft.index.SegmentIndex
+    val m = headManifest.getOrElse(
+      throw new IllegalStateException("extendIndexed on empty store"))
+    val idxSegs = m.segments.filter(_.index.isDefined)
+    require(idxSegs.nonEmpty,
+      "extendIndexed needs an existing index to extend — buildIndex first")
+    val tail = m.segments.filter(_.index.isEmpty)
+    if (tail.isEmpty) return None
+    val meta = SegmentIndex.load(idxSegs.maxBy(_.seq).index.get.metaPath,
+      spark.sparkContext.hadoopConfiguration)
+    val live = applyDeletes(unionSegs(tail.map(segFrame)), m).drop("_seq")
+    val seq = m.maxSeq + 1
+    val remaining = m.segments.filterNot(s => tail.exists(_.seq == s.seq))
+    // fully-deleted tail: nothing to index — just drop the tail segments
+    // (and the delete lists that only applied to them) from the manifest
+    if (live.isEmpty) {
+      val minSeq = (remaining.map(_.seq) :+ seq).min
+      val next = Manifest(m.version + 1, seq, remaining,
+        m.deletes.filter(_.seq > minSeq))
+      commit(next)
+      return Some(next.version)
+    }
+    val token = uniqueToken()
+    val dir = s"$root/seg-$seq-$token"
+    val newMeta = SegmentIndex.extend(live, meta, dir)
+    val metaPath = s"$root/idx-$seq-$token.json"
+    SegmentIndex.save(newMeta, metaPath, spark.sparkContext.hadoopConfiguration)
+    val back = spark.read.parquet(dir)
+    val rows = back.count()
+    val stats =
+      if (m.segments.exists(_.stats.isDefined))
+        Some(graft.stats.SegmentStats.collect(
+          back.drop(SegmentIndex.InternalCols: _*), Some(newMeta.vecCol)))
+      else None
+    val minSeq = (remaining.map(_.seq) :+ seq).min
+    val next = Manifest(m.version + 1, seq,
+      remaining :+ SegmentRef(dir, seq, rows, stats,
+        Some(IndexRef(newMeta.kind, metaPath, newMeta.nlist))),
+      m.deletes.filter(_.seq > minSeq))
+    commit(next)
+    Some(next.version)
+  }
+
   /** Partial compaction (vecgo W8 `CompactWithContext([]SegmentID)`):
     * merge ONLY the chosen segments — their live rows (deletes applied)
     * are rewritten as one new segment; other segments and all delete

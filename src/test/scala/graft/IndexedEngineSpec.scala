@@ -454,4 +454,77 @@ class IndexedEngineSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq
     assert(got == brute(db, q, 5))
   }
+
+  test("extendIndex: frozen-model tail fold — original segment untouched, exact, delta-only") {
+    val db = freshDb()
+    val rows = clustered(600)
+    db.insertBatch(rows.take(400).toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters)
+    val before = db.store.manifest().get
+    val idxSeg = before.segments.head
+    assert(idxSeg.index.isDefined)
+    // plain tail append + deletes that hit BOTH the tail and the indexed
+    // segment (the latter must survive as a tombstone list — only
+    // tail-only lists fold away)
+    db.insertBatch(rows.drop(400).toDF("id", "vector", "label", "body"))
+    db.delete(Seq(450L, 475L)) // tail rows: folded into the rewrite
+    assert(db.extendIndex().isDefined)
+    assert(db.extendIndex().isEmpty, "no tail left — must be a no-op")
+    val after = db.store.manifest().get
+    // the original indexed segment is bit-identical (same path, same
+    // sidecar) — the fold touched ONLY the tail rows
+    val kept = after.segments.find(_.seq == idxSeg.seq).get
+    assert(kept.path == idxSeg.path && kept.index == idxSeg.index)
+    val newSeg = after.segments.filter(_.seq != idxSeg.seq)
+    assert(newSeg.size == 1 && newSeg.head.index.isDefined)
+    assert(newSeg.head.rows == 200 - 2, "tail rewrite = tail live rows only")
+    // the delete list SURVIVES: by the LSN rule it still applies to the
+    // older indexed segment (seq < delete seq) — only lists that apply to
+    // no remaining segment fold away. The new segment's seq outruns it,
+    // so the folded rows are not re-masked.
+    assert(after.deletes.size == 1)
+    assert(after.deletes.head.seq > idxSeg.seq)
+    assert(newSeg.head.seq > after.deletes.head.seq)
+    // frozen model: same centroids as the original sidecar, own radii
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m0 = graft.index.SegmentIndex.load(idxSeg.index.get.metaPath, conf)
+    val m1 = graft.index.SegmentIndex.load(newSeg.head.index.get.metaPath, conf)
+    assert(m1.centroids == m0.centroids && m1.kind == m0.kind &&
+      m1.mins == m0.mins && m1.maxs == m0.maxs)
+    assert(m1.listRadii != m0.listRadii)
+    // all-probe + wide-refine search over the two indexed segments is exact
+    for (qi <- Seq(3, 137, 411, 583)) {
+      val q = rows(qi)._2
+      val got = db.search(q, 10, nprobe = NClusters, refineFactor = 40)
+        .select("id").as[Long].collect().toSeq
+      assert(got == brute(db, q, 10), s"query $qi")
+      assert(!got.contains(450L) && !got.contains(475L))
+    }
+    // partial probing still prunes: recall ≥ 0.95 against brute force
+    val hits = (0 until 40).count { i =>
+      val q = rows(i * 14)._2
+      val got = db.search(q, 5, nprobe = 1, refineFactor = 40)
+        .select("id").as[Long].collect().toSeq
+      got.toSet.intersect(brute(db, q, 5).toSet).size >= 4
+    }
+    assert(hits >= 38, s"recall gate: $hits/40")
+  }
+
+  test("extendIndex: refuses unindexed stores; delete-to-empty tail just drops") {
+    val db = freshDb()
+    db.insertBatch(clustered(50).toDF("id", "vector", "label", "body"))
+    val e = intercept[IllegalArgumentException] { db.extendIndex() }
+    assert(e.getMessage.contains("buildIndex first"))
+    db.buildIndex(nlist = NClusters)
+    // append a tail then delete ALL of it: the fold must drop the tail
+    // segment without writing an empty indexed one
+    val extra = (1000 until 1020).map(i =>
+      (i.toLong, Array.tabulate(Dim)(_.toFloat), 0, s"doc $i"))
+    db.insertBatch(extra.toDF("id", "vector", "label", "body"))
+    db.delete(extra.map(_._1))
+    assert(db.extendIndex().isDefined)
+    val m = db.store.manifest().get
+    assert(m.segments.size == 1 && m.segments.head.index.isDefined)
+    assert(db.read().count() == 50)
+  }
 }
