@@ -207,7 +207,8 @@ object Bench {
       "text_lang_quality", "text_scrub", "pipeline_filter",
       "events_tumbling_agg", "ivf_knn", "sq8_rerank", "bq_hamming",
       "knn_join", "dedup_substr_clean", "dedup_semantic",
-      "text_hashed_tfidf", "text_bigram_ppl", "pipeline_quality_score")
+      "text_hashed_tfidf", "text_bigram_ppl", "pipeline_quality_score",
+      "pipeline_source_profile")
     val qmap = SparkEntry.queries
     val headlineBenches: Seq[(String, () => Unit)] = headline.flatMap { name =>
       qmap.get(name).map(fn => name -> (() => noop(fn(spark, sfDir))))

@@ -280,7 +280,8 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   def insertStream(stream: DataFrame, checkpoint: String,
       policy: Option[graft.store.CompactionPolicy] = None,
       collectStats: Boolean = true,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      extendIndexTail: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     requireWritable()
     val w0 = stream.writeStream
@@ -289,6 +290,18 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       .foreachBatch { (batch: DataFrame, _: Long) =>
         insertBatch(batch, collectStats)
         policy.foreach(p => store.maybeCompact(p))
+        // index freshness: once the unindexed tail reaches
+        // `extendIndexTail` segments, fold it into the probed layout
+        // under the frozen sidecar model (extendIndex — one pass over
+        // the new rows, no k-means re-training), so streaming ingest
+        // keeps the store fully probed without a rebuild. No-op until a
+        // first buildIndex exists.
+        if (extendIndexTail > 0) {
+          val m = store.manifest()
+          if (m.exists(_.segments.exists(_.index.isDefined)) &&
+              m.exists(_.segments.count(_.index.isEmpty) >= extendIndexTail))
+            store.extendIndexed()
+        }
         ()
       }
     trigger.fold(w0)(w0.trigger).start()

@@ -523,6 +523,16 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Per-source corpus report card ([[graft.pipeline.Profile.sourceProfile]]):
+    * docs/tokens per source, exact p50/p90 length, corpus-wide
+    * exact-duplicate fraction — the observability row a mixing decision
+    * reads. One scan for the per-row scalars + the `dedup_exact` hash
+    * shuffle for the dup flag + one groupBy(source).
+    */
+  def sourceProfileQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Profile.sourceProfile(t(s, dir, "documents"),
+      "source", "text")
+
   // ------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -555,7 +565,8 @@ object PipelineQueries {
     "dedup_semantic" -> (dedupSemantic _),
     "pipeline_cap_per_key" -> (capPerKeyQ _),
     "pipeline_mix_budget" -> (mixBudgetQ _),
-    "pipeline_quality_score" -> (qualityScore _)
+    "pipeline_quality_score" -> (qualityScore _),
+    "pipeline_source_profile" -> (sourceProfileQ _)
   )
 
   private val TOK =
@@ -1020,6 +1031,26 @@ object PipelineQueries {
          |       round(1.0::DOUBLE / (1.0::DOUBLE + exp(-m)), 6)
          |         >= 0.55::DOUBLE AS keep
          |FROM mg ORDER BY doc_id ASC""".stripMargin,
+
+    // per-source report card: exact interpolated percentiles
+    // (quantile_cont == Spark's exact `percentile`), corpus-wide
+    // full-text md5 dup flag counted in EVERY source holding a copy
+    "pipeline_source_profile" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS hh,
+        |             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             x -> len(x) > 0))::BIGINT AS nt,
+        |             length(text)::BIGINT AS nc
+        |           FROM documents),
+        |d AS (SELECT hh FROM h GROUP BY hh HAVING count(*) >= 2)
+        |SELECT source,
+        |       count(*)::BIGINT AS n_docs,
+        |       sum(nt)::BIGINT AS total_tokens,
+        |       round(avg(nt::DOUBLE), 6) AS avg_tokens,
+        |       round(quantile_cont(nc, 0.5), 6) AS p50_chars,
+        |       round(quantile_cont(nc, 0.9), 6) AS p90_chars,
+        |       round(avg(CASE WHEN hh IN (SELECT hh FROM d)
+        |                      THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+        |FROM h GROUP BY source ORDER BY source ASC""".stripMargin,
 
     "pipeline_mix_budget" ->
       """WITH st AS (

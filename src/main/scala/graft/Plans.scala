@@ -112,7 +112,17 @@ object Plans {
           "the corpus — ReuseExchange defeat, same mechanism as " +
           "hashedTfIdf's df); scoring is an equi-join + per-doc " +
           "aggregation; at this sf AQE broadcasts the LM table, at " +
-          "scale both sides shuffle once on the bigram key"))
+          "scale both sides shuffle once on the bigram key"),
+      "pipeline_quality_score" ->
+        ("frozen-model classifier scoring is a single codegen'd " +
+          "projection over one scan (weights ride as array literals) — " +
+          "zero shuffle before the output sort, no UDFs, no state: the " +
+          "same expression streams in append mode (streaming_quality)"),
+      "graftdb_knn_after_extend" ->
+        ("after the frozen-model tail fold BOTH segments are IVF layouts " +
+          "— the probe union shows PartitionFilters on _ivf_part for " +
+          "each, SQ8 gate + exact rerank on top, no brute-forced tail " +
+          "scan left in the plan"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

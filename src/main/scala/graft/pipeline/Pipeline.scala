@@ -341,3 +341,49 @@ object Dsir {
             log(lit(m.nT.toDouble) + lit(m.buckets.toDouble)),
           6).as("dsir_logratio"))
 }
+
+/** Per-source corpus report card — the observability step every curation
+  * pipeline runs after (and between) its filter/dedup stages: what each
+  * source contributes (docs, tokens), its length distribution, and its
+  * exact-duplicate fraction. Dashboards and mixing decisions read this,
+  * so the numbers must be REPRODUCIBLE — everything here is
+  * deterministic, no sampling.
+  */
+object Profile {
+
+  /** One row per `keyCol` value: doc/token counts, mean token count,
+    * p50/p90 char-length, and the fraction of docs whose FULL text is an
+    * exact duplicate of some other doc corpus-wide (cross-source dups
+    * count in every source holding a copy — that is the number a mixing
+    * decision needs).
+    *
+    * 100 TB shape: one scan computes all per-row scalars (token count is
+    * the same codegen'd split the pipeline's other text ops use), the dup
+    * flag is one 128-bit-hash groupBy (the `dedup_exact` shuffle) joined
+    * back by hash, and the report is a groupBy(source) over scalars.
+    * `percentile` is the exact sorted-buffer aggregate — right for
+    * report-sized groups at these sfs; at 100 TB swap `percentile` for
+    * `approx_percentile(…, 1e-4)` (the report tolerates approximation,
+    * the oracle here does not).
+    */
+  def sourceProfile(df: DataFrame, keyCol: String, textCol: String)
+      : DataFrame = {
+    val ntok = size(filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0)).cast("long")
+    val rows = df.select(col(keyCol), col(textCol),
+      ntok.as("_nt"), length(col(textCol)).cast("long").as("_nc"),
+      md5(col(textCol)).as("_h"))
+    val dups = rows.groupBy(col("_h")).agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") >= 2).select(col("_h"), lit(1).as("_dup"))
+    rows.join(dups, Seq("_h"), "left")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("total_tokens"),
+        round(avg(col("_nt")), 6).as("avg_tokens"),
+        round(expr("percentile(_nc, 0.5)"), 6).as("p50_chars"),
+        round(expr("percentile(_nc, 0.9)"), 6).as("p90_chars"),
+        round(avg(coalesce(col("_dup"), lit(0)).cast("double")), 6)
+          .as("dup_frac"))
+      .orderBy(col(keyCol).asc)
+  }
+}

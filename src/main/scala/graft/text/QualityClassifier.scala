@@ -128,34 +128,54 @@ object QualityClassifier {
     } finally { feat.unpersist(); () }
   }
 
-  /** Quality score under a FROZEN model as a pure Column over the text:
-    * `σ(bias + Σ_b (tf_b / n_tokens) · weights(b))`, NULL for
-    * all-whitespace text. Entirely row-local (the weight table is a
-    * `dim`-length array literal) — zero shuffle, zero state, append-mode
-    * streaming safe, and usable directly inside a `.where` for the
-    * actual filtering step.
+  /** Token bucket array of a text column (NULL-free, one md5 per token). */
+  private def bucketsOf(text: Column, dim: Int): Column =
+    filter(transform(split(lower(text), "\\s+"),
+      t => when(length(t) > 0, Features.bucketOf(t, dim))), _.isNotNull)
+
+  /** Sigmoid margin over a PRE-MATERIALIZED bucket-array column.
+    * `bs` MUST be an attribute reference (projected column), not the
+    * tokenize+hash expression itself: a Column tree inlines at every
+    * reference, so the per-distinct-bucket `filter(bs, …)` tf count
+    * would re-split and re-md5 the whole document once per distinct
+    * bucket — O(u·n) hashes/row, measured 38× slower at sf0.1. Over the
+    * materialized int array the same shape is plain array arithmetic.
     */
-  def qualityScore(m: LinearQualityModel, text: Column): Column = {
+  private def sigmoidOf(bs: Column, m: LinearQualityModel): Column = {
     val ws = lit(m.weights)
-    val bs = filter(transform(split(lower(text), "\\s+"),
-      t => when(length(t) > 0, Features.bucketOf(t, m.dim))), _.isNotNull)
     val margin = aggregate(
       transform(array_sort(array_distinct(bs)), b =>
         size(filter(bs, x => x === b)).cast("double") / size(bs) *
           element_at(ws, b.cast("int") + 1)),
       lit(m.bias), (acc, v) => acc + v)
-    when(size(bs) > 0, lit(1.0) / (lit(1.0) + exp(-margin)))
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
+  /** Quality score under a FROZEN model as a pure Column over the text:
+    * `σ(bias + Σ_b (tf_b / n_tokens) · weights(b))`, NULL for
+    * all-whitespace text. Entirely row-local (the weight table is a
+    * `dim`-length array literal) — zero shuffle, zero state, append-mode
+    * streaming safe, and usable directly inside a `.where` for the
+    * actual filtering step. For corpus-scale scoring prefer [[score]],
+    * which materializes the token-bucket array once per row (this
+    * single-Column form re-tokenizes per distinct bucket — see
+    * [[sigmoidOf]]).
+    */
+  def qualityScore(m: LinearQualityModel, text: Column): Column = {
+    val bs = bucketsOf(text, m.dim)
+    when(size(bs) > 0, sigmoidOf(bs, m))
   }
 
   /** Batch/streaming scoring frame: (idCol, q_score rounded 6, keep).
     * The shape of the real pipeline step — score everything, keep the
-    * documents above the operating threshold.
+    * documents above the operating threshold. Two row-local projections
+    * (buckets, then score) — still zero shuffle, zero state.
     */
   def score(m: LinearQualityModel, df: DataFrame, idCol: String,
-      textCol: String, threshold: Double): DataFrame = {
-    val s = qualityScore(m, col(textCol))
-    df.where(s.isNotNull)
-      .select(col(idCol), round(s, 6).as("q_score"),
-        (round(s, 6) >= threshold).as("keep"))
-  }
+      textCol: String, threshold: Double): DataFrame =
+    df.select(col(idCol), bucketsOf(col(textCol), m.dim).as("_qc_bs"))
+      .where(size(col("_qc_bs")) > 0)
+      .select(col(idCol), round(sigmoidOf(col("_qc_bs"), m), 6).as("q_score"))
+      .select(col(idCol), col("q_score"),
+        (col("q_score") >= threshold).as("keep"))
 }

@@ -229,4 +229,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
       6L -> 3L, 7L -> 9L, 8L -> 10L, 9L -> 0L))
   }
+
+  test("sourceProfile: counts, exact percentiles and dup fractions on a hand-built corpus") {
+    // srcA: 4 docs, one exact-dup pair; srcB: 2 docs, one of them also a
+    // cross-source copy of an srcA doc (counts as dup in BOTH sources)
+    val df = Seq(
+      (1L, "srcA", "aa bb cc"),     // 8 chars, 3 tokens
+      (2L, "srcA", "aa bb cc"),     // dup of 1
+      (3L, "srcA", "dd"),           // 2 chars, 1 token
+      (4L, "srcA", "ee ff gg hh"),  // 11 chars, 4 tokens
+      (5L, "srcB", "dd"),           // cross-source dup of 3
+      (6L, "srcB", "ii jj")         // 5 chars, 2 tokens
+    ).toDF("doc_id", "source", "text")
+    val got = Profile.sourceProfile(df, "source", "text")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // srcA chars sorted: 2,8,8,11 → p50 = 8.0, p90 = (0.7·8 + 0.3·11) at
+    // rank 2.7 → 8 + 0.7·(11−8) = 10.1 (linear interpolation, the
+    // quantile_cont rule). Dups: docs 1,2 (pair) + 3 (cross-source) = 3/4.
+    assert(got(0) == ("srcA", 4L, 11L, 2.75, 8.0, 10.1, 0.75))
+    // srcB chars sorted: 2,5 → p50 = 3.5, p90 = 2 + 0.9·3 = 4.7; doc 5 dups
+    assert(got(1) == ("srcB", 2L, 3L, 1.5, 3.5, 4.7, 0.5))
+  }
 }

@@ -135,6 +135,33 @@ class StreamingQueriesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("insertStream keeps the index fresh: extendIndexTail folds every new batch") {
+    implicit val ctx = spark.sqlContext
+    val db = GraftDB.open(spark,
+      Files.createTempDirectory("graft-insstream-idx").toString,
+      dim = 2, metric = "l2")
+    db.insertBatch(Seq((1L, Array(1f, 2f)), (2L, Array(9f, 9f)))
+      .toDF("id", "vector"))
+    db.buildIndex(nlist = 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = db.insertStream(
+      input.toDF().toDF("id", "vector"),
+      Files.createTempDirectory("graft-insstream-idx-ckpt").toString,
+      extendIndexTail = 1)
+    try {
+      input.addData((3L, Array(1.1f, 2.1f))); q.processAllAvailable()
+      input.addData((4L, Array(8.9f, 9.1f))); q.processAllAvailable()
+      // every micro-batch's segment was folded under the frozen model —
+      // no unindexed tail survives, the original sidecar centroids rule
+      val m = db.store.manifest().get
+      assert(m.segments.forall(_.index.isDefined),
+        s"unindexed tail left: ${m.segments.map(s => s.seq -> s.index.isDefined)}")
+      val got = db.search(Array(1f, 2f), 2, nprobe = 2, refineFactor = 10)
+        .select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming as-of join equals the batch twin at sf0.001") {
     val streamed = StreamingQueries.streamingAsofJoin(spark, sf).collect()
     val batch = graft.EventQueries.asofJoin(spark, sf).collect()
