@@ -340,6 +340,19 @@ object PipelineQueries {
       .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
       .orderBy(col("doc_id").asc)
 
+  /** Quality-aware retention ([[graft.dedup.Components.keepBest]]): keep
+    * the LONGEST copy per duplicate cluster (length as the quality prior
+    * — the common curation heuristic; any score column plugs in), ties →
+    * lowest id. Same clusters pass as `dedup_retain`, one `max_by` per
+    * cluster on top.
+    */
+  def dedupRetainBest(s: SparkSession, dir: String): DataFrame =
+    Components.keepBest(t(s, dir, "documents"), "doc_id", "text",
+        length(col("text")).cast("long"),
+        workDir = Some(scratch(s, dir, "retainbest")))
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      .orderBy(col("doc_id").asc)
+
   /** Benchmark decontamination ([[graft.pipeline.Decontam.overlap]]):
     * eval slice = doc_id ≡ 7 (mod 10), training = the rest; per training
     * doc, the fraction of its distinct 3-gram shingles found anywhere in
@@ -547,6 +560,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClustersQ _),
     "dedup_retain" -> (dedupRetain _),
+    "dedup_retain_best" -> (dedupRetainBest _),
     "decontam_overlap" -> (decontamOverlap _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -777,6 +791,19 @@ object PipelineQueries {
          |JOIN documents d ON d.doc_id = c.doc_id
          |WHERE c.doc_id = c.cluster_id
          |ORDER BY c.doc_id ASC""".stripMargin,
+    // keep the longest member per duplicate cluster, ties -> lowest id
+    "dedup_retain_best" ->
+      s"""WITH j AS (SELECT c.doc_id, c.cluster_id,
+         |             length(d.text)::BIGINT AS len
+         |           FROM ($CLUSTERS) c
+         |           JOIN documents d ON d.doc_id = c.doc_id),
+         |r AS (SELECT doc_id, len,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY len DESC, doc_id ASC) AS rn
+         |      FROM j)
+         |SELECT doc_id, len AS text_len FROM r WHERE rn = 1
+         |ORDER BY doc_id ASC""".stripMargin,
+
     "decontam_overlap" ->
       s"""WITH $SHD,
          |ev AS (SELECT DISTINCT s FROM shd WHERE id % 10 = 7),

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
@@ -141,6 +141,29 @@ object Components {
     val keep = dedupClusters(df, idCol, textCol, n, numHashes, rowsPerBand,
         minJaccard, workDir)
       .where(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(keep, idCol)
+  }
+
+  /** Quality-aware retention (the RefinedWeb/FineWeb rule): within each
+    * duplicate cluster keep the member with the HIGHEST `score` (ties →
+    * the lowest id), instead of the arbitrary min-id canonical — curation
+    * wants the best copy, not the first-seen one. `score` is any per-row
+    * Column over `df` (a quality-classifier output, a length prior, …).
+    * One clusters pass + one per-cluster `max_by` aggregation keyed by
+    * (score, −id) — the struct key is unique per row, so the argmax is
+    * deterministic; no corpus-wide window.
+    */
+  def keepBest(df: DataFrame, idCol: String, textCol: String, score: Column,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8, workDir: Option[String] = None): DataFrame = {
+    val cl = dedupClusters(df, idCol, textCol, n, numHashes, rowsPerBand,
+      minJaccard, workDir)
+    val scored = df.select(col(idCol).cast("long").as("id"), score.as("_sc"))
+    val keep = cl.join(scored, "id")
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("id"),
+        struct(col("_sc"), (-col("id")).as("_nid"))).as("id"))
       .select(col("id").as(idCol))
     df.join(keep, idCol)
   }

@@ -71,4 +71,28 @@ class ComponentsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 3L))
   }
+
+  test("keepBest retains the highest-scoring cluster member; ties break to lowest id") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha  beta gamma delta epsilon zeta eta theta"), // exact dup of 0
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 0
+      (3L, "totally different words entirely here now ok yes"),
+      (4L, "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA"))  // exact dup of 0
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{col, element_at, lit, typedlit}
+    // explicit per-id score: doc 2 is the best copy in the {0,1,2,4} cluster
+    val score = element_at(
+      typedlit(Map(0L -> 1.0, 1L -> 3.0, 2L -> 9.0, 3L -> 5.0, 4L -> 3.0)),
+      col("doc_id"))
+    val kept = Components.keepBest(docs, "doc_id", "text", score,
+        minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // tie on score everywhere -> lowest id per cluster (the canonical)
+    val keptTie = Components.keepBest(docs, "doc_id", "text", lit(1.0),
+        minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTie == Set(0L, 3L))
+  }
 }
