@@ -124,14 +124,64 @@ object CurationQueries {
         "text", dim = 64)
       .orderBy(col("doc_id").asc, col("bucket").asc)
 
+  /** FROZEN BPE merge list for the oracle rows — learned once from the
+    * sf0.01 documents corpus by [[graft.tools.BpeProbe]] (24 merges,
+    * count-desc/lexicographic tie-break) and pinned here, the same
+    * freeze-the-learned-model pattern as the quality classifier's
+    * weights. Real training (distributed word counts → driver merge
+    * loop) is exercised in `BpeSpec`; this list makes the ENCODING
+    * arithmetic cross-engine-checkable: the DuckDB oracle applies the
+    * identical merges as nested `replace` calls. None of the symbols
+    * contains a single quote, so the SQL literals below need no escaping.
+    */
+  private[graft] val frozenBpe = graft.text.Bpe.BpeModel(Seq(
+    ("e", "r</w>"), ("o", "w</w>"), ("t", "o"), ("a", "t"),
+    ("l", "u"), ("a", "s"), ("i", "n"), ("e", "r"),
+    ("o", "r"), ("a", "r"), ("p", "ar"), ("i", "n</w>"),
+    ("j", "o"), ("jo", "in</w>"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o")))
+
+  /** BPE encoding under the frozen model ([[graft.text.Bpe.encode]]):
+    * one row-local projection per document — token count and the full
+    * space-joined subword stream, both hash-checked byte-for-byte
+    * against DuckDB applying the same merge chain.
+    */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.encode(frozenBpe, t(s, dir, "documents"), "doc_id",
+        "text")
+      .orderBy(col("doc_id").asc)
+
+  /** Adjacent-symbol pair counts over the corpus word table
+    * ([[graft.text.Bpe.pairCounts]]) — the counting half of a BPE
+    * training iteration as a standalone distributed operator (top-20 by
+    * count, deterministic tie-break). `left`/`right` are SQL keywords,
+    * so the row exposes them as lsym/rsym.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.pairCounts(t(s, dir, "documents"), "text")
+      .select(col("left").as("lsym"), col("right").as("rsym"), col("cnt"))
+      .orderBy(col("cnt").desc, col("lsym").asc, col("rsym").asc)
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_topk" -> (vocabTopk _),
     "cluster_assign" -> (clusterAssign _),
     "class_centroid" -> (classCentroid _),
     "embedding_outliers" -> (embeddingOutliers _),
     "text_chunk" -> (textChunk _),
-    "text_hashed_tfidf" -> (hashedTfIdfQ _)
+    "text_hashed_tfidf" -> (hashedTfIdfQ _),
+    "text_bpe_tokens" -> (bpeTokens _),
+    "text_bpe_pairs" -> (bpePairs _)
   )
+
+  /** The frozen merge list as a DuckDB nested-replace chain — the same
+    * pinned string-replace semantics (non-overlapping, left-to-right,
+    * resume after the replacement) Java, Spark and DuckDB share.
+    */
+  private def bpeChain(e: String): String =
+    frozenBpe.merges.foldLeft(e) { case (x, (a, b)) =>
+      s"replace($x, ' $a $b ', ' $a$b ')" }
 
   val oracle: Map[String, String] = Map(
     "text_vocab_topk" ->
@@ -215,6 +265,46 @@ object CurationQueries {
         |       FROM w0 GROUP BY 1)
         |SELECT w.doc_id, w.bucket, round(w.w0 / m.nrm, 6) AS w
         |FROM w0 w JOIN nm m ON m.doc_id = w.doc_id
-        |ORDER BY w.doc_id ASC, w.bucket ASC""".stripMargin
+        |ORDER BY w.doc_id ASC, w.bucket ASC""".stripMargin,
+    // frozen-merge BPE encode: code-point spacing with the fused </w>
+    // marker, words joined by TWO spaces (merges cannot cross words),
+    // then the identical 24-merge replace chain as the Spark side
+    "text_bpe_tokens" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(
+         |          regexp_split_to_array(lower(text), '\\s+'),
+         |          x -> len(x) > 0) AS ts
+         |        FROM documents),
+         |sp AS (SELECT doc_id,
+         |         ' ' || array_to_string(list_transform(ts, t ->
+         |             trim(regexp_replace(t, '(.)', '\\1 ', 'g')) || '</w>'),
+         |           '  ') || ' ' AS s
+         |       FROM tok WHERE len(ts) > 0),
+         |m AS (SELECT doc_id, ${bpeChain("s")} AS s2 FROM sp)
+         |SELECT doc_id,
+         |       len(regexp_split_to_array(trim(s2), '\\s+'))::BIGINT AS n_bpe,
+         |       regexp_replace(trim(s2), '\\s+', ' ', 'g') AS bpe_text
+         |FROM m ORDER BY doc_id ASC""".stripMargin,
+    // adjacent-symbol pair counts over the word-frequency table (the
+    // counting half of one BPE training iteration), top-20 deterministic
+    "text_bpe_pairs" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |          regexp_split_to_array(lower(text), '\s+'),
+        |          x -> len(x) > 0) AS ts
+        |        FROM documents),
+        |w AS (SELECT unnest(ts) AS word FROM tok),
+        |wc AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1),
+        |sy AS (SELECT cnt, list_filter(regexp_split_to_array(
+        |         regexp_replace(word, '(.)', '\1 ', 'g'), ' '),
+        |         x -> len(x) > 0) AS cs FROM wc),
+        |s2 AS (SELECT cnt, list_append(cs[1:len(cs)-1],
+        |                               cs[len(cs)] || '</w>') AS s
+        |       FROM sy),
+        |pr AS (SELECT s[i] AS lsym, s[i+1] AS rsym, cnt
+        |       FROM s2, unnest(range(1, len(s))) t(i)
+        |       WHERE len(s) >= 2)
+        |SELECT lsym, rsym, sum(cnt)::BIGINT AS cnt
+        |FROM pr GROUP BY 1, 2
+        |ORDER BY cnt DESC, lsym ASC, rsym ASC
+        |LIMIT 20""".stripMargin
   )
 }

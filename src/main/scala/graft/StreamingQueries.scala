@@ -573,6 +573,37 @@ object StreamingQueries {
     s.table(sink).orderBy(col("doc_id").asc)
   }
 
+  /** Streaming BPE encoding ([[graft.text.Bpe.encode]]) under the same
+    * frozen merge list as the batch twin `text_bpe_tokens` — encoding is
+    * a row-local replace chain (zero shuffle, zero state), so the stream
+    * runs in plain APPEND mode and the accumulated sink must hash-match
+    * the batch oracle byte-for-byte. The deployment shape of a learned
+    * tokenizer: train once batch-side, tokenize every arriving document
+    * in-flight.
+    */
+  def streamingBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)]
+    val enc = graft.text.Bpe.encode(graft.CurationQueries.frozenBpe,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val sink = sinkName("bpe")
+    val q = enc.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("bpe"))
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(evens.toSeq)
+      q.processAllAvailable()
+      input.addData(odds.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy(col("doc_id").asc)
+  }
+
   /** Streaming ExactSubstr marking ([[graft.dedup.Dedup.duplicateSpanIncrement]]):
     * batch 1 streams the even doc_ids, batch 2 the odd, so cross-batch
     * duplicated substrings must be found by probing the ACCUMULATED
@@ -635,7 +666,8 @@ object StreamingQueries {
     "streaming_range_join" -> (streamingRangeJoin _),
     "streaming_dsir" -> (streamingDsir _),
     "streaming_tfidf" -> (streamingTfIdf _),
-    "streaming_quality" -> (streamingQuality _)
+    "streaming_quality" -> (streamingQuality _),
+    "streaming_bpe" -> (streamingBpe _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -656,6 +688,7 @@ object StreamingQueries {
     "streaming_dsir" -> PipelineQueries.oracle("pipeline_dsir_weights"),
     "streaming_tfidf" -> CurationQueries.oracle("text_hashed_tfidf"),
     "streaming_quality" -> PipelineQueries.oracle("pipeline_quality_score"),
+    "streaming_bpe" -> CurationQueries.oracle("text_bpe_tokens"),
     "streaming_neardup_cosine" -> PipelineQueries.oracle("neardup_cosine"),
     "streaming_asof_join" -> EventQueries.oracle("events_asof_join"),
     "streaming_range_join" ->
