@@ -164,6 +164,25 @@ object CurationQueries {
       .orderBy(col("cnt").desc, col("lsym").asc, col("rsym").asc)
       .limit(20)
 
+  /** Random-projection dimensionality reduction
+    * ([[graft.index.RandomProjection]]): 64d → 16d under the seeded ±1/√k
+    * matrix, exposed as (vec_id, j, w) rows. Row-local (k literal inner
+    * products per vector, one divide), zero shuffle before the output
+    * sort; the identical matrix regenerates from md5 in the oracle.
+    */
+  def embeddingProject(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).limit(1).collect()(0)
+      .getInt(0)
+    val mat = graft.index.RandomProjection.matrix(dim, 16, "rp0")
+    emb.select(col("vec_id"),
+        posexplode(graft.index.RandomProjection.projectCol(
+          col("embedding"), mat)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        r6(col("col")).as("w"))
+      .orderBy(col("vec_id").asc, col("j").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_topk" -> (vocabTopk _),
     "cluster_assign" -> (clusterAssign _),
@@ -172,7 +191,8 @@ object CurationQueries {
     "text_chunk" -> (textChunk _),
     "text_hashed_tfidf" -> (hashedTfIdfQ _),
     "text_bpe_tokens" -> (bpeTokens _),
-    "text_bpe_pairs" -> (bpePairs _)
+    "text_bpe_pairs" -> (bpePairs _),
+    "embedding_project" -> (embeddingProject _)
   )
 
   /** The frozen merge list as a DuckDB nested-replace chain — the same
@@ -305,6 +325,22 @@ object CurationQueries {
         |SELECT lsym, rsym, sum(cnt)::BIGINT AS cnt
         |FROM pr GROUP BY 1, 2
         |ORDER BY cnt DESC, lsym ASC, rsym ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    // seeded ±1/√k projection: the sign matrix regenerates from the md5
+    // parity convention, inner products accumulate ascending on both
+    // engines, ONE divide by the exact √16 = 4
+    "embedding_project" ->
+      """WITH d AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+        |mat AS (SELECT j, list_transform(range(0, (SELECT dim FROM d)),
+        |          i -> CASE WHEN CAST('0x' ||
+        |                 substring(md5('rp:rp0:' || i || ':' || j), 1, 15)
+        |                 AS BIGINT) % 2 = 0
+        |               THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS r
+        |        FROM unnest(range(0, 16)) t(j))
+        |SELECT e.vec_id, m.j,
+        |       round(list_inner_product(e.embedding::DOUBLE[], m.r)
+        |             / 4.0::DOUBLE, 6) AS w
+        |FROM embeddings e, mat m
+        |ORDER BY e.vec_id ASC, m.j ASC""".stripMargin
   )
 }
