@@ -152,6 +152,17 @@ object Bench {
       stored.where(col("id") < 10000), "vec", "id", Metric.L2, nlist = 64)
     require(replica10k.size == 10000,
       s"10k headline fixture has ${replica10k.size} rows — need synth n >= 10000")
+    // mixed-workload fixture: a SEPARATE 10k replica (concurrent upserts
+    // must never contaminate the read-only 10k latency fixtures above) —
+    // the apples-to-apples twin of the reference's "Mixed workload 50/50"
+    // row (16,576 ops/s concurrent read+write, BASELINE.md): readers take
+    // one volatile snapshot, writers serialize on the mutation lock
+    val replicaMix = graft.serve.LocalReplica.fromDataFrame(
+      stored.where(col("id") < 10000), "vec", "id", Metric.L2, nlist = 64)
+    // per-query latency samples of the 10k headline loop (recorded by the
+    // bench thunk, read by the percentile rows — the reference publishes
+    // P50/P95/P99 for this shape)
+    val lat10k = new java.util.concurrent.atomic.AtomicLongArray(2000)
     // router-overhead twin: the SAME 10k rows as 4 hash shards behind the
     // ReplicaSet fan-out — the delta vs local_knn10k_latency_us is the
     // scatter-gather cost of the sharded deployment shape
@@ -208,7 +219,7 @@ object Bench {
       "events_tumbling_agg", "ivf_knn", "sq8_rerank", "bq_hamming",
       "knn_join", "dedup_substr_clean", "dedup_semantic",
       "text_hashed_tfidf", "text_bigram_ppl", "pipeline_quality_score",
-      "pipeline_source_profile")
+      "pipeline_source_profile", "text_bpe_tokens", "embedding_project")
     val qmap = SparkEntry.queries
     val headlineBenches: Seq[(String, () => Unit)] = headline.flatMap { name =>
       qmap.get(name).map(fn => name -> (() => noop(fn(spark, sfDir))))
@@ -380,13 +391,46 @@ object Bench {
           i += 1
         }
       }),
-      // the reference's 10k-row single-query headline shape
+      // the reference's 10k-row single-query headline shape; per-query
+      // nanos recorded for the P50/P95/P99 rows (one nanoTime pair per
+      // ~80 us query — noise floor, not a perturbation)
       "synth_local_knn10k_x2000" -> (() => {
         var i = 0
         while (i < 2000) {
+          val t0 = System.nanoTime()
           replica10k.search(queries(i % queries.length)._2, 10, nprobe = 8)
+          lat10k.set(i, System.nanoTime() - t0)
           i += 1
         }
+      }),
+      // 50/50 concurrent read+write on the serving tier (the reference's
+      // mixed-workload row): 8 threads × 500 ops, even ops probe-search,
+      // odd ops single-id upsert (tombstone flip + delta append in ONE
+      // snapshot publish). Mutations cleared per run so the delta block
+      // starts empty and every run measures the same state trajectory.
+      "synth_replica_mixed_4k" -> (() => {
+        replicaMix.clearMutations()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        val nOps = 500
+        val tasks = (0 until 8).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var i = 0
+              while (i < nOps) {
+                val qi = (t * nOps + i) % queries.length
+                if (i % 2 == 0)
+                  replicaMix.search(queries(qi)._2, 10, nprobe = 8)
+                else {
+                  val id = queries(qi)._1
+                  replicaMix.upsert(Array(id), Array(queries(qi)._2))
+                }
+                i += 1
+              }
+            }
+          })
+        }
+        tasks.foreach(_.get())
+        pool.shutdown()
       }),
       // same 10k rows behind the 4-shard router at the same scan fraction
       // (nprobe 2/16 per shard vs 8/64 single) — isolates fan-out overhead
@@ -433,7 +477,7 @@ object Bench {
       "synth_local_batch_x1000", "synth_local_knn768_sq8_x200",
       "synth_local_knn768_pq_x200", "synth_local_knn768_int4_x200",
       "synth_local_knn10k_x2000", "synth_local_sharded10k_x2000",
-      "synth_local_hybrid_x500",
+      "synth_local_hybrid_x500", "synth_replica_mixed_4k",
       "synth_replica_delete_all", "synth_replica_append_10k")
 
     def syncFs(): Unit =
@@ -510,6 +554,19 @@ object Bench {
       results("synth_local_sharded10k_x2000") / 2000.0 * 1e6
     derived("local_knn10k_latency_us") =
       results("synth_local_knn10k_x2000") / 2000.0 * 1e6
+    // percentiles from the LAST measured run of the 10k loop (the
+    // reference's baseline.txt:84 row publishes P50 91 / P95 104 /
+    // P99 388 us at this shape)
+    locally {
+      val s = Array.tabulate(2000)(lat10k.get).sorted
+      if (s.last > 0) {
+        derived("local_knn10k_p50_us") = s(1000 - 1) / 1e3
+        derived("local_knn10k_p95_us") = s(1900 - 1) / 1e3
+        derived("local_knn10k_p99_us") = s(1980 - 1) / 1e3
+      }
+    }
+    derived("replica_mixed_ops_per_sec") =
+      4000.0 / results("synth_replica_mixed_4k")
     derived("local_hybrid_latency_us") =
       results("synth_local_hybrid_x500") / 500.0 * 1e6
     derived("replica_delete_ids_per_sec") =

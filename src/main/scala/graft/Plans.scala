@@ -122,7 +122,18 @@ object Plans {
         ("after the frozen-model tail fold BOTH segments are IVF layouts " +
           "— the probe union shows PartitionFilters on _ivf_part for " +
           "each, SQ8 gate + exact rerank on top, no brute-forced tail " +
-          "scan left in the plan"))
+          "scan left in the plan"),
+      "text_bpe_tokens" ->
+        ("frozen-merge BPE encode is ONE codegen'd projection per row " +
+          "(spacing regex + a chain of literal StringReplace calls — no " +
+          "UDF, no regex engine per merge) — zero shuffle before the " +
+          "output sort; the same expression streams in append mode " +
+          "(streaming_bpe)"),
+      "embedding_project" ->
+        ("random projection is row-local: k fold-accumulated inner " +
+          "products against a literal sign matrix + posexplode, all " +
+          "codegen'd — zero shuffle before the output sort, no model " +
+          "table to join or broadcast"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
