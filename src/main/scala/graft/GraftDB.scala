@@ -364,6 +364,23 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     v
   }
 
+  /** Z-order clustered compaction ([[graft.store.SnapshotStore.compactZOrder]]):
+    * rewrite the live rows so files cover small hyper-rectangles of the
+    * given metadata columns — multi-column min/max pruning for scan/filter
+    * workloads. Refuses indexed stores (the IVF layout IS that segment's
+    * clustering).
+    */
+  def compactZOrder(cols: Seq[String], bits: Int = 8,
+      targetFiles: Int = 0): Long = {
+    requireWritable()
+    val (v, ms) = timedOp(store.compactZOrder(cols, bits,
+      collectStats = true,
+      vecCol = if (metric == Metric.Hamming) None else Some("vector"),
+      targetFiles = targetFiles))
+    notifyObs(_.onMaintenance("compactZOrder", ms, v))
+    v
+  }
+
   /** Build the vector index INTO the store (vecgo builds IVF flat segments
     * at compaction, `compaction.go:136-151`): compacts live rows into one
     * IVF-partitioned coded segment and records the model in the manifest.

@@ -192,6 +192,42 @@ object StoreQueries {
     df.select(col("id"), col("cat")).orderBy(col("id").asc)
   }
 
+  /** Z-order clustered rewrite ([[SnapshotStore.compactZOrder]]): orders
+    * inserted in three interleaved chunks (the adversarial layout for
+    * min/max pruning — every file straddles both key domains), deletes
+    * applied, then OPTIMIZE-ZORDER-style compaction on
+    * (o_custkey, o_totalprice). The output is a multi-column box
+    * predicate scanned off the clustered layout — the oracle proves the
+    * rewrite loses/duplicates/corrupts nothing; the clustering geometry
+    * itself (small per-file boxes, file pruning) is asserted structurally
+    * in `ZOrderSpec`.
+    */
+  def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("store_zorder")
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val store = new SnapshotStore(s, root)
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_custkey"),
+        col("o_totalprice"))
+    store.insert(ord.where(col("id") % 3 === 0))
+    store.insert(ord.where(col("id") % 3 === 1))
+    store.insert(ord.where(col("id") % 3 === 2))
+    store.delete(ord.where(col("id") % 11 === 0).select("id"))
+    store.compactZOrder(Seq("o_custkey", "o_totalprice"), bits = 8,
+      targetFiles = 16)
+    val m = store.manifest().get
+    require(m.segments.size == 1 && m.deletes.isEmpty,
+      "z-order compaction must fold to one clustered segment")
+    store.read()
+      .where(col("o_custkey") < 200 && col("o_totalprice") >= 50000.0 &&
+        col("o_totalprice") < 150000.0)
+      .select(col("id"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_lifecycle" -> (lifecycle _),
     "store_timetravel" -> (timeTravel _),
@@ -199,7 +235,8 @@ object StoreQueries {
     "store_pruned_scan" -> (prunedScan _),
     "store_vacuum" -> (vacuumed _),
     "store_compaction_policy" -> (compactionPolicy _),
-    "store_bloom_scan" -> (bloomScan _)
+    "store_bloom_scan" -> (bloomScan _),
+    "store_zorder_scan" -> (zorderScan _)
   )
 
   /** Oracles: the lifecycle re-expressed as relational algebra over the
@@ -233,6 +270,13 @@ object StoreQueries {
       """SELECT vec_id AS id, label FROM embeddings ORDER BY id ASC""".stripMargin,
     "store_bloom_scan" ->
       """SELECT vec_id AS id, 'c' || label AS cat FROM embeddings
-        |WHERE label = 4 ORDER BY id ASC""".stripMargin
+        |WHERE label = 4 ORDER BY id ASC""".stripMargin,
+    "store_zorder_scan" ->
+      """SELECT o_orderkey AS id, o_custkey,
+        |       round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 11 <> 0 AND o_custkey < 200
+        |  AND o_totalprice >= 50000.0 AND o_totalprice < 150000.0
+        |ORDER BY id ASC""".stripMargin
   )
 }

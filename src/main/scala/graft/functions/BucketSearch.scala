@@ -14,4 +14,15 @@ object BucketSearch {
     }
     lo
   }
+
+  /** Double-bounds twin (for [[LowerBoundBucketD]]). */
+  def bucketD(bounds: Array[Double], v: Double): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 }

@@ -221,6 +221,29 @@ case class LowerBoundBucket(child: Expression, bounds: Array[Long])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [[LowerBoundBucket]] over DOUBLE bounds — the continuous-column twin
+  * (quantile bounds of a price/score/timestamp column), used by the
+  * Z-order clustering key ([[graft.store.ZOrder]]).
+  */
+case class LowerBoundBucketD(child: Expression, bounds: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lower_bound_bucket_d"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | FloatType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lower_bound_bucket_d expects a double, got ${t.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    BucketSearch.bucketD(bounds, a.asInstanceOf[Number].doubleValue)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketBoundsD", bounds, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.BucketSearch.bucketD($ref, (double)$a)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hamming (popcount) distance over packed binary codes (array<long>). */
 case class VecHamming(left: Expression, right: Expression)
     extends BinaryExpression with VecBinaryChecks {

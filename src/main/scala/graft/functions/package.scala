@@ -34,6 +34,10 @@ package object functions {
   def lower_bound_bucket(id: Column, bounds: Array[Long]): Column =
     asCol(LowerBoundBucket(expr(id), bounds))
 
+  /** Bucket of double `v` among sorted double `bounds` (#bounds < v). */
+  def lower_bound_bucket_d(v: Column, bounds: Array[Double]): Column =
+    asCol(LowerBoundBucketD(expr(v), bounds))
+
   /** Hamming distance over packed array<long> binary codes. */
   def vec_hamming(a: Column, b: Column): Column = asCol(VecHamming(expr(a), expr(b)))
 

@@ -568,6 +568,52 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     }
   }
 
+  /** Z-order clustered compaction (the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * analog, [[ZOrder]]): merge all live rows into one segment whose
+    * files are range-partitioned and sorted by the Morton z-value of
+    * `cols` — every output file then covers a small hyper-rectangle of
+    * the key space, so parquet footer min/max stats prune files and row
+    * groups for MULTI-column predicates (plain compaction's insert-order
+    * files straddle the whole domain and prune nothing). One GK quantile
+    * sketch per column + the one range shuffle the rewrite needs anyway;
+    * the z-value is a codegen'd expression (no UDF).
+    *
+    * Refuses indexed stores loudly: an IVF layout IS the clustering of
+    * an indexed segment — re-clustering by metadata would silently drop
+    * the probed layout (use `compactIndexed` there).
+    *
+    * @param targetFiles output file count (0 → spark.sql.shuffle.partitions)
+    */
+  def compactZOrder(cols: Seq[String], bits: Int = 8,
+      collectStats: Boolean = false, vecCol: Option[String] = None,
+      targetFiles: Int = 0): Long = {
+    val m = headManifest.getOrElse(
+      throw new IllegalStateException("compactZOrder on empty store"))
+    require(!m.segments.exists(_.index.isDefined),
+      "compactZOrder on an indexed store would drop the probed layout — " +
+        "use compactIndexed (the IVF layout is that segment's clustering)")
+    val live = read(m.version)
+    cols.foreach(c => require(live.columns.contains(c),
+      s"compactZOrder: no column `$c` in the store schema"))
+    val files =
+      if (targetFiles > 0) targetFiles
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val z = ZOrder.zColumn(live, cols, bits)
+    val clustered = live.repartitionByRange(files, z)
+      .sortWithinPartitions(z)
+    val seq = m.maxSeq + 1
+    val (path, rows) = writeSegment(clustered, seq, "seg")
+    val stats =
+      if (collectStats || m.segments.exists(_.stats.isDefined))
+        Some(graft.stats.SegmentStats.collect(
+          spark.read.parquet(path), vecCol))
+      else None
+    val next = Manifest(m.version + 1, seq,
+      List(SegmentRef(path, seq, rows, stats)), Nil)
+    commit(next)
+    next.version
+  }
+
   /** Compact all live rows into ONE indexed segment: IVF-partitioned
     * layout + SQ8 codes baked into the segment files, model parameters in
     * a sidecar recorded by the manifest. This is the vecgo move of
