@@ -548,8 +548,31 @@ object PipelineQueries {
 
   // ------------------------------------------------------------- wiring
 
+  /** CCNet-style normalization ([[graft.text.TextAnalysis.normalizeText]])
+    * over deterministically-augmented documents (the synthetic corpus is
+    * clean ASCII, so accents, tabs, CRLFs, zero-width spaces and soft
+    * hyphens are injected per doc_id — the same fixture-injection move as
+    * `text_scrub`): control/format chars → space, explicit accent fold,
+    * lowercase, whitespace collapse. One row-local projection.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val aug = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        lit("\tCafé  \u200bRÉSUMÉ naïve\r\n"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        lit(" ÀÉÎÕÜ çñ ÿ\u00ad"))
+        .otherwise(lit("")))
+    docs.select(col("doc_id"),
+        graft.text.TextAnalysis.normalizeText(aug).as("norm_text"))
+      .withColumn("n_chars", length(col("norm_text")).cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
+    "text_normalize" -> (textNormalize _),
     "text_lang_quality" -> (langQuality _),
     "text_fingerprint" -> (fingerprintQ _),
     "text_repetition" -> (textRepetition _),
@@ -700,6 +723,31 @@ object PipelineQueries {
          |       ELSE 'ok' END AS reason FROM sig)
          |SELECT doc_id, ntok, quality, n_contact, reason = 'ok' AS keep, reason
          |FROM r ORDER BY doc_id ASC""".stripMargin,
+    // same augmentation (chr(9)=\t, chr(8203)=U+200B ZWSP, chr(13/10)=CRLF,
+    // chr(173)=U+00AD soft hyphen), same pinned order: Cc/Cf → space,
+    // EXPLICIT accent translate (the map is interpolated from the single
+    // Scala source of truth), lower, \s+ collapse, trim
+    "text_normalize" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN chr(9) || 'Café  ' ||
+         |      chr(8203) || 'RÉSUMÉ naïve' || chr(13) || chr(10)
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' ÀÉÎÕÜ çñ ÿ' || chr(173)
+         |      ELSE '' END AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |       trim(regexp_replace(lower(translate(
+         |         regexp_replace(aug, '[\\p{Cc}\\p{Cf}]', ' ', 'g'),
+         |         '${graft.text.TextAnalysis.AccentFrom}',
+         |         '${graft.text.TextAnalysis.AccentTo}')),
+         |         '\\s+', ' ', 'g')) AS norm_text,
+         |       length(trim(regexp_replace(lower(translate(
+         |         regexp_replace(aug, '[\\p{Cc}\\p{Cf}]', ' ', 'g'),
+         |         '${graft.text.TextAnalysis.AccentFrom}',
+         |         '${graft.text.TextAnalysis.AccentTo}')),
+         |         '\\s+', ' ', 'g')))::BIGINT AS n_chars
+         |FROM aug ORDER BY doc_id ASC""".stripMargin,
     "text_scrub" ->
       """WITH aug AS (
         |  SELECT doc_id, text ||

@@ -24,6 +24,36 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** Explicit 1:1 accent-folding map (both halves of [[normalizeText]]'s
+    * `translate` — an EXPLICIT shared table, not a library call, so any
+    * engine reproduces it verbatim; DuckDB's `strip_accents` would fold
+    * more codepoints under ICU rules Spark has no twin of).
+    */
+  val AccentFrom: String =
+    "áàâäãåéèêëíìîïóòôöõúùûüýÿçñ" + "ÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÇÑ"
+  val AccentTo: String =
+    "aaaaaaeeeeiiiiooooouuuuyycn" + "AAAAAAEEEEIIIIOOOOOUUUUYCN"
+
+  /** CCNet-style text normalization (the cleanup pass run before dedup /
+    * hashing so trivially-different copies collide): control & format
+    * characters (Cc/Cf — tabs, CRs, zero-width joiners, BOMs) become
+    * spaces, the explicit accent table folds, everything lowercases, and
+    * whitespace collapses to single spaces. Order is load-bearing and
+    * PINNED: flattening Cc/Cf to spaces FIRST means the later `\s+`
+    * collapse only ever sees plain spaces, which neutralizes the
+    * Java-vs-RE2 `\s` dialect difference — both engines compute the
+    * identical result. Non-ASCII spaces (U+00A0 …) are Zs, not Cc/Cf,
+    * and are deliberately left alone (neither engine's `\s` matches
+    * them). Pure codegen'd column — zero shuffle, streams in append
+    * mode.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(translate(
+        regexp_replace(text, "[\\p{Cc}\\p{Cf}]", " "),
+        AccentFrom, AccentTo)),
+      "\\s+", " "))
+
   /** Marker-token lists per language for the heuristic language-ID.
     * Deliberately tiny — the operator's value is the distributed shape
     * (set-membership counting per row), not lexicography.

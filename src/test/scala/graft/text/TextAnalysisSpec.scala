@@ -122,4 +122,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(s(3L) > s(1L), s"scrambled ${s(3L)} should beat natural ${s(1L)}")
   }
+
+  test("normalizeText: pinned order — Cc/Cf to space, accent fold, lower, " +
+      "collapse") {
+    val df = Seq(
+      (1L, "\tCafé  ​RÉSUMÉ\r\nnaïve"),
+      (2L, "plain  text"),
+      (3L, "ÀÉÎ çñÿ­ end"),
+      (4L, " \t\r\n​ ")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "cafe resume naive")
+    assert(got(2L) === "plain text")
+    // soft hyphen (Cf) becomes a space BEFORE collapse → word split holds
+    assert(got(3L) === "aei cny end")
+    assert(got(4L) === "") // all-control doc trims to empty
+    // the two map halves stay aligned (drift here silently mis-folds)
+    assert(TextAnalysis.AccentFrom.length === TextAnalysis.AccentTo.length)
+  }
 }
