@@ -228,6 +228,31 @@ object StoreQueries {
       .orderBy(col("id").asc)
   }
 
+  /** Schema evolution (the open/dynamic metadata model — vecgo passes
+    * unknown keys through, `metadata/schema.go:50`; Delta's
+    * mergeSchema analog): v0 inserts (id, label), v1 adds a `cat`
+    * column, a delete lands across both, and compaction folds the
+    * evolved schema into one segment. Rows from the pre-evolution
+    * segment read `cat` as NULL throughout.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("store_evolve")
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val store = new SnapshotStore(s, root)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("label"))
+    store.insert(emb.where(col("id") < 250))
+    store.insert(emb.where(col("id") >= 250)
+      .withColumn("cat", concat(lit("c"), col("label"))))
+    store.delete(store.read().where(col("label") === 2).select("id"))
+    store.compact()
+    store.read()
+      .select(col("id"), col("label"), col("cat"))
+      .orderBy(col("id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_lifecycle" -> (lifecycle _),
     "store_timetravel" -> (timeTravel _),
@@ -236,7 +261,8 @@ object StoreQueries {
     "store_vacuum" -> (vacuumed _),
     "store_compaction_policy" -> (compactionPolicy _),
     "store_bloom_scan" -> (bloomScan _),
-    "store_zorder_scan" -> (zorderScan _)
+    "store_zorder_scan" -> (zorderScan _),
+    "store_schema_evolution" -> (schemaEvolution _)
   )
 
   /** Oracles: the lifecycle re-expressed as relational algebra over the
@@ -271,6 +297,10 @@ object StoreQueries {
     "store_bloom_scan" ->
       """SELECT vec_id AS id, 'c' || label AS cat FROM embeddings
         |WHERE label = 4 ORDER BY id ASC""".stripMargin,
+    "store_schema_evolution" ->
+      """SELECT vec_id AS id, label,
+        |       CASE WHEN vec_id >= 250 THEN 'c' || label END AS cat
+        |FROM embeddings WHERE label <> 2 ORDER BY id ASC""".stripMargin,
     "store_zorder_scan" ->
       """SELECT o_orderkey AS id, o_custkey,
         |       round(o_totalprice, 2) AS o_totalprice

@@ -315,7 +315,12 @@ final class SnapshotStore(spark: SparkSession, val root: String,
               }) => f.name
         }.foldLeft(df)((d, n) =>
           d.withColumn(n, graft.functions.vec_pack_f32(col(n))))
-      }.reduce(_ unionByName _)
+        // schema evolution (vecgo's metadata model is open/dynamic —
+        // unknown keys pass through, metadata/schema.go:50): segments
+        // written after a column was added union with NULL for the
+        // segments that predate it. Same-name columns with CONFLICTING
+        // types still fail loudly in the union below.
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
   /** One segment frame with `_seq` attached; internal index columns

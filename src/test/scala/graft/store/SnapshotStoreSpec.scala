@@ -29,6 +29,34 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(rows(st.read()) == Set((1L, "a2"), (2L, "b")))
   }
 
+  test("schema evolution: added columns read NULL on older segments, " +
+      "both directions; conflicting types still fail") {
+    val st = freshStore()
+    st.insert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // later segment ADDS a column
+    st.insert(Seq((3L, "c", 30L)).toDF("id", "v", "extra"))
+    val got = st.read().select("id", "v", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got === Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L))))
+    // and a segment MISSING a column the store already has
+    st.insert(Seq((4L, "d")).toDF("id", "v"))
+    val got2 = st.read().where(col("id") === 4L)
+      .select("extra").as[Option[Long]].collect().toSeq
+    assert(got2 === Seq(None))
+    // compaction folds the evolved schema into one segment, values intact
+    st.compact()
+    val after = st.read().select("id", "extra")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(after === Map(1L -> None, 2L -> None, 3L -> Some(30L),
+      4L -> None))
+    // same-name column with a CONFLICTING type fails loudly at read
+    // (either the union refuses the merge at analysis, or the ANSI cast
+    // of the irreconcilable value throws at runtime — never silent)
+    st.insert(Seq((5L, "e", "not-a-long")).toDF("id", "v", "extra"))
+    assertThrows[Exception] { st.read().collect() }
+  }
+
   test("upsert replaces in one version; time travel sees every stage") {
     val st = freshStore()
     val v0 = st.insert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
