@@ -570,9 +570,39 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** End-to-end curation recipe — the four-stage composition a real
+    * pipeline runs, built from the REAL library operators chained (not
+    * re-implemented inline): [[graft.text.TextAnalysis.normalizeText]] →
+    * token-count quality gate → [[graft.dedup.Dedup.exactDedup]]
+    * (keep-min-id on the normalized text) →
+    * [[graft.pipeline.Sampling.capPerKey]] (seeded per-source cap). The
+    * oracle reproduces every stage, so composition — column threading,
+    * dedup-after-normalize, cap-after-dedup ranks — is what this row
+    * actually checks; each stage's own row checks it in isolation.
+    * Shuffle budget: the dedup hash groupBy + the per-source cap window;
+    * normalize and the gate fuse into the first scan.
+    */
+  def pipelineRecipe(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = t(s, dir, "documents")
+    val norm = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.normalizeText(col("text")).as("norm_text"))
+    val kept = norm
+      .withColumn("ntok",
+        size(TextAnalysis.wsTokens(col("norm_text"))).cast("long"))
+      .where(col("ntok") >= 5)
+    val deduped = graft.dedup.Dedup.exactDedup(kept, "doc_id", "norm_text")
+    val capped = graft.pipeline.Sampling.capPerKey(deduped, "doc_id",
+      "source", maxPerKey = 60, seed = "recipe0")
+    capped.select(col("doc_id"), col("source"), col("ntok"),
+        col("pos").cast("long").as("pos"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_normalize" -> (textNormalize _),
+    "pipeline_recipe" -> (pipelineRecipe _),
     "text_lang_quality" -> (langQuality _),
     "text_fingerprint" -> (fingerprintQ _),
     "text_repetition" -> (textRepetition _),
@@ -723,6 +753,32 @@ object PipelineQueries {
          |       ELSE 'ok' END AS reason FROM sig)
          |SELECT doc_id, ntok, quality, n_contact, reason = 'ok' AS keep, reason
          |FROM r ORDER BY doc_id ASC""".stripMargin,
+    // the four-stage recipe: normalize → ntok>=5 gate → exact dedup on
+    // the normalized text (keep min id) → seeded per-source cap 60
+    "pipeline_recipe" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, source,
+         |    trim(regexp_replace(lower(translate(
+         |      regexp_replace(text, '[\\p{Cc}\\p{Cf}]', ' ', 'g'),
+         |      '${graft.text.TextAnalysis.AccentFrom}',
+         |      '${graft.text.TextAnalysis.AccentTo}')),
+         |      '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, source, nt,
+         |    len(list_filter(regexp_split_to_array(nt, '\\s+'),
+         |        x -> len(x) > 0))::BIGINT AS ntok
+         |  FROM nrm),
+         |k2 AS (SELECT * FROM kept WHERE ntok >= 5),
+         |dd AS (SELECT min(doc_id) AS doc_id FROM k2
+         |       GROUP BY md5(regexp_replace(trim(lower(nt)), '\\s+', ' ', 'g'))),
+         |r AS (SELECT k2.doc_id, k2.source, k2.ntok,
+         |        row_number() OVER (PARTITION BY k2.source ORDER BY
+         |          CAST('0x' || substring(md5(k2.doc_id || ':recipe0'), 1, 15)
+         |            AS BIGINT) ASC, k2.doc_id ASC) AS pos
+         |      FROM k2 JOIN dd USING (doc_id))
+         |SELECT doc_id, source, ntok, pos FROM r WHERE pos <= 60
+         |ORDER BY doc_id ASC""".stripMargin,
     // same augmentation (chr(9)=\t, chr(8203)=U+200B ZWSP, chr(13/10)=CRLF,
     // chr(173)=U+00AD soft hyphen), same pinned order: Cc/Cf → space,
     // EXPLICIT accent translate (the map is interpolated from the single
