@@ -132,6 +132,30 @@ class BpeSpec extends AnyFunSuite {
     assert(cnt(1).isNullAt(1))
   }
 
+  test("property: symbol-array merge loop equals literal String.replace " +
+      "over random words and learned merges") {
+    // small alphabet forces runs, repeats and prefix collisions — the
+    // cases where replace semantics can silently diverge
+    val rng = new scala.util.Random(42)
+    val alpha = "abc"
+    def word(): String =
+      (0 until (1 + rng.nextInt(10))).map(_ =>
+        alpha(rng.nextInt(alpha.length))).mkString
+    var trial = 0
+    while (trial < 200) {
+      val corpus = Seq.fill(6)((word(), 1L + rng.nextInt(5)))
+      // LEARN merges from the random corpus (so merged-symbol merges —
+      // pairs whose halves are already multi-char — are exercised too)
+      val m = Bpe.BpeModel(Bpe.learnMerges(corpus, numMerges = 6,
+        minPairCount = 1))
+      corpus.map(_._1).distinct.foreach { w =>
+        assert(Bpe.encodeWord(m, w).toSeq === bruteEncode(m, w).toSeq,
+          s"trial=$trial word=$w merges=${m.merges}")
+      }
+      trial += 1
+    }
+  }
+
   test("pairCounts equals brute adjacent-pair counting") {
     val df = Seq((1L, "low low newest"), (2L, "widest newest"))
       .toDF("id", "text")
