@@ -163,6 +163,10 @@ object Bench {
     // bench thunk, read by the percentile rows — the reference publishes
     // P50/P95/P99 for this shape)
     val lat10k = new java.util.concurrent.atomic.AtomicLongArray(2000)
+    // sustained-load self-measured stats: [searches, writes, nanos] of the
+    // LAST run (qps and writes/s must come from the SAME run, not the
+    // min-time run paired with another run's write count)
+    val sustained = new java.util.concurrent.atomic.AtomicLongArray(3)
     // router-overhead twin: the SAME 10k rows as 4 hash shards behind the
     // ReplicaSet fan-out — the delta vs local_knn10k_latency_us is the
     // scatter-gather cost of the sharded deployment shape
@@ -451,6 +455,61 @@ object Bench {
           i += 1
         }
       }),
+      // sustained load (the reference's "2,484 qps with 27,319 bg
+      // writes/s" row): 6 reader threads drain a fixed search budget
+      // while ONE throttled writer appends batch-100 deltas and — the
+      // real deployment loop — FOLDS the delta into the main arrays
+      // every 30 batches and swaps the serving reference (compacted():
+      // the memtable-flush of the serving tier; a single writer folds
+      // its own appends, so no write is lost to the swap). Searches
+      // scan at most ~3k delta rows exactly, the bounded-freshness
+      // trade the reference's bg-write row also makes (its graph absorbs
+      // inserts; our delta absorbs them until the fold).
+      "synth_replica_sustained" -> (() => {
+        replicaMix.clearMutations()
+        val ref = new java.util.concurrent.atomic.AtomicReference(replicaMix)
+        val t0 = System.nanoTime()
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val writes = new java.util.concurrent.atomic.AtomicLong(0L)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        val readers = (0 until 6).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var i = 0
+              while (i < 600) {
+                ref.get().search(
+                  queries((t * 600 + i) % queries.length)._2, 10, nprobe = 8)
+                i += 1
+              }
+            }
+          })
+        }
+        val writer = pool.submit(new Runnable {
+          def run(): Unit = {
+            val rnd = new java.util.Random(7)
+            var base = 5000000L
+            var batches = 0
+            while (!stop.get()) {
+              val ids = Array.tabulate(100)(i => base + i)
+              val vecs = Array.fill(100)(
+                Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+              ref.get().append(ids, vecs)
+              writes.addAndGet(100L)
+              base += 100L
+              batches += 1
+              if (batches % 30 == 0) ref.set(ref.get().compacted())
+              Thread.sleep(2) // insert-bound bg writer (~40k writes/s cap)
+            }
+          }
+        })
+        readers.foreach(_.get())
+        stop.set(true)
+        writer.get()
+        pool.shutdown()
+        sustained.set(0, 3600L)
+        sustained.set(1, writes.get())
+        sustained.set(2, System.nanoTime() - t0)
+      }),
       // serving-tier freshness: tombstone every row (n bitmap flips) /
       // append 10k validated rows into the fused delta block
       "synth_replica_delete_all" -> (() => {
@@ -478,6 +537,7 @@ object Bench {
       "synth_local_knn768_pq_x200", "synth_local_knn768_int4_x200",
       "synth_local_knn10k_x2000", "synth_local_sharded10k_x2000",
       "synth_local_hybrid_x500", "synth_replica_mixed_4k",
+      "synth_replica_sustained",
       "synth_replica_delete_all", "synth_replica_append_10k")
 
     def syncFs(): Unit =
@@ -567,6 +627,13 @@ object Bench {
     }
     derived("replica_mixed_ops_per_sec") =
       4000.0 / results("synth_replica_mixed_4k")
+    // sustained row: qps and bg writes/s from the SAME (last) run
+    if (sustained.get(2) > 0) {
+      val secs = sustained.get(2) / 1e9
+      derived("replica_sustained_qps") = sustained.get(0) / secs
+      derived("replica_sustained_bg_writes_per_sec") =
+        sustained.get(1) / secs
+    }
     derived("local_hybrid_latency_us") =
       results("synth_local_hybrid_x500") / 500.0 * 1e6
     derived("replica_delete_ids_per_sec") =
