@@ -454,10 +454,8 @@ final class LocalCodeReplica private (
       out.writeInt(bits)
       out.writeInt(words)
       out.writeInt(size)
-      var i = 0
-      while (i < size) { out.writeLong(ids(i)); i += 1 }
-      i = 0
-      while (i < flat.length) { out.writeLong(flat(i)); i += 1 }
+      LocalReplica.writeLongs(out, ids)
+      LocalReplica.writeLongs(out, flat)
     } finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
@@ -504,12 +502,8 @@ object LocalCodeReplica {
       val n = in.readInt()
       require(bits > 0 && words == (bits + 31) / 32 && n > 0,
         s"corrupt code replica header: bits=$bits words=$words n=$n")
-      val ids = new Array[Long](n)
-      var i = 0
-      while (i < n) { ids(i) = in.readLong(); i += 1 }
-      val flat = new Array[Long](n * words)
-      i = 0
-      while (i < flat.length) { flat(i) = in.readLong(); i += 1 }
+      val ids = LocalReplica.readLongs(in, n)
+      val flat = LocalReplica.readLongs(in, n * words)
       new LocalCodeReplica(bits, words, ids, flat)
     } finally in.close()
   }
