@@ -163,6 +163,7 @@ object Bench {
     // bench thunk, read by the percentile rows — the reference publishes
     // P50/P95/P99 for this shape)
     val lat10k = new java.util.concurrent.atomic.AtomicLongArray(2000)
+    val latConc = new java.util.concurrent.atomic.AtomicLongArray(4000)
     // cold-start fixture: the 10k artifact persisted once, untimed; the
     // bench row is load-from-disk + first query (the restart path)
     val coldDir =
@@ -472,7 +473,9 @@ object Bench {
       }),
       // concurrent single-query aggregate (the reference's 61,280 qps
       // at 8 goroutines): 8 threads × 500 independent searches on the
-      // read-only 10k fixture
+      // read-only 10k fixture; per-query nanos recorded for the
+      // latency-under-load percentile rows (the reference's conc=8
+      // P50 116 / P95 277 / P99 420 row)
       "synth_local_conc8_x4000" -> (() => {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
         val tasks = (0 until 8).map { t =>
@@ -480,8 +483,10 @@ object Bench {
             def run(): Unit = {
               var i = 0
               while (i < 500) {
+                val t0 = System.nanoTime()
                 replica10k.search(queries((t * 500 + i) % queries.length)._2,
                   10, nprobe = 8)
+                latConc.set(t * 500 + i, System.nanoTime() - t0)
                 i += 1
               }
             }
@@ -666,6 +671,16 @@ object Bench {
     derived("replica_cold_open_ms") =
       results("synth_replica_cold_open") * 1e3
     derived("local_conc8_qps") = 4000.0 / results("synth_local_conc8_x4000")
+    // latency under load (reference: P50 116 / P95 277 / P99 420 at
+    // conc=8) — percentiles from the last measured conc8 run
+    locally {
+      val s = Array.tabulate(4000)(latConc.get).sorted
+      if (s.last > 0) {
+        derived("local_conc8_p50_us") = s(2000 - 1) / 1e3
+        derived("local_conc8_p95_us") = s(3800 - 1) / 1e3
+        derived("local_conc8_p99_us") = s(3960 - 1) / 1e3
+      }
+    }
     // sustained row: qps and bg writes/s from the SAME (last) run
     if (sustained.get(2) > 0) {
       val secs = sustained.get(2) / 1e9

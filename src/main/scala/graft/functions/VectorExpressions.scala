@@ -221,6 +221,40 @@ case class LowerBoundBucket(child: Expression, bounds: Array[Long])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Native BPE encode under a frozen merge list ([[graft.text.Bpe]]): the
+  * whole tokenize → code-point-space → merge-fold pipeline as ONE
+  * codegen'd call into [[graft.text.BpeRuntime]], instead of the
+  * composed Column chain that materializes the char-spaced document
+  * once per merge (24 full-string scans/copies per row at the frozen
+  * list's size). Byte-identical output by construction — the runtime
+  * reuses the exact symbol-array loop the column chain's semantics are
+  * pinned to (and `BpeSpec` proves equal on real corpora). NULL for
+  * documents with no tokens.
+  */
+case class BpeEncode(child: Expression, merges: Array[Array[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bpe_encode"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects a string, got ${t.simpleString}")
+  }
+  override def nullSafeEval(t: Any): Any =
+    graft.text.BpeRuntime.encode(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], merges)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      UTF8String ${ev.value}Tmp = graft.text.BpeRuntime.encode($c, $m);
+      if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Tmp; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** [[LowerBoundBucket]] over DOUBLE bounds — the continuous-column twin
   * (quantile bounds of a price/score/timestamp column), used by the
   * Z-order clustering key ([[graft.store.ZOrder]]).

@@ -38,6 +38,10 @@ package object functions {
   def lower_bound_bucket_d(v: Column, bounds: Array[Double]): Column =
     asCol(LowerBoundBucketD(expr(v), bounds))
 
+  /** Native BPE encode of `text` under a frozen merge list. */
+  def bpe_encode(text: Column, merges: Array[Array[String]]): Column =
+    asCol(BpeEncode(expr(text), merges))
+
   /** Hamming distance over packed array<long> binary codes. */
   def vec_hamming(a: Column, b: Column): Column = asCol(VecHamming(expr(a), expr(b)))
 

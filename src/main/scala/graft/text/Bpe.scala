@@ -217,19 +217,31 @@ object Bpe {
       regexp_replace(trim(folded), "\\s+", " "))
   }
 
+  /** [[encodeText]] as ONE native codegen'd call
+    * ([[graft.functions.BpeEncode]] → [[BpeRuntime]]): byte-identical
+    * output, but a single pass per document instead of one full-string
+    * scan/copy per merge — the production encode. [[encodeText]] stays
+    * as the composed-Column reference the cross-engine SQL oracle
+    * mirrors; `BpeSpec` asserts the two agree on real corpora.
+    */
+  def encodeTextNative(m: BpeModel, text: Column): Column =
+    graft.functions.bpe_encode(text,
+      m.merges.map { case (a, b) => Array(a, b) }.toArray)
+
   /** BPE token count of `text` under a frozen model (NULL when empty). */
   def tokenCount(m: BpeModel, text: Column): Column = {
-    val enc = encodeText(m, text)
+    val enc = encodeTextNative(m, text)
     when(enc.isNotNull, size(split(enc, " ")))
   }
 
   /** Batch/streaming encoding frame: (idCol, n_bpe bigint, bpe_text).
     * The corpus-scale shape — score everything in one row-local
-    * projection; both columns are oracle-checkable byte-for-byte.
+    * projection (the native single-pass encode); both columns are
+    * oracle-checkable byte-for-byte.
     */
   def encode(m: BpeModel, df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol), encodeText(m, col(textCol)).as("bpe_text"))
+    df.select(col(idCol), encodeTextNative(m, col(textCol)).as("bpe_text"))
       .where(col("bpe_text").isNotNull)
       .select(col(idCol),
         size(split(col("bpe_text"), " ")).cast("long").as("n_bpe"),

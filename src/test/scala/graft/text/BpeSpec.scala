@@ -156,6 +156,26 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("native bpe_encode equals the composed Column chain byte-for-byte " +
+      "on a real corpus (incl. empty docs and codegen + interpreted)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((100001L, "  \t "), (100002L, "Café NAÏVE café"),
+        (100003L, "aaaa abab 日本語")).toDF("doc_id", "text"))
+    val m = Bpe.BpeModel(Seq(("e", "r</w>"), ("t", "o"), ("a", "t"),
+      ("at", "o"), ("a", "a")))
+    val both = docs.select(col("doc_id"),
+        Bpe.encodeText(m, col("text")).as("chain"),
+        Bpe.encodeTextNative(m, col("text")).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null split at ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getString(1) === r.getString(2), s"doc ${r.getLong(0)}")
+    }
+    assert(both.length > 400)
+  }
+
   test("pairCounts equals brute adjacent-pair counting") {
     val df = Seq((1L, "low low newest"), (2L, "widest newest"))
       .toDF("id", "text")
