@@ -133,7 +133,19 @@ object Plans {
         ("random projection is row-local: k fold-accumulated inner " +
           "products against a literal sign matrix + posexplode, all " +
           "codegen'd — zero shuffle before the output sort, no model " +
-          "table to join or broadcast"))
+          "table to join or broadcast"),
+      "text_normalize" ->
+        ("normalization is one codegen'd projection (regex Cc/Cf pass, " +
+          "translate, lower, collapse — all string expressions) — zero " +
+          "shuffle before the output sort"),
+      "pipeline_recipe" ->
+        ("the composed four-stage recipe keeps each stage's shape: " +
+          "normalize + token gate fuse into the FIRST scan (one " +
+          "projection), the dedup is the one fingerprint-keyed " +
+          "aggregation + a keep-id join (AQE broadcasts at this sf), " +
+          "and the per-source cap is a window sorted WITHIN sources " +
+          "only — composition adds no extra corpus scan and no global " +
+          "sort"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
