@@ -19,15 +19,34 @@ import graft.types.Filter
   */
 object SegmentStats {
 
+  /** One frequent value with its exact count (vecgo keeps top-k values
+    * per column in its segment stats, `stats_collector.go`).
+    */
+  case class TopV(v: String, n: Long)
+
   /** JSON-friendly per-column stats. Numerics use doubles; strings use
-    * lexicographic bounds.
+    * lexicographic bounds. `hist` = [[HistBins]] equi-width non-null
+    * counts over [minN, maxN] (numeric columns); `topk` = up to
+    * [[TopK]] most frequent values with exact counts (string columns,
+    * ndv-gated). Both Optional — absent in pre-upgrade manifests, and
+    * the estimator falls back to the System-R defaults without them.
     */
   case class ColStats(
       num: Boolean,
       minN: Option[Double], maxN: Option[Double],
       minS: Option[String], maxS: Option[String],
       nulls: Long, ndv: Long,
-      bloom: Option[String] = None)
+      bloom: Option[String] = None,
+      hist: Option[List[Long]] = None,
+      topk: Option[List[TopV]] = None)
+
+  /** Equi-width histogram bins per numeric column (vecgo uses 16-bin
+    * log-scaled histograms; equi-width over the known [min,max] keeps
+    * the estimator's interpolation exact-in-bounds).
+    */
+  val HistBins = 16
+  /** Frequent values kept per string column. */
+  val TopK = 16
 
   case class VecStats(centroid: List[Double], radiusMax: Double)
 
@@ -159,16 +178,54 @@ object SegmentStats {
       case StructField(n, StringType, _, _)
         if rows > 0 && cols(n).ndv > 0 && cols(n).ndv <= CatBloom.MaxNdv => n
     }
+    // equi-width histograms for numeric columns with known non-degenerate
+    // bounds — they ride in ONE extra agg together with the bloom sets
+    // (bounds come from the first pass, so this pass was needed anyway)
+    val histCols = scalarCols.collect {
+      case StructField(n, _: NumericType, _, _)
+        if rows > 0 && cols(n).minN.exists(lo =>
+          cols(n).maxN.exists(_ > lo)) => n
+    }
     val colsB =
-      if (bloomCols.isEmpty) cols
+      if (bloomCols.isEmpty && histCols.isEmpty) cols
       else {
-        val aggsB = bloomCols.map(n => collect_set(col(n)).as(n))
+        val aggsB: Seq[org.apache.spark.sql.Column] =
+          bloomCols.toSeq.map(n => collect_set(col(n)).as(s"__set_$n")) ++
+            histCols.toSeq.flatMap { n =>
+              val lo = cols(n).minN.get; val hi = cols(n).maxN.get
+              val w = (hi - lo) / HistBins
+              val bin = least(lit(HistBins - 1),
+                floor((col(n).cast("double") - lo) / w).cast("int"))
+              (0 until HistBins).map(b =>
+                count(when(col(n).isNotNull && bin === b, 1))
+                  .as(s"__hist_${n}__$b"))
+            }
         val rowB = df.agg(aggsB.head, aggsB.tail: _*).collect()(0)
-        cols ++ bloomCols.map { n =>
-          val vs = rowB.getSeq[String](rowB.fieldIndex(n))
+        val withBloom = cols ++ bloomCols.map { n =>
+          val vs = rowB.getSeq[String](rowB.fieldIndex(s"__set_$n"))
           n -> cols(n).copy(bloom = Some(CatBloom.build(vs)))
         }
+        withBloom ++ histCols.map { n =>
+          val bins = (0 until HistBins).map(b =>
+            rowB.getLong(rowB.fieldIndex(s"__hist_${n}__$b"))).toList
+          n -> withBloom(n).copy(hist = Some(bins))
+        }
       }
+    // exact top-k frequent values for bounded-cardinality string columns:
+    // one tiny groupBy job per eligible column (stats collection is a
+    // build-time pass; eligibility is the same MaxNdv gate as the bloom)
+    val colsT = colsB ++ scalarCols.collect {
+      case StructField(n, StringType, _, _)
+        if rows > 0 && colsB(n).ndv > 0 &&
+          colsB(n).ndv <= CatBloom.MaxNdv => n
+    }.map { n =>
+      val tops = df.where(col(n).isNotNull)
+        .groupBy(col(n)).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col(n).asc)
+        .limit(TopK).collect()
+        .map(r => TopV(r.getString(0), r.getLong(1))).toList
+      n -> colsB(n).copy(topk = Some(tops))
+    }
     val vec =
       if (rows == 0) None // empty segment: no vector stats to collect
       else vecCol.map { vc =>
@@ -180,7 +237,7 @@ object SegmentStats {
           .agg(max("r")).collect()(0).getDouble(0)
         VecStats(centroid.toList, radius)
       }
-    Stats(rows, colsB, vec)
+    Stats(rows, colsT, vec)
   }
 
   /** Can this segment be skipped for this predicate? Conservative: prune
@@ -261,21 +318,57 @@ object SegmentStats {
       case n: Number => Some(n.doubleValue())
       case _ => None
     }
-    // fraction of [min,max] below x (uniform assumption); None = unknown
-    def belowFrac(c: ColStats, x: Double): Option[Double] =
-      for (lo <- c.minN; hi <- c.maxN)
-        yield if (hi <= lo) (if (x >= lo) 1.0 else 0.0)
-        else math.min(1.0, math.max(0.0, (x - lo) / (hi - lo)))
+    // fraction of the SEGMENT's rows below x: histogram interpolation
+    // when collected (bins count non-null rows, so nulls — which match
+    // no predicate — fall out of the numerator naturally), else the
+    // uniform [min,max] assumption over non-null rows; None = unknown
+    def belowFrac(c: ColStats, x: Double): Option[Double] = c.hist match {
+      case Some(bins) if stats.rows > 0 =>
+        for (lo <- c.minN; hi <- c.maxN) yield {
+          if (x <= lo) 0.0
+          else if (x >= hi) bins.sum.toDouble / stats.rows
+          else {
+            val w = (hi - lo) / bins.length
+            val idx = math.min(bins.length - 1, ((x - lo) / w).toInt)
+            val below = bins.take(idx).sum +
+              bins(idx) * ((x - lo - idx * w) / w)
+            below / stats.rows
+          }
+        }
+      case _ =>
+        for (lo <- c.minN; hi <- c.maxN)
+          yield if (hi <= lo) (if (x >= lo) 1.0 else 0.0)
+          else math.min(1.0, math.max(0.0, (x - lo) / (hi - lo)))
+    }
+    // eq fraction of one value: exact when the value sits in the
+    // collected top-k (or provably absent from a FULLY covered column),
+    // remainder-uniform when the column has a top-k but the value is in
+    // its tail, 1/ndv otherwise (System-R)
+    def eqFrac(c: ColStats, v: Any): Double = (v, c.topk) match {
+      case (s: String, Some(tops)) if stats.rows > 0 =>
+        tops.find(_.v == s) match {
+          case Some(t) => t.n.toDouble / stats.rows
+          case None if c.ndv <= tops.size => 0.0 // full coverage: absent
+          case None =>
+            val rest = math.max(0L,
+              stats.rows - c.nulls - tops.map(_.n).sum).toDouble
+            rest / math.max(1L, c.ndv - tops.size) / stats.rows
+        }
+      case _ => if (c.ndv > 0) 1.0 / c.ndv else 1.0
+    }
     if (canPrune(stats, f)) return 0.0
     f match {
-      case Filter.Eq(field, _) =>
-        cs(field).collect { case c if c.ndv > 0 => 1.0 / c.ndv }.getOrElse(1.0)
+      case Filter.Eq(field, v) =>
+        cs(field).map(eqFrac(_, v)).getOrElse(1.0)
       case Filter.In(field, vs) =>
-        cs(field).collect { case c if c.ndv > 0 =>
-          math.min(1.0, vs.distinct.size.toDouble / c.ndv) }.getOrElse(1.0)
-      case Filter.Ne(field, _) =>
-        cs(field).collect { case c if c.ndv > 0 => 1.0 - 1.0 / c.ndv }
-          .getOrElse(1.0)
+        cs(field).map { c =>
+          if (c.topk.isDefined || c.ndv > 0)
+            math.min(1.0, vs.distinct.map(eqFrac(c, _)).sum)
+          else 1.0
+        }.getOrElse(1.0)
+      case Filter.Ne(field, v) =>
+        cs(field).collect { case c if c.ndv > 0 || c.topk.isDefined =>
+          math.max(0.0, 1.0 - eqFrac(c, v)) }.getOrElse(1.0)
       case Filter.Gt(field, v) =>
         (for (c <- cs(field); x <- numVal(v); b <- belowFrac(c, x))
           yield 1.0 - b).getOrElse(1.0)

@@ -112,25 +112,78 @@ class SegmentStatsSpec extends AnyFunSuite {
     assert(sh.minTs < sh.maxTs)
   }
 
-  test("selectivity estimation: system-R defaults off the collected stats") {
-    // x ∈ [10,30] ndv 3; s ndv 3
+  test("selectivity estimation: histogram/top-k when collected, " +
+      "System-R fallback without them") {
+    // WITH stats upgrades: the 16-bin histogram resolves the range
+    // predicates EXACTLY on this fixture (x ∈ {10,20,30}), and the s
+    // top-k gives exact eq fractions
     assert(SegmentStats.estimateFraction(stats, Filter.Eq("x", 20.0)) ===
       1.0 / 3 +- 1e-9)
     assert(SegmentStats.estimateFraction(stats, Filter.Gt("x", 25.0)) ===
-      0.25 +- 1e-9)
+      1.0 / 3 +- 1e-9)
     assert(SegmentStats.estimateFraction(stats, Filter.Lte("x", 15.0)) ===
-      0.25 +- 1e-9)
+      1.0 / 3 +- 1e-9)
     assert(SegmentStats.estimateFraction(stats,
+      Filter.In("s", Seq("apple", "banana"))) === 2.0 / 3 +- 1e-9)
+    // the FALLBACK (pre-upgrade manifests): strip hist/topk — classic
+    // uniform-range and 1/ndv numbers
+    val bare = stats.copy(cols = stats.cols.view.mapValues(
+      _.copy(hist = None, topk = None)).toMap)
+    assert(SegmentStats.estimateFraction(bare, Filter.Gt("x", 25.0)) ===
+      0.25 +- 1e-9)
+    assert(SegmentStats.estimateFraction(bare, Filter.Lte("x", 15.0)) ===
+      0.25 +- 1e-9)
+    assert(SegmentStats.estimateFraction(bare,
       Filter.In("s", Seq("apple", "banana"))) === 2.0 / 3 +- 1e-9)
     // provably-empty predicates estimate 0 (bounds prune)
     assert(SegmentStats.estimateFraction(stats, Filter.Eq("x", 99.0)) == 0.0)
     // no-information predicates estimate the full segment
     assert(SegmentStats.estimateFraction(stats, Filter.Contains("s", "an")) == 1.0)
-    // AND independence + stats-less fallback
-    assert(SegmentStats.estimateRows(300L, Some(stats),
+    // AND independence + stats-less fallback (uniform Gt(15) = 0.75)
+    assert(SegmentStats.estimateRows(300L, Some(bare),
       Seq(Filter.Eq("x", 20.0), Filter.Gt("x", 15.0))) ===
       300.0 / 3 * 0.75 +- 1e-6)
     assert(SegmentStats.estimateRows(300L, None, Seq(Filter.Eq("x", 1.0))) == 300.0)
+  }
+
+  test("histogram beats uniform on skewed data; top-k is exact for hot " +
+      "and provably-absent values") {
+    // 900 rows at the low end, 100 spread high: a x<=10 scan matches 90%
+    val rows = (1 to 900).map(i => (i.toLong, (i % 10).toDouble, "hot")) ++
+      (1 to 100).map(i => (900L + i, 100.0 + i, if (i % 2 == 0) "warm"
+        else "cold"))
+    val sk = SegmentStats.collect(rows.toDF("id", "x", "s"))
+    // all 900 low values share bin 0 (width 12.5 over [0,200]), and the
+    // x=10 cut interpolates uniformly WITHIN that bin → 900·0.8 = 0.72:
+    // the histogram resolves the skew to bin granularity (true 0.9),
+    // where the uniform assumption predicts ~0.05 — 18× off
+    val est = SegmentStats.estimateFraction(sk, Filter.Lte("x", 10.0))
+    assert(est === 0.72 +- 0.02, s"hist estimate $est")
+    val uni = SegmentStats.estimateFraction(
+      sk.copy(cols = sk.cols.view.mapValues(_.copy(hist = None)).toMap),
+      Filter.Lte("x", 10.0))
+    assert(uni < 0.1, s"uniform estimate $uni should be badly low here")
+    assert(math.abs(est - 0.9) < math.abs(uni - 0.9) / 4,
+      s"histogram ($est) must be far closer to truth 0.9 than uniform ($uni)")
+    // top-k: 'hot' is exactly 90%, 'warm' exactly 5%; a value outside a
+    // FULLY-covered column (ndv 3 <= 16) estimates 0
+    assert(SegmentStats.estimateFraction(sk, Filter.Eq("s", "hot")) ===
+      0.9 +- 1e-9)
+    assert(SegmentStats.estimateFraction(sk, Filter.Eq("s", "warm")) ===
+      0.05 +- 1e-9)
+    assert(SegmentStats.estimateFraction(sk, Filter.Ne("s", "hot")) ===
+      0.1 +- 1e-9)
+    // bloom already prunes full misses; the estimator agrees
+    assert(SegmentStats.estimateFraction(sk, Filter.Eq("s", "frozen")) == 0.0)
+    // histogram counts survive a manifest JSON round trip
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val json = org.json4s.jackson.Serialization.write(sk)
+    val back = org.json4s.jackson.JsonMethods.parse(json)
+      .extract[SegmentStats.Stats]
+    assert(back.cols("x").hist === sk.cols("x").hist)
+    assert(back.cols("s").topk === sk.cols("s").topk)
+    assert(SegmentStats.estimateFraction(back, Filter.Lte("x", 10.0)) ===
+      est +- 1e-12)
   }
 
   test("triangle-inequality distance pruning and segment priority") {
