@@ -568,32 +568,40 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     val m = store.manifest(effectiveVersion)
     if (m.exists(_.segments.exists(_.index.isDefined))) {
       val mf = m.get
-      // adaptive pre/post-filter choice on filtered indexed searches
+      // adaptive pre/post-filter choice on filtered indexed searches —
+      // selectivity comes from the manifest's histogram/top-k stats
+      // (System-R defaults on stats-less segments); surfaced in the
+      // strategy string so explainSearch shows WHY a route was taken
+      val selOpt: Option[Double] =
+        if (filter.filters.isEmpty) None
+        else {
+          val total = mf.segments.map(_.rows).sum
+          val est = mf.segments.map(s =>
+            graft.stats.SegmentStats.estimateRows(s.rows, s.stats,
+              filter.filters)).sum
+          Some(if (total > 0) est / total else 0.0)
+        }
       val routePre = filter.filters.nonEmpty && {
-        val total = mf.segments.map(_.rows).sum
-        lazy val est = mf.segments.map(s =>
-          graft.stats.SegmentStats.estimateRows(s.rows, s.stats,
-            filter.filters)).sum
-        lazy val sel = if (total > 0) est / total else 0.0
         val cutoff =
           if (selectivityCutoff > 0) selectivityCutoff
           else GraftDB.DefaultSelectivityCutoff
-        preFilter.getOrElse(sel <= cutoff)
+        preFilter.getOrElse(selOpt.get <= cutoff)
       }
+      val selNote = selOpt.fold("")(s => f", est_sel=$s%.4f")
       if (routePre) {
         val (src, scanned, pruned) = store.prunedRead(filter.filters, effectiveVersion)
         PlannedSearch(
           Search.knn(src, "vector", "id", lit(q), k, metric,
             lit(true), projectCols, orderKey),
           s"prefilter_exact(${scanned.size} of " +
-            s"${scanned.size + pruned.size} segments)",
+            s"${scanned.size + pruned.size} segments$selNote)",
           scanned.size, pruned.size)
       } else {
         val nIdx = mf.segments.count(_.index.isDefined)
         val df = indexedSearch(mf, q, k, filter, nprobe, refineFactor,
           projectCols, orderKey)
         PlannedSearch(df,
-          s"indexed(segments=$nIdx, tail=${mf.segments.size - nIdx})",
+          s"indexed(segments=$nIdx, tail=${mf.segments.size - nIdx}$selNote)",
           mf.segments.size, 0)
       }
     } else if (filter.filters.isEmpty) {
