@@ -573,6 +573,76 @@ object StreamingQueries {
     s.table(sink).orderBy(col("doc_id").asc)
   }
 
+  /** Streaming text normalization ([[graft.text.TextAnalysis.normalizeText]])
+    * with the batch twin's deterministic fixture injection — row-local,
+    * append mode, accumulated sink hash-matches the batch oracle.
+    */
+  def streamingNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)]
+    val in = input.toDF().toDF("doc_id", "text")
+    val aug = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        lit("\tCafé  \u200bRÉSUMÉ naïve\r\n")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        lit(" ÀÉÎÕÜ çñ ÿ\u00ad")).otherwise(lit("")))
+    val normed = in.select(col("doc_id"),
+        graft.text.TextAnalysis.normalizeText(aug).as("norm_text"))
+      .withColumn("n_chars", length(col("norm_text")).cast("long"))
+    val sink = sinkName("normalize")
+    val q = normed.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("normalize"))
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(evens.toSeq)
+      q.processAllAvailable()
+      input.addData(odds.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy(col("doc_id").asc)
+  }
+
+  /** Streaming random projection ([[graft.index.RandomProjection]]) —
+    * the seeded matrix is frozen by construction (regenerates from md5),
+    * so projection of arriving embeddings is row-local and append-safe;
+    * the accumulated sink hash-matches the batch oracle.
+    */
+  def streamingProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val emb = Tables.load(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).limit(1).collect()(0)
+      .getInt(0)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val mat = graft.index.RandomProjection.matrix(dim, 16, "rp0")
+    val proj = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        posexplode(graft.index.RandomProjection.projectCol(
+          col("embedding"), mat)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        round(col("col"), 6).as("w"))
+    val sink = sinkName("project")
+    val q = proj.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt("project"))
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(evens.toSeq)
+      q.processAllAvailable()
+      input.addData(odds.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy(col("vec_id").asc, col("j").asc)
+  }
+
   /** Streaming BPE encoding ([[graft.text.Bpe.encode]]) under the same
     * frozen merge list as the batch twin `text_bpe_tokens` — encoding is
     * a row-local replace chain (zero shuffle, zero state), so the stream
@@ -667,7 +737,9 @@ object StreamingQueries {
     "streaming_dsir" -> (streamingDsir _),
     "streaming_tfidf" -> (streamingTfIdf _),
     "streaming_quality" -> (streamingQuality _),
-    "streaming_bpe" -> (streamingBpe _)
+    "streaming_bpe" -> (streamingBpe _),
+    "streaming_normalize" -> (streamingNormalize _),
+    "streaming_project" -> (streamingProject _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -689,6 +761,8 @@ object StreamingQueries {
     "streaming_tfidf" -> CurationQueries.oracle("text_hashed_tfidf"),
     "streaming_quality" -> PipelineQueries.oracle("pipeline_quality_score"),
     "streaming_bpe" -> CurationQueries.oracle("text_bpe_tokens"),
+    "streaming_normalize" -> PipelineQueries.oracle("text_normalize"),
+    "streaming_project" -> CurationQueries.oracle("embedding_project"),
     "streaming_neardup_cosine" -> PipelineQueries.oracle("neardup_cosine"),
     "streaming_asof_join" -> EventQueries.oracle("events_asof_join"),
     "streaming_range_join" ->
