@@ -1455,9 +1455,19 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     */
   def explain(filters: Seq[Filter]): String = {
     val (df, scanned, pruned) = store.prunedRead(filters, effectiveVersion)
+    // manifest-stats selectivity per surviving segment (histogram/top-k
+    // when collected) — the same numbers the adaptive search routing reads
+    val m = store.manifest(effectiveVersion)
+    val est = m.map { mf =>
+      val total = mf.segments.map(_.rows).sum
+      val rows = mf.segments.map(s =>
+        graft.stats.SegmentStats.estimateRows(s.rows, s.stats, filters)).sum
+      if (total > 0) f"${rows / total}%.4f of $total%d rows" else "n/a"
+    }.getOrElse("n/a")
     s"""GraftDB plan (version ${store.currentVersion})
        |  segments scanned: ${scanned.mkString("[", ",", "]")}
        |  segments pruned by manifest stats: ${pruned.mkString("[", ",", "]")}
+       |  estimated selectivity: $est
        |${df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))}""".stripMargin
   }
