@@ -300,6 +300,26 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Upsampling mixture ([[graft.pipeline.Sampling.mixToBudgetUpsampling]]):
+    * same sources/weights as `pipeline_mix_budget` but a budget of 2×
+    * the corpus, so the heavy source (w=0.5 over a ~quarter-sized share)
+    * must repeat rows: floor(rate) whole copies per row + an md5-ppm
+    * gate on the fractional part, each output row tagged with its copy
+    * index. One scan + a per-row sequence explode.
+    */
+  def mixEpochsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25,
+      "src2" -> 0.125, "src3" -> 0.125)
+    val total = docs.where(col("source").isin(srcs: _*))
+      .agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    graft.pipeline.Sampling.mixToBudgetUpsampling(docs, "doc_id", "source",
+        col("n_chars"), weights, budgetTokens = total * 2, seed = "mix1")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("copy"))
+      .orderBy(col("doc_id").asc, col("copy").asc)
+  }
+
   /** SemDeDup ([[graft.dedup.Dedup.semanticDedup]], Abbas et al. 2023):
     * cluster-scoped semantic dedup over the same perturbed-twin corpus as
     * `neardup_cosine`, with `label` as the cluster key (any assignment
@@ -632,6 +652,7 @@ object PipelineQueries {
     "dedup_semantic" -> (dedupSemantic _),
     "pipeline_cap_per_key" -> (capPerKeyQ _),
     "pipeline_mix_budget" -> (mixBudgetQ _),
+    "pipeline_mix_epochs" -> (mixEpochsQ _),
     "pipeline_quality_score" -> (qualityScore _),
     "pipeline_source_profile" -> (sourceProfileQ _)
   )
@@ -1183,6 +1204,33 @@ object PipelineQueries {
         |                      THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
         |FROM h GROUP BY source ORDER BY source ASC""".stripMargin,
 
+    // upsampling mixture: UNCLAMPED rate → floor(r) whole copies + an
+    // integer-ppm md5 gate on the fractional part, copies via range()
+    "pipeline_mix_epochs" ->
+      """WITH st AS (
+        |  SELECT source, sum(n_chars)::BIGINT AS t FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+        |tot AS (SELECT sum(t) * 2 AS budget FROM st),
+        |rates AS (
+        |  SELECT source,
+        |         (SELECT budget FROM tot)::DOUBLE *
+        |         (CASE source WHEN 'src0' THEN 0.5::DOUBLE
+        |                      WHEN 'src1' THEN 0.25::DOUBLE
+        |                      WHEN 'src2' THEN 0.125::DOUBLE
+        |                      ELSE 0.125::DOUBLE END) / t::DOUBLE AS r
+        |  FROM st),
+        |parts AS (SELECT source, CAST(floor(r) AS BIGINT) AS whole,
+        |            CAST(floor((r - floor(r)) * 1000000.0::DOUBLE)
+        |              AS BIGINT) AS ppm
+        |          FROM rates),
+        |n AS (SELECT d.doc_id, d.source, d.n_chars,
+        |        p.whole + CASE WHEN
+        |          CAST('0x' || substring(md5(d.doc_id || ':mix1'), 1, 15)
+        |            AS BIGINT) % 1000000 < p.ppm THEN 1 ELSE 0 END AS nc
+        |      FROM documents d JOIN parts p ON p.source = d.source)
+        |SELECT doc_id, source, n_chars, unnest(range(nc)) AS copy
+        |FROM n WHERE nc > 0
+        |ORDER BY doc_id ASC, copy ASC""".stripMargin,
     "pipeline_mix_budget" ->
       """WITH st AS (
         |  SELECT source, sum(n_chars)::BIGINT AS t FROM documents

@@ -247,6 +247,57 @@ object Sampling {
     }
     df.withColumn("rate_ppm", thr).where(h < col("rate_ppm"))
   }
+
+  /** [[mixToBudget]] WITHOUT the rate clamp — the multi-epoch half of the
+    * mixture step: a source whose target share exceeds its size is
+    * UPSAMPLED, each row emitting `floor(r)` whole copies plus one more
+    * iff the integer-ppm md5 gate passes the fractional part (so expected
+    * copies = r exactly, and membership/copy-count are bit-identical on
+    * every engine). Output rows carry `copy` (0-based) — a downstream
+    * seeded shuffle ([[shuffleShards]] keyed on (id, copy)) spreads the
+    * repeats apart, the standard way upsampled epochs interleave.
+    *
+    * Scale shape: identical to [[mixToBudget]] — one driver-bounded
+    * per-source token aggregation broadcast back as literal thresholds,
+    * then one scan with a per-row `sequence` explode (max copies is
+    * ceil(max rate), a small constant by construction).
+    */
+  def mixToBudgetUpsampling(df: DataFrame, idCol: String, keyCol: String,
+      tokensCol: Column, weights: Map[String, Double], budgetTokens: Long,
+      seed: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "weights must be non-negative, not all zero")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val wNorm = {
+      val tot = weights.values.sum
+      weights.view.mapValues(_ / tot).toMap
+    }
+    val srcTokens: Map[String, Long] = df
+      .where(col(keyCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(keyCol)).agg(sum(tokensCol.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per source: whole copies + fractional ppm gate (UNCLAMPED rate)
+    val parts: Map[String, (Long, Long)] = srcTokens.map { case (s, t) =>
+      val rate = budgetTokens.toDouble * wNorm(s) / t.toDouble
+      val whole = math.floor(rate).toLong
+      s -> (whole, math.floor((rate - whole) * 1000000.0).toLong)
+    }
+    val h = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        lit(seed))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val whole = parts.foldLeft(lit(0L): Column) { case (acc, (s, (w, _))) =>
+      when(col(keyCol) === lit(s), lit(w)).otherwise(acc)
+    }
+    val fracPpm = parts.foldLeft(lit(0L): Column) { case (acc, (s, (_, p))) =>
+      when(col(keyCol) === lit(s), lit(p)).otherwise(acc)
+    }
+    val n = whole + when(h < fracPpm, 1L).otherwise(0L)
+    df.withColumn("_n_copies", n)
+      .where(col("_n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("_n_copies") - 1)))
+      .drop("_n_copies")
+  }
 }
 
 /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,

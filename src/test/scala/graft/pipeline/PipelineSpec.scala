@@ -76,6 +76,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("mixToBudgetUpsampling: whole copies exact, fractional gate on " +
+      "expectation, copy indices dense, deterministic") {
+    // k0 tiny + heavily weighted → repeats; k1 big → fractional downsample
+    val df = spark.range(0, 10000)
+      .select(col("id"),
+        when(col("id") < 1000, "k0").otherwise("k1").as("key"),
+        lit(10L).as("tok"))
+    // budget 50000 tokens: k0 rate = 25000/10000 = 2.5; k1 = 25000/90000 ≈ 0.2778
+    val out = Sampling.mixToBudgetUpsampling(df, "id", "key", col("tok"),
+        Map("k0" -> 0.5, "k1" -> 0.5), budgetTokens = 50000L, seed = "mu1")
+      .select("id", "key", "copy").as[(Long, String, Long)].collect()
+    val k0 = out.filter(_._2 == "k0").groupBy(_._1).view.mapValues(_.length)
+    // every k0 row appears 2 or 3 times, mean ≈ 2.5
+    assert(k0.size == 1000, "no k0 row may vanish (whole copies = 2)")
+    assert(k0.values.forall(n => n == 2 || n == 3))
+    val meanK0 = k0.values.sum.toDouble / k0.size
+    assert(math.abs(meanK0 - 2.5) < 0.1, s"k0 mean copies $meanK0")
+    // copy indices are dense 0..n-1 per row
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    // k1: 0 or 1 copies at ~27.78%
+    val k1n = out.count(_._2 == "k1")
+    assert(math.abs(k1n - 9000 * (25000.0 / 90000.0)) < 200, s"k1 kept $k1n")
+    // deterministic
+    val again = Sampling.mixToBudgetUpsampling(df, "id", "key", col("tok"),
+        Map("k0" -> 0.5, "k1" -> 0.5), 50000L, "mu1")
+      .select("id", "copy").as[(Long, Long)].collect().toSet
+    assert(again == out.map(r => (r._1, r._3)).toSet)
+  }
+
   test("stratified hash sampling: deterministic, quota-shaped, subset-stable") {
     val df = spark.range(0, 4000)
       .select(col("id"), pmod(col("id"), lit(4)).as("stratum"))
