@@ -30,6 +30,27 @@ class GraftDBSpec extends AnyFunSuite {
     ids.map(i => (i.toLong, vec(i), i % 3, s"doc text number $i"))
       .toDF("id", "vector", "label", "body")
 
+  test("compactZOrder through the facade: results exact after the " +
+      "rewrite, manifest folded, indexed stores refused") {
+    val db = freshDb()
+    db.insertBatch(records(0 until 120))
+    db.insertBatch(records(120 until 240))
+    db.delete((0L until 240L by 13).toSeq)
+    val q = vec(7)
+    val before = db.search(q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("score"))))
+    val v = db.compactZOrder(Seq("label"), targetFiles = 4)
+    assert(v > 0)
+    val after = db.search(q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("score"))))
+    assert(after.toSeq == before.toSeq,
+      "z-order rewrite must not change search results")
+    // folded to one segment (the rewrite keeps the store prunable)
+    assert(db.segmentInfo().size == 1)
+    db.buildIndex(nlist = 4)
+    intercept[IllegalArgumentException] { db.compactZOrder(Seq("label")) }
+  }
+
   test("validation: wrong dim, NaN, schema type pins") {
     val db = freshDb()
     intercept[IllegalArgumentException] {
