@@ -389,6 +389,22 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Decontamination REMOVAL ([[graft.pipeline.Decontam.clean]]): the
+    * step after detection — training docs with ≥ 50% eval-shingle
+    * overlap are dropped; docs too short to shingle are KEPT (they
+    * cannot be contaminated — the spec-level trap an inner join on the
+    * scores would fail).
+    */
+  def decontamClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipeline.Decontam.clean(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
+        docs.where(pmod(col("doc_id"), lit(10)) === 7),
+        "doc_id", "text", n = 3, maxFrac = 0.5)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Deterministic stratified data-mixing sample
     * ([[graft.pipeline.Sampling.stratifiedHash]]): labels 0/1/2 keep
     * 20%/35%/50%, the rest 80% — md5-hash gated, so the SAME rows are
@@ -635,6 +651,7 @@ object PipelineQueries {
     "dedup_retain" -> (dedupRetain _),
     "dedup_retain_best" -> (dedupRetainBest _),
     "decontam_overlap" -> (decontamOverlap _),
+    "decontam_clean" -> (decontamClean _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_simhash" -> (dedupSimhash _),
     "neardup_cosine" -> (neardupCosine _),
@@ -929,6 +946,21 @@ object PipelineQueries {
          |SELECT doc_id, len AS text_len FROM r WHERE rn = 1
          |ORDER BY doc_id ASC""".stripMargin,
 
+    // removal: drop train docs with rounded overlap >= 0.5; unshingleable
+    // docs (absent from j) are kept — they cannot be contaminated
+    "decontam_clean" ->
+      s"""WITH $SHD,
+         |ev AS (SELECT DISTINCT s FROM shd WHERE id % 10 = 7),
+         |tr AS (SELECT id, s FROM shd WHERE id % 10 <> 7),
+         |j AS (SELECT t.id, count(*) AS n_sh,
+         |        sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+         |      FROM tr t LEFT JOIN ev e ON e.s = t.s GROUP BY t.id),
+         |bad AS (SELECT id FROM j
+         |        WHERE round(n_hit::DOUBLE / n_sh::DOUBLE, 6) >= 0.5::DOUBLE)
+         |SELECT d.doc_id, d.n_chars
+         |FROM documents d LEFT JOIN bad b ON b.id = d.doc_id
+         |WHERE d.doc_id % 10 <> 7 AND b.id IS NULL
+         |ORDER BY d.doc_id ASC""".stripMargin,
     "decontam_overlap" ->
       s"""WITH $SHD,
          |ev AS (SELECT DISTINCT s FROM shd WHERE id % 10 = 7),

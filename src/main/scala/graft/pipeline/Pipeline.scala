@@ -41,6 +41,23 @@ object Decontam {
         round(col("n_hit").cast("double") / col("n_shingles").cast("double"),
           6).as("overlap_frac"))
   }
+
+  /** The removal step after [[overlap]]: drop training documents whose
+    * eval-overlap fraction is ≥ `maxFrac`. Documents too short to
+    * shingle cannot be contaminated and are KEPT — [[overlap]] emits no
+    * row for them, so an inner join on the scores would silently drop
+    * them (the classic decontam-clean bug); the anti-join against the
+    * FLAGGED set keeps everything else by construction. One extra
+    * broadcast-sized anti-join over [[overlap]]'s shape.
+    */
+  def clean(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, maxFrac: Double = 0.8): DataFrame = {
+    require(maxFrac > 0.0 && maxFrac <= 1.0, s"maxFrac $maxFrac not in (0,1]")
+    val flagged = overlap(train, evalSet, idCol, textCol, n)
+      .where(col("overlap_frac") >= maxFrac)
+      .select(col("id").as(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
 }
 
 /** Deterministic sampling for data mixing. */
