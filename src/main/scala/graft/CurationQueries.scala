@@ -296,7 +296,7 @@ object CurationQueries {
          |        FROM documents),
          |sp AS (SELECT doc_id,
          |         ' ' || array_to_string(list_transform(ts, t ->
-         |             trim(regexp_replace(t, '(.)', '\\1 ', 'g')) || '</w>'),
+         |             trim(regexp_replace(t, '(?s)(.)', '\\1 ', 'g')) || '</w>'),
          |           '  ') || ' ' AS s
          |       FROM tok WHERE len(ts) > 0),
          |m AS (SELECT doc_id, ${bpeChain("s")} AS s2 FROM sp)
@@ -314,7 +314,7 @@ object CurationQueries {
         |w AS (SELECT unnest(ts) AS word FROM tok),
         |wc AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1),
         |sy AS (SELECT cnt, list_filter(regexp_split_to_array(
-        |         regexp_replace(word, '(.)', '\1 ', 'g'), ' '),
+        |         regexp_replace(word, '(?s)(.)', '\1 ', 'g'), ' '),
         |         x -> len(x) > 0) AS cs FROM wc),
         |s2 AS (SELECT cnt, list_append(cs[1:len(cs)-1],
         |                               cs[len(cs)] || '</w>') AS s

@@ -293,6 +293,16 @@ object Sampling {
       .where(col(keyCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(keyCol)).agg(sum(tokensCol.cast("long")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fail LOUDLY on a weighted source with zero total tokens: its
+    // unclamped rate would be Infinity, floor(rate).toLong saturates to
+    // Long.MaxValue whole copies, and the sequence() explode would then
+    // attempt ~2^63 rows per input row instead of surfacing the bad input
+    srcTokens.foreach { case (s, t) =>
+      require(t > 0 || wNorm(s) == 0.0,
+        s"mixToBudgetUpsampling: source '$s' has weight ${wNorm(s)} but " +
+          s"zero total tokens — an upsampling rate is undefined; drop the " +
+          s"source or give its rows non-empty text")
+    }
     // per source: whole copies + fractional ppm gate (UNCLAMPED rate)
     val parts: Map[String, (Long, Long)] = srcTokens.map { case (s, t) =>
       val rate = budgetTokens.toDouble * wNorm(s) / t.toDouble

@@ -203,7 +203,15 @@ object SegmentStats {
         val rowB = df.agg(aggsB.head, aggsB.tail: _*).collect()(0)
         val withBloom = cols ++ bloomCols.map { n =>
           val vs = rowB.getSeq[String](rowB.fieldIndex(s"__set_$n"))
-          n -> cols(n).copy(bloom = Some(CatBloom.build(vs)))
+          // the exact distinct set is in hand — pin ndv to its size.
+          // approx_count_distinct's HLL error otherwise leaks into
+          // eqFrac's "full coverage: absent → 0.0" branch, which treats
+          // ndv as exact: an HLL under-count could zero the estimated
+          // selectivity of a genuinely present tail value and skew the
+          // pre/post-filter routing (estimation only — canPrune uses the
+          // bloom itself, never ndv).
+          n -> cols(n).copy(bloom = Some(CatBloom.build(vs)),
+            ndv = vs.distinct.size.toLong)
         }
         withBloom ++ histCols.map { n =>
           val bins = (0 until HistBins).map(b =>

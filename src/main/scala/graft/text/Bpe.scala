@@ -87,11 +87,18 @@ object Bpe {
 
   /** Code-point symbols of a word with [[EndOfWord]] fused onto the last
     * one, as a Column (`"low"` → `["l","o","w</w>"]`). Code points are
-    * isolated by the same `"(.)" → "$1 "` spacing [[encodeText]] uses —
-    * words are whitespace-split, so a space delimiter can never collide.
+    * isolated by the same `"(?s)(.)" → "$1 "` spacing [[encodeText]]
+    * uses — words are whitespace-split, so a space delimiter can never
+    * collide. DOTALL is load-bearing: Java's plain `.` skips the line
+    * terminators U+0085/U+2028/U+2029, which `\s+` does NOT split
+    * either, so without `(?s)` a word like `"ab"` would keep the
+    * terminator glued to its neighbor here while [[symbolsOf]] /
+    * `BpeRuntime` (code-point loops) isolate it — breaking the
+    * byte-identical encodeText ↔ encodeTextNative contract. RE2 (the
+    * DuckDB oracle) honors the same `(?s)` flag.
     */
   private def symbolsCol(word: Column): Column = {
-    val chars = filter(split(regexp_replace(word, "(.)", "$1 "), " "),
+    val chars = filter(split(regexp_replace(word, "(?s)(.)", "$1 "), " "),
       c => length(c) > 0)
     val n = size(chars)
     transform(chars, (c, i) =>
@@ -208,7 +215,7 @@ object Bpe {
   def encodeText(m: BpeModel, text: Column): Column = {
     val toks = TextAnalysis.wsTokens(text)
     val spaced = transform(toks, t => concat(
-      trim(regexp_replace(t, "(.)", "$1 ")), lit(EndOfWord)))
+      trim(regexp_replace(t, "(?s)(.)", "$1 ")), lit(EndOfWord)))
     val doc0 = concat(lit(" "), array_join(spaced, "  "), lit(" "))
     val folded = m.merges.foldLeft(doc0) { case (c, (a, b)) =>
       replace(c, lit(s" $a $b "), lit(s" $a$b "))

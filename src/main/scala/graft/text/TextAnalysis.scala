@@ -30,9 +30,9 @@ object TextAnalysis {
     * more codepoints under ICU rules Spark has no twin of).
     */
   val AccentFrom: String =
-    "áàâäãåéèêëíìîïóòôöõúùûüýÿçñ" + "ÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÇÑ"
+    "áàâäãåéèêëíìîïóòôöõúùûüýÿçñ" + "ÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝŸÇÑ"
   val AccentTo: String =
-    "aaaaaaeeeeiiiiooooouuuuyycn" + "AAAAAAEEEEIIIIOOOOOUUUUYCN"
+    "aaaaaaeeeeiiiiooooouuuuyycn" + "AAAAAAEEEEIIIIOOOOOUUUUYYCN"
 
   /** CCNet-style text normalization (the cleanup pass run before dedup /
     * hashing so trivially-different copies collide): control & format

@@ -107,6 +107,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == out.map(r => (r._1, r._3)).toSet)
   }
 
+  test("mixToBudgetUpsampling: a weighted source with zero total tokens " +
+      "fails loudly instead of exploding 2^63 copies") {
+    val df = Seq((1L, "k0", 0L), (2L, "k0", 0L), (3L, "k1", 10L))
+      .toDF("id", "key", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixToBudgetUpsampling(df, "id", "key", col("tok"),
+        Map("k0" -> 0.5, "k1" -> 0.5), budgetTokens = 100L, seed = "z0")
+    }
+    assert(e.getMessage.contains("zero total tokens"))
+  }
+
   test("stratified hash sampling: deterministic, quota-shaped, subset-stable") {
     val df = spark.range(0, 4000)
       .select(col("id"), pmod(col("id"), lit(4)).as("stratum"))

@@ -391,6 +391,48 @@ class LocalReplicaSpec extends AnyFunSuite {
     intercept[java.io.IOException](LocalReplica.load(tornPath))
   }
 
+  test("bulk primitive IO round-trips across the 8 MB chunk boundary " +
+      "byte-identically to the element-wise loops") {
+    // sizes straddle IoChunkBytes/elem: 0, 1, exactly one chunk, one
+    // chunk ± a few — the off-by-one surface of the chunked copy
+    val fStep = LocalReplica.IoChunkBytes / 4
+    val lStep = LocalReplica.IoChunkBytes / 8
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 7, fStep - 1, fStep, fStep + 3)) {
+      val fa = Array.fill(n)(rnd.nextFloat())
+      val ia = Array.fill(n)(rnd.nextInt())
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      LocalReplica.writeFloats(out, fa)
+      LocalReplica.writeInts(out, ia)
+      out.flush()
+      // byte-identical to the element-wise big-endian loop (the format)
+      val ref = new java.io.ByteArrayOutputStream()
+      val rout = new java.io.DataOutputStream(ref)
+      fa.foreach(rout.writeFloat); ia.foreach(rout.writeInt); rout.flush()
+      assert(java.util.Arrays.equals(bos.toByteArray, ref.toByteArray),
+        s"n=$n float/int bytes")
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(LocalReplica.readFloats(in, n).toSeq == fa.toSeq, s"n=$n floats")
+      assert(LocalReplica.readInts(in, n).toSeq == ia.toSeq, s"n=$n ints")
+    }
+    for (n <- Seq(0, 1, lStep, lStep + 2)) {
+      val la = Array.fill(n)(rnd.nextLong())
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      LocalReplica.writeLongs(out, la); out.flush()
+      val ref = new java.io.ByteArrayOutputStream()
+      val rout = new java.io.DataOutputStream(ref)
+      la.foreach(rout.writeLong); rout.flush()
+      assert(java.util.Arrays.equals(bos.toByteArray, ref.toByteArray),
+        s"n=$n long bytes")
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(LocalReplica.readLongs(in, n).toSeq == la.toSeq, s"n=$n longs")
+    }
+  }
+
   test("replica from an engine store serves the snapshot (MVCC-frozen)") {
     import graft.GraftDB
     val root = s"${sys.props("java.io.tmpdir")}/graft_replica_spec"

@@ -176,6 +176,34 @@ class BpeSpec extends AnyFunSuite {
     assert(both.length > 400)
   }
 
+  test("line terminators U+0085/U+2028/U+2029 inside a word: Column " +
+      "chain, native encode, and driver loop all isolate them (DOTALL)") {
+    // these code points are NOT split by \s+ on either engine, and Java's
+    // plain `.` (unlike RE2's) skips them — without (?s) the Column
+    // spacing left "ab" as symbols [a, b</w>] while
+    // symbolsOf/BpeRuntime produced [a, , b</w>] (round-8 ADVICE)
+    val texts = Seq((1L, "ab"), (2L, "x y z w"),
+      (3L, ""), (4L, "lower low"))
+    val m = Bpe.BpeModel(Seq(("l", "o"), ("a", "")))
+    // driver reference: whitespace-split words → per-word symbol loop
+    def driverEncode(t: String): String =
+      t.split("\\s+").filter(_.nonEmpty)
+        .map(w => Bpe.encodeWord(m, w).mkString(" ")).mkString(" ")
+    val rows = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Bpe.encodeText(m, lower(col("text"))).as("chain"),
+        Bpe.encodeTextNative(m, lower(col("text"))).as("native"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    for (((id, chain, native), (_, raw)) <- rows.zip(texts.sortBy(_._1))) {
+      assert(chain === native, s"doc $id: chain vs native")
+      assert(chain === driverEncode(raw.toLowerCase), s"doc $id: driver")
+    }
+    // and the merge across the terminator fires identically everywhere:
+    // "ab" → [a, b</w>] once ("a","") merges
+    assert(rows(0)._2 === "a b</w>")
+  }
+
   test("pairCounts equals brute adjacent-pair counting") {
     val df = Seq((1L, "low low newest"), (2L, "widest newest"))
       .toDF("id", "text")

@@ -129,7 +129,8 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, "\tCafé  ​RÉSUMÉ\r\nnaïve"),
       (2L, "plain  text"),
       (3L, "ÀÉÎ çñÿ­ end"),
-      (4L, " \t\r\n​ ")).toDF("id", "text")
+      (4L, " \t\r\n​ "),
+      (5L, "Ÿ ÿ")).toDF("id", "text")
     val got = df.select(col("id"),
         TextAnalysis.normalizeText(col("text")).as("n"))
       .as[(Long, String)].collect().toMap
@@ -138,6 +139,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     // soft hyphen (Cf) becomes a space BEFORE collapse → word split holds
     assert(got(3L) === "aei cny end")
     assert(got(4L) === "") // all-control doc trims to empty
+    // case symmetry: Ÿ (U+0178) folds like ÿ — translate runs BEFORE
+    // lower(), so a missing uppercase entry would leave "Ÿ" → "ÿ" while
+    // "ÿ" → "y", splitting case variants of the same word (round-8 ADVICE)
+    assert(got(5L) === "y y")
     // the two map halves stay aligned (drift here silently mis-folds)
     assert(TextAnalysis.AccentFrom.length === TextAnalysis.AccentTo.length)
   }
