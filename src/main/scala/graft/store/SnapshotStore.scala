@@ -91,8 +91,17 @@ object SnapshotStore {
 }
 
 final class SnapshotStore(spark: SparkSession, val root: String,
-    val broadcastDeleteMaxRows: Long = 4L * 1024 * 1024) {
+    val broadcastDeleteMaxRows: Long = 4L * 1024 * 1024,
+    commitGuard: CommitGuard = null) {
   import SnapshotStore._
+
+  /** The manifest-publication CAS in force: the explicit constructor
+    * argument, else picked by FS scheme ([[CommitGuard.forScheme]] —
+    * rename-CAS on local/HDFS, conditional-create on object stores).
+    */
+  lazy val guard: CommitGuard = Option(commitGuard).getOrElse(
+    CommitGuard.forScheme(
+      fs.makeQualified(new Path(root)).toUri.getScheme))
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -187,13 +196,15 @@ final class SnapshotStore(spark: SparkSession, val root: String,
 
   /** Publish a version. Optimistic concurrency (the shape of vecgo's CAS
     * commit stores, `blobstore/s3/ddb_commit_store.go` /
-    * `express_store.go`): `MANIFEST-<v>.json` is created by a rename
-    * WITHOUT overwrite, so of two writers that derived version v from the
-    * same parent exactly one rename lands — the loser gets a loud
-    * [[java.util.ConcurrentModificationException]] (its data dirs are
-    * uniquely named and unreferenced; [[cleanOrphans]] reclaims them)
-    * instead of silently last-writer-winning the CURRENT pointer. Safe
-    * retry: re-read the head and re-apply the mutation.
+    * `express_store.go`): `MANIFEST-<v>.json` is materialized through the
+    * pluggable [[guard]] CAS — atomic no-overwrite rename on
+    * local/HDFS, conditional exclusive create on object stores (see
+    * [[CommitGuard]]) — so of two writers that derived version v from
+    * the same parent exactly one publication lands; the loser gets a
+    * loud [[java.util.ConcurrentModificationException]] (its data dirs
+    * are uniquely named and unreferenced; [[cleanOrphans]] reclaims
+    * them) instead of silently last-writer-winning the CURRENT pointer.
+    * Safe retry: re-read the head and re-apply the mutation.
     */
   private[store] def commit(m: Manifest): Unit = {
     val f = fs
@@ -206,26 +217,23 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       // a PARSABLE manifest at this version is a completed commit → we
       // lost the race. An unparsable one is a torn leftover of a crashed
       // commit (the case torn-head recovery re-commits over) — clear it
-      // and contend for the rename like any other writer.
+      // and contend for the publication like any other writer.
       if (manifest(m.version).isDefined) lost()
       f.delete(mp, false)
     }
-    // torn-write safety: the manifest body goes to a temp file first and is
-    // renamed into place, like CURRENT — a crash mid-write can no longer
-    // leave a half-written MANIFEST-*.json where recovery would find it
-    val mtmp = new Path(root, s".MANIFEST.tmp-${m.version}-${uniqueToken()}")
-    val out = f.create(mtmp, true)
-    try out.write(Serialization.write(stamped).getBytes("UTF-8")) finally out.close()
-    try atomicRename(mtmp, mp, overwrite = false)
+    try guard.publishExclusive(f, spark.sparkContext.hadoopConfiguration,
+      new Path(root), mp, Serialization.write(stamped).getBytes("UTF-8"))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        f.delete(mtmp, false); lost()
+           _: java.nio.file.FileAlreadyExistsException => lost()
     }
     // atomic pointer swap: rename OVER the existing CURRENT (vecgo
     // `manifest.go:194` renames without a prior delete — a delete-then-
     // rename leaves a window where a concurrent reader sees no store)
-    val tmp = new Path(root, s".CURRENT.tmp-${m.version}")
+    // per-attempt unique tmp: two writers that both (illegitimately, on a
+    // guard-less object store) survive the manifest step must not clobber
+    // each other's staged pointer file
+    val tmp = new Path(root, s".CURRENT.tmp-${m.version}-${uniqueToken()}")
     val t = f.create(tmp, true)
     try t.write(mp.getName.getBytes("UTF-8")) finally t.close()
     atomicRename(tmp, currentPath)
