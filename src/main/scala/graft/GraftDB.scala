@@ -281,7 +281,8 @@ final class GraftDB private (val spark: SparkSession, val root: String,
       policy: Option[graft.store.CompactionPolicy] = None,
       collectStats: Boolean = true,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      extendIndexTail: Int = 0)
+      extendIndexTail: Int = 0,
+      indexPolicy: Option[graft.index.IndexPolicy] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     requireWritable()
     val w0 = stream.writeStream
@@ -291,16 +292,24 @@ final class GraftDB private (val spark: SparkSession, val root: String,
         insertBatch(batch, collectStats)
         policy.foreach(p => store.maybeCompact(p))
         // index freshness: once the unindexed tail reaches
-        // `extendIndexTail` segments, fold it into the probed layout
-        // under the frozen sidecar model (extendIndex — one pass over
-        // the new rows, no k-means re-training), so streaming ingest
-        // keeps the store fully probed without a rebuild. No-op until a
-        // first buildIndex exists.
+        // `extendIndexTail` segments, fold it into the probed layout —
+        // under the frozen sidecar model by default (extendIndex — one
+        // pass over the new rows, no k-means re-training), or through
+        // an [[graft.index.IndexPolicy]] that measures the tail's drift
+        // first and escalates the fold to a full retrain when the
+        // ingest distribution has shifted (the streaming twin of
+        // [[maintainIndex]] — vecgo's compactor retrains on every
+        // merge, `internal/engine/compaction.go:136-151`; here the
+        // retrain fires only on evidence). No-op until a first
+        // buildIndex exists.
         if (extendIndexTail > 0) {
           val m = store.manifest()
           if (m.exists(_.segments.exists(_.index.isDefined)) &&
               m.exists(_.segments.count(_.index.isEmpty) >= extendIndexTail))
-            store.extendIndexed()
+            indexPolicy match {
+              case Some(pol) => maintainIndex(pol)
+              case None => store.extendIndexed()
+            }
         }
         ()
       }
@@ -439,6 +448,52 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     val (v, ms) = timedOp(store.extendIndexed())
     v.foreach(ver => notifyObs(_.onMaintenance("extendIndex", ms, ver)))
     v
+  }
+
+  /** Measured drift of the unindexed tail against the frozen index model
+    * (one pass over the tail only): the out-of-train-radius fraction the
+    * [[graft.index.IndexPolicy]] decides on. None when there is no tail.
+    */
+  def indexDrift(): Option[graft.index.IndexPolicy.Drift] = store.tailDrift()
+
+  /** Policy-driven incremental index maintenance (the index analog of
+    * [[compactWith]], closing the reference's retrain-on-compaction
+    * property — vecgo re-runs k-means on every compaction merge,
+    * `internal/engine/compaction.go:136-151`): measure the tail's drift,
+    * then either FOLD it under the frozen model ([[extendIndex]] — the
+    * cheap, common case) or RETRAIN the whole index ([[buildIndex]] at
+    * the index's existing shape: same kind/levels/pqM, and same nlist
+    * unless `retrainNlist` overrides — pass 0 to re-derive from the
+    * grown corpus). Returns the action taken and the committed version;
+    * None when every segment is already indexed.
+    */
+  def maintainIndex(
+      policy: graft.index.IndexPolicy = graft.index.IndexPolicy.driftThreshold(),
+      retrainNlist: Int = -1): Option[(graft.index.IndexPolicy.Action, Long)] = {
+    import graft.index.IndexPolicy
+    requireWritable()
+    store.tailDrift() match {
+      case None =>
+        // no live tail — but a fully-deleted tail still needs dropping
+        extendIndex().map(v => (IndexPolicy.Fold, v))
+      case Some(d) => policy.decide(d) match {
+        case IndexPolicy.Fold =>
+          extendIndex().map(v => (IndexPolicy.Fold, v))
+        case IndexPolicy.Retrain =>
+          val meta = store.indexMeta().get
+          val kind = meta.kind match {
+            case "ivf_pq" => "pq"
+            case "ivf_opq" => "opq"
+            case "ivf_rabitq" => "rabitq"
+            case _ => if (meta.levels == 15) "int4" else "sq8"
+          }
+          val n = if (retrainNlist >= 0) retrainNlist else meta.nlist
+          val v = buildIndex(nlist = n, levels = meta.levels, kind = kind,
+            pqM = meta.pqM)
+          notifyObs(_.onMaintenance("maintainIndexRetrain", 0L, v))
+          Some((IndexPolicy.Retrain, v))
+      }
+    }
   }
 
   /** Policy-driven partial compaction (vecgo W9). */

@@ -65,7 +65,15 @@ object SegmentIndex {
       // kind = ivf_rabitq: the rotation is DATA-INDEPENDENT (seeded
       // Gram-Schmidt on a Gaussian draw), so the sidecar stores only the
       // seed and rebuilds the model at load — 1 bit/dim codes
-      rabitqSeed: Long = 0L)
+      rabitqSeed: Long = 0L,
+      // per-list q95 member distance at TRAIN time — the drift baseline.
+      // Unlike listRadii (which each extend refreshes for ITS segment),
+      // this is frozen when the model is trained and copied unchanged
+      // through extends, so `tailDrift` always compares new rows against
+      // the distribution the centroids were actually fit to. Empty on
+      // pre-upgrade sidecars (drift then falls back to listRadii with a
+      // 0.0 baseline).
+      trainRadiiQ: List[Double] = Nil)
 
   def ivfModel(meta: Meta): IVF.Model =
     IVF.Model(meta.centroids.map(_.toArray).toArray)
@@ -154,12 +162,13 @@ object SegmentIndex {
       .option(s"parquet.enable.dictionary#$vecCol", "false")
       .partitionBy(PartCol)
       .parquet(dir)
-    val radii = radiiOf(live, dir, vecCol, ivf)
+    val (radii, radiiQ) = radiiOf(live, dir, vecCol, ivf)
     Meta(kind, ivf.k, levels,
       ivf.centroids.map(_.toList).toList,
       sq8.map(_.mins.toList).getOrElse(Nil),
       sq8.map(_.maxs.toList).getOrElse(Nil),
       vecCol, radii,
+      trainRadiiQ = radiiQ,
       pqM = pq.orElse(opq.map(_.pq)).map(_.m).getOrElse(0),
       pqKsub = pq.orElse(opq.map(_.pq)).map(_.ksub).getOrElse(0),
       pqCodebooks = pq.orElse(opq.map(_.pq))
@@ -174,18 +183,21 @@ object SegmentIndex {
     * layout reads back as binary; `vec_l2` scores blobs in place.
     */
   private def radiiOf(live: DataFrame, dir: String, vecCol: String,
-      ivf: IVF.Model): List[Double] = {
+      ivf: IVF.Model): (List[Double], List[Double]) = {
+    import org.apache.spark.sql.functions.{element_at, lit, max,
+      percentile_approx, typedlit}
     val back = live.sparkSession.read.parquet(dir)
-    val centroidLit = org.apache.spark.sql.functions.typedlit(
-      ivf.centroids.map(_.toSeq).toSeq)
+    val centroidLit = typedlit(ivf.centroids.map(_.toSeq).toSeq)
     val radiusRows = back
       .select(col(PartCol).cast("int").as("p"),
         graft.functions.vec_l2(col(vecCol),
-          org.apache.spark.sql.functions.element_at(
-            centroidLit, col(PartCol).cast("int") + 1)).as("r"))
-      .groupBy("p").agg(org.apache.spark.sql.functions.max("r").as("rmax"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    List.tabulate(ivf.k)(i => radiusRows.getOrElse(i, 0.0))
+          element_at(centroidLit, col(PartCol).cast("int") + 1)).as("r"))
+      .groupBy("p").agg(max("r").as("rmax"),
+        percentile_approx(col("r"), lit(0.95), lit(1000)).as("rq"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    (List.tabulate(ivf.k)(i => radiusRows.get(i).map(_._1).getOrElse(0.0)),
+      List.tabulate(ivf.k)(i => radiusRows.get(i).map(_._2).getOrElse(0.0)))
   }
 
   /** Extend an EXISTING trained index over NEW rows: encode + assign with
@@ -224,7 +236,10 @@ object SegmentIndex {
       .option(s"parquet.enable.dictionary#$vecCol", "false")
       .partitionBy(PartCol)
       .parquet(dir)
-    meta.copy(listRadii = radiiOf(live, dir, vecCol, ivf))
+    // listRadii refresh for THIS segment; trainRadiiQ (the drift
+    // baseline) carries through unchanged — it describes the training
+    // distribution, not this delta
+    meta.copy(listRadii = radiiOf(live, dir, vecCol, ivf)._1)
   }
 
   private implicit val fmts: Formats = DefaultFormats

@@ -674,6 +674,61 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     * existing delete list — the same LSN rule as [[compactSegments]]).
     * Returns None when there is no tail to fold.
     */
+  /** The live index model: the sidecar of the NEWEST indexed segment
+    * (all segments of one index share centroids/bounds/codebooks — the
+    * fold path copies them frozen). None when nothing is indexed.
+    */
+  def indexMeta(): Option[graft.index.SegmentIndex.Meta] =
+    headManifest.flatMap(_.segments.filter(_.index.isDefined)
+      .sortBy(_.seq).lastOption
+      .map(s => graft.index.SegmentIndex.load(s.index.get.metaPath,
+        spark.sparkContext.hadoopConfiguration)))
+
+  /** Drift evidence of the unindexed tail vs the frozen index model —
+    * ONE pass over the tail's live rows (nearest-centroid assign +
+    * distance against the train-time per-list q95 radius), nothing
+    * touched on the indexed segments. None when there is no tail; fails
+    * loudly (like [[extendIndexed]]) when there is no index at all.
+    * Input to [[graft.index.IndexPolicy]]'s fold-vs-retrain decision.
+    */
+  def tailDrift(): Option[graft.index.IndexPolicy.Drift] = {
+    import graft.index.{IndexPolicy, IVF, SegmentIndex}
+    val m = headManifest.getOrElse(
+      throw new IllegalStateException("tailDrift on empty store"))
+    val idxSegs = m.segments.filter(_.index.isDefined)
+    require(idxSegs.nonEmpty,
+      "tailDrift needs an existing index — buildIndex first")
+    val tail = m.segments.filter(_.index.isEmpty)
+    if (tail.isEmpty) return None
+    val meta = indexMeta().get
+    val ivf = SegmentIndex.ivfModel(meta)
+    // pre-upgrade sidecars carry only max radii: fall back with a 0.0
+    // baseline (nothing exceeded the max at train time by construction)
+    val (radii, baseline) =
+      if (meta.trainRadiiQ.nonEmpty) (meta.trainRadiiQ, 0.05) else (meta.listRadii, 0.0)
+    val live = applyDeletes(unionSegs(tail.map(segFrame)), m).drop("_seq")
+    val vecCol = meta.vecCol
+    val isPacked = live.schema(vecCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val vecF =
+      if (isPacked) graft.functions.vec_unpack_f32(col(vecCol)) else col(vecCol)
+    val centroidLit = typedlit(ivf.centroids.map(_.toSeq).toSeq)
+    val radiiLit = typedlit(radii)
+    val part = ivf.assignCol(vecF)
+    val row = live.select(
+        graft.functions.vec_l2(vecF,
+          element_at(centroidLit, part + 1)).as("d"),
+        element_at(radiiLit, part + 1).as("r"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("d") > col("r"), 1)).as("out"))
+      .collect()(0)
+    val n = row.getLong(0)
+    if (n == 0) return None // fully-deleted tail: extendIndexed drops it
+    val indexedRows = idxSegs.map(_.rows).sum
+    Some(IndexPolicy.Drift(row.getLong(1).toDouble / n, baseline, n,
+      indexedRows))
+  }
+
   def extendIndexed(): Option[Long] = {
     import graft.index.SegmentIndex
     val m = headManifest.getOrElse(

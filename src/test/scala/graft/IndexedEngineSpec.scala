@@ -510,6 +510,79 @@ class IndexedEngineSpec extends AnyFunSuite {
     assert(hits >= 38, s"recall gate: $hits/40")
   }
 
+  test("maintainIndex: drifted appends sink fold-only recall below the " +
+      "gate; the drift policy retrains and recall recovers") {
+    import graft.index.IndexPolicy
+    val db = freshDb()
+    val rows = clustered(600)
+    db.insertBatch(rows.toDF("id", "vector", "label", "body"))
+    db.buildIndex(nlist = NClusters)
+
+    // 1. same-distribution append: drift reads ~the train baseline and
+    //    the policy keeps the cheap frozen-model fold
+    val more = clustered(650).drop(600)
+    db.insertBatch(more.toDF("id", "vector", "label", "body"))
+    val d1 = db.indexDrift().get
+    assert(d1.outFrac <= 0.2, s"in-distribution tail read drift $d1")
+    assert(d1.tailRows == 50)
+    val (a1, _) = db.maintainIndex().get
+    assert(a1 == IndexPolicy.Fold)
+    assert(db.indexDrift().isEmpty, "fold left a tail")
+
+    // 2. drifted append: a tight cluster ON the c0/c1 Voronoi boundary —
+    //    the frozen model splits it ~50/50 between the two lists, the
+    //    worst case for probe recall
+    val rng = new scala.util.Random(11)
+    val mid = Array.tabulate(Dim)(d => if (d % NClusters <= 1) 5f else 0f)
+    def driftBatch(base: Long, n: Int) = (0 until n).map { i =>
+      (base + i, mid.map(x => x + (rng.nextFloat() - 0.5f)), 9,
+        s"drift ${base + i}")
+    }
+    db.insertBatch(driftBatch(10000L, 300).toDF("id", "vector", "label", "body"))
+    val d2 = db.indexDrift().get
+    assert(d2.outFrac > 0.9, s"drifted tail read only $d2")
+
+    // 3. fold it anyway (the pre-policy behavior) and measure: recall on
+    //    drifted queries at nprobe=1 is BROKEN — the true neighbors sit
+    //    in two lists, only one gets probed
+    assert(db.extendIndex().isDefined)
+    val dq = driftBatch(90000L, 20).map(_._2) // fresh draws, same cluster
+    def recallAt1(): Double = {
+      val hits = dq.map { q =>
+        val got = db.search(q, 10, nprobe = 1, refineFactor = 60)
+          .select("id").as[Long].collect().toSet
+        got.intersect(brute(db, q, 10).toSet).size / 10.0
+      }
+      hits.sum / hits.size
+    }
+    val degraded = recallAt1()
+    assert(degraded < 0.9, f"fold-only recall $degraded%.2f should be broken")
+
+    // 4. more drifted rows arrive; the policy sees the drift and fires a
+    //    full retrain at the same index shape — recall recovers
+    db.insertBatch(driftBatch(20000L, 300).toDF("id", "vector", "label", "body"))
+    val (a2, _) = db.maintainIndex().get
+    assert(a2 == IndexPolicy.Retrain, "drift policy must escalate to retrain")
+    assert(db.segmentInfo().forall(_("index_kind") != "none"))
+    val recovered = recallAt1()
+    assert(recovered >= 0.95,
+      f"post-retrain recall $recovered%.2f (was $degraded%.2f)")
+
+    // 5. retrain preserved correctness: all-probe + wide refine is exact
+    val q = rows(42)._2
+    val got = db.search(q, 10, nprobe = NClusters, refineFactor = 60)
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute(db, q, 10))
+    // and the policy knobs behave: foldOnly never retrains; a tiny-tail
+    // guard folds even drifted rows
+    db.insertBatch(driftBatch(30000L, 5)
+      .map { case (i, v, l, b) => (i, v.map(_ + 20f), l, b) }
+      .toDF("id", "vector", "label", "body"))
+    val (a3, _) =
+      db.maintainIndex(IndexPolicy.driftThreshold(minTailRows = 10)).get
+    assert(a3 == IndexPolicy.Fold, "tiny tails always fold")
+  }
+
   test("extendIndex: refuses unindexed stores; delete-to-empty tail just drops") {
     val db = freshDb()
     db.insertBatch(clustered(50).toDF("id", "vector", "label", "body"))
