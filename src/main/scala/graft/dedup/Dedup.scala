@@ -697,12 +697,37 @@ object Dedup {
     * keep) — component = min id of the duplicate group (own id when
     * unduplicated), centroid_cos rounded to 6 decimals, keep = survives
     * the dedup.
+    *
+    * Skew guard (round-8 verdict, ask 7): the operator TRUSTS the
+    * caller's clustering — one huge cluster makes the pairwise pass
+    * silently quadratic. `maxPairsPerCluster` bounds what a single
+    * cluster may cost: one cheap cluster-keyed count runs first, and a
+    * cluster whose n·(n−1)/2 exceeds the budget fails LOUDLY (never a
+    * silent cap — re-cluster finer, or raise/disable the budget with
+    * `maxPairsPerCluster <= 0` when the quadratic cost is intended).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      clusterCol: String, eps: Double, dim: Int): DataFrame = {
+      clusterCol: String, eps: Double, dim: Int,
+      maxPairsPerCluster: Long = 1L << 31): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("id"), col(clusterCol).as("cluster"),
       col(vecCol).as("v"))
+    if (maxPairsPerCluster > 0) {
+      // one partial-aggregated count shuffle — negligible next to the
+      // pairwise join it guards, and it fails BEFORE that join executes
+      val worst = base.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc).limit(1).collect().headOption
+      worst.foreach { r =>
+        val n = r.getLong(1)
+        val pairs = n * (n - 1) / 2
+        require(pairs <= maxPairsPerCluster,
+          s"semanticDedup: cluster '${r.get(0)}' has $n members = " +
+            s"$pairs candidate pairs > budget $maxPairsPerCluster — " +
+            "re-cluster finer (more clusters), or raise/disable the " +
+            "budget (maxPairsPerCluster <= 0) if the quadratic cost is " +
+            "intended")
+      }
+    }
     val edges = base.select(col("cluster"), col("id").as("u"), col("v").as("va"))
       .join(base.select(col("cluster"), col("id").as("w"), col("v").as("vb")),
         Seq("cluster"))

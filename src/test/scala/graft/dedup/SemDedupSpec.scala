@@ -79,4 +79,22 @@ class SemDedupSpec extends AnyFunSuite {
       assert(rows.values.count(_._2) == 1, s"component $c keeper count != 1")
     }
   }
+
+  test("skew guard: an over-budget cluster fails loudly, never silently " +
+      "quadratic; disabling the budget lets it through") {
+    val df = data.toDF("id", "cluster", "v")
+    // cluster 0 has 6 members = 15 pairs: a budget of 14 must trip on it
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(df, "id", "v", "cluster", eps, dim,
+        maxPairsPerCluster = 14L)
+    }
+    assert(e.getMessage.contains("15 candidate pairs"), e.getMessage)
+    assert(e.getMessage.contains("re-cluster finer"), e.getMessage)
+    // budget exactly at the worst cluster passes, as does a disabled guard
+    val atBudget = Dedup.semanticDedup(df, "id", "v", "cluster", eps, dim,
+      maxPairsPerCluster = 15L).count()
+    val disabled = Dedup.semanticDedup(df, "id", "v", "cluster", eps, dim,
+      maxPairsPerCluster = 0L).count()
+    assert(atBudget == data.size && disabled == data.size)
+  }
 }
