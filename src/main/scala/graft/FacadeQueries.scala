@@ -504,6 +504,58 @@ object FacadeQueries {
       .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
   }
 
+  /** k-NN after a DRIFT-TRIGGERED retrain ([[GraftDB.maintainIndex]]):
+    * the store indexes its first half, then appends a tail whose
+    * distribution has shifted — the same embeddings scaled ×4, an exact
+    * float op both engines reproduce bit-identically — so every tail row
+    * lands outside its nearest frozen centroid's train-time q95 radius.
+    * `indexDrift()` must read that (outFrac ≈ 1), and the default
+    * [[graft.index.IndexPolicy.driftThreshold]] must escalate the fold
+    * to a full re-train at the index's existing shape (the reference
+    * re-runs k-means on every compaction merge —
+    * `internal/engine/compaction.go:136-151`; here the retrain fires
+    * only on measured drift). After the retrain every segment is indexed
+    * (gated) and an all-lists probe with a corpus-fraction refine pool
+    * is exact over the mixed corpus, so the row hash-checks the whole
+    * drift-measure → policy → retrain → search path against a
+    * brute-force oracle that rebuilds the same mixed corpus in SQL.
+    */
+  def knnAfterDrift(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_facade_drift"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val emb = Tables.load(s, dir, "embeddings")
+    val docs = Tables.load(s, dir, "documents")
+    val records = emb.join(docs, emb("vec_id") === docs("doc_id"))
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label"), col("text"))
+    val db = GraftDB.open(s, root, dim = 64, metric = "l2",
+      schema = Map("label" -> "int"), textCol = Some("text"))
+    db.insertBatch(records.where(col("id") < 250))
+    db.buildIndex(nlist = 8)
+    // drifted tail: ×4-scaled copies of the back half under fresh ids
+    // (×2² is exact in float32; unit-norm inputs stay far from overflow)
+    db.insertBatch(records.where(col("id") >= 250)
+      .select((col("id") + 10000L).as("id"),
+        transform(col("vector"), x => x * lit(4.0f)).as("vector"),
+        col("label"), col("text")))
+    val d = db.indexDrift().getOrElse(
+      throw new IllegalStateException("no tail after drifted append"))
+    require(d.outFrac > 0.5, s"drifted tail read only $d")
+    val (action, _) = db.maintainIndex().get
+    require(action == graft.index.IndexPolicy.Retrain,
+      s"drift policy chose $action, expected Retrain")
+    require(db.indexDrift().isEmpty, "retrain left an unindexed tail")
+    require(db.segmentInfo().forall(_("index_kind") != "none"),
+      "retrain left an unindexed segment")
+    val rows = db.stats()("segment_rows").asInstanceOf[Long]
+    val refine = math.max(10, math.ceil(rows * 0.25 / 10).toInt)
+    db.search(qvec(s, dir, 17).map(_ * 4f), 10, nprobe = 8,
+        refineFactor = refine)
+      .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
+  }
+
   /** OPQ-coded serving-replica k-NN (format v7): the PQ mirror over
     * ROTATED rows — the learned orthonormal rotation decorrelates the
     * subspaces before coding (lower reconstruction error than plain PQ at
@@ -570,6 +622,41 @@ object FacadeQueries {
     val set = graft.serve.ReplicaSet.fromStore(db, shards = 4, nlist = 4)
     require(set.numShards >= 2, "expected a multi-shard set")
     val res = set.search(qvec(s, dir, 21), 10, nprobe = 4)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("vec_id", "s")
+      .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
+  }
+
+  /** RESHARDED serving set ([[graft.serve.ReplicaSet.reshard]]): a
+    * 4-shard export is mutated (a delete + an append that must survive
+    * the row movement), SPLIT to 6 shards and then MERGED to 2 — pure
+    * in-process row movement by the new hash-cell layout, no Spark
+    * re-export — and the 2-shard set is saved, reloaded, and searched.
+    * All-probe over every shard is exact, so the row hash-checks the
+    * whole extract → re-route → rebuild → save/load path against the
+    * same brute-force oracle a single global replica answers (the
+    * append sits above id 100000, outside the oracle's top-k horizon;
+    * the delete is reflected in the oracle's WHERE).
+    */
+  def localResharded(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_resharded")
+    val set0 = graft.serve.ReplicaSet.fromStore(db, shards = 4, nlist = 4)
+    require(set0.numShards >= 2, "expected a multi-shard set")
+    set0.delete(Array(23L, 46L))
+    set0.append(Array(100001L), Array(Array.fill(64)(100f)))
+    val split = set0.reshard(6, nlist = 2)
+    require(split.numShards >= 2, "split did not fan the rows out")
+    val merged = split.reshard(2, nlist = 2)
+    require(merged.shards.map(_.liveSize).sum ==
+      set0.shards.map(_.liveSize).sum, "reshard lost rows")
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_facade_reshard_set"
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    merged.save(outDir, s.sparkContext.hadoopConfiguration)
+    val loaded = graft.serve.ReplicaSet.load(outDir,
+      s.sparkContext.hadoopConfiguration)
+    val res = loaded.search(qvec(s, dir, 29), 10, nprobe = 2)
     import s.implicits._
     res.map(c => (c.id, c.score)).toDF("vec_id", "s")
       .select(col("vec_id"), round(sqrt(col("s")), 6).as("score"))
@@ -891,6 +978,7 @@ object FacadeQueries {
     "graftdb_knn_join" -> (knnJoinQ _),
     "graftdb_knn_indexed" -> (knnIndexed _),
     "graftdb_knn_after_extend" -> (knnAfterExtend _),
+    "graftdb_knn_after_drift" -> (knnAfterDrift _),
     "graftdb_knn_pq_indexed" -> (knnPqIndexed _),
     "graftdb_knn_opq_indexed" -> (knnOpqIndexed _),
     "graftdb_knn_rabitq_indexed" -> (knnRabitqIndexed _),
@@ -912,6 +1000,7 @@ object FacadeQueries {
     "graftdb_local_knn_opq" -> (localKnnOpq _),
     "graftdb_local_knn_int4" -> (localKnnInt4 _),
     "graftdb_local_sharded" -> (localSharded _),
+    "graftdb_local_resharded" -> (localResharded _),
     "graftdb_local_sharded_hybrid" -> (localShardedHybrid _),
     "graftdb_local_hybrid" -> (localHybrid _),
     "graftdb_local_hybrid_filtered" -> (localHybridFiltered _),
@@ -940,11 +1029,36 @@ object FacadeQueries {
         |      WHERE e.vec_id NOT IN (260, 270))
         |SELECT vec_id, round(score, 6) AS score
         |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // mixed corpus after the drift retrain: original front half plus the
+    // ×4-scaled back half under remapped ids; drifted query (17, ×4)
+    "graftdb_knn_after_drift" ->
+      """WITH q AS (SELECT list_transform(embedding::DOUBLE[], x -> x * 4) AS qv
+        |           FROM embeddings WHERE vec_id = 17),
+        |base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |         FROM embeddings WHERE vec_id < 250
+        |         UNION ALL
+        |         SELECT vec_id + 10000,
+        |                list_transform(embedding::DOUBLE[], x -> x * 4)
+        |         FROM embeddings WHERE vec_id >= 250),
+        |s AS (SELECT b.vec_id, list_distance(b.v, q.qv) AS score
+        |      FROM base b, q)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_knn_pq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_knn_opq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_knn_rabitq_indexed" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn" -> Queries.oracle("knn_l2"),
     "graftdb_local_knn_rabitq" -> Queries.oracle("knn_l2"),
+    // resharded set: full corpus minus the two pre-reshard deletes (the
+    // far-away append can never enter a top-10)
+    "graftdb_local_resharded" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 29),
+        |s AS (SELECT e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS score
+        |      FROM embeddings e, q
+        |      WHERE e.vec_id NOT IN (23, 46))
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "graftdb_local_sharded" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 21),
         |s AS (SELECT e.vec_id,

@@ -525,6 +525,39 @@ final class LocalReplica private (
     out
   }
 
+  /** Dense (ids, row-major vectors) of every LIVE row — main minus
+    * tombstones plus the delta block (delta rows are always live:
+    * deletes remove them eagerly). The extraction half of [[compacted]],
+    * exposed for [[ReplicaSet.reshard]]'s row movement; the returned
+    * arrays are fresh copies, never views into the replica.
+    */
+  private[serve] def liveRows(): (Array[Long], Array[Float]) = {
+    val m0 = mut
+    val tomb = mutTomb(m0)
+    val d = mutDelta(m0)
+    var nLive = 0
+    var r = 0
+    while (r < size) { if (live(tomb, r)) nLive += 1; r += 1 }
+    val n = nLive + (if (d == null) 0 else d.size)
+    val outIds = new Array[Long](n)
+    val outFlat = new Array[Float](n * dim)
+    var w = 0
+    r = 0
+    while (r < size) {
+      if (live(tomb, r)) {
+        outIds(w) = ids(r)
+        System.arraycopy(flat, r * dim, outFlat, w * dim, dim)
+        w += 1
+      }
+      r += 1
+    }
+    if (d != null) {
+      System.arraycopy(d.ids, 0, outIds, w, d.size)
+      System.arraycopy(d.flat, 0, outFlat, w * dim, d.size * dim)
+    }
+    (outIds, outFlat)
+  }
+
   /** Row norms for the fast cosine path (exact cosine recomputes both
     * norms in-loop to stay bit-identical with `DistanceKernels.cosineQ`).
     */
@@ -2974,6 +3007,110 @@ object LocalReplica {
         codes, codeMins, codeSteps, minNorm, meta, pqData, lexData, rbqData,
         i4Data)
     } finally in.close()
+  }
+
+  /** Build a plain replica from raw JVM arrays — the no-Spark rebuild
+    * [[ReplicaSet.reshard]] moves rows through. `nlist > 1` clusters
+    * with a deterministic in-process Lloyd k-means (evenly-spaced init
+    * over a bounded sample, 10 iterations) so the resharded shard keeps
+    * probed serving; correctness never depends on cluster quality (the
+    * probed pass is recall-gated, all-probe is exact). Coded mirrors,
+    * metadata columns, and lexical postings are NOT carried — same
+    * contract as [[LocalReplica.compacted]]: re-export from the store
+    * for a coded/predicate/hybrid-serving artifact.
+    */
+  private[serve] def fromArrays(metric: Metric, dim: Int,
+      ids: Array[Long], flat: Array[Float], nlist: Int,
+      seed: Long = 42L): LocalReplica = {
+    val n = ids.length
+    require(n > 0, "fromArrays: no rows")
+    require(flat.length == n * dim,
+      s"fromArrays: flat has ${flat.length} floats, expected ${n * dim}")
+    if (nlist <= 1 || n <= nlist)
+      return new LocalReplica(metric, dim, ids, flat, Array.empty,
+        Array(0, n), null, null, null, 0.0, Array.empty, null)
+    val k = nlist
+    // train on an evenly-spaced sample (the same bounded-sample idea as
+    // the Spark-side k-means; deterministic — no RNG, so a reshard is
+    // reproducible bit-for-bit)
+    val sampleN = math.min(n, 20000)
+    val sampleAt = Array.tabulate(sampleN)(i =>
+      ((i.toLong * n) / sampleN).toInt)
+    val centers = Array.tabulate(k) { c =>
+      val row = sampleAt((c.toLong * sampleN / k).toInt)
+      java.util.Arrays.copyOfRange(flat, row * dim, row * dim + dim)
+    }
+    @inline def nearest(base: Int): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val ctr = centers(c)
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          val d = flat(base + i).toDouble - ctr(i)
+          s += d * d
+          i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    var iter = 0
+    while (iter < 10) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      var s = 0
+      while (s < sampleN) {
+        val base = sampleAt(s) * dim
+        val c = nearest(base)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += flat(base + i); i += 1 }
+        s += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) {
+            centers(c)(i) = (sums(c)(i) / counts(c)).toFloat
+            i += 1
+          }
+        } // empty list keeps its old center (same rule as MLlib)
+        c += 1
+      }
+      iter += 1
+    }
+    // final assignment of EVERY row + CSR layout
+    val assign = new Array[Int](n)
+    val listCount = new Array[Int](k)
+    var r = 0
+    while (r < n) {
+      val c = nearest(r * dim)
+      assign(r) = c
+      listCount(c) += 1
+      r += 1
+    }
+    val listStart = new Array[Int](k + 1)
+    var c = 0
+    while (c < k) { listStart(c + 1) = listStart(c) + listCount(c); c += 1 }
+    val outIds = new Array[Long](n)
+    val outFlat = new Array[Float](n * dim)
+    val w = new Array[Int](k)
+    r = 0
+    while (r < n) {
+      val dst = listStart(assign(r)) + w(assign(r))
+      outIds(dst) = ids(r)
+      System.arraycopy(flat, r * dim, outFlat, dst * dim, dim)
+      w(assign(r)) += 1
+      r += 1
+    }
+    val centroidVecs = centers.map(_.clone())
+    new LocalReplica(metric, dim, outIds, outFlat, centroidVecs, listStart,
+      null, null, null, 0.0, Array.empty, null)
   }
 
   /** Export a replica from any (id, vector) DataFrame. `nlist > 0`

@@ -292,6 +292,74 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
       LocalReplica.RefreshStats(app, del, from, to)
     }
 
+  /** Re-partition the LIVE set (mutations folded) into `newShards`
+    * hash-cell shards — the serving-ops move the CDC refresh started
+    * (round-8 verdict, ask 8): split a hot set finer, or merge an
+    * over-sharded one, without going back to Spark. Every shard's live
+    * rows (main minus tombstones plus delta) are extracted once and
+    * re-routed by `cellOf(id, newShards)`, so the new set answers
+    * IDENTICALLY to the old one (gated in `ReplicaSetSpec`) and appends
+    * keep routing to the shard whose cell claims them.
+    *
+    * `nlist > 0` rebuilds a per-shard IVF layout with a deterministic
+    * in-process k-means ([[LocalReplica.fromArrays]]); `nlist = 0`
+    * serves brute-force exact. Coded mirrors, metadata columns, and
+    * lexical sections are NOT carried (the [[LocalReplica.compacted]]
+    * contract) — re-export from the store for those; [[save]] the
+    * result to move the shard artifacts.
+    *
+    * When every old shard exported the SAME store snapshot (one
+    * [[ReplicaSet.fromStore]] cut), the new shards keep the refresh
+    * baseline with re-partitioned cell filters, so [[refreshFrom]]
+    * keeps working across a reshard.
+    */
+  def reshard(newShards: Int, nlist: Int = 0): ReplicaSet =
+    this.synchronized {
+      require(newShards >= 1, s"newShards must be >= 1, got $newShards")
+      val extracted = shards.map(_.liveRows())
+      // two passes: count per cell, then fill primitive arrays (no boxing)
+      val counts = new Array[Int](newShards)
+      extracted.foreach { case (ids, _) =>
+        var i = 0
+        while (i < ids.length) {
+          counts(ReplicaSet.cellOf(ids(i), newShards)) += 1
+          i += 1
+        }
+      }
+      val pIds = Array.tabulate(newShards)(c => new Array[Long](counts(c)))
+      val pFlat =
+        Array.tabulate(newShards)(c => new Array[Float](counts(c) * dim))
+      val w = new Array[Int](newShards)
+      extracted.foreach { case (ids, flat) =>
+        var i = 0
+        while (i < ids.length) {
+          val c = ReplicaSet.cellOf(ids(i), newShards)
+          pIds(c)(w(c)) = ids(i)
+          System.arraycopy(flat, i * dim, pFlat(c), w(c) * dim, dim)
+          w(c) += 1
+          i += 1
+        }
+      }
+      val present = (0 until newShards).filter(counts(_) > 0)
+      require(present.nonEmpty, "reshard: the set has no live rows")
+      val reps = present.map(c =>
+        LocalReplica.fromArrays(metric, dim, pIds(c), pFlat(c), nlist))
+      val set = new ReplicaSet(reps.toIndexedSeq)
+      set.cellsTotal = newShards
+      set.cellOfShard = present.toIndexedSeq
+      // refresh capability survives when all shards share one origin cut
+      val origins = shards.map(_.origin)
+      if (origins.forall(_ != null) && origins.distinct.size == 1) {
+        reps.indices.foreach { i =>
+          val c = present(i)
+          reps(i).origin = origins.head
+          reps(i).originCellFilter =
+            id => ReplicaSet.cellOf(id, newShards) == c
+        }
+      }
+      set
+    }
+
   /** Persist the set as a directory of per-shard replica artifacts plus
     * a tiny manifest (`set.json`: shard count + hash-cell layout). Same
     * constraints as [[LocalReplica.save]] (fold pending mutations

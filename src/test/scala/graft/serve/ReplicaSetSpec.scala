@@ -260,6 +260,105 @@ class ReplicaSetSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](loaded.refreshFrom(db))
   }
 
+  test("reshard: split and merge answer identically to the old set, " +
+      "mutations folded, routing re-partitioned") {
+    val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      shards = 3, nlist = 4)
+    // mutate before the reshard so the fold is exercised: deletes,
+    // appends, and an upsert all have to survive the row movement
+    val rng = new java.util.Random(23)
+    val victims = (0L until n.toLong).filter(_ % 13 == 5).toArray
+    set.delete(victims)
+    val newIds = Array.tabulate(40)(i => (n + 100 + i).toLong)
+    val newVecs = Array.fill(40)(Array.fill(dim)(rng.nextFloat() * 2f - 1f))
+    set.append(newIds, newVecs)
+    set.upsert(newIds.take(4),
+      Array.fill(4)(Array.fill(dim)(rng.nextFloat())))
+    val expectLive = set.shards.map(_.liveSize).sum
+
+    for (target <- Seq(5, 2, 1)) { // split, merge, collapse
+      val re = set.reshard(target, nlist = if (target == 1) 0 else 4)
+      assert(re.cellsTotal == target)
+      assert(re.shards.map(_.liveSize).sum == expectLive,
+        s"reshard($target) lost rows")
+      // ids landed in the shard their NEW cell claims — no id twice
+      re.shards.indices.foreach { i =>
+        val c = re.cellOfShard(i)
+        newIds.foreach { id =>
+          if (re.shards(i).hasLive(id))
+            assert(ReplicaSet.cellOf(id, target) == c,
+              s"id $id in shard $i but cell says ${ReplicaSet.cellOf(id, target)}")
+        }
+      }
+      for (s <- 0 until 6) {
+        val q = queryVec(s)
+        assert(re.search(q, 15, nprobe = 4) == set.search(q, 15, nprobe = 4),
+          s"reshard($target) diverged on seed $s")
+        // full-coverage probes on BOTH sides: nprobe=0 defaults to
+        // √nlist, and a partially-probed threshold scan depends on the
+        // clustering, which reshard legitimately rebuilds
+        val cut = set.search(q, 20, nprobe = 4).last.score
+        assert(re.searchThreshold(q, cut, nprobe = 4) ==
+          set.searchThreshold(q, cut, nprobe = 4))
+      }
+      // appends route by the NEW layout and the membership check holds
+      val e = intercept[IllegalArgumentException] {
+        re.append(Array(newIds.head), Array(Array.fill(dim)(0.2f)))
+      }
+      assert(e.getMessage.contains("already live"))
+      val fresh = (n + 500).toLong
+      re.append(Array(fresh), Array(Array.fill(dim)(0.3f)))
+      assert(re.shards.count(_.hasLive(fresh)) == 1)
+      // deleted rows stayed dead
+      assert(re.get(victims.head).isEmpty)
+    }
+    // save/load round-trip of a resharded set keeps routing + answers
+    val re5 = set.reshard(5, nlist = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_reshard").toString
+    re5.save(s"$dir/set")
+    val loaded = ReplicaSet.load(s"$dir/set")
+    val q = queryVec(11)
+    assert(loaded.search(q, 10, nprobe = 2) == re5.search(q, 10, nprobe = 2))
+  }
+
+  test("reshard keeps the refresh baseline when the set came from one " +
+      "store cut; direct-assembled sets stay refresh-incapable") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_set_reshard_refresh"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    def recs(pred: org.apache.spark.sql.Column) =
+      corpus.where(pred).select(col("id"), col("vec").as("vector"))
+    val db = graft.GraftDB.open(spark, root, dim = dim, metric = "l2")
+    db.insertBatch(recs(col("id") < 1200))
+    val set = ReplicaSet.fromStore(db, shards = 4, nlist = 2)
+    val re = set.reshard(2, nlist = 2)
+    // store moves on AFTER the reshard; the diff lands in the new cells
+    db.insertBatch(recs(col("id") >= 1200 && col("id") < 1400))
+    val st = re.refreshFrom(db)
+    assert(st.appended == 200, s"appended ${st.appended}")
+    for (id <- 1200L until 1210L) {
+      val holders = re.shards.count(_.hasLive(id))
+      assert(holders == 1, s"id $id live in $holders shards after reshard")
+    }
+    val freshOne = LocalReplica.fromStore(db)
+    for (s <- 0 until 4) {
+      val q = queryVec(s)
+      assert(re.search(q, 15, nprobe = 2) == freshOne.search(q, 15),
+        s"resharded refresh parity failed seed $s")
+    }
+    // a set assembled from bare replicas has no origin: reshard keeps it
+    // serving but refresh stays refused
+    val bare = ReplicaSet(Seq(
+      LocalReplica.fromDataFrame(corpus.where(col("id") % 2 === 0),
+        "vec", "id", Metric.L2),
+      LocalReplica.fromDataFrame(corpus.where(col("id") % 2 === 1),
+        "vec", "id", Metric.L2)))
+    val reBare = bare.reshard(3)
+    assert(reBare.shards.map(_.liveSize).sum == n)
+    intercept[IllegalArgumentException](reBare.refreshFrom(db))
+  }
+
   test("single-shard set is the plain replica; empty frame refused") {
     val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
       shards = 1)
