@@ -813,6 +813,33 @@ object FacadeQueries {
       .toDF("vec_id", "hamming")
   }
 
+  /** RESHARDED Hamming serving set ([[graft.serve.CodeReplicaSet
+    * .reshard]]): the 4-shard code export is mutated (a delete family
+    * that must survive the row movement), split to 6 and merged to 2
+    * shards in-process, saved, reloaded, and searched — popcount scores
+    * are integers, so the resharded answer is EXACTLY the brute-force
+    * oracle over the surviving rows.
+    */
+  def localReshardedHamming(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_resh_hamming")
+    val set0 = graft.serve.CodeReplicaSet.fromStore(db, shards = 4)
+    val victims = Tables.load(s, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(11)) === 5)
+      .select("vec_id").collect().map(_.getLong(0))
+    set0.delete(victims)
+    val re = set0.reshard(6).reshard(2)
+    val dir0 = s"${sys.props("java.io.tmpdir")}/graft_facade_resh_codeset"
+    val p0 = new Path(dir0)
+    val fs0 = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs0.exists(p0)) fs0.delete(p0, true)
+    re.save(dir0, s.sparkContext.hadoopConfiguration)
+    val set = graft.serve.CodeReplicaSet.load(dir0,
+      s.sparkContext.hadoopConfiguration)
+    import s.implicits._
+    set.search(q, 10).map(c => (c.id, c.score.toLong))
+      .toDF("vec_id", "hamming")
+  }
+
   /** Filtered serving-replica k-NN: the metadata predicate runs ENGINE-
     * side (stats-pruned scan) and only the surviving id-set ships to the
     * replica ([[graft.serve.LocalReplica.searchFiltered]] — vecgo
@@ -1007,6 +1034,7 @@ object FacadeQueries {
     "graftdb_local_knn_rabitq" -> (localKnnRabitq _),
     "graftdb_local_hamming" -> (localHamming _),
     "graftdb_local_sharded_hamming" -> (localShardedHamming _),
+    "graftdb_local_resharded_hamming" -> (localReshardedHamming _),
     "graftdb_local_hamming_delete" -> (localHammingDelete _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
     "graftdb_local_knn_where" -> (localKnnWhere _),
@@ -1141,6 +1169,9 @@ object FacadeQueries {
     "graftdb_hamming" -> IndexQueries.oracle("bq_hamming"),
     "graftdb_local_hamming" -> IndexQueries.oracle("bq_hamming"),
     "graftdb_local_sharded_hamming" -> IndexQueries.oracle("bq_hamming"),
+    "graftdb_local_resharded_hamming" -> IndexQueries.oracle("bq_hamming")
+      .replace("FROM embeddings e, q",
+        "FROM embeddings e, q WHERE e.vec_id % 11 <> 5"),
     "graftdb_local_hamming_delete" -> IndexQueries.oracle("bq_hamming")
       .replace("FROM embeddings e, q",
         "FROM embeddings e, q WHERE e.vec_id % 7 <> 3"),

@@ -189,6 +189,57 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
       LocalReplica.RefreshStats(app, del, from, to)
     }
 
+  /** Re-partition the LIVE set into `newShards` hash-cell shards — the
+    * Hamming twin of [[ReplicaSet.reshard]]: every shard's live rows
+    * (mutations folded) re-route by `cellOf(id, newShards)` into fresh
+    * flat replicas (no clustering to rebuild at 8-64 bytes/row), so the
+    * new set answers identically, appends route by the new cells, and
+    * the refresh baseline survives a single-snapshot-cut set.
+    */
+  def reshard(newShards: Int): CodeReplicaSet = this.synchronized {
+    require(newShards >= 1, s"newShards must be >= 1, got $newShards")
+    val extracted = shards.map(_.liveRows())
+    val counts = new Array[Int](newShards)
+    extracted.foreach { case (ids, _) =>
+      var i = 0
+      while (i < ids.length) {
+        counts(ReplicaSet.cellOf(ids(i), newShards)) += 1
+        i += 1
+      }
+    }
+    val pIds = Array.tabulate(newShards)(c => new Array[Long](counts(c)))
+    val pFlat =
+      Array.tabulate(newShards)(c => new Array[Long](counts(c) * words))
+    val w = new Array[Int](newShards)
+    extracted.foreach { case (ids, flat) =>
+      var i = 0
+      while (i < ids.length) {
+        val c = ReplicaSet.cellOf(ids(i), newShards)
+        pIds(c)(w(c)) = ids(i)
+        System.arraycopy(flat, i * words, pFlat(c), w(c) * words, words)
+        w(c) += 1
+        i += 1
+      }
+    }
+    val present = (0 until newShards).filter(counts(_) > 0)
+    require(present.nonEmpty, "reshard: the set has no live rows")
+    val reps = present.map(c =>
+      LocalCodeReplica.fromArrays(bits, words, pIds(c), pFlat(c)))
+    val set = new CodeReplicaSet(reps.toIndexedSeq)
+    set.cellsTotal = newShards
+    set.cellOfShard = present.toIndexedSeq
+    val origins = shards.map(_.origin)
+    if (origins.forall(_ != null) && origins.distinct.size == 1) {
+      reps.indices.foreach { i =>
+        val c = present(i)
+        reps(i).origin = origins.head
+        reps(i).originCellFilter =
+          id => ReplicaSet.cellOf(id, newShards) == c
+      }
+    }
+    set
+  }
+
   /** Persist as per-shard GRCR artifacts + a routing manifest (see
     * [[ReplicaSet.save]]).
     */

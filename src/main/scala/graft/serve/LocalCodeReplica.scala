@@ -63,6 +63,38 @@ final class LocalCodeReplica private (
     if (m == null || m.deltaIds == null) 0 else m.deltaIds.length
   }
 
+  /** Dense (ids, flat packed codes) of every LIVE row — main minus
+    * tombstones plus delta (the [[LocalReplica.liveRows]] twin, for
+    * [[CodeReplicaSet.reshard]]'s row movement). Fresh copies.
+    */
+  private[serve] def liveRows(): (Array[Long], Array[Long]) = {
+    val m0 = mut
+    val tomb = if (m0 == null) null else m0.tombstones
+    val dIds = if (m0 == null) null else m0.deltaIds
+    val dFlat = if (m0 == null) null else m0.deltaFlat
+    var nLive = 0
+    var r = 0
+    while (r < size) { if (live(tomb, r)) nLive += 1; r += 1 }
+    val n = nLive + (if (dIds == null) 0 else dIds.length)
+    val outIds = new Array[Long](n)
+    val outFlat = new Array[Long](n * words)
+    var w = 0
+    r = 0
+    while (r < size) {
+      if (live(tomb, r)) {
+        outIds(w) = ids(r)
+        System.arraycopy(flat, r * words, outFlat, w * words, words)
+        w += 1
+      }
+      r += 1
+    }
+    if (dIds != null) {
+      System.arraycopy(dIds, 0, outIds, w, dIds.length)
+      System.arraycopy(dFlat, 0, outFlat, w * words, dIds.length * words)
+    }
+    (outIds, outFlat)
+  }
+
   /** Tombstone ids (vecgo delete on a Hamming serving tier): one bitmap
     * flip per id, idempotent, returns newly tombstoned count.
     */
@@ -506,6 +538,19 @@ object LocalCodeReplica {
       val flat = LocalReplica.readLongs(in, n * words)
       new LocalCodeReplica(bits, words, ids, flat)
     } finally in.close()
+  }
+
+  /** Build a replica from raw JVM arrays — the no-Spark rebuild
+    * [[CodeReplicaSet.reshard]] moves rows through (flat scan layout,
+    * like every code replica — no clustering to rebuild).
+    */
+  private[serve] def fromArrays(bits: Int, words: Int, ids: Array[Long],
+      flat: Array[Long]): LocalCodeReplica = {
+    require(ids.nonEmpty, "fromArrays: no rows")
+    require(flat.length == ids.length * words,
+      s"fromArrays: flat has ${flat.length} words, " +
+        s"expected ${ids.length * words}")
+    new LocalCodeReplica(bits, words, ids, flat)
   }
 
   /** Export from any (id, array<long> codes) DataFrame. `bits` documents

@@ -119,4 +119,57 @@ class CodeReplicaSetSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException](loaded.refreshFrom(db))
   }
+
+  test("reshard: split/merge a mutated code set — identical answers, " +
+      "re-partitioned routing, refresh baseline carried") {
+    val set = CodeReplicaSet.fromDataFrame(corpus, "code", "id", bits,
+      shards = 3)
+    val q = queryPool(5)
+    val victims = (0L until n.toLong).filter(_ % 17 == 4).toArray
+    set.delete(victims)
+    val newIds = Array((n + 10).toLong, (n + 11).toLong)
+    set.append(newIds, Array(queryPool(21), queryPool(22)))
+    val expectLive = set.liveSize
+    for (target <- Seq(5, 2, 1)) {
+      val re = set.reshard(target)
+      assert(re.liveSize == expectLive, s"reshard($target) lost rows")
+      for (seed <- Seq(0L, 7L, 42L)) {
+        val qq = queryPool(seed)
+        assert(re.search(qq, 15) == set.search(qq, 15),
+          s"reshard($target) diverged on seed $seed")
+      }
+      val cut = set.search(q, 30).last.score.toLong
+      assert(re.searchThreshold(q, cut) == set.searchThreshold(q, cut))
+      // routing follows the NEW cells; membership check still fires
+      val e = intercept[IllegalArgumentException] {
+        re.append(Array(newIds(0)), Array(new Array[Long](re.words)))
+      }
+      assert(e.getMessage.contains("already live"))
+      val fresh = (n + 500).toLong
+      re.append(Array(fresh), Array(queryPool(23)))
+      assert(re.shards.count(_.hasLive(fresh)) == 1)
+      assert(re.get(victims.head).isEmpty)
+    }
+    // from one store cut, the reshard keeps CDC capability
+    val root = s"${sys.props("java.io.tmpdir")}/graft_codeset_reshard_spec"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val db = graft.GraftDB.open(spark, root, dim = bits, metric = "hamming")
+    db.insertBatch(corpus.where(col("id") < 1000)
+      .select(col("id"), col("code").as("vector")))
+    val storeSet = CodeReplicaSet.fromStore(db, shards = 4)
+    val re2 = storeSet.reshard(2)
+    db.insertBatch(corpus.where(col("id") >= 1000)
+      .select(col("id"), col("code").as("vector")))
+    val st = re2.refreshFrom(db)
+    assert(st.appended == 500, s"appended ${st.appended}")
+    for (id <- 1000L until 1010L)
+      assert(re2.shards.count(_.hasLive(id)) == 1, s"id $id multi-homed")
+    val fresh1 = LocalCodeReplica.fromStore(db)
+    for (seed <- Seq(2L, 8L)) {
+      val qq = queryPool(seed)
+      assert(re2.search(qq, 15) == fresh1.search(qq, 15), s"seed $seed")
+    }
+  }
 }
