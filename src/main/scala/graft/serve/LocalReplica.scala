@@ -1901,10 +1901,91 @@ final class LocalReplica private (
     var bufId = new Array[Long](math.max(16, m))
     var bufS = new Array[Double](bufId.length)
     var bn = 0
+    // Tie-heavy corpora (few distinct impact values — e.g. tiny vocabs,
+    // uniform tf/doclen) make the margin buffer collect nearly every
+    // posting: thousands of round-tied entries, all sorted at the end,
+    // dominating query latency. Bound it: whenever the buffer exceeds
+    // ~4m, drop every buffered entry that is OUTSIDE the current
+    // rounded top-m of heap ∪ buffer. Sound because the selection order
+    // (rounded score desc, id asc) is static and entries only ever get
+    // ADDED: top-m(A ∪ B) = top-m(top-m(A) ∪ B), and by induction the
+    // best m entries seen so far always remain in heap ∪ buffer (heap
+    // evictions are buffered unconditionally, compaction keeps the
+    // top-m), so a dropped entry is beaten by ≥ m survivors forever.
+    val compactAt = math.max(256, 8 * m)
+    def compactBuffer(): Unit = {
+      val total = hn + bn
+      if (total <= m) return
+      // m-th best (rounded desc, id asc) via a bounded worst-at-root
+      // heap — primitive arrays, no boxing: compaction cost must stay
+      // far below the sort it avoids
+      val krk = new Array[Double](m)
+      val kid = new Array[Long](m)
+      var kn = 0
+      @inline def kworse(a: Int, b: Int): Boolean =
+        if (krk(a) != krk(b)) krk(a) < krk(b) else kid(a) > kid(b)
+      def ksift(i0: Int): Unit = {
+        var i = i0
+        var go = true
+        while (go) {
+          val lc = 2 * i + 1; val rc = lc + 1
+          var mx = i
+          if (lc < kn && kworse(lc, mx)) mx = lc
+          if (rc < kn && kworse(rc, mx)) mx = rc
+          if (mx == i) go = false
+          else {
+            val ts = krk(i); krk(i) = krk(mx); krk(mx) = ts
+            val ti = kid(i); kid(i) = kid(mx); kid(mx) = ti
+            i = mx
+          }
+        }
+      }
+      @inline def koffer(rk: Double, id: Long): Unit = {
+        if (kn < m) {
+          krk(kn) = rk; kid(kn) = id; kn += 1
+          if (kn == m) {
+            var i = kn / 2 - 1
+            while (i >= 0) { ksift(i); i -= 1 }
+          }
+        } else if (rk > krk(0) || (rk == krk(0) && id < kid(0))) {
+          krk(0) = rk; kid(0) = id; ksift(0)
+        }
+      }
+      var j = 0
+      while (j < hn) { koffer(round6(hs(j)), hr(j)); j += 1 }
+      val rkBuf = new Array[Double](bn)
+      var b = 0
+      while (b < bn) {
+        val k = round6(bufS(b))
+        rkBuf(b) = k
+        koffer(k, bufId(b))
+        b += 1
+      }
+      if (kn < m) return
+      val ck = krk(0)
+      val cid = kid(0)
+      var w = 0
+      b = 0
+      while (b < bn) {
+        if (rkBuf(b) > ck || (rkBuf(b) == ck && bufId(b) <= cid)) {
+          bufId(w) = bufId(b); bufS(w) = bufS(b); w += 1
+        }
+        b += 1
+      }
+      bn = w
+    }
     @inline def push(id: Long, s: Double): Unit = {
       if (bn == bufId.length) {
-        bufId = java.util.Arrays.copyOf(bufId, bn * 2)
-        bufS = java.util.Arrays.copyOf(bufS, bn * 2)
+        if (bn >= compactAt) {
+          compactBuffer()
+          if (bn == bufId.length) { // top-m genuinely this wide: grow
+            bufId = java.util.Arrays.copyOf(bufId, bn * 2)
+            bufS = java.util.Arrays.copyOf(bufS, bn * 2)
+          }
+        } else {
+          bufId = java.util.Arrays.copyOf(bufId, bn * 2)
+          bufS = java.util.Arrays.copyOf(bufS, bn * 2)
+        }
       }
       bufId(bn) = id; bufS(bn) = s; bn += 1
     }
@@ -1997,9 +2078,16 @@ final class LocalReplica private (
         if (live(tomb, minRow)) offer(minRow, s)
       }
     }
-    // round only the survivors (heap + margin buffer), rank-sort, cut
+    // round only the survivors (heap + margin buffer), rank-sort, cut.
+    // Direct append here, NOT push(): a compaction firing mid-flush
+    // would rank the already-flushed heap entries TWICE (they are still
+    // in hs/hr), shifting the boundary past genuine top-m members.
+    if (bn + hn > bufId.length) {
+      bufId = java.util.Arrays.copyOf(bufId, bn + hn)
+      bufS = java.util.Arrays.copyOf(bufS, bn + hn)
+    }
     var i = 0
-    while (i < hn) { push(hr(i), hs(i)); i += 1 }
+    while (i < hn) { bufId(bn) = hr(i); bufS(bn) = hs(i); bn += 1; i += 1 }
     val out = new Array[(Long, Double, Double)](bn)
     i = 0
     while (i < bn) { out(i) = (bufId(i), bufS(i), round6(bufS(i))); i += 1 }

@@ -86,6 +86,50 @@ class LocalHybridReplicaSpec extends AnyFunSuite {
     }
   }
 
+  test("tie-heavy corpus: the margin-buffer compaction keeps rounded-rank " +
+      "parity with the engine (tiny vocab, thousands of exact ties)") {
+    // every doc = 2 words from a 4-word vocab: each posting list covers
+    // ~half the corpus and impacts take a handful of distinct values, so
+    // nearly every offer lands in the rounding-tie margin — the shape
+    // that degenerated the buffer to corpus size before compaction
+    val vocab = typedLit(Seq("apple", "banana", "cherry", "date"))
+    val tiny = spark.range(0, 3000, 1, 4).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")).as("vector"),
+      concat_ws(" ",
+        element_at(vocab, (pmod(xxhash64(col("id") * 7), lit(4)) + 1).cast("int")),
+        element_at(vocab, (pmod(xxhash64(col("id") * 13), lit(4)) + 1).cast("int"))).as("text"))
+    val root = s"${sys.props("java.io.tmpdir")}/graft_hyb_rep_ties"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val db = graft.GraftDB.open(spark, root, dim = dim, metric = "l2",
+      textCol = Some("text"))
+    db.insertBatch(tiny)
+    val rep = LocalReplica.fromStore(db, nlist = 4, textCol = Some("text"))
+    import spark.implicits._
+    // k deep enough that the pool boundary sits INSIDE a tie class —
+    // the id-asc boundary cut is exactly what compaction must preserve
+    for ((tq, k) <- Seq(("apple banana", 15), ("apple banana", 200),
+        ("cherry", 100), ("apple banana cherry date", 250))) {
+      val engine = db.lexicalSearch(tq, k).as[(Long, Double)].collect().toSeq
+      val local = rep.lexicalSearch(tq, k).map(c => (c.id, c.score))
+      assert(local.map(_._1) == engine.map(_._1),
+        s"tie-heavy ids diverged for '$tq' k=$k")
+      local.zip(engine).foreach { case ((_, ls), (_, es)) =>
+        assert(math.abs(ls - es) < 1e-9, s"bm25 $ls vs $es for '$tq'")
+      }
+    }
+    val q = queryVec(17)
+    val engineH = db.hybridSearch(q, "apple banana", 10)
+      .as[(Long, Double)].collect().toSeq
+    val localH = rep.hybridSearch(q, "apple banana", 10, nprobe = 4)
+      .map(c => (c.id, c.score))
+    assert(localH.map(_._1) == engineH.map(_._1), "tie-heavy hybrid diverged")
+  }
+
   test("v5 artifact round-trips lexical + rabitq sections; tombstones respected") {
     val db = freshDb("roundtrip")
     val rep = LocalReplica.fromStore(db, nlist = 4, textCol = Some("text"),
