@@ -295,6 +295,46 @@ object FacadeQueries {
       .select(col("id"), round(col("score"), 6).as("score"))
   }
 
+  /** Hybrid search through a CLONED store ([[GraftDB.cloneAt]]): the
+    * source is indexed (so the idx sidecar must travel), carries
+    * per-segment lexical deltas (so BM25 must reproduce from the copied
+    * postings), and the clone is opened as an INDEPENDENT engine at a
+    * fresh root — the whole backup/ship/fork path is in the verified
+    * lane: config copy, artifact copy, manifest rebase, guard-published
+    * commit, then a hybrid query whose vector pool routes through the
+    * cloned index. Hash-checks against the same oracle as
+    * `graftdb_hybrid` (a faithful clone answers identically); a
+    * post-clone write to the SOURCE proves isolation.
+    */
+  def hybridCloned(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_clone_src")
+    db.buildIndex(nlist = 8)
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_facade_clone_dst"
+    val p = new Path(dest)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val v = db.cloneAt(dest)
+    // source moves on AFTER the clone: must not leak into the clone
+    db.insertBatch(Tables.load(s, dir, "embeddings").limit(1)
+      .select((col("vec_id") + 90000L).as("id"),
+        col("embedding").as("vector"), col("label"),
+        lit("post clone spark vector merge noise").as("text")))
+    val c = GraftDB.open(s, dest)
+    require(c.currentVersion == v, "clone opened at the wrong version")
+    require(c.segmentInfo().forall(_("index_kind") != "none"),
+      "index sidecar did not travel with the clone")
+    require(c.read().count() == db.read(version = v).count(),
+      "clone row count != source cut")
+    // all-lists probe + corpus-fraction refine: the indexed vector pool
+    // is then exact, so the clone answers the SAME oracle as the
+    // unindexed graftdb_hybrid (the hybridFiltered exactness recipe)
+    val rows = c.stats()("segment_rows").asInstanceOf[Long]
+    val refine = math.max(1, math.ceil(rows.toDouble / 50.0).toInt)
+    c.hybridSearch(qvec(s, dir, 5), "spark vector merge", 10,
+        nprobe = 8, refineFactor = refine)
+      .select(col("id"), round(col("score"), 6).as("score"))
+  }
+
   /** Facade THRESHOLD search THROUGH the built index (vecgo routes
     * threshold queries through the pruned searcher, `engine.go:1485-1532`):
     * the planner distance-prunes segments by centroid/radius, and the
@@ -1013,6 +1053,7 @@ object FacadeQueries {
     "graftdb_batch_indexed" -> (batchIndexed _),
     "graftdb_hamming" -> (hamming _),
     "graftdb_hybrid" -> (hybrid _),
+    "graftdb_hybrid_cloned" -> (hybridCloned _),
     "graftdb_bm25_after_append" -> (bm25AfterAppend _),
     "graftdb_threshold_indexed" -> (thresholdIndexed _),
     "graftdb_hybrid_filtered" -> (hybridFiltered _),
@@ -1180,6 +1221,10 @@ object FacadeQueries {
     // the two tables differ in size the BM25 side must be restricted to
     // the joined ids
     "graftdb_hybrid" -> Queries.oracle("hybrid_rrf").replace(
+      "FROM documents)",
+      "FROM documents JOIN embeddings ON vec_id = doc_id)"),
+    // a faithful clone answers exactly like its source store
+    "graftdb_hybrid_cloned" -> Queries.oracle("hybrid_rrf").replace(
       "FROM documents)",
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
     "graftdb_local_hybrid" -> Queries.oracle("hybrid_rrf").replace(

@@ -500,6 +500,36 @@ final class GraftDB private (val spark: SparkSession, val root: String,
   def compactWith(policy: graft.store.CompactionPolicy): Option[Long] = {
     requireWritable(); store.maybeCompact(policy)
   }
+
+  /** Clone this engine's state at `version` (default: the version this
+    * handle reads — so a pinned open clones its pinned cut) into a
+    * fresh root: config + every referenced artifact copied, one
+    * rebased manifest published through the destination's own commit
+    * guard ([[graft.store.SnapshotStore.cloneAt]]). Backup, shipping a
+    * frozen cut to another environment, or forking a dev store off
+    * production; the clone opens independently with the same config
+    * and continues its own version chain. A clone only READS the
+    * source, so it is allowed on read-only and pinned opens.
+    */
+  def cloneAt(destRoot: String, version: Long = -1L): Long = {
+    val v = if (version >= 0) version else effectiveVersion
+    // config first: a clone with data but no db.json would open as an
+    // unconfigured root; the reverse order fails loudly on open instead
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(root, "db.json")
+    val dst = new Path(destRoot, "db.json")
+    val dfs = dst.getFileSystem(conf)
+    require(!dfs.exists(dst),
+      s"destination $destRoot already holds a GraftDB — clone into a " +
+        "fresh root")
+    dfs.mkdirs(new Path(destRoot))
+    if (!org.apache.hadoop.fs.FileUtil.copy(
+        src.getFileSystem(conf), src, dfs, dst, false, conf))
+      throw new java.io.IOException(s"clone copy failed: $src -> $dst")
+    val out = store.cloneAt(destRoot, v)
+    notifyObs(_.onMaintenance("cloneAt", 0L, out))
+    out
+  }
   def shouldCompact(maxSegments: Int = 4): Boolean = store.shouldCompact(maxSegments)
   def vacuum(keepVersions: Int): Unit = {
     requireWritable()

@@ -408,6 +408,57 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       .filter(_.startsWith("lexdelta-"))
       .sorted
 
+  /** Clone the store's state at `version` (default: head) into
+    * `destRoot` — a consistent frozen CUT for backup, shipping to
+    * another environment, or forking a dev store off production: every
+    * referenced segment dir, delete list, index sidecar, and lexical
+    * delta is copied byte-for-byte, and ONE manifest (the pinned
+    * version, paths rebased onto the destination) is published through
+    * the DESTINATION's own [[CommitGuard]] (a clone onto s3a gets the
+    * conditional-create CAS automatically). Earlier history is
+    * deliberately not carried — a clone is a cut, not a mirror of the
+    * chain — and the clone is immediately openable and independently
+    * writable (its next commit is `version + 1`). The source is only
+    * read, so cloning is safe on a read-only/pinned open; unreferenced
+    * orphans and older versions never travel. Returns the cloned
+    * version. Refuses a destination that already holds a store.
+    */
+  def cloneAt(destRoot: String, version: Long = -1L): Long = {
+    val m = (if (version >= 0) manifest(version) else headManifest)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest${if (version >= 0) s" at version $version" else ""} " +
+          s"in $root"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = fs
+    val dp = new Path(destRoot)
+    val destFs = dp.getFileSystem(conf)
+    require(!destFs.exists(new Path(destRoot, "CURRENT")),
+      s"destination $destRoot already holds a store — clone into a " +
+        "fresh root")
+    destFs.mkdirs(dp)
+    def copyInto(srcPath: String): String = {
+      val sp = new Path(srcPath)
+      val tp = new Path(destRoot, sp.getName)
+      if (!org.apache.hadoop.fs.FileUtil.copy(
+          srcFs, sp, destFs, tp, false, conf))
+        throw new java.io.IOException(s"clone copy failed: $sp -> $tp")
+      s"$destRoot/${sp.getName}"
+    }
+    val segs = m.segments.map { s =>
+      val np = copyInto(s.path)
+      val ld = new Path(lexDeltaDir(s.path))
+      if (srcFs.exists(ld)) copyInto(ld.toString)
+      s.copy(path = np,
+        index = s.index.map(ir => ir.copy(metaPath = copyInto(ir.metaPath))))
+    }
+    val dels = m.deletes.map(d => d.copy(path = copyInto(d.path)))
+    // publish through the destination's own guard (scheme-selected);
+    // keep the original ts so as-of-timestamp opens see the cut's time
+    new SnapshotStore(spark, destRoot, broadcastDeleteMaxRows)
+      .commit(Manifest(m.version, m.maxSeq, segs, dels, m.ts))
+    m.version
+  }
+
   /** Stats-pruned read: drop whole segments whose manifest stats prove the
     * AND-filter can't match (vecgo segment pruning, `segment_pruning.go:
     * 15-121`), then apply the residual filter to the survivors. Returns

@@ -164,6 +164,35 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(rows(df) == (11L to 20L).map(i => (i, s"v$i")).toSet)
   }
 
+  test("cloneAt: a pinned cut ships whole — reads equal, independently " +
+      "writable, source untouched, occupied destination refused") {
+    val st = freshStore()
+    st.insert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    st.delete(Seq(Tuple1(2L)).toDF("id"))
+    val vCut = st.readableVersion
+    st.insert(Seq((4L, "d")).toDF("id", "v")) // after the cut
+    // clone the CUT, not the head
+    val dest = Files.createTempDirectory("graft-store-clone").toString + "/c"
+    assert(st.cloneAt(dest, vCut) == vCut)
+    val clone = new SnapshotStore(spark, dest)
+    assert(clone.readableVersion == vCut)
+    assert(rows(clone.read()) == Set((1L, "a"), (3L, "c")),
+      "clone must read exactly the pinned cut (delete applied, id 4 absent)")
+    // clone is independently writable and continues its own chain
+    clone.insert(Seq((9L, "z")).toDF("id", "v"))
+    assert(rows(clone.read()) == Set((1L, "a"), (3L, "c"), (9L, "z")))
+    // ...without touching the source
+    assert(rows(st.read()) == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // occupied destination refused loudly
+    val e = intercept[IllegalArgumentException](st.cloneAt(dest))
+    assert(e.getMessage.contains("already holds a store"))
+    // head clone (default) carries the newest version
+    val dest2 = Files.createTempDirectory("graft-store-clone2").toString + "/c"
+    st.cloneAt(dest2)
+    assert(rows(new SnapshotStore(spark, dest2).read()) ==
+      Set((1L, "a"), (3L, "c"), (4L, "d")))
+  }
+
   test("orphan segment dirs are cleaned") {
     val st = freshStore()
     st.insert(Seq((1L, "a")).toDF("id", "v"))
