@@ -183,6 +183,21 @@ object CurationQueries {
       .orderBy(col("vec_id").asc, col("j").asc)
   }
 
+  /** Matryoshka prefix truncation ([[graft.index.Mrl]], Kusupati et al.
+    * 2022): first 16 of 64 dims, L2-renormalized in double — the
+    * zero-model dimension-cut serving tiers use on MRL-trained
+    * embeddings. Exploded to (vec_id, j, w) like `embedding_project`
+    * so the fold-accumulated norm verifies bitwise cross-engine.
+    */
+  def embeddingMrl(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb.select(col("vec_id"),
+        posexplode(graft.index.Mrl.truncateColExact(col("embedding"), 16)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        r6(col("col")).as("w"))
+      .orderBy(col("vec_id").asc, col("j").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_topk" -> (vocabTopk _),
     "cluster_assign" -> (clusterAssign _),
@@ -192,7 +207,8 @@ object CurationQueries {
     "text_hashed_tfidf" -> (hashedTfIdfQ _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_bpe_pairs" -> (bpePairs _),
-    "embedding_project" -> (embeddingProject _)
+    "embedding_project" -> (embeddingProject _),
+    "embedding_mrl" -> (embeddingMrl _)
   )
 
   /** The frozen merge list as a DuckDB nested-replace chain — the same
@@ -341,6 +357,19 @@ object CurationQueries {
         |       round(list_inner_product(e.embedding::DOUBLE[], m.r)
         |             / 4.0::DOUBLE, 6) AS w
         |FROM embeddings e, mat m
-        |ORDER BY e.vec_id ASC, m.j ASC""".stripMargin
+        |ORDER BY e.vec_id ASC, m.j ASC""".stripMargin,
+    // MRL prefix truncation: double slice, fold norm (list_inner_product
+    // accumulates ascending like Spark's aggregate — bitwise agreement),
+    // one divide, round 6
+    "embedding_mrl" ->
+      """WITH p AS (SELECT vec_id, (embedding[1:16])::DOUBLE[] AS pre
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, pre,
+        |             sqrt(list_inner_product(pre, pre)) AS nrm FROM p)
+        |SELECT vec_id, j,
+        |       round(CASE WHEN nrm > 0 THEN pre[CAST(j + 1 AS INT)] / nrm
+        |             ELSE 0.0::DOUBLE END, 6) AS w
+        |FROM n, unnest(range(0, 16)) t(j)
+        |ORDER BY vec_id ASC, j ASC""".stripMargin
   )
 }

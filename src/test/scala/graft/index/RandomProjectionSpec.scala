@@ -32,6 +32,37 @@ class RandomProjectionSpec extends AnyFunSuite {
     assert(m1.forall(r => r.exists(_ > 0) && r.exists(_ < 0)))
   }
 
+  test("MRL truncation: unit-norm prefixes, driver-side parity, and the " +
+      "truncated corpus feeds the ANN path") {
+    // driver-side reference: slice + renorm in double
+    val rows = emb.select(col("vec_id"),
+        Mrl.truncateColExact(col("embedding"), 16).as("m"))
+      .orderBy("vec_id").limit(20).collect()
+    val src = emb.orderBy("vec_id").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { r =>
+      val x = src(r.getLong(0)).take(16).map(_.toDouble)
+      val n = math.sqrt(x.map(v => v * v).sum)
+      val got = r.getSeq[Double](1)
+      assert(got.length == 16)
+      x.indices.foreach { i =>
+        assert(math.abs(got(i) - (if (n > 0) x(i) / n else 0.0)) < 1e-9,
+          s"vec ${r.getLong(0)} dim $i")
+      }
+      // renormalized: unit L2 norm (unless the prefix was all-zero)
+      val gn = math.sqrt(got.map(v => v * v).sum)
+      assert(n == 0.0 || math.abs(gn - 1.0) < 1e-9, s"norm $gn")
+    }
+    // the float frame drives brute-force self-retrieval exactly
+    val tr = Mrl.truncate(emb, "vec_id", "embedding", 16).cache()
+    val q = tr.where(col("vec_id") === 7).select("mrl")
+      .collect()(0).getSeq[Float](0).toArray
+    val top = Search.knn(tr, "mrl", "vec_id", lit(q), 1, Metric.Cosine)
+      .select("vec_id").as[Long].collect()
+    assert(top.head == 7L, s"self-retrieval got ${top.toSeq}")
+    tr.unpersist()
+  }
+
   test("Spark projection equals the driver-side reference product") {
     val mat = RandomProjection.matrix(dim, 16, "rp0")
     val rows = emb.select(col("vec_id"),
