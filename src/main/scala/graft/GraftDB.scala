@@ -501,6 +501,18 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     requireWritable(); store.maybeCompact(policy)
   }
 
+  /** Roll the head back to `version`'s content as a NEW commit
+    * ([[graft.store.SnapshotStore.restore]] — the recovery half of time
+    * travel: undo a bad write without losing the chain; the rolled-back
+    * versions stay time-travelable until vacuumed).
+    */
+  def restore(version: Long): Long = {
+    requireWritable()
+    val (v, ms) = timedOp(store.restore(version))
+    notifyObs(_.onMaintenance("restore", ms, v))
+    v
+  }
+
   /** Clone this engine's state at `version` (default: the version this
     * handle reads — so a pinned open clones its pinned cut) into a
     * fresh root: config + every referenced artifact copied, one

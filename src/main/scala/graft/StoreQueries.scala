@@ -58,6 +58,26 @@ object StoreQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label").asc)
 
+  /** RESTORE ([[SnapshotStore.restore]]): after the full lifecycle the
+    * head rolls BACK to version 2's content as a NEW commit — nothing
+    * copied, the manifest re-references the old artifacts — so the HEAD
+    * read now answers the same oracle as the version-2 time travel,
+    * while the rolled-back head stays time-travelable (gated).
+    */
+  def restoreQ(s: SparkSession, dir: String): DataFrame = {
+    val store = buildLifecycle(s, dir, "store_restore")
+    val headBefore = store.currentVersion
+    val v = store.restore(2)
+    require(v == headBefore + 1, "restore must commit a NEW head version")
+    require(store.currentVersion == v, "restore did not move the head")
+    require(store.manifest(headBefore).isDefined,
+      "rolled-back head must remain time-travelable until vacuumed")
+    store.read()
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label").asc)
+  }
+
   /** Timestamp time travel (vecgo asOf reads): read the store as of the
     * commit timestamp of version 2 — identical visible state to
     * `read(version = 2)`, but addressed by wall-clock time from the
@@ -256,6 +276,7 @@ object StoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_lifecycle" -> (lifecycle _),
     "store_timetravel" -> (timeTravel _),
+    "store_restore" -> (restoreQ _),
     "store_timetravel_ts" -> (timeTravelTs _),
     "store_pruned_scan" -> (prunedScan _),
     "store_vacuum" -> (vacuumed _),
@@ -281,6 +302,10 @@ object StoreQueries {
         |WHERE vec_id >= 60 AND label <> 3 AND vec_id NOT BETWEEN 480 AND 489
         |ORDER BY id ASC""".stripMargin,
     "store_timetravel" ->
+      """SELECT label, count(*) AS n FROM embeddings
+        |WHERE label <> 3 GROUP BY label ORDER BY label ASC""".stripMargin,
+    // restore(2) makes version 2's content the head again
+    "store_restore" ->
       """SELECT label, count(*) AS n FROM embeddings
         |WHERE label <> 3 GROUP BY label ORDER BY label ASC""".stripMargin,
     "store_timetravel_ts" ->

@@ -408,6 +408,30 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       .filter(_.startsWith("lexdelta-"))
       .sorted
 
+  /** Roll the HEAD back to an earlier version's content as a NEW
+    * commit (the lakehouse RESTORE verb — the recovery half of time
+    * travel: a pinned read inspects the past, restore makes it current
+    * again after a bad write). Nothing is copied or deleted: the new
+    * manifest re-references the old version's segments/deletes (they
+    * are refcounted across versions, so vacuum keeps them while any
+    * retained manifest points at them), `maxSeq` stays at the head's
+    * value so post-restore writes never collide with seqs issued in the
+    * rolled-back window, and the restored-over versions remain
+    * time-travelable until vacuumed. Returns the new head version.
+    */
+  def restore(version: Long): Long = {
+    val target = manifest(version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest at version $version in $root — already vacuumed?"))
+    val head = headManifest.getOrElse(
+      throw new IllegalStateException("restore on an empty store"))
+    require(version < head.version,
+      s"restore target $version is not before the head ${head.version}")
+    val v = head.version + 1
+    commit(Manifest(v, head.maxSeq, target.segments, target.deletes))
+    v
+  }
+
   /** Clone the store's state at `version` (default: head) into
     * `destRoot` — a consistent frozen CUT for backup, shipping to
     * another environment, or forking a dev store off production: every
@@ -422,8 +446,11 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     * read, so cloning is safe on a read-only/pinned open; unreferenced
     * orphans and older versions never travel. Returns the cloned
     * version. Refuses a destination that already holds a store.
+    * `guard` overrides the destination's scheme-picked CAS (testing /
+    * emulated schemes).
     */
-  def cloneAt(destRoot: String, version: Long = -1L): Long = {
+  def cloneAt(destRoot: String, version: Long = -1L,
+      guard: CommitGuard = null): Long = {
     val m = (if (version >= 0) manifest(version) else headManifest)
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest${if (version >= 0) s" at version $version" else ""} " +
@@ -452,9 +479,10 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         index = s.index.map(ir => ir.copy(metaPath = copyInto(ir.metaPath))))
     }
     val dels = m.deletes.map(d => d.copy(path = copyInto(d.path)))
-    // publish through the destination's own guard (scheme-selected);
-    // keep the original ts so as-of-timestamp opens see the cut's time
-    new SnapshotStore(spark, destRoot, broadcastDeleteMaxRows)
+    // publish through the destination's own guard (scheme-selected
+    // unless overridden); keep the original ts so as-of-timestamp opens
+    // see the cut's time
+    new SnapshotStore(spark, destRoot, broadcastDeleteMaxRows, guard)
       .commit(Manifest(m.version, m.maxSeq, segs, dels, m.ts))
     m.version
   }

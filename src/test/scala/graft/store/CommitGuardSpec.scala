@@ -136,6 +136,28 @@ class CommitGuardSpec extends AnyFunSuite {
     } finally S3SimFileSystem.manifestCreateBarrier = None
   }
 
+  test("cloneAt onto an emulated-S3 root publishes through the " +
+      "conditional-create guard; the cross-FS copy reads back whole") {
+    // source on local FS, clone onto the s3sim scheme — the copy runs
+    // across filesystems and the destination publication uses the
+    // object-store CAS (guard override: s3sim is not in the built-in
+    // scheme set, so this pins the guard the way a real s3a clone
+    // auto-picks it)
+    val src = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-cg-clone-src").toString)
+    src.insert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    src.delete(Seq(Tuple1(3L)).toDF("id"))
+    val dest = s3simRoot() + "/clone"
+    src.cloneAt(dest, guard = CommitGuard.ConditionalCreate)
+    val clone = new SnapshotStore(spark, dest,
+      commitGuard = CommitGuard.ConditionalCreate)
+    assert(ids(clone) === Set(1L, 2L))
+    // the clone keeps committing through the object-store CAS
+    clone.insert(Seq((9L, "z")).toDF("id", "v"))
+    assert(ids(clone) === Set(1L, 2L, 9L))
+    assert(ids(src) === Set(1L, 2L), "clone write leaked into the source")
+  }
+
   test("a store opened on an s3sim root auto-selects the " +
       "conditional-create guard by scheme") {
     val root = s3simRoot()

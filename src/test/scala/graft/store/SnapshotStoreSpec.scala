@@ -164,6 +164,34 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(rows(df) == (11L to 20L).map(i => (i, s"v$i")).toSet)
   }
 
+  test("restore: rolls the head back as a NEW commit; the chain keeps " +
+      "going and post-restore writes never collide with rolled-back seqs") {
+    val st = freshStore()
+    st.insert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))    // v0
+    st.insert(Seq((3L, "c")).toDF("id", "v"))               // v1
+    st.delete(Seq(Tuple1(1L)).toDF("id"))                   // v2 (bad write)
+    assert(rows(st.read()) == Set((2L, "b"), (3L, "c")))
+    val v = st.restore(1)
+    assert(v == 3 && st.currentVersion == 3)
+    // v1's content is the head again — the bad delete is undone
+    assert(rows(st.read()) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the rolled-back head stays time-travelable
+    assert(rows(st.read(version = 2)) == Set((2L, "b"), (3L, "c")))
+    // post-restore writes take fresh seqs: a delete hides the RESTORED
+    // rows (its seq must exceed every restored segment's), a re-insert
+    // reappears — the LSN rule is intact across the rollback
+    st.delete(Seq(Tuple1(2L)).toDF("id"))
+    assert(rows(st.read()) == Set((1L, "a"), (3L, "c")))
+    st.insert(Seq((2L, "b2")).toDF("id", "v"))
+    assert(rows(st.read()) == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // guards: restoring to the head or an unknown version fails loudly
+    intercept[IllegalArgumentException](st.restore(st.currentVersion))
+    intercept[IllegalArgumentException](st.restore(999))
+    // vacuum after restore keeps the artifacts the head re-references
+    st.vacuum(keepVersions = 1)
+    assert(rows(st.read()) == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
   test("cloneAt: a pinned cut ships whole — reads equal, independently " +
       "writable, source untouched, occupied destination refused") {
     val st = freshStore()
