@@ -23,11 +23,13 @@ class StoreFuzzSpec extends AnyFunSuite {
     val rng = new scala.util.Random(1234)
     val model = scala.collection.mutable.Map.empty[Long, Long]
     var nextId = 0L
+    // committed (version, model-state) pairs — restore targets
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, Long])]
 
     def df(pairs: Seq[(Long, Long)]) = pairs.toDF("id", "v")
 
-    for (step <- 0 until 24) {
-      rng.nextInt(10) match {
+    for (step <- 0 until 30) {
+      rng.nextInt(11) match {
         case 0 | 1 | 2 | 3 => // insert a fresh batch
           val batch = (0 until 1 + rng.nextInt(20)).map { _ =>
             val id = nextId; nextId += 1; (id, rng.nextLong(1000))
@@ -55,14 +57,24 @@ class StoreFuzzSpec extends AnyFunSuite {
           }
         case 8 => // full compaction (only defined on a non-empty chain)
           if (store.currentVersion >= 0) store.compact()
-        case _ => // policy-driven partial compaction
+        case 9 => // policy-driven partial compaction
           if (store.currentVersion >= 0)
             store.maybeCompact(CompactionPolicy.sizeTiered())
+        case _ => // RESTORE to a random earlier version: the model rolls
+          // back with it, and the chain (LSN rule, later ops) continues
+          val targets = history.filter(_._1 < store.currentVersion)
+          if (targets.nonEmpty) {
+            val (v, snap) = targets(rng.nextInt(targets.size))
+            store.restore(v)
+            model.clear()
+            model ++= snap
+          }
       }
       if (store.currentVersion >= 0) {
         val got = store.read().select("id", "v").as[(Long, Long)]
           .collect().toMap
         assert(got == model.toMap, s"divergence after step $step")
+        history += ((store.currentVersion, model.toMap))
       }
     }
     // time travel still serves every retained version after the run
