@@ -3097,15 +3097,62 @@ object LocalReplica {
     } finally in.close()
   }
 
-  /** Build a plain replica from raw JVM arrays — the no-Spark rebuild
+  /** SQ8 mirror over a packed row block: per-dim bounds + 1-byte codes
+    * + the min row norm that sizes the cosine error margin — the same
+    * encode [[fromDataFrame]] runs, extracted for the no-Spark rebuild
+    * path.
+    */
+  private def sq8Mirror(flat: Array[Float], n: Int, dim: Int)
+      : (Array[Byte], Array[Double], Array[Double], Double) = {
+    val mins = Array.fill(dim)(Double.MaxValue)
+    val maxs = Array.fill(dim)(Double.MinValue)
+    var j = 0
+    while (j < flat.length) {
+      val x = flat(j).toDouble
+      val d = j % dim
+      if (x < mins(d)) mins(d) = x
+      if (x > maxs(d)) maxs(d) = x
+      j += 1
+    }
+    val steps = Array.tabulate(dim)(i => (maxs(i) - mins(i)) / 255.0)
+    val codes = new Array[Byte](n * dim)
+    var minNorm = Double.MaxValue
+    var r = 0
+    while (r < n) {
+      val base = r * dim
+      var nn = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = flat(base + i).toDouble
+        nn += x * x
+        val c =
+          if (steps(i) == 0.0) 0
+          else {
+            val v = math.round((x - mins(i)) / steps(i)).toInt
+            if (v < 0) 0 else if (v > 255) 255 else v
+          }
+        codes(base + i) = c.toByte
+        i += 1
+      }
+      val norm = math.sqrt(nn)
+      if (norm < minNorm) minNorm = norm
+      r += 1
+    }
+    (codes, mins, steps, minNorm)
+  }
+
+  /** Build a replica from raw JVM arrays — the no-Spark rebuild
     * [[ReplicaSet.reshard]] moves rows through. `nlist > 1` clusters
     * with a deterministic in-process Lloyd k-means (evenly-spaced init
     * over a bounded sample, 10 iterations) so the resharded shard keeps
     * probed serving; correctness never depends on cluster quality (the
-    * probed pass is recall-gated, all-probe is exact). Coded mirrors,
-    * metadata columns, and lexical postings are NOT carried — same
-    * contract as [[LocalReplica.compacted]]: re-export from the store
-    * for a coded/predicate/hybrid-serving artifact.
+    * probed pass is recall-gated, all-probe is exact). The SQ8 coded
+    * mirror is REBUILT over the moved rows (fresh per-shard bounds —
+    * codes cannot transfer between shards whose bounds differ), so a
+    * resharded shard serves the same recall-proof coded first pass as
+    * an export; PQ/OPQ/RaBitQ/INT4 mirrors, metadata columns, and
+    * lexical postings still require a re-export (the
+    * [[LocalReplica.compacted]] contract).
     */
   private[serve] def fromArrays(metric: Metric, dim: Int,
       ids: Array[Long], flat: Array[Float], nlist: Int,
@@ -3114,9 +3161,11 @@ object LocalReplica {
     require(n > 0, "fromArrays: no rows")
     require(flat.length == n * dim,
       s"fromArrays: flat has ${flat.length} floats, expected ${n * dim}")
-    if (nlist <= 1 || n <= nlist)
+    if (nlist <= 1 || n <= nlist) {
+      val (codes, mins, steps, minNorm) = sq8Mirror(flat, n, dim)
       return new LocalReplica(metric, dim, ids, flat, Array.empty,
-        Array(0, n), null, null, null, 0.0, Array.empty, null)
+        Array(0, n), codes, mins, steps, minNorm, Array.empty, null)
+    }
     val k = nlist
     // train on an evenly-spaced sample (the same bounded-sample idea as
     // the Spark-side k-means; deterministic — no RNG, so a reshard is
@@ -3197,8 +3246,9 @@ object LocalReplica {
       r += 1
     }
     val centroidVecs = centers.map(_.clone())
+    val (codes, mins, steps, minNorm) = sq8Mirror(outFlat, n, dim)
     new LocalReplica(metric, dim, outIds, outFlat, centroidVecs, listStart,
-      null, null, null, 0.0, Array.empty, null)
+      codes, mins, steps, minNorm, Array.empty, null)
   }
 
   /** Export a replica from any (id, vector) DataFrame. `nlist > 0`

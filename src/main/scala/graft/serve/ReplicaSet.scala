@@ -303,10 +303,12 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     *
     * `nlist > 0` rebuilds a per-shard IVF layout with a deterministic
     * in-process k-means ([[LocalReplica.fromArrays]]); `nlist = 0`
-    * serves brute-force exact. Coded mirrors, metadata columns, and
-    * lexical sections are NOT carried (the [[LocalReplica.compacted]]
-    * contract) — re-export from the store for those; [[save]] the
-    * result to move the shard artifacts.
+    * serves brute-force exact. The SQ8 coded mirror is REBUILT per
+    * shard over the moved rows (fresh bounds), so resharded shards keep
+    * the recall-proof coded first pass; PQ/OPQ/RaBitQ/INT4 mirrors,
+    * metadata columns, and lexical sections are NOT carried (the
+    * [[LocalReplica.compacted]] contract) — re-export from the store
+    * for those; [[save]] the result to move the shard artifacts.
     *
     * When every old shard exported the SAME store snapshot (one
     * [[ReplicaSet.fromStore]] cut), the new shards keep the refresh

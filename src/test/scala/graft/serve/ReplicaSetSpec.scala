@@ -281,6 +281,9 @@ class ReplicaSetSpec extends AnyFunSuite {
       assert(re.cellsTotal == target)
       assert(re.shards.map(_.liveSize).sum == expectLive,
         s"reshard($target) lost rows")
+      // the SQ8 coded mirror is rebuilt per shard (recall-proof — the
+      // parity asserts below run THROUGH the coded first pass)
+      assert(re.shards.forall(_.coded), s"reshard($target) lost the codes")
       // ids landed in the shard their NEW cell claims — no id twice
       re.shards.indices.foreach { i =>
         val c = re.cellOfShard(i)
