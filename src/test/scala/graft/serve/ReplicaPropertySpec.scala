@@ -152,4 +152,50 @@ class ReplicaPropertySpec extends AnyFunSuite {
         s"trial $trial threshold: cut=$cut")
     }
   }
+
+  test("resharded set equals the independent reference over random " +
+      "mutations, targets, and layouts") {
+    for (trial <- 0 until 8) {
+      val dim = Seq(4, 7, 16, 32)(trial % 4)
+      val n = 200 + rng.nextInt(600)
+      val k = 1 + rng.nextInt(25)
+      val shards = 2 + rng.nextInt(5)
+      val metric = Seq(Metric.L2, Metric.Cosine, Metric.Dot)(trial % 3)
+      val corpus = mkCorpus(n, dim, 300 + trial)
+      var rows = corpus.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", metric,
+        shards = shards)
+      // random mutations the reshard must fold correctly
+      val dels = rng.shuffle(rows.map(_._1).toSeq)
+        .take(rng.nextInt(n / 4)).toArray
+      set.delete(dels)
+      val delSet = dels.toSet
+      rows = rows.filterNot(r => delSet.contains(r._1))
+      val nApp = 1 + rng.nextInt(30)
+      val appIds = Array.tabulate(nApp)(i => (100000 + trial * 1000 + i).toLong)
+      val appVecs = Array.fill(nApp)(Array.tabulate(dim)(i =>
+        if (i == 0) 0.5f else (rng.nextInt(2000) - 1000) / 1000.0f))
+      set.append(appIds, appVecs)
+      rows = rows ++ appIds.zip(appVecs)
+      // random reshard target and layout (flat or freshly k-means'd)
+      val target = 1 + rng.nextInt(8)
+      val nlist = if (trial % 2 == 0) 0 else 2 + rng.nextInt(5)
+      val re = set.reshard(target, nlist)
+      assert(re.shards.forall(_.coded), s"trial $trial: codes not rebuilt")
+      assert(re.shards.map(_.liveSize).sum == rows.length,
+        s"trial $trial: reshard changed the live count")
+      val q = Array.tabulate(dim)(i => (rng.nextInt(2000) - 1000) / 1000.0f)
+      // full coverage (nprobe = nlist; flat ignores it) → exact
+      assert(re.search(q, k, nprobe = nlist) == refRank(metric, rows, q, k),
+        s"trial $trial: dim=$dim n=$n k=$k shards=$shards->$target " +
+          s"metric=$metric nlist=$nlist dels=${dels.length} apps=$nApp")
+      val full = refRank(metric, rows, q, rows.length)
+      val cut = full(math.min(20, rows.length - 1)).score
+      val expectThr = full.takeWhile(c =>
+        if (metric.ascending) c.score <= cut else c.score >= cut)
+      assert(re.searchThreshold(q, cut, nprobe = nlist) == expectThr,
+        s"trial $trial resharded threshold: cut=$cut")
+    }
+  }
 }
