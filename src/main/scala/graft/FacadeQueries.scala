@@ -770,6 +770,38 @@ object FacadeQueries {
       .select(col("id"), round(col("s"), 6).as("score"))
   }
 
+  /** Hybrid through a RESHARDED lexical set: the 4-shard export is
+    * split to 6 shards and merged to 2 — postings re-split with the
+    * rows in-process ([[graft.serve.ReplicaSet.reshard]]), per-shard
+    * stats recomputed — and the 2-shard set is saved, reloaded, and
+    * queried. The set-level global-stats exchange makes the resharded
+    * BM25 pool bit-identical to a single global replica's, so the row
+    * answers the SAME oracle as `graftdb_local_sharded_hybrid` —
+    * proving reshard keeps hybrid serving without a Spark re-export.
+    */
+  def localReshardedHybrid(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_resh_hybrid")
+    val set0 = graft.serve.ReplicaSet.fromStore(db, shards = 4, nlist = 4,
+      textCol = Some("text"))
+    require(set0.numShards >= 2 && set0.lexical,
+      "expected a multi-shard lexical set")
+    val re = set0.reshard(6, nlist = 2).reshard(2, nlist = 2)
+    require(re.lexical, "reshard dropped the lexical section")
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_facade_resh_hyb_set"
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    re.save(outDir, s.sparkContext.hadoopConfiguration)
+    val set = graft.serve.ReplicaSet.load(outDir,
+      s.sparkContext.hadoopConfiguration)
+    require(set.lexical, "saved/loaded resharded set lost the postings")
+    val res = set.hybridSearch(qvec(s, dir, 5), "spark vector merge", 10,
+      nprobe = 2)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("id", "s")
+      .select(col("id"), round(col("s"), 6).as("score"))
+  }
+
   /** FILTERED replica-side hybrid (vecgo embedded `HybridSearch` +
     * `WithFilter`): typed predicates compiled against the exported
     * metadata columns restrict both pools in-process — same oracle as
@@ -1070,6 +1102,7 @@ object FacadeQueries {
     "graftdb_local_sharded" -> (localSharded _),
     "graftdb_local_resharded" -> (localResharded _),
     "graftdb_local_sharded_hybrid" -> (localShardedHybrid _),
+    "graftdb_local_resharded_hybrid" -> (localReshardedHybrid _),
     "graftdb_local_hybrid" -> (localHybrid _),
     "graftdb_local_hybrid_filtered" -> (localHybridFiltered _),
     "graftdb_local_knn_rabitq" -> (localKnnRabitq _),
@@ -1231,6 +1264,10 @@ object FacadeQueries {
       "FROM documents)",
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
     "graftdb_local_sharded_hybrid" -> Queries.oracle("hybrid_rrf").replace(
+      "FROM documents)",
+      "FROM documents JOIN embeddings ON vec_id = doc_id)"),
+    // a resharded lexical set answers exactly like the sharded one
+    "graftdb_local_resharded_hybrid" -> Queries.oracle("hybrid_rrf").replace(
       "FROM documents)",
       "FROM documents JOIN embeddings ON vec_id = doc_id)"),
 

@@ -532,6 +532,19 @@ final class LocalReplica private (
     * arrays are fresh copies, never views into the replica.
     */
   private[serve] def liveRows(): (Array[Long], Array[Float]) = {
+    val (ids, flat, _, _) = liveRowsFull()
+    (ids, flat)
+  }
+
+  /** [[liveRows]] plus the lexical carry: per OUTPUT row, its OLD main
+    * row index (−1 for delta rows — appended rows have no postings, the
+    * same between-re-export contract the single replica serves), and
+    * the frozen [[LocalReplica.LexData]] reference (null when the
+    * replica carries no lexical section). Lets [[ReplicaSet.reshard]]
+    * re-split the postings by target shard instead of dropping them.
+    */
+  private[serve] def liveRowsFull(): (Array[Long], Array[Float],
+      Array[Int], LocalReplica.LexData) = {
     val m0 = mut
     val tomb = mutTomb(m0)
     val d = mutDelta(m0)
@@ -541,12 +554,14 @@ final class LocalReplica private (
     val n = nLive + (if (d == null) 0 else d.size)
     val outIds = new Array[Long](n)
     val outFlat = new Array[Float](n * dim)
+    val mainOldOf = Array.fill(n)(-1)
     var w = 0
     r = 0
     while (r < size) {
       if (live(tomb, r)) {
         outIds(w) = ids(r)
         System.arraycopy(flat, r * dim, outFlat, w * dim, dim)
+        mainOldOf(w) = r
         w += 1
       }
       r += 1
@@ -555,7 +570,7 @@ final class LocalReplica private (
       System.arraycopy(d.ids, 0, outIds, w, d.size)
       System.arraycopy(d.flat, 0, outFlat, w * dim, d.size * dim)
     }
-    (outIds, outFlat)
+    (outIds, outFlat, mainOldOf, lex)
   }
 
   /** Row norms for the fast cosine path (exact cosine recomputes both
@@ -3141,6 +3156,64 @@ object LocalReplica {
     (codes, mins, steps, minNorm)
   }
 
+  /** Lexical inputs for [[fromArrays]], aligned with the INPUT row
+    * order (before any IVF permutation): per-row doc length (0 = the
+    * row has no document — a delta-origin row), postings grouped by
+    * term in a sorted map, and the doc count. Built by
+    * [[ReplicaSet.reshard]] from the old shards' frozen postings.
+    */
+  private[serve] final class LexCarry(
+      val docLen: Array[Int],
+      val termPost: java.util.TreeMap[String,
+        scala.collection.mutable.ArrayBuffer[(Int, Float)]],
+      val numDocs: Long)
+
+  /** Rebuild a [[LexData]] under the fromArrays row permutation:
+    * remap posting rows, keep each term's postings ROW-SORTED (the
+    * DAAT merge contract), recompute local numDocs/avgdl from the
+    * carried doc lengths (fresh-export semantics — the same stats a
+    * re-export of these rows would freeze).
+    */
+  private def lexOf(carry: LexCarry, perm: Array[Int], n: Int): LexData = {
+    if (carry == null || carry.numDocs == 0) return null
+    val docLen = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      docLen(if (perm == null) i else perm(i)) = carry.docLen(i)
+      i += 1
+    }
+    val v = carry.termPost.size()
+    val terms = new Array[String](v)
+    val postStart = new Array[Int](v + 1)
+    var nPost = 0
+    val it0 = carry.termPost.entrySet().iterator()
+    var t = 0
+    while (it0.hasNext) { nPost += it0.next().getValue.length; t += 1 }
+    val postRow = new Array[Int](nPost)
+    val postTf = new Array[Float](nPost)
+    val it = carry.termPost.entrySet().iterator()
+    t = 0
+    var w = 0
+    while (it.hasNext) {
+      val e = it.next()
+      terms(t) = e.getKey
+      postStart(t) = w
+      val remapped = e.getValue.map { case (r, tf) =>
+        ((if (perm == null) r else perm(r)), tf)
+      }.sortBy(_._1)
+      remapped.foreach { case (r, tf) =>
+        postRow(w) = r; postTf(w) = tf; w += 1
+      }
+      t += 1
+    }
+    postStart(v) = w
+    var lenSum = 0.0
+    i = 0
+    while (i < n) { lenSum += docLen(i); i += 1 }
+    new LexData(terms, postStart, postRow, postTf, docLen,
+      carry.numDocs, lenSum / carry.numDocs)
+  }
+
   /** Build a replica from raw JVM arrays — the no-Spark rebuild
     * [[ReplicaSet.reshard]] moves rows through. `nlist > 1` clusters
     * with a deterministic in-process Lloyd k-means (evenly-spaced init
@@ -3148,15 +3221,17 @@ object LocalReplica {
     * probed serving; correctness never depends on cluster quality (the
     * probed pass is recall-gated, all-probe is exact). The SQ8 coded
     * mirror is REBUILT over the moved rows (fresh per-shard bounds —
-    * codes cannot transfer between shards whose bounds differ), so a
-    * resharded shard serves the same recall-proof coded first pass as
-    * an export; PQ/OPQ/RaBitQ/INT4 mirrors, metadata columns, and
-    * lexical postings still require a re-export (the
+    * codes cannot transfer between shards whose bounds differ), and a
+    * lexical section carries through via `lexCarry` (postings re-split
+    * and re-sorted, local stats recomputed — fresh-export semantics),
+    * so a resharded shard serves the same recall-proof coded first
+    * pass AND BM25/hybrid as an export; PQ/OPQ/RaBitQ/INT4 mirrors and
+    * metadata columns still require a re-export (the
     * [[LocalReplica.compacted]] contract).
     */
   private[serve] def fromArrays(metric: Metric, dim: Int,
       ids: Array[Long], flat: Array[Float], nlist: Int,
-      seed: Long = 42L): LocalReplica = {
+      seed: Long = 42L, lexCarry: LexCarry = null): LocalReplica = {
     val n = ids.length
     require(n > 0, "fromArrays: no rows")
     require(flat.length == n * dim,
@@ -3164,7 +3239,8 @@ object LocalReplica {
     if (nlist <= 1 || n <= nlist) {
       val (codes, mins, steps, minNorm) = sq8Mirror(flat, n, dim)
       return new LocalReplica(metric, dim, ids, flat, Array.empty,
-        Array(0, n), codes, mins, steps, minNorm, Array.empty, null)
+        Array(0, n), codes, mins, steps, minNorm, Array.empty, null,
+        lexOf(lexCarry, null, n), null)
     }
     val k = nlist
     // train on an evenly-spaced sample (the same bounded-sample idea as
@@ -3237,18 +3313,21 @@ object LocalReplica {
     val outIds = new Array[Long](n)
     val outFlat = new Array[Float](n * dim)
     val w = new Array[Int](k)
+    val perm = new Array[Int](n) // input row -> CSR position
     r = 0
     while (r < n) {
       val dst = listStart(assign(r)) + w(assign(r))
       outIds(dst) = ids(r)
       System.arraycopy(flat, r * dim, outFlat, dst * dim, dim)
+      perm(r) = dst
       w(assign(r)) += 1
       r += 1
     }
     val centroidVecs = centers.map(_.clone())
     val (codes, mins, steps, minNorm) = sq8Mirror(outFlat, n, dim)
     new LocalReplica(metric, dim, outIds, outFlat, centroidVecs, listStart,
-      codes, mins, steps, minNorm, Array.empty, null)
+      codes, mins, steps, minNorm, Array.empty, null,
+      lexOf(lexCarry, perm, n), null)
   }
 
   /** Export a replica from any (id, vector) DataFrame. `nlist > 0`

@@ -304,11 +304,15 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     * `nlist > 0` rebuilds a per-shard IVF layout with a deterministic
     * in-process k-means ([[LocalReplica.fromArrays]]); `nlist = 0`
     * serves brute-force exact. The SQ8 coded mirror is REBUILT per
-    * shard over the moved rows (fresh bounds), so resharded shards keep
-    * the recall-proof coded first pass; PQ/OPQ/RaBitQ/INT4 mirrors,
-    * metadata columns, and lexical sections are NOT carried (the
-    * [[LocalReplica.compacted]] contract) — re-export from the store
-    * for those; [[save]] the result to move the shard artifacts.
+    * shard over the moved rows (fresh bounds), and when EVERY shard
+    * serves a lexical section the postings re-split with the rows
+    * (frozen tf/doclen, per-shard stats recomputed — fresh-export
+    * semantics; the set-level global-stats exchange then keeps sharded
+    * BM25/hybrid bit-identical to a single global replica), so a
+    * resharded set keeps the coded first pass AND hybrid serving;
+    * PQ/OPQ/RaBitQ/INT4 mirrors and metadata columns are NOT carried
+    * (the [[LocalReplica.compacted]] contract) — re-export from the
+    * store for those; [[save]] the result to move the shard artifacts.
     *
     * When every old shard exported the SAME store snapshot (one
     * [[ReplicaSet.fromStore]] cut), the new shards keep the refresh
@@ -318,10 +322,13 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
   def reshard(newShards: Int, nlist: Int = 0): ReplicaSet =
     this.synchronized {
       require(newShards >= 1, s"newShards must be >= 1, got $newShards")
-      val extracted = shards.map(_.liveRows())
+      val extracted = shards.map(_.liveRowsFull())
+      // lexical carries through only when EVERY shard serves it (the
+      // same all-or-nothing rule as ReplicaSet.lexical)
+      val carryLex = shards.forall(_.lexical)
       // two passes: count per cell, then fill primitive arrays (no boxing)
       val counts = new Array[Int](newShards)
-      extracted.foreach { case (ids, _) =>
+      extracted.foreach { case (ids, _, _, _) =>
         var i = 0
         while (i < ids.length) {
           counts(ReplicaSet.cellOf(ids(i), newShards)) += 1
@@ -331,21 +338,70 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
       val pIds = Array.tabulate(newShards)(c => new Array[Long](counts(c)))
       val pFlat =
         Array.tabulate(newShards)(c => new Array[Float](counts(c) * dim))
+      val pDocLen =
+        if (!carryLex) null
+        else Array.tabulate(newShards)(c => new Array[Int](counts(c)))
+      val pNumDocs = new Array[Long](newShards)
+      val pPost =
+        if (!carryLex) null
+        else Array.fill(newShards)(new java.util.TreeMap[String,
+          scala.collection.mutable.ArrayBuffer[(Int, Float)]]())
       val w = new Array[Int](newShards)
-      extracted.foreach { case (ids, flat) =>
+      extracted.foreach { case (ids, flat, mainOldOf, lex) =>
+        // old MAIN row -> (cell, new input index) for the postings pass
+        val cellOfOld =
+          if (carryLex) new Array[Int](lex.docLen.length) else null
+        val idxOfOld =
+          if (carryLex) new Array[Int](lex.docLen.length) else null
+        if (carryLex) java.util.Arrays.fill(cellOfOld, -1)
         var i = 0
         while (i < ids.length) {
           val c = ReplicaSet.cellOf(ids(i), newShards)
           pIds(c)(w(c)) = ids(i)
           System.arraycopy(flat, i * dim, pFlat(c), w(c) * dim, dim)
+          if (carryLex && mainOldOf(i) >= 0) {
+            pDocLen(c)(w(c)) = lex.docLen(mainOldOf(i))
+            pNumDocs(c) += 1
+            cellOfOld(mainOldOf(i)) = c
+            idxOfOld(mainOldOf(i)) = w(c)
+          }
           w(c) += 1
           i += 1
+        }
+        if (carryLex) {
+          // re-split this shard's postings by the rows' new cells (dead
+          // rows have cellOfOld == -1 and drop out)
+          var t = 0
+          while (t < lex.terms.length) {
+            val term = lex.terms(t)
+            var p = lex.postStart(t)
+            val hi = lex.postStart(t + 1)
+            while (p < hi) {
+              val r = lex.postRow(p)
+              val c = cellOfOld(r)
+              if (c >= 0) {
+                var buf = pPost(c).get(term)
+                if (buf == null) {
+                  buf = new scala.collection.mutable.ArrayBuffer[(Int, Float)]()
+                  pPost(c).put(term, buf)
+                }
+                buf += ((idxOfOld(r), lex.postTf(p)))
+              }
+              p += 1
+            }
+            t += 1
+          }
         }
       }
       val present = (0 until newShards).filter(counts(_) > 0)
       require(present.nonEmpty, "reshard: the set has no live rows")
-      val reps = present.map(c =>
-        LocalReplica.fromArrays(metric, dim, pIds(c), pFlat(c), nlist))
+      val reps = present.map { c =>
+        val carry =
+          if (!carryLex || pNumDocs(c) == 0) null
+          else new LocalReplica.LexCarry(pDocLen(c), pPost(c), pNumDocs(c))
+        LocalReplica.fromArrays(metric, dim, pIds(c), pFlat(c), nlist,
+          lexCarry = carry)
+      }
       val set = new ReplicaSet(reps.toIndexedSeq)
       set.cellsTotal = newShards
       set.cellOfShard = present.toIndexedSeq

@@ -178,6 +178,46 @@ class ReplicaSetSpec extends AnyFunSuite {
     assert(set.lexicalSearch("absentterm", 5).isEmpty)
     assert(set.hybridSearch(queryVec(1), "absentterm", 5, nprobe = 4) ==
       one.hybridSearch(queryVec(1), "absentterm", 5))
+
+    // ---- lexical survives a reshard: postings re-split with the rows,
+    // per-shard stats recompute, the global-stats exchange still makes
+    // sharded BM25/hybrid bit-identical to the single global replica
+    for (target <- Seq(6, 2)) {
+      val re = set.reshard(target, nlist = 4)
+      assert(re.lexical, s"reshard($target) dropped the lexical section")
+      for (tq <- Seq("spark", "spark vector", "spark vector merge",
+          "shard rank absentterm")) {
+        assert(re.lexicalSearch(tq, 12) == one.lexicalSearch(tq, 12),
+          s"resharded($target) BM25 divergence on '$tq'")
+      }
+      for (s <- 0 until 3; tq <- Seq("spark vector", "merge rank scan")) {
+        val q = queryVec(s)
+        assert(re.hybridSearch(q, tq, 10, nprobe = 4) ==
+          one.hybridSearch(q, tq, 10),
+          s"resharded($target) hybrid divergence: seed=$s query='$tq'")
+      }
+    }
+    // a tombstoned row's postings do NOT travel: delete then reshard.
+    // Stats semantics differ deliberately from a mutated replica: the
+    // frozen export keeps the dead doc in numDocs/idf/avgdl until
+    // re-export, while reshard folds mutations = FRESH-EXPORT stats —
+    // so the oracle is a fresh single export over the survivors
+    val victim = one.lexicalSearch("spark", 1).head.id
+    set.delete(Array(victim))
+    val oneFresh = LocalReplica.fromDataFrame(
+      withText.where(col("id") =!= victim), "vec", "id", Metric.L2,
+      textCol = Some("text"))
+    val re2 = set.reshard(3, nlist = 2)
+    assert(re2.lexicalSearch("spark", 12) ==
+      oneFresh.lexicalSearch("spark", 12),
+      "post-delete resharded BM25 diverged from a fresh export")
+    // save/load round-trips the resharded lexical section (v5 artifact)
+    val dir = java.nio.file.Files.createTempDirectory("graft_reshard_lex")
+    re2.save(s"$dir/set")
+    val loaded = ReplicaSet.load(s"$dir/set")
+    assert(loaded.lexical)
+    assert(loaded.lexicalSearch("spark vector", 12) ==
+      oneFresh.lexicalSearch("spark vector", 12))
   }
 
   test("JVM-side cell routing matches Spark's xxhash64 export partitioner") {
