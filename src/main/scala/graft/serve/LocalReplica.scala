@@ -102,6 +102,10 @@ final class LocalReplica private (
 
   /** Names of the metadata columns this replica carries. */
   def metaColumns: Seq[String] = metaCols.map(_.name).toSeq
+  /** The typed metadata columns themselves (row-aligned) — read by
+    * [[ReplicaSet.reshard]] to move them with the rows.
+    */
+  private[serve] def metaData: Array[LocalReplica.MetaColumn] = metaCols
   private val ivfModel: Option[IVF.Model] =
     if (centroids.isEmpty) None else Some(IVF.Model(centroids))
 
@@ -3229,9 +3233,33 @@ object LocalReplica {
     * metadata columns still require a re-export (the
     * [[LocalReplica.compacted]] contract).
     */
+  /** Re-order INPUT-row-aligned metadata columns under the fromArrays
+    * permutation (identity when null).
+    */
+  private def metaOf(metaIn: Array[MetaColumn], perm: Array[Int],
+      n: Int): Array[MetaColumn] =
+    if (metaIn == null || metaIn.isEmpty) Array.empty
+    else metaIn.map { c =>
+      val nulls = new Array[Boolean](n)
+      val longs = if (c.longs != null) new Array[Long](n) else null
+      val doubles = if (c.doubles != null) new Array[Double](n) else null
+      val strings = if (c.strings != null) new Array[String](n) else null
+      var i = 0
+      while (i < n) {
+        val d = if (perm == null) i else perm(i)
+        nulls(d) = c.nulls(i)
+        if (longs != null) longs(d) = c.longs(i)
+        if (doubles != null) doubles(d) = c.doubles(i)
+        if (strings != null) strings(d) = c.strings(i)
+        i += 1
+      }
+      new MetaColumn(c.name, c.kind, longs, doubles, strings, nulls)
+    }
+
   private[serve] def fromArrays(metric: Metric, dim: Int,
       ids: Array[Long], flat: Array[Float], nlist: Int,
-      seed: Long = 42L, lexCarry: LexCarry = null): LocalReplica = {
+      seed: Long = 42L, lexCarry: LexCarry = null,
+      metaIn: Array[MetaColumn] = null): LocalReplica = {
     val n = ids.length
     require(n > 0, "fromArrays: no rows")
     require(flat.length == n * dim,
@@ -3239,8 +3267,8 @@ object LocalReplica {
     if (nlist <= 1 || n <= nlist) {
       val (codes, mins, steps, minNorm) = sq8Mirror(flat, n, dim)
       return new LocalReplica(metric, dim, ids, flat, Array.empty,
-        Array(0, n), codes, mins, steps, minNorm, Array.empty, null,
-        lexOf(lexCarry, null, n), null)
+        Array(0, n), codes, mins, steps, minNorm, metaOf(metaIn, null, n),
+        null, lexOf(lexCarry, null, n), null)
     }
     val k = nlist
     // train on an evenly-spaced sample (the same bounded-sample idea as
@@ -3326,7 +3354,7 @@ object LocalReplica {
     val centroidVecs = centers.map(_.clone())
     val (codes, mins, steps, minNorm) = sq8Mirror(outFlat, n, dim)
     new LocalReplica(metric, dim, outIds, outFlat, centroidVecs, listStart,
-      codes, mins, steps, minNorm, Array.empty, null,
+      codes, mins, steps, minNorm, metaOf(metaIn, perm, n), null,
       lexOf(lexCarry, perm, n), null)
   }
 

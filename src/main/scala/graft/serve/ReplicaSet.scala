@@ -309,10 +309,13 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     * (frozen tf/doclen, per-shard stats recomputed — fresh-export
     * semantics; the set-level global-stats exchange then keeps sharded
     * BM25/hybrid bit-identical to a single global replica), so a
-    * resharded set keeps the coded first pass AND hybrid serving;
-    * PQ/OPQ/RaBitQ/INT4 mirrors and metadata columns are NOT carried
-    * (the [[LocalReplica.compacted]] contract) — re-export from the
-    * store for those; [[save]] the result to move the shard artifacts.
+    * resharded set keeps the coded first pass AND hybrid serving.
+    * Metadata columns move with their rows too (same schema across
+    * shards; rows appended after the export stay all-NULL for
+    * predicates — the existing delta contract), so [[searchWhere]]
+    * keeps working. Only the model-based PQ/OPQ/RaBitQ/INT4 mirrors
+    * are NOT carried — re-export from the store for those; [[save]]
+    * the result to move the shard artifacts.
     *
     * When every old shard exported the SAME store snapshot (one
     * [[ReplicaSet.fromStore]] cut), the new shards keep the refresh
@@ -326,6 +329,10 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
       // lexical carries through only when EVERY shard serves it (the
       // same all-or-nothing rule as ReplicaSet.lexical)
       val carryLex = shards.forall(_.lexical)
+      // metadata columns carry when every shard agrees on the schema
+      val metaSchema = shards.head.metaData.map(c => (c.name, c.kind))
+      val carryMeta = metaSchema.nonEmpty && shards.forall(
+        _.metaData.map(c => (c.name, c.kind)).sameElements(metaSchema))
       // two passes: count per cell, then fill primitive arrays (no boxing)
       val counts = new Array[Int](newShards)
       extracted.foreach { case (ids, _, _, _) =>
@@ -346,14 +353,30 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
         if (!carryLex) null
         else Array.fill(newShards)(new java.util.TreeMap[String,
           scala.collection.mutable.ArrayBuffer[(Int, Float)]]())
+      val pMeta: Array[Array[LocalReplica.MetaColumn]] =
+        if (!carryMeta) null
+        else Array.tabulate(newShards) { c =>
+          metaSchema.map { case (nm, kind) =>
+            new LocalReplica.MetaColumn(nm, kind,
+              if (kind != LocalReplica.MetaDouble &&
+                  kind != LocalReplica.MetaString)
+                new Array[Long](counts(c)) else null,
+              if (kind == LocalReplica.MetaDouble)
+                new Array[Double](counts(c)) else null,
+              if (kind == LocalReplica.MetaString)
+                new Array[String](counts(c)) else null,
+              new Array[Boolean](counts(c)))
+          }
+        }
       val w = new Array[Int](newShards)
-      extracted.foreach { case (ids, flat, mainOldOf, lex) =>
+      extracted.zip(shards).foreach { case ((ids, flat, mainOldOf, lex), sh) =>
         // old MAIN row -> (cell, new input index) for the postings pass
         val cellOfOld =
           if (carryLex) new Array[Int](lex.docLen.length) else null
         val idxOfOld =
           if (carryLex) new Array[Int](lex.docLen.length) else null
         if (carryLex) java.util.Arrays.fill(cellOfOld, -1)
+        val srcMeta = if (carryMeta) sh.metaData else null
         var i = 0
         while (i < ids.length) {
           val c = ReplicaSet.cellOf(ids(i), newShards)
@@ -364,6 +387,21 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
             pNumDocs(c) += 1
             cellOfOld(mainOldOf(i)) = c
             idxOfOld(mainOldOf(i)) = w(c)
+          }
+          if (carryMeta) {
+            var k = 0
+            while (k < metaSchema.length) {
+              val dst = pMeta(c)(k)
+              val r = mainOldOf(i)
+              if (r >= 0) {
+                val src = srcMeta(k)
+                dst.nulls(w(c)) = src.nulls(r)
+                if (dst.longs != null) dst.longs(w(c)) = src.longs(r)
+                if (dst.doubles != null) dst.doubles(w(c)) = src.doubles(r)
+                if (dst.strings != null) dst.strings(w(c)) = src.strings(r)
+              } else dst.nulls(w(c)) = true // delta rows: all-NULL meta
+              k += 1
+            }
           }
           w(c) += 1
           i += 1
@@ -400,7 +438,7 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
           if (!carryLex || pNumDocs(c) == 0) null
           else new LocalReplica.LexCarry(pDocLen(c), pPost(c), pNumDocs(c))
         LocalReplica.fromArrays(metric, dim, pIds(c), pFlat(c), nlist,
-          lexCarry = carry)
+          lexCarry = carry, metaIn = if (carryMeta) pMeta(c) else null)
       }
       val set = new ReplicaSet(reps.toIndexedSeq)
       set.cellsTotal = newShards

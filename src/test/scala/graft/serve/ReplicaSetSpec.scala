@@ -68,6 +68,22 @@ class ReplicaSetSpec extends AnyFunSuite {
     assert(set.searchThreshold(q, cut) == one.searchThreshold(q, cut))
     assert(set.searchThreshold(q, cut, maxResults = 7) ==
       one.searchThreshold(q, cut, maxResults = 7))
+
+    // metadata columns MOVE with the rows on a reshard: typed
+    // predicates keep answering after the split, and a row appended
+    // after the export stays all-NULL (never matches a predicate)
+    val fresh = (n + 900).toLong
+    set.append(Array(fresh), Array(Array.fill(dim)(0.05f)))
+    val re = set.reshard(5)
+    assert(re.shards.forall(_.metaColumns == Seq("label")),
+      "reshard dropped the metadata columns")
+    assert(re.searchWhere(q, 10, preds) == one.searchWhere(q, 10, preds),
+      "resharded searchWhere diverged")
+    assert(re.searchFiltered(q, 10, allowed) ==
+      one.searchFiltered(q, 10, allowed))
+    assert(!re.searchWhere(Array.fill(dim)(0.05f), 5,
+        Seq(Filter.Gte("label", 0))).exists(_.id == fresh),
+      "appended row must stay all-NULL for predicates after a reshard")
   }
 
   test("mutations route correctly: broadcast delete, hashed append, upsert") {
