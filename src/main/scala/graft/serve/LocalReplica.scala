@@ -106,6 +106,12 @@ final class LocalReplica private (
     * [[ReplicaSet.reshard]] to move them with the rows.
     */
   private[serve] def metaData: Array[LocalReplica.MetaColumn] = metaCols
+  /** The PQ section (null when uncoded) — [[ReplicaSet.reshard]] reads
+    * the shared model (books/rot) to re-encode moved rows under it.
+    */
+  private[serve] def pqData: LocalReplica.PQData = pq
+  /** The RaBitQ section (null when absent) — reshard reads the seed. */
+  private[serve] def rbqSection: LocalReplica.RbqData = rbq
   private val ivfModel: Option[IVF.Model] =
     if (centroids.isEmpty) None else Some(IVF.Model(centroids))
 
@@ -3233,6 +3239,171 @@ object LocalReplica {
     * metadata columns still require a re-export (the
     * [[LocalReplica.compacted]] contract).
     */
+  /** Which coded mirrors [[fromArrays]] should REBUILD over the moved
+    * rows. Every mirror is a deterministic function of (row floats,
+    * model): PQ/OPQ codes are nearest-centroid under the shared
+    * codebooks (+ rotation), RaBitQ words are signs under the seeded
+    * rotation, INT4/SQ8 quantize under fresh per-shard bounds — so
+    * re-encoding reproduces exactly what a fresh export would build,
+    * with per-shard maxErr/norm margins recomputed over exactly the
+    * rows they must cover (sound by construction). null = SQ8 default.
+    */
+  private[serve] final class MirrorSpec(
+      val pqBooks: Array[Float], val pqM: Int, val pqKsub: Int,
+      val pqSubDim: Int, val pqRot: Array[Float],
+      val pqRotDefect: Double,
+      val int4: Boolean, val rbqSeed: Long)
+
+  /** PQ/OPQ mirror over a packed row block: rotate (OPQ), encode
+    * nearest-centroid, and fold the per-row reconstruction errors and
+    * norms into the admission margins — the export's own encode,
+    * extracted for the reshard rebuild. Returns (section, minNorm).
+    */
+  private def pqMirror(flat: Array[Float], n: Int, dim: Int,
+      spec: MirrorSpec): (PQData, Double) = {
+    val m = spec.pqM; val ksub = spec.pqKsub; val subDim = spec.pqSubDim
+    require(m * subDim == dim, s"pq mirror: m*subDim ${m * subDim} != $dim")
+    val rf = spec.pqRot
+    val encFlat =
+      if (rf == null) flat
+      else {
+        val out = new Array[Float](flat.length)
+        java.util.stream.IntStream.range(0, n).parallel().forEach { row =>
+          val base = row * dim
+          var jj = 0
+          while (jj < dim) {
+            var acc = 0.0; var i = 0
+            val rb = jj * dim
+            while (i < dim) {
+              acc += rf(rb + i).toDouble * flat(base + i).toDouble; i += 1
+            }
+            out(base + jj) = acc.toFloat
+            jj += 1
+          }
+        }
+        out
+      }
+    val books = spec.pqBooks
+    val pcodes = new Array[Byte](n * m)
+    val errSq = new Array[Double](n)
+    val minNorms = new Array[Double](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { row =>
+      val base = row * dim
+      var nn = 0.0
+      var i = 0
+      while (i < dim) { val x = encFlat(base + i).toDouble; nn += x * x; i += 1 }
+      minNorms(row) = math.sqrt(nn)
+      var es = 0.0
+      var sub = 0
+      while (sub < m) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ksub) {
+          val cb = (sub * ksub + c) * subDim
+          var acc = 0.0; var d = 0
+          while (d < subDim) {
+            val diff = encFlat(base + sub * subDim + d).toDouble -
+              books(cb + d).toDouble
+            acc += diff * diff; d += 1
+          }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        pcodes(row * m + sub) = best.toByte
+        es += bestD
+        sub += 1
+      }
+      errSq(row) = es
+    }
+    var minNorm = Double.MaxValue
+    var maxNorm = 0.0
+    var maxErr = 0.0
+    var r = 0
+    while (r < n) {
+      if (minNorms(r) < minNorm) minNorm = minNorms(r)
+      if (minNorms(r) > maxNorm) maxNorm = minNorms(r)
+      val e = math.sqrt(errSq(r))
+      if (e > maxErr) maxErr = e
+      r += 1
+    }
+    (PQData.fromRowMajor(m, ksub, subDim, books, pcodes, maxErr + 1e-5,
+      rf, spec.pqRotDefect, maxNorm * (1.0 + 1e-6) + 1e-5), minNorm)
+  }
+
+  /** INT4 mirror (fresh per-shard bounds, split-plane nibbles) — the
+    * export's own encode for the reshard rebuild.
+    */
+  private def int4Mirror(flat: Array[Float], n: Int, dim: Int)
+      : (Int4Data, Double) = {
+    val mins = Array.fill(dim)(Double.MaxValue)
+    val maxs = Array.fill(dim)(Double.MinValue)
+    var j = 0
+    while (j < flat.length) {
+      val x = flat(j).toDouble
+      val d = j % dim
+      if (x < mins(d)) mins(d) = x
+      if (x > maxs(d)) maxs(d) = x
+      j += 1
+    }
+    val steps = Array.tabulate(dim)(i => (maxs(i) - mins(i)) / 15.0)
+    val half = (dim + 1) / 2
+    val codes = new Array[Byte](n * half)
+    var minNorm = Double.MaxValue
+    var r = 0
+    while (r < n) {
+      val base = r * dim
+      var nn = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = flat(base + i).toDouble
+        nn += x * x
+        val c =
+          if (steps(i) == 0.0) 0
+          else {
+            val v = math.round((x - mins(i)) / steps(i)).toInt
+            if (v < 0) 0 else if (v > 15) 15 else v
+          }
+        if (i < half) codes(r * half + i) = c.toByte
+        else codes(r * half + (i - half)) =
+          (codes(r * half + (i - half)) | (c << 4)).toByte
+        i += 1
+      }
+      val norm = math.sqrt(nn)
+      if (norm < minNorm) minNorm = norm
+      r += 1
+    }
+    (new Int4Data(codes, mins, steps), minNorm)
+  }
+
+  /** RaBitQ sign words under the seeded rotation — the export's own
+    * encode for the reshard rebuild.
+    */
+  private def rbqMirror(flat: Array[Float], n: Int, dim: Int,
+      seed: Long): RbqData = {
+    val model = graft.index.RaBitQ.train(dim, seed)
+    val rot = model.rotation
+    val nwords = (dim + 31) / 32
+    val words = new Array[Long](n * nwords)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { row =>
+      val base = row * dim
+      var j = 0
+      while (j < dim) {
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          acc += rot(j)(i).toDouble * flat(base + i).toDouble
+          i += 1
+        }
+        if (acc.toFloat > 0f)
+          words(row * nwords + j / 32) |= (1L << (j % 32))
+        j += 1
+      }
+    }
+    val rd = new RbqData(seed, nwords, words)
+    rd.rotation = rot
+    rd
+  }
+
   /** Re-order INPUT-row-aligned metadata columns under the fromArrays
     * permutation (identity when null).
     */
@@ -3256,20 +3427,48 @@ object LocalReplica {
       new MetaColumn(c.name, c.kind, longs, doubles, strings, nulls)
     }
 
+  /** Assemble the fromArrays replica: rebuild the selected coded
+    * mirrors over the (already CSR-ordered) rows, permute the carried
+    * lexical/meta sections, construct.
+    */
+  private def constructFrom(metric: Metric, dim: Int, ids: Array[Long],
+      flat: Array[Float], centroids: Array[Array[Float]],
+      listStart: Array[Int], n: Int, perm: Array[Int],
+      lexCarry: LexCarry, metaIn: Array[MetaColumn],
+      mirrors: MirrorSpec): LocalReplica = {
+    val rbq =
+      if (mirrors != null && mirrors.rbqSeed >= 0)
+        rbqMirror(flat, n, dim, mirrors.rbqSeed)
+      else null
+    val meta = metaOf(metaIn, perm, n)
+    val lexD = lexOf(lexCarry, perm, n)
+    if (mirrors != null && mirrors.pqBooks != null) {
+      val (pqd, minNorm) = pqMirror(flat, n, dim, mirrors)
+      new LocalReplica(metric, dim, ids, flat, centroids, listStart,
+        null, null, null, minNorm, meta, pqd, lexD, rbq)
+    } else if (mirrors != null && mirrors.int4) {
+      val (i4d, minNorm) = int4Mirror(flat, n, dim)
+      new LocalReplica(metric, dim, ids, flat, centroids, listStart,
+        null, null, null, minNorm, meta, null, lexD, rbq, i4d)
+    } else {
+      val (codes, mins, steps, minNorm) = sq8Mirror(flat, n, dim)
+      new LocalReplica(metric, dim, ids, flat, centroids, listStart,
+        codes, mins, steps, minNorm, meta, null, lexD, rbq)
+    }
+  }
+
   private[serve] def fromArrays(metric: Metric, dim: Int,
       ids: Array[Long], flat: Array[Float], nlist: Int,
       seed: Long = 42L, lexCarry: LexCarry = null,
-      metaIn: Array[MetaColumn] = null): LocalReplica = {
+      metaIn: Array[MetaColumn] = null,
+      mirrors: MirrorSpec = null): LocalReplica = {
     val n = ids.length
     require(n > 0, "fromArrays: no rows")
     require(flat.length == n * dim,
       s"fromArrays: flat has ${flat.length} floats, expected ${n * dim}")
-    if (nlist <= 1 || n <= nlist) {
-      val (codes, mins, steps, minNorm) = sq8Mirror(flat, n, dim)
-      return new LocalReplica(metric, dim, ids, flat, Array.empty,
-        Array(0, n), codes, mins, steps, minNorm, metaOf(metaIn, null, n),
-        null, lexOf(lexCarry, null, n), null)
-    }
+    if (nlist <= 1 || n <= nlist)
+      return constructFrom(metric, dim, ids, flat, Array.empty,
+        Array(0, n), n, null, lexCarry, metaIn, mirrors)
     val k = nlist
     // train on an evenly-spaced sample (the same bounded-sample idea as
     // the Spark-side k-means; deterministic — no RNG, so a reshard is
@@ -3352,10 +3551,8 @@ object LocalReplica {
       r += 1
     }
     val centroidVecs = centers.map(_.clone())
-    val (codes, mins, steps, minNorm) = sq8Mirror(outFlat, n, dim)
-    new LocalReplica(metric, dim, outIds, outFlat, centroidVecs, listStart,
-      codes, mins, steps, minNorm, metaOf(metaIn, perm, n), null,
-      lexOf(lexCarry, perm, n), null)
+    constructFrom(metric, dim, outIds, outFlat, centroidVecs, listStart,
+      n, perm, lexCarry, metaIn, mirrors)
   }
 
   /** Export a replica from any (id, vector) DataFrame. `nlist > 0`

@@ -313,9 +313,14 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     * Metadata columns move with their rows too (same schema across
     * shards; rows appended after the export stay all-NULL for
     * predicates — the existing delta contract), so [[searchWhere]]
-    * keeps working. Only the model-based PQ/OPQ/RaBitQ/INT4 mirrors
-    * are NOT carried — re-export from the store for those; [[save]]
-    * the result to move the shard artifacts.
+    * keeps working. Coded mirrors REBUILD under the sources' shared
+    * models — PQ/OPQ re-encodes against the shared codebooks
+    * (+rotation), INT4 re-quantizes under fresh per-shard bounds,
+    * RaBitQ re-packs under the shared seed (every encode is a
+    * deterministic function of row and model, so the result is exactly
+    * a fresh export's) — a reshard therefore needs NO Spark re-export
+    * for any serving section; [[save]] the result to move the shard
+    * artifacts.
     *
     * When every old shard exported the SAME store snapshot (one
     * [[ReplicaSet.fromStore]] cut), the new shards keep the refresh
@@ -333,6 +338,36 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
       val metaSchema = shards.head.metaData.map(c => (c.name, c.kind))
       val carryMeta = metaSchema.nonEmpty && shards.forall(
         _.metaData.map(c => (c.name, c.kind)).sameElements(metaSchema))
+      // coded mirrors REBUILD under the sources' shared models: PQ/OPQ
+      // when every shard codes with identical books (+rotation), INT4
+      // when every shard is int4 (fresh per-shard bounds), RaBitQ rides
+      // along on a shared seed; otherwise the SQ8 default
+      val headPq = shards.head.pqData
+      val carryPq = headPq != null && shards.forall { s =>
+        val p = s.pqData
+        p != null && p.m == headPq.m && p.ksub == headPq.ksub &&
+          p.subDim == headPq.subDim &&
+          java.util.Arrays.equals(p.books, headPq.books) &&
+          ((p.rot == null && headPq.rot == null) ||
+            (p.rot != null && headPq.rot != null &&
+              java.util.Arrays.equals(p.rot, headPq.rot)))
+      }
+      val carryInt4 = !carryPq && shards.forall(_.int4Coded)
+      val headRbq = shards.head.rbqSection
+      val carryRbq = headRbq != null &&
+        shards.forall(s => s.rbqSection != null &&
+          s.rbqSection.seed == headRbq.seed)
+      val mirrors =
+        if (!carryPq && !carryInt4 && !carryRbq) null
+        else new LocalReplica.MirrorSpec(
+          if (carryPq) headPq.books else null,
+          if (carryPq) headPq.m else 0,
+          if (carryPq) headPq.ksub else 0,
+          if (carryPq) headPq.subDim else 0,
+          if (carryPq) headPq.rot else null,
+          if (carryPq) headPq.rotDefect else 0.0,
+          carryInt4,
+          if (carryRbq) headRbq.seed else -1L)
       // two passes: count per cell, then fill primitive arrays (no boxing)
       val counts = new Array[Int](newShards)
       extracted.foreach { case (ids, _, _, _) =>
@@ -438,7 +473,8 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
           if (!carryLex || pNumDocs(c) == 0) null
           else new LocalReplica.LexCarry(pDocLen(c), pPost(c), pNumDocs(c))
         LocalReplica.fromArrays(metric, dim, pIds(c), pFlat(c), nlist,
-          lexCarry = carry, metaIn = if (carryMeta) pMeta(c) else null)
+          lexCarry = carry, metaIn = if (carryMeta) pMeta(c) else null,
+          mirrors = mirrors)
       }
       val set = new ReplicaSet(reps.toIndexedSeq)
       set.cellsTotal = newShards

@@ -132,6 +132,49 @@ class ReplicaSetSpec extends AnyFunSuite {
       val fast = KernelMode.withFast(true)(set.search(q, 10))
       assert(fast == KernelMode.withFast(true)(one.search(q, 10)))
     }
+    // reshard keeps the INT4 family: fresh per-shard bounds, same
+    // sound-margin exactness
+    val re = set.reshard(2)
+    assert(re.shards.forall(s => s.int4Coded && !s.coded && !s.pqCoded),
+      "reshard dropped or swapped the INT4 mirror")
+    for (s <- 0 until 5) {
+      val q = queryVec(s)
+      assert(re.search(q, 10) == one.search(q, 10),
+        s"resharded int4 diverged on seed $s")
+    }
+  }
+
+  test("pq/opq and rabitq sets reshard by re-encoding under the shared " +
+      "model — no Spark re-export, exactness intact") {
+    val pm = graft.index.PQ.train(corpus.select(col("vec")), "vec",
+      m = 8, iters = 4)
+    val set = ReplicaSet.fromDataFrame(corpus, "vec", "id", Metric.L2,
+      shards = 3, nlist = 4, pqModel = Some(pm))
+    assert(set.shards.forall(_.pqCoded))
+    val one = LocalReplica.fromDataFrame(corpus, "vec", "id", Metric.L2)
+    val re = set.reshard(5, nlist = 2)
+    assert(re.shards.forall(s => s.pqCoded && !s.coded),
+      "reshard must rebuild the PQ mirror, not fall back to SQ8")
+    for (s <- 0 until 5) {
+      val q = queryVec(s)
+      assert(re.search(q, 12, nprobe = 2) == one.search(q, 12),
+        s"resharded PQ diverged on seed $s")
+    }
+    // RaBitQ (directly-assembled shards share the seed): the 1-bit
+    // words re-pack under the same rotation
+    val a = LocalReplica.fromDataFrame(corpus.where(col("id") % 2 === 0),
+      "vec", "id", Metric.L2, rabitq = true)
+    val b = LocalReplica.fromDataFrame(corpus.where(col("id") % 2 === 1),
+      "vec", "id", Metric.L2, rabitq = true)
+    val rset = ReplicaSet(Seq(a, b))
+    val rre = rset.reshard(3)
+    assert(rre.shards.forall(s => s.rbqCoded && s.coded),
+      "reshard dropped the RaBitQ section (or the SQ8 default)")
+    for (s <- 0 until 5) {
+      val q = queryVec(s)
+      assert(rre.search(q, 12) == one.search(q, 12),
+        s"resharded rabitq diverged on seed $s")
+    }
   }
 
   test("append rejects cross-shard duplicates and bad batches before any shard mutates") {
