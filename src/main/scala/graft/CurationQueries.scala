@@ -59,7 +59,18 @@ object CurationQueries {
       .agg(min(struct(col("dr"), col("cid"))).as("m"))
       .select(col("m.cid").as("cid"), col("m.dr").as("dr"))
       .groupBy("cid")
-      .agg(count(lit(1)).as("n"), r6(avg(col("dr"))).as("avg_dist"))
+      // ORDER-INSENSITIVE mean: dr is a round-6 value, so its micro-unit
+      // (dr·1e6 rounded) is an exact integer — summing INTEGERS is
+      // deterministic under any parallel aggregation order, then ONE
+      // division pair reproduces bitwise on both engines. A double
+      // avg() here flapped: DuckDB's parallel sum order varies run to
+      // run, and one sf0.001 cluster mean sits exactly on a 5e-7
+      // rounding boundary (~12% of checker runs read 1.256388 vs
+      // .389).
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("dr") * lit(1e6)).cast("long")).as("_sm"))
+      .select(col("cid"), col("n"),
+        r6(col("_sm").cast("double") / lit(1e6) / col("n")).as("avg_dist"))
       .orderBy(col("cid").asc)
   }
 
@@ -242,7 +253,9 @@ object CurationQueries {
         |             row_number() OVER (PARTITION BY vec_id
         |                                ORDER BY dr ASC, cid ASC) AS rk
         |      FROM d)
-        |SELECT cid, count(*) AS n, round(avg(dr), 6) AS avg_dist
+        |SELECT cid, count(*) AS n,
+        |       round(sum(CAST(round(dr * 1e6) AS BIGINT))::DOUBLE
+        |             / 1e6 / count(*), 6) AS avg_dist
         |FROM a WHERE rk = 1
         |GROUP BY cid ORDER BY cid ASC""".stripMargin,
     "class_centroid" ->
