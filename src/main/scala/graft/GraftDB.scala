@@ -538,7 +538,19 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     if (!org.apache.hadoop.fs.FileUtil.copy(
         src.getFileSystem(conf), src, dfs, dst, false, conf))
       throw new java.io.IOException(s"clone copy failed: $src -> $dst")
-    val out = store.cloneAt(destRoot, v)
+    // a mid-clone failure must not strand the staged db.json: the
+    // destination would then hold a config but no CURRENT/manifest, and
+    // the `already holds a GraftDB` require above would refuse every
+    // retry with nothing to resume (round-9 advice) — unstage it so a
+    // failed clone is retryable as-is (orphaned data files under dest
+    // are harmless: nothing references them and the retry re-copies)
+    val out =
+      try store.cloneAt(destRoot, v)
+      catch { case e: Throwable =>
+        try dfs.delete(dst, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+      }
     notifyObs(_.onMaintenance("cloneAt", 0L, out))
     out
   }

@@ -51,13 +51,31 @@ object IndexPolicy {
     * cannot justify re-clustering the corpus, whatever they look like
     * (they stay exactly searchable either way — the coded pass is
     * recall-gated oversample-and-rerank).
+    *
+    * `minTailRows = -1` (the default) is adaptive: `max(64, 1% of
+    * indexedRows)` — so one far-out row on a million-row index reads
+    * `outFrac = 1.0` but still folds (a retrain over the whole corpus
+    * for one row is never the right trade), while a materially-sized
+    * drifted tail on the same index trips it.
+    *
+    * `baseline` tells the policy what radii the statistic was measured
+    * against: ~0.05 for train-time q95 radii, 0.0 for pre-upgrade
+    * sidecars that only carry MAX radii. Against max radii even a
+    * strongly drifted tail reads a small `outFrac` (nothing exceeded
+    * the max at train time by construction, so any material exceed IS
+    * drift evidence) — the threshold drops to `maxOutFrac / 5` there
+    * instead of staying silently insensitive.
     */
   def driftThreshold(maxOutFrac: Double = 0.5,
-      minTailRows: Long = 0L): IndexPolicy = { d =>
+      minTailRows: Long = -1L): IndexPolicy = { d =>
     require(maxOutFrac > 0 && maxOutFrac <= 1,
       s"maxOutFrac must be in (0,1], got $maxOutFrac")
-    if (d.tailRows < minTailRows) Fold
-    else if (d.outFrac > maxOutFrac) Retrain
+    val floor =
+      if (minTailRows >= 0) minTailRows
+      else math.max(64L, d.indexedRows / 100)
+    val thr = if (d.baseline > 0.0) maxOutFrac else maxOutFrac / 5
+    if (d.tailRows < floor) Fold
+    else if (d.outFrac > thr) Retrain
     else Fold
   }
 

@@ -26,13 +26,21 @@ object Mrl {
     * `list_inner_product` performs, so verification agrees bitwise).
     * An all-zero prefix passes through as zeros (no NaN) — callers
     * treat it like any zero vector (cosine surfaces reject it at
-    * ingest, L2 serves it).
+    * ingest, L2 serves it). A vector SHORTER than `dims` fails loudly
+    * at evaluation time (`raise_error`): `slice` would silently return
+    * an under-length prefix that only surfaces much later as a
+    * confusing dim mismatch in buildIndex/replica export (round-9
+    * advice).
     */
   def truncateColExact(vec: Column, dims: Int): Column = {
     require(dims > 0, s"truncateCol: dims must be positive, got $dims")
     val pre = transform(slice(vec, 1, dims), x => x.cast("double"))
     val nrm = sqrt(aggregate(pre, lit(0.0), (acc, x) => acc + x * x))
-    transform(pre, x => when(nrm > lit(0.0), x / nrm).otherwise(lit(0.0)))
+    val out =
+      transform(pre, x => when(nrm > lit(0.0), x / nrm).otherwise(lit(0.0)))
+    when(size(vec) >= dims, out).otherwise(raise_error(concat(
+      lit(s"mrl truncate: vector has "), size(vec).cast("string"),
+      lit(s" dims, need >= $dims"))))
   }
 
   /** Float32 truncation for the engine surfaces (every vector path —

@@ -93,6 +93,7 @@ object CommitGuard {
     val name = "conditional-create"
     def publishExclusive(fs: FileSystem, conf: Configuration, root: Path,
         dest: Path, bytes: Array[Byte]): Unit = {
+      warnIfClientSideCas(fs, root)
       def isPrecondition(e: Throwable): Boolean = e match {
         case null => false
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -117,6 +118,48 @@ object CommitGuard {
       }
     }
   }
+
+  /** Hadoop ≥ 3.4.1 path capability for server-side conditional writes
+    * (HADOOP-19256; S3A reports it when
+    * `fs.s3a.create.conditional.enabled` is on). Where an object store
+    * does NOT report it, `create(dest, overwrite = false)` degrades to
+    * the client-side exists-check TOCTOU this guard exists to eliminate
+    * — that silent degradation must be loud (round-9 advice).
+    */
+  val ConditionalCreateCapability = "fs.option.create.conditional.overwrite"
+
+  /** True when the store's exclusive create is checked server-side:
+    * either the FS advertises the conditional-write capability, or it is
+    * not an object store at all (HDFS/local exclusive create is a true
+    * namespace CAS — those FSs never advertise the S3A capability and
+    * need no warning).
+    */
+  def serverSideCas(fs: FileSystem, path: Path): Boolean = {
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || !ObjectStoreSchemes(scheme.toLowerCase)) true
+    else
+      try fs.hasPathCapability(path, ConditionalCreateCapability)
+      catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** Object-store FS URIs already warned about, so the degradation is
+    * loud once per store, not once per commit. Visible for specs.
+    */
+  private[store] val warnedClientSideCas =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def warnIfClientSideCas(fs: FileSystem, root: Path): Unit =
+    if (!serverSideCas(fs, root)) {
+      val key = fs.getUri.toString
+      if (warnedClientSideCas.add(key))
+        org.slf4j.LoggerFactory.getLogger(classOf[CommitGuard]).warn(
+          s"$key does not advertise '$ConditionalCreateCapability' " +
+            "(needs Hadoop >= 3.4.1 with fs.s3a.create.conditional.enabled" +
+            "=true): exclusive create degrades to a client-side exists() " +
+            "check, so two racing writers CAN fork the manifest chain. " +
+            "Enable server-side conditional writes, or serialize writers " +
+            "externally.")
+    }
 
   /** Schemes whose FileSystem rename is not atomic (object stores): the
     * conditional-create guard is the default there.

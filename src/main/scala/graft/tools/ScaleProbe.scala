@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   private val Slack = 1.5
+  // per-vector bytes the probe holds live (128d float cache + shuffle +
+  // working copies), for the heap floor below
+  private val dimBytes = 128L * 4
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -51,10 +54,22 @@ object ScaleProbe {
     val docScales = args.drop(1).headOption.getOrElse("20000,200000,2000000")
       .split(",").map(_.trim.toLong).toSeq
     require(vecScales.size == docScales.size, "scale lists must align")
+    // local-mode heap gate: spark.driver.memory set after JVM start has
+    // NO effect in local mode (round-9 advice) — the fork's -Xmx is what
+    // counts (build.sbt forwards SPARK_DRIVER_MEM). The round-9 curve's
+    // 5M point ran in the default 8g and spilled; the probe now refuses
+    // to produce a silently memory-degraded point instead.
+    val heap = Runtime.getRuntime.maxMemory
+    val needed = vecScales.max * dimBytes * 4 + (4L << 30)
+    require(heap >= needed,
+      f"heap ${heap / (1L << 30)}%d GiB < ${needed / (1L << 30)}%d GiB " +
+        f"needed for ${vecScales.max}%,d vectors without spilling — " +
+        "rerun with SPARK_DRIVER_MEM=<N>g (build.sbt forwards it to -Xmx)")
+    System.err.println(s"[scale] heap ${heap / (1L << 30)} GiB " +
+      s"(needed floor ${needed / (1L << 30)} GiB)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "96g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -612,4 +612,17 @@ class GraftDBSpec extends AnyFunSuite {
         readOnly = true)
     }
   }
+
+  test("a failed cloneAt unstages its db.json so the same destRoot is " +
+      "retryable (round-9 advice)") {
+    val db = freshDb()
+    db.insertBatch(records(0 until 20))
+    val dest = Files.createTempDirectory("graft-db-clonefail").toString + "/c"
+    // version 999 has no manifest: the clone fails AFTER staging db.json
+    intercept[IllegalArgumentException] { db.cloneAt(dest, version = 999L) }
+    // the staged config must not survive — a retry on the same root works
+    db.cloneAt(dest)
+    val clone = GraftDB.open(spark, dest)
+    assert(clone.read().count() == 20)
+  }
 }

@@ -63,6 +63,20 @@ class RandomProjectionSpec extends AnyFunSuite {
     tr.unpersist()
   }
 
+  test("MRL truncation fails loudly on under-length vectors instead of " +
+      "silently emitting a short prefix") {
+    val short = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      short.select(Mrl.truncateColExact(col("v"), 16)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("mrl truncate")), e.toString)
+    // boundary: exactly dims-long vectors pass
+    val ok = short.select(Mrl.truncateColExact(col("v"), 3)).collect()
+    assert(ok(0).getSeq[Double](0).length == 3)
+  }
+
   test("Spark projection equals the driver-side reference product") {
     val mat = RandomProjection.matrix(dim, 16, "rp0")
     val rows = emb.select(col("vec_id"),

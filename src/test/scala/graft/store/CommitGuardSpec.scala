@@ -158,6 +158,41 @@ class CommitGuardSpec extends AnyFunSuite {
     assert(ids(src) === Set(1L, 2L), "clone write leaked into the source")
   }
 
+  test("conditional-create probes the server-side CAS capability on " +
+      "object-store schemes and warns loudly when it is absent") {
+    import org.apache.hadoop.fs.RawLocalFileSystem
+    val root = new Path(Files.createTempDirectory("graft-cg-cap").toString)
+    // an "s3a" store that does NOT advertise conditional writes (Hadoop
+    // < 3.4.1 or fs.s3a.create.conditional.enabled=false): the exclusive
+    // create is a client-side exists() check — the guard must say so
+    val bare = new RawLocalFileSystem() {
+      override def getUri = java.net.URI.create("s3a://probe-bucket")
+      override def getScheme = "s3a"
+    }
+    bare.initialize(bare.getUri, hconf)
+    assert(!CommitGuard.serverSideCas(bare, root))
+    CommitGuard.ConditionalCreate.publishExclusive(bare, hconf, root,
+      new Path(root, "MANIFEST-000001.json"), "x".getBytes("UTF-8"))
+    assert(CommitGuard.warnedClientSideCas.contains("s3a://probe-bucket"),
+      "degraded CAS must be warned about on first publish")
+    // one advertising the capability is trusted silently
+    val good = new RawLocalFileSystem() {
+      override def getUri = java.net.URI.create("s3a://good-bucket")
+      override def getScheme = "s3a"
+      override def hasPathCapability(p: Path, cap: String): Boolean =
+        cap == CommitGuard.ConditionalCreateCapability ||
+          super.hasPathCapability(p, cap)
+    }
+    good.initialize(good.getUri, hconf)
+    assert(CommitGuard.serverSideCas(good, root))
+    CommitGuard.ConditionalCreate.publishExclusive(good, hconf, root,
+      new Path(root, "MANIFEST-000002.json"), "y".getBytes("UTF-8"))
+    assert(!CommitGuard.warnedClientSideCas.contains("s3a://good-bucket"))
+    // non-object-store FSs never warn: their exclusive create IS a
+    // server-checked namespace CAS even without the S3A capability
+    assert(CommitGuard.serverSideCas(root.getFileSystem(hconf), root))
+  }
+
   test("a store opened on an s3sim root auto-selects the " +
       "conditional-create guard by scheme") {
     val root = s3simRoot()
