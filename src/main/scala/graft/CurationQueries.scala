@@ -209,6 +209,34 @@ object CurationQueries {
       .orderBy(col("vec_id").asc, col("j").asc)
   }
 
+  /** ColBERT-style MaxSim rerank ([[graft.query.MaxSim]], Khattab &
+    * Zaharia 2020): documents as arrays of token vectors (derived
+    * deterministically here by splitting the 64-d fixture embedding into
+    * 8×8-d tokens), a single-vector dot-product candidate pool of 50,
+    * then exact Σ-max-dot late-interaction rescoring down to 10 — the
+    * two-stage serving shape, with the token interaction as one
+    * row-local codegen'd projection AFTER the candidate cut (never an
+    * explode-join of token pairs; see `PlanSpec`'s maxsim gate). The
+    * double fold order matches DuckDB's `list_reduce` exactly, so the
+    * row hash-checks bitwise.
+    */
+  def maxsimRerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.query.MaxSim
+    val toks = t(s, dir, "embeddings").select(col("vec_id"),
+      col("embedding"), MaxSim.splitTokensCol(col("embedding"), 8, 8).as("toks"))
+    val q = toks.where(col("vec_id") === 3)
+      .select(col("embedding").as("qv"), col("toks").as("qtoks"))
+    val cand = toks.crossJoin(broadcast(q))
+      .withColumn("cs", graft.functions.vec_dot(col("embedding"), col("qv")))
+      .orderBy(col("cs").desc, col("vec_id").asc)
+      .limit(50)
+    cand.select(col("vec_id"),
+        MaxSim.maxSimCol(col("qtoks"), col("toks")).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), r6(col("s")).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_topk" -> (vocabTopk _),
     "cluster_assign" -> (clusterAssign _),
@@ -219,7 +247,8 @@ object CurationQueries {
     "text_bpe_tokens" -> (bpeTokens _),
     "text_bpe_pairs" -> (bpePairs _),
     "embedding_project" -> (embeddingProject _),
-    "embedding_mrl" -> (embeddingMrl _)
+    "embedding_mrl" -> (embeddingMrl _),
+    "maxsim_rerank" -> (maxsimRerank _)
   )
 
   /** The frozen merge list as a DuckDB nested-replace chain — the same
@@ -383,6 +412,31 @@ object CurationQueries {
         |       round(CASE WHEN nrm > 0 THEN pre[CAST(j + 1 AS INT)] / nrm
         |             ELSE 0.0::DOUBLE END, 6) AS w
         |FROM n, unnest(range(0, 16)) t(j)
-        |ORDER BY vec_id ASC, j ASC""".stripMargin
+        |ORDER BY vec_id ASC, j ASC""".stripMargin,
+    // ColBERT MaxSim: tokens = 8×8-d slices of the pooled embedding;
+    // candidate pool by single-vector dot (list_inner_product ==
+    // vec_dot, proven by knn_dot); the Σ-max fold via list_reduce is
+    // sequential in list order, exactly Spark's 0.0-seeded aggregate
+    "maxsim_rerank" ->
+      """WITH tok AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_transform(range(0, 8), t ->
+        |           (embedding::DOUBLE[])[t*8+1 : t*8+8]) AS toks
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv, toks AS qtoks FROM tok WHERE vec_id = 3),
+        |cand AS (
+        |  SELECT tok.vec_id, tok.toks, q.qtoks
+        |  FROM tok, q
+        |  ORDER BY list_inner_product(tok.v, q.qv) DESC, tok.vec_id ASC
+        |  LIMIT 50),
+        |s AS (
+        |  SELECT vec_id,
+        |         list_reduce(list_transform(qtoks, qq ->
+        |           list_max(list_transform(toks, d ->
+        |             list_inner_product(qq, d)))),
+        |           (a, b) -> a + b) AS score
+        |  FROM cand)
+        |SELECT vec_id, round(score, 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
   )
 }
