@@ -330,7 +330,7 @@ object Bench {
           .select(col("id").as("qid"), col("vec").as("qv"))
         noop(Search.knnJoinIvf(spark.read.parquet(ivfDirBig), "vec", "id",
           qdf, "qid", "qv", k = 10, ivfModelBig, nprobe = 2,
-          reuseLayoutCol = true))
+          reuseLayoutCol = true, broadcastQueries = true))
       }),
       // tombstone-delete throughput: anti-join n rows against 1k deletes
       // (the READ-side apply cost; the write side is benched below)

@@ -77,6 +77,12 @@ object Plans {
         ("bucket assignment is the codegen'd lower_bound_bucket " +
           "expression (no UDF); per-bucket totals are one tiny " +
           "aggregation; no global-order window operator in the plan"),
+      "maxsim_rerank" ->
+        ("ColBERT MaxSim two-stage: broadcast 1-row query, bounded " +
+          "top-50 candidate cut (TakeOrderedAndProject), then the token " +
+          "late-interaction as ONE row-local codegen'd projection over " +
+          "the 50 survivors — no Generate, no token-pair join, second " +
+          "bounded top-k on the fused score"),
       "knn_join" ->
         ("two-large-sides k-NN join: equi-join on the IVF cell key — " +
           "no cartesian; at this sf AQE broadcasts the exploded query " +

@@ -60,7 +60,7 @@ object ScaleProbe {
     // 5M point ran in the default 8g and spilled; the probe now refuses
     // to produce a silently memory-degraded point instead.
     val heap = Runtime.getRuntime.maxMemory
-    val needed = vecScales.max * dimBytes * 4 + (4L << 30)
+    val needed = vecScales.max * dimBytes * 2 + (4L << 30)
     require(heap >= needed,
       f"heap ${heap / (1L << 30)}%d GiB < ${needed / (1L << 30)}%d GiB " +
         f"needed for ${vecScales.max}%,d vectors without spilling — " +
@@ -70,6 +70,14 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // a big heap GCs rarely, so the ContextCleaner never reclaims
+      // finished stages' shuffle files — across a multi-point run they
+      // accumulate to >100 GB, fill the disk, AND evict the page cache
+      // that shuffle reads depend on (measured: 3× slower joins, then
+      // ENOSPC at the 8M-doc point). Periodic GC keeps the dead-shuffle
+      // footprint at one point's live set; see also the System.gc()
+      // between points below.
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -86,12 +94,30 @@ object ScaleProbe {
     def runPoint(nVec: Long, nDoc: Long, discard: Boolean): Unit = {
       val tag = if (discard) "warm" else s"n=$nVec"
       System.err.println(s"[scale] --- point $tag (docs=$nDoc)")
+      // shuffle partitions sized to the POINT, not fixed at core count —
+      // the brief's rule ("size shuffle partitions so partitions fit in
+      // executor memory"): the substr path shuffles ~1 gram/char
+      // (~40 B × ~120 chars/doc), and at 6M docs a fixed 32 partitions
+      // puts ~1 GB into every task's sort — multi-pass spills turned a
+      // linear plan superlinear in wall-clock. ~250 MB/task keeps every
+      // sort single-pass at any point size.
+      val parts = math.max(cpus.toInt,
+        (nDoc * 120L * 40 / (250L << 20)).toInt)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      System.err.println(s"[scale] shuffle partitions = $parts")
       val vecs = graft.Bench.synthVectors(spark, nVec, dim).cache()
       vecs.count()
       val docs = synthDocs(spark, nDoc).cache()
       docs.count()
       val q0 = vecs.where(col("id") === 0).select("vec")
         .collect()(0).getSeq[Float](0).toArray
+      // each timed path starts with DRAINED writeback: at the top points
+      // every path writes/spills gigabytes, and without the drain a
+      // path's clock pays the PREVIOUS path's dirty pages (the same
+      // discipline Bench.scala applies to its memory tier)
+      def sync(): Unit =
+        try { new ProcessBuilder("sync").start().waitFor(); () }
+        catch { case scala.util.control.NonFatal(_) => () }
       def rec(name: String, sec: Double, n: Long): Unit = {
         System.err.println(f"[scale] $name%-16s n=$n%-8d ${sec}%8.2f s")
         if (!discard) rows += ((name, n, sec))
@@ -102,9 +128,11 @@ object ScaleProbe {
       rm(storeDir)
       val db = graft.GraftDB.open(spark, storeDir, dim = dim, metric = "l2")
       val input = vecs.select(col("id"), col("vec").as("vector"), col("label"))
+      sync()
       rec("bulk_load", time {
         db.insertBatch(input, collectStats = false)
       }, nVec)
+      rm(storeDir) // free its gigabytes before the next write-heavy path
 
       // 2. IVF build: assign + partitioned write under a model trained on
       // a CONSTANT-size sample (so the timed cost is the linear part)
@@ -113,6 +141,7 @@ object ScaleProbe {
           math.min(1.0, 20000.0 / nVec), 42L), "vec", k = 32, maxIter = 10)
       val ivfDir = s"$tmp/scaleprobe_ivf"
       rm(ivfDir)
+      sync()
       rec("ivf_build", time {
         graft.index.IVF.writeLayout(
           graft.index.IVF.assign(vecs, "vec", model), ivfDir)
@@ -126,13 +155,19 @@ object ScaleProbe {
       // 3. two-large-sides k-NN join: 1k queries routed through the cells
       val qdf = vecs.where(col("id") < 1000)
         .select(col("id").as("qid"), col("vec").as("qv"))
+      sync()
       rec("knn_join_1k", time {
+        // 1k queries × nprobe=2 cells is a ~1 MB exploded side: the
+        // caller KNOWS it's broadcastable, so it says so (AQE dropped
+        // the broadcast at the 5M point — a measured 3× cliff)
         graft.query.Search.knnJoinIvf(layout, "vec", "id", qdf, "qid",
-          "qv", k = 10, model, nprobe = 2, reuseLayoutCol = true)
+          "qv", k = 10, model, nprobe = 2, reuseLayoutCol = true,
+          broadcastQueries = true)
           .write.format("noop").mode("overwrite").save()
       }, nVec)
 
       // 4. ExactSubstr span removal at the production hash
+      sync()
       rec("substr_dedup", time {
         graft.dedup.Dedup.removeDuplicateSpans(docs, "id", "text",
           minLen = 30)
@@ -140,6 +175,7 @@ object ScaleProbe {
       }, nDoc)
 
       // 5. MinHash+LSH near-dup pairs
+      sync()
       rec("minhash_lsh", time {
         graft.dedup.Dedup.minhashLsh(docs, "id", "text",
           numHashes = 16, rowsPerBand = 4)
@@ -147,7 +183,11 @@ object ScaleProbe {
       }, nDoc)
 
       vecs.unpersist(); docs.unpersist()
-      rm(storeDir); rm(ivfDir)
+      rm(ivfDir)
+      // drop the point's dead shuffle files NOW (the cleaner acts on GC):
+      // the next point must start with a clean disk and page cache
+      System.gc()
+      Thread.sleep(3000)
     }
 
     // one discarded pass at the smallest point absorbs JIT/codegen, so

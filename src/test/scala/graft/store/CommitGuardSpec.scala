@@ -158,6 +158,30 @@ class CommitGuardSpec extends AnyFunSuite {
     assert(ids(src) === Set(1L, 2L), "clone write leaked into the source")
   }
 
+  test("restore + vacuum on an emulated-S3 root: recovery commits " +
+      "publish through the object-store CAS and vacuum keeps every " +
+      "restore-re-referenced artifact") {
+    val root = s3simRoot()
+    val st = new SnapshotStore(spark, root,
+      commitGuard = CommitGuard.ConditionalCreate)
+    st.insert(Seq((1L, "a")).toDF("id", "v"))  // v0
+    st.insert(Seq((2L, "b")).toDF("id", "v"))  // v1
+    st.delete(Seq(Tuple1(1L)).toDF("id"))      // v2: {2}
+    assert(ids(st) === Set(2L))
+    st.restore(0L)                             // v3 = v0's content
+    assert(ids(st) === Set(1L))
+    st.insert(Seq((3L, "c")).toDF("id", "v"))  // v4
+    st.vacuum(2)                               // keep v3, v4
+    // v0's segment is older than the keep window but re-referenced by
+    // the restore — it must survive the vacuum on this FS like any other
+    assert(ids(st) === Set(1L, 3L))
+    val reopened = new SnapshotStore(spark, root,
+      commitGuard = CommitGuard.ConditionalCreate)
+    assert(ids(reopened) === Set(1L, 3L))
+    // the rolled-back versions are actually gone
+    intercept[Exception] { reopened.read(0L).collect() }
+  }
+
   test("conditional-create probes the server-side CAS capability on " +
       "object-store schemes and warns loudly when it is absent") {
     import org.apache.hadoop.fs.RawLocalFileSystem
