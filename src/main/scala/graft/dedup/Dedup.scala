@@ -787,10 +787,20 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int, portable: Boolean = false): DataFrame = {
     val grams = windowGrams(df, idCol, textCol, minLen, portable)
-    val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
-      .where(col("n") >= 2).select("h")
-    mergeWindowSpans(
-      grams.join(dup, Seq("h"), "left_semi").select("id", "pos"), minLen)
+    // ONE total-grams shuffle, ONE gram pass: the per-hash count comes
+    // from a window over the hash partition, so a gram row is marked in
+    // place. The former groupBy(h)+left_semi shape shuffled the grams
+    // TWICE (the count, then the join probe) and re-ran the whole
+    // explode+hash pass for the probe side — at 6M docs (~720M gram
+    // rows) that doubled both the dominant IO and the dominant CPU.
+    // Identical marks: count over (partition by h) >= 2 is exactly
+    // "h appears twice or more".
+    import org.apache.spark.sql.expressions.Window
+    val marked = grams
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("_n") >= 2)
+      .select("id", "pos")
+    mergeWindowSpans(marked, minLen)
   }
 
   /** Every length-`minLen` character window of every doc as

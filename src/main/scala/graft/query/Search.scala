@@ -274,7 +274,8 @@ object Search {
       nprobe: Int,
       metric: Metric = Metric.L2,
       filter: Column = lit(true),
-      reuseLayoutCol: Boolean = false): DataFrame = {
+      reuseLayoutCol: Boolean = false,
+      broadcastQueries: Boolean = false): DataFrame = {
     require(metric == Metric.L2 || metric == Metric.Cosine,
       s"knnJoinIvf: $metric unsupported — IVF cells are L2-trained " +
         "(L2/Cosine only; pre-normalize for Cosine)")
@@ -286,10 +287,23 @@ object Search {
         corpus.where(filter)
       else corpus.where(filter)
         .withColumn("ivf_part", model.assignCol(col(vecCol)))
-    val probed = queries
+    // the cell key has only nlist distinct values, so a shuffled join at
+    // a SMALL query count is the worst shape twice over: the corpus side
+    // sorts n rows on a key with massive duplication, and the key's low
+    // cardinality skews partitions. When the caller KNOWS the query side
+    // is bounded (queries × nprobe rows), `broadcastQueries = true` pins
+    // the broadcast-hash plan — the corpus is scanned once in place,
+    // nothing is sorted, nothing shuffles before the partial top-k.
+    // (Planner stats can't see this: the exploded side's estimate comes
+    // from its parent, and at large corpus sizes AQE has been observed
+    // picking the sort-merge plan — a 3× wall-clock cliff at 5M rows.)
+    // With BOTH sides large, keep the default: one shuffle each on the
+    // cell key IS the right 100 TB shape.
+    val probed0 = queries
       .select(col(queryIdCol), col(queryVecCol))
       .withColumn("ivf_part",
         explode(model.probeCol(col(queryVecCol), nprobe)))
+    val probed = if (broadcastQueries) broadcast(probed0) else probed0
     val score = metric.score(col(vecCol), col(queryVecCol))
     val orderScore = if (metric.ascending) score else -score
     val scored = assigned

@@ -38,13 +38,29 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
   def size: Int = shards.map(_.size).sum
   def liveSize: Int = shards.map(_.liveSize).sum
 
-  @inline private def better(a: Candidate, b: Candidate): Boolean =
-    if (a.score != b.score) a.score < b.score else a.id < b.id
-
   private def mergeK(pools: Array[Seq[Candidate]], k: Int): Seq[Candidate] = {
-    val all = scala.collection.mutable.ArrayBuffer.empty[Candidate]
-    pools.foreach(all ++= _)
-    all.sortWith(better).take(k).toSeq
+    // primitive (score, id) arrays + the shared rank sort (Hamming is
+    // ascending) — the boxed sortWith twin of ReplicaSet.mergeK
+    var n = 0
+    var p = 0
+    while (p < pools.length) { n += pools(p).length; p += 1 }
+    val sc = new Array[Double](n)
+    val ids = new Array[Long](n)
+    var i = 0
+    p = 0
+    while (p < pools.length) {
+      val it = pools(p).iterator
+      while (it.hasNext) {
+        val c = it.next()
+        sc(i) = c.score; ids(i) = c.id; i += 1
+      }
+      p += 1
+    }
+    LocalReplica.sortRank(sc, ids, null, n, asc = true)
+    val out = new Array[Candidate](math.min(k, n))
+    i = 0
+    while (i < out.length) { out(i) = Candidate(ids(i), sc(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Top-k nearest codes across every shard. */

@@ -2113,12 +2113,17 @@ final class LocalReplica private (
     }
     var i = 0
     while (i < hn) { bufId(bn) = hr(i); bufS(bn) = hs(i); bn += 1; i += 1 }
-    val out = new Array[(Long, Double, Double)](bn)
+    // rank-sort survivors on primitive arrays (key = rounded score desc,
+    // id asc) — the tuple+sortWith flush boxed every survivor, and on the
+    // tie-heavy fixture the margin buffer IS the pool
+    val key = new Array[Double](bn)
     i = 0
-    while (i < bn) { out(i) = (bufId(i), bufS(i), round6(bufS(i))); i += 1 }
-    out.sortWith { (a, b) =>
-      if (a._3 != b._3) a._3 > b._3 else a._1 < b._1
-    }.take(m).map(t => (t._1, t._2)).toSeq
+    while (i < bn) { key(i) = round6(bufS(i)); i += 1 }
+    LocalReplica.sortRank(key, bufId, bufS, bn, asc = false)
+    val out = new Array[(Long, Double)](math.min(m, bn))
+    i = 0
+    while (i < out.length) { out(i) = (bufId(i), bufS(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** In-process BM25 top-k (vecgo R10 served embedded): same scores and
@@ -2144,39 +2149,66 @@ final class LocalReplica private (
   /** Cut a raw best-first candidate list to the ROUNDED-rank top-m —
     * the engine's pool ordering (round-6 key, id tie-break).
     */
-  private[serve] def roundedCut(raw: Seq[Candidate], m: Int): Seq[(Long, Double)] =
-    raw.map(c => (c.id, displayScore(c.score), round6(displayScore(c.score))))
-      .sortWith { (a, b) =>
-        if (a._3 != b._3) { if (metric.ascending) a._3 < b._3 else a._3 > b._3 }
-        else a._1 < b._1
-      }.take(m).map(t => (t._1, t._2))
+  private[serve] def roundedCut(raw: Seq[Candidate], m: Int): Seq[(Long, Double)] = {
+    val n = raw.length
+    val key = new Array[Double](n)
+    val ids = new Array[Long](n)
+    val disp = new Array[Double](n)
+    var i = 0
+    val it = raw.iterator
+    while (it.hasNext) {
+      val c = it.next()
+      val d = displayScore(c.score)
+      key(i) = round6(d); ids(i) = c.id; disp(i) = d
+      i += 1
+    }
+    LocalReplica.sortRank(key, ids, disp, n, metric.ascending)
+    val out = new Array[(Long, Double)](math.min(m, n))
+    i = 0
+    while (i < out.length) { out(i) = (ids(i), disp(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
 
   /** RRF-fuse two rank pools (shared by the plain and filtered hybrids —
     * ONE copy of the rank/fuse math, so the two paths cannot fork).
     */
   private[serve] def rrfFuse(vPool: Seq[(Long, Double)],
       lPool: Seq[(Long, Double)], k: Int, rrfK: Int): Seq[Candidate] = {
-    val fused = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    // primitive arrays, not a boxed HashMap: gather both pools' rank
+    // contributions, group by id (id-major sort), sum the ≤2 entries per
+    // id (a+b commutes exactly in IEEE, so order never matters), then
+    // rank by (fused desc, id asc) — same values as the map-based fuse
+    val n = vPool.length + lPool.length
+    val ids = new Array[Long](n)
+    val sc = new Array[Double](n)
+    var i = 0
     def addRanks(pool: Seq[(Long, Double)]): Unit = {
       var r = 0
-      while (r < pool.length) {
-        fused.merge(pool(r)._1, 1.0 / (rrfK + r + 1.0), (a, b) => a + b)
-        r += 1
+      val it = pool.iterator
+      while (it.hasNext) {
+        ids(i) = it.next()._1
+        sc(i) = 1.0 / (rrfK + r + 1.0)
+        r += 1; i += 1
       }
     }
     addRanks(vPool)
     addRanks(lPool)
-    val out = new Array[Candidate](fused.size())
-    val it = fused.entrySet().iterator()
-    var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      out(j) = Candidate(e.getKey.longValue, e.getValue.doubleValue)
-      j += 1
+    // id-major order: all-equal keys make sortRank compare ids only
+    LocalReplica.sortRank(new Array[Double](n), ids, sc, n, asc = true)
+    var w = 0
+    i = 0
+    while (i < n) {
+      var s = sc(i)
+      var j = i + 1
+      while (j < n && ids(j) == ids(i)) { s += sc(j); j += 1 }
+      ids(w) = ids(i); sc(w) = s; w += 1
+      i = j
     }
-    out.sortWith { (a, b) =>
-      if (a.score != b.score) a.score > b.score else a.id < b.id
-    }.take(k).toSeq
+    LocalReplica.sortRank(sc, ids, null, w, asc = false)
+    val out = new Array[Candidate](math.min(k, w))
+    i = 0
+    while (i < out.length) { out(i) = Candidate(ids(i), sc(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   def hybridSearch(q0: Array[Float], textQuery: String, k: Int,
@@ -2470,6 +2502,81 @@ object LocalReplica {
 
   /** Default collect guard: 4M rows × 128d ≈ 2 GiB of floats. */
   val DefaultMaxRows: Long = 4L * 1000 * 1000
+
+  /** In-place sort of the parallel (key, id, aux) arrays' first `n`
+    * entries by (key — ascending iff `asc` — then id ascending): the
+    * pool rank order every hybrid cut uses. Allocation-free quicksort
+    * with an insertion-sort tail (the former tuple+`sortWith` versions
+    * boxed every candidate, and on the reference's rounding-tie-heavy
+    * hybrid fixture a tie-deepened vector pool can span thousands of
+    * rows — round-9 verdict ask 5). `aux` (the raw display scores the
+    * rank keys were rounded from) may be null. Equal (key, id) pairs
+    * cannot occur — ids are unique within a pool — so stability is
+    * moot; ties on key alone split evenly (both partition cursors stop
+    * on equal keys).
+    */
+  private[serve] def sortRank(key: Array[Double], id: Array[Long],
+      aux: Array[Double], n: Int, asc: Boolean): Unit = {
+    @inline def less(ka: Double, ia: Long, kb: Double, ib: Long): Boolean =
+      if (ka != kb) { if (asc) ka < kb else ka > kb } else ia < ib
+    @inline def swap(i: Int, j: Int): Unit = {
+      val tk = key(i); key(i) = key(j); key(j) = tk
+      val ti = id(i); id(i) = id(j); id(j) = ti
+      if (aux != null) { val ta = aux(i); aux(i) = aux(j); aux(j) = ta }
+    }
+    def insertion(lo: Int, hi: Int): Unit = {
+      var i = lo + 1
+      while (i <= hi) {
+        val kk = key(i); val ii = id(i)
+        val aa = if (aux != null) aux(i) else 0.0
+        var j = i - 1
+        while (j >= lo && less(kk, ii, key(j), id(j))) {
+          key(j + 1) = key(j); id(j + 1) = id(j)
+          if (aux != null) aux(j + 1) = aux(j)
+          j -= 1
+        }
+        key(j + 1) = kk; id(j + 1) = ii
+        if (aux != null) aux(j + 1) = aa
+        i += 1
+      }
+    }
+    // explicit segment stack; larger half pushed first so depth ≤ log2(n)
+    val stack = new Array[Int](96)
+    var sp = 0
+    if (n > 1) { stack(0) = 0; stack(1) = n - 1; sp = 2 }
+    while (sp > 0) {
+      sp -= 2
+      val lo = stack(sp); val hi = stack(sp + 1)
+      if (hi - lo < 32) insertion(lo, hi)
+      else {
+        // median-of-three pivot, Sedgewick cross-pointer partition
+        val mid = (lo + hi) >>> 1
+        if (less(key(mid), id(mid), key(lo), id(lo))) swap(lo, mid)
+        if (less(key(hi), id(hi), key(lo), id(lo))) swap(lo, hi)
+        if (less(key(hi), id(hi), key(mid), id(mid))) swap(mid, hi)
+        swap(mid, hi - 1)
+        val pk = key(hi - 1); val pi = id(hi - 1)
+        var i = lo; var j = hi - 1
+        var crossed = false
+        while (!crossed) {
+          i += 1
+          while (less(key(i), id(i), pk, pi)) i += 1
+          j -= 1
+          while (less(pk, pi, key(j), id(j))) j -= 1
+          if (i >= j) crossed = true else swap(i, j)
+        }
+        swap(i, hi - 1)
+        val lln = i - 1 - lo; val rln = hi - (i + 1)
+        if (lln >= rln) {
+          if (lln > 0) { stack(sp) = lo; stack(sp + 1) = i - 1; sp += 2 }
+          if (rln > 0) { stack(sp) = i + 1; stack(sp + 1) = hi; sp += 2 }
+        } else {
+          if (rln > 0) { stack(sp) = i + 1; stack(sp + 1) = hi; sp += 2 }
+          if (lln > 0) { stack(sp) = lo; stack(sp + 1) = i - 1; sp += 2 }
+        }
+      }
+    }
+  }
 
   /** Scans at or above this many rows fan out across cores. */
   val ParallelScanRows: Int = 8192

@@ -59,15 +59,30 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     */
   def size: Int = shards.map(_.size).sum
 
-  @inline private def better(a: Candidate, b: Candidate): Boolean =
-    if (a.score != b.score) {
-      if (metric.ascending) a.score < b.score else a.score > b.score
-    } else a.id < b.id
-
   private def mergeK(pools: Array[Seq[Candidate]], k: Int): Seq[Candidate] = {
-    val all = scala.collection.mutable.ArrayBuffer.empty[Candidate]
-    pools.foreach(all ++= _)
-    all.sortWith(better).take(k).toSeq
+    // primitive (score, id) arrays + the shared rank sort — the boxed
+    // sortWith version re-boxed every shard candidate on each merge (on
+    // tie-deepened hybrid fetches the pools span thousands of rows)
+    var n = 0
+    var p = 0
+    while (p < pools.length) { n += pools(p).length; p += 1 }
+    val sc = new Array[Double](n)
+    val ids = new Array[Long](n)
+    var i = 0
+    p = 0
+    while (p < pools.length) {
+      val it = pools(p).iterator
+      while (it.hasNext) {
+        val c = it.next()
+        sc(i) = c.score; ids(i) = c.id; i += 1
+      }
+      p += 1
+    }
+    LocalReplica.sortRank(sc, ids, null, n, metric.ascending)
+    val out = new Array[Candidate](math.min(k, n))
+    i = 0
+    while (i < out.length) { out(i) = Candidate(ids(i), sc(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Top-k nearest across every shard. `nprobe` applies per shard (each

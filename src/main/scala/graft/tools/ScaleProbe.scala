@@ -78,6 +78,14 @@ object ScaleProbe {
       // footprint at one point's live set; see also the System.gc()
       // between points below.
       .config("spark.cleaner.periodicGC.interval", "120s")
+      // zstd shuffle blocks: the gram shuffles are framing-heavy rows
+      // around an incompressible 8-byte hash — zstd keeps the top
+      // point's total shuffle under the kernel's dirty-page writeback
+      // throttle (vm.dirty_ratio: 20% of RAM on this box), which is the
+      // single-box cliff that turns a linear plan superlinear in
+      // wall-clock. The standard production setting for exactly this.
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.shuffle.file.buffer", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

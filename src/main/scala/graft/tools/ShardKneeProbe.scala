@@ -41,6 +41,10 @@ object ShardKneeProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the 5M-row replica export collects ~2.6 GB of vectors — above
+      // the 1 GiB default result cap (build-time op, driver-bounded by
+      // the heap gate above)
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dim = 128

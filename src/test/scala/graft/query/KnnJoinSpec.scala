@@ -74,6 +74,21 @@ class KnnJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcastQueries pins a broadcast-hash plan and answers " +
+      "identically to the shuffled join") {
+    val k = 5
+    def run(bcast: Boolean) = Search
+      .knnJoinIvf(corpus, "vec", "id", queries, "qid", "qv",
+        k = k, model = model, nprobe = model.k, broadcastQueries = bcast)
+    val a = run(false).as[(Long, Long, Double, Int)].collect().toSet
+    val b = run(true).as[(Long, Long, Double, Int)].collect().toSet
+    assert(a == b, "broadcast hint changed answers")
+    val p = run(true).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "pinned broadcast must remove the corpus-side sort\n" + p)
+  }
+
   test("partial nprobe clears the 0.95 recall gate on clustered data") {
     val k = 5
     val got = Search
