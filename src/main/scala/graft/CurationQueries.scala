@@ -237,6 +237,27 @@ object CurationQueries {
       .select(col("vec_id"), r6(col("s")).as("score"))
   }
 
+  /** MMR diversity rerank ([[graft.query.Mmr]], Carbonell & Goldstein
+    * 1998): 4 queries, a 30-candidate dot-product pool each (bounded
+    * per-partition heaps), then the greedy λ=0.7 trade of relevance
+    * against redundancy down to 8 — one row-local fold per query, never
+    * a pairwise explode-join. Every dot product and the fold itself
+    * accumulate double in array order, so the selection decisions (not
+    * just the rounded scores) replay bit-exact in the DuckDB mirror of
+    * the same greedy steps.
+    */
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    import graft.query.Mmr
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.where(col("vec_id").isin(1, 3, 5, 7))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Mmr.diversify(emb, "embedding", "vec_id", qs, "query_id", "qv",
+        k = 8, fetchK = 30, lambda = 0.7, metric = graft.types.Metric.Dot)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        r6(col("score")).as("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_topk" -> (vocabTopk _),
     "cluster_assign" -> (clusterAssign _),
@@ -248,8 +269,58 @@ object CurationQueries {
     "text_bpe_pairs" -> (bpePairs _),
     "embedding_project" -> (embeddingProject _),
     "embedding_mrl" -> (embeddingMrl _),
-    "maxsim_rerank" -> (maxsimRerank _)
+    "maxsim_rerank" -> (maxsimRerank _),
+    "mmr_diversify" -> (mmrDiversify _)
   )
+
+  /** The DuckDB mirror of [[graft.query.Mmr.selectCol]]'s greedy fold,
+    * unrolled to `k` chained CTE steps (DuckDB's `list_reduce` cannot
+    * carry a list accumulator). Every step recomputes the masked MMR
+    * objective over the pool with the exact literals the Spark side
+    * folds with (`mu` is printed from the same `1.0 - lambda` double, so
+    * 0.7 → 0.30000000000000004 on both engines) and appends the
+    * first-position argmax — `list_position` on the score list breaks
+    * ties toward better-relevance/lower-id exactly like Spark's
+    * `array_position`.
+    */
+  private def mmrOracleSql(k: Int, fetchK: Int, lambda: Double): String = {
+    val mu = 1.0 - lambda
+    val step =
+      s"""SELECT qid, ids, rels, vs,
+         |       list_append(sel, CAST(list_position(scores, list_max(scores)) AS BIGINT)) AS sel,
+         |       list_append(ss, list_max(scores)) AS ss
+         |FROM (SELECT *, list_transform(range(1, len(ids) + 1), i ->
+         |        CASE WHEN list_contains(sel, i)
+         |             THEN CAST('-infinity' AS DOUBLE)
+         |             ELSE $lambda * rels[i] - $mu * coalesce(
+         |                    list_max(list_transform(sel, j ->
+         |                      list_inner_product(vs[i], vs[j]))), 0.0)
+         |        END) AS scores FROM SEL_PREV)""".stripMargin
+    val steps = (1 to k).map(t =>
+      s"sel$t AS (${step.replace("SEL_PREV", if (t == 1) "sel0" else s"sel${t - 1}")})")
+      .mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id IN (1, 3, 5, 7)),
+       |sc AS (SELECT q.qid, e.vec_id, e.embedding::DOUBLE[] AS v,
+       |              list_inner_product(e.embedding::DOUBLE[], q.qv) AS rel
+       |       FROM embeddings e, q),
+       |cand AS (SELECT * FROM sc
+       |         QUALIFY row_number() OVER (PARTITION BY qid
+       |                   ORDER BY rel DESC, vec_id ASC) <= $fetchK),
+       |arr AS (SELECT qid,
+       |               list(vec_id ORDER BY rel DESC, vec_id ASC) AS ids,
+       |               list(rel ORDER BY rel DESC, vec_id ASC) AS rels,
+       |               list(v ORDER BY rel DESC, vec_id ASC) AS vs
+       |        FROM cand GROUP BY qid),
+       |sel0 AS (SELECT qid, ids, rels, vs,
+       |                []::BIGINT[] AS sel, []::DOUBLE[] AS ss FROM arr),
+       |$steps
+       |SELECT qid AS query_id, t::INT AS rank,
+       |       ids[CAST(sel[CAST(t AS INT)] AS INT)] AS vec_id,
+       |       round(ss[CAST(t AS INT)], 6) AS score
+       |FROM sel$k, unnest(range(1, ${k + 1})) u(t)
+       |ORDER BY query_id ASC, rank ASC""".stripMargin
+  }
 
   /** The frozen merge list as a DuckDB nested-replace chain — the same
     * pinned string-replace semantics (non-overlapping, left-to-right,
@@ -437,6 +508,9 @@ object CurationQueries {
         |           (a, b) -> a + b) AS score
         |  FROM cand)
         |SELECT vec_id, round(score, 6) AS score
-        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // MMR diversity rerank: the greedy fold unrolled to k CTE steps —
+    // see mmrOracleSql for the bitwise-agreement argument
+    "mmr_diversify" -> mmrOracleSql(k = 8, fetchK = 30, lambda = 0.7)
   )
 }

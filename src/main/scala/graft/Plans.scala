@@ -83,6 +83,16 @@ object Plans {
           "late-interaction as ONE row-local codegen'd projection over " +
           "the 50 survivors — no Generate, no token-pair join, second " +
           "bounded top-k on the fused score"),
+      "mmr_diversify" ->
+        ("MMR diversity rerank: broadcast query frame into the scan, " +
+          "collect_top_k bounded per-query heaps kept AS arrays (one " +
+          "hash exchange, the pool never leaves the aggregation as " +
+          "rows), then the greedy lambda-trade as one row-local fold; " +
+          "the only Generate is the final posexplode of k selections"),
+      "knn_grouped" ->
+        ("diversity-capped knn: collect_top_k bounded per-LABEL heaps " +
+          "(partial-aggregated, shuffle = groups x cap structs) + " +
+          "TakeOrderedAndProject global cut — no window, no global sort"),
       "knn_join" ->
         ("two-large-sides k-NN join: equi-join on the IVF cell key — " +
           "no cartesian; at this sf AQE broadcasts the exploded query " +

@@ -75,6 +75,28 @@ object Queries {
       .select(col("vec_id"), col("label"), r6(col("score")).as("score"))
   }
 
+  /** Diversity-capped k-NN (grouped top-k): the global top-12 by L2
+    * subject to at most 3 results per `label` — the facet/source cap a
+    * training-data retrieval pass uses so one dominant cluster cannot
+    * monopolize the result page. Greedy-in-score-order with a per-group
+    * cap is exactly "top-3 per group, then global top-k of the capped
+    * set", so the plan is one [[Search.topKPerKey]] bounded-heap
+    * aggregation on the group key (shuffle = groups × cap structs, never
+    * the scored corpus) + a TakeOrderedAndProject — no global sort, no
+    * unpartitioned window.
+    */
+  def knnGrouped(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val scored = emb
+      .crossJoin(broadcast(queryVec(emb, 5)))
+      .withColumn("score", vec_l2(col("embedding"), col("qv")))
+    Search.topKPerKey(scored, "label", col("score"), "vec_id", 3)
+      .orderBy(col("_os").asc, col("vec_id").asc)
+      .limit(12)
+      .select(col("label"), col("vec_id"), r6(col("_os")).as("score"),
+        col("rank"))
+  }
+
   /** R5: threshold (range) search — all within Euclidean distance 1.2 of
     * vec_id 4's embedding, capped at 100, best-first.
     */
@@ -340,6 +362,7 @@ object Queries {
     "knn_cosine" -> (knnCosine _),
     "knn_dot" -> (knnDot _),
     "knn_filtered" -> (knnFiltered _),
+    "knn_grouped" -> (knnGrouped _),
     "search_threshold" -> (searchThreshold _),
     "batch_search" -> (batchSearch _),
     "point_get" -> (pointGet _),
@@ -389,6 +412,20 @@ object Queries {
         |      FROM embeddings e, q)
         |SELECT vec_id, round(score, 6) AS score
         |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // grouped diversity cap: rank-within-label ≤ 3, then global top-12 —
+    // the window mirror of the bounded-heap plan (greedy-in-score-order
+    // with a per-group cap ≡ per-group top-m then global top-k)
+    "knn_grouped" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+        |s AS (SELECT e.label, e.vec_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS score
+        |      FROM embeddings e, q),
+        |g AS (SELECT label, vec_id, score,
+        |             row_number() OVER (PARTITION BY label
+        |                                ORDER BY score ASC, vec_id ASC) AS rn
+        |      FROM s QUALIFY rn <= 3)
+        |SELECT label, vec_id, round(score, 6) AS score, rn::INT AS rank
+        |FROM g ORDER BY score ASC, vec_id ASC LIMIT 12""".stripMargin,
     "knn_filtered" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
         |s AS (SELECT e.vec_id, e.label,

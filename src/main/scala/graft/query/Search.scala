@@ -158,6 +158,29 @@ object Search {
         col("p._payload").as("_payload"))
   }
 
+  /** [[topKPerKeyPayload]] kept AS an array per key: (keyCol, cs) where
+    * cs is the bounded top-k sorted best-first (ascending (os, _id,
+    * _payload) structs). For consumers that post-process the whole pool
+    * row-locally (MMR, MaxSim over a candidate set) this skips the
+    * explode + re-group round trip — the pool never leaves the
+    * aggregation as rows, so the plan has exactly one exchange.
+    */
+  def topKPerKeyPayloadArr(scored: DataFrame, keyCol: String,
+      orderScore: Column, idCol: String, payload: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    val pair = struct(orderScore.as("os"), col(idCol).as("_id"),
+      payload.as("_payload"))
+    val topk = ColumnBridge.column(
+      new CollectTopK(ColumnBridge.expression(pair), k, true)
+        .toAggregateExpression())
+    scored
+      .groupBy(col(keyCol))
+      .agg(topk.as("topk"))
+      .select(col(keyCol), sort_array(col("topk")).as("cs"))
+  }
+
   /** Batch search: top-k per query for a whole frame of queries (vecgo R6
     * `BatchSearch`). The query frame is broadcast into the scan (no
     * shuffle of the vector table); per-query top-k runs as bounded-heap

@@ -65,6 +65,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("grouped diversity-capped knn: bounded per-group heaps + " +
+      "TakeOrderedAndProject, no window, no global sort") {
+    val q = typedlit(Array.fill(8)(0.5f))
+    val scored = df.withColumn("s", vec_l2(col("vec"), q))
+    val d = Search.topKPerKey(scored, "label", col("s"), "id", 3)
+      .orderBy(col("_os").asc, col("id").asc).limit(12)
+    val p = plan(d)
+    // the per-group cap runs as CollectTopK partial aggregation: heaps
+    // combine map-side, the shuffle carries groups x cap structs
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("collect_top_k".r.findAllIn(p).size >= 2, "partial+final agg\n" + p)
+    assert(!p.contains("Window"), "window leaked into the plan\n" + p)
+    // the global cut is a bounded top-k merge, never a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("batchSearchMatrix shuffles only heap buffers (single exchange, partial agg)") {
     val qs = Seq((0L, Array.fill(8)(0.1f)), (1L, Array.fill(8)(0.9f)))
     val d = Search.batchSearchMatrix(df, "vec", "id", qs, 5)
