@@ -1781,6 +1781,25 @@ final class LocalReplica private (
       .take(maxResults).toSeq
   }
 
+  /** MMR-diversified top-k (the in-process twin of
+    * [[graft.query.Mmr.diversify]]; vecgo has no diversity verb): a
+    * `fetchK`-candidate pool from the existing probed path, then the
+    * greedy λ-trade of relevance against redundancy with the
+    * already-selected set, in primitive arrays with a running max-sim
+    * cache — O(k·fetchK) dot products total. Relevance is the metric
+    * score oriented higher-better; the penalty is the inner product of
+    * the STORED vectors (= cosine on a [[Metric.Cosine]] replica, which
+    * normalizes at ingest). Returned scores are the MMR objective at
+    * selection time (rank 1 = λ·rel). A candidate deleted between the
+    * pool fetch and the vector read is skipped, like any other
+    * post-snapshot mutation.
+    */
+  def searchMmr(q0: Array[Float], k: Int, fetchK: Int, lambda: Double,
+      nprobe: Int = 0): Seq[Candidate] = {
+    val pool = search(q0, fetchK, nprobe)
+    LocalReplica.mmrGreedy(pool, get, metric.ascending, k, fetchK, lambda)
+  }
+
   /** Per-query top-k for a query batch; parallel across queries (common
     * FJ pool — each query is an independent read of shared immutable
     * arrays). Per-query scans stay sequential via an explicit flag, so a
@@ -2502,6 +2521,69 @@ object LocalReplica {
 
   /** Default collect guard: 4M rows × 128d ≈ 2 GiB of floats. */
   val DefaultMaxRows: Long = 4L * 1000 * 1000
+
+  /** Greedy MMR over a best-first candidate pool — shared by
+    * [[LocalReplica.searchMmr]] and [[ReplicaSet.searchMmr]]. `fetchVec`
+    * resolves a candidate's stored vector (None → the row vanished under
+    * a concurrent mutation; it is dropped from the pool). Strict-`>`
+    * argmax keeps the FIRST pool index on ties — the same
+    * better-relevance/lower-id tie-break as the distributed fold's
+    * `array_position`.
+    */
+  private[serve] def mmrGreedy(pool: Seq[Candidate],
+      fetchVec: Long => Option[Array[Float]], ascending: Boolean,
+      k: Int, fetchK: Int, lambda: Double): Seq[Candidate] = {
+    require(fetchK >= k && k > 0, s"candidate pool $fetchK < k $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    val src = pool.toArray
+    val ids = new Array[Long](src.length)
+    val rels = new Array[Double](src.length)
+    val vecs = new Array[Array[Float]](src.length)
+    var n = 0
+    var i = 0
+    while (i < src.length) {
+      fetchVec(src(i).id) match {
+        case Some(v) =>
+          ids(n) = src(i).id
+          rels(n) = if (ascending) -src(i).score else src(i).score
+          vecs(n) = v
+          n += 1
+        case None => ()
+      }
+      i += 1
+    }
+    if (n == 0) return Nil
+    val mu = 1.0 - lambda
+    val maxSim = new Array[Double](n)
+    val taken = new Array[Boolean](n)
+    val out = new Array[Candidate](math.min(k, n))
+    var t = 0
+    while (t < out.length) {
+      var bestI = -1
+      var best = Double.NegativeInfinity
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = lambda * rels(i) - (if (t == 0) 0.0 else mu * maxSim(i))
+          if (s > best) { best = s; bestI = i }
+        }
+        i += 1
+      }
+      taken(bestI) = true
+      out(t) = Candidate(ids(bestI), best)
+      val v = vecs(bestI)
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val d = graft.functions.DistanceKernels.dotFF(vecs(i), v)
+          if (t == 0 || d > maxSim(i)) maxSim(i) = d
+        }
+        i += 1
+      }
+      t += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
 
   /** In-place sort of the parallel (key, id, aux) arrays' first `n`
     * entries by (key — ascending iff `asc` — then id ascending): the

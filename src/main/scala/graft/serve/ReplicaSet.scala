@@ -118,6 +118,20 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     mergeK(pools, k)
   }
 
+  /** MMR-diversified top-k across shards: the `fetchK` pool is the
+    * normal scatter-gather merge (each shard's probed scan, best-first
+    * merge), the greedy selection then runs once at the router over the
+    * merged pool — [[LocalReplica.mmrGreedy]] with vectors resolved
+    * through the shard owning each id. Identical semantics to the
+    * single-replica [[LocalReplica.searchMmr]].
+    */
+  def searchMmr(q: Array[Float], k: Int, fetchK: Int, lambda: Double,
+      nprobe: Int = 0): Seq[Candidate] = {
+    val pool = search(q, fetchK, nprobe)
+    LocalReplica.mmrGreedy(pool, get, shards(0).metric.ascending,
+      k, fetchK, lambda)
+  }
+
   /** All rows at or better than `threshold` across shards, best-first,
     * capped at `maxResults`.
     */
