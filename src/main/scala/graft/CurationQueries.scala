@@ -273,54 +273,25 @@ object CurationQueries {
     "mmr_diversify" -> (mmrDiversify _)
   )
 
-  /** The DuckDB mirror of [[graft.query.Mmr.selectCol]]'s greedy fold,
-    * unrolled to `k` chained CTE steps (DuckDB's `list_reduce` cannot
-    * carry a list accumulator). Every step recomputes the masked MMR
-    * objective over the pool with the exact literals the Spark side
-    * folds with (`mu` is printed from the same `1.0 - lambda` double, so
-    * 0.7 → 0.30000000000000004 on both engines) and appends the
-    * first-position argmax — `list_position` on the score list breaks
-    * ties toward better-relevance/lower-id exactly like Spark's
-    * `array_position`.
+  /** `mmr_diversify`'s DuckDB mirror — the shared unrolled-greedy builder
+    * ([[graft.query.Mmr.oracleSql]]) over a 4-query dot-product pool.
     */
-  private def mmrOracleSql(k: Int, fetchK: Int, lambda: Double): String = {
-    val mu = 1.0 - lambda
-    val step =
-      s"""SELECT qid, ids, rels, vs,
-         |       list_append(sel, CAST(list_position(scores, list_max(scores)) AS BIGINT)) AS sel,
-         |       list_append(ss, list_max(scores)) AS ss
-         |FROM (SELECT *, list_transform(range(1, len(ids) + 1), i ->
-         |        CASE WHEN list_contains(sel, i)
-         |             THEN CAST('-infinity' AS DOUBLE)
-         |             ELSE $lambda * rels[i] - $mu * coalesce(
-         |                    list_max(list_transform(sel, j ->
-         |                      list_inner_product(vs[i], vs[j]))), 0.0)
-         |        END) AS scores FROM SEL_PREV)""".stripMargin
-    val steps = (1 to k).map(t =>
-      s"sel$t AS (${step.replace("SEL_PREV", if (t == 1) "sel0" else s"sel${t - 1}")})")
-      .mkString(",\n")
-    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-       |           FROM embeddings WHERE vec_id IN (1, 3, 5, 7)),
-       |sc AS (SELECT q.qid, e.vec_id, e.embedding::DOUBLE[] AS v,
-       |              list_inner_product(e.embedding::DOUBLE[], q.qv) AS rel
-       |       FROM embeddings e, q),
-       |cand AS (SELECT * FROM sc
-       |         QUALIFY row_number() OVER (PARTITION BY qid
-       |                   ORDER BY rel DESC, vec_id ASC) <= $fetchK),
-       |arr AS (SELECT qid,
-       |               list(vec_id ORDER BY rel DESC, vec_id ASC) AS ids,
-       |               list(rel ORDER BY rel DESC, vec_id ASC) AS rels,
-       |               list(v ORDER BY rel DESC, vec_id ASC) AS vs
-       |        FROM cand GROUP BY qid),
-       |sel0 AS (SELECT qid, ids, rels, vs,
-       |                []::BIGINT[] AS sel, []::DOUBLE[] AS ss FROM arr),
-       |$steps
-       |SELECT qid AS query_id, t::INT AS rank,
-       |       ids[CAST(sel[CAST(t AS INT)] AS INT)] AS vec_id,
-       |       round(ss[CAST(t AS INT)], 6) AS score
-       |FROM sel$k, unnest(range(1, ${k + 1})) u(t)
-       |ORDER BY query_id ASC, rank ASC""".stripMargin
-  }
+  private def mmrOracleSql(k: Int, fetchK: Int, lambda: Double): String =
+    graft.query.Mmr.oracleSql(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id IN (1, 3, 5, 7)),
+         |sc AS (SELECT q.qid, e.vec_id, e.embedding::DOUBLE[] AS v,
+         |              list_inner_product(e.embedding::DOUBLE[], q.qv) AS rel
+         |       FROM embeddings e, q),
+         |cand AS (SELECT * FROM sc
+         |         QUALIFY row_number() OVER (PARTITION BY qid
+         |                   ORDER BY rel DESC, vec_id ASC) <= $fetchK)""".stripMargin,
+      k, lambda,
+      s"""SELECT qid AS query_id, t::INT AS rank,
+         |       ids[CAST(sel[CAST(t AS INT)] AS INT)] AS vec_id,
+         |       round(ss[CAST(t AS INT)], 6) AS score
+         |FROM selK, unnest(range(1, ${k + 1})) u(t)
+         |ORDER BY query_id ASC, rank ASC""".stripMargin)
 
   /** The frozen merge list as a DuckDB nested-replace chain — the same
     * pinned string-replace semantics (non-overlapping, left-to-right,

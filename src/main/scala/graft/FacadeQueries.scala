@@ -41,6 +41,21 @@ object FacadeQueries {
       .select(col("id").as("vec_id"), round(sqrt(col("score")), 6).as("score"))
   }
 
+  /** MMR diversity through the engine facade ([[GraftDB.searchMmr]]):
+    * the adaptive search path supplies a 30-candidate pool on the L2
+    * store (relevance = -√distance), the greedy λ=0.7 fold picks 8.
+    * Oracle: the shared unrolled-greedy mirror over `-list_distance`
+    * relevance.
+    */
+  def mmrQ(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_mmr")
+    db.searchMmr(qvec(s, dir, 0), k = 8, fetchK = 30, lambda = 0.7)
+      .select(col("rank"), col("id").as("vec_id"),
+        // +0.0 normalizes the self-match's −0.0 (λ·−√0) on both engines
+        (round(col("score"), 6) + lit(0.0)).as("score"))
+      .orderBy(col("rank").asc)
+  }
+
   /** Facade k-NN THROUGH the built index: buildIndex compacts into an
     * IVF-partitioned SQ8-coded segment and search auto-routes through
     * probe-pruned two-phase rerank. All lists probed + a refine pool
@@ -1074,6 +1089,7 @@ object FacadeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
+    "graftdb_mmr" -> (mmrQ _),
     "graftdb_knn_join" -> (knnJoinQ _),
     "graftdb_knn_indexed" -> (knnIndexed _),
     "graftdb_knn_after_extend" -> (knnAfterExtend _),
@@ -1121,6 +1137,20 @@ object FacadeQueries {
 
   val oracle: Map[String, String] = Map(
     "graftdb_knn" -> Queries.oracle("knn_l2"),
+    "graftdb_mmr" -> graft.query.Mmr.oracleSql(
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |c0 AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+        |              -list_distance(e.embedding::DOUBLE[], q.qv) AS rel
+        |       FROM embeddings e, q
+        |       ORDER BY rel DESC, vec_id ASC LIMIT 30),
+        |cand AS (SELECT 0 AS qid, * FROM c0)""".stripMargin,
+      k = 8, lambda = 0.7,
+      """SELECT t::INT AS rank,
+        |       ids[CAST(sel[CAST(t AS INT)] AS INT)] AS vec_id,
+        |       round(ss[CAST(t AS INT)], 6) + 0.0 AS score
+        |FROM selK, unnest(range(1, 9)) u(t)
+        |ORDER BY rank ASC""".stripMargin),
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
     // full corpus minus the two tail deletes folded by extendIndex
     "graftdb_knn_after_extend" ->

@@ -1295,6 +1295,43 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     RRF.fuse(vranks, branks, k, rrfK)
   }
 
+  /** MMR-diversified search — the facade of [[graft.query.Mmr]] (vecgo
+    * has no diversity verb; this is part of the engine's LLM-pipeline
+    * surface): a `fetchK`-candidate pool from the normal adaptive search
+    * path (filters, stats routing, quantized rerank all apply), then the
+    * greedy λ-trade of relevance against redundancy as ONE row-local
+    * fold over the packed pool — the pool never leaves the driver-bound
+    * aggregation as shuffled rows. Relevance enters the objective in the
+    * metric's canonical units (an L2 pool surfaces √distance, negated so
+    * higher = better); the redundancy penalty is the inner product of
+    * STORED vectors (= cosine on a cosine store, which normalizes at
+    * ingest). Returns (rank, id, score): 1-based selection order and the
+    * MMR objective at selection time.
+    */
+  def searchMmr(query: Array[Float], k: Int, fetchK: Int, lambda: Double,
+      filter: FilterSet = FilterSet.empty,
+      nprobe: Int = 0, refineFactor: Int = 0): DataFrame = {
+    require(fetchK >= k && k > 0, s"candidate pool $fetchK < k $k")
+    val pool = search(query, fetchK, filter, projectCols = Seq("vector"),
+      nprobe, refineFactor)
+    val canonical =
+      if (metric == Metric.L2) sqrt(col("score")) else col("score")
+    val os = if (metric.ascending) canonical else -canonical
+    val packed = pool
+      .agg(array_sort(collect_list(struct(os.as("os"),
+        col("id").as("_id"), col("vector").as("_v")))).as("cs"))
+      .select(
+        transform(col("cs"), c => c.getField("_id")).as("_ids"),
+        transform(col("cs"), c => -c.getField("os")).as("_rels"),
+        transform(col("cs"), c => c.getField("_v")).as("_vecs"))
+    packed
+      .select(col("_ids"), posexplode(
+        graft.query.Mmr.selectCol(col("_rels"), col("_vecs"), k, lambda)))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        element_at(col("_ids"), col("col.p")).as("id"),
+        col("col.s").as("score"))
+  }
+
   /** Hybrid RRF search for HAMMING stores — the packed-code twin of
     * [[hybridSearch]] (vecgo's `HybridSearch` is metric-agnostic,
     * `engine.go:1538`; only our query type differs, because Hamming

@@ -169,9 +169,31 @@ object IndexQueries {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Joined MMR ([[graft.query.Mmr.diversifyJoin]]): every 50th embedding
+    * diversifies against the whole corpus through the IVF cell-routed
+    * join — all cells probed, so the 20-candidate pool is exact and the
+    * greedy λ=0.7 selection of 5 replays bit-exact in the unrolled DuckDB
+    * mirror (relevance = −list_distance, the canonical-units convention).
+    */
+  def mmrJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.query.Mmr
+    val emb = t(s, dir, "embeddings")
+    val model = IVF.train(emb, "embedding", k = 8, maxIter = 8)
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Mmr.diversifyJoin(emb, "embedding", "vec_id", queries, "query_id", "qv",
+        k = 5, fetchK = 20, lambda = 0.7, model, nprobe = model.k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        // +0.0 normalizes the self-match's −0.0 (λ·−√0) identically on
+        // both engines
+        (r6(col("score")) + lit(0.0)).as("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_knn" -> (ivfKnn _),
     "knn_join" -> (knnJoin _),
+    "mmr_join" -> (mmrJoin _),
     "sq8_rerank" -> (sq8Rerank _),
     "int4_rerank" -> (int4Rerank _),
     "pq_adc_rerank" -> (pqAdcRerank _),
@@ -201,6 +223,23 @@ object IndexQueries {
         |SELECT query_id, vec_id, rank, round(score, 6) AS score
         |FROM s WHERE rank <= 3 AND query_id <> vec_id
         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    // joined MMR: exact pool (all cells probed) → the shared unrolled
+    // greedy mirror; relevance −list_distance == Spark's −√(l2sq fold)
+    "mmr_join" -> graft.query.Mmr.oracleSql(
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (SELECT q.qid, e.vec_id, e.embedding::DOUBLE[] AS v,
+        |              -list_distance(e.embedding::DOUBLE[], q.qv) AS rel
+        |       FROM embeddings e, q),
+        |cand AS (SELECT * FROM sc
+        |         QUALIFY row_number() OVER (PARTITION BY qid
+        |                   ORDER BY rel DESC, vec_id ASC) <= 20)""".stripMargin,
+      k = 5, lambda = 0.7,
+      """SELECT qid AS query_id, t::INT AS rank,
+        |       ids[CAST(sel[CAST(t AS INT)] AS INT)] AS vec_id,
+        |       round(ss[CAST(t AS INT)], 6) + 0.0 AS score
+        |FROM selK, unnest(range(1, 6)) u(t)
+        |ORDER BY query_id ASC, rank ASC""".stripMargin),
     "sq8_rerank" -> exactKnnSql(7),
     "int4_rerank" -> exactKnnSql(1),
     "pq_adc_rerank" -> exactKnnSql(9),

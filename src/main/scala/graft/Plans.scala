@@ -89,6 +89,11 @@ object Plans {
           "hash exchange, the pool never leaves the aggregation as " +
           "rows), then the greedy lambda-trade as one row-local fold; " +
           "the only Generate is the final posexplode of k selections"),
+      "mmr_join" ->
+        ("joined MMR, both sides large: IVF cell-key equi-join (no " +
+          "cartesian), collect_top_k bounded per-query heaps kept AS " +
+          "arrays, row-local greedy fold — the only Generate beyond the " +
+          "probe explode is the final posexplode of k selections"),
       "knn_grouped" ->
         ("diversity-capped knn: collect_top_k bounded per-LABEL heaps " +
           "(partial-aggregated, shuffle = groups x cap structs) + " +

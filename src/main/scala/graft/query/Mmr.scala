@@ -27,10 +27,53 @@ import graft.types.Metric
   *
   * The diversity penalty is inner-product similarity between candidate
   * vectors (cosine when the embeddings are normalized — the common case);
-  * relevance is the retrieval metric's score, negated for ascending
-  * metrics so "higher = more relevant" holds inside the objective.
+  * relevance enters the objective in the metric's CANONICAL units,
+  * oriented higher-better (similarities as-is; L2 pools as −√d², the
+  * true Euclidean distance — one convention across the distributed,
+  * facade and serving tiers).
   */
 object Mmr {
+
+  /** The DuckDB mirror of [[selectCol]]'s greedy fold, unrolled to `k`
+    * chained CTE steps (DuckDB's `list_reduce` cannot carry a list
+    * accumulator). `prefix` must be a `WITH`-clause prefix whose LAST CTE
+    * is `cand(qid, vec_id, v DOUBLE[], rel DOUBLE)` — the per-query
+    * candidate pool. Every step recomputes the masked MMR objective with
+    * the exact literals the Spark side folds with (`mu` prints from the
+    * same `1.0 - lambda` double, so 0.7 → 0.30000000000000004 on both
+    * engines) and appends the first-position argmax — `list_position`
+    * breaks ties toward better-relevance/lower-id exactly like Spark's
+    * `array_position`. `finalSql` may reference `selK` (the last step)
+    * plus the arrays `ids`/`sel`/`ss`.
+    */
+  def oracleSql(prefix: String, k: Int, lambda: Double,
+      finalSql: String): String = {
+    val mu = 1.0 - lambda
+    val step =
+      s"""SELECT qid, ids, rels, vs,
+         |       list_append(sel, CAST(list_position(scores, list_max(scores)) AS BIGINT)) AS sel,
+         |       list_append(ss, list_max(scores)) AS ss
+         |FROM (SELECT *, list_transform(range(1, len(ids) + 1), i ->
+         |        CASE WHEN list_contains(sel, i)
+         |             THEN CAST('-infinity' AS DOUBLE)
+         |             ELSE $lambda * rels[i] - $mu * coalesce(
+         |                    list_max(list_transform(sel, j ->
+         |                      list_inner_product(vs[i], vs[j]))), 0.0)
+         |        END) AS scores FROM SEL_PREV)""".stripMargin
+    val steps = (1 to k).map(t =>
+      s"sel$t AS (${step.replace("SEL_PREV", if (t == 1) "sel0" else s"sel${t - 1}")})")
+      .mkString(",\n")
+    s"""$prefix,
+       |arr AS (SELECT qid,
+       |               list(vec_id ORDER BY rel DESC, vec_id ASC) AS ids,
+       |               list(rel ORDER BY rel DESC, vec_id ASC) AS rels,
+       |               list(v ORDER BY rel DESC, vec_id ASC) AS vs
+       |        FROM cand GROUP BY qid),
+       |sel0 AS (SELECT qid, ids, rels, vs,
+       |                []::BIGINT[] AS sel, []::DOUBLE[] AS ss FROM arr),
+       |$steps
+       |${finalSql.replace("selK", s"sel$k")}""".stripMargin
+  }
 
   /** Typed empty accumulator: array<struct<p:int, s:double>>. */
   private def emptySel: Column =
@@ -103,12 +146,56 @@ object Mmr {
     // explode/re-group): sorted best-first (os asc = best first for both
     // orientations), ids ascending within ties
     val packed = Search.topKPerKeyPayloadArr(
-        scored, queryIdCol, col("_os_in"), idCol, col(vecCol), fetchK)
+      scored, queryIdCol, col("_os_in"), idCol, col(vecCol), fetchK)
+    finishDiversify(packed, queryIdCol, idCol, k, lambda, metric)
+  }
+
+  /** Joined diversified retrieval — MMR over [[Search.knnJoinIvfPooled]]
+    * candidates, for the BOTH-SIDES-LARGE shape `diversify` cannot
+    * broadcast: corpus tagged with its IVF cell, queries exploded to
+    * their nprobe cells, ONE equi-join shuffle on the cell key, bounded
+    * per-query heaps kept as arrays, then the same row-local greedy
+    * fold. Exact at `nprobe = model.k`; recall-bounded IVF approximation
+    * below it (the pool, not the greedy, is what approximates).
+    */
+  def diversifyJoin(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      fetchK: Int,
+      lambda: Double,
+      model: graft.index.IVF.Model,
+      nprobe: Int,
+      metric: Metric = Metric.L2,
+      filter: Column = lit(true),
+      broadcastQueries: Boolean = false): DataFrame = {
+    require(fetchK >= k, s"candidate pool $fetchK < k $k")
+    val packed = Search.knnJoinIvfPooled(corpus, vecCol, idCol, queries,
+      queryIdCol, queryVecCol, fetchK, model, nprobe, metric, filter,
+      broadcastQueries = broadcastQueries)
+    finishDiversify(packed, queryIdCol, idCol, k, lambda, metric)
+  }
+
+  /** Unpack a (key, cs) pooled frame, fold, explode the k selections.
+    * Relevance enters the objective in CANONICAL units — an L2 pool's
+    * heap key is the squared distance, surfaced as −√d² so the DuckDB
+    * mirror is plain `-list_distance` (bitwise; √ then negate are exact
+    * IEEE ops) — and similarities ride through as-is.
+    */
+  private def finishDiversify(packed: DataFrame, queryIdCol: String,
+      idCol: String, k: Int, lambda: Double, metric: Metric): DataFrame = {
+    val rel: Column => Column =
+      if (metric == Metric.L2) os => -sqrt(os)
+      else os => -os // descending heaps store os = -score; -os = score
+    packed
       .select(col(queryIdCol),
         transform(col("cs"), c => c.getField("_id")).as("_ids"),
-        transform(col("cs"), c => -c.getField("os")).as("_rels"),
+        transform(col("cs"), c => rel(c.getField("os"))).as("_rels"),
         transform(col("cs"), c => c.getField("_payload")).as("_vecs"))
-    packed
       .select(col(queryIdCol), col("_ids"),
         posexplode(selectCol(col("_rels"), col("_vecs"), k, lambda)))
       .select(col(queryIdCol),

@@ -337,6 +337,51 @@ object Search {
       .select(col(queryIdCol), col(idCol), restore.as("score"), col("rank"))
   }
 
+  /** [[knnJoinIvf]] with each query's bounded top-k kept AS an array
+    * carrying the corpus vector payload ((os, _id, _payload) structs,
+    * best-first) — the candidate source for joined rerankers
+    * ([[Mmr.diversifyJoin]]): same cell-key equi-join shape, but the
+    * pool never leaves the aggregation as rows.
+    */
+  def knnJoinIvfPooled(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      model: graft.index.IVF.Model,
+      nprobe: Int,
+      metric: Metric = Metric.L2,
+      filter: Column = lit(true),
+      reuseLayoutCol: Boolean = false,
+      broadcastQueries: Boolean = false): DataFrame = {
+    require(metric == Metric.L2 || metric == Metric.Cosine,
+      s"knnJoinIvfPooled: $metric unsupported — IVF cells are L2-trained " +
+        "(L2/Cosine only; pre-normalize for Cosine)")
+    require(queryIdCol != idCol,
+      s"knnJoinIvfPooled: queryIdCol and idCol are both '$idCol' — alias " +
+        "the query id so the output schema is unambiguous")
+    val assigned =
+      if (reuseLayoutCol && corpus.columns.contains("ivf_part"))
+        corpus.where(filter)
+      else corpus.where(filter)
+        .withColumn("ivf_part", model.assignCol(col(vecCol)))
+    val probed0 = queries
+      .select(col(queryIdCol), col(queryVecCol))
+      .withColumn("ivf_part",
+        explode(model.probeCol(col(queryVecCol), nprobe)))
+    val probed = if (broadcastQueries) broadcast(probed0) else probed0
+    val score = metric.score(col(vecCol), col(queryVecCol))
+    val orderScore = if (metric.ascending) score else -score
+    val scored = assigned
+      .join(probed, "ivf_part")
+      .withColumn("_os_in", orderScore)
+    topKPerKeyPayloadArr(scored, queryIdCol, col("_os_in"), idCol,
+      col(vecCol), k)
+  }
+
   /** Point lookup by primary key (vecgo R7 `Get`). */
   def get(df: DataFrame, idCol: String, id: Long): DataFrame =
     df.where(col(idCol) === lit(id))

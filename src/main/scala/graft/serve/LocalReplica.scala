@@ -1787,9 +1787,10 @@ final class LocalReplica private (
     * greedy λ-trade of relevance against redundancy with the
     * already-selected set, in primitive arrays with a running max-sim
     * cache — O(k·fetchK) dot products total. Relevance is the metric
-    * score oriented higher-better; the penalty is the inner product of
-    * the STORED vectors (= cosine on a [[Metric.Cosine]] replica, which
-    * normalizes at ingest). Returned scores are the MMR objective at
+    * score in canonical units oriented higher-better (L2: −√d²,
+    * matching the distributed tiers); the penalty is the inner product
+    * of the STORED vectors (= cosine on a [[Metric.Cosine]] replica,
+    * which normalizes at ingest). Returned scores are the MMR objective at
     * selection time (rank 1 = λ·rel). A candidate deleted between the
     * pool fetch and the vector read is skipped, like any other
     * post-snapshot mutation.
@@ -2545,7 +2546,9 @@ object LocalReplica {
       fetchVec(src(i).id) match {
         case Some(v) =>
           ids(n) = src(i).id
-          rels(n) = if (ascending) -src(i).score else src(i).score
+          // canonical units: ascending pools carry squared L2 — the
+          // objective reads −√d², matching the distributed tiers
+          rels(n) = if (ascending) -math.sqrt(src(i).score) else src(i).score
           vecs(n) = v
           n += 1
         case None => ()

@@ -116,6 +116,28 @@ class MmrSpec extends AnyFunSuite {
     assert(got === Seq(1L, 3L), s"got $got")
   }
 
+  test("diversifyJoin at nprobe=nlist equals the broadcast diversify " +
+      "(exact pool parity) and keeps the cell-key equi-join plan") {
+    val model = graft.index.IVF.train(emb, "embedding", k = 4, maxIter = 8)
+    val qs = queriesDf(2L, 6L)
+    // L2 exercises the canonical −√d² relevance on both paths
+    val joined = Mmr.diversifyJoin(emb, "embedding", "vec_id", qs,
+      "query_id", "qv", k = 6, fetchK = 25, lambda = 0.6, model,
+      nprobe = model.k, Metric.L2)
+    val broad = Mmr.diversify(emb, "embedding", "vec_id", qs,
+      "query_id", "qv", k = 6, fetchK = 25, lambda = 0.6, Metric.L2)
+    val a = joined.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val b = broad.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(a.toSeq === b.toSeq)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "cartesian leaked\n" + p)
+    assert("collect_top_k".r.findAllIn(p).size >= 2, "partial+final agg\n" + p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("plan gate: MMR selection is row-local after the bounded-heap " +
       "candidate pool — no pairwise join, no window, no global sort") {
     val d = Mmr.diversify(emb, "embedding", "vec_id", queriesDf(1L, 3L),

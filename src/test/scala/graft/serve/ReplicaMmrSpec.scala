@@ -57,7 +57,9 @@ class ReplicaMmrSpec extends AnyFunSuite {
       k: Int, fetchK: Int, lambda: Double): Unit = {
     val got = rep.searchMmr(q, k, fetchK, lambda)
     val pool = rep.search(q, fetchK).map { c =>
-      (c.id, if (metric.ascending) -c.score else c.score, rep.get(c.id).get)
+      // ascending pools carry squared L2 → canonical rel is −√d²
+      (c.id, if (metric.ascending) -math.sqrt(c.score) else c.score,
+        rep.get(c.id).get)
     }
     val want = refMmr(pool, k, lambda)
     assert(got.map(_.id) === want.map(_._1), s"$metric ids")
