@@ -461,6 +461,17 @@ object Bench {
           i += 1
         }
       }),
+      // MMR diversity rerank on the 10k fixture: the greedy tail's cost
+      // on top of the fetchK=50 pool scan (k=10, lambda 0.7) — the
+      // price of a diversified page vs the plain knn10k row
+      "synth_local_mmr_x500" -> (() => {
+        var i = 0
+        while (i < 500) {
+          replica10k.searchMmr(queries(i % queries.length)._2, 10,
+            fetchK = 50, lambda = 0.7, nprobe = 8)
+          i += 1
+        }
+      }),
       // cold start (the reference's "13 ms open, 213 µs first query"
       // mmap row): load the persisted 10k artifact from disk and answer
       // one query — the serving tier's restart path. The artifact is
@@ -576,7 +587,8 @@ object Bench {
       "synth_local_batch_x1000", "synth_local_knn768_sq8_x200",
       "synth_local_knn768_pq_x200", "synth_local_knn768_int4_x200",
       "synth_local_knn10k_x2000", "synth_local_sharded10k_x2000",
-      "synth_local_hybrid_x500", "synth_replica_mixed_4k",
+      "synth_local_hybrid_x500", "synth_local_mmr_x500",
+      "synth_replica_mixed_4k",
       "synth_replica_sustained", "synth_replica_cold_open",
       "synth_local_conc8_x4000",
       "synth_replica_delete_all", "synth_replica_append_10k")
@@ -640,7 +652,8 @@ object Bench {
     val secondLook: Seq[String] = Seq(
       "synth_local_knn10k_x2000", "synth_local_hybrid_x500",
       "synth_local_knn768_sq8_x200", "synth_local_knn768_pq_x200",
-      "synth_local_knn768_int4_x200", "synth_local_sharded10k_x2000")
+      "synth_local_knn768_int4_x200", "synth_local_sharded10k_x2000",
+      "synth_local_mmr_x500")
     syncFs()
     secondLook.foreach { name =>
       benches.find(_._1 == name).foreach { case (_, f) =>
@@ -732,6 +745,8 @@ object Bench {
     }
     derived("local_hybrid_latency_us") =
       results("synth_local_hybrid_x500") / 500.0 * 1e6
+    derived("local_mmr10k_latency_us") =
+      results("synth_local_mmr_x500") / 500.0 * 1e6
     derived("replica_delete_ids_per_sec") =
       n / results("synth_replica_delete_all")
     derived("replica_append_vec_per_sec") =

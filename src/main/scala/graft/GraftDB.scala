@@ -513,6 +513,18 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     v
   }
 
+  /** Row-level change feed since `fromVersion`, up to the version this
+    * handle reads ([[graft.store.SnapshotStore.diff]] — the lakehouse
+    * `table_changes` verb): op='delete' ids then op='insert' rows;
+    * applying them in that order to a copy of `fromVersion` reproduces
+    * this version exactly. Between compactions the feed reads only the
+    * window's new files — the incremental-consumer contract at 100 TB.
+    * Works on read-only and pinned opens (a pinned handle diffs up to
+    * its pin).
+    */
+  def changes(fromVersion: Long): DataFrame =
+    store.diff(fromVersion, effectiveVersion)
+
   /** Clone this engine's state at `version` (default: the version this
     * handle reads — so a pinned open clones its pinned cut) into a
     * fresh root: config + every referenced artifact copied, one

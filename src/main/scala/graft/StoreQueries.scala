@@ -92,6 +92,33 @@ object StoreQueries {
       .orderBy(col("label").asc)
   }
 
+  /** Change feed, file-diff fast path ([[SnapshotStore.diff]]): the
+    * lifecycle window v1→v4 (delete label=3, upsert ids<50 (+100),
+    * writeBatch replace 50-59 (+200) + delete 480-489) with no
+    * compaction inside it, so the feed reads ONLY the window's new
+    * files. Deletes surface as id-only rows (data NULL); the window's
+    * tombstoned ids include the upsert/replace victims (delete+insert
+    * is the upsert wire format) and are idempotent on ids the consumer
+    * never had.
+    */
+  def diffQ(s: SparkSession, dir: String): DataFrame = {
+    val store = buildLifecycle(s, dir, "store_diff")
+    store.diff(1, 4)
+      .orderBy(col("op").asc, col("id").asc)
+  }
+
+  /** Change feed, full-diff fallback: v1→v5 crosses the compaction, so
+    * the file diff cannot apply and the anti-join + content-hash path
+    * answers — the SAME logical change set as the v1→v4 window (compact
+    * rewrites layout, not content), proving the two paths agree where
+    * their windows coincide logically.
+    */
+  def diffFullQ(s: SparkSession, dir: String): DataFrame = {
+    val store = buildLifecycle(s, dir, "store_diff_full")
+    store.diff(1, 5)
+      .orderBy(col("op").asc, col("id").asc)
+  }
+
   /** Manifest-stats segment pruning: three label-range segments with
     * collected stats; a `label = 7` scan must prune two of them (asserted)
     * and still return exactly the right rows.
@@ -277,6 +304,8 @@ object StoreQueries {
     "store_lifecycle" -> (lifecycle _),
     "store_timetravel" -> (timeTravel _),
     "store_restore" -> (restoreQ _),
+    "store_diff" -> (diffQ _),
+    "store_diff_full" -> (diffFullQ _),
     "store_timetravel_ts" -> (timeTravelTs _),
     "store_pruned_scan" -> (prunedScan _),
     "store_vacuum" -> (vacuumed _),
@@ -311,6 +340,40 @@ object StoreQueries {
     "store_timetravel_ts" ->
       """SELECT label, count(*) AS n FROM embeddings
         |WHERE label <> 3 GROUP BY label ORDER BY label ASC""".stripMargin,
+    // change feed v1→v4: window tombstones = label-3 victims + upsert ids
+    // [0,50) + replace ids [50,60) + deletes [480,490); window inserts =
+    // the upserted/replaced rows live at v4
+    "store_diff" ->
+      """WITH del AS (
+        |  SELECT DISTINCT vec_id AS id FROM embeddings
+        |  WHERE label = 3 OR vec_id < 60
+        |     OR (vec_id >= 480 AND vec_id < 490)),
+        |ins AS (
+        |  SELECT vec_id AS id,
+        |         CASE WHEN vec_id < 50 THEN label + 100
+        |              ELSE label + 200 END AS label
+        |  FROM embeddings WHERE vec_id < 60)
+        |SELECT 'delete' AS op, id, NULL::INTEGER AS label FROM del
+        |UNION ALL
+        |SELECT 'insert' AS op, id, label FROM ins
+        |ORDER BY op ASC, id ASC""".stripMargin,
+    // full-diff fallback v1→v5 (crosses compact): the id-level delete set
+    // is identical (DISTINCT folds label-3 ids below 60 into the upsert
+    // victims), and the same changed rows surface as inserts
+    "store_diff_full" ->
+      """WITH del AS (
+        |  SELECT DISTINCT vec_id AS id FROM embeddings
+        |  WHERE label = 3 OR vec_id < 60
+        |     OR (vec_id >= 480 AND vec_id < 490)),
+        |ins AS (
+        |  SELECT vec_id AS id,
+        |         CASE WHEN vec_id < 50 THEN label + 100
+        |              ELSE label + 200 END AS label
+        |  FROM embeddings WHERE vec_id < 60)
+        |SELECT 'delete' AS op, id, NULL::INTEGER AS label FROM del
+        |UNION ALL
+        |SELECT 'insert' AS op, id, label FROM ins
+        |ORDER BY op ASC, id ASC""".stripMargin,
     "store_pruned_scan" ->
       """SELECT vec_id AS id, label FROM embeddings
         |WHERE label = 7 ORDER BY id ASC""".stripMargin,
