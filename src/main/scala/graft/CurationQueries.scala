@@ -258,6 +258,21 @@ object CurationQueries {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Per-dimension PSI drift ([[graft.stats.PsiDrift]]) between two
+    * "crawls" (label < 5 vs label >= 5 slices of the fixture): fixed
+    * [-1, 1) 16-bucket histograms, Jeffreys smoothing, bucket-ordered
+    * fold — the distribution-shift report read before trusting an index
+    * or threshold across corpus versions.
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.stats.PsiDrift.perDim(
+        emb.where(col("label") < 5), emb.where(col("label") >= 5),
+        "embedding", dims = 64, lo = -1.0, hi = 1.0, buckets = 16)
+      .select(col("j"), r6(col("psi")).as("psi"))
+      .orderBy(col("j").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_topk" -> (vocabTopk _),
     "cluster_assign" -> (clusterAssign _),
@@ -270,7 +285,8 @@ object CurationQueries {
     "embedding_project" -> (embeddingProject _),
     "embedding_mrl" -> (embeddingMrl _),
     "maxsim_rerank" -> (maxsimRerank _),
-    "mmr_diversify" -> (mmrDiversify _)
+    "mmr_diversify" -> (mmrDiversify _),
+    "embedding_drift" -> (embeddingDrift _)
   )
 
   /** `mmr_diversify`'s DuckDB mirror — the shared unrolled-greedy builder
@@ -482,6 +498,44 @@ object CurationQueries {
         |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     // MMR diversity rerank: the greedy fold unrolled to k CTE steps —
     // see mmrOracleSql for the bitwise-agreement argument
-    "mmr_diversify" -> mmrOracleSql(k = 8, fetchK = 30, lambda = 0.7)
+    "mmr_diversify" -> mmrOracleSql(k = 8, fetchK = 30, lambda = 0.7),
+    // PSI drift: dense 64x16 grid, integer counts -> deterministic
+    // smoothed proportions; per-dim sum folds in bucket order
+    // (list_reduce left fold == Spark's 0.0-seeded aggregate)
+    "embedding_drift" ->
+      """WITH a AS (SELECT embedding FROM embeddings WHERE label < 5),
+        |b AS (SELECT embedding FROM embeddings WHERE label >= 5),
+        |na AS (SELECT count(*)::DOUBLE + 8.0 AS n FROM a),
+        |nb AS (SELECT count(*)::DOUBLE + 8.0 AS n FROM b),
+        |ha AS (SELECT CAST(t.j AS INT) AS j,
+        |              LEAST(15, GREATEST(0, CAST(floor(
+        |                (a.embedding[CAST(t.j + 1 AS INT)]::DOUBLE + 1.0)
+        |                / 2.0 * 16) AS INT))) AS bk,
+        |              count(*) AS ca
+        |       FROM a, unnest(range(0, 64)) t(j)
+        |       GROUP BY 1, 2),
+        |hb AS (SELECT CAST(t.j AS INT) AS j,
+        |              LEAST(15, GREATEST(0, CAST(floor(
+        |                (b.embedding[CAST(t.j + 1 AS INT)]::DOUBLE + 1.0)
+        |                / 2.0 * 16) AS INT))) AS bk,
+        |              count(*) AS cb
+        |       FROM b, unnest(range(0, 64)) t(j)
+        |       GROUP BY 1, 2),
+        |grid AS (SELECT CAST(dj.d AS INT) AS j, CAST(bb.b AS INT) AS bk
+        |         FROM unnest(range(0, 64)) dj(d),
+        |              unnest(range(0, 16)) bb(b)),
+        |terms AS (
+        |  SELECT g.j, g.bk,
+        |         ((coalesce(ha.ca, 0)::DOUBLE + 0.5) / (SELECT n FROM na)
+        |          - (coalesce(hb.cb, 0)::DOUBLE + 0.5) / (SELECT n FROM nb))
+        |         * ln(((coalesce(ha.ca, 0)::DOUBLE + 0.5) / (SELECT n FROM na))
+        |              / ((coalesce(hb.cb, 0)::DOUBLE + 0.5) / (SELECT n FROM nb)))
+        |         AS t
+        |  FROM grid g
+        |  LEFT JOIN ha ON ha.j = g.j AND ha.bk = g.bk
+        |  LEFT JOIN hb ON hb.j = g.j AND hb.bk = g.bk)
+        |SELECT j, round(list_reduce(list(t ORDER BY bk), (p, q) -> p + q), 6)
+        |       AS psi
+        |FROM terms GROUP BY j ORDER BY j ASC""".stripMargin
   )
 }

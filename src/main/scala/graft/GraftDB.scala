@@ -513,6 +513,24 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     v
   }
 
+  /** Per-dimension PSI drift between two versions of this store's
+    * vectors ([[graft.stats.PsiDrift]]) — the distribution-shift report
+    * read alongside [[indexDrift]] (which watches the IVF radii) before
+    * trusting an index, threshold, or classifier across a corpus
+    * update. Float metrics only; defaults cover the normalized range.
+    */
+  def psiDrift(fromVersion: Long, toVersion: Long = -1L,
+      lo: Double = -1.0, hi: Double = 1.0,
+      buckets: Int = 16): DataFrame = {
+    require(metric != Metric.Hamming,
+      "psiDrift reads float vectors — hamming stores pack codes")
+    val to = if (toVersion >= 0) toVersion else effectiveVersion
+    graft.stats.PsiDrift.perDim(
+      store.read(fromVersion).select(col("vector")),
+      store.read(to).select(col("vector")),
+      "vector", config.dim, lo, hi, buckets)
+  }
+
   /** Row-level change feed since `fromVersion`, up to the version this
     * handle reads ([[graft.store.SnapshotStore.diff]] — the lakehouse
     * `table_changes` verb): op='delete' ids then op='insert' rows;
