@@ -56,6 +56,20 @@ object FacadeQueries {
       .orderBy(col("rank").asc)
   }
 
+  /** Diversity-capped grouped search through the engine facade
+    * ([[GraftDB.searchGrouped]]): at most 3 per label among the global
+    * top-12 — identical rows to the operator-level `knn_grouped`
+    * (same oracle; the facade surfaces √ of its native squared score).
+    */
+  def knnGroupedQ(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_grouped")
+    db.searchGrouped(qvec(s, dir, 5), k = 12, groupCol = "label",
+        perGroup = 3)
+      .select(col("label"), col("id").as("vec_id"),
+        round(sqrt(col("score")), 6).as("score"), col("rank"))
+      .orderBy(col("score").asc, col("vec_id").asc)
+  }
+
   /** Facade k-NN THROUGH the built index: buildIndex compacts into an
     * IVF-partitioned SQ8-coded segment and search auto-routes through
     * probe-pruned two-phase rerank. All lists probed + a refine pool
@@ -1090,6 +1104,7 @@ object FacadeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graftdb_knn" -> (knn _),
     "graftdb_mmr" -> (mmrQ _),
+    "graftdb_knn_grouped" -> (knnGroupedQ _),
     "graftdb_knn_join" -> (knnJoinQ _),
     "graftdb_knn_indexed" -> (knnIndexed _),
     "graftdb_knn_after_extend" -> (knnAfterExtend _),
@@ -1137,6 +1152,7 @@ object FacadeQueries {
 
   val oracle: Map[String, String] = Map(
     "graftdb_knn" -> Queries.oracle("knn_l2"),
+    "graftdb_knn_grouped" -> Queries.oracle("knn_grouped"),
     "graftdb_mmr" -> graft.query.Mmr.oracleSql(
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id = 0),

@@ -1325,6 +1325,42 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     RRF.fuse(vranks, branks, k, rrfK)
   }
 
+  /** Diversity-capped (grouped) search: the global top-`k` subject to at
+    * most `perGroup` results per value of metadata column `groupCol` —
+    * the facet/source cap (greedy-in-score-order with a per-group cap ≡
+    * top-`perGroup` per group then global top-k). One filtered scan
+    * (manifest-stats segment pruning applies) into
+    * [[graft.query.Search.topKPerKey]] bounded per-group heaps — the
+    * shuffle carries groups × cap structs, never the scored corpus — plus
+    * a TakeOrderedAndProject cut; always exact regardless of how lopsided
+    * the groups are (no candidate pool to flood). Returns (groupCol, id,
+    * score, rank) with rank the 1-based position within the group;
+    * score is in the store's native units (squared L2), like [[search]].
+    */
+  def searchGrouped(query: Array[Float], k: Int, groupCol: String,
+      perGroup: Int, filter: FilterSet = FilterSet.empty): DataFrame = {
+    require(k > 0 && perGroup > 0, s"bad grouped-search config: k=$k " +
+      s"perGroup=$perGroup")
+    require(metric != Metric.Hamming,
+      "grouped search reads float vectors — use searchCodes paths on " +
+        "hamming stores")
+    require(query.length == config.dim,
+      s"query dim ${query.length} != ${config.dim}")
+    val q = if (metric == Metric.Cosine) normalized(query) else query
+    val src =
+      if (filter.filters.isEmpty) read()
+      else store.prunedRead(filter.filters, effectiveVersion)._1
+    val score = metric.score(col("vector"), lit(q))
+    val orderScore = if (metric.ascending) score else -score
+    val scored = src.withColumn("_os_in", orderScore)
+    val restore = if (metric.ascending) col("_os") else -col("_os")
+    graft.query.Search
+      .topKPerKey(scored, groupCol, col("_os_in"), "id", perGroup)
+      .orderBy(col("_os").asc, col("id").asc)
+      .limit(k)
+      .select(col(groupCol), col("id"), restore.as("score"), col("rank"))
+  }
+
   /** MMR-diversified search — the facade of [[graft.query.Mmr]] (vecgo
     * has no diversity verb; this is part of the engine's LLM-pipeline
     * surface): a `fetchK`-candidate pool from the normal adaptive search

@@ -1781,6 +1781,54 @@ final class LocalReplica private (
       .take(maxResults).toSeq
   }
 
+  /** Group key of a live id under metadata column `groupCol`, boxed —
+    * None when the row is gone, carries no metadata (delta rows), or the
+    * column is NULL there. Grouped consumers treat None as ONE null
+    * group, matching SQL window semantics.
+    */
+  private[serve] def groupKeyOf(groupCol: String): Long => Option[Any] = {
+    val c = metaByName.getOrElse(groupCol,
+      throw new IllegalArgumentException(
+        s"replica carries no metadata column `$groupCol` (have: " +
+          s"${metaCols.map(_.name).mkString(", ")}) — export it via metaCols"))
+    id => {
+      val r = idToRow.get(id)
+      if (r < 0 || c.nulls(r)) None
+      else c.kind match {
+        case LocalReplica.MetaString => Some(c.strings(r))
+        case LocalReplica.MetaDouble => Some(c.doubles(r))
+        case _ => Some(c.longs(r))
+      }
+    }
+  }
+
+  /** Diversity-capped (grouped) top-k — the serving twin of the
+    * distributed `knn_grouped` / [[graft.GraftDB.searchGrouped]]: the
+    * global top-`k` subject to at most `perGroup` results per value of
+    * metadata column `groupCol` (rows whose group is NULL — including
+    * delta rows, which carry no metadata — share one null group). The
+    * pool deepens adaptively: greedy over a bounded pool is exact only
+    * if the pool reaches deep enough past the groups the cap rejects, so
+    * when the page comes back short with the pool exhausted at its
+    * bound, the bound quadruples and the scan retries (worst case one
+    * full scan — the distributed twin's no-pool heaps are the shape for
+    * corpora where that matters).
+    */
+  def searchGrouped(q0: Array[Float], k: Int, groupCol: String,
+      perGroup: Int, nprobe: Int = 0): Seq[Candidate] = {
+    require(k > 0 && perGroup > 0,
+      s"bad grouped-search config: k=$k perGroup=$perGroup")
+    val keyOf = groupKeyOf(groupCol)
+    var fetchK = math.max(4 * k, k + 16)
+    while (true) {
+      val pool = search(q0, fetchK, nprobe)
+      val page = LocalReplica.groupedGreedy(pool, keyOf, k, perGroup)
+      if (page.length >= k || pool.length < fetchK) return page
+      fetchK *= 4
+    }
+    Nil // unreachable
+  }
+
   /** MMR-diversified top-k (the in-process twin of
     * [[graft.query.Mmr.diversify]]; vecgo has no diversity verb): a
     * `fetchK`-candidate pool from the existing probed path, then the
@@ -2522,6 +2570,26 @@ object LocalReplica {
 
   /** Default collect guard: 4M rows × 128d ≈ 2 GiB of floats. */
   val DefaultMaxRows: Long = 4L * 1000 * 1000
+
+  /** Greedy per-group cap over a best-first pool — shared by
+    * [[LocalReplica.searchGrouped]] and [[ReplicaSet.searchGrouped]]:
+    * take candidates in pool order, skip one whose group already holds
+    * `perGroup` admissions, stop at `k`. Equal to "top-perGroup per
+    * group, then global top-k" because pool order IS score order.
+    */
+  private[serve] def groupedGreedy(pool: Seq[Candidate],
+      keyOf: Long => Option[Any], k: Int, perGroup: Int): Seq[Candidate] = {
+    val counts = scala.collection.mutable.HashMap.empty[Any, Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    val it = pool.iterator
+    while (it.hasNext && out.length < k) {
+      val c = it.next()
+      val key: Any = keyOf(c.id).orNull
+      val n = counts.getOrElse(key, 0)
+      if (n < perGroup) { counts(key) = n + 1; out += c }
+    }
+    out.toSeq
+  }
 
   /** Greedy MMR over a best-first candidate pool — shared by
     * [[LocalReplica.searchMmr]] and [[ReplicaSet.searchMmr]]. `fetchVec`

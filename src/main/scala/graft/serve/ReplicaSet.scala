@@ -118,6 +118,37 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     mergeK(pools, k)
   }
 
+  /** Diversity-capped (grouped) top-k across shards: the pool is the
+    * normal scatter-gather merge; the per-group cap runs once at the
+    * router with group keys resolved through the shard owning each id
+    * ([[LocalReplica.groupedGreedy]]), so a group split across shards is
+    * capped globally, not per shard. Pool deepening mirrors the
+    * single-replica rule.
+    */
+  def searchGrouped(q: Array[Float], k: Int, groupCol: String,
+      perGroup: Int, nprobe: Int = 0): Seq[Candidate] = {
+    require(k > 0 && perGroup > 0,
+      s"bad grouped-search config: k=$k perGroup=$perGroup")
+    val keyOfs = shards.map(_.groupKeyOf(groupCol))
+    val keyOf: Long => Option[Any] = id => {
+      var i = 0
+      var found: Option[Any] = None
+      while (i < keyOfs.length && found.isEmpty) {
+        found = keyOfs(i)(id)
+        i += 1
+      }
+      found
+    }
+    var fetchK = math.max(4 * k, k + 16)
+    while (true) {
+      val pool = search(q, fetchK, nprobe)
+      val page = LocalReplica.groupedGreedy(pool, keyOf, k, perGroup)
+      if (page.length >= k || pool.length < fetchK) return page
+      fetchK *= 4
+    }
+    Nil // unreachable
+  }
+
   /** MMR-diversified top-k across shards: the `fetchK` pool is the
     * normal scatter-gather merge (each shard's probed scan, best-first
     * merge), the greedy selection then runs once at the router over the
