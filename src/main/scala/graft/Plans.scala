@@ -85,15 +85,17 @@ object Plans {
           "bounded top-k on the fused score"),
       "mmr_diversify" ->
         ("MMR diversity rerank: broadcast query frame into the scan, " +
-          "collect_top_k bounded per-query heaps kept AS arrays (one " +
-          "hash exchange, the pool never leaves the aggregation as " +
-          "rows), then the greedy lambda-trade as one row-local fold; " +
-          "the only Generate is the final posexplode of k selections"),
+          "collect_top_k bounded (os, id) heaps — NO payload rides the " +
+          "heaps (that copies a vector per SCORED row; PooledCostProbe " +
+          "measured 10x the join at 5M) — winners' vectors " +
+          "late-materialized by one broadcast-hash re-join, then the " +
+          "greedy lambda-trade as one row-local fold"),
       "mmr_join" ->
         ("joined MMR, both sides large: IVF cell-key equi-join (no " +
-          "cartesian), collect_top_k bounded per-query heaps kept AS " +
-          "arrays, row-local greedy fold — the only Generate beyond the " +
-          "probe explode is the final posexplode of k selections"),
+          "cartesian), collect_top_k bounded (os, id) heaps, winners' " +
+          "vectors late-materialized via broadcast-hash re-join " +
+          "(measured at parity with the plain join at 5M rows — " +
+          "MmrScaleProbe ratio 1.00), row-local greedy fold"),
       "knn_grouped" ->
         ("diversity-capped knn: collect_top_k bounded per-LABEL heaps " +
           "(partial-aggregated, shuffle = groups x cap structs) + " +

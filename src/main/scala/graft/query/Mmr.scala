@@ -16,8 +16,10 @@ import graft.types.Metric
   * set. λ=1 degenerates to plain top-k; λ→0 maximizes spread.
   *
   * 100 TB shape: candidate generation is the existing bounded-heap ANN
-  * path ([[Search.topKPerKeyPayload]] — per-partition heaps, the shuffle
-  * carries only queries × fetchK structs); the greedy selection itself is
+  * path ([[Search.topKPerKey]] — per-partition (os, id) heaps, the
+  * shuffle carries only queries × fetchK structs — with the winners'
+  * vectors late-materialized by ONE broadcast-hash re-join,
+  * [[Search.poolWithVectors]]); the greedy selection itself is
   * ONE row-local fold over the per-query candidate array (O(k²·fetchK)
   * dot products per query, never a pairwise explode-join across the
   * corpus). The selection fold and every dot product accumulate in double,
@@ -142,11 +144,14 @@ object Mmr {
     val scored = df
       .crossJoin(broadcast(queries))
       .withColumn("_os_in", orderScore)
-    // each query's pool stays an array through the aggregation (no
-    // explode/re-group): sorted best-first (os asc = best first for both
-    // orientations), ids ascending within ties
-    val packed = Search.topKPerKeyPayloadArr(
-      scored, queryIdCol, col("_os_in"), idCol, col(vecCol), fetchK)
+    // bounded (os, id) heaps first, vectors late-materialized after the
+    // cut — carrying the vector through the heaps copies it once per
+    // SCORED row, a cost that scales with the scan, not the pool (see
+    // Search.poolWithVectors)
+    val cands = Search.topKPerKey(scored, queryIdCol, col("_os_in"),
+      idCol, fetchK)
+    val packed = Search.poolWithVectors(cands, df, vecCol, idCol,
+      queryIdCol)
     finishDiversify(packed, queryIdCol, idCol, k, lambda, metric)
   }
 

@@ -158,28 +158,29 @@ object Search {
         col("p._payload").as("_payload"))
   }
 
-  /** [[topKPerKeyPayload]] kept AS an array per key: (keyCol, cs) where
-    * cs is the bounded top-k sorted best-first (ascending (os, _id,
-    * _payload) structs). For consumers that post-process the whole pool
-    * row-locally (MMR, MaxSim over a candidate set) this skips the
-    * explode + re-group round trip — the pool never leaves the
-    * aggregation as rows, so the plan has exactly one exchange.
+  /** Attach vectors to a BOUNDED per-key candidate set by re-scanning the
+    * corpus once with the candidates broadcast (late materialization),
+    * packing each key's pool into one best-first sorted array of
+    * (os, _id, _payload) structs — the candidate source for row-local
+    * rerankers (MMR). `cands` must carry (keyCol, idCol, _os) — e.g.
+    * [[topKPerKey]] output — and be bounded (keys × k rows: it is
+    * collected for the broadcast).
+    *
+    * Why not carry the vector THROUGH the top-k heaps: the aggregate's
+    * update path materializes its input struct — vector included — for
+    * every SCORED row before heap admission, so the copy cost scales
+    * with the scan, not the pool (measured 10× the whole join at 5M
+    * corpus rows, `tools/PooledCostProbe`). One broadcast-hash re-join
+    * against the corpus touches only the winners instead.
     */
-  def topKPerKeyPayloadArr(scored: DataFrame, keyCol: String,
-      orderScore: Column, idCol: String, payload: Column,
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
-    val pair = struct(orderScore.as("os"), col(idCol).as("_id"),
-      payload.as("_payload"))
-    val topk = ColumnBridge.column(
-      new CollectTopK(ColumnBridge.expression(pair), k, true)
-        .toAggregateExpression())
-    scored
+  def poolWithVectors(cands: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, keyCol: String): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(cands.select(col(keyCol), col(idCol), col("_os"))),
+        Seq(idCol))
       .groupBy(col(keyCol))
-      .agg(topk.as("topk"))
-      .select(col(keyCol), sort_array(col("topk")).as("cs"))
-  }
+      .agg(sort_array(collect_list(struct(col("_os").as("os"),
+        col(idCol).as("_id"), col(vecCol).as("_payload")))).as("cs"))
 
   /** Batch search: top-k per query for a whole frame of queries (vecgo R6
     * `BatchSearch`). The query frame is broadcast into the scan (no
@@ -363,23 +364,15 @@ object Search {
     require(queryIdCol != idCol,
       s"knnJoinIvfPooled: queryIdCol and idCol are both '$idCol' — alias " +
         "the query id so the output schema is unambiguous")
-    val assigned =
-      if (reuseLayoutCol && corpus.columns.contains("ivf_part"))
-        corpus.where(filter)
-      else corpus.where(filter)
-        .withColumn("ivf_part", model.assignCol(col(vecCol)))
-    val probed0 = queries
-      .select(col(queryIdCol), col(queryVecCol))
-      .withColumn("ivf_part",
-        explode(model.probeCol(col(queryVecCol), nprobe)))
-    val probed = if (broadcastQueries) broadcast(probed0) else probed0
-    val score = metric.score(col(vecCol), col(queryVecCol))
-    val orderScore = if (metric.ascending) score else -score
-    val scored = assigned
-      .join(probed, "ivf_part")
-      .withColumn("_os_in", orderScore)
-    topKPerKeyPayloadArr(scored, queryIdCol, col("_os_in"), idCol,
-      col(vecCol), k)
+    // phase 1: the plain cell-routed join's bounded (os, id) heaps — no
+    // payload rides the heaps (see poolWithVectors' cost note)
+    val cands = knnJoinIvf(corpus, vecCol, idCol, queries, queryIdCol,
+        queryVecCol, k, model, nprobe, metric, filter, reuseLayoutCol,
+        broadcastQueries)
+      .select(col(queryIdCol), col(idCol),
+        (if (metric.ascending) col("score") else -col("score")).as("_os"))
+    // phase 2: late-materialize the winners' vectors
+    poolWithVectors(cands, corpus, vecCol, idCol, queryIdCol)
   }
 
   /** Point lookup by primary key (vecgo R7 `Get`). */
