@@ -1266,9 +1266,16 @@ final class GraftDB private (val spark: SparkSession, val root: String,
           (c, metric.ascending)
       }
       val os = if (approxAsc) col("_approx") else -col("_approx")
-      Search.topKPerKeyPayload(cand, "query_id", os, "id", col("vector"),
+      // bounded (os, id) heaps, then late-materialize the exact vectors
+      // for the k*refine winners with one broadcast-hash re-join —
+      // carrying `vector` through the heaps copies it per PROBED row, a
+      // cost that scales with the scan (Search.poolWithVectors' note)
+      val winners = Search.topKPerKey(cand, "query_id", os, "id",
           k * refine)
-        .select(col("query_id"), col("id"), col("_payload").as("vector"))
+        .select(col("query_id"), col("id"))
+      seg.select(col("id"), col("vector"))
+        .join(broadcast(winners), Seq("id"))
+        .select(col("query_id"), col("id"), col("vector"))
     }
     val tails = keptPlain.map { s =>
       store.visibleSegment(s, m).where(filter.toColumn)

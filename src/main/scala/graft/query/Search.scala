@@ -135,28 +135,12 @@ object Search {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** [[topKPerKey]] with an extra payload column carried through the
-    * bounded heaps (e.g. the raw vector, so a quantized first phase can
-    * hand exact-rerank its candidates without re-scanning the store).
-    * Heap entries grow by the payload size — use only when the second
-    * phase genuinely needs the column.
-    */
-  def topKPerKeyPayload(scored: DataFrame, keyCol: String, orderScore: Column,
-      idCol: String, payload: Column, k: Int): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
-    val pair = struct(orderScore.as("os"), col(idCol).as("_id"),
-      payload.as("_payload"))
-    val topk = ColumnBridge.column(
-      new CollectTopK(ColumnBridge.expression(pair), k, true)
-        .toAggregateExpression())
-    scored
-      .groupBy(col(keyCol))
-      .agg(topk.as("topk"))
-      .select(col(keyCol), explode(col("topk")).as("p"))
-      .select(col(keyCol), col("p._id").as(idCol), col("p.os").as("_os"),
-        col("p._payload").as("_payload"))
-  }
+  // NOTE: a `topKPerKeyPayload` variant that carried an extra column
+  // through the heaps existed here and was REMOVED: CollectTopK's update
+  // path materializes its input struct for every scored row before heap
+  // admission, so a vector payload costs one copy per SCANNED row — 10×
+  // the whole join at 5M rows (tools/PooledCostProbe). Use
+  // [[poolWithVectors]] (bounded winners re-joined by broadcast) instead.
 
   /** Attach vectors to a BOUNDED per-key candidate set by re-scanning the
     * corpus once with the candidates broadcast (late materialization),
