@@ -505,8 +505,6 @@ object CurationQueries {
     "embedding_drift" ->
       """WITH a AS (SELECT embedding FROM embeddings WHERE label < 5),
         |b AS (SELECT embedding FROM embeddings WHERE label >= 5),
-        |na AS (SELECT count(*)::DOUBLE + 8.0 AS n FROM a),
-        |nb AS (SELECT count(*)::DOUBLE + 8.0 AS n FROM b),
         |ha AS (SELECT CAST(t.j AS INT) AS j,
         |              LEAST(15, GREATEST(0, CAST(floor(
         |                (a.embedding[CAST(t.j + 1 AS INT)]::DOUBLE + 1.0)
@@ -524,16 +522,22 @@ object CurationQueries {
         |grid AS (SELECT CAST(dj.d AS INT) AS j, CAST(bb.b AS INT) AS bk
         |         FROM unnest(range(0, 64)) dj(d),
         |              unnest(range(0, 16)) bb(b)),
-        |terms AS (
+        |cnts AS (
         |  SELECT g.j, g.bk,
-        |         ((coalesce(ha.ca, 0)::DOUBLE + 0.5) / (SELECT n FROM na)
-        |          - (coalesce(hb.cb, 0)::DOUBLE + 0.5) / (SELECT n FROM nb))
-        |         * ln(((coalesce(ha.ca, 0)::DOUBLE + 0.5) / (SELECT n FROM na))
-        |              / ((coalesce(hb.cb, 0)::DOUBLE + 0.5) / (SELECT n FROM nb)))
-        |         AS t
+        |         coalesce(ha.ca, 0)::DOUBLE AS ca,
+        |         coalesce(hb.cb, 0)::DOUBLE AS cb,
+        |         sum(coalesce(ha.ca, 0)) OVER (PARTITION BY g.j)::DOUBLE
+        |           + 8.0 AS na,
+        |         sum(coalesce(hb.cb, 0)) OVER (PARTITION BY g.j)::DOUBLE
+        |           + 8.0 AS nb
         |  FROM grid g
         |  LEFT JOIN ha ON ha.j = g.j AND ha.bk = g.bk
-        |  LEFT JOIN hb ON hb.j = g.j AND hb.bk = g.bk)
+        |  LEFT JOIN hb ON hb.j = g.j AND hb.bk = g.bk),
+        |terms AS (
+        |  SELECT j, bk,
+        |         ((ca + 0.5) / na - (cb + 0.5) / nb)
+        |         * ln(((ca + 0.5) / na) / ((cb + 0.5) / nb)) AS t
+        |  FROM cnts)
         |SELECT j, round(list_reduce(list(t ORDER BY bk), (p, q) -> p + q), 6)
         |       AS psi
         |FROM terms GROUP BY j ORDER BY j ASC""".stripMargin

@@ -525,9 +525,11 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     require(metric != Metric.Hamming,
       "psiDrift reads float vectors — hamming stores pack codes")
     val to = if (toVersion >= 0) toVersion else effectiveVersion
+    // read through the unpacking facade: the standard ingest path stores
+    // vectors as packed binary blobs, which posexplode cannot address
     graft.stats.PsiDrift.perDim(
-      store.read(fromVersion).select(col("vector")),
-      store.read(to).select(col("vector")),
+      read(fromVersion).select(col("vector")),
+      read(to).select(col("vector")),
       "vector", config.dim, lo, hi, buckets)
   }
 
@@ -1197,9 +1199,12 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     * pruned ONCE with the union of all queries' probe lists (a literal
     * `isin` → Parquet partition filters); per-query membership then
     * refines via a broadcast join on `array_contains`; SQ8-approximate
-    * per-query top-(k·refine) heaps carry the raw vector as payload so
-    * the exact phase never re-scans the store; unindexed tail segments
-    * are brute-forced into the same final per-query top-k.
+    * per-query top-(k·refine) heaps carry only (os, id), and the
+    * winners' raw vectors are late-materialized for the exact phase by
+    * ONE broadcast-hash re-join against the pruned segment (the pool is
+    * bounded by queries × k·refine, so the re-join cost scales with the
+    * pool, not the scan); unindexed tail segments are brute-forced into
+    * the same final per-query top-k.
     */
   private def indexedBatchSearch(m: graft.store.SnapshotStore.Manifest,
       queries: Seq[(Long, Array[Float])], k: Int, filter: FilterSet,

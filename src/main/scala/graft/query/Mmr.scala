@@ -97,7 +97,11 @@ object Mmr {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
     val n = size(rels)
     val mu = 1.0 - lambda
-    aggregate(
+    // n = 0 must short-circuit: sequence(1, least(k, 0)) DESCENDS
+    // ([1, 0]), so the fold would run two steps and element_at(rels, 0)
+    // throws — an empty pool (e.g. a filter matching no rows) selects
+    // nothing instead
+    when(n === lit(0), emptySel).otherwise(aggregate(
       sequence(lit(1), least(lit(k), n)),
       emptySel,
       (sel, _) => {
@@ -116,7 +120,7 @@ object Mmr {
         array_append(sel,
           struct(array_position(scores, best).cast("int").as("p"),
             best.as("s")))
-      })
+      }))
   }
 
   /** Diversified batch retrieval: for every query row, a top-`fetchK`

@@ -51,6 +51,30 @@ class GraftDBSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { db.compactZOrder(Seq("label")) }
   }
 
+  test("psiDrift reads through the unpacking facade on a packed store") {
+    // the standard ingest path stores vectors as packed binary blobs;
+    // psiDrift must unpack before posexploding (a store.read() frame
+    // would throw an AnalysisException on the binary column)
+    val db = freshDb()
+    val v1 = db.insertBatch(records(0 until 120))
+    val v2 = db.insertBatch(records(120 until 240))
+    val drift = db.psiDrift(v1, v2).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(drift.size == 8)
+    assert(drift.values.forall(p => !p.isNaN && p >= 0.0))
+    // same-version drift is exactly zero on every dimension
+    val same = db.psiDrift(v2, v2).collect().map(_.getDouble(1))
+    assert(same.forall(_ == 0.0))
+  }
+
+  test("searchMmr with a filter matching no rows returns an empty page") {
+    val db = freshDb()
+    db.insertBatch(records(0 until 60))
+    val got = db.searchMmr(vec(3), k = 5, fetchK = 10, lambda = 0.7,
+      filter = FilterSet.of(Filter.Eq("label", 99)))
+    assert(got.count() === 0)
+  }
+
   test("validation: wrong dim, NaN, schema type pins") {
     val db = freshDb()
     intercept[IllegalArgumentException] {

@@ -83,6 +83,23 @@ class MmrSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("empty candidate pool selects nothing (no descending-sequence fold)") {
+    // sequence(1, least(k, 0)) DESCENDS in Spark, so an unguarded fold
+    // would run two steps and throw on element_at(rels, 0); the guard
+    // must return zero rows instead. Exercised both at the selectCol
+    // level (empty arrays) and through diversify with no matching query.
+    val row = spark.range(1).select(
+      slice(array(lit(0.0)), 1, 0).as("rels"),
+      slice(array(array(lit(0.0f))), 1, 0).as("vecs"))
+    val sel = row.select(size(Mmr.selectCol(col("rels"), col("vecs"),
+      k = 3, lambda = 0.7)).as("n")).collect()
+    assert(sel.head.getInt(0) === 0)
+    val got = Mmr.diversify(emb.where(col("vec_id") < 0), "embedding",
+      "vec_id", queriesDf(1L), "query_id", "qv", k = 3, fetchK = 5,
+      lambda = 0.7, Metric.Dot)
+    assert(got.count() === 0)
+  }
+
   test("k beyond the pool clamps: every candidate returned once") {
     // a 3-row corpus with k = fetchK = 10: the pool holds all 3 rows and
     // the fold must stop there, each candidate picked exactly once

@@ -27,10 +27,12 @@ class PsiDriftSpec extends AnyFunSuite {
       }
       h
     }
-    val nA = a.size + 0.5 * bk
-    val nB = b.size + 0.5 * bk
     Array.tabulate(dims) { j =>
       val (ha, hb) = (hist(a, j), hist(b, j))
+      // denominators are per-dimension histogram totals: rows missing a
+      // dimension (short/null vectors) must not deflate its proportions
+      val nA = ha.sum + 0.5 * bk
+      val nB = hb.sum + 0.5 * bk
       var s = 0.0
       for (t <- 0 until bk) {
         val pa = (ha(t) + 0.5) / nA
@@ -75,6 +77,35 @@ class PsiDriftSpec extends AnyFunSuite {
     assert(psi(0) > 0.25, s"shifted dim reads stable: ${psi(0)}")
     for (j <- 1 until 8)
       assert(psi(j) == 0.0, s"unshifted dim $j drifted: ${psi(j)}")
+  }
+
+  test("short vectors on one side do not skew an identical dimension") {
+    // dim 0 identically distributed on both sides; side b additionally
+    // carries rows whose vectors stop before dim 1. With per-dimension
+    // denominators dim 0 still reads the same proportions (rows present
+    // in both histograms), and dim 1 compares only the rows that HAVE a
+    // dim 1 — a row-count denominator would report phantom drift on
+    // BOTH dimensions.
+    val a = Seq(Tuple1(Array(0.1f, 0.2f)), Tuple1(Array(0.3f, 0.4f)),
+      Tuple1(Array(0.5f, 0.6f)), Tuple1(Array(0.7f, 0.8f))).toDF("v")
+    val b = Seq(Tuple1(Array(0.1f, 0.2f)), Tuple1(Array(0.3f, 0.4f)),
+      Tuple1(Array(0.5f, 0.6f)), Tuple1(Array(0.7f, 0.8f)),
+      Tuple1(Array(0.1f)), Tuple1(Array(0.3f)),
+      Tuple1(Array(0.5f)), Tuple1(Array(0.7f))).toDF("v")
+    val psi = PsiDrift.perDim(a, b, "v", 2, -1.0, 1.0, 16)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // dim 1 sees identical 4-row histograms on both sides → exactly 0
+    assert(psi(1) == 0.0, s"dim 1 phantom drift: ${psi(1)}")
+    // dim 0 matches the per-dim driver reference (tiny residual from the
+    // smoothing term at different totals, far below the 0.1 "stable" bar)
+    val want = refPsi(
+      Seq(Array(0.1f, 0.2f), Array(0.3f, 0.4f), Array(0.5f, 0.6f),
+        Array(0.7f, 0.8f)),
+      Seq(Array(0.1f, 0.2f), Array(0.3f, 0.4f), Array(0.5f, 0.6f),
+        Array(0.7f, 0.8f), Array(0.1f), Array(0.3f), Array(0.5f),
+        Array(0.7f)), 2, -1.0, 1.0, 16)
+    assert(math.abs(psi(0) - want(0)) < 1e-12, s"dim 0: ${psi(0)}")
+    assert(psi(0) < 0.1, s"dim 0 reads unstable: ${psi(0)}")
   }
 
   test("out-of-range values clamp into the edge buckets, never lost") {
