@@ -941,6 +941,58 @@ object FacadeQueries {
       .toDF("vec_id", "hamming")
   }
 
+  /** MMR diversity on the HAMMING serving tier
+    * ([[graft.serve.LocalCodeReplica.searchMmr]]): a 30-candidate
+    * popcount pool, then the greedy λ=0.7 trade with −popcount(cᵢ⊕cⱼ)
+    * as the redundancy term — every objective term is an exact integer
+    * scaled by λ/μ, so the selection decisions replay bit-exact in the
+    * shared unrolled-greedy DuckDB mirror with the sign-bit similarity.
+    * The replica round-trips through save/load (format v2) first.
+    */
+  def localHammingMmr(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_ham_mmr")
+    val rep0 = graft.serve.LocalCodeReplica.fromStore(db)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_facade_ham_mmr.grcr"
+    rep0.save(path, s.sparkContext.hadoopConfiguration)
+    val rep = graft.serve.LocalCodeReplica.load(path,
+      s.sparkContext.hadoopConfiguration)
+    import s.implicits._
+    rep.searchMmr(q, k = 8, fetchK = 30, lambda = 0.7)
+      .zipWithIndex
+      .map { case (c, i) => (i + 1, c.id, c.score) }
+      .toDF("rank", "vec_id", "score")
+      .select(col("rank"), col("vec_id"),
+        // +0.0 normalizes a −0.0 objective (λ·−0) on both engines
+        (round(col("score"), 6) + lit(0.0)).as("score"))
+      .orderBy(col("rank").asc)
+  }
+
+  /** Diversity-capped (grouped) search on the HAMMING serving tier
+    * ([[graft.serve.CodeReplicaSet.searchGrouped]]): label metadata
+    * exported with the codes (format v2 trailer), a delete family
+    * tombstoned through the 4-shard router, then at most 3 per label
+    * among the global top-12 — the cap runs ONCE at the router with
+    * group keys resolved through the owning shard, so a label split
+    * across shards is capped globally. Integer-exact against the same
+    * QUALIFY oracle shape as the float tier's `knn_grouped`.
+    */
+  def localHammingGrouped(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_ham_grouped")
+    val set = graft.serve.CodeReplicaSet.fromStore(db, shards = 4,
+      metaCols = Seq("label"))
+    val victims = Tables.load(s, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(9)) === 4)
+      .select("vec_id").collect().map(_.getLong(0))
+    set.delete(victims)
+    import s.implicits._
+    val page = set.searchGrouped(q, k = 12, groupCol = "label", perGroup = 3)
+      .map(c => (c.id, c.score.toLong)).toDF("vec_id", "hamming")
+    page.join(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label")), "vec_id")
+      .select(col("label"), col("vec_id"), col("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+  }
+
   /** Filtered serving-replica k-NN: the metadata predicate runs ENGINE-
     * side (stats-pruned scan) and only the surviving id-set ships to the
     * replica ([[graft.serve.LocalReplica.searchFiltered]] — vecgo
@@ -1141,6 +1193,8 @@ object FacadeQueries {
     "graftdb_local_sharded_hamming" -> (localShardedHamming _),
     "graftdb_local_resharded_hamming" -> (localReshardedHamming _),
     "graftdb_local_hamming_delete" -> (localHammingDelete _),
+    "graftdb_local_hamming_mmr" -> (localHammingMmr _),
+    "graftdb_local_hamming_grouped" -> (localHammingGrouped _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
     "graftdb_local_knn_where" -> (localKnnWhere _),
     "graftdb_local_delete" -> (localDelete _),
@@ -1167,6 +1221,42 @@ object FacadeQueries {
         |       round(ss[CAST(t AS INT)], 6) + 0.0 AS score
         |FROM selK, unnest(range(1, 9)) u(t)
         |ORDER BY rank ASC""".stripMargin),
+    // Hamming serving-tier MMR: the same unrolled-greedy mirror with
+    // sign-bit 0/1 vectors and −xor-count similarity — exact integers
+    // scaled by λ/μ, so the fold replays bit-exact
+    "graftdb_local_hamming_mmr" -> graft.query.Mmr.oracleSql(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 8),
+        |c0 AS (SELECT e.vec_id,
+        |              list_transform(range(1, 65), p ->
+        |                CASE WHEN e.embedding[p] > 0 THEN 1.0 ELSE 0.0 END) AS v,
+        |              -(len(list_filter(range(1, 65),
+        |                  i -> (e.embedding[i] > 0) <> (q.qv[i] > 0)))::DOUBLE) AS rel
+        |       FROM embeddings e, q
+        |       ORDER BY rel DESC, vec_id ASC LIMIT 30),
+        |cand AS (SELECT 0 AS qid, * FROM c0)""".stripMargin,
+      k = 8, lambda = 0.7,
+      """SELECT t::INT AS rank,
+        |       ids[CAST(sel[CAST(t AS INT)] AS INT)] AS vec_id,
+        |       round(ss[CAST(t AS INT)], 6) + 0.0 AS score
+        |FROM selK, unnest(range(1, 9)) u(t)
+        |ORDER BY rank ASC""".stripMargin,
+      simExpr = graft.query.Mmr.hammingSimExpr(64)),
+    // Hamming serving-tier grouped page: per-label QUALIFY cap over the
+    // popcount ranking of the surviving (non-deleted) rows
+    "graftdb_local_hamming_grouped" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 8),
+        |s AS (SELECT e.label, e.vec_id,
+        |             len(list_filter(range(1, 65),
+        |                 i -> (e.embedding[i] > 0) <> (q.qv[i] > 0)))::BIGINT
+        |               AS hamming
+        |      FROM embeddings e, q
+        |      WHERE e.vec_id % 9 <> 4),
+        |g AS (SELECT label, vec_id, hamming,
+        |             row_number() OVER (PARTITION BY label
+        |                                ORDER BY hamming ASC, vec_id ASC) AS rn
+        |      FROM s QUALIFY rn <= 3)
+        |SELECT label, vec_id, hamming
+        |FROM g ORDER BY hamming ASC, vec_id ASC LIMIT 12""".stripMargin,
     "graftdb_knn_indexed" -> Queries.oracle("knn_l2"),
     // full corpus minus the two tail deletes folded by extendIndex
     "graftdb_knn_after_extend" ->

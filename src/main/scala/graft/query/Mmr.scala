@@ -46,10 +46,14 @@ object Mmr {
     * engines) and appends the first-position argmax — `list_position`
     * breaks ties toward better-relevance/lower-id exactly like Spark's
     * `array_position`. `finalSql` may reference `selK` (the last step)
-    * plus the arrays `ids`/`sel`/`ss`.
+    * plus the arrays `ids`/`sel`/`ss`. `simExpr` is the redundancy term
+    * between candidates `vs[i]` and `vs[j]` (those exact tokens) —
+    * defaults to the float tiers' inner product; the code tier passes a
+    * negated sign-bit Hamming count ([[hammingSimExpr]]).
     */
   def oracleSql(prefix: String, k: Int, lambda: Double,
-      finalSql: String): String = {
+      finalSql: String,
+      simExpr: String = "list_inner_product(vs[i], vs[j])"): String = {
     val mu = 1.0 - lambda
     val step =
       s"""SELECT qid, ids, rels, vs,
@@ -60,7 +64,7 @@ object Mmr {
          |             THEN CAST('-infinity' AS DOUBLE)
          |             ELSE $lambda * rels[i] - $mu * coalesce(
          |                    list_max(list_transform(sel, j ->
-         |                      list_inner_product(vs[i], vs[j]))), 0.0)
+         |                      $simExpr)), 0.0)
          |        END) AS scores FROM SEL_PREV)""".stripMargin
     val steps = (1 to k).map(t =>
       s"sel$t AS (${step.replace("SEL_PREV", if (t == 1) "sel0" else s"sel${t - 1}")})")
@@ -76,6 +80,16 @@ object Mmr {
        |$steps
        |${finalSql.replace("selK", s"sel$k")}""".stripMargin
   }
+
+  /** The code tier's redundancy term for [[oracleSql]]: −(count of bit
+    * positions where candidates i and j disagree), over `vs` carried as
+    * 0/1 DOUBLE[] sign bits — the DuckDB mirror of
+    * [[graft.serve.LocalCodeReplica.mmrGreedyCodes]]'s −popcount(cᵢ⊕cⱼ).
+    * Exact integer arithmetic in double on both engines.
+    */
+  def hammingSimExpr(bits: Int): String =
+    s"-list_sum(list_transform(range(1, ${bits + 1}), p -> " +
+      "CASE WHEN vs[i][p] <> vs[j][p] THEN 1.0 ELSE 0.0 END))"
 
   /** Typed empty accumulator: array<struct<p:int, s:double>>. */
   private def emptySel: Column =

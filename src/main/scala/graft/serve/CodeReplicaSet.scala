@@ -84,6 +84,49 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     mergeK(pools, if (maxResults == Int.MaxValue) Int.MaxValue else maxResults)
   }
 
+  /** Diversity-capped (grouped) top-k across shards — the Hamming twin
+    * of [[ReplicaSet.searchGrouped]]: the pool is the normal
+    * scatter-gather merge, the per-group cap runs ONCE at the router
+    * with group keys resolved through the shard owning each id, so a
+    * group split across shards is capped globally, not per shard. Pool
+    * deepening mirrors the single-replica rule.
+    */
+  def searchGrouped(q: Array[Long], k: Int, groupCol: String,
+      perGroup: Int): Seq[Candidate] = {
+    require(k > 0 && perGroup > 0,
+      s"bad grouped-search config: k=$k perGroup=$perGroup")
+    val keyOfs = shards.map(_.groupKeyOf(groupCol))
+    val keyOf: Long => Option[Any] = id => {
+      var i = 0
+      var found: Option[Any] = None
+      while (i < keyOfs.length && found.isEmpty) {
+        found = keyOfs(i)(id)
+        i += 1
+      }
+      found
+    }
+    var fetchK = math.max(4 * k, k + 16)
+    while (true) {
+      val pool = search(q, fetchK)
+      val page = LocalReplica.groupedGreedy(pool, keyOf, k, perGroup)
+      if (page.length >= k || pool.length < fetchK) return page
+      fetchK *= 4
+    }
+    Nil // unreachable
+  }
+
+  /** MMR-diversified top-k across shards — the Hamming twin of
+    * [[ReplicaSet.searchMmr]]: the `fetchK` pool is the normal
+    * scatter-gather merge, the popcount-similarity greedy then runs once
+    * at the router with codes resolved through the shard owning each id.
+    * Identical semantics to [[LocalCodeReplica.searchMmr]].
+    */
+  def searchMmr(q: Array[Long], k: Int, fetchK: Int,
+      lambda: Double): Seq[Candidate] = {
+    val pool = search(q, fetchK)
+    LocalCodeReplica.mmrGreedyCodes(pool, get, k, fetchK, lambda)
+  }
+
   /** Per-query top-k for a batch — positional merge of per-shard batches
     * (each shard answers under ONE snapshot).
     */
@@ -215,8 +258,13 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
   def reshard(newShards: Int): CodeReplicaSet = this.synchronized {
     require(newShards >= 1, s"newShards must be >= 1, got $newShards")
     val extracted = shards.map(_.liveRows())
+    // metadata schema must agree across shards (one export produced them)
+    val metaSchema = extracted.head._3.map(c => (c.name, c.kind)).toSeq
+    require(extracted.forall(_._3.map(c => (c.name, c.kind)).toSeq
+      == metaSchema),
+      "reshard: shards disagree on exported metadata columns")
     val counts = new Array[Int](newShards)
-    extracted.foreach { case (ids, _) =>
+    extracted.foreach { case (ids, _, _) =>
       var i = 0
       while (i < ids.length) {
         counts(ReplicaSet.cellOf(ids(i), newShards)) += 1
@@ -226,13 +274,40 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     val pIds = Array.tabulate(newShards)(c => new Array[Long](counts(c)))
     val pFlat =
       Array.tabulate(newShards)(c => new Array[Long](counts(c) * words))
+    // per-cell metadata columns, moved in the same pass as the codes
+    val pMeta: Array[Array[LocalReplica.MetaColumn]] =
+      Array.tabulate(newShards) { c =>
+        metaSchema.map { case (name, kind) =>
+          val n = counts(c)
+          new LocalReplica.MetaColumn(name, kind,
+            if (kind == LocalReplica.MetaLong) new Array[Long](n) else null,
+            if (kind == LocalReplica.MetaDouble) new Array[Double](n)
+            else null,
+            if (kind == LocalReplica.MetaString) new Array[String](n)
+            else null,
+            new Array[Boolean](n))
+        }.toArray
+      }
     val w = new Array[Int](newShards)
-    extracted.foreach { case (ids, flat) =>
+    extracted.foreach { case (ids, flat, meta) =>
       var i = 0
       while (i < ids.length) {
         val c = ReplicaSet.cellOf(ids(i), newShards)
         pIds(c)(w(c)) = ids(i)
         System.arraycopy(flat, i * words, pFlat(c), w(c) * words, words)
+        var m = 0
+        while (m < meta.length) {
+          val srcC = meta(m); val dstC = pMeta(c)(m)
+          dstC.nulls(w(c)) = srcC.nulls(i)
+          srcC.kind match {
+            case LocalReplica.MetaString =>
+              dstC.strings(w(c)) = srcC.strings(i)
+            case LocalReplica.MetaDouble =>
+              dstC.doubles(w(c)) = srcC.doubles(i)
+            case _ => dstC.longs(w(c)) = srcC.longs(i)
+          }
+          m += 1
+        }
         w(c) += 1
         i += 1
       }
@@ -240,7 +315,7 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     val present = (0 until newShards).filter(counts(_) > 0)
     require(present.nonEmpty, "reshard: the set has no live rows")
     val reps = present.map(c =>
-      LocalCodeReplica.fromArrays(bits, words, pIds(c), pFlat(c)))
+      LocalCodeReplica.fromArrays(bits, words, pIds(c), pFlat(c), pMeta(c)))
     val set = new CodeReplicaSet(reps.toIndexedSeq)
     set.cellsTotal = newShards
     set.cellOfShard = present.toIndexedSeq
@@ -317,7 +392,8 @@ object CodeReplicaSet {
     */
   def fromDataFrame(df: DataFrame, codeCol: String, idCol: String,
       bits: Int, shards: Int,
-      maxRows: Long = LocalReplica.DefaultMaxRows): CodeReplicaSet = {
+      maxRows: Long = LocalReplica.DefaultMaxRows,
+      metaCols: Seq[String] = Nil): CodeReplicaSet = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val cell = pmod(xxhash64(col(idCol)), lit(shards))
     val cached = df.persist(
@@ -329,7 +405,7 @@ object CodeReplicaSet {
         "cannot build a CodeReplicaSet from an empty frame")
       val reps = present.toIndexedSeq.map { s =>
         LocalCodeReplica.fromDataFrame(cached.where(cell === lit(s)),
-          codeCol, idCol, bits, maxRows)
+          codeCol, idCol, bits, maxRows, metaCols)
       }
       val set = new CodeReplicaSet(reps)
       set.cellsTotal = shards
@@ -343,13 +419,14 @@ object CodeReplicaSet {
     * its cell, enabling [[CodeReplicaSet#refreshFrom]].
     */
   def fromStore(db: GraftDB, shards: Int,
-      maxRows: Long = LocalReplica.DefaultMaxRows): CodeReplicaSet = {
+      maxRows: Long = LocalReplica.DefaultMaxRows,
+      metaCols: Seq[String] = Nil): CodeReplicaSet = {
     require(db.metric == Metric.Hamming,
       s"CodeReplicaSet serves Hamming stores (store is ${db.config.metric}); " +
         "float metrics go through ReplicaSet")
     val v = db.effectiveVersion
     val set = fromDataFrame(db.store.read(v), "vector", "id",
-      db.config.dim, shards, maxRows)
+      db.config.dim, shards, maxRows, metaCols)
     if (set.shards.length == shards) {
       db.store.manifest(v).foreach { m =>
         val segs = m.segments.map(_.path).toSet

@@ -23,9 +23,21 @@ final class LocalCodeReplica private (
     val bits: Int,
     val words: Int,
     ids: Array[Long],
-    flat: Array[Long]) {
+    flat: Array[Long],
+    metaCols: Array[LocalReplica.MetaColumn] = Array.empty) {
 
   def size: Int = ids.length
+
+  /** Metadata columns exported with the codes (format v2 trailer) —
+    * group keys for [[searchGrouped]]; same export contract as the float
+    * tier's v3 trailer.
+    */
+  def metaColumns: Seq[String] = metaCols.map(_.name).toSeq
+
+  private[serve] def metaData: Array[LocalReplica.MetaColumn] = metaCols
+
+  private lazy val metaByName: Map[String, LocalReplica.MetaColumn] =
+    metaCols.map(c => c.name -> c).toMap
 
   // ---------------------------------------------- incremental freshness
   // Same atomicity design as [[LocalReplica]]: tombstone bitmap + delta
@@ -63,11 +75,13 @@ final class LocalCodeReplica private (
     if (m == null || m.deltaIds == null) 0 else m.deltaIds.length
   }
 
-  /** Dense (ids, flat packed codes) of every LIVE row — main minus
-    * tombstones plus delta (the [[LocalReplica.liveRows]] twin, for
-    * [[CodeReplicaSet.reshard]]'s row movement). Fresh copies.
+  /** Dense (ids, flat packed codes, metadata) of every LIVE row — main
+    * minus tombstones plus delta (the [[LocalReplica.liveRows]] twin, for
+    * [[CodeReplicaSet.reshard]]'s row movement). Fresh copies; delta rows
+    * carry no metadata (null entries, the freshness contract).
     */
-  private[serve] def liveRows(): (Array[Long], Array[Long]) = {
+  private[serve] def liveRows():
+      (Array[Long], Array[Long], Array[LocalReplica.MetaColumn]) = {
     val m0 = mut
     val tomb = if (m0 == null) null else m0.tombstones
     val dIds = if (m0 == null) null else m0.deltaIds
@@ -75,15 +89,18 @@ final class LocalCodeReplica private (
     var nLive = 0
     var r = 0
     while (r < size) { if (live(tomb, r)) nLive += 1; r += 1 }
-    val n = nLive + (if (dIds == null) 0 else dIds.length)
+    val nDelta = if (dIds == null) 0 else dIds.length
+    val n = nLive + nDelta
     val outIds = new Array[Long](n)
     val outFlat = new Array[Long](n * words)
+    val keep = new Array[Int](nLive) // main-row index per surviving slot
     var w = 0
     r = 0
     while (r < size) {
       if (live(tomb, r)) {
         outIds(w) = ids(r)
         System.arraycopy(flat, r * words, outFlat, w * words, words)
+        keep(w) = r
         w += 1
       }
       r += 1
@@ -92,7 +109,30 @@ final class LocalCodeReplica private (
       System.arraycopy(dIds, 0, outIds, w, dIds.length)
       System.arraycopy(dFlat, 0, outFlat, w * words, dIds.length * words)
     }
-    (outIds, outFlat)
+    val outMeta = metaCols.map { c =>
+      val nulls = new Array[Boolean](n)
+      val longs =
+        if (c.kind == LocalReplica.MetaLong) new Array[Long](n) else null
+      val doubles =
+        if (c.kind == LocalReplica.MetaDouble) new Array[Double](n) else null
+      val strings =
+        if (c.kind == LocalReplica.MetaString) new Array[String](n) else null
+      var i = 0
+      while (i < nLive) {
+        val src = keep(i)
+        nulls(i) = c.nulls(src)
+        c.kind match {
+          case LocalReplica.MetaString => strings(i) = c.strings(src)
+          case LocalReplica.MetaDouble => doubles(i) = c.doubles(src)
+          case _ => longs(i) = c.longs(src)
+        }
+        i += 1
+      }
+      while (i < n) { nulls(i) = true; i += 1 } // delta rows: no metadata
+      new LocalReplica.MetaColumn(c.name, c.kind, longs, doubles, strings,
+        nulls)
+    }
+    (outIds, outFlat, outMeta)
   }
 
   /** Tombstone ids (vecgo delete on a Hamming serving tier): one bitmap
@@ -450,6 +490,66 @@ final class LocalCodeReplica private (
       .take(maxResults).toSeq
   }
 
+  /** Group key of a live id under metadata column `groupCol` (the
+    * [[LocalReplica.groupKeyOf]] twin): None when the row is gone,
+    * carries no metadata (delta rows), or the column is NULL — grouped
+    * consumers treat None as ONE null group, matching SQL window
+    * semantics.
+    */
+  private[serve] def groupKeyOf(groupCol: String): Long => Option[Any] = {
+    val c = metaByName.getOrElse(groupCol,
+      throw new IllegalArgumentException(
+        s"replica carries no metadata column `$groupCol` (have: " +
+          s"${metaCols.map(_.name).mkString(", ")}) — export it via metaCols"))
+    id => {
+      val r = idToRow.get(id)
+      if (r < 0 || c.nulls(r)) None
+      else c.kind match {
+        case LocalReplica.MetaString => Some(c.strings(r))
+        case LocalReplica.MetaDouble => Some(c.doubles(r))
+        case _ => Some(c.longs(r))
+      }
+    }
+  }
+
+  /** Diversity-capped (grouped) top-k on the code tier — the Hamming
+    * twin of [[LocalReplica.searchGrouped]]: the global top-`k` subject
+    * to at most `perGroup` results per value of metadata column
+    * `groupCol` (NULL groups — including delta rows — share one null
+    * group). Same adaptive pool deepening: a short page with the pool
+    * exhausted at its bound quadruples the bound and retries (worst case
+    * one full scan).
+    */
+  def searchGrouped(q: Array[Long], k: Int, groupCol: String,
+      perGroup: Int): Seq[Candidate] = {
+    require(k > 0 && perGroup > 0,
+      s"bad grouped-search config: k=$k perGroup=$perGroup")
+    val keyOf = groupKeyOf(groupCol)
+    var fetchK = math.max(4 * k, k + 16)
+    while (true) {
+      val pool = search(q, fetchK)
+      val page = LocalReplica.groupedGreedy(pool, keyOf, k, perGroup)
+      if (page.length >= k || pool.length < fetchK) return page
+      fetchK *= 4
+    }
+    Nil // unreachable
+  }
+
+  /** MMR-diversified top-k on the code tier — the Hamming twin of
+    * [[LocalReplica.searchMmr]]: a `fetchK` popcount pool, then the
+    * greedy λ-trade with POPCOUNT similarity as the redundancy term.
+    * Relevance is the canonical Hamming score oriented higher-better
+    * (−distance) and the penalty is −hamming(cᵢ, cⱼ) between stored
+    * codes — every objective term is an exact small integer scaled by
+    * λ/μ, so selection decisions replay bit-exact in the DuckDB mirror
+    * ([[graft.query.Mmr.oracleSql]] with the sign-bit similarity).
+    */
+  def searchMmr(q: Array[Long], k: Int, fetchK: Int,
+      lambda: Double): Seq[Candidate] = {
+    val pool = search(q, fetchK)
+    LocalCodeReplica.mmrGreedyCodes(pool, get, k, fetchK, lambda)
+  }
+
   /** Per-query top-k, parallel across the batch — every query sees ONE
     * mutation snapshot.
     */
@@ -488,6 +588,27 @@ final class LocalCodeReplica private (
       out.writeInt(size)
       LocalReplica.writeLongs(out, ids)
       LocalReplica.writeLongs(out, flat)
+      // v2 trailer: typed metadata columns (row-aligned with ids — the
+      // float tier's v3 trailer format)
+      out.writeInt(metaCols.length)
+      metaCols.foreach { c =>
+        out.writeUTF(c.name)
+        out.writeByte(c.kind)
+        var i = 0
+        while (i < size) { out.writeBoolean(c.nulls(i)); i += 1 }
+        c.kind match {
+          case LocalReplica.MetaString =>
+            i = 0
+            while (i < size) {
+              out.writeUTF(if (c.nulls(i)) "" else c.strings(i)); i += 1
+            }
+          case LocalReplica.MetaDouble =>
+            i = 0
+            while (i < size) { out.writeDouble(c.doubles(i)); i += 1 }
+          case _ =>
+            LocalReplica.writeLongs(out, c.longs)
+        }
+      }
     } finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
@@ -504,7 +625,78 @@ final class LocalCodeReplica private (
 object LocalCodeReplica {
 
   private[serve] val Magic = 0x47524352 // "GRCR"
-  private[serve] val FormatVersion = 1
+  private[serve] val FormatVersion = 2 // v2: typed metadata trailer
+
+  /** Greedy MMR over a best-first popcount pool — shared by
+    * [[LocalCodeReplica.searchMmr]] and [[CodeReplicaSet.searchMmr]].
+    * The code-tier twin of [[LocalReplica.mmrGreedy]]: relevance is the
+    * pool's Hamming distance negated (higher-better canonical units) and
+    * the redundancy term is −hamming(cᵢ, cⱼ) between stored codes, kept
+    * as a running max per candidate — O(k·fetchK) popcount rows total.
+    * Strict-`>` argmax keeps the FIRST pool index on ties (the pool is
+    * (distance asc, id asc) sorted), matching the distributed fold's
+    * `array_position`. `fetchCode` resolves a candidate's stored code
+    * (None → vanished under a concurrent mutation; dropped).
+    */
+  private[serve] def mmrGreedyCodes(pool: Seq[Candidate],
+      fetchCode: Long => Option[Array[Long]], k: Int, fetchK: Int,
+      lambda: Double): Seq[Candidate] = {
+    require(fetchK >= k && k > 0, s"candidate pool $fetchK < k $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    val src = pool.toArray
+    val ids = new Array[Long](src.length)
+    val rels = new Array[Double](src.length)
+    val codes = new Array[Array[Long]](src.length)
+    var n = 0
+    var i = 0
+    while (i < src.length) {
+      fetchCode(src(i).id) match {
+        case Some(c) =>
+          ids(n) = src(i).id
+          rels(n) = -src(i).score // popcount distance, exact in double
+          codes(n) = c
+          n += 1
+        case None => ()
+      }
+      i += 1
+    }
+    if (n == 0) return Nil
+    val mu = 1.0 - lambda
+    val maxSim = new Array[Double](n)
+    val taken = new Array[Boolean](n)
+    val out = new Array[Candidate](math.min(k, n))
+    var t = 0
+    while (t < out.length) {
+      var bestI = -1
+      var best = Double.NegativeInfinity
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = lambda * rels(i) - (if (t == 0) 0.0 else mu * maxSim(i))
+          if (s > best) { best = s; bestI = i }
+        }
+        i += 1
+      }
+      taken(bestI) = true
+      out(t) = Candidate(ids(bestI), best)
+      val c = codes(bestI)
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          var d = 0L
+          var w = 0
+          while (w < c.length) {
+            d += java.lang.Long.bitCount(codes(i)(w) ^ c(w)); w += 1
+          }
+          val sim = -d.toDouble
+          if (t == 0 || sim > maxSim(i)) maxSim(i) = sim
+        }
+        i += 1
+      }
+      t += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
 
   /** One immutable mutation snapshot (see [[LocalReplica.Mut]]). */
   private[serve] final class Mut(
@@ -527,7 +719,7 @@ object LocalCodeReplica {
       require(magic == Magic,
         f"not a code-replica artifact: bad magic 0x$magic%08x at $path")
       val ver = in.readInt()
-      require(ver == FormatVersion,
+      require(ver >= 1 && ver <= FormatVersion,
         s"code-replica format version $ver unsupported")
       val bits = in.readInt()
       val words = in.readInt()
@@ -536,7 +728,43 @@ object LocalCodeReplica {
         s"corrupt code replica header: bits=$bits words=$words n=$n")
       val ids = LocalReplica.readLongs(in, n)
       val flat = LocalReplica.readLongs(in, n * words)
-      new LocalCodeReplica(bits, words, ids, flat)
+      val meta: Array[LocalReplica.MetaColumn] =
+        if (ver < 2) Array.empty
+        else {
+          val count = in.readInt()
+          require(count >= 0 && count <= 4096,
+            s"corrupt code replica: metadata column count $count")
+          Array.fill(count) {
+            val name = in.readUTF()
+            val kind = in.readByte()
+            require(kind >= LocalReplica.MetaLong &&
+              kind <= LocalReplica.MetaString,
+              s"corrupt code replica: metadata column `$name` kind $kind")
+            val nulls = new Array[Boolean](n)
+            var i = 0
+            while (i < n) { nulls(i) = in.readBoolean(); i += 1 }
+            kind match {
+              case LocalReplica.MetaString =>
+                val ss = new Array[String](n)
+                i = 0
+                while (i < n) {
+                  val s = in.readUTF()
+                  ss(i) = if (nulls(i)) null else s
+                  i += 1
+                }
+                new LocalReplica.MetaColumn(name, kind, null, null, ss, nulls)
+              case LocalReplica.MetaDouble =>
+                val ds = new Array[Double](n)
+                i = 0
+                while (i < n) { ds(i) = in.readDouble(); i += 1 }
+                new LocalReplica.MetaColumn(name, kind, null, ds, null, nulls)
+              case _ =>
+                val ls = LocalReplica.readLongs(in, n)
+                new LocalReplica.MetaColumn(name, kind, ls, null, null, nulls)
+            }
+          }
+        }
+      new LocalCodeReplica(bits, words, ids, flat, meta)
     } finally in.close()
   }
 
@@ -545,21 +773,45 @@ object LocalCodeReplica {
     * like every code replica — no clustering to rebuild).
     */
   private[serve] def fromArrays(bits: Int, words: Int, ids: Array[Long],
-      flat: Array[Long]): LocalCodeReplica = {
+      flat: Array[Long],
+      meta: Array[LocalReplica.MetaColumn] = Array.empty): LocalCodeReplica = {
     require(ids.nonEmpty, "fromArrays: no rows")
     require(flat.length == ids.length * words,
       s"fromArrays: flat has ${flat.length} words, " +
         s"expected ${ids.length * words}")
-    new LocalCodeReplica(bits, words, ids, flat)
+    new LocalCodeReplica(bits, words, ids, flat, meta)
   }
 
   /** Export from any (id, array<long> codes) DataFrame. `bits` documents
     * the code width (= Hamming store `dim`); rows must pack
-    * `ceil(bits/32)` words like [[graft.index.BQ.packCol]].
+    * `ceil(bits/32)` words like [[graft.index.BQ.packCol]]. `metaCols`
+    * ships typed metadata columns (normalized long/double/string, the
+    * float tier's contract) as group keys for [[LocalCodeReplica#searchGrouped]].
     */
   def fromDataFrame(df: DataFrame, codeCol: String, idCol: String, bits: Int,
-      maxRows: Long = LocalReplica.DefaultMaxRows): LocalCodeReplica = {
-    val rows = df.select(col(idCol).cast("long"), col(codeCol)).collect()
+      maxRows: Long = LocalReplica.DefaultMaxRows,
+      metaCols: Seq[String] = Nil): LocalCodeReplica = {
+    import org.apache.spark.sql.types._
+    val metaKinds: Array[Byte] = metaCols.map { name =>
+      df.schema(name).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          LocalReplica.MetaLong
+        case FloatType | DoubleType => LocalReplica.MetaDouble
+        case StringType => LocalReplica.MetaString
+        case other => throw new IllegalArgumentException(
+          s"metadata column `$name` has unsupported type $other " +
+            "(integral, float, or string)")
+      }
+    }.toArray
+    val metaExprs = metaCols.zip(metaKinds).map { case (name, kind) =>
+      (kind match {
+        case LocalReplica.MetaString => col(name).cast("string")
+        case LocalReplica.MetaDouble => col(name).cast("double")
+        case _ => col(name).cast("long")
+      }).as(name)
+    }
+    val rows = df.select(
+      col(idCol).cast("long") +: col(codeCol) +: metaExprs: _*).collect()
     require(rows.length <= maxRows,
       s"replica export of ${rows.length} rows exceeds maxRows=$maxRows — " +
         "export per shard or raise maxRows explicitly")
@@ -577,18 +829,44 @@ object LocalCodeReplica {
       while (i < words) { flat(r * words + i) = c(i); i += 1 }
       r += 1
     }
-    new LocalCodeReplica(bits, words, ids, flat)
+    val meta: Array[LocalReplica.MetaColumn] =
+      metaCols.zipWithIndex.map { case (name, j) =>
+        val kind = metaKinds(j)
+        val fld = 2 + j
+        val nulls = new Array[Boolean](n)
+        val longs =
+          if (kind == LocalReplica.MetaLong) new Array[Long](n) else null
+        val doubles =
+          if (kind == LocalReplica.MetaDouble) new Array[Double](n) else null
+        val strings =
+          if (kind == LocalReplica.MetaString) new Array[String](n) else null
+        var i = 0
+        while (i < n) {
+          val row = rows(i)
+          if (row.isNullAt(fld)) nulls(i) = true
+          else kind match {
+            case LocalReplica.MetaString => strings(i) = row.getString(fld)
+            case LocalReplica.MetaDouble => doubles(i) = row.getDouble(fld)
+            case _ => longs(i) = row.getLong(fld)
+          }
+          i += 1
+        }
+        new LocalReplica.MetaColumn(name, kind, longs, doubles, strings,
+          nulls)
+      }.toArray
+    new LocalCodeReplica(bits, words, ids, flat, meta)
   }
 
   /** Export from a Hamming engine snapshot. */
   def fromStore(db: GraftDB,
-      maxRows: Long = LocalReplica.DefaultMaxRows): LocalCodeReplica = {
+      maxRows: Long = LocalReplica.DefaultMaxRows,
+      metaCols: Seq[String] = Nil): LocalCodeReplica = {
     require(db.metric == Metric.Hamming,
       s"LocalCodeReplica serves Hamming stores (store is ${db.config.metric}); " +
         "float metrics go through LocalReplica")
     val v = db.effectiveVersion
     val rep = fromDataFrame(db.store.read(v), "vector", "id",
-      db.config.dim, maxRows)
+      db.config.dim, maxRows, metaCols)
     db.store.manifest(v).foreach { m =>
       rep.origin = LocalReplica.Origin(db.store.root, v,
         m.segments.map(_.path).toSet, m.deletes.map(_.path).toSet)

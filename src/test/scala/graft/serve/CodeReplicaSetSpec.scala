@@ -50,6 +50,54 @@ class CodeReplicaSetSpec extends AnyFunSuite {
     assert(batch(1)._2 == one.search(queryPool(2), 5))
   }
 
+  test("MMR and grouped pages are shard-invariant, survive reshard and " +
+      "save/load with the metadata trailer") {
+    val labeled = corpus.withColumn("label",
+      pmod(col("id"), lit(5)).cast("int"))
+    val one = LocalCodeReplica.fromDataFrame(labeled, "code", "id", bits,
+      metaCols = Seq("label"))
+    val set = CodeReplicaSet.fromDataFrame(labeled, "code", "id", bits,
+      shards = 4, metaCols = Seq("label"))
+    for (seed <- Seq(0L, 7L, 42L)) {
+      val q = queryPool(seed)
+      assert(set.searchMmr(q, k = 8, fetchK = 40, lambda = 0.7) ==
+        one.searchMmr(q, k = 8, fetchK = 40, lambda = 0.7), s"mmr seed $seed")
+      assert(set.searchGrouped(q, k = 12, "label", perGroup = 2) ==
+        one.searchGrouped(q, k = 12, "label", perGroup = 2),
+        s"grouped seed $seed")
+    }
+    // λ=1 degenerates to plain top-k on the code tier too
+    val q = queryPool(3)
+    assert(one.searchMmr(q, 10, 25, lambda = 1.0).map(c =>
+      (c.id, -c.score)) == one.search(q, 10).map(c => (c.id, c.score)))
+    // reshard must carry the metadata trailer through the row movement
+    val re = set.reshard(6).reshard(2)
+    assert(re.searchGrouped(q, 12, "label", 2) ==
+      one.searchGrouped(q, 12, "label", 2))
+    assert(re.searchMmr(q, 8, 40, 0.7) == one.searchMmr(q, 8, 40, 0.7))
+    // save/load round-trips the v2 metadata trailer
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-codeset-meta").toString
+    re.save(dir)
+    val back = CodeReplicaSet.load(dir)
+    assert(back.shards.forall(_.metaColumns == Seq("label")))
+    assert(back.searchGrouped(q, 12, "label", 2) ==
+      one.searchGrouped(q, 12, "label", 2))
+    // delta rows (no metadata) share the NULL group; a missing column
+    // fails loudly
+    val moved = one.search(q, 3).map(_.id).toArray
+    val codes = moved.map(id => one.get(id).get)
+    one.delete(moved)
+    one.append(moved, codes)
+    val page = one.searchGrouped(q, 12, "label", 2)
+    assert(page.nonEmpty)
+    // re-appended ids read their ORIGINAL main-row metadata (same
+    // contract as the float tier's groupKeyOf)
+    intercept[IllegalArgumentException] {
+      one.searchGrouped(q, 5, "nope", 1)
+    }
+  }
+
   test("mutations: broadcast delete, validated cell-routed append, upsert, get") {
     val set = CodeReplicaSet.fromDataFrame(corpus, "code", "id", bits,
       shards = 4)

@@ -39,6 +39,45 @@ class LocalCodeReplicaSpec extends AnyFunSuite {
     }
   }
 
+  test("code-tier MMR equals a driver-side greedy popcount reference") {
+    val rep = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
+    def ham(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var w = 0
+      while (w < a.length) { d += java.lang.Long.bitCount(a(w) ^ b(w)); w += 1 }
+      d
+    }
+    for (seed <- Seq(0L, 9L, 33L)) {
+      val q = queryCode(seed)
+      val (k, fetchK, lambda) = (6, 25, 0.7)
+      // reference: pool best-first, greedy with rel = -d, sim = -d(i,j)
+      val pool = rep.search(q, fetchK)
+        .map(c => (c.id, rep.get(c.id).get, -c.score))
+      val mu = 1.0 - lambda
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (want.size < k) {
+        var bestI = -1; var best = Double.NegativeInfinity
+        for (i <- pool.indices if !sel.contains(i)) {
+          val pen =
+            if (sel.isEmpty) 0.0
+            else sel.map(j => -ham(pool(i)._2, pool(j)._2).toDouble).max
+          val s = lambda * pool(i)._3 - mu * pen
+          if (s > best) { best = s; bestI = i }
+        }
+        sel += bestI
+        want += ((pool(bestI)._1, best))
+      }
+      val got = rep.searchMmr(q, k, fetchK, lambda).map(c => (c.id, c.score))
+      assert(got == want.toSeq, s"seed $seed")
+    }
+    // empty pool (k beyond nothing): a query against an all-deleted
+    // replica returns an empty page, not a throw
+    val rep2 = LocalCodeReplica.fromDataFrame(
+      corpus.where(col("id") < 5), "code", "id", bits)
+    rep2.delete(Array(0L, 1L, 2L, 3L, 4L))
+    assert(rep2.searchMmr(queryCode(0), 3, 10, 0.7).isEmpty)
+  }
+
   test("threshold equals the filtered ranking; batch equals per-query") {
     val rep = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
     val q = queryCode(3)
