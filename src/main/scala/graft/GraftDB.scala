@@ -540,10 +540,14 @@ final class GraftDB private (val spark: SparkSession, val root: String,
     * this version exactly. Between compactions the feed reads only the
     * window's new files — the incremental-consumer contract at 100 TB.
     * Works on read-only and pinned opens (a pinned handle diffs up to
-    * its pin).
+    * its pin). An explicit `toVersion` pins the window's upper edge — a
+    * follower ([[graft.streaming.ChangeFeed]]) reads the head version
+    * once and diffs exactly to it, so a concurrent commit between the
+    * two calls cannot tear the window.
     */
-  def changes(fromVersion: Long): DataFrame =
-    store.diff(fromVersion, effectiveVersion)
+  def changes(fromVersion: Long, toVersion: Long = -1L): DataFrame =
+    store.diff(fromVersion,
+      if (toVersion >= 0) toVersion else effectiveVersion)
 
   /** Clone this engine's state at `version` (default: the version this
     * handle reads — so a pinned open clones its pinned cut) into a

@@ -722,7 +722,63 @@ object StreamingQueries {
       .orderBy(col("doc_id").asc, col("span_start").asc)
   }
 
+  /** Change-feed follower ([[graft.streaming.ChangeFeed]] — the
+    * external-consumer twin of the replica's `refreshFrom` CDC): a
+    * parquet mirror is seeded at the first version, then a streaming
+    * `foreachBatch` follower converges it window-by-window while the
+    * store moves underneath — two plain inserts (file-diff fast path),
+    * an upsert-then-delete batch (fast path with tombstones), and a
+    * compaction followed by another upsert (the two-scan fallback
+    * window). The final mirror must hash-match the mutation algebra over
+    * the source of record — proving each window applied exactly, in
+    * order, through both diff paths.
+    */
+  def streamingChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ChangeFeed
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label"))
+    val dbRoot = Files.createTempDirectory("graft_changes_db").toString
+    val db = GraftDB.open(s, dbRoot, dim = 64, metric = "l2",
+      schema = Map("label" -> "int"))
+    db.insertBatch(emb.where(pmod(col("id"), lit(3)) === 0))
+    val mirrorDir = Files.createTempDirectory("graft_changes_mirror").toString
+    ChangeFeed.initMirror(db, mirrorDir)
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ticks = MemoryStream[Int]
+    val q = ChangeFeed.follow(db, ticks.toDF(), mirrorDir, ckpt("changes"))
+    try {
+      // window 1: two plain inserts — the file-diff fast path
+      db.insertBatch(emb.where(pmod(col("id"), lit(3)) === 1))
+      db.insertBatch(emb.where(pmod(col("id"), lit(3)) === 2))
+      ticks.addData(1)
+      q.processAllAvailable()
+      // window 2: upsert a family, then delete another — tombstones ride
+      // the fast path; upserts arrive as delete+insert of the same id
+      db.upsert(emb.where(pmod(col("id"), lit(7)) === 2)
+        .withColumn("label", col("label") + 100))
+      val victims = emb.where(pmod(col("id"), lit(9)) === 4)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      db.delete(victims)
+      ticks.addData(2)
+      q.processAllAvailable()
+      // window 3: compaction + an upsert INSIDE one window — the file
+      // diff cannot apply across the rewrite, so the follower converges
+      // through the two-scan content-diff fallback
+      db.compact()
+      db.upsert(emb.where(pmod(col("id"), lit(11)) === 6)
+        .withColumn("label", col("label") + 1000))
+      ticks.addData(3)
+      q.processAllAvailable()
+    } finally q.stop()
+    ChangeFeed.readMirror(db, mirrorDir)
+      .select(col("id"), col("label").cast("long").as("label"))
+      .orderBy(col("id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_changes" -> (streamingChanges _),
     "streaming_dedup_substr" -> (streamingDedupSubstr _),
     "streaming_tumbling_agg" -> (streamingTumblingAgg _),
     "streaming_sliding_agg" -> (streamingSlidingAgg _),
@@ -750,6 +806,20 @@ object StreamingQueries {
     "streaming_ingest" ->
       """SELECT vec_id AS id, label::BIGINT AS label
         |FROM embeddings ORDER BY id ASC""".stripMargin,
+    // follower mirror = the mutation algebra over the source of record:
+    // window-3's upsert (+1000) wins over everything (it re-inserts even
+    // previously deleted ids); window-2's delete removes %9=4 unless
+    // re-upserted; window-2's upsert (+100) colors %7=2 survivors
+    "streaming_changes" ->
+      """WITH f AS (
+        |  SELECT vec_id,
+        |         CASE WHEN vec_id % 11 = 6 THEN label + 1000
+        |              WHEN vec_id % 7 = 2 THEN label + 100
+        |              ELSE label END AS label,
+        |         (vec_id % 9 = 4 AND vec_id % 11 <> 6) AS gone
+        |  FROM embeddings)
+        |SELECT vec_id AS id, label::BIGINT AS label
+        |FROM f WHERE NOT gone ORDER BY id ASC""".stripMargin,
     // streamed corpus = embeddings JOIN documents, like the facade rows
     "streaming_lexical" -> Queries.oracle("bm25_search").replace(
       "FROM documents)",

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.GraftDB
+
+/** Structured-Streaming consumption of the row-level change feed — the
+  * EXTERNAL-consumer twin of [[graft.serve.LocalReplica.refreshFrom]]
+  * (which replays the same manifest diff into an in-process replica).
+  * A follower keeps a materialized copy of the store converged
+  * version-to-version by applying [[GraftDB.changes]] windows in order:
+  * op='delete' ids first, then op='insert' rows — the
+  * [[graft.store.SnapshotStore.diff]] apply contract, under which a copy
+  * of version v0 plus the (v0, v1] window IS version v1, exactly.
+  *
+  * 100 TB shape: between compactions each window reads ONLY the window's
+  * new delta files (the diff fast path, measured flat across a 10×
+  * corpus); windows that span a rewrite fall back to the documented
+  * two-scan content diff and still converge. The reference mirror here
+  * materializes to parquet snapshot directories (copy-on-write, pointer
+  * swap, bounded to one live snapshot) — a production consumer with an
+  * upsert-capable sink (a lakehouse table, a search cluster, a cache)
+  * would feed [[applyWindow]]'s two branches straight into its own
+  * delete/append API instead.
+  */
+object ChangeFeed {
+
+  /** Apply ONE change-feed window to a mirror frame: drop every id the
+    * window deletes or replaces, then append the inserted rows. Pure —
+    * callers choose how to materialize the result.
+    */
+  def applyWindow(mirror: DataFrame, changes: DataFrame): DataFrame = {
+    val cols = mirror.columns.toSeq
+    val delIds = changes.where(col("op") === "delete").select("id")
+    val ins = changes.where(col("op") === "insert")
+      .select(cols.map(col): _*)
+    mirror.join(delIds, Seq("id"), "left_anti").unionByName(ins)
+  }
+
+  private def pointerPath(mirrorDir: String) = new Path(mirrorDir, "MIRROR")
+
+  /** The store version the mirror at `mirrorDir` currently materializes
+    * (None before [[initMirror]]).
+    */
+  def mirrorVersion(mirrorDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    val p = pointerPath(mirrorDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** The mirror's current parquet snapshot (the copy of the version
+    * [[mirrorVersion]] reports).
+    */
+  def readMirror(db: GraftDB, mirrorDir: String): DataFrame = {
+    val v = mirrorVersion(mirrorDir,
+      db.spark.sparkContext.hadoopConfiguration).getOrElse(
+      throw new IllegalStateException(
+        s"no mirror at $mirrorDir — initMirror first"))
+    db.spark.read.parquet(s"$mirrorDir/v$v")
+  }
+
+  private def writePointer(mirrorDir: String, v: Long,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = pointerPath(mirrorDir)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(mirrorDir, s"MIRROR.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"mirror pointer swap failed at $p")
+  }
+
+  /** Seed the mirror with a full copy of the version `db` currently
+    * reads; [[follow]] converges it forward from there. Returns the
+    * seeded version. The mirror copies the store's PHYSICAL row format
+    * (packed vector blobs and all) — the diff apply contract is stated
+    * against store content, and a lossless copy is what makes each
+    * window's application exact.
+    */
+  def initMirror(db: GraftDB, mirrorDir: String): Long = {
+    val v = db.effectiveVersion
+    db.store.read(v).write.mode("overwrite").parquet(s"$mirrorDir/v$v")
+    writePointer(mirrorDir, v, db.spark.sparkContext.hadoopConfiguration)
+    v
+  }
+
+  /** Catch the mirror up to the store's CURRENT version in one window
+    * (no-op when already converged). Returns the version the mirror now
+    * materializes. Crash-safe: the new snapshot is fully written before
+    * the pointer swaps, and the superseded snapshot is dropped only
+    * after — a redo of an interrupted window overwrites the orphan.
+    */
+  def catchUp(db: GraftDB, mirrorDir: String): Long = {
+    val conf = db.spark.sparkContext.hadoopConfiguration
+    val seen = mirrorVersion(mirrorDir, conf).getOrElse(
+      throw new IllegalStateException(
+        s"no mirror at $mirrorDir — initMirror first"))
+    val v = db.effectiveVersion
+    if (v <= seen) return seen
+    val window = db.changes(seen, v)
+    val cur = db.spark.read.parquet(s"$mirrorDir/v$seen")
+    applyWindow(cur, window)
+      .write.mode("overwrite").parquet(s"$mirrorDir/v$v")
+    writePointer(mirrorDir, v, conf)
+    val fs = new Path(mirrorDir).getFileSystem(conf)
+    fs.delete(new Path(mirrorDir, s"v$seen"), true)
+    v
+  }
+
+  /** Run the follower as a streaming query: every micro-batch of `ticks`
+    * (any stream — a rate source, the ingest bus, a notification topic;
+    * its CONTENT is ignored, arrival is the signal) triggers one
+    * [[catchUp]] window. The mirror pointer, not the checkpoint, is the
+    * follower's source of truth — a restarted follower resumes from
+    * whatever version the mirror last materialized, so replayed ticks
+    * are harmless no-ops (the catch-up is idempotent).
+    */
+  def follow(db: GraftDB, ticks: DataFrame, mirrorDir: String,
+      checkpoint: String): StreamingQuery = {
+    require(mirrorVersion(mirrorDir,
+      db.spark.sparkContext.hadoopConfiguration).isDefined,
+      s"no mirror at $mirrorDir — initMirror first")
+    ticks.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        catchUp(db, mirrorDir)
+        ()
+      }
+      .start()
+  }
+}

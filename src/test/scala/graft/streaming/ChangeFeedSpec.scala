@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftDB, SparkTestSession}
+
+/** The change-feed follower contract: an external parquet mirror driven
+  * by a streaming `foreachBatch` loop converges to the store through
+  * inserts, upserts, deletes, and a window spanning a compaction (the
+  * two-scan fallback), and a RESTARTED follower resumes from the mirror
+  * pointer — replayed ticks are idempotent no-ops.
+  */
+class ChangeFeedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(8)(r.nextFloat() * 2 - 1)
+  }
+  private def records(ids: Range) =
+    ids.map(i => (i.toLong, vec(i), i % 5)).toDF("id", "vector", "label")
+
+  private def snapshot(db: GraftDB): Seq[(Long, Int)] =
+    db.read().select(col("id"), col("label").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+
+  private def mirrorRows(db: GraftDB, dir: String): Seq[(Long, Int)] =
+    ChangeFeed.readMirror(db, dir)
+      .select(col("id"), col("label").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+
+  test("follower converges through inserts, upserts, deletes, and a " +
+      "compaction-spanning window; restart resumes from the pointer") {
+    val db = GraftDB.open(spark,
+      Files.createTempDirectory("graft-cf-db").toString,
+      dim = 8, metric = "l2", schema = Map("label" -> "int"))
+    db.insertBatch(records(0 until 100))
+    val mirrorDir = Files.createTempDirectory("graft-cf-mirror").toString
+    val seeded = ChangeFeed.initMirror(db, mirrorDir)
+    assert(ChangeFeed.mirrorVersion(mirrorDir,
+      spark.sparkContext.hadoopConfiguration).contains(seeded))
+
+    implicit val ctx = spark.sqlContext
+    val ticks = MemoryStream[Int]
+    val ckpt = Files.createTempDirectory("graft-cf-ckpt").toString
+    val q = ChangeFeed.follow(db, ticks.toDF(), mirrorDir, ckpt)
+    try {
+      // window 1: plain inserts (file-diff fast path)
+      db.insertBatch(records(100 until 160))
+      ticks.addData(1); q.processAllAvailable()
+      assert(mirrorRows(db, mirrorDir) == snapshot(db))
+      // window 2: upsert + delete under one tick
+      db.upsert(records(20 until 40).withColumn("label", lit(99)))
+      db.delete((0L until 160L by 13).toSeq)
+      ticks.addData(2); q.processAllAvailable()
+      assert(mirrorRows(db, mirrorDir) == snapshot(db))
+      // a tick with NO new version is a no-op (idempotent catch-up)
+      val vBefore = ChangeFeed.mirrorVersion(mirrorDir,
+        spark.sparkContext.hadoopConfiguration).get
+      ticks.addData(3); q.processAllAvailable()
+      assert(ChangeFeed.mirrorVersion(mirrorDir,
+        spark.sparkContext.hadoopConfiguration).contains(vBefore))
+    } finally q.stop()
+
+    // window 3 happens while NO follower runs: compaction + an upsert —
+    // a restarted follower (fresh checkpoint, same mirror) must converge
+    // through the two-scan fallback from the mirror pointer alone
+    db.compact()
+    db.upsert(records(50 until 60).withColumn("label", lit(77)))
+    val ticks2 = MemoryStream[Int]
+    val q2 = ChangeFeed.follow(db, ticks2.toDF(), mirrorDir,
+      Files.createTempDirectory("graft-cf-ckpt2").toString)
+    try {
+      ticks2.addData(1); q2.processAllAvailable()
+      assert(mirrorRows(db, mirrorDir) == snapshot(db))
+    } finally q2.stop()
+
+    // the mirror is bounded to ONE live snapshot (superseded dirs drop)
+    val fs = new org.apache.hadoop.fs.Path(mirrorDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapDirs = fs.listStatus(new org.apache.hadoop.fs.Path(mirrorDir))
+      .filter(_.getPath.getName.startsWith("v")).map(_.getPath.getName)
+    assert(snapDirs.length == 1, snapDirs.mkString(", "))
+
+    // follow() without a seeded mirror fails loudly
+    intercept[IllegalArgumentException] {
+      ChangeFeed.follow(db, ticks2.toDF(),
+        Files.createTempDirectory("graft-cf-empty").toString,
+        Files.createTempDirectory("graft-cf-ckpt3").toString)
+    }
+  }
+
+  test("applyWindow is the diff apply contract: copy(v0) + window = v1") {
+    val db = GraftDB.open(spark,
+      Files.createTempDirectory("graft-cf-apply-db").toString,
+      dim = 8, metric = "l2", schema = Map("label" -> "int"))
+    val v0 = db.insertBatch(records(0 until 80))
+    val copy = db.store.read(v0)
+    db.upsert(records(10 until 20).withColumn("label", lit(42)))
+    val v1 = db.delete(Seq(5L, 6L, 7L))
+    val applied = ChangeFeed.applyWindow(copy, db.changes(v0, v1))
+      .select(col("id"), col("label").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(applied == snapshot(db))
+  }
+}
