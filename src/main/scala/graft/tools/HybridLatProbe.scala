@@ -28,6 +28,18 @@ object HybridLatProbe {
     // warm
     var i = 0
     while (i < 200) { rep.hybridSearch(qs(i % 100), "apple banana", 10, nprobe = 8); i += 1 }
+    // admitted-count attribution: how many rows does the coded margin
+    // admit to exact rerank at each pool depth?
+    for (kk <- Seq(10, 51, 100)) {
+      var adm = 0L
+      i = 0
+      while (i < 100) {
+        rep.search(qs(i), kk, nprobe = 8)
+        adm += rep.lastAdmitted
+        i += 1
+      }
+      println(s"k=$kk mean admitted=${adm / 100}")
+    }
     for (round <- 1 to 3) {
       // vector-only twin
       var t0 = System.nanoTime(); i = 0
