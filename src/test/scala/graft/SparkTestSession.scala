@@ -19,6 +19,20 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // shared object-store emulation: any spec can point a store root at
+    // an `s3sim:` path to run under S3 commit semantics (copy+delete
+    // manifest renames, atomic conditional create) — see
+    // graft.store.S3SimFileSystem
+    graft.store.S3SimFileSystem.register(s.sparkContext.hadoopConfiguration)
     s
+  }
+
+  /** A fresh `s3sim:` store root (local dir served through the S3
+    * semantics emulation) — the shared fixture for lifecycle specs that
+    * must hold on an object store, not just a POSIX FS.
+    */
+  def s3simRoot(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    s"s3sim:$dir"
   }
 }
