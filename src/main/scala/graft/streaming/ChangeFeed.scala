@@ -118,6 +118,94 @@ object ChangeFeed {
     v
   }
 
+  // ------------------------------------------------ store-to-store CDC
+  // The parquet-mirror follower above rewrites its one snapshot per
+  // window — fine for a bounded mirror, O(table) at 100 TB. The
+  // store-to-store follower below is the O(DELTA) consumer: the
+  // destination is itself a GraftDB, each window lands as ONE
+  // copy-on-write `writeBatch` commit (tombstone list ∪ replaced ids +
+  // one appended segment — cost scales with the window, not the table),
+  // and the delete side stays a distributed frame end-to-end (no driver
+  // id list). Re-applying a window after a crash is idempotent: the
+  // batch has upsert semantics, and re-tombstoning a dead id is a no-op.
+
+  private def cursorPath(destRoot: String) = new Path(destRoot, "CDC_CURSOR")
+
+  /** The source version the destination store currently materializes. */
+  def storeCursor(dest: GraftDB): Option[Long] = {
+    val p = cursorPath(dest.root)
+    val fs = p.getFileSystem(dest.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeCursor(dest: GraftDB, v: Long): Unit = {
+    val conf = dest.spark.sparkContext.hadoopConfiguration
+    val p = cursorPath(dest.root)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(dest.root,
+      s"CDC_CURSOR.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"CDC cursor swap failed at $p")
+  }
+
+  /** Seed a destination store as a pinned clone of the source's current
+    * version ([[GraftDB.cloneAt]] — config + artifacts + one rebased
+    * manifest through the DESTINATION's commit guard) and stamp the CDC
+    * cursor. Returns the opened destination handle.
+    */
+  def initStoreMirror(src: GraftDB, destRoot: String): GraftDB = {
+    val v = src.effectiveVersion
+    src.cloneAt(destRoot, v)
+    val dest = GraftDB.open(src.spark, destRoot)
+    writeCursor(dest, v)
+    dest
+  }
+
+  /** Catch the destination store up to the source's current version in
+    * one `writeBatch` window. Returns the source version the destination
+    * now materializes.
+    */
+  def catchUpStore(src: GraftDB, dest: GraftDB): Long = {
+    val seen = storeCursor(dest).getOrElse(throw new IllegalStateException(
+      s"no CDC cursor at ${dest.root} — initStoreMirror first"))
+    val v = src.effectiveVersion
+    if (v <= seen) return seen
+    val window = src.changes(seen, v)
+    val dels = window.where(col("op") === "delete").select("id")
+    val insCols = window.columns.filter(_ != "op").toSeq
+    val ins = window.where(col("op") === "insert")
+      .select(insCols.map(col): _*)
+    dest.store.writeBatch(Some(ins), dels)
+    writeCursor(dest, v)
+    v
+  }
+
+  /** [[follow]]'s store-to-store twin: every tick catches the
+    * destination store up by one window. Same cursor-is-source-of-truth
+    * restart semantics.
+    */
+  def followStore(src: GraftDB, dest: GraftDB, ticks: DataFrame,
+      checkpoint: String): StreamingQuery = {
+    require(storeCursor(dest).isDefined,
+      s"no CDC cursor at ${dest.root} — initStoreMirror first")
+    ticks.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        catchUpStore(src, dest)
+        ()
+      }
+      .start()
+  }
+
   /** Run the follower as a streaming query: every micro-batch of `ticks`
     * (any stream — a rate source, the ingest bus, a notification topic;
     * its CONTENT is ignored, arrival is the signal) triggers one

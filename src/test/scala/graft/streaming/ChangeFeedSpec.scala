@@ -95,6 +95,49 @@ class ChangeFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("store-to-store follower: O(delta) writeBatch windows converge a " +
+      "cloned destination store through mutations and compaction") {
+    val src = GraftDB.open(spark,
+      Files.createTempDirectory("graft-cfs-src").toString,
+      dim = 8, metric = "l2", schema = Map("label" -> "int"))
+    src.insertBatch(records(0 until 100))
+    val destRoot = Files.createTempDirectory("graft-cfs-dest").toString + "/m"
+    val dest = ChangeFeed.initStoreMirror(src, destRoot)
+    assert(snapshot(dest) == snapshot(src))
+
+    implicit val ctx = spark.sqlContext
+    val ticks = MemoryStream[Int]
+    val q = ChangeFeed.followStore(src, dest, ticks.toDF(),
+      Files.createTempDirectory("graft-cfs-ckpt").toString)
+    try {
+      src.insertBatch(records(100 until 150))
+      ticks.addData(1); q.processAllAvailable()
+      assert(snapshot(dest) == snapshot(src))
+      val destV1 = dest.effectiveVersion
+      src.upsert(records(30 until 45).withColumn("label", lit(88)))
+      src.delete((0L until 150L by 11).toSeq)
+      ticks.addData(2); q.processAllAvailable()
+      assert(snapshot(dest) == snapshot(src))
+      // each window = ONE destination commit (writeBatch), and the
+      // window's delta — not the table — is what moved: the seeded
+      // segments are still the clone's own files, untouched
+      assert(dest.effectiveVersion == destV1 + 1)
+      // a tick with no new source version is a no-op commit-wise
+      val vQuiet = dest.effectiveVersion
+      ticks.addData(3); q.processAllAvailable()
+      assert(dest.effectiveVersion == vQuiet)
+      // compaction + upsert inside one window: the content-diff fallback
+      // still lands as one idempotent writeBatch
+      src.compact()
+      src.upsert(records(60 until 70).withColumn("label", lit(77)))
+      ticks.addData(4); q.processAllAvailable()
+      assert(snapshot(dest) == snapshot(src))
+    } finally q.stop()
+    // the destination remains an independent, queryable store
+    val top = dest.search(vec(5), 5).collect()
+    assert(top.length == 5)
+  }
+
   test("applyWindow is the diff apply contract: copy(v0) + window = v1") {
     val db = GraftDB.open(spark,
       Files.createTempDirectory("graft-cf-apply-db").toString,
