@@ -93,6 +93,7 @@ class CommitGuardSpec extends AnyFunSuite {
     val seed = new SnapshotStore(spark, root,
       commitGuard = CommitGuard.RenameCas)
     seed.insert(Seq((1L, "seed")).toDF("id", "v")) // version 0
+    S3SimFileSystem.barrierRoot = root.stripPrefix("s3sim:")
     S3SimFileSystem.manifestRenameBarrier = Some(new CyclicBarrier(2))
     try {
       val (outcomes, after) = race(root, CommitGuard.RenameCas)
@@ -106,7 +107,10 @@ class CommitGuardSpec extends AnyFunSuite {
       assert(!(visible.contains(100L) && visible.contains(200L)),
         s"emulation failed to fork: $visible")
       assert(visible.size === 2, s"lost exactly one writer, got $visible")
-    } finally S3SimFileSystem.manifestRenameBarrier = None
+    } finally {
+      S3SimFileSystem.manifestRenameBarrier = None
+      S3SimFileSystem.barrierRoot = null
+    }
   }
 
   test("emulated S3, conditional-create guard: exactly one writer lands; " +
@@ -116,6 +120,7 @@ class CommitGuardSpec extends AnyFunSuite {
     val seed = new SnapshotStore(spark, root,
       commitGuard = CommitGuard.ConditionalCreate)
     seed.insert(Seq((1L, "seed")).toDF("id", "v")) // version 0
+    S3SimFileSystem.barrierRoot = root.stripPrefix("s3sim:")
     S3SimFileSystem.manifestCreateBarrier = Some(new CyclicBarrier(2))
     try {
       val (outcomes, after) = race(root, CommitGuard.ConditionalCreate)
@@ -133,7 +138,10 @@ class CommitGuardSpec extends AnyFunSuite {
       val lostId = if (visible.contains(100L)) 200L else 100L
       retry.insert(Seq((lostId, s"w$lostId")).toDF("id", "v"))
       assert(ids(retry) === Set(1L, 100L, 200L))
-    } finally S3SimFileSystem.manifestCreateBarrier = None
+    } finally {
+      S3SimFileSystem.manifestCreateBarrier = None
+      S3SimFileSystem.barrierRoot = null
+    }
   }
 
   test("cloneAt onto an emulated-S3 root publishes through the " +

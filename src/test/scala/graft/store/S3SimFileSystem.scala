@@ -37,7 +37,7 @@ class S3SimFileSystem extends RawLocalFileSystem {
     if (!dst.getName.startsWith("MANIFEST-")) return super.rename(src, dst)
     // both racers have passed FileContext's client-side exists() check by
     // the time they get here; hold until the schedule is symmetric
-    awaitQuietly(manifestRenameBarrier)
+    if (inBarrierScope(dst)) awaitQuietly(manifestRenameBarrier)
     // each PUT is atomic per object (as on real S3) — the emulated defect
     // is strictly the TOCTOU between the exists() check (above, in
     // AbstractFileSystem) and the PUT, never a torn object body
@@ -65,7 +65,7 @@ class S3SimFileSystem extends RawLocalFileSystem {
     if (overwrite || !f.getName.startsWith("MANIFEST-"))
       return super.create(f, permission, overwrite, bufferSize, replication,
         blockSize, progress)
-    awaitQuietly(manifestCreateBarrier)
+    if (inBarrierScope(f)) awaitQuietly(manifestCreateBarrier)
     conditionalPutLock.synchronized {
       if (exists(f))
         throw new org.apache.hadoop.fs.FileAlreadyExistsException(
@@ -83,6 +83,19 @@ object S3SimFileSystem {
 
   @volatile var manifestRenameBarrier: Option[java.util.concurrent.CyclicBarrier] = None
   @volatile var manifestCreateBarrier: Option[java.util.concurrent.CyclicBarrier] = None
+
+  /** Barrier SCOPE: only manifest ops under this path trip the racing
+    * barriers. s3sim is a shared fixture now (any spec may run a store
+    * on it, and sbt runs suites in parallel) — an unscoped barrier lets
+    * an unrelated spec's manifest commit fill a race slot and silently
+    * de-synchronize the deterministic schedule.
+    */
+  @volatile var barrierRoot: String = null
+
+  private def inBarrierScope(p: Path): Boolean = {
+    val r = barrierRoot
+    r != null && p.toUri.getPath.startsWith(r)
+  }
 
   private def awaitQuietly(
       b: Option[java.util.concurrent.CyclicBarrier]): Unit =
