@@ -100,6 +100,12 @@ object Plans {
         ("diversity-capped knn: collect_top_k bounded per-LABEL heaps " +
           "(partial-aggregated, shuffle = groups x cap structs) + " +
           "TakeOrderedAndProject global cut — no window, no global sort"),
+      "embedding_drift" ->
+        ("per-dim PSI: ONE posexplode + partial-aggregated (dim, bucket) " +
+          "counts per side (shuffle = dims x buckets groups), dense grid " +
+          "joined broadcast-tiny, per-dim denominators folded from the " +
+          "collected count arrays — NO side-wide count() jobs, no " +
+          "quantile pass"),
       "knn_join" ->
         ("two-large-sides k-NN join: equi-join on the IVF cell key — " +
           "no cartesian; at this sf AQE broadcasts the exploded query " +
