@@ -29,9 +29,19 @@ import graft.types.Metric
   */
 object Bench {
 
+  /** True only while a MEASURED run (a `timeIt` invocation) is executing.
+    * Sample-snapshotting thunks (`keepBest`) check it so the published
+    * percentile/GC rows can only come from a run whose wall time was a
+    * candidate for the committed min — never from the discarded global
+    * warm-up or a second-look re-warm that happened to land in a quiet
+    * window.
+    */
+  private val measuring = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def timeIt(f: => Unit): Double = {
     val t0 = System.nanoTime()
-    f
+    measuring.set(true)
+    try f finally measuring.set(false)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -188,6 +198,7 @@ object Bench {
         bestTotal: java.util.concurrent.atomic.AtomicLong,
         n: Int, gcMs: Long,
         bestGc: java.util.concurrent.atomic.AtomicLong): Unit = {
+      if (!measuring.get()) return // warm-up / re-warm runs never publish
       var tot = 0L
       var j = 0
       while (j < n) { tot += src.get(j); j += 1 }

@@ -92,28 +92,10 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     * deepening mirrors the single-replica rule.
     */
   def searchGrouped(q: Array[Long], k: Int, groupCol: String,
-      perGroup: Int): Seq[Candidate] = {
-    require(k > 0 && perGroup > 0,
-      s"bad grouped-search config: k=$k perGroup=$perGroup")
-    val keyOfs = shards.map(_.groupKeyOf(groupCol))
-    val keyOf: Long => Option[Any] = id => {
-      var i = 0
-      var found: Option[Any] = None
-      while (i < keyOfs.length && found.isEmpty) {
-        found = keyOfs(i)(id)
-        i += 1
-      }
-      found
-    }
-    var fetchK = math.max(4 * k, k + 16)
-    while (true) {
-      val pool = search(q, fetchK)
-      val page = LocalReplica.groupedGreedy(pool, keyOf, k, perGroup)
-      if (page.length >= k || pool.length < fetchK) return page
-      fetchK *= 4
-    }
-    Nil // unreachable
-  }
+      perGroup: Int): Seq[Candidate] =
+    LocalReplica.groupedDeepen(fetchK => search(q, fetchK),
+      LocalReplica.firstKeyOf(shards.map(_.groupKeyOf(groupCol))),
+      k, perGroup)
 
   /** MMR-diversified top-k across shards — the Hamming twin of
     * [[ReplicaSet.searchMmr]]: the `fetchK` pool is the normal

@@ -521,19 +521,9 @@ final class LocalCodeReplica private (
     * one full scan).
     */
   def searchGrouped(q: Array[Long], k: Int, groupCol: String,
-      perGroup: Int): Seq[Candidate] = {
-    require(k > 0 && perGroup > 0,
-      s"bad grouped-search config: k=$k perGroup=$perGroup")
-    val keyOf = groupKeyOf(groupCol)
-    var fetchK = math.max(4 * k, k + 16)
-    while (true) {
-      val pool = search(q, fetchK)
-      val page = LocalReplica.groupedGreedy(pool, keyOf, k, perGroup)
-      if (page.length >= k || pool.length < fetchK) return page
-      fetchK *= 4
-    }
-    Nil // unreachable
-  }
+      perGroup: Int): Seq[Candidate] =
+    LocalReplica.groupedDeepen(fetchK => search(q, fetchK),
+      groupKeyOf(groupCol), k, perGroup)
 
   /** MMR-diversified top-k on the code tier — the Hamming twin of
     * [[LocalReplica.searchMmr]]: a `fetchK` popcount pool, then the

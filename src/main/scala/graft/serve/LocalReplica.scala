@@ -1843,19 +1843,9 @@ final class LocalReplica private (
     * corpora where that matters).
     */
   def searchGrouped(q0: Array[Float], k: Int, groupCol: String,
-      perGroup: Int, nprobe: Int = 0): Seq[Candidate] = {
-    require(k > 0 && perGroup > 0,
-      s"bad grouped-search config: k=$k perGroup=$perGroup")
-    val keyOf = groupKeyOf(groupCol)
-    var fetchK = math.max(4 * k, k + 16)
-    while (true) {
-      val pool = search(q0, fetchK, nprobe)
-      val page = LocalReplica.groupedGreedy(pool, keyOf, k, perGroup)
-      if (page.length >= k || pool.length < fetchK) return page
-      fetchK *= 4
-    }
-    Nil // unreachable
-  }
+      perGroup: Int, nprobe: Int = 0): Seq[Candidate] =
+    LocalReplica.groupedDeepen(fetchK => search(q0, fetchK, nprobe),
+      groupKeyOf(groupCol), k, perGroup)
 
   /** MMR-diversified top-k (the in-process twin of
     * [[graft.query.Mmr.diversify]]; vecgo has no diversity verb): a
@@ -2316,14 +2306,23 @@ final class LocalReplica private (
     * under a [[ReplicaSet]] router fan-out cannot deadlock; failures
     * rethrow the original cause to keep the sequential API contract.
     */
-  @inline private def overlap[A](f: => A): java.util.concurrent.ForkJoinTask[A] =
+  @inline private def overlap[A](f: => A)
+      : java.util.concurrent.ForkJoinTask[Either[Throwable, A]] =
     java.util.concurrent.ForkJoinPool.commonPool().submit(
-      new java.util.concurrent.Callable[A] { def call(): A = f })
+      new java.util.concurrent.Callable[Either[Throwable, A]] {
+        // carry failures as a value: ForkJoinTask.join would otherwise
+        // rethrow a RECONSTRUCTED exception (or the original object when
+        // helped-run on the same worker), making any unwrap heuristic
+        // wrong for exceptions that carry their own cause
+        def call(): Either[Throwable, A] =
+          try Right(f) catch { case e: Throwable => Left(e) }
+      })
 
-  @inline private def joinOverlap[A](t: java.util.concurrent.ForkJoinTask[A]): A =
-    try t.join()
-    catch {
-      case e: RuntimeException if e.getCause != null => throw e.getCause
+  @inline private def joinOverlap[A](
+      t: java.util.concurrent.ForkJoinTask[Either[Throwable, A]]): A =
+    t.join() match {
+      case Right(a) => a
+      case Left(e)  => throw e
     }
 
   def hybridSearch(q0: Array[Float], textQuery: String, k: Int,
@@ -2626,6 +2625,41 @@ object LocalReplica {
     * `perGroup` admissions, stop at `k`. Equal to "top-perGroup per
     * group, then global top-k" because pool order IS score order.
     */
+  /** Adaptive pool deepening shared by every grouped-search tier (float
+    * and Hamming, single replica and shard router): greedy over a
+    * bounded pool is exact only if the pool reaches deep enough past the
+    * rows the per-group cap rejects, so when the page comes back short
+    * with the pool exhausted at its bound, the bound quadruples and the
+    * scan retries — worst case one full scan.
+    */
+  private[serve] def groupedDeepen(search: Int => Seq[Candidate],
+      keyOf: Long => Option[Any], k: Int, perGroup: Int): Seq[Candidate] = {
+    require(k > 0 && perGroup > 0,
+      s"bad grouped-search config: k=$k perGroup=$perGroup")
+    var fetchK = math.max(4 * k, k + 16)
+    while (true) {
+      val pool = search(fetchK)
+      val page = groupedGreedy(pool, keyOf, k, perGroup)
+      if (page.length >= k || pool.length < fetchK) return page
+      fetchK *= 4
+    }
+    Nil // unreachable
+  }
+
+  /** Router-side group key lookup: the first shard that knows the id
+    * answers (ids are unique across shards by construction).
+    */
+  private[serve] def firstKeyOf(
+      keyOfs: Seq[Long => Option[Any]]): Long => Option[Any] = id => {
+    var i = 0
+    var found: Option[Any] = None
+    while (i < keyOfs.length && found.isEmpty) {
+      found = keyOfs(i)(id)
+      i += 1
+    }
+    found
+  }
+
   private[serve] def groupedGreedy(pool: Seq[Candidate],
       keyOf: Long => Option[Any], k: Int, perGroup: Int): Seq[Candidate] = {
     val counts = scala.collection.mutable.HashMap.empty[Any, Int]

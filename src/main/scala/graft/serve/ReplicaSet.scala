@@ -126,28 +126,10 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     * single-replica rule.
     */
   def searchGrouped(q: Array[Float], k: Int, groupCol: String,
-      perGroup: Int, nprobe: Int = 0): Seq[Candidate] = {
-    require(k > 0 && perGroup > 0,
-      s"bad grouped-search config: k=$k perGroup=$perGroup")
-    val keyOfs = shards.map(_.groupKeyOf(groupCol))
-    val keyOf: Long => Option[Any] = id => {
-      var i = 0
-      var found: Option[Any] = None
-      while (i < keyOfs.length && found.isEmpty) {
-        found = keyOfs(i)(id)
-        i += 1
-      }
-      found
-    }
-    var fetchK = math.max(4 * k, k + 16)
-    while (true) {
-      val pool = search(q, fetchK, nprobe)
-      val page = LocalReplica.groupedGreedy(pool, keyOf, k, perGroup)
-      if (page.length >= k || pool.length < fetchK) return page
-      fetchK *= 4
-    }
-    Nil // unreachable
-  }
+      perGroup: Int, nprobe: Int = 0): Seq[Candidate] =
+    LocalReplica.groupedDeepen(fetchK => search(q, fetchK, nprobe),
+      LocalReplica.firstKeyOf(shards.map(_.groupKeyOf(groupCol))),
+      k, perGroup)
 
   /** MMR-diversified top-k across shards: the `fetchK` pool is the
     * normal scatter-gather merge (each shard's probed scan, best-first

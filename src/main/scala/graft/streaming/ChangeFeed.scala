@@ -21,7 +21,8 @@ import graft.GraftDB
   * corpus); windows that span a rewrite fall back to the documented
   * two-scan content diff and still converge. The reference mirror here
   * materializes to parquet snapshot directories (copy-on-write, pointer
-  * swap, bounded to one live snapshot) — a production consumer with an
+  * swap, bounded to two live snapshots — current plus one superseded
+  * window kept as reader grace) — a production consumer with an
   * upsert-capable sink (a lakehouse table, a search cluster, a cache)
   * would feed [[applyWindow]]'s two branches straight into its own
   * delete/append API instead.
@@ -98,8 +99,14 @@ object ChangeFeed {
   /** Catch the mirror up to the store's CURRENT version in one window
     * (no-op when already converged). Returns the version the mirror now
     * materializes. Crash-safe: the new snapshot is fully written before
-    * the pointer swaps, and the superseded snapshot is dropped only
-    * after — a redo of an interrupted window overwrites the orphan.
+    * the pointer swaps, and superseded snapshots are dropped only after —
+    * a redo of an interrupted window overwrites the orphan. The cleanup
+    * is a SWEEP (every `v*` dir except the new snapshot and the one it
+    * superseded), so an orphan left by a crash between the pointer swap
+    * and its own cleanup is reclaimed by the next window instead of
+    * persisting forever; the just-superseded snapshot survives one extra
+    * window as a grace period for lazy [[readMirror]] frames that were
+    * planned against it before this catch-up completed.
     */
   def catchUp(db: GraftDB, mirrorDir: String): Long = {
     val conf = db.spark.sparkContext.hadoopConfiguration
@@ -114,7 +121,12 @@ object ChangeFeed {
       .write.mode("overwrite").parquet(s"$mirrorDir/v$v")
     writePointer(mirrorDir, v, conf)
     val fs = new Path(mirrorDir).getFileSystem(conf)
-    fs.delete(new Path(mirrorDir, s"v$seen"), true)
+    val keep = Set(s"v$v", s"v$seen")
+    fs.listStatus(new Path(mirrorDir)).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && nm.matches("v\\d+") && !keep(nm))
+        fs.delete(st.getPath, true)
+    }
     v
   }
 

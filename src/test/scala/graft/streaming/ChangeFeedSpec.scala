@@ -80,12 +80,24 @@ class ChangeFeedSpec extends AnyFunSuite {
       assert(mirrorRows(db, mirrorDir) == snapshot(db))
     } finally q2.stop()
 
-    // the mirror is bounded to ONE live snapshot (superseded dirs drop)
+    // the mirror is bounded to TWO live snapshots: the current one plus
+    // the window it superseded (reader grace); everything older is swept
     val fs = new org.apache.hadoop.fs.Path(mirrorDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snapDirs = fs.listStatus(new org.apache.hadoop.fs.Path(mirrorDir))
-      .filter(_.getPath.getName.startsWith("v")).map(_.getPath.getName)
-    assert(snapDirs.length == 1, snapDirs.mkString(", "))
+    def snapDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(mirrorDir))
+      .filter(_.getPath.getName.matches("v\\d+")).map(_.getPath.getName)
+    val cur = ChangeFeed.mirrorVersion(mirrorDir,
+      spark.sparkContext.hadoopConfiguration).get
+    assert(snapDirs().length <= 2, snapDirs().mkString(", "))
+    assert(snapDirs().contains(s"v$cur"), snapDirs().mkString(", "))
+
+    // an orphan snapshot left by a crashed window (pointer swapped, its
+    // own cleanup never ran) is reclaimed by the NEXT window's sweep
+    fs.mkdirs(new org.apache.hadoop.fs.Path(mirrorDir, "v1"))
+    db.insertBatch(records(300 until 310))
+    ChangeFeed.catchUp(db, mirrorDir)
+    assert(!snapDirs().contains("v1"), snapDirs().mkString(", "))
+    assert(mirrorRows(db, mirrorDir) == snapshot(db))
 
     // follow() without a seeded mirror fails loudly
     intercept[IllegalArgumentException] {
