@@ -2619,12 +2619,6 @@ object LocalReplica {
   /** Default collect guard: 4M rows × 128d ≈ 2 GiB of floats. */
   val DefaultMaxRows: Long = 4L * 1000 * 1000
 
-  /** Greedy per-group cap over a best-first pool — shared by
-    * [[LocalReplica.searchGrouped]] and [[ReplicaSet.searchGrouped]]:
-    * take candidates in pool order, skip one whose group already holds
-    * `perGroup` admissions, stop at `k`. Equal to "top-perGroup per
-    * group, then global top-k" because pool order IS score order.
-    */
   /** Adaptive pool deepening shared by every grouped-search tier (float
     * and Hamming, single replica and shard router): greedy over a
     * bounded pool is exact only if the pool reaches deep enough past the
@@ -2660,6 +2654,11 @@ object LocalReplica {
     found
   }
 
+  /** Greedy per-group cap over a best-first pool: take candidates in
+    * pool order, skip one whose group already holds `perGroup`
+    * admissions, stop at `k`. Equal to "top-perGroup per group, then
+    * global top-k" because pool order IS score order.
+    */
   private[serve] def groupedGreedy(pool: Seq[Candidate],
       keyOf: Long => Option[Any], k: Int, perGroup: Int): Seq[Candidate] = {
     val counts = scala.collection.mutable.HashMap.empty[Any, Int]
