@@ -993,6 +993,124 @@ object FacadeQueries {
       .orderBy(col("hamming").asc, col("vec_id").asc)
   }
 
+  /** Typed-predicate filtered search on the HAMMING serving tier
+    * ([[graft.serve.LocalCodeReplica.searchWhere]] — vecgo evaluates
+    * typed filters engine-side for any metric, `metadata/filter.go:
+    * 122-216`, `internal/engine/search.go:295-307`): label metadata
+    * exported with the codes (format v2 trailer), the predicate runs
+    * replica-side against it, popcount scores stay integer-exact over
+    * the survivors. The artifact round-trips through save/load first.
+    */
+  def localHammingWhere(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_ham_where")
+    val rep0 = graft.serve.LocalCodeReplica.fromStore(db,
+      metaCols = Seq("label"))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_facade_ham_where.grcr"
+    rep0.save(path, s.sparkContext.hadoopConfiguration)
+    val rep = graft.serve.LocalCodeReplica.load(path,
+      s.sparkContext.hadoopConfiguration)
+    import s.implicits._
+    rep.searchWhere(q, 10, Seq(graft.types.Filter.Gte("label", 3),
+        graft.types.Filter.Lte("label", 7)))
+      .map(c => (c.id, c.score.toLong)).toDF("vec_id", "hamming")
+  }
+
+  /** Hybrid RRF on the HAMMING serving tier
+    * ([[graft.serve.LocalCodeReplica.hybridSearch]] — vecgo's embedded
+    * `HybridSearch` is metric-agnostic, `engine.go:1538-1635`): the
+    * export carries the compact lexical postings section (format v3
+    * trailer), the replica scores BM25 in-process and fuses with the
+    * popcount pool by RRF, lexical pool overlapping the scan on a
+    * ForkJoin task. Integer Hamming scores need no rounding key, so the
+    * result matches the engine's `graftdb_hybrid_hamming` bit-for-bit —
+    * the SAME oracle. Save+load covers the v3 round-trip.
+    */
+  def localHammingHybrid(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_ham_hyb",
+      withText = true)
+    val rep0 = graft.serve.LocalCodeReplica.fromStore(db,
+      textCol = Some("text"))
+    require(rep0.lexical, "expected a lexical v3 code replica")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_facade_ham_hyb.grcr"
+    rep0.save(path, s.sparkContext.hadoopConfiguration)
+    val rep = graft.serve.LocalCodeReplica.load(path,
+      s.sparkContext.hadoopConfiguration)
+    val res = rep.hybridSearch(q, "spark vector merge", 10)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("id", "s")
+      .select(col("id"), round(col("s"), 6).as("score"))
+  }
+
+  /** Cross-shard Hamming hybrid ([[graft.serve.CodeReplicaSet
+    * .hybridSearch]]): 4 hash-cell shards, global-stats exchange
+    * (df/N/avgdl summed exactly) so every shard scores BM25 under
+    * corpus-level idf, popcount + lexical pools merged and RRF-fused —
+    * same oracle as the engine's `graftdb_hybrid_hamming`, proving the
+    * exchange reproduces global scoring on the code tier too.
+    */
+  def localShardedHammingHybrid(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_sh_ham_hyb",
+      withText = true)
+    val set = graft.serve.CodeReplicaSet.fromStore(db, shards = 4,
+      textCol = Some("text"))
+    require(set.numShards >= 2 && set.lexical,
+      "expected a multi-shard lexical code set")
+    val res = set.hybridSearch(q, "spark vector merge", 10)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("id", "s")
+      .select(col("id"), round(col("s"), 6).as("score"))
+  }
+
+  /** Hybrid through a RESHARDED lexical code set: the 4-shard export is
+    * split to 6 and merged to 2 shards in-process — postings re-split
+    * with the rows ([[graft.serve.CodeReplicaSet.reshard]]), per-shard
+    * stats recomputed — then saved, reloaded, and queried. Same oracle
+    * as `graftdb_hybrid_hamming`: reshard keeps Hamming hybrid serving
+    * without a Spark re-export.
+    */
+  def localReshardedHammingHybrid(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_resh_ham_hyb",
+      withText = true)
+    val set0 = graft.serve.CodeReplicaSet.fromStore(db, shards = 4,
+      textCol = Some("text"))
+    require(set0.numShards >= 2 && set0.lexical,
+      "expected a multi-shard lexical code set")
+    val re = set0.reshard(6).reshard(2)
+    require(re.lexical, "reshard dropped the lexical section")
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_facade_resh_hamhyb"
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    re.save(outDir, s.sparkContext.hadoopConfiguration)
+    val set = graft.serve.CodeReplicaSet.load(outDir,
+      s.sparkContext.hadoopConfiguration)
+    require(set.lexical, "saved/loaded resharded set lost the postings")
+    val res = set.hybridSearch(q, "spark vector merge", 10)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("id", "s")
+      .select(col("id"), round(col("s"), 6).as("score"))
+  }
+
+  /** FILTERED Hamming hybrid on the serving tier
+    * ([[graft.serve.LocalCodeReplica.hybridSearchWhere]] — vecgo
+    * `HybridSearch` + `WithFilter` over any metric): the typed predicate
+    * restricts BOTH pools replica-side while df/avgdl/N stay
+    * corpus-level, matching the engine's `hybridSearchCodes` + filter
+    * semantics.
+    */
+  def localHammingHybridFiltered(s: SparkSession, dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_ham_hyb_f",
+      withText = true)
+    val rep = graft.serve.LocalCodeReplica.fromStore(db,
+      metaCols = Seq("label"), textCol = Some("text"))
+    require(rep.lexical && rep.metaColumns == Seq("label"))
+    val res = rep.hybridSearchWhere(q, "spark vector merge", 10,
+      Seq(graft.types.Filter.Gte("label", 2)))
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("id", "s")
+      .select(col("id"), round(col("s"), 6).as("score"))
+  }
+
   /** Filtered serving-replica k-NN: the metadata predicate runs ENGINE-
     * side (stats-pruned scan) and only the surviving id-set ships to the
     * replica ([[graft.serve.LocalReplica.searchFiltered]] — vecgo
@@ -1195,6 +1313,13 @@ object FacadeQueries {
     "graftdb_local_hamming_delete" -> (localHammingDelete _),
     "graftdb_local_hamming_mmr" -> (localHammingMmr _),
     "graftdb_local_hamming_grouped" -> (localHammingGrouped _),
+    "graftdb_local_hamming_where" -> (localHammingWhere _),
+    "graftdb_local_hamming_hybrid" -> (localHammingHybrid _),
+    "graftdb_local_sharded_hamming_hybrid" -> (localShardedHammingHybrid _),
+    "graftdb_local_resharded_hamming_hybrid" ->
+      (localReshardedHammingHybrid _),
+    "graftdb_local_hamming_hybrid_filtered" ->
+      (localHammingHybridFiltered _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
     "graftdb_local_knn_where" -> (localKnnWhere _),
     "graftdb_local_delete" -> (localDelete _),
@@ -1385,6 +1510,10 @@ object FacadeQueries {
     "graftdb_local_hamming_delete" -> IndexQueries.oracle("bq_hamming")
       .replace("FROM embeddings e, q",
         "FROM embeddings e, q WHERE e.vec_id % 7 <> 3"),
+    // replica-side typed predicate over the exported label column
+    "graftdb_local_hamming_where" -> IndexQueries.oracle("bq_hamming")
+      .replace("FROM embeddings e, q",
+        "FROM embeddings e, q WHERE e.label >= 3 AND e.label <= 7"),
     "graftdb_knn_cosine_indexed" -> Queries.oracle("knn_cosine"),
     // facade corpus = embeddings JOIN documents; at scale factors where
     // the two tables differ in size the BM25 side must be restricted to
@@ -1461,6 +1590,52 @@ object FacadeQueries {
         |         len(list_filter(range(1, 65),
         |             i -> (e.embedding[i] > 0) <> (q.qv[i] > 0)))::DOUBLE AS score
         |  FROM embeddings e, q),
+        |vrank AS (
+        |  SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) AS vrank
+        |  FROM vscore QUALIFY vrank <= 50),
+        |fused AS (
+        |  SELECT coalesce(v.id, b.id) AS id,
+        |         coalesce(1.0::DOUBLE / (60 + v.vrank), 0.0) +
+        |         coalesce(1.0::DOUBLE / (60 + b.lrank), 0.0) AS score
+        |  FROM vrank v FULL OUTER JOIN brank b ON v.id = b.id)
+        |SELECT id, round(score, 6) AS score
+        |FROM fused ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+    // filtered Hamming hybrid: BM25 corpus statistics come from the FULL
+    // joined corpus — the filter restricts which docs may claim a pool
+    // slot on BOTH sides, not the index the pools are scored against
+    "graftdb_local_hamming_hybrid_filtered" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, label, text
+        |  FROM documents JOIN embeddings ON vec_id = doc_id),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    x -> len(x) > 0)) AS term
+        |  FROM corpus),
+        |post AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY 1),
+        |stats AS (SELECT count(*)::DOUBLE AS n, avg(dlen) AS avgdl FROM dl),
+        |qt AS (SELECT unnest(ARRAY['spark', 'vector', 'merge']) AS term),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+        |bscore AS (
+        |  SELECT p.doc_id AS id,
+        |         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |              (p.tf * (1.2::DOUBLE + 1)) /
+        |              (p.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * l.dlen / s.avgdl)) ) AS score
+        |  FROM post p
+        |  JOIN qt USING (term)
+        |  JOIN dfreq d USING (term)
+        |  JOIN dl l ON l.doc_id = p.doc_id, stats s
+        |  GROUP BY p.doc_id),
+        |brank AS (
+        |  SELECT b.id, row_number() OVER (ORDER BY round(b.score, 6) DESC, b.id ASC) AS lrank
+        |  FROM bscore b JOIN corpus c ON c.doc_id = b.id
+        |  WHERE c.label >= 2 QUALIFY lrank <= 50),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 8),
+        |vscore AS (
+        |  SELECT e.vec_id AS id,
+        |         len(list_filter(range(1, 65),
+        |             i -> (e.embedding[i] > 0) <> (q.qv[i] > 0)))::DOUBLE AS score
+        |  FROM embeddings e, q WHERE e.label >= 2),
         |vrank AS (
         |  SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) AS vrank
         |  FROM vscore QUALIFY vrank <= 50),
@@ -1554,5 +1729,10 @@ object FacadeQueries {
   /** Derived aliases: rows whose oracle is literally another row's. */
   val oracleAliases: Map[String, String] = Map(
     "graftdb_local_hybrid_filtered" -> "graftdb_hybrid_filtered",
+    // the in-process / sharded / resharded Hamming hybrids answer the
+    // engine's exact integer-pool fuse — one oracle pins all four
+    "graftdb_local_hamming_hybrid" -> "graftdb_hybrid_hamming",
+    "graftdb_local_sharded_hamming_hybrid" -> "graftdb_hybrid_hamming",
+    "graftdb_local_resharded_hamming_hybrid" -> "graftdb_hybrid_hamming",
     "graftdb_knn_join" -> "knn_join")
 }

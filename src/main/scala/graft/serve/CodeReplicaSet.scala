@@ -84,6 +84,18 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     mergeK(pools, if (maxResults == Int.MaxValue) Int.MaxValue else maxResults)
   }
 
+  /** Typed-predicate top-k ([[LocalCodeReplica.searchWhere]] per shard —
+    * shards must carry the referenced metadata columns; integer scores
+    * make the merged page exactly the global filtered ranking).
+    */
+  def searchWhere(q: Array[Long], k: Int,
+      filters: Seq[graft.types.Filter]): Seq[Candidate] = {
+    val pools = new Array[Seq[Candidate]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach(i => pools(i) = shards(i).searchWhere(q, k, filters))
+    mergeK(pools, k)
+  }
+
   /** Diversity-capped (grouped) top-k across shards — the Hamming twin
     * of [[ReplicaSet.searchGrouped]]: the pool is the normal
     * scatter-gather merge, the per-group cap runs ONCE at the router
@@ -241,12 +253,15 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     require(newShards >= 1, s"newShards must be >= 1, got $newShards")
     val extracted = shards.map(_.liveRows())
     // metadata schema must agree across shards (one export produced them)
-    val metaSchema = extracted.head._3.map(c => (c.name, c.kind)).toSeq
-    require(extracted.forall(_._3.map(c => (c.name, c.kind)).toSeq
+    val metaSchema = extracted.head._4.map(c => (c.name, c.kind)).toSeq
+    require(extracted.forall(_._4.map(c => (c.name, c.kind)).toSeq
       == metaSchema),
       "reshard: shards disagree on exported metadata columns")
+    // lexical carries through only when EVERY shard serves it (the
+    // same all-or-nothing rule as ReplicaSet.reshard)
+    val carryLex = shards.forall(_.lexical)
     val counts = new Array[Int](newShards)
-    extracted.foreach { case (ids, _, _) =>
+    extracted.foreach { case (ids, _, _, _) =>
       var i = 0
       while (i < ids.length) {
         counts(ReplicaSet.cellOf(ids(i), newShards)) += 1
@@ -270,13 +285,32 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
             new Array[Boolean](n))
         }.toArray
       }
+    val pDocLen =
+      if (!carryLex) null
+      else Array.tabulate(newShards)(c => new Array[Int](counts(c)))
+    val pNumDocs = new Array[Long](newShards)
+    val pPost =
+      if (!carryLex) null
+      else Array.fill(newShards)(new java.util.TreeMap[String,
+        scala.collection.mutable.ArrayBuffer[(Int, Float)]]())
     val w = new Array[Int](newShards)
-    extracted.foreach { case (ids, flat, meta) =>
+    extracted.zip(shards).foreach { case ((ids, flat, mainOldOf, meta), sh) =>
+      val lex = if (carryLex) sh.lexData else null
+      // old MAIN row -> (cell, new input index) for the postings re-split
+      val cellOfOld = if (carryLex) new Array[Int](lex.docLen.length) else null
+      val idxOfOld = if (carryLex) new Array[Int](lex.docLen.length) else null
+      if (carryLex) java.util.Arrays.fill(cellOfOld, -1)
       var i = 0
       while (i < ids.length) {
         val c = ReplicaSet.cellOf(ids(i), newShards)
         pIds(c)(w(c)) = ids(i)
         System.arraycopy(flat, i * words, pFlat(c), w(c) * words, words)
+        if (carryLex && mainOldOf(i) >= 0 && lex.docLen(mainOldOf(i)) > 0) {
+          pDocLen(c)(w(c)) = lex.docLen(mainOldOf(i))
+          pNumDocs(c) += 1
+          cellOfOld(mainOldOf(i)) = c
+          idxOfOld(mainOldOf(i)) = w(c)
+        }
         var m = 0
         while (m < meta.length) {
           val srcC = meta(m); val dstC = pMeta(c)(m)
@@ -293,11 +327,40 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
         w(c) += 1
         i += 1
       }
+      if (carryLex) {
+        // re-split this shard's postings by the rows' new cells (dead
+        // rows have cellOfOld == -1 and drop out)
+        var t = 0
+        while (t < lex.terms.length) {
+          val term = lex.terms(t)
+          var p = lex.postStart(t)
+          val hi = lex.postStart(t + 1)
+          while (p < hi) {
+            val r = lex.postRow(p)
+            val c = cellOfOld(r)
+            if (c >= 0) {
+              var buf = pPost(c).get(term)
+              if (buf == null) {
+                buf = new scala.collection.mutable.ArrayBuffer[(Int, Float)]()
+                pPost(c).put(term, buf)
+              }
+              buf += ((idxOfOld(r), lex.postTf(p)))
+            }
+            p += 1
+          }
+          t += 1
+        }
+      }
     }
     val present = (0 until newShards).filter(counts(_) > 0)
     require(present.nonEmpty, "reshard: the set has no live rows")
-    val reps = present.map(c =>
-      LocalCodeReplica.fromArrays(bits, words, pIds(c), pFlat(c), pMeta(c)))
+    val reps = present.map { c =>
+      val carry =
+        if (!carryLex || pNumDocs(c) == 0) null
+        else new LocalReplica.LexCarry(pDocLen(c), pPost(c), pNumDocs(c))
+      LocalCodeReplica.fromArrays(bits, words, pIds(c), pFlat(c), pMeta(c),
+        lexCarry = carry)
+    }
     val set = new CodeReplicaSet(reps.toIndexedSeq)
     set.cellsTotal = newShards
     set.cellOfShard = present.toIndexedSeq
@@ -311,6 +374,100 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
       }
     }
     set
+  }
+
+  // ------------------------------------------ cross-shard lexical / hybrid
+  // The Hamming twins of [[ReplicaSet]]'s global-stats exchange: document
+  // counts, total token length, and per-query-term df sum EXACTLY across
+  // shards, so every shard scores BM25 under corpus-level idf/avgdl and
+  // the merged pools are bit-identical to a single global replica's.
+
+  /** Whether every shard carries a lexical postings section. */
+  def lexical: Boolean = shards.forall(_.lexical)
+
+  private lazy val globalLexStats: (Long, Double) = {
+    require(lexical,
+      "a shard carries no lexical section — export with textCol to serve " +
+        "sharded BM25/hybrid")
+    var nd = 0L
+    var total = 0L
+    shards.foreach { s =>
+      val l = s.lexData
+      nd += l.numDocs
+      var i = 0
+      while (i < l.docLen.length) { total += l.docLen(i); i += 1 }
+    }
+    (nd, if (nd == 0) 0.0 else total.toDouble / nd)
+  }
+
+  private def globalFor(terms: Seq[String]): LocalReplica.GlobalLex = {
+    val (nd, avgdl) = globalLexStats
+    val idf = new java.util.HashMap[String, java.lang.Double]()
+    terms.distinct.foreach { t =>
+      var df = 0.0
+      shards.foreach(s => df += s.termDf(t))
+      if (df > 0)
+        idf.put(t, math.log(1.0 + (nd - df + 0.5) / (df + 0.5)))
+    }
+    new LocalReplica.GlobalLex(
+      t => { val v = idf.get(t); if (v == null) 0.0 else v.doubleValue },
+      avgdl)
+  }
+
+  /** Merge per-shard lexical pools under the engine's rank order
+    * (rounded score desc, id asc) — each pool is its shard's top-m under
+    * GLOBAL stats, so the merged top-m is the corpus top-m.
+    */
+  private def mergeLex(pools: Seq[Seq[(Long, Double)]],
+      m: Int): Seq[(Long, Double)] =
+    pools.flatten.map(t => (t._1, t._2, LocalReplica.round6(t._2)))
+      .sortWith((a, b) => if (a._3 != b._3) a._3 > b._3 else a._1 < b._1)
+      .take(m).map(t => (t._1, t._2))
+
+  /** Cross-shard BM25 top-k — identical scores and order to a single
+    * code replica over the whole corpus (global-stats exchange, not a
+    * naive per-shard-idf merge).
+    */
+  def lexicalSearch(textQuery: String, k: Int): Seq[Candidate] = {
+    if (shards.length == 1) return shards(0).lexicalSearch(textQuery, k)
+    val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
+    val pools = new Array[Seq[(Long, Double)]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach { i =>
+        pools(i) = shards(i).lexicalPoolSnap(textQuery, k,
+          shards(i).snapshotMut, g)
+      }
+    mergeLex(pools.toIndexedSeq, k).map { case (id, s) => Candidate(id, s) }
+  }
+
+  /** Cross-shard hybrid RRF on the code tier — the Hamming twin of
+    * [[ReplicaSet.hybridSearch]]: the vector pool is the exact global
+    * popcount top-m (integer scores — per-shard top-m merged under the
+    * total (distance asc, id asc) order IS the global top-m, no rounded
+    * ties to deepen), the lexical pool is the global-stats BM25 top-m,
+    * and the fuse is the shared RRF math. One mutation snapshot is
+    * pinned per shard for both pools.
+    */
+  def hybridSearch(q: Array[Long], textQuery: String, k: Int,
+      rrfK: Int = 60): Seq[Candidate] = {
+    if (shards.length == 1)
+      return shards(0).hybridSearch(q, textQuery, k, rrfK)
+    require(lexical,
+      "a shard carries no lexical section — export with textCol to serve " +
+        "sharded BM25/hybrid")
+    val m = math.max(2 * k, 50)
+    val snaps = shards.map(_.snapshotMut)
+    val vPools = new Array[Seq[Candidate]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach(i => vPools(i) = shards(i).searchSnap(q, m, snaps(i)))
+    val vPool = mergeK(vPools, m).map(c => (c.id, c.score))
+    val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
+    val lPools = new Array[Seq[(Long, Double)]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel()
+      .forEach { i =>
+        lPools(i) = shards(i).lexicalPoolSnap(textQuery, m, snaps(i), g)
+      }
+    LocalReplica.rrfFuse(vPool, mergeLex(lPools.toIndexedSeq, m), k, rrfK)
   }
 
   /** Persist as per-shard GRCR artifacts + a routing manifest (see
@@ -375,7 +532,8 @@ object CodeReplicaSet {
   def fromDataFrame(df: DataFrame, codeCol: String, idCol: String,
       bits: Int, shards: Int,
       maxRows: Long = LocalReplica.DefaultMaxRows,
-      metaCols: Seq[String] = Nil): CodeReplicaSet = {
+      metaCols: Seq[String] = Nil,
+      textCol: Option[String] = None): CodeReplicaSet = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val cell = pmod(xxhash64(col(idCol)), lit(shards))
     val cached = df.persist(
@@ -387,7 +545,7 @@ object CodeReplicaSet {
         "cannot build a CodeReplicaSet from an empty frame")
       val reps = present.toIndexedSeq.map { s =>
         LocalCodeReplica.fromDataFrame(cached.where(cell === lit(s)),
-          codeCol, idCol, bits, maxRows, metaCols)
+          codeCol, idCol, bits, maxRows, metaCols, textCol)
       }
       val set = new CodeReplicaSet(reps)
       set.cellsTotal = shards
@@ -402,13 +560,14 @@ object CodeReplicaSet {
     */
   def fromStore(db: GraftDB, shards: Int,
       maxRows: Long = LocalReplica.DefaultMaxRows,
-      metaCols: Seq[String] = Nil): CodeReplicaSet = {
+      metaCols: Seq[String] = Nil,
+      textCol: Option[String] = None): CodeReplicaSet = {
     require(db.metric == Metric.Hamming,
       s"CodeReplicaSet serves Hamming stores (store is ${db.config.metric}); " +
         "float metrics go through ReplicaSet")
     val v = db.effectiveVersion
     val set = fromDataFrame(db.store.read(v), "vector", "id",
-      db.config.dim, shards, maxRows, metaCols)
+      db.config.dim, shards, maxRows, metaCols, textCol)
     if (set.shards.length == shards) {
       db.store.manifest(v).foreach { m =>
         val segs = m.segments.map(_.path).toSet

@@ -24,17 +24,36 @@ final class LocalCodeReplica private (
     val words: Int,
     ids: Array[Long],
     flat: Array[Long],
-    metaCols: Array[LocalReplica.MetaColumn] = Array.empty) {
+    metaCols: Array[LocalReplica.MetaColumn] = Array.empty,
+    lex: LocalReplica.LexData = null) {
 
   def size: Int = ids.length
 
   /** Metadata columns exported with the codes (format v2 trailer) —
-    * group keys for [[searchGrouped]]; same export contract as the float
-    * tier's v3 trailer.
+    * group keys for [[searchGrouped]] and [[searchWhere]] predicates;
+    * same export contract as the float tier's v3 trailer.
     */
   def metaColumns: Seq[String] = metaCols.map(_.name).toSeq
 
+  /** Whether the replica carries a lexical postings section (format v3
+    * trailer — export with `textCol` to serve BM25/hybrid in-process).
+    */
+  def lexical: Boolean = lex != null
+
   private[serve] def metaData: Array[LocalReplica.MetaColumn] = metaCols
+
+  private[serve] def lexData: LocalReplica.LexData = lex
+
+  /** This shard's document frequency for one term (0 when absent or no
+    * lexical section) — the [[CodeReplicaSet]] global-idf sum input.
+    */
+  private[serve] def termDf(term: String): Int = {
+    val l = lex
+    if (l == null) return 0
+    val ti = java.util.Arrays.binarySearch(
+      l.terms.asInstanceOf[Array[AnyRef]], term)
+    if (ti < 0) 0 else l.postStart(ti + 1) - l.postStart(ti)
+  }
 
   private lazy val metaByName: Map[String, LocalReplica.MetaColumn] =
     metaCols.map(c => c.name -> c).toMap
@@ -77,11 +96,14 @@ final class LocalCodeReplica private (
 
   /** Dense (ids, flat packed codes, metadata) of every LIVE row — main
     * minus tombstones plus delta (the [[LocalReplica.liveRows]] twin, for
-    * [[CodeReplicaSet.reshard]]'s row movement). Fresh copies; delta rows
-    * carry no metadata (null entries, the freshness contract).
+    * [[CodeReplicaSet.reshard]]'s row movement). Fresh copies. A delta
+    * row's metadata resolves from its tombstoned MAIN row when the id
+    * previously existed (the [[groupKeyOf]] contract — an upserted id
+    * keeps its group key through a reshard); brand-new delta ids carry
+    * none (null entries, the freshness contract).
     */
-  private[serve] def liveRows():
-      (Array[Long], Array[Long], Array[LocalReplica.MetaColumn]) = {
+  private[serve] def liveRows(): (Array[Long], Array[Long], Array[Int],
+      Array[LocalReplica.MetaColumn]) = {
     val m0 = mut
     val tomb = if (m0 == null) null else m0.tombstones
     val dIds = if (m0 == null) null else m0.deltaIds
@@ -94,6 +116,10 @@ final class LocalCodeReplica private (
     val outIds = new Array[Long](n)
     val outFlat = new Array[Long](n * words)
     val keep = new Array[Int](nLive) // main-row index per surviving slot
+    // old MAIN row index per output slot, -1 for delta rows — the lex
+    // re-split key [[CodeReplicaSet.reshard]] remaps postings through
+    val mainOldOf = new Array[Int](n)
+    java.util.Arrays.fill(mainOldOf, -1)
     var w = 0
     r = 0
     while (r < size) {
@@ -101,6 +127,7 @@ final class LocalCodeReplica private (
         outIds(w) = ids(r)
         System.arraycopy(flat, r * words, outFlat, w * words, words)
         keep(w) = r
+        mainOldOf(w) = r
         w += 1
       }
       r += 1
@@ -117,22 +144,25 @@ final class LocalCodeReplica private (
         if (c.kind == LocalReplica.MetaDouble) new Array[Double](n) else null
       val strings =
         if (c.kind == LocalReplica.MetaString) new Array[String](n) else null
-      var i = 0
-      while (i < nLive) {
-        val src = keep(i)
+      @inline def copyFrom(i: Int, src: Int): Unit = {
         nulls(i) = c.nulls(src)
         c.kind match {
           case LocalReplica.MetaString => strings(i) = c.strings(src)
           case LocalReplica.MetaDouble => doubles(i) = c.doubles(src)
           case _ => longs(i) = c.longs(src)
         }
+      }
+      var i = 0
+      while (i < nLive) { copyFrom(i, keep(i)); i += 1 }
+      while (i < n) { // delta rows: tombstoned-main metadata if the id
+        val src = idToRow.get(outIds(i)) // previously existed, else null
+        if (src >= 0) copyFrom(i, src) else nulls(i) = true
         i += 1
       }
-      while (i < n) { nulls(i) = true; i += 1 } // delta rows: no metadata
       new LocalReplica.MetaColumn(c.name, c.kind, longs, doubles, strings,
         nulls)
     }
-    (outIds, outFlat, outMeta)
+    (outIds, outFlat, mainOldOf, outMeta)
   }
 
   /** Tombstone ids (vecgo delete on a Hamming serving tier): one bitmap
@@ -490,6 +520,202 @@ final class LocalCodeReplica private (
       .take(maxResults).toSeq
   }
 
+  private[serve] def snapshotMut: LocalCodeReplica.Mut = mut
+
+  private[serve] def searchSnap(q: Array[Long], k: Int,
+      m0: LocalCodeReplica.Mut): Seq[Candidate] = searchInternal(q, k, m0)
+
+  /** Filtered top-k with typed predicates evaluated REPLICA-side against
+    * the exported metadata columns — the Hamming twin of
+    * [[LocalReplica.searchWhere]] (vecgo evaluates typed filters inside
+    * the engine for any metric, `metadata/filter.go:122-216`;
+    * `internal/engine/search.go:295-307` applies them on the Hamming
+    * path too). Pre-filter semantics, exact over survivors, same
+    * (distance asc, id asc) ordering as [[search]]. Delta rows carry no
+    * metadata → every column is NULL → no predicate matches (three-valued
+    * semantics), so the delta block is not scanned — the float tier's
+    * freshness contract.
+    */
+  def searchWhere(q: Array[Long], k: Int,
+      filters: Seq[graft.types.Filter]): Seq[Candidate] = {
+    if (filters.isEmpty) return search(q, k)
+    searchWhereInternal(q, k, compilePreds(filters),
+      { val m0 = mut; if (m0 == null) null else m0.tombstones })
+  }
+
+  private def compilePreds(
+      filters: Seq[graft.types.Filter]): Array[Int => Boolean] =
+    filters.map(f => LocalReplica.compileFilter(f, metaByName,
+      metaCols.map(_.name).mkString(", "))).toArray
+
+  private def searchWhereInternal(q: Array[Long], k: Int,
+      preds: Array[Int => Boolean], tomb: Array[Long]): Seq[Candidate] = {
+    require(q.length == words,
+      s"query has ${q.length} words, replica packs $words")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    var r = 0
+    while (r < size) {
+      var ok = live(tomb, r)
+      var i = 0
+      while (ok && i < preds.length) { ok = preds(i)(r); i += 1 }
+      if (ok) buf += Candidate(ids(r), distAt(r * words, q).toDouble)
+      r += 1
+    }
+    buf.sortWith((a, b) => better(a.score.toLong, a.id, b.score.toLong, b.id))
+      .take(k).toSeq
+  }
+
+  /** BM25 scores of every live doc containing ≥1 query term, best-first
+    * by the engine's (rounded score desc, id asc) rank order, capped at
+    * `m` — the Hamming tier's lexical pool over the exported postings
+    * CSR. Unlike the float tier's latency-tuned DAAT walk this is a
+    * plain per-row accumulation (term order per row matches the DAAT
+    * sum order, so scores are bit-identical); code replicas are bounded
+    * per-shard artifacts, so the O(size) accumulator is fine. Corpus
+    * stats are FROZEN at export; tombstoned rows are excluded from
+    * scoring but not the frozen stats; delta rows carry no text — the
+    * same freshness contract as the float tier. With `global` set (the
+    * [[CodeReplicaSet]] cross-shard path) per-posting scores compute on
+    * the fly from tf/doclen under the CALLER's idf/avgdl — the exact
+    * expression `LexData.impact` freezes, so a shard scoring under
+    * global stats is bit-identical to a single global replica.
+    */
+  private def lexicalPool(textQuery: String, m: Int,
+      tomb: Array[Long], pred: Int => Boolean = null,
+      global: LocalReplica.GlobalLex = null): Seq[(Long, Double)] = {
+    val l = lex
+    require(l != null,
+      "replica carries no lexical section — export with textCol to serve " +
+        "BM25/hybrid in-process")
+    val termsIn = graft.lexical.BM25.tokenizeQuery(textQuery)
+    val acc = new Array[Double](size)
+    val seen = new Array[Boolean](size)
+    val touched = new scala.collection.mutable.ArrayBuffer[Int]()
+    termsIn.foreach { t =>
+      val ti = java.util.Arrays.binarySearch(
+        l.terms.asInstanceOf[Array[AnyRef]], t)
+      if (ti >= 0) {
+        val idf = if (global == null) 0.0 else global.idf(t)
+        var i = l.postStart(ti)
+        val hi = l.postStart(ti + 1)
+        while (i < hi) {
+          val row = l.postRow(i)
+          if (live(tomb, row) && (pred == null || pred(row))) {
+            val s =
+              if (global == null) l.impact(i)
+              else {
+                import graft.lexical.BM25.{K1, B}
+                val tf = l.postTf(i).toDouble
+                val lenNorm = K1 * ((1.0 - B) +
+                  B * l.docLen(row).toDouble / global.avgdl)
+                idf * (tf * (K1 + 1.0)) / (tf + lenNorm)
+              }
+            if (!seen(row)) { seen(row) = true; touched += row }
+            acc(row) += s
+          }
+          i += 1
+        }
+      }
+    }
+    if (touched.isEmpty) return Nil
+    // rank by (rounded score desc, id asc), return raw scores
+    val n = touched.length
+    val key = new Array[Double](n)
+    val outIds = new Array[Long](n)
+    val raw = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = touched(i)
+      key(i) = LocalReplica.round6(acc(row))
+      outIds(i) = ids(row)
+      raw(i) = acc(row)
+      i += 1
+    }
+    LocalReplica.sortRank(key, outIds, raw, n, asc = false)
+    val out = new Array[(Long, Double)](math.min(m, n))
+    i = 0
+    while (i < out.length) { out(i) = (outIds(i), raw(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  private[serve] def lexicalPoolSnap(textQuery: String, m: Int,
+      m0: LocalCodeReplica.Mut,
+      global: LocalReplica.GlobalLex): Seq[(Long, Double)] =
+    lexicalPool(textQuery, m,
+      if (m0 == null) null else m0.tombstones, null, global)
+
+  /** In-process BM25 top-k on the code tier (vecgo R10 served embedded —
+    * lexical search is metric-agnostic): same scores and (rounded score
+    * desc, id asc) ordering as `GraftDB.lexicalSearch` over the exported
+    * snapshot.
+    */
+  def lexicalSearch(textQuery: String, k: Int): Seq[Candidate] = {
+    val m0 = mut
+    lexicalPool(textQuery, k,
+      if (m0 == null) null else m0.tombstones).map { case (id, s) =>
+      Candidate(id, s)
+    }
+  }
+
+  /** In-process hybrid RRF on the code tier — the Hamming twin of
+    * [[LocalReplica.hybridSearch]] (vecgo's `HybridSearch` is
+    * metric-agnostic, `engine.go:1538-1635`): popcount top-m pool
+    * (m = max(2k, 50)) fused with the BM25 top-m pool by reciprocal
+    * rank. Hamming distances are exact integers, so the vector pool
+    * needs no rounded-rank recut or tie deepening — (distance asc,
+    * id asc) is already the engine's total pool order — and the result
+    * matches `GraftDB.hybridSearchCodes` bit-for-bit. The lexical pool
+    * overlaps the popcount scan on a ForkJoin task (same snapshot, pure
+    * reads), the float tier's latency structure.
+    */
+  def hybridSearch(q: Array[Long], textQuery: String, k: Int,
+      rrfK: Int = 60): Seq[Candidate] = {
+    require(lex != null,
+      "replica carries no lexical section — export with textCol to serve " +
+        "BM25/hybrid in-process")
+    val m0 = mut // ONE snapshot for both pools
+    val tomb = if (m0 == null) null else m0.tombstones
+    val m = math.max(2 * k, 50)
+    val lexTask = LocalReplica.overlap(lexicalPool(textQuery, m, tomb))
+    val vPool = LocalReplica.joinedWithOverlap(lexTask) {
+      searchInternal(q, m, m0).map(c => (c.id, c.score))
+    }
+    LocalReplica.rrfFuse(vPool, LocalReplica.joinOverlap(lexTask), k, rrfK)
+  }
+
+  /** FILTERED in-process hybrid on the code tier (vecgo `HybridSearch` +
+    * `WithFilter` over any metric, `engine.go:1538-1545`): typed
+    * predicates restrict BOTH pools — the popcount pool scores only
+    * predicate survivors (pre-filter semantics, exact over the allowed
+    * set) and the lexical accumulation skips non-matching rows before
+    * they can claim a pool slot, while df/avgdl/N stay corpus-level
+    * exactly like the engine's semi-join-after-df shape. Delta rows
+    * carry neither metadata nor text, so they are absent from both
+    * pools (the standing freshness contract).
+    */
+  def hybridSearchWhere(q: Array[Long], textQuery: String, k: Int,
+      filters: Seq[graft.types.Filter],
+      rrfK: Int = 60): Seq[Candidate] = {
+    if (filters.isEmpty) return hybridSearch(q, textQuery, k, rrfK)
+    require(lex != null,
+      "replica carries no lexical section — export with textCol to serve " +
+        "BM25/hybrid in-process")
+    val preds = compilePreds(filters)
+    @inline def pred(r: Int): Boolean = {
+      var i = 0
+      while (i < preds.length) { if (!preds(i)(r)) return false; i += 1 }
+      true
+    }
+    val m0 = mut
+    val tomb = if (m0 == null) null else m0.tombstones
+    val m = math.max(2 * k, 50)
+    val lexTask = LocalReplica.overlap(lexicalPool(textQuery, m, tomb, pred))
+    val vPool = LocalReplica.joinedWithOverlap(lexTask) {
+      searchWhereInternal(q, m, preds, tomb).map(c => (c.id, c.score))
+    }
+    LocalReplica.rrfFuse(vPool, LocalReplica.joinOverlap(lexTask), k, rrfK)
+  }
+
   /** Group key of a live id under metadata column `groupCol` (the
     * [[LocalReplica.groupKeyOf]] twin): None when the row is gone,
     * carries no metadata (delta rows), or the column is NULL — grouped
@@ -599,6 +825,27 @@ final class LocalCodeReplica private (
             LocalReplica.writeLongs(out, c.longs)
         }
       }
+      // v3 trailer: compact lexical postings (sorted vocab + CSR
+      // (row, tf) + doc lengths + frozen corpus stats — the code-tier
+      // twin of the float artifact's v5 section)
+      out.writeBoolean(lex != null)
+      if (lex != null) {
+        val v = lex.terms.length
+        out.writeInt(v)
+        var t = 0
+        while (t < v) { out.writeUTF(lex.terms(t)); t += 1 }
+        t = 0
+        while (t <= v) { out.writeInt(lex.postStart(t)); t += 1 }
+        val nPost = lex.postStart(v)
+        var i = 0
+        while (i < nPost) { out.writeInt(lex.postRow(i)); i += 1 }
+        i = 0
+        while (i < nPost) { out.writeFloat(lex.postTf(i)); i += 1 }
+        i = 0
+        while (i < size) { out.writeInt(lex.docLen(i)); i += 1 }
+        out.writeLong(lex.numDocs)
+        out.writeDouble(lex.avgdl)
+      }
     } finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
@@ -615,7 +862,8 @@ final class LocalCodeReplica private (
 object LocalCodeReplica {
 
   private[serve] val Magic = 0x47524352 // "GRCR"
-  private[serve] val FormatVersion = 2 // v2: typed metadata trailer
+  // v2: typed metadata trailer; v3: lexical postings trailer
+  private[serve] val FormatVersion = 3
 
   /** Greedy MMR over a best-first popcount pool — shared by
     * [[LocalCodeReplica.searchMmr]] and [[CodeReplicaSet.searchMmr]].
@@ -754,7 +1002,33 @@ object LocalCodeReplica {
             }
           }
         }
-      new LocalCodeReplica(bits, words, ids, flat, meta)
+      val lex: LocalReplica.LexData =
+        if (ver < 3 || !in.readBoolean()) null
+        else {
+          val v = in.readInt()
+          require(v >= 0 && v <= 100000000,
+            s"corrupt code replica: vocab size $v")
+          val terms = Array.fill(v)(in.readUTF())
+          val postStart = new Array[Int](v + 1)
+          var t = 0
+          while (t <= v) { postStart(t) = in.readInt(); t += 1 }
+          val nPost = postStart(v)
+          require(nPost >= 0, s"corrupt code replica: $nPost postings")
+          val postRow = new Array[Int](nPost)
+          var i = 0
+          while (i < nPost) { postRow(i) = in.readInt(); i += 1 }
+          val postTf = new Array[Float](nPost)
+          i = 0
+          while (i < nPost) { postTf(i) = in.readFloat(); i += 1 }
+          val docLen = new Array[Int](n)
+          i = 0
+          while (i < n) { docLen(i) = in.readInt(); i += 1 }
+          val numDocs = in.readLong()
+          val avgdl = in.readDouble()
+          new LocalReplica.LexData(terms, postStart, postRow, postTf,
+            docLen, numDocs, avgdl)
+        }
+      new LocalCodeReplica(bits, words, ids, flat, meta, lex)
     } finally in.close()
   }
 
@@ -764,23 +1038,29 @@ object LocalCodeReplica {
     */
   private[serve] def fromArrays(bits: Int, words: Int, ids: Array[Long],
       flat: Array[Long],
-      meta: Array[LocalReplica.MetaColumn] = Array.empty): LocalCodeReplica = {
+      meta: Array[LocalReplica.MetaColumn] = Array.empty,
+      lexCarry: LocalReplica.LexCarry = null): LocalCodeReplica = {
     require(ids.nonEmpty, "fromArrays: no rows")
     require(flat.length == ids.length * words,
       s"fromArrays: flat has ${flat.length} words, " +
         s"expected ${ids.length * words}")
-    new LocalCodeReplica(bits, words, ids, flat, meta)
+    new LocalCodeReplica(bits, words, ids, flat, meta,
+      LocalReplica.lexOf(lexCarry, null, ids.length))
   }
 
   /** Export from any (id, array<long> codes) DataFrame. `bits` documents
     * the code width (= Hamming store `dim`); rows must pack
     * `ceil(bits/32)` words like [[graft.index.BQ.packCol]]. `metaCols`
     * ships typed metadata columns (normalized long/double/string, the
-    * float tier's contract) as group keys for [[LocalCodeReplica#searchGrouped]].
+    * float tier's contract) as group keys for
+    * [[LocalCodeReplica#searchGrouped]] and [[LocalCodeReplica#searchWhere]]
+    * predicates; `textCol` ships a compact lexical postings section for
+    * [[LocalCodeReplica#lexicalSearch]]/[[LocalCodeReplica#hybridSearch]].
     */
   def fromDataFrame(df: DataFrame, codeCol: String, idCol: String, bits: Int,
       maxRows: Long = LocalReplica.DefaultMaxRows,
-      metaCols: Seq[String] = Nil): LocalCodeReplica = {
+      metaCols: Seq[String] = Nil,
+      textCol: Option[String] = None): LocalCodeReplica = {
     import org.apache.spark.sql.types._
     val metaKinds: Array[Byte] = metaCols.map { name =>
       df.schema(name).dataType match {
@@ -800,8 +1080,10 @@ object LocalCodeReplica {
         case _ => col(name).cast("long")
       }).as(name)
     }
+    val textExpr = textCol.map(tc => col(tc).cast("string").as(tc)).toSeq
     val rows = df.select(
-      col(idCol).cast("long") +: col(codeCol) +: metaExprs: _*).collect()
+      col(idCol).cast("long") +: col(codeCol) +: (metaExprs ++ textExpr): _*)
+      .collect()
     require(rows.length <= maxRows,
       s"replica export of ${rows.length} rows exceeds maxRows=$maxRows — " +
         "export per shard or raise maxRows explicitly")
@@ -844,19 +1126,32 @@ object LocalCodeReplica {
         new LocalReplica.MetaColumn(name, kind, longs, doubles, strings,
           nulls)
       }.toArray
-    new LocalCodeReplica(bits, words, ids, flat, meta)
+    val lex: LocalReplica.LexData = textCol match {
+      case None => null
+      case Some(_) =>
+        val fld = 2 + metaCols.length
+        val texts = new Array[String](n)
+        var i = 0
+        while (i < n) {
+          if (!rows(i).isNullAt(fld)) texts(i) = rows(i).getString(fld)
+          i += 1
+        }
+        LocalReplica.buildLexFromTexts(texts)
+    }
+    new LocalCodeReplica(bits, words, ids, flat, meta, lex)
   }
 
   /** Export from a Hamming engine snapshot. */
   def fromStore(db: GraftDB,
       maxRows: Long = LocalReplica.DefaultMaxRows,
-      metaCols: Seq[String] = Nil): LocalCodeReplica = {
+      metaCols: Seq[String] = Nil,
+      textCol: Option[String] = None): LocalCodeReplica = {
     require(db.metric == Metric.Hamming,
       s"LocalCodeReplica serves Hamming stores (store is ${db.config.metric}); " +
         "float metrics go through LocalReplica")
     val v = db.effectiveVersion
     val rep = fromDataFrame(db.store.read(v), "vector", "id",
-      db.config.dim, maxRows, metaCols)
+      db.config.dim, maxRows, metaCols, textCol)
     db.store.manifest(v).foreach { m =>
       rep.origin = LocalReplica.Origin(db.store.root, v,
         m.segments.map(_.path).toSet, m.deletes.map(_.path).toSet)

@@ -1688,48 +1688,13 @@ final class LocalReplica private (
     metaCols.map(c => c.name -> c).toMap
 
   /** Compile one engine [[graft.types.Filter]] into a row-index predicate
-    * over the exported metadata columns. Semantics match `Dataset.where`:
-    * NULL input never satisfies any predicate (including `Ne`), numerics
-    * compare cross-type (int~double), strings compare lexically,
-    * `Contains` is substring containment — the same leaf language the
-    * reference evaluates engine-side (`metadata/filter.go:122-216`).
+    * over the exported metadata columns — delegates to the shared
+    * [[LocalReplica.compileFilter]] leaf language (one copy for both
+    * serving tiers).
     */
-  private def compilePredicate(f: graft.types.Filter): Int => Boolean = {
-    import graft.types.Filter._
-    def colOf(field: String): LocalReplica.MetaColumn =
-      metaByName.getOrElse(field, throw new IllegalArgumentException(
-        s"replica carries no metadata column `$field` (have: " +
-          s"${metaCols.map(_.name).mkString(", ")}) — export it via metaCols"))
-    def num(v: Any): Double = v match {
-      case n: java.lang.Number => n.doubleValue
-      case other => throw new IllegalArgumentException(
-        s"numeric predicate value $other is not a number")
-    }
-    // three-valued compare: NaN (never satisfies) marks a NULL row
-    def cmp(c: LocalReplica.MetaColumn, r: Int, v: Any): Double =
-      if (c.nulls(r)) Double.NaN
-      else c.kind match {
-        case LocalReplica.MetaString => c.strings(r).compareTo(v.toString).toDouble
-        case LocalReplica.MetaDouble => java.lang.Double.compare(c.doubles(r), num(v)).toDouble
-        case _ => java.lang.Double.compare(c.longs(r).toDouble, num(v)).toDouble
-      }
-    f match {
-      case Eq(field, v) => val c = colOf(field); r => cmp(c, r, v) == 0.0
-      case Ne(field, v) => val c = colOf(field); r => { val x = cmp(c, r, v); x < 0.0 || x > 0.0 }
-      case Gt(field, v) => val c = colOf(field); r => cmp(c, r, v) > 0.0
-      case Gte(field, v) => val c = colOf(field); r => { val x = cmp(c, r, v); x == 0.0 || x > 0.0 }
-      case Lt(field, v) => val c = colOf(field); r => cmp(c, r, v) < 0.0
-      case Lte(field, v) => val c = colOf(field); r => { val x = cmp(c, r, v); x == 0.0 || x < 0.0 }
-      case In(field, vs) =>
-        val c = colOf(field)
-        r => !c.nulls(r) && vs.exists(v => cmp(c, r, v) == 0.0)
-      case Contains(field, sub) =>
-        val c = colOf(field)
-        require(c.kind == LocalReplica.MetaString,
-          s"contains() needs a string column; `$field` is not one")
-        r => !c.nulls(r) && c.strings(r).contains(sub)
-    }
-  }
+  private def compilePredicate(f: graft.types.Filter): Int => Boolean =
+    LocalReplica.compileFilter(f, metaByName,
+      metaCols.map(_.name).mkString(", "))
 
   /** Filtered top-k with the predicate evaluated REPLICA-side against
     * exported metadata columns (vecgo evaluates typed filters inside the
@@ -1899,24 +1864,8 @@ final class LocalReplica private (
     * the DuckDB oracle) sorts pools by, so replica ranks reproduce the
     * distributed ranks bit-for-bit.
     */
-  @inline private[serve] def round6(x: Double): Double = {
-    // fast path: scale + floor, valid when x·1e6 sits clearly away from a
-    // .5 rounding boundary — sound only while the double multiply's error
-    // stays far inside the 1e-4 guard band: ulp(4.5e10) ≈ 1e-5, an order
-    // of magnitude of headroom (a 4.5e15 bound would admit ulp ≈ 1 and
-    // let the fast path round the opposite way from BigDecimal for
-    // |x| ≳ 5e5). Larger magnitudes and boundary-adjacent values take
-    // the exact decimal-string path.
-    val y = x * 1e6
-    if (math.abs(y) < 4.5e10) {
-      val f = math.floor(y)
-      val frac = y - f
-      if (math.abs(frac - 0.5) > 1e-4)
-        return (if (frac > 0.5) f + 1 else f) / 1e6
-    }
-    java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-  }
+  @inline private[serve] def round6(x: Double): Double =
+    LocalReplica.round6(x)
 
   /** The score a pool RANKS by (the engine's hybrid pool reports L2 as
     * euclidean distance, not the internal squared score).
@@ -2256,77 +2205,35 @@ final class LocalReplica private (
   }
 
   /** RRF-fuse two rank pools (shared by the plain and filtered hybrids —
-    * ONE copy of the rank/fuse math, so the two paths cannot fork).
+    * ONE copy of the rank/fuse math, so the two paths cannot fork; the
+    * math itself lives in [[LocalReplica.rrfFuse]], shared with the
+    * Hamming tier).
     */
   private[serve] def rrfFuse(vPool: Seq[(Long, Double)],
-      lPool: Seq[(Long, Double)], k: Int, rrfK: Int): Seq[Candidate] = {
-    // primitive arrays, not a boxed HashMap: gather both pools' rank
-    // contributions, group by id (id-major sort), sum the ≤2 entries per
-    // id (a+b commutes exactly in IEEE, so order never matters), then
-    // rank by (fused desc, id asc) — same values as the map-based fuse
-    val n = vPool.length + lPool.length
-    val ids = new Array[Long](n)
-    val sc = new Array[Double](n)
-    var i = 0
-    def addRanks(pool: Seq[(Long, Double)]): Unit = {
-      var r = 0
-      val it = pool.iterator
-      while (it.hasNext) {
-        ids(i) = it.next()._1
-        sc(i) = 1.0 / (rrfK + r + 1.0)
-        r += 1; i += 1
-      }
-    }
-    addRanks(vPool)
-    addRanks(lPool)
-    // id-major order: all-equal keys make sortRank compare ids only
-    LocalReplica.sortRank(new Array[Double](n), ids, sc, n, asc = true)
-    var w = 0
-    i = 0
-    while (i < n) {
-      var s = sc(i)
-      var j = i + 1
-      while (j < n && ids(j) == ids(i)) { s += sc(j); j += 1 }
-      ids(w) = ids(i); sc(w) = s; w += 1
-      i = j
-    }
-    LocalReplica.sortRank(sc, ids, null, w, asc = false)
-    val out = new Array[Candidate](math.min(k, w))
-    i = 0
-    while (i < out.length) { out(i) = Candidate(ids(i), sc(i)); i += 1 }
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
-  }
+      lPool: Seq[(Long, Double)], k: Int, rrfK: Int): Seq[Candidate] =
+    LocalReplica.rrfFuse(vPool, lPool, k, rrfK)
 
-  /** Run `f` on a ForkJoin task overlapping the caller's own pool work —
-    * the two hybrid pools are independent reads of one immutable
-    * snapshot, and serving latency is their MAX plus the fuse instead of
-    * their sum (the reference's 216 µs hybrid headline is a
-    * single-process number; ours was paying vector-then-lexical
-    * serially). `join` from an FJ worker helps-run the task, so nesting
-    * under a [[ReplicaSet]] router fan-out cannot deadlock; failures
-    * rethrow the original cause to keep the sequential API contract.
-    */
   @inline private def overlap[A](f: => A)
       : java.util.concurrent.ForkJoinTask[Either[Throwable, A]] =
-    java.util.concurrent.ForkJoinPool.commonPool().submit(
-      new java.util.concurrent.Callable[Either[Throwable, A]] {
-        // carry failures as a value: ForkJoinTask.join would otherwise
-        // rethrow a RECONSTRUCTED exception (or the original object when
-        // helped-run on the same worker), making any unwrap heuristic
-        // wrong for exceptions that carry their own cause
-        def call(): Either[Throwable, A] =
-          try Right(f) catch { case e: Throwable => Left(e) }
-      })
+    LocalReplica.overlap(f)
 
   @inline private def joinOverlap[A](
       t: java.util.concurrent.ForkJoinTask[Either[Throwable, A]]): A =
-    t.join() match {
-      case Right(a) => a
-      case Left(e)  => throw e
-    }
+    LocalReplica.joinOverlap(t)
+
+  @inline private def joinedWithOverlap[A, B](
+      t: java.util.concurrent.ForkJoinTask[Either[Throwable, B]])(
+      f: => A): A =
+    LocalReplica.joinedWithOverlap(t)(f)
 
   def hybridSearch(q0: Array[Float], textQuery: String, k: Int,
       rrfK: Int = 60, nprobe: Int = 0): Seq[Candidate] = {
+    // validate BEFORE submitting the overlap task: a replica with no
+    // lexical section must throw immediately, not after a full vector
+    // scan (round-11 ADVICE)
+    require(lex != null,
+      "replica carries no lexical section — export with textCol to serve " +
+        "BM25/hybrid in-process")
     val q = prepQuery(q0)
     val m0 = mut // ONE snapshot for both pools
     val tomb = mutTomb(m0)
@@ -2341,20 +2248,23 @@ final class LocalReplica private (
     // rounds strictly worse, or everything is fetched) — so id order
     // inside the tie resolves exactly like the engine's TakeOrdered, at
     // any tie width.
-    val ranges = probeRanges(q, nprobe)
-    val d0 = mutDelta(m0)
-    val total = size + deltaSize
-    var depth = math.min(m + 1, total)
-    var vRaw = searchRanges(q, depth, ranges, inBatch = false, tomb, d0)
-    def tieUnresolved: Boolean =
-      vRaw.length > m && vRaw.length == depth && depth < total && {
-        val c = round6(displayScore(vRaw(m - 1).score))
-        round6(displayScore(vRaw(m).score)) == c &&
-          round6(displayScore(vRaw.last.score)) == c
+    val vRaw = joinedWithOverlap(lexTask) {
+      val ranges = probeRanges(q, nprobe)
+      val d0 = mutDelta(m0)
+      val total = size + deltaSize
+      var depth = math.min(m + 1, total)
+      var raw = searchRanges(q, depth, ranges, inBatch = false, tomb, d0)
+      def tieUnresolved: Boolean =
+        raw.length > m && raw.length == depth && depth < total && {
+          val c = round6(displayScore(raw(m - 1).score))
+          round6(displayScore(raw(m).score)) == c &&
+            round6(displayScore(raw.last.score)) == c
+        }
+      while (tieUnresolved) {
+        depth = math.min(total, depth * 4)
+        raw = searchRanges(q, depth, ranges, inBatch = false, tomb, d0)
       }
-    while (tieUnresolved) {
-      depth = math.min(total, depth * 4)
-      vRaw = searchRanges(q, depth, ranges, inBatch = false, tomb, d0)
+      raw
     }
     rrfFuse(roundedCut(vRaw, m), joinOverlap(lexTask), k, rrfK)
   }
@@ -2373,6 +2283,9 @@ final class LocalReplica private (
       filters: Seq[graft.types.Filter], rrfK: Int = 60,
       nprobe: Int = 0): Seq[Candidate] = {
     if (filters.isEmpty) return hybridSearch(q0, textQuery, k, rrfK, nprobe)
+    require(lex != null,
+      "replica carries no lexical section — export with textCol to serve " +
+        "BM25/hybrid in-process")
     val preds = filters.map(compilePredicate).toArray
     @inline def pred(r: Int): Boolean = {
       var i = 0
@@ -2386,7 +2299,9 @@ final class LocalReplica private (
     // the filtered scan scores and sorts EVERY predicate survivor
     // regardless of k, so fetching them all costs the same scan and the
     // rounded-rank recut is exact at any tie width (no depth cap at all)
-    val vRaw = searchWhereInternal(q0, Int.MaxValue, preds, nprobe, tomb)
+    val vRaw = joinedWithOverlap(lexTask) {
+      searchWhereInternal(q0, Int.MaxValue, preds, nprobe, tomb)
+    }
     rrfFuse(roundedCut(vRaw, m), joinOverlap(lexTask), k, rrfK)
   }
 
@@ -2618,6 +2533,233 @@ object LocalReplica {
 
   /** Default collect guard: 4M rows × 128d ≈ 2 GiB of floats. */
   val DefaultMaxRows: Long = 4L * 1000 * 1000
+
+  /** Spark's `round(x, 6)` (HALF_UP on the decimal string value — Spark's
+    * Round goes through `BigDecimal.valueOf`, i.e. `Double.toString`, not
+    * the exact binary expansion) — the rank key every engine surface (and
+    * the DuckDB oracle) sorts pools by, so replica ranks reproduce the
+    * distributed ranks bit-for-bit. Shared by the float and Hamming
+    * serving tiers.
+    */
+  @inline private[serve] def round6(x: Double): Double = {
+    // fast path: scale + floor, valid when x·1e6 sits clearly away from a
+    // .5 rounding boundary — sound only while the double multiply's error
+    // stays far inside the 1e-4 guard band: ulp(4.5e10) ≈ 1e-5, an order
+    // of magnitude of headroom (a 4.5e15 bound would admit ulp ≈ 1 and
+    // let the fast path round the opposite way from BigDecimal for
+    // |x| ≳ 5e5). Larger magnitudes and boundary-adjacent values take
+    // the exact decimal-string path.
+    val y = x * 1e6
+    if (math.abs(y) < 4.5e10) {
+      val f = math.floor(y)
+      val frac = y - f
+      if (math.abs(frac - 0.5) > 1e-4)
+        return (if (frac > 0.5) f + 1 else f) / 1e6
+    }
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** RRF-fuse two rank pools — ONE copy of the rank/fuse math for every
+    * hybrid surface (float plain/filtered/sharded, Hamming twins), so the
+    * paths cannot fork.
+    */
+  private[serve] def rrfFuse(vPool: Seq[(Long, Double)],
+      lPool: Seq[(Long, Double)], k: Int, rrfK: Int): Seq[Candidate] = {
+    // primitive arrays, not a boxed HashMap: gather both pools' rank
+    // contributions, group by id (id-major sort), sum the ≤2 entries per
+    // id (a+b commutes exactly in IEEE, so order never matters), then
+    // rank by (fused desc, id asc) — same values as the map-based fuse
+    val n = vPool.length + lPool.length
+    val ids = new Array[Long](n)
+    val sc = new Array[Double](n)
+    var i = 0
+    def addRanks(pool: Seq[(Long, Double)]): Unit = {
+      var r = 0
+      val it = pool.iterator
+      while (it.hasNext) {
+        ids(i) = it.next()._1
+        sc(i) = 1.0 / (rrfK + r + 1.0)
+        r += 1; i += 1
+      }
+    }
+    addRanks(vPool)
+    addRanks(lPool)
+    // id-major order: all-equal keys make sortRank compare ids only
+    sortRank(new Array[Double](n), ids, sc, n, asc = true)
+    var w = 0
+    i = 0
+    while (i < n) {
+      var s = sc(i)
+      var j = i + 1
+      while (j < n && ids(j) == ids(i)) { s += sc(j); j += 1 }
+      ids(w) = ids(i); sc(w) = s; w += 1
+      i = j
+    }
+    sortRank(sc, ids, null, w, asc = false)
+    val out = new Array[Candidate](math.min(k, w))
+    i = 0
+    while (i < out.length) { out(i) = Candidate(ids(i), sc(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** Run `f` on a ForkJoin task overlapping the caller's own pool work —
+    * the two hybrid pools are independent reads of one immutable
+    * snapshot, and serving latency is their MAX plus the fuse instead of
+    * their sum (the reference's 216 µs hybrid headline is a
+    * single-process number; ours was paying vector-then-lexical
+    * serially). `join` from an FJ worker helps-run the task, so nesting
+    * under a [[ReplicaSet]] router fan-out cannot deadlock; failures
+    * rethrow the original cause to keep the sequential API contract.
+    */
+  @inline private[serve] def overlap[A](f: => A)
+      : java.util.concurrent.ForkJoinTask[Either[Throwable, A]] =
+    java.util.concurrent.ForkJoinPool.commonPool().submit(
+      new java.util.concurrent.Callable[Either[Throwable, A]] {
+        // carry failures as a value: ForkJoinTask.join would otherwise
+        // rethrow a RECONSTRUCTED exception (or the original object when
+        // helped-run on the same worker), making any unwrap heuristic
+        // wrong for exceptions that carry their own cause
+        def call(): Either[Throwable, A] =
+          try Right(f) catch { case e: Throwable => Left(e) }
+      })
+
+  @inline private[serve] def joinOverlap[A](
+      t: java.util.concurrent.ForkJoinTask[Either[Throwable, A]]): A =
+    t.join() match {
+      case Right(a) => a
+      case Left(e)  => throw e
+    }
+
+  /** Run the caller's own pool work with an overlap task in flight; if it
+    * THROWS, quiesce the task before rethrowing (cancel if not started,
+    * else help-run it to completion and discard the result) — a failing
+    * vector scan must not leak a still-running lexical walk into the
+    * background (round-11 ADVICE).
+    */
+  @inline private[serve] def joinedWithOverlap[A, B](
+      t: java.util.concurrent.ForkJoinTask[Either[Throwable, B]])(
+      f: => A): A =
+    try f catch {
+      case e: Throwable =>
+        try { t.cancel(false); t.quietlyJoin() }
+        catch { case _: Throwable => () }
+        throw e
+    }
+
+  /** Compile one engine [[graft.types.Filter]] into a row-index predicate
+    * over exported metadata columns — ONE copy of the typed-predicate
+    * leaf language for both serving tiers. Semantics match
+    * `Dataset.where`: NULL input never satisfies any predicate (including
+    * `Ne`), numerics compare cross-type (int~double), strings compare
+    * lexically, `Contains` is substring containment — the same leaf
+    * language the reference evaluates engine-side
+    * (`metadata/filter.go:122-216`).
+    */
+  private[serve] def compileFilter(f: graft.types.Filter,
+      metaByName: Map[String, MetaColumn],
+      have: => String): Int => Boolean = {
+    import graft.types.Filter._
+    def colOf(field: String): MetaColumn =
+      metaByName.getOrElse(field, throw new IllegalArgumentException(
+        s"replica carries no metadata column `$field` (have: $have) — " +
+          "export it via metaCols"))
+    def num(v: Any): Double = v match {
+      case n: java.lang.Number => n.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"numeric predicate value $other is not a number")
+    }
+    // three-valued compare: NaN (never satisfies) marks a NULL row
+    def cmp(c: MetaColumn, r: Int, v: Any): Double =
+      if (c.nulls(r)) Double.NaN
+      else c.kind match {
+        case MetaString => c.strings(r).compareTo(v.toString).toDouble
+        case MetaDouble => java.lang.Double.compare(c.doubles(r), num(v)).toDouble
+        case _ => java.lang.Double.compare(c.longs(r).toDouble, num(v)).toDouble
+      }
+    f match {
+      case Eq(field, v) => val c = colOf(field); r => cmp(c, r, v) == 0.0
+      case Ne(field, v) => val c = colOf(field); r => { val x = cmp(c, r, v); x < 0.0 || x > 0.0 }
+      case Gt(field, v) => val c = colOf(field); r => cmp(c, r, v) > 0.0
+      case Gte(field, v) => val c = colOf(field); r => { val x = cmp(c, r, v); x == 0.0 || x > 0.0 }
+      case Lt(field, v) => val c = colOf(field); r => cmp(c, r, v) < 0.0
+      case Lte(field, v) => val c = colOf(field); r => { val x = cmp(c, r, v); x == 0.0 || x < 0.0 }
+      case In(field, vs) =>
+        val c = colOf(field)
+        r => !c.nulls(r) && vs.exists(v => cmp(c, r, v) == 0.0)
+      case Contains(field, sub) =>
+        val c = colOf(field)
+        require(c.kind == MetaString,
+          s"contains() needs a string column; `$field` is not one")
+        r => !c.nulls(r) && c.strings(r).contains(sub)
+    }
+  }
+
+  /** Build a compact lexical postings section from per-row texts (null =
+    * no text): tokenize with the SAME semantics as `BM25.tokenize`
+    * (lowercase, \s+ split, empty dropped), CSR by sorted term with rows
+    * ascending per term — the one export-side tokenizer both serving
+    * tiers freeze their corpus stats with. Returns null when no row has
+    * text.
+    */
+  private[serve] def buildLexFromTexts(texts: Array[String]): LexData = {
+    val n = texts.length
+    val docLen = new Array[Int](n)
+    val byTerm = new java.util.TreeMap[String,
+      scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
+    var nd = 0L
+    var total = 0L
+    var r = 0
+    while (r < n) {
+      val text = texts(r)
+      if (text != null) {
+        val toks = text
+          .toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        if (toks.nonEmpty) {
+          docLen(r) = toks.length
+          nd += 1
+          total += toks.length
+          val tf = new java.util.HashMap[String, Integer]()
+          toks.foreach(t => tf.merge(t, 1, (a, b) => a + b))
+          val rowIdx = r
+          tf.forEach { (t, c) =>
+            byTerm.computeIfAbsent(t,
+              _ => new scala.collection.mutable.ArrayBuffer[(Int, Int)]())
+              .addOne((rowIdx, c.intValue))
+          }
+        }
+      }
+      r += 1
+    }
+    if (nd == 0) return null
+    val v = byTerm.size()
+    val terms = new Array[String](v)
+    val postStart = new Array[Int](v + 1)
+    val nPost = {
+      var acc = 0
+      val it = byTerm.values().iterator()
+      while (it.hasNext) acc += it.next().length
+      acc
+    }
+    val postRow = new Array[Int](nPost)
+    val postTf = new Array[Float](nPost)
+    var ti = 0
+    var pi = 0
+    val it = byTerm.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      terms(ti) = e.getKey
+      postStart(ti) = pi
+      e.getValue.foreach { case (row, c) =>
+        postRow(pi) = row; postTf(pi) = c.toFloat; pi += 1
+      }
+      ti += 1
+    }
+    postStart(v) = pi
+    new LexData(terms, postStart, postRow, postTf, docLen, nd,
+      total.toDouble / nd)
+  }
 
   /** Adaptive pool deepening shared by every grouped-search tier (float
     * and Hamming, single replica and shard router): greedy over a
@@ -3533,7 +3675,8 @@ object LocalReplica {
     * carried doc lengths (fresh-export semantics — the same stats a
     * re-export of these rows would freeze).
     */
-  private def lexOf(carry: LexCarry, perm: Array[Int], n: Int): LexData = {
+  private[serve] def lexOf(carry: LexCarry, perm: Array[Int],
+      n: Int): LexData = {
     if (carry == null || carry.numDocs == 0) return null
     val docLen = new Array[Int](n)
     var i = 0
@@ -4066,60 +4209,14 @@ object LocalReplica {
       case None => null
       case Some(_) =>
         val fld = 2 + metaCols.length
-        val docLen = new Array[Int](n)
-        val byTerm = new java.util.TreeMap[String,
-          scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
-        var nd = 0L
-        var total = 0L
+        val texts = new Array[String](n)
         var r2 = 0
         while (r2 < n) {
           val row = rows(tagged(r2))
-          if (!row.isNullAt(fld)) {
-            val toks = row.getString(fld)
-              .toLowerCase(java.util.Locale.ROOT)
-              .split("\\s+").filter(_.nonEmpty)
-            if (toks.nonEmpty) {
-              docLen(r2) = toks.length
-              nd += 1
-              total += toks.length
-              val tf = new java.util.HashMap[String, Integer]()
-              toks.foreach(t => tf.merge(t, 1, (a, b) => a + b))
-              val rowIdx = r2
-              tf.forEach { (t, c) =>
-                byTerm.computeIfAbsent(t,
-                  _ => new scala.collection.mutable.ArrayBuffer[(Int, Int)]())
-                  .addOne((rowIdx, c.intValue))
-              }
-            }
-          }
+          if (!row.isNullAt(fld)) texts(r2) = row.getString(fld)
           r2 += 1
         }
-        val v = byTerm.size()
-        val terms = new Array[String](v)
-        val postStart = new Array[Int](v + 1)
-        val nPost = {
-          var acc = 0
-          val it = byTerm.values().iterator()
-          while (it.hasNext) acc += it.next().length
-          acc
-        }
-        val postRow = new Array[Int](nPost)
-        val postTf = new Array[Float](nPost)
-        var ti = 0
-        var pi = 0
-        val it = byTerm.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          terms(ti) = e.getKey
-          postStart(ti) = pi
-          e.getValue.foreach { case (row, c) =>
-            postRow(pi) = row; postTf(pi) = c.toFloat; pi += 1
-          }
-          ti += 1
-        }
-        postStart(v) = pi
-        new LexData(terms, postStart, postRow, postTf, docLen, nd,
-          if (nd == 0) 0.0 else total.toDouble / nd)
+        buildLexFromTexts(texts)
     }
 
     // RaBitQ sign-bit codes (format v5): rotate each packed row under the

@@ -459,7 +459,10 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
           val c = ReplicaSet.cellOf(ids(i), newShards)
           pIds(c)(w(c)) = ids(i)
           System.arraycopy(flat, i * dim, pFlat(c), w(c) * dim, dim)
-          if (carryLex && mainOldOf(i) >= 0) {
+          // docLen == 0 marks a row with no text: it must not count into
+          // numDocs (fresh-export semantics freeze stats over docs with
+          // tokens only — counting it would deflate avgdl post-reshard)
+          if (carryLex && mainOldOf(i) >= 0 && lex.docLen(mainOldOf(i)) > 0) {
             pDocLen(c)(w(c)) = lex.docLen(mainOldOf(i))
             pNumDocs(c) += 1
             cellOfOld(mainOldOf(i)) = c

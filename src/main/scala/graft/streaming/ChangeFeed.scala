@@ -70,17 +70,35 @@ object ChangeFeed {
     db.spark.read.parquet(s"$mirrorDir/v$v")
   }
 
-  private def writePointer(mirrorDir: String, v: Long,
+  /** Write-temp-then-ATOMIC-OVERWRITE-rename for the pointer/cursor
+    * files: a crash can leave either the old or the new pointer visible,
+    * never neither (the delete+rename fallback for schemes without an
+    * AbstractFileSystem keeps the old behavior there — same tradeoff as
+    * [[graft.serve.LocalReplica.save]]).
+    */
+  private def swapPointerFile(dir: String, name: String, v: Long,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
-    val p = pointerPath(mirrorDir)
+    val p = new Path(dir, name)
     val fs = p.getFileSystem(conf)
-    val tmp = new Path(mirrorDir, s"MIRROR.tmp-${java.util.UUID.randomUUID()}")
+    val tmp = new Path(dir, s"$name.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"mirror pointer swap failed at $p")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.makeQualified(p).toUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"pointer swap failed at $p")
+    }
   }
+
+  private def writePointer(mirrorDir: String, v: Long,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    swapPointerFile(mirrorDir, "MIRROR", v, conf)
 
   /** Seed the mirror with a full copy of the version `db` currently
     * reads; [[follow]] converges it forward from there. Returns the
@@ -156,18 +174,9 @@ object ChangeFeed {
     }
   }
 
-  private def writeCursor(dest: GraftDB, v: Long): Unit = {
-    val conf = dest.spark.sparkContext.hadoopConfiguration
-    val p = cursorPath(dest.root)
-    val fs = p.getFileSystem(conf)
-    val tmp = new Path(dest.root,
-      s"CDC_CURSOR.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"CDC cursor swap failed at $p")
-  }
+  private def writeCursor(dest: GraftDB, v: Long): Unit =
+    swapPointerFile(dest.root, "CDC_CURSOR", v,
+      dest.spark.sparkContext.hadoopConfiguration)
 
   /** Seed a destination store as a pinned clone of the source's current
     * version ([[GraftDB.cloneAt]] — config + artifacts + one rebased

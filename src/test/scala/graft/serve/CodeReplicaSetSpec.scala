@@ -98,6 +98,74 @@ class CodeReplicaSetSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered + lexical + hybrid pages are shard-invariant, survive " +
+      "reshard and save/load with the lexical trailer") {
+    val words = typedLit(Seq("apple", "banana", "cherry", "date",
+      "elderberry", "fig", "grape", "honeydew"))
+    val rich = corpus
+      .withColumn("label", pmod(col("id"), lit(5)).cast("int"))
+      .withColumn("text", concat_ws(" ",
+        element_at(words, (pmod(xxhash64(col("id") * 7), lit(8)) + 1).cast("int")),
+        element_at(words, (pmod(xxhash64(col("id") * 13), lit(8)) + 1).cast("int"))))
+    val one = LocalCodeReplica.fromDataFrame(rich, "code", "id", bits,
+      metaCols = Seq("label"), textCol = Some("text"))
+    val set = CodeReplicaSet.fromDataFrame(rich, "code", "id", bits,
+      shards = 4, metaCols = Seq("label"), textCol = Some("text"))
+    assert(one.lexical && set.lexical)
+    val filters = Seq(graft.types.Filter.Gte("label", 1),
+      graft.types.Filter.Lte("label", 3))
+    for (seed <- Seq(0L, 7L, 42L)) {
+      val q = queryPool(seed)
+      assert(set.searchWhere(q, 12, filters) ==
+        one.searchWhere(q, 12, filters), s"where seed $seed")
+      assert(set.lexicalSearch("apple banana", 12) ==
+        one.lexicalSearch("apple banana", 12), s"lex seed $seed")
+      assert(set.hybridSearch(q, "apple banana", 10) ==
+        one.hybridSearch(q, "apple banana", 10), s"hybrid seed $seed")
+    }
+    val q = queryPool(3)
+    // the filtered page honors the predicate; empty filters degenerate
+    assert(one.searchWhere(q, 12, filters).forall { c =>
+      val l = c.id % 5; l >= 1 && l <= 3
+    })
+    assert(one.hybridSearchWhere(q, "apple banana", 10, Nil) ==
+      one.hybridSearch(q, "apple banana", 10))
+    // tombstones leave both pools (frozen stats, live-only scoring)
+    val victims = one.search(q, 4).map(_.id).toArray
+    assert(set.delete(victims) == one.delete(victims))
+    assert(set.hybridSearch(q, "apple banana", 10) ==
+      one.hybridSearch(q, "apple banana", 10))
+    // reshard carries the postings (re-split + per-shard stats
+    // RECOMPUTED over live rows — fresh-export semantics, unlike the
+    // frozen-stat tombstones above) and the global exchange restores
+    // corpus-level scoring: compare against a fresh export of the
+    // surviving rows
+    val oneLive = LocalCodeReplica.fromDataFrame(
+      rich.where(!col("id").isin(victims: _*)), "code", "id", bits,
+      metaCols = Seq("label"), textCol = Some("text"))
+    val re = set.reshard(6).reshard(2)
+    assert(re.lexical, "reshard dropped the lexical section")
+    assert(re.hybridSearch(q, "apple banana", 10) ==
+      oneLive.hybridSearch(q, "apple banana", 10))
+    assert(re.lexicalSearch("apple banana", 12) ==
+      oneLive.lexicalSearch("apple banana", 12))
+    assert(re.searchWhere(q, 12, filters) ==
+      oneLive.searchWhere(q, 12, filters))
+    // save/load round-trips the v3 lexical trailer
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-codeset-lex").toString
+    re.save(dir)
+    val back = CodeReplicaSet.load(dir)
+    assert(back.lexical)
+    assert(back.hybridSearch(q, "apple banana", 10) ==
+      oneLive.hybridSearch(q, "apple banana", 10))
+    // a non-lexical replica refuses hybrid/lexical IMMEDIATELY (no scan)
+    val plain = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
+    intercept[IllegalArgumentException](
+      plain.hybridSearch(q, "apple banana", 10))
+    intercept[IllegalArgumentException](plain.lexicalSearch("apple", 5))
+  }
+
   test("mutations: broadcast delete, validated cell-routed append, upsert, get") {
     val set = CodeReplicaSet.fromDataFrame(corpus, "code", "id", bits,
       shards = 4)

@@ -39,6 +39,32 @@ class LocalCodeReplicaSpec extends AnyFunSuite {
     }
   }
 
+  test("searchWhere: predicate survivors only, NULL rows and delta rows " +
+      "excluded (three-valued semantics)") {
+    val labeled = corpus.withColumn("label",
+      when(pmod(col("id"), lit(10)) === 9, lit(null))
+        .otherwise(pmod(col("id"), lit(10))).cast("int"))
+    val rep = LocalCodeReplica.fromDataFrame(labeled, "code", "id", bits,
+      metaCols = Seq("label"))
+    val q = queryCode(5)
+    val filters = Seq(graft.types.Filter.Gte("label", 6))
+    val got = rep.searchWhere(q, 15, filters)
+    // brute reference over rows whose label is non-NULL and >= 6
+    val want = rep.search(q, n).filter { c =>
+      val l = c.id % 10; l >= 6 && l != 9
+    }.take(15)
+    assert(got == want)
+    // a delta row never matches a predicate (no metadata), even when its
+    // code would top the page
+    rep.append(Array((n + 1).toLong), Array(q))
+    // delta visible to plain knn (distance 0 — ties with the query row)
+    assert(rep.search(q, 2).map(_.id).contains((n + 1).toLong))
+    assert(rep.searchWhere(q, 15, filters) == want) // invisible to WHERE
+    // unknown column fails loudly
+    intercept[IllegalArgumentException](
+      rep.searchWhere(q, 5, Seq(graft.types.Filter.Eq("nope", 1))))
+  }
+
   test("code-tier MMR equals a driver-side greedy popcount reference") {
     val rep = LocalCodeReplica.fromDataFrame(corpus, "code", "id", bits)
     def ham(a: Array[Long], b: Array[Long]): Long = {
