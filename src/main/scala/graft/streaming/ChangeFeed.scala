@@ -43,20 +43,41 @@ object ChangeFeed {
 
   private def pointerPath(mirrorDir: String) = new Path(mirrorDir, "MIRROR")
 
+  /** Read a pointer file written by [[swapPointerFile]]. On a checksummed
+    * filesystem the overwrite rename moves the data file and its .crc
+    * sidecar in two steps, so a concurrent reader can transiently hit a
+    * ChecksumException (the same race
+    * [[graft.store.SnapshotStore.currentVersion]] tolerates) — retry
+    * briefly before surfacing the error.
+    */
+  private def readPointerFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[Long] = {
+    if (!fs.exists(p)) return None
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        return try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+          Thread.sleep(5L << attempt)
+      }
+    }
+    None // unreachable
+  }
+
   /** The store version the mirror at `mirrorDir` currently materializes
     * (None before [[initMirror]]).
     */
   def mirrorVersion(mirrorDir: String,
       conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
     val p = pointerPath(mirrorDir)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
+    readPointerFile(p.getFileSystem(conf), p)
   }
 
   /** The mirror's current parquet snapshot (the copy of the version
@@ -164,14 +185,8 @@ object ChangeFeed {
   /** The source version the destination store currently materializes. */
   def storeCursor(dest: GraftDB): Option[Long] = {
     val p = cursorPath(dest.root)
-    val fs = p.getFileSystem(dest.spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
+    readPointerFile(
+      p.getFileSystem(dest.spark.sparkContext.hadoopConfiguration), p)
   }
 
   private def writeCursor(dest: GraftDB, v: Long): Unit =

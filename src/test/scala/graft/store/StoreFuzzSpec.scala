@@ -12,10 +12,28 @@ import graft.SparkTestSession
   * in-memory model) plus torn-manifest recovery (`internal/fs/faulty.go`
   * fault-injection analog: the failure mode a crash mid-manifest-write
   * leaves behind).
+  *
+  * Diagnosability (round-11 verdict What's wrong 2: one full-suite flap
+  * whose failure message was lost): every sub-case now fails with the
+  * FULL op log + version chain + model/store diff inline, and persists
+  * the same context to `target/fuzz-failures/` so an environment-
+  * sensitive flap leaves a corpse the next session can diagnose instead
+  * of a shrug. The two-writer commit race — the prime flap suspect —
+  * additionally loops 20 rounds on fresh roots in one run to amplify a
+  * timing-sensitive failure into something reproducible.
   */
 class StoreFuzzSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
+
+  /** Persist a failure context and return the path — the flap corpse. */
+  private def persistFailure(subCase: String, lines: Seq[String]): String = {
+    val dir = Paths.get("target", "fuzz-failures")
+    Files.createDirectories(dir)
+    val p = dir.resolve(s"$subCase-${System.currentTimeMillis()}.log")
+    Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
 
   test("random op sequences match an in-memory model at every version") {
     val store = new SnapshotStore(spark,
@@ -25,6 +43,7 @@ class StoreFuzzSpec extends AnyFunSuite {
     var nextId = 0L
     // committed (version, model-state) pairs — restore targets
     val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, Long])]
+    val opLog = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def df(pairs: Seq[(Long, Long)]) = pairs.toDF("id", "v")
 
@@ -36,12 +55,17 @@ class StoreFuzzSpec extends AnyFunSuite {
           }
           store.insert(df(batch))
           model ++= batch
+          opLog += s"step $step: insert ${batch.size} rows " +
+            s"(ids ${batch.head._1}..${batch.last._1}) -> v${store.currentVersion}"
         case 4 | 5 => // delete a random subset of live ids (+ a missing id)
           if (model.nonEmpty) {
             val ids = rng.shuffle(model.keys.toSeq)
               .take(1 + rng.nextInt(model.size)) :+ (nextId + 500)
             store.delete(ids.toDF("id"))
             ids.foreach(model.remove)
+            opLog += s"step $step: delete ${ids.length} ids " +
+              s"(${ids.take(8).mkString(",")}${if (ids.length > 8) ",…" else ""}) " +
+              s"-> v${store.currentVersion}"
           }
         case 6 | 7 => // upsert: mix of existing and fresh ids
           val existing =
@@ -54,12 +78,19 @@ class StoreFuzzSpec extends AnyFunSuite {
           if (batch.nonEmpty) {
             store.upsert(df(batch))
             model ++= batch
+            opLog += s"step $step: upsert ${existing.length} existing + " +
+              s"${fresh.length} fresh -> v${store.currentVersion}"
           }
         case 8 => // full compaction (only defined on a non-empty chain)
-          if (store.currentVersion >= 0) store.compact()
+          if (store.currentVersion >= 0) {
+            store.compact()
+            opLog += s"step $step: compact -> v${store.currentVersion}"
+          }
         case 9 => // policy-driven partial compaction
-          if (store.currentVersion >= 0)
+          if (store.currentVersion >= 0) {
             store.maybeCompact(CompactionPolicy.sizeTiered())
+            opLog += s"step $step: maybeCompact -> v${store.currentVersion}"
+          }
         case _ => // RESTORE to a random earlier version: the model rolls
           // back with it, and the chain (LSN rule, later ops) continues
           val targets = history.filter(_._1 < store.currentVersion)
@@ -68,12 +99,31 @@ class StoreFuzzSpec extends AnyFunSuite {
             store.restore(v)
             model.clear()
             model ++= snap
+            opLog += s"step $step: restore(v$v) -> v${store.currentVersion}"
           }
       }
       if (store.currentVersion >= 0) {
         val got = store.read().select("id", "v").as[(Long, Long)]
           .collect().toMap
-        assert(got == model.toMap, s"divergence after step $step")
+        if (got != model.toMap) {
+          val want = model.toMap
+          val missing = (want.keySet -- got.keySet).toSeq.sorted.take(20)
+          val extra = (got.keySet -- want.keySet).toSeq.sorted.take(20)
+          val wrong = want.keySet.intersect(got.keySet)
+            .filter(k => want(k) != got(k)).toSeq.sorted.take(20)
+            .map(k => s"$k: want ${want(k)} got ${got(k)}")
+          val chain = store.versions().mkString(",")
+          val ctx = opLog.toSeq ++ Seq(
+            s"DIVERGENCE after step $step at v${store.currentVersion}",
+            s"versions: [$chain]",
+            s"store rows ${got.size}, model rows ${want.size}",
+            s"missing from store (first 20): ${missing.mkString(",")}",
+            s"extra in store (first 20): ${extra.mkString(",")}",
+            s"wrong values (first 20): ${wrong.mkString("; ")}")
+          val path = persistFailure("model-match", ctx)
+          fail(("persisted to " + path) +: ctx.drop(opLog.length)
+            mkString "\n  ")
+        }
         history += ((store.currentVersion, model.toMap))
       }
     }
@@ -100,28 +150,59 @@ class StoreFuzzSpec extends AnyFunSuite {
     val reread = b.manifest().get
     b.commit(reread.copy(version = reread.version + 1, ts = 0L))
     assert(a.currentVersion == 2)
-    // stress: two threads racing full mutations with retry-on-conflict must
-    // never lose an update (pre-CAS, a lost race silently dropped a batch)
-    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-    val threads = (0 until 2).map { t =>
-      new Thread(() => {
-        val st = new SnapshotStore(spark, root)
-        (0 until 4).foreach { i =>
-          val id = 100L + t * 10 + i
-          var done = false
-          while (!done) {
-            try { st.insert(Seq((id, s"w$t")).toDF("id", "v")); done = true }
-            catch { case _: java.util.ConcurrentModificationException => () }
+  }
+
+  test("two-writer commit race x20: retry-on-conflict never loses an update") {
+    // the round-11 full-suite flap's prime suspect, amplified: 20 rounds
+    // of two threads racing full insert chains with retry-on-conflict on
+    // a FRESH root each round (pre-CAS, a lost race silently dropped a
+    // batch). Every round leaves a diagnosable corpse on failure: the
+    // per-writer retry counts, the version chain, and the id diff.
+    for (round <- 0 until 20) {
+      val root = Files.createTempDirectory(s"graft-cas-race$round").toString
+      val probe = new SnapshotStore(spark, root)
+      probe.insert(Seq((1L, "seed")).toDF("id", "v"))
+      val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val retries = new java.util.concurrent.atomic.AtomicLong()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (0 until 2).map { t =>
+        new Thread(() => {
+          try {
+            val st = new SnapshotStore(spark, root)
+            (0 until 3).foreach { i =>
+              val id = 100L + t * 10 + i
+              var done = false
+              while (!done) {
+                try { st.insert(Seq((id, s"w$t")).toDF("id", "v")); done = true }
+                catch {
+                  case _: java.util.ConcurrentModificationException =>
+                    retries.incrementAndGet(); ()
+                }
+              }
+              ids.add(id)
+            }
+          } catch {
+            case e: Throwable =>
+              errs.add(s"writer $t died: ${e.getClass.getName}: ${e.getMessage}")
           }
-          ids.add(id)
-        }
-      })
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val got = probe.read().select("id").as[Long].collect().toSet
+      val lost = ids.asScala.toSet -- got
+      if (lost.nonEmpty || !errs.isEmpty) {
+        val ctx = Seq(
+          s"round $round on $root",
+          s"writer errors: ${errs.asScala.mkString(" | ")}",
+          s"lost updates: ${lost.toSeq.sorted.mkString(",")}",
+          s"committed ids: ${got.toSeq.sorted.mkString(",")}",
+          s"retries observed: ${retries.get()}",
+          s"versions: [${probe.versions().mkString(",")}]")
+        val path = persistFailure("two-writer-race", ctx)
+        fail((s"persisted to $path" +: ctx).mkString("\n  "))
+      }
     }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    import scala.jdk.CollectionConverters._
-    val got = a.read().select("id").as[Long].collect().toSet
-    assert(ids.asScala.toSet.subsetOf(got),
-      s"lost updates: ${ids.asScala.toSet -- got}")
   }
 
   test("torn head manifest: readers warn+skip, writers anchor on the last durable commit") {
@@ -134,22 +215,25 @@ class StoreFuzzSpec extends AnyFunSuite {
     // simulate a crash mid-write: the head manifest is half a JSON object
     val mp = Paths.get(store.root, f"MANIFEST-$head%06d.json")
     java.nio.file.Files.write(mp, """{"version":1,"maxSeq":""".getBytes)
+    def clue = s"root ${store.root}, versions [${store.versions().mkString(",")}]"
     // readers: torn manifest parses to None instead of throwing; the
     // recovery surfaces (versions / vacuum / versionAt) keep working
-    assert(store.manifest(head).isEmpty)
-    assert(store.versionAt(Long.MaxValue).contains(0L))
-    store.vacuum(keepVersions = 10) // must not throw on the torn file
-    assert(store.read(0).select("id").as[Long].collect().toSet == Set(1L, 2L))
-    // the READ surface falls back to the newest parsable manifest too: a
-    // torn head must not make default reads throw until the next write
-    assert(store.readableVersion == 0L)
-    assert(store.read().select("id").as[Long].collect().toSet == Set(1L, 2L))
-    // writers: the next commit anchors on v0 (the last PARSABLE manifest)
-    // and re-commits version 1 over the torn file — no seq-0 restart, no
-    // data loss
-    store.insert(Seq((4L, "d")).toDF("id", "v"))
-    assert(store.currentVersion == 1)
-    assert(store.read().select("id").as[Long].collect().toSet ==
-      Set(1L, 2L, 4L))
+    withClue(clue) {
+      assert(store.manifest(head).isEmpty)
+      assert(store.versionAt(Long.MaxValue).contains(0L))
+      store.vacuum(keepVersions = 10) // must not throw on the torn file
+      assert(store.read(0).select("id").as[Long].collect().toSet == Set(1L, 2L))
+      // the READ surface falls back to the newest parsable manifest too: a
+      // torn head must not make default reads throw until the next write
+      assert(store.readableVersion == 0L)
+      assert(store.read().select("id").as[Long].collect().toSet == Set(1L, 2L))
+      // writers: the next commit anchors on v0 (the last PARSABLE manifest)
+      // and re-commits version 1 over the torn file — no seq-0 restart, no
+      // data loss
+      store.insert(Seq((4L, "d")).toDF("id", "v"))
+      assert(store.currentVersion == 1)
+      assert(store.read().select("id").as[Long].collect().toSet ==
+        Set(1L, 2L, 4L))
+    }
   }
 }
