@@ -225,6 +225,24 @@ object Bench {
     // LAST run (qps and writes/s must come from the SAME run, not the
     // min-time run paired with another run's write count)
     val sustained = new java.util.concurrent.atomic.AtomicLongArray(3)
+    // serving-freshness fixture (round-11 ask 6): a ReplicaSet following a
+    // LIVE engine store via refreshFrom while readers query it — the
+    // serving analog of the sustained row (which measures direct appends).
+    // The store is seeded untimed; each measured run inserts fresh-id
+    // windows so refreshFrom always has a real manifest diff to replay.
+    val refreshRoot = s"${sys.props("java.io.tmpdir")}/graft_bench_refresh_db"
+    new org.apache.hadoop.fs.Path(refreshRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(refreshRoot), true)
+    val refreshDb = GraftDB.open(spark, refreshRoot, dim = dim, metric = "l2")
+    refreshDb.insertBatch(stored.where(col("id") < 10000)
+      .select(col("id"), col("vec").as("vector")))
+    val refreshSet = graft.serve.ReplicaSet.fromStore(refreshDb,
+      shards = 2, nlist = 16)
+    val refreshNextId = new java.util.concurrent.atomic.AtomicLong(20000000L)
+    // [searches, rowsApplied, nanos] of the LAST run (same-run discipline
+    // as `sustained`)
+    val refreshStats = new java.util.concurrent.atomic.AtomicLongArray(3)
     // router-overhead twin: the SAME 10k rows as 4 hash shards behind the
     // ReplicaSet fan-out — the delta vs local_knn10k_latency_us is the
     // scatter-gather cost of the sharded deployment shape
@@ -614,6 +632,51 @@ object Bench {
         sustained.set(1, writes.get())
         sustained.set(2, System.nanoTime() - t0)
       }),
+      // serving freshness END-TO-END (round-11 ask 6): 6 readers query a
+      // 2-shard ReplicaSet while one writer drives the REAL pipeline —
+      // engine insertBatch commits a version, set.refreshFrom replays the
+      // manifest diff into the serving tier — for 8 windows of 250 rows.
+      // qps and applied-rows/s come from the SAME run (the sustained
+      // row's discipline); fresh ids per run keep the diff real, so the
+      // corpus grows ~2k/run and the row is excluded from spread retries.
+      "synth_replica_serve_refresh" -> (() => {
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val searches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val t0 = System.nanoTime()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+        val readers = (0 until 6).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var i = 0
+              while (!stop.get()) {
+                refreshSet.search(
+                  queries((t * 1000 + i) % queries.length)._2, 10, nprobe = 4)
+                searches.incrementAndGet()
+                i += 1
+              }
+            }
+          })
+        }
+        var applied = 0L
+        var w = 0
+        while (w < 8) {
+          val lo = refreshNextId.getAndAdd(250L)
+          refreshDb.insertBatch(spark.range(lo, lo + 250, 1, 4).select(
+            col("id"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+                .cast("double") / lit(500.0) - lit(1.0)).cast("float"))
+              .as("vector")))
+          applied += refreshSet.refreshFrom(refreshDb).appended
+          w += 1
+        }
+        stop.set(true)
+        readers.foreach(_.get())
+        pool.shutdown()
+        refreshStats.set(0, searches.get())
+        refreshStats.set(1, applied)
+        refreshStats.set(2, System.nanoTime() - t0)
+      }),
       // serving-tier freshness: tombstone every row (n bitmap flips) /
       // append 10k validated rows into the fused delta block
       "synth_replica_delete_all" -> (() => {
@@ -698,8 +761,15 @@ object Bench {
     // in-run spread (round-8 verdict, What's wrong 2). One discarded
     // re-warm restores the every-row-measured-warm invariant.
     val rewarm = Set("synth_knn_join_big1k")
+    // heavy parquet-writing rows: drain OTHER rows' dirty writeback first,
+    // so the layout write is billed its own IO only (the
+    // `ivf_build_vec_per_sec_big` drift axis — round-11 What's wrong 3;
+    // tools/IvfBuildProbe attributes the remainder to the device window)
+    val syncBefore = Set("synth_ivf_build", "synth_ivf_build_big",
+      "synth_bulk_load", "synth_bulk_load_big")
     ordered.foreach { case (name, f) =>
       try {
+        if (syncBefore(name)) syncFs()
         if (rewarm(name)) f()
         val first = timedRun(name, f)
         val extra = math.max(1, math.min(5,
@@ -769,7 +839,8 @@ object Bench {
     // semantics engine rows are excluded.
     val fixtureMutators: Set[String] = Set(
       "synth_bulk_load", "synth_bulk_load_big",
-      "synth_delete_engine_1k", "synth_delete_engine_500k")
+      "synth_delete_engine_1k", "synth_delete_engine_500k",
+      "synth_replica_serve_refresh")
     val spreadRetry = ordered.collect {
       case (name, f) if !secondLook.contains(name) &&
         !fixtureMutators(name) &&
@@ -867,6 +938,13 @@ object Bench {
       derived("replica_sustained_qps") = sustained.get(0) / secs
       derived("replica_sustained_bg_writes_per_sec") =
         sustained.get(1) / secs
+    }
+    // serving-freshness row: qps while the set FOLLOWS a live store
+    // (insertBatch + refreshFrom windows), applied-rows/s from the same run
+    if (refreshStats.get(2) > 0) {
+      val secs = refreshStats.get(2) / 1e9
+      derived("replica_serve_qps_at_refresh") = refreshStats.get(0) / secs
+      derived("replica_refresh_rows_per_sec") = refreshStats.get(1) / secs
     }
     derived("local_hybrid_latency_us") =
       results("synth_local_hybrid_x500") / 500.0 * 1e6

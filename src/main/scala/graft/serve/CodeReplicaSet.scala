@@ -457,17 +457,24 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
         "sharded BM25/hybrid")
     val m = math.max(2 * k, 50)
     val snaps = shards.map(_.snapshotMut)
-    val vPools = new Array[Seq[Candidate]](shards.length)
-    java.util.stream.IntStream.range(0, shards.length).parallel()
-      .forEach(i => vPools(i) = shards(i).searchSnap(q, m, snaps(i)))
-    val vPool = mergeK(vPools, m).map(c => (c.id, c.score))
-    val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
-    val lPools = new Array[Seq[(Long, Double)]](shards.length)
-    java.util.stream.IntStream.range(0, shards.length).parallel()
-      .forEach { i =>
-        lPools(i) = shards(i).lexicalPoolSnap(textQuery, m, snaps(i), g)
-      }
-    LocalReplica.rrfFuse(vPool, mergeLex(lPools.toIndexedSeq, m), k, rrfK)
+    // lexical side (global exchange + pools + merge) overlaps the
+    // popcount fan-out, like the float router
+    val lexTask = LocalReplica.overlap {
+      val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
+      val lPools = new Array[Seq[(Long, Double)]](shards.length)
+      java.util.stream.IntStream.range(0, shards.length).parallel()
+        .forEach { i =>
+          lPools(i) = shards(i).lexicalPoolSnap(textQuery, m, snaps(i), g)
+        }
+      mergeLex(lPools.toIndexedSeq, m)
+    }
+    val vPool = LocalReplica.joinedWithOverlap(lexTask) {
+      val vPools = new Array[Seq[Candidate]](shards.length)
+      java.util.stream.IntStream.range(0, shards.length).parallel()
+        .forEach(i => vPools(i) = shards(i).searchSnap(q, m, snaps(i)))
+      mergeK(vPools, m).map(c => (c.id, c.score))
+    }
+    LocalReplica.rrfFuse(vPool, LocalReplica.joinOverlap(lexTask), k, rrfK)
   }
 
   /** Persist as per-shard GRCR artifacts + a routing manifest (see

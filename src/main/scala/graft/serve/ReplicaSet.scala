@@ -645,42 +645,56 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
       rrfK: Int = 60, nprobe: Int = 0): Seq[Candidate] = {
     if (shards.length == 1)
       return shards(0).hybridSearch(q, textQuery, k, rrfK, nprobe)
+    require(lexical,
+      "a shard carries no lexical section — export with textCol to serve " +
+        "sharded BM25/hybrid")
     val head = shards.head
     val m = math.max(2 * k, 50)
     val snaps = shards.map(_.snapshotMut)
     val totals = shards.indices.map(i => shards(i).totalRowsSnap(snaps(i)))
     val total = totals.sum
-    var depth = math.min(m + 1, total)
-    def fetch(d: Int): Seq[Candidate] = {
-      val pools = new Array[Seq[Candidate]](shards.length)
+    // the whole lexical side (global-stats exchange + per-shard DAAT
+    // pools + merge) overlaps the vector fetch on a ForkJoin task — the
+    // single replica's pool-overlap structure lifted to the router, so
+    // sharded hybrid latency is max(vector, lexical) + fuse too. Pure
+    // reads of the pinned snapshots on both sides.
+    val lexTask = LocalReplica.overlap {
+      val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
+      val lPools = new Array[Seq[(Long, Double)]](shards.length)
       java.util.stream.IntStream.range(0, shards.length).parallel()
         .forEach { i =>
-          pools(i) =
-            shards(i).searchSnap(q, math.min(d, totals(i)), nprobe, snaps(i))
+          lPools(i) = shards(i).lexicalPoolSnap(textQuery, m, snaps(i), g)
         }
-      // exact global top-d: every shard contributed min(d, its rows)
-      mergeK(pools, d)
+      mergeLex(lPools.toIndexedSeq, m)
     }
-    var vRaw = fetch(depth)
-    @inline def r6(c: Candidate): Double =
-      head.round6(head.displayScore(c.score))
-    def tieUnresolved: Boolean =
-      vRaw.length > m && vRaw.length == depth && depth < total && {
-        val c = r6(vRaw(m - 1))
-        r6(vRaw(m)) == c && r6(vRaw.last) == c
+    val vRaw = LocalReplica.joinedWithOverlap(lexTask) {
+      var depth = math.min(m + 1, total)
+      def fetch(d: Int): Seq[Candidate] = {
+        val pools = new Array[Seq[Candidate]](shards.length)
+        java.util.stream.IntStream.range(0, shards.length).parallel()
+          .forEach { i =>
+            pools(i) =
+              shards(i).searchSnap(q, math.min(d, totals(i)), nprobe, snaps(i))
+          }
+        // exact global top-d: every shard contributed min(d, its rows)
+        mergeK(pools, d)
       }
-    while (tieUnresolved) {
-      depth = math.min(total, depth * 4)
-      vRaw = fetch(depth)
+      var raw = fetch(depth)
+      @inline def r6(c: Candidate): Double =
+        head.round6(head.displayScore(c.score))
+      def tieUnresolved: Boolean =
+        raw.length > m && raw.length == depth && depth < total && {
+          val c = r6(raw(m - 1))
+          r6(raw(m)) == c && r6(raw.last) == c
+        }
+      while (tieUnresolved) {
+        depth = math.min(total, depth * 4)
+        raw = fetch(depth)
+      }
+      raw
     }
-    val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
-    val lPools = new Array[Seq[(Long, Double)]](shards.length)
-    java.util.stream.IntStream.range(0, shards.length).parallel()
-      .forEach { i =>
-        lPools(i) = shards(i).lexicalPoolSnap(textQuery, m, snaps(i), g)
-      }
     head.rrfFuse(head.roundedCut(vRaw, m),
-      mergeLex(lPools.toIndexedSeq, m), k, rrfK)
+      LocalReplica.joinOverlap(lexTask), k, rrfK)
   }
 }
 
