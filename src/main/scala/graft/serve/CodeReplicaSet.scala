@@ -355,8 +355,10 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     val present = (0 until newShards).filter(counts(_) > 0)
     require(present.nonEmpty, "reshard: the set has no live rows")
     val reps = present.map { c =>
+      // a cell with zero texted docs still carries an (empty) section:
+      // `lexical` survives the reshard, matching a fresh export
       val carry =
-        if (!carryLex || pNumDocs(c) == 0) null
+        if (!carryLex) null
         else new LocalReplica.LexCarry(pDocLen(c), pPost(c), pNumDocs(c))
       LocalCodeReplica.fromArrays(bits, words, pIds(c), pFlat(c), pMeta(c),
         lexCarry = carry)
@@ -389,40 +391,20 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     require(lexical,
       "a shard carries no lexical section — export with textCol to serve " +
         "sharded BM25/hybrid")
-    var nd = 0L
-    var total = 0L
-    shards.foreach { s =>
-      val l = s.lexData
-      nd += l.numDocs
-      var i = 0
-      while (i < l.docLen.length) { total += l.docLen(i); i += 1 }
-    }
-    (nd, if (nd == 0) 0.0 else total.toDouble / nd)
+    LocalReplica.lexCorpusStats(shards.map(_.lexData))
   }
 
   private def globalFor(terms: Seq[String]): LocalReplica.GlobalLex = {
     val (nd, avgdl) = globalLexStats
-    val idf = new java.util.HashMap[String, java.lang.Double]()
-    terms.distinct.foreach { t =>
+    LocalReplica.globalLexFor(terms, t => {
       var df = 0.0
       shards.foreach(s => df += s.termDf(t))
-      if (df > 0)
-        idf.put(t, math.log(1.0 + (nd - df + 0.5) / (df + 0.5)))
-    }
-    new LocalReplica.GlobalLex(
-      t => { val v = idf.get(t); if (v == null) 0.0 else v.doubleValue },
-      avgdl)
+      df
+    }, nd, avgdl)
   }
 
-  /** Merge per-shard lexical pools under the engine's rank order
-    * (rounded score desc, id asc) — each pool is its shard's top-m under
-    * GLOBAL stats, so the merged top-m is the corpus top-m.
-    */
   private def mergeLex(pools: Seq[Seq[(Long, Double)]],
-      m: Int): Seq[(Long, Double)] =
-    pools.flatten.map(t => (t._1, t._2, LocalReplica.round6(t._2)))
-      .sortWith((a, b) => if (a._3 != b._3) a._3 > b._3 else a._1 < b._1)
-      .take(m).map(t => (t._1, t._2))
+      m: Int): Seq[(Long, Double)] = LocalReplica.mergeLexPools(pools, m)
 
   /** Cross-shard BM25 top-k — identical scores and order to a single
     * code replica over the whole corpus (global-stats exchange, not a

@@ -2695,12 +2695,60 @@ object LocalReplica {
     }
   }
 
+  /** Global (numDocs, avgdl) recovered EXACTLY from per-shard frozen
+    * stats: doc counts and total token length are integer sums (docLen is
+    * stored per row), so the derived doubles are bit-identical to a
+    * single global export's — the reason sharded BM25 matches an
+    * unsharded replica exactly. ONE copy for both router tiers.
+    */
+  private[serve] def lexCorpusStats(lexes: Seq[LexData]): (Long, Double) = {
+    var nd = 0L
+    var total = 0L
+    lexes.foreach { l =>
+      nd += l.numDocs
+      var i = 0
+      while (i < l.docLen.length) { total += l.docLen(i); i += 1 }
+    }
+    (nd, if (nd == 0) 0.0 else total.toDouble / nd)
+  }
+
+  /** Per-query global idf under exact cross-shard df sums (`dfOf` sums a
+    * term's df over the shards — a term's postings are per-doc and a doc
+    * lives in exactly one shard).
+    */
+  private[serve] def globalLexFor(terms: Seq[String], dfOf: String => Double,
+      nd: Long, avgdl: Double): GlobalLex = {
+    val idf = new java.util.HashMap[String, java.lang.Double]()
+    terms.distinct.foreach { t =>
+      val df = dfOf(t)
+      if (df > 0)
+        idf.put(t, math.log(1.0 + (nd - df + 0.5) / (df + 0.5)))
+    }
+    new GlobalLex(
+      t => { val v = idf.get(t); if (v == null) 0.0 else v.doubleValue },
+      avgdl)
+  }
+
+  /** Merge per-shard lexical pools under the engine's rank order
+    * (rounded score desc, id asc) — each pool is its shard's top-m under
+    * GLOBAL stats, so the merged top-m is the corpus top-m.
+    */
+  private[serve] def mergeLexPools(pools: Seq[Seq[(Long, Double)]],
+      m: Int): Seq[(Long, Double)] =
+    pools.flatten.map(t => (t._1, t._2, round6(t._2)))
+      .sortWith((a, b) => if (a._3 != b._3) a._3 > b._3 else a._1 < b._1)
+      .take(m).map(t => (t._1, t._2))
+
   /** Build a compact lexical postings section from per-row texts (null =
     * no text): tokenize with the SAME semantics as `BM25.tokenize`
     * (lowercase, \s+ split, empty dropped), CSR by sorted term with rows
     * ascending per term — the one export-side tokenizer both serving
-    * tiers freeze their corpus stats with. Returns null when no row has
-    * text.
+    * tiers freeze their corpus stats with. A corpus where NO row has
+    * text still gets an (empty) section — `lexical` stays true for any
+    * textCol export, lexical pools come back empty, and hybrid
+    * degenerates to the vector-only fuse instead of throwing (matters
+    * for sharded exports where one hash cell's rows happen to be
+    * textless).
     */
   private[serve] def buildLexFromTexts(texts: Array[String]): LexData = {
     val n = texts.length
@@ -2732,7 +2780,6 @@ object LocalReplica {
       }
       r += 1
     }
-    if (nd == 0) return null
     val v = byTerm.size()
     val terms = new Array[String](v)
     val postStart = new Array[Int](v + 1)
@@ -2758,7 +2805,7 @@ object LocalReplica {
     }
     postStart(v) = pi
     new LexData(terms, postStart, postRow, postTf, docLen, nd,
-      total.toDouble / nd)
+      if (nd == 0) 0.0 else total.toDouble / nd)
   }
 
   /** Adaptive pool deepening shared by every grouped-search tier (float
@@ -3673,11 +3720,14 @@ object LocalReplica {
     * remap posting rows, keep each term's postings ROW-SORTED (the
     * DAAT merge contract), recompute local numDocs/avgdl from the
     * carried doc lengths (fresh-export semantics — the same stats a
-    * re-export of these rows would freeze).
+    * re-export of these rows would freeze). A carry with zero texted
+    * docs rebuilds as an EMPTY section, like [[buildLexFromTexts]] —
+    * `lexical` must survive a reshard that lands only textless rows in
+    * one shard.
     */
   private[serve] def lexOf(carry: LexCarry, perm: Array[Int],
       n: Int): LexData = {
-    if (carry == null || carry.numDocs == 0) return null
+    if (carry == null) return null
     val docLen = new Array[Int](n)
     var i = 0
     while (i < n) {
@@ -3713,7 +3763,8 @@ object LocalReplica {
     i = 0
     while (i < n) { lenSum += docLen(i); i += 1 }
     new LexData(terms, postStart, postRow, postTf, docLen,
-      carry.numDocs, lenSum / carry.numDocs)
+      carry.numDocs,
+      if (carry.numDocs == 0) 0.0 else lenSum / carry.numDocs)
   }
 
   /** Build a replica from raw JVM arrays — the no-Spark rebuild

@@ -148,7 +148,12 @@ final class SnapshotStore(spark: SparkSession, val root: String,
             else Thread.sleep(5L << attempt)
         }
       }
-      versions().lastOption.getOrElse(-1L)
+      // prefer the newest PARSABLE manifest (a filename-only anchor could
+      // name a torn, never-committed head and shift e.g. vacuum's keep
+      // window); fall back to the bare listing only when nothing parses —
+      // same data-loss rationale as the missing-CURRENT branch above
+      versions().reverse.view.flatMap(manifest(_)).headOption.map(_.version)
+        .orElse(versions().lastOption).getOrElse(-1L)
     }
   }
 

@@ -52,6 +52,30 @@ class LocalHybridReplicaSpec extends AnyFunSuite {
     db
   }
 
+  test("textCol export with zero texted rows keeps an EMPTY lexical " +
+      "section — hybrid degenerates to the vector-only fuse") {
+    // the all-textless edge (one hash cell of a sharded export can land
+    // this way): `lexical` must stay true, lexical pools come back
+    // empty, and hybrid answers from the vector pool alone instead of
+    // throwing — for a fresh export AND through a reshard
+    val textless = corpus.withColumn("text", lit(null).cast("string"))
+    val rep = LocalReplica.fromDataFrame(textless, "vector", "id",
+      Metric.L2, textCol = Some("text"))
+    assert(rep.lexical)
+    assert(rep.lexicalSearch("spark vector", 5).isEmpty)
+    val hy = rep.hybridSearch(queryVec(3), "spark vector", 5)
+    assert(hy.map(_.id) == rep.search(queryVec(3), 5).map(_.id))
+    val set = ReplicaSet.fromDataFrame(textless, "vector", "id",
+      Metric.L2, shards = 3, textCol = Some("text"))
+    assert(set.lexical)
+    assert(set.hybridSearch(queryVec(3), "spark vector", 5).map(_.id) ==
+      hy.map(_.id))
+    val re = set.reshard(2)
+    assert(re.lexical, "reshard dropped the empty lexical section")
+    assert(re.hybridSearch(queryVec(3), "spark vector", 5).map(_.id) ==
+      hy.map(_.id))
+  }
+
   test("replica hybrid == engine hybridSearch: pools, ranks, fused order") {
     val db = freshDb("parity")
     val rep = LocalReplica.fromStore(db, nlist = 4, textCol = Some("text"))
