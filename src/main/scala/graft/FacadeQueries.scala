@@ -1111,6 +1111,44 @@ object FacadeQueries {
       .select(col("id"), round(col("s"), 6).as("score"))
   }
 
+  /** Cross-shard FILTERED hybrid ([[graft.serve.ReplicaSet
+    * .hybridSearchWhere]]): typed predicates restrict both pools on
+    * every shard while df/N/avgdl stay corpus-global via the exchange —
+    * same oracle as the engine's `graftdb_hybrid_filtered`, proving the
+    * sharded filtered fuse reproduces the single-store semantics.
+    */
+  def localShardedHybridFiltered(s: SparkSession, dir: String): DataFrame = {
+    val db = buildDb(s, dir, "facade_local_sh_hyb_f")
+    val set = graft.serve.ReplicaSet.fromStore(db, shards = 4, nlist = 4,
+      metaCols = Seq("label"), textCol = Some("text"))
+    require(set.numShards >= 2 && set.lexical,
+      "expected a multi-shard lexical set")
+    val res = set.hybridSearchWhere(qvec(s, dir, 5), "spark vector merge",
+      10, Seq(graft.types.Filter.Gte("label", 2)), nprobe = 4)
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("id", "s")
+      .select(col("id"), round(col("s"), 6).as("score"))
+  }
+
+  /** Cross-shard FILTERED Hamming hybrid ([[graft.serve.CodeReplicaSet
+    * .hybridSearchWhere]]) — same oracle as the single-replica
+    * `graftdb_local_hamming_hybrid_filtered`.
+    */
+  def localShardedHammingHybridFiltered(s: SparkSession,
+      dir: String): DataFrame = {
+    val (db, q) = buildHammingDb(s, dir, "facade_local_sh_ham_hyb_f",
+      withText = true)
+    val set = graft.serve.CodeReplicaSet.fromStore(db, shards = 4,
+      metaCols = Seq("label"), textCol = Some("text"))
+    require(set.numShards >= 2 && set.lexical,
+      "expected a multi-shard lexical code set")
+    val res = set.hybridSearchWhere(q, "spark vector merge", 10,
+      Seq(graft.types.Filter.Gte("label", 2)))
+    import s.implicits._
+    res.map(c => (c.id, c.score)).toDF("id", "s")
+      .select(col("id"), round(col("s"), 6).as("score"))
+  }
+
   /** Filtered serving-replica k-NN: the metadata predicate runs ENGINE-
     * side (stats-pruned scan) and only the surviving id-set ships to the
     * replica ([[graft.serve.LocalReplica.searchFiltered]] — vecgo
@@ -1320,6 +1358,10 @@ object FacadeQueries {
       (localReshardedHammingHybrid _),
     "graftdb_local_hamming_hybrid_filtered" ->
       (localHammingHybridFiltered _),
+    "graftdb_local_sharded_hybrid_filtered" ->
+      (localShardedHybridFiltered _),
+    "graftdb_local_sharded_hamming_hybrid_filtered" ->
+      (localShardedHammingHybridFiltered _),
     "graftdb_local_knn_filtered" -> (localKnnFiltered _),
     "graftdb_local_knn_where" -> (localKnnWhere _),
     "graftdb_local_delete" -> (localDelete _),
@@ -1729,6 +1771,9 @@ object FacadeQueries {
   /** Derived aliases: rows whose oracle is literally another row's. */
   val oracleAliases: Map[String, String] = Map(
     "graftdb_local_hybrid_filtered" -> "graftdb_hybrid_filtered",
+    "graftdb_local_sharded_hybrid_filtered" -> "graftdb_hybrid_filtered",
+    "graftdb_local_sharded_hamming_hybrid_filtered" ->
+      "graftdb_local_hamming_hybrid_filtered",
     // the in-process / sharded / resharded Hamming hybrids answer the
     // engine's exact integer-pool fuse — one oracle pins all four
     "graftdb_local_hamming_hybrid" -> "graftdb_hybrid_hamming",

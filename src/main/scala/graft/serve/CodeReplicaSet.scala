@@ -459,6 +459,43 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     LocalReplica.rrfFuse(vPool, LocalReplica.joinOverlap(lexTask), k, rrfK)
   }
 
+  /** Cross-shard FILTERED Hamming hybrid
+    * ([[LocalCodeReplica.hybridSearchWhere]] lifted to the router):
+    * typed predicates restrict both pools on every shard, corpus stats
+    * stay global, integer vector scores make the merged filtered top-m
+    * exactly the global one.
+    */
+  def hybridSearchWhere(q: Array[Long], textQuery: String, k: Int,
+      filters: Seq[graft.types.Filter],
+      rrfK: Int = 60): Seq[Candidate] = {
+    if (filters.isEmpty) return hybridSearch(q, textQuery, k, rrfK)
+    if (shards.length == 1)
+      return shards(0).hybridSearchWhere(q, textQuery, k, filters, rrfK)
+    require(lexical,
+      "a shard carries no lexical section — export with textCol to serve " +
+        "sharded BM25/hybrid")
+    val m = math.max(2 * k, 50)
+    val snaps = shards.map(_.snapshotMut)
+    val lexTask = LocalReplica.overlap {
+      val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
+      val lPools = new Array[Seq[(Long, Double)]](shards.length)
+      java.util.stream.IntStream.range(0, shards.length).parallel()
+        .forEach { i =>
+          lPools(i) = shards(i).lexicalPoolSnapWhere(textQuery, m, snaps(i),
+            g, filters)
+        }
+      mergeLex(lPools.toIndexedSeq, m)
+    }
+    val vPool = LocalReplica.joinedWithOverlap(lexTask) {
+      val vPools = new Array[Seq[Candidate]](shards.length)
+      java.util.stream.IntStream.range(0, shards.length).parallel()
+        .forEach(i =>
+          vPools(i) = shards(i).searchWhereSnap(q, m, filters, snaps(i)))
+      mergeK(vPools, m).map(c => (c.id, c.score))
+    }
+    LocalReplica.rrfFuse(vPool, LocalReplica.joinOverlap(lexTask), k, rrfK)
+  }
+
   /** Persist as per-shard GRCR artifacts + a routing manifest (see
     * [[ReplicaSet.save]]).
     */

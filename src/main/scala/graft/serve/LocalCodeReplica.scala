@@ -644,6 +644,31 @@ final class LocalCodeReplica private (
     lexicalPool(textQuery, m,
       if (m0 == null) null else m0.tombstones, null, global)
 
+  /** [[lexicalPoolSnap]] with typed predicates gating pool admission —
+    * the sharded FILTERED hybrid's lexical side.
+    */
+  private[serve] def lexicalPoolSnapWhere(textQuery: String, m: Int,
+      m0: LocalCodeReplica.Mut, global: LocalReplica.GlobalLex,
+      filters: Seq[graft.types.Filter]): Seq[(Long, Double)] = {
+    val preds = compilePreds(filters)
+    lexicalPool(textQuery, m,
+      if (m0 == null) null else m0.tombstones, r => {
+        var ok = true
+        var i = 0
+        while (ok && i < preds.length) { ok = preds(i)(r); i += 1 }
+        ok
+      }, global)
+  }
+
+  /** [[searchWhere]] against a pinned snapshot — the sharded filtered
+    * hybrid's vector side.
+    */
+  private[serve] def searchWhereSnap(q: Array[Long], k: Int,
+      filters: Seq[graft.types.Filter],
+      m0: LocalCodeReplica.Mut): Seq[Candidate] =
+    searchWhereInternal(q, k, compilePreds(filters),
+      if (m0 == null) null else m0.tombstones)
+
   /** In-process BM25 top-k on the code tier (vecgo R10 served embedded —
     * lexical search is metric-agnostic): same scores and (rounded score
     * desc, id asc) ordering as `GraftDB.lexicalSearch` over the exported

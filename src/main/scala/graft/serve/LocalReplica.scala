@@ -1616,6 +1616,31 @@ final class LocalReplica private (
       global: LocalReplica.GlobalLex): Seq[(Long, Double)] =
     lexicalPool(textQuery, m, mutTomb(m0), null, global)
 
+  /** [[lexicalPoolSnap]] with typed predicates gating pool admission —
+    * the sharded FILTERED hybrid's lexical side (corpus-level impact/df
+    * via `global`, survivors-only slots).
+    */
+  private[serve] def lexicalPoolSnapWhere(textQuery: String, m: Int,
+      m0: LocalReplica.Mut, global: LocalReplica.GlobalLex,
+      filters: Seq[graft.types.Filter]): Seq[(Long, Double)] = {
+    val preds = filters.map(compilePredicate).toArray
+    lexicalPool(textQuery, m, mutTomb(m0), r => {
+      var ok = true
+      var i = 0
+      while (ok && i < preds.length) { ok = preds(i)(r); i += 1 }
+      ok
+    }, global)
+  }
+
+  /** [[searchWhere]] against a pinned snapshot — the sharded filtered
+    * hybrid's vector side.
+    */
+  private[serve] def searchWhereSnap(q0: Array[Float], k: Int,
+      filters: Seq[graft.types.Filter], nprobe: Int,
+      m0: LocalReplica.Mut): Seq[Candidate] =
+    searchWhereInternal(q0, k, filters.map(compilePredicate).toArray,
+      nprobe, mutTomb(m0))
+
   private[serve] def totalRowsSnap(m0: LocalReplica.Mut): Int = {
     val d = mutDelta(m0)
     size + (if (d == null) 0 else d.size)

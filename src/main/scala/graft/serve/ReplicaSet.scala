@@ -676,6 +676,50 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     head.rrfFuse(head.roundedCut(vRaw, m),
       LocalReplica.joinOverlap(lexTask), k, rrfK)
   }
+
+  /** Cross-shard FILTERED hybrid ([[LocalReplica.hybridSearchWhere]]
+    * lifted to the router): typed predicates restrict BOTH pools on
+    * every shard while corpus stats stay global (the exchange) — the
+    * vector side fetches EVERY predicate survivor per shard (same
+    * any-tie-width exactness as the single replica's filtered scan) and
+    * the merged recut/fuse reproduces a single global replica's filtered
+    * hybrid exactly. Lexical side overlaps the vector fan-out.
+    */
+  def hybridSearchWhere(q: Array[Float], textQuery: String, k: Int,
+      filters: Seq[graft.types.Filter], rrfK: Int = 60,
+      nprobe: Int = 0): Seq[Candidate] = {
+    if (filters.isEmpty) return hybridSearch(q, textQuery, k, rrfK, nprobe)
+    if (shards.length == 1)
+      return shards(0).hybridSearchWhere(q, textQuery, k, filters, rrfK,
+        nprobe)
+    require(lexical,
+      "a shard carries no lexical section — export with textCol to serve " +
+        "sharded BM25/hybrid")
+    val head = shards.head
+    val m = math.max(2 * k, 50)
+    val snaps = shards.map(_.snapshotMut)
+    val lexTask = LocalReplica.overlap {
+      val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
+      val lPools = new Array[Seq[(Long, Double)]](shards.length)
+      java.util.stream.IntStream.range(0, shards.length).parallel()
+        .forEach { i =>
+          lPools(i) = shards(i).lexicalPoolSnapWhere(textQuery, m, snaps(i),
+            g, filters)
+        }
+      mergeLex(lPools.toIndexedSeq, m)
+    }
+    val vRaw = LocalReplica.joinedWithOverlap(lexTask) {
+      val pools = new Array[Seq[Candidate]](shards.length)
+      java.util.stream.IntStream.range(0, shards.length).parallel()
+        .forEach { i =>
+          pools(i) = shards(i).searchWhereSnap(q, Int.MaxValue, filters,
+            nprobe, snaps(i))
+        }
+      mergeK(pools, Int.MaxValue)
+    }
+    head.rrfFuse(head.roundedCut(vRaw, m),
+      LocalReplica.joinOverlap(lexTask), k, rrfK)
+  }
 }
 
 object ReplicaSet {

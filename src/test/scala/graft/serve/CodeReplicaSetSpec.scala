@@ -122,6 +122,9 @@ class CodeReplicaSetSpec extends AnyFunSuite {
         one.lexicalSearch("apple banana", 12), s"lex seed $seed")
       assert(set.hybridSearch(q, "apple banana", 10) ==
         one.hybridSearch(q, "apple banana", 10), s"hybrid seed $seed")
+      assert(set.hybridSearchWhere(q, "apple banana", 10, filters) ==
+        one.hybridSearchWhere(q, "apple banana", 10, filters),
+        s"filtered hybrid seed $seed")
     }
     val q = queryPool(3)
     // the filtered page honors the predicate; empty filters degenerate

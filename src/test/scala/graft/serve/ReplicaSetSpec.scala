@@ -238,6 +238,27 @@ class ReplicaSetSpec extends AnyFunSuite {
     assert(set.hybridSearch(queryVec(1), "absentterm", 5, nprobe = 4) ==
       one.hybridSearch(queryVec(1), "absentterm", 5))
 
+    // ---- sharded FILTERED hybrid: predicates gate both pools on every
+    // shard, corpus stats stay global — equal to the single replica
+    val labeled = withText.withColumn("label",
+      pmod(col("id"), lit(5)).cast("int"))
+    val fset = ReplicaSet.fromDataFrame(labeled, "vec", "id", Metric.L2,
+      shards = 4, nlist = 4, metaCols = Seq("label"),
+      textCol = Some("text"))
+    val fone = LocalReplica.fromDataFrame(labeled, "vec", "id", Metric.L2,
+      metaCols = Seq("label"), textCol = Some("text"))
+    val fl = Seq(graft.types.Filter.Gte("label", 1),
+      graft.types.Filter.Lte("label", 3))
+    for (s <- 0 until 3) {
+      val q = queryVec(s)
+      assert(fset.hybridSearchWhere(q, "spark vector", 10, fl, nprobe = 4) ==
+        fone.hybridSearchWhere(q, "spark vector", 10, fl),
+        s"sharded/single filtered hybrid divergence: seed=$s")
+    }
+    assert(fset.hybridSearchWhere(queryVec(1), "spark vector", 10, Nil,
+      nprobe = 4) ==
+      fset.hybridSearch(queryVec(1), "spark vector", 10, nprobe = 4))
+
     // ---- lexical survives a reshard: postings re-split with the rows,
     // per-shard stats recompute, the global-stats exchange still makes
     // sharded BM25/hybrid bit-identical to the single global replica
