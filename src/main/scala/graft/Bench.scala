@@ -249,6 +249,29 @@ object Bench {
     val sharded10k = graft.serve.ReplicaSet.fromDataFrame(
       stored.where(col("id") < 10000), "vec", "id", Metric.L2,
       shards = 4, nlist = 16)
+    // Hamming serving fixtures: 10k rows of 256-bit sign codes (the
+    // binary-embedding deployment shape) — the popcount scan's µs row,
+    // plus the code-tier hybrid (popcount + BM25 + RRF) at the same
+    // 2-word-text shape as the float hybrid fixture below
+    val hammingBits = 256
+    val codes10k = graft.index.BQ.packCol(
+      transform(sequence(lit(0), lit(hammingBits - 1)),
+        i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+          .cast("double") / lit(500.0) - lit(1.0)).cast("float")),
+      hammingBits)
+    val hamWords = typedLit(Seq("apple", "banana", "cherry", "date",
+      "elderberry", "fig", "grape", "honeydew"))
+    val replicaHam10k = graft.serve.LocalCodeReplica.fromDataFrame(
+      spark.range(0, 10000, 1, 8).select(col("id"), codes10k.as("code"),
+        concat_ws(" ",
+          element_at(hamWords, (pmod(xxhash64(col("id") * 7), lit(8)) + 1).cast("int")),
+          element_at(hamWords, (pmod(xxhash64(col("id") * 13), lit(8)) + 1).cast("int"))).as("text")),
+      "code", "id", hammingBits, textCol = Some("text"))
+    val hamQueries: Array[Array[Long]] = {
+      val rows = spark.range(0, 100, 1, 4).select(codes10k.as("code"))
+        .collect()
+      rows.map(_.getSeq[Long](0).toArray)
+    }
     // hybrid serving fixture MATCHED to the reference's hybrid benchmark
     // (benchmark_test/hybrid_bench_test.go: 10k docs, each text = 2 words
     // drawn from an 8-word vocab, query "apple banana", k=10, rrfK=60 —
@@ -522,6 +545,25 @@ object Bench {
           i += 1
         }
       }),
+      // Hamming serving tier at the 10k headline shape: the popcount
+      // scan's single-query latency (256-bit codes = 32 bytes/row — the
+      // whole working set is cache-resident) and the code-tier hybrid
+      // (popcount pool + BM25 pool overlapped + RRF fuse)
+      "synth_local_hamming10k_x2000" -> (() => {
+        var i = 0
+        while (i < 2000) {
+          replicaHam10k.search(hamQueries(i % hamQueries.length), 10)
+          i += 1
+        }
+      }),
+      "synth_local_hamming_hybrid_x500" -> (() => {
+        var i = 0
+        while (i < 500) {
+          replicaHam10k.hybridSearch(hamQueries(i % hamQueries.length),
+            "apple banana", 10)
+          i += 1
+        }
+      }),
       // in-process hybrid (vector pool + BM25 pool + RRF fuse) at the
       // reference's 10k hybrid headline shape (216 us, BASELINE.md)
       "synth_local_hybrid_x500" -> (() => {
@@ -704,6 +746,7 @@ object Bench {
       "synth_local_knn768_pq_x200", "synth_local_knn768_int4_x200",
       "synth_local_knn10k_x2000", "synth_local_sharded10k_x2000",
       "synth_local_hybrid_x500", "synth_local_mmr_x500",
+      "synth_local_hamming10k_x2000", "synth_local_hamming_hybrid_x500",
       "synth_replica_mixed_4k",
       "synth_replica_sustained", "synth_replica_cold_open",
       "synth_local_conc8_x4000",
@@ -802,7 +845,8 @@ object Bench {
       "synth_local_knn10k_x2000", "synth_local_hybrid_x500",
       "synth_local_knn768_sq8_x200", "synth_local_knn768_pq_x200",
       "synth_local_knn768_int4_x200", "synth_local_sharded10k_x2000",
-      "synth_local_mmr_x500")
+      "synth_local_mmr_x500", "synth_local_hamming10k_x2000",
+      "synth_local_hamming_hybrid_x500")
     syncFs()
     secondLook.foreach { name =>
       benches.find(_._1 == name).foreach { case (_, f) =>
@@ -948,6 +992,10 @@ object Bench {
     }
     derived("local_hybrid_latency_us") =
       results("synth_local_hybrid_x500") / 500.0 * 1e6
+    derived("local_hamming10k_latency_us") =
+      results("synth_local_hamming10k_x2000") / 2000.0 * 1e6
+    derived("local_hamming_hybrid_latency_us") =
+      results("synth_local_hamming_hybrid_x500") / 500.0 * 1e6
     derived("local_mmr10k_latency_us") =
       results("synth_local_mmr_x500") / 500.0 * 1e6
     derived("replica_delete_ids_per_sec") =

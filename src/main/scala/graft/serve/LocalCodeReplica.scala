@@ -580,6 +580,16 @@ final class LocalCodeReplica private (
     * expression `LexData.impact` freezes, so a shard scoring under
     * global stats is bit-identical to a single global replica.
     */
+  // per-thread lexical accumulator, generation-stamped so a query never
+  // zeroes the O(size) arrays (the same thread-local-scratch move the
+  // float tier's coded scan got in r11: allocating+zeroing ~90 KB per
+  // query dominated the in-process hybrid's lexical side)
+  private val lexScratch =
+    new ThreadLocal[LocalCodeReplica.LexScratch]() {
+      override def initialValue(): LocalCodeReplica.LexScratch =
+        new LocalCodeReplica.LexScratch(size)
+    }
+
   private def lexicalPool(textQuery: String, m: Int,
       tomb: Array[Long], pred: Int => Boolean = null,
       global: LocalReplica.GlobalLex = null): Seq[(Long, Double)] = {
@@ -588,9 +598,11 @@ final class LocalCodeReplica private (
       "replica carries no lexical section — export with textCol to serve " +
         "BM25/hybrid in-process")
     val termsIn = graft.lexical.BM25.tokenizeQuery(textQuery)
-    val acc = new Array[Double](size)
-    val seen = new Array[Boolean](size)
-    val touched = new scala.collection.mutable.ArrayBuffer[Int]()
+    val sc = lexScratch.get()
+    val cur = sc.nextGen()
+    val acc = sc.acc
+    val gen = sc.gen
+    var nTouched = 0
     termsIn.foreach { t =>
       val ti = java.util.Arrays.binarySearch(
         l.terms.asInstanceOf[Array[AnyRef]], t)
@@ -610,31 +622,67 @@ final class LocalCodeReplica private (
                   B * l.docLen(row).toDouble / global.avgdl)
                 idf * (tf * (K1 + 1.0)) / (tf + lenNorm)
               }
-            if (!seen(row)) { seen(row) = true; touched += row }
-            acc(row) += s
+            if (gen(row) != cur) {
+              gen(row) = cur
+              acc(row) = s
+              nTouched = sc.touch(nTouched, row)
+            } else acc(row) += s
           }
           i += 1
         }
       }
     }
-    if (touched.isEmpty) return Nil
-    // rank by (rounded score desc, id asc), return raw scores
-    val n = touched.length
-    val key = new Array[Double](n)
-    val outIds = new Array[Long](n)
-    val raw = new Array[Double](n)
+    if (nTouched == 0) return Nil
+    // bounded worst-at-root top-m heap on the (rounded score desc, id
+    // asc) rank key — exact with no margin machinery (unlike the float
+    // DAAT, every candidate's score here is already FINAL when offered),
+    // and O(T log m) instead of sorting all T touched rows (a tie-heavy
+    // corpus touches thousands)
+    val touched = sc.touched
+    val hm = math.min(m, nTouched)
+    val hk = new Array[Double](math.max(1, hm))
+    val hid = new Array[Long](hk.length)
+    val hraw = new Array[Double](hk.length)
+    var hn = 0
+    @inline def worse(a: Int, b: Int): Boolean =
+      if (hk(a) != hk(b)) hk(a) < hk(b) else hid(a) > hid(b)
+    def siftDown(i0: Int): Unit = {
+      var i = i0
+      var go = true
+      while (go) {
+        val lc = 2 * i + 1; val rc = lc + 1
+        var mx = i
+        if (lc < hn && worse(lc, mx)) mx = lc
+        if (rc < hn && worse(rc, mx)) mx = rc
+        if (mx == i) go = false
+        else {
+          val tk = hk(i); hk(i) = hk(mx); hk(mx) = tk
+          val ti = hid(i); hid(i) = hid(mx); hid(mx) = ti
+          val tr = hraw(i); hraw(i) = hraw(mx); hraw(mx) = tr
+          i = mx
+        }
+      }
+    }
     var i = 0
-    while (i < n) {
+    while (i < nTouched) {
       val row = touched(i)
-      key(i) = LocalReplica.round6(acc(row))
-      outIds(i) = ids(row)
-      raw(i) = acc(row)
+      val k2 = LocalReplica.round6(acc(row))
+      val id = ids(row)
+      if (hn < hm) {
+        hk(hn) = k2; hid(hn) = id; hraw(hn) = acc(row); hn += 1
+        if (hn == hm) {
+          var j = hn / 2 - 1
+          while (j >= 0) { siftDown(j); j -= 1 }
+        }
+      } else if (k2 > hk(0) || (k2 == hk(0) && id < hid(0))) {
+        hk(0) = k2; hid(0) = id; hraw(0) = acc(row); siftDown(0)
+      }
       i += 1
     }
-    LocalReplica.sortRank(key, outIds, raw, n, asc = false)
-    val out = new Array[(Long, Double)](math.min(m, n))
+    LocalReplica.sortRank(hk, hid, hraw, hn, asc = false)
+    val out = new Array[(Long, Double)](hn)
     i = 0
-    while (i < out.length) { out(i) = (outIds(i), raw(i)); i += 1 }
+    while (i < hn) { out(i) = (hid(i), hraw(i)); i += 1 }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
@@ -966,6 +1014,26 @@ object LocalCodeReplica {
       val tombstones: Array[Long],
       val deltaIds: Array[Long],
       val deltaFlat: Array[Long])
+
+  /** Per-thread lexical accumulator: `acc(row)` is valid iff
+    * `gen(row) == ` the current generation — bumping the generation
+    * "clears" both O(size) arrays in O(1). `touched` grows on demand and
+    * holds the rows this query scored.
+    */
+  private[serve] final class LexScratch(n: Int) {
+    val acc = new Array[Double](n)
+    val gen = new Array[Int](n)
+    var touched = new Array[Int](256)
+    private var g = 0
+    def nextGen(): Int = { g += 1; g }
+    /** Append `row` at slot `i`, growing if needed; returns i+1. */
+    def touch(i: Int, row: Int): Int = {
+      if (i == touched.length)
+        touched = java.util.Arrays.copyOf(touched, i * 2)
+      touched(i) = row
+      i + 1
+    }
+  }
 
   /** Load a [[LocalCodeReplica#save]]d artifact; fails loudly on bad
     * magic/version or a truncated file.
