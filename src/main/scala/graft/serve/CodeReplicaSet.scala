@@ -422,6 +422,39 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     mergeLex(pools.toIndexedSeq, k).map { case (id, s) => Candidate(id, s) }
   }
 
+  /** The plain and filtered hybrids' shared skeleton: snapshots pinned
+    * per shard, the lexical side (global exchange + per-shard pools +
+    * merge) overlapping the popcount fan-out on a ForkJoin task, shared
+    * RRF fuse. The callers differ only in the two per-shard pool
+    * functions — ONE copy of the overlap/exchange structure, so a fix to
+    * it cannot fork across the verbs.
+    */
+  private def hybridFused(textQuery: String, k: Int, rrfK: Int,
+      lexPool: (Int, LocalCodeReplica.Mut, Int,
+        LocalReplica.GlobalLex) => Seq[(Long, Double)],
+      vecPool: (Int, LocalCodeReplica.Mut, Int) => Seq[Candidate])
+      : Seq[Candidate] = {
+    require(lexical,
+      "a shard carries no lexical section — export with textCol to serve " +
+        "sharded BM25/hybrid")
+    val m = math.max(2 * k, 50)
+    val snaps = shards.map(_.snapshotMut)
+    val lexTask = LocalReplica.overlap {
+      val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
+      val lPools = new Array[Seq[(Long, Double)]](shards.length)
+      java.util.stream.IntStream.range(0, shards.length).parallel()
+        .forEach(i => lPools(i) = lexPool(i, snaps(i), m, g))
+      mergeLex(lPools.toIndexedSeq, m)
+    }
+    val vPool = LocalReplica.joinedWithOverlap(lexTask) {
+      val vPools = new Array[Seq[Candidate]](shards.length)
+      java.util.stream.IntStream.range(0, shards.length).parallel()
+        .forEach(i => vPools(i) = vecPool(i, snaps(i), m))
+      mergeK(vPools, m).map(c => (c.id, c.score))
+    }
+    LocalReplica.rrfFuse(vPool, LocalReplica.joinOverlap(lexTask), k, rrfK)
+  }
+
   /** Cross-shard hybrid RRF on the code tier — the Hamming twin of
     * [[ReplicaSet.hybridSearch]]: the vector pool is the exact global
     * popcount top-m (integer scores — per-shard top-m merged under the
@@ -434,36 +467,16 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
       rrfK: Int = 60): Seq[Candidate] = {
     if (shards.length == 1)
       return shards(0).hybridSearch(q, textQuery, k, rrfK)
-    require(lexical,
-      "a shard carries no lexical section — export with textCol to serve " +
-        "sharded BM25/hybrid")
-    val m = math.max(2 * k, 50)
-    val snaps = shards.map(_.snapshotMut)
-    // lexical side (global exchange + pools + merge) overlaps the
-    // popcount fan-out, like the float router
-    val lexTask = LocalReplica.overlap {
-      val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
-      val lPools = new Array[Seq[(Long, Double)]](shards.length)
-      java.util.stream.IntStream.range(0, shards.length).parallel()
-        .forEach { i =>
-          lPools(i) = shards(i).lexicalPoolSnap(textQuery, m, snaps(i), g)
-        }
-      mergeLex(lPools.toIndexedSeq, m)
-    }
-    val vPool = LocalReplica.joinedWithOverlap(lexTask) {
-      val vPools = new Array[Seq[Candidate]](shards.length)
-      java.util.stream.IntStream.range(0, shards.length).parallel()
-        .forEach(i => vPools(i) = shards(i).searchSnap(q, m, snaps(i)))
-      mergeK(vPools, m).map(c => (c.id, c.score))
-    }
-    LocalReplica.rrfFuse(vPool, LocalReplica.joinOverlap(lexTask), k, rrfK)
+    hybridFused(textQuery, k, rrfK,
+      (i, snap, m, g) => shards(i).lexicalPoolSnap(textQuery, m, snap, g),
+      (i, snap, m) => shards(i).searchSnap(q, m, snap))
   }
 
   /** Cross-shard FILTERED Hamming hybrid
     * ([[LocalCodeReplica.hybridSearchWhere]] lifted to the router):
-    * typed predicates restrict both pools on every shard, corpus stats
-    * stay global, integer vector scores make the merged filtered top-m
-    * exactly the global one.
+    * typed predicates restrict both pools on every shard (compiled ONCE
+    * per shard, fed to both), corpus stats stay global, integer vector
+    * scores make the merged filtered top-m exactly the global one.
     */
   def hybridSearchWhere(q: Array[Long], textQuery: String, k: Int,
       filters: Seq[graft.types.Filter],
@@ -471,29 +484,11 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
     if (filters.isEmpty) return hybridSearch(q, textQuery, k, rrfK)
     if (shards.length == 1)
       return shards(0).hybridSearchWhere(q, textQuery, k, filters, rrfK)
-    require(lexical,
-      "a shard carries no lexical section — export with textCol to serve " +
-        "sharded BM25/hybrid")
-    val m = math.max(2 * k, 50)
-    val snaps = shards.map(_.snapshotMut)
-    val lexTask = LocalReplica.overlap {
-      val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
-      val lPools = new Array[Seq[(Long, Double)]](shards.length)
-      java.util.stream.IntStream.range(0, shards.length).parallel()
-        .forEach { i =>
-          lPools(i) = shards(i).lexicalPoolSnapWhere(textQuery, m, snaps(i),
-            g, filters)
-        }
-      mergeLex(lPools.toIndexedSeq, m)
-    }
-    val vPool = LocalReplica.joinedWithOverlap(lexTask) {
-      val vPools = new Array[Seq[Candidate]](shards.length)
-      java.util.stream.IntStream.range(0, shards.length).parallel()
-        .forEach(i =>
-          vPools(i) = shards(i).searchWhereSnap(q, m, filters, snaps(i)))
-      mergeK(vPools, m).map(c => (c.id, c.score))
-    }
-    LocalReplica.rrfFuse(vPool, LocalReplica.joinOverlap(lexTask), k, rrfK)
+    val preds = shards.map(_.compiledPredsOf(filters))
+    hybridFused(textQuery, k, rrfK,
+      (i, snap, m, g) =>
+        shards(i).lexicalPoolSnapWhere(textQuery, m, snap, g, preds(i)),
+      (i, snap, m) => shards(i).searchWhereSnap(q, m, preds(i), snap))
   }
 
   /** Persist as per-shard GRCR artifacts + a routing manifest (see

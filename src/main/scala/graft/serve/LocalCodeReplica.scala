@@ -565,6 +565,16 @@ final class LocalCodeReplica private (
       .take(k).toSeq
   }
 
+  // per-thread lexical accumulator, generation-stamped so a query never
+  // zeroes the O(size) arrays (the same thread-local-scratch move the
+  // float tier's coded scan got in r11: allocating+zeroing ~90 KB per
+  // query dominated the in-process hybrid's lexical side)
+  private val lexScratch =
+    new ThreadLocal[LocalCodeReplica.LexScratch]() {
+      override def initialValue(): LocalCodeReplica.LexScratch =
+        new LocalCodeReplica.LexScratch(size)
+    }
+
   /** BM25 scores of every live doc containing ≥1 query term, best-first
     * by the engine's (rounded score desc, id asc) rank order, capped at
     * `m` — the Hamming tier's lexical pool over the exported postings
@@ -580,16 +590,6 @@ final class LocalCodeReplica private (
     * expression `LexData.impact` freezes, so a shard scoring under
     * global stats is bit-identical to a single global replica.
     */
-  // per-thread lexical accumulator, generation-stamped so a query never
-  // zeroes the O(size) arrays (the same thread-local-scratch move the
-  // float tier's coded scan got in r11: allocating+zeroing ~90 KB per
-  // query dominated the in-process hybrid's lexical side)
-  private val lexScratch =
-    new ThreadLocal[LocalCodeReplica.LexScratch]() {
-      override def initialValue(): LocalCodeReplica.LexScratch =
-        new LocalCodeReplica.LexScratch(size)
-    }
-
   private def lexicalPool(textQuery: String, m: Int,
       tomb: Array[Long], pred: Int => Boolean = null,
       global: LocalReplica.GlobalLex = null): Seq[(Long, Double)] = {
@@ -692,29 +692,30 @@ final class LocalCodeReplica private (
     lexicalPool(textQuery, m,
       if (m0 == null) null else m0.tombstones, null, global)
 
-  /** [[lexicalPoolSnap]] with typed predicates gating pool admission —
-    * the sharded FILTERED hybrid's lexical side.
+  /** Compile typed predicates against THIS shard's metadata columns —
+    * the router compiles once per shard per query and feeds BOTH pools.
+    */
+  private[serve] def compiledPredsOf(
+      filters: Seq[graft.types.Filter]): Array[Int => Boolean] =
+    compilePreds(filters)
+
+  /** [[lexicalPoolSnap]] with precompiled predicates gating pool
+    * admission — the sharded FILTERED hybrid's lexical side.
     */
   private[serve] def lexicalPoolSnapWhere(textQuery: String, m: Int,
       m0: LocalCodeReplica.Mut, global: LocalReplica.GlobalLex,
-      filters: Seq[graft.types.Filter]): Seq[(Long, Double)] = {
-    val preds = compilePreds(filters)
+      preds: Array[Int => Boolean]): Seq[(Long, Double)] =
     lexicalPool(textQuery, m,
-      if (m0 == null) null else m0.tombstones, r => {
-        var ok = true
-        var i = 0
-        while (ok && i < preds.length) { ok = preds(i)(r); i += 1 }
-        ok
-      }, global)
-  }
+      if (m0 == null) null else m0.tombstones,
+      LocalReplica.allOf(preds), global)
 
-  /** [[searchWhere]] against a pinned snapshot — the sharded filtered
-    * hybrid's vector side.
+  /** [[searchWhere]] against a pinned snapshot with precompiled
+    * predicates — the sharded filtered hybrid's vector side.
     */
   private[serve] def searchWhereSnap(q: Array[Long], k: Int,
-      filters: Seq[graft.types.Filter],
+      preds: Array[Int => Boolean],
       m0: LocalCodeReplica.Mut): Seq[Candidate] =
-    searchWhereInternal(q, k, compilePreds(filters),
+    searchWhereInternal(q, k, preds,
       if (m0 == null) null else m0.tombstones)
 
   /** In-process BM25 top-k on the code tier (vecgo R10 served embedded —
@@ -1025,7 +1026,14 @@ object LocalCodeReplica {
     val gen = new Array[Int](n)
     var touched = new Array[Int](256)
     private var g = 0
-    def nextGen(): Int = { g += 1; g }
+    def nextGen(): Int = {
+      // wrap guard: after 2^31-1 generations the counter would revisit
+      // stamps still present in gen() (0 especially — the never-touched
+      // default), silently corrupting pools; one real fill restores the
+      // invariant
+      if (g == Int.MaxValue) { java.util.Arrays.fill(gen, 0); g = 0 }
+      g += 1; g
+    }
     /** Append `row` at slot `i`, growing if needed; returns i+1. */
     def touch(i: Int, row: Int): Int = {
       if (i == touched.length)

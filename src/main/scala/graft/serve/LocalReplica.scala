@@ -1616,30 +1616,29 @@ final class LocalReplica private (
       global: LocalReplica.GlobalLex): Seq[(Long, Double)] =
     lexicalPool(textQuery, m, mutTomb(m0), null, global)
 
-  /** [[lexicalPoolSnap]] with typed predicates gating pool admission —
-    * the sharded FILTERED hybrid's lexical side (corpus-level impact/df
-    * via `global`, survivors-only slots).
+  /** Compile typed predicates against THIS shard's metadata columns —
+    * the router compiles once per shard per query and feeds BOTH pools.
+    */
+  private[serve] def compiledPredsOf(
+      filters: Seq[graft.types.Filter]): Array[Int => Boolean] =
+    filters.map(compilePredicate).toArray
+
+  /** [[lexicalPoolSnap]] with precompiled predicates gating pool
+    * admission — the sharded FILTERED hybrid's lexical side
+    * (corpus-level impact/df via `global`, survivors-only slots).
     */
   private[serve] def lexicalPoolSnapWhere(textQuery: String, m: Int,
       m0: LocalReplica.Mut, global: LocalReplica.GlobalLex,
-      filters: Seq[graft.types.Filter]): Seq[(Long, Double)] = {
-    val preds = filters.map(compilePredicate).toArray
-    lexicalPool(textQuery, m, mutTomb(m0), r => {
-      var ok = true
-      var i = 0
-      while (ok && i < preds.length) { ok = preds(i)(r); i += 1 }
-      ok
-    }, global)
-  }
+      preds: Array[Int => Boolean]): Seq[(Long, Double)] =
+    lexicalPool(textQuery, m, mutTomb(m0), LocalReplica.allOf(preds), global)
 
-  /** [[searchWhere]] against a pinned snapshot — the sharded filtered
-    * hybrid's vector side.
+  /** [[searchWhere]] against a pinned snapshot with precompiled
+    * predicates — the sharded filtered hybrid's vector side.
     */
   private[serve] def searchWhereSnap(q0: Array[Float], k: Int,
-      filters: Seq[graft.types.Filter], nprobe: Int,
+      preds: Array[Int => Boolean], nprobe: Int,
       m0: LocalReplica.Mut): Seq[Candidate] =
-    searchWhereInternal(q0, k, filters.map(compilePredicate).toArray,
-      nprobe, mutTomb(m0))
+    searchWhereInternal(q0, k, preds, nprobe, mutTomb(m0))
 
   private[serve] def totalRowsSnap(m0: LocalReplica.Mut): Int = {
     val d = mutDelta(m0)
@@ -2763,6 +2762,15 @@ object LocalReplica {
     pools.flatten.map(t => (t._1, t._2, round6(t._2)))
       .sortWith((a, b) => if (a._3 != b._3) a._3 > b._3 else a._1 < b._1)
       .take(m).map(t => (t._1, t._2))
+
+  /** Conjunction of compiled row predicates as one row predicate. */
+  private[serve] def allOf(preds: Array[Int => Boolean]): Int => Boolean =
+    r => {
+      var ok = true
+      var i = 0
+      while (ok && i < preds.length) { ok = preds(i)(r); i += 1 }
+      ok
+    }
 
   /** Build a compact lexical postings section from per-row texts (null =
     * no text): tokenize with the SAME semantics as `BM25.tokenize`

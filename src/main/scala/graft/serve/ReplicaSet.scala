@@ -621,6 +621,24 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     * per shard). One mutation snapshot is pinned per shard for both
     * pools and every deepened fetch.
     */
+  /** The lexical side of a sharded hybrid (global-stats exchange +
+    * per-shard pools + merge) as a ForkJoin overlap task — the single
+    * replica's pool-overlap structure lifted to the router, so sharded
+    * hybrid latency is max(vector, lexical) + fuse too. Pure reads of
+    * the pinned snapshots. ONE copy for the plain and filtered verbs.
+    */
+  private def lexTaskFor(textQuery: String, m: Int,
+      lexPool: (Int, LocalReplica.GlobalLex) => Seq[(Long, Double)])
+      : java.util.concurrent.ForkJoinTask[
+        Either[Throwable, Seq[(Long, Double)]]] =
+    LocalReplica.overlap {
+      val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
+      val lPools = new Array[Seq[(Long, Double)]](shards.length)
+      java.util.stream.IntStream.range(0, shards.length).parallel()
+        .forEach(i => lPools(i) = lexPool(i, g))
+      mergeLex(lPools.toIndexedSeq, m)
+    }
+
   def hybridSearch(q: Array[Float], textQuery: String, k: Int,
       rrfK: Int = 60, nprobe: Int = 0): Seq[Candidate] = {
     if (shards.length == 1)
@@ -633,20 +651,8 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     val snaps = shards.map(_.snapshotMut)
     val totals = shards.indices.map(i => shards(i).totalRowsSnap(snaps(i)))
     val total = totals.sum
-    // the whole lexical side (global-stats exchange + per-shard DAAT
-    // pools + merge) overlaps the vector fetch on a ForkJoin task — the
-    // single replica's pool-overlap structure lifted to the router, so
-    // sharded hybrid latency is max(vector, lexical) + fuse too. Pure
-    // reads of the pinned snapshots on both sides.
-    val lexTask = LocalReplica.overlap {
-      val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
-      val lPools = new Array[Seq[(Long, Double)]](shards.length)
-      java.util.stream.IntStream.range(0, shards.length).parallel()
-        .forEach { i =>
-          lPools(i) = shards(i).lexicalPoolSnap(textQuery, m, snaps(i), g)
-        }
-      mergeLex(lPools.toIndexedSeq, m)
-    }
+    val lexTask = lexTaskFor(textQuery, m,
+      (i, g) => shards(i).lexicalPoolSnap(textQuery, m, snaps(i), g))
     val vRaw = LocalReplica.joinedWithOverlap(lexTask) {
       var depth = math.min(m + 1, total)
       def fetch(d: Int): Seq[Candidate] = {
@@ -698,21 +704,16 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
     val head = shards.head
     val m = math.max(2 * k, 50)
     val snaps = shards.map(_.snapshotMut)
-    val lexTask = LocalReplica.overlap {
-      val g = globalFor(graft.lexical.BM25.tokenizeQuery(textQuery))
-      val lPools = new Array[Seq[(Long, Double)]](shards.length)
-      java.util.stream.IntStream.range(0, shards.length).parallel()
-        .forEach { i =>
-          lPools(i) = shards(i).lexicalPoolSnapWhere(textQuery, m, snaps(i),
-            g, filters)
-        }
-      mergeLex(lPools.toIndexedSeq, m)
-    }
+    // predicates compile ONCE per shard and feed both pools
+    val preds = shards.map(_.compiledPredsOf(filters))
+    val lexTask = lexTaskFor(textQuery, m,
+      (i, g) => shards(i).lexicalPoolSnapWhere(textQuery, m, snaps(i), g,
+        preds(i)))
     val vRaw = LocalReplica.joinedWithOverlap(lexTask) {
       val pools = new Array[Seq[Candidate]](shards.length)
       java.util.stream.IntStream.range(0, shards.length).parallel()
         .forEach { i =>
-          pools(i) = shards(i).searchWhereSnap(q, Int.MaxValue, filters,
+          pools(i) = shards(i).searchWhereSnap(q, Int.MaxValue, preds(i),
             nprobe, snaps(i))
         }
       mergeK(pools, Int.MaxValue)
