@@ -20,8 +20,10 @@ object StoreQueries {
     * v0 insert ids < 250, v1 insert ids >= 250, v2 delete label = 3,
     * v3 upsert ids < 50 with label+100, v4 compact.
     */
-  private def buildLifecycle(s: SparkSession, dir: String, name: String): SnapshotStore = {
-    val root = scratch(name)
+  private def buildLifecycle(s: SparkSession, dir: String, name: String): SnapshotStore =
+    buildLifecycleAt(s, dir, scratch(name))
+
+  private def buildLifecycleAt(s: SparkSession, dir: String, root: String): SnapshotStore = {
     val p = new Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -49,6 +51,43 @@ object StoreQueries {
       .read()
       .select(col("id"), col("label"))
       .orderBy(col("id").asc)
+
+  /** The full lifecycle under the emulated OBJECT STORE
+    * ([[graft.store.S3SimFileSystem]]: manifest rename is copy+delete
+    * with a client-side precondition, conditional create is an atomic
+    * server-side PUT — S3A's commit-relevant semantics, vecgo
+    * `blobstore/s3`): every verb plus a vacuum runs against `s3sim:` and
+    * the head must answer the SAME relational oracle as the local-FS
+    * twin. Turns the S4-S5 coverage rows from test-only into
+    * oracle-verified.
+    */
+  def s3Lifecycle(s: SparkSession, dir: String): DataFrame = {
+    graft.store.S3SimFileSystem.register(s.sparkContext.hadoopConfiguration)
+    val store = buildLifecycleAt(s, dir, "s3sim:" + scratch("store_s3sim"))
+    store.vacuum(keepVersions = 2) // manifest + segment GC on the sim
+    store.read()
+      .select(col("id"), col("label"))
+      .orderBy(col("id").asc)
+  }
+
+  /** The full lifecycle on the HEAP-RESIDENT store
+    * ([[graft.store.MemFileSystem]], `graftmem:` — the reference's
+    * in-process memory blob store, vecgo `blobstore/memory`): parquet
+    * segments, tombstones, manifests, CURRENT, vacuum all live in byte
+    * arrays; nothing touches disk (gated on the map actually holding the
+    * bytes). Same relational oracle as the local-FS twin.
+    */
+  def memLifecycle(s: SparkSession, dir: String): DataFrame = {
+    graft.store.MemFileSystem.register(s.sparkContext.hadoopConfiguration)
+    graft.store.MemFileSystem.clear()
+    val store = buildLifecycleAt(s, dir, "graftmem:/graft/store_memory")
+    store.vacuum(keepVersions = 2)
+    require(graft.store.MemFileSystem.usedBytes() > 0,
+      "graftmem store must hold its bytes in heap")
+    store.read()
+      .select(col("id"), col("label"))
+      .orderBy(col("id").asc)
+  }
 
   /** Time travel: version 2 (after the delete, before the upsert). */
   def timeTravel(s: SparkSession, dir: String): DataFrame =
@@ -302,6 +341,8 @@ object StoreQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_lifecycle" -> (lifecycle _),
+    "store_s3_lifecycle" -> (s3Lifecycle _),
+    "store_memory_lifecycle" -> (memLifecycle _),
     "store_timetravel" -> (timeTravel _),
     "store_restore" -> (restoreQ _),
     "store_diff" -> (diffQ _),
@@ -322,6 +363,25 @@ object StoreQueries {
     */
   val oracle: Map[String, String] = Map(
     "store_lifecycle" ->
+      """SELECT vec_id AS id, label + 100 AS label FROM embeddings WHERE vec_id < 50
+        |UNION ALL
+        |SELECT vec_id AS id, label + 200 AS label FROM embeddings
+        |WHERE vec_id >= 50 AND vec_id < 60
+        |UNION ALL
+        |SELECT vec_id AS id, label FROM embeddings
+        |WHERE vec_id >= 60 AND label <> 3 AND vec_id NOT BETWEEN 480 AND 489
+        |ORDER BY id ASC""".stripMargin,
+    // same chain, object-store / in-memory backends: same final state
+    "store_s3_lifecycle" ->
+      """SELECT vec_id AS id, label + 100 AS label FROM embeddings WHERE vec_id < 50
+        |UNION ALL
+        |SELECT vec_id AS id, label + 200 AS label FROM embeddings
+        |WHERE vec_id >= 50 AND vec_id < 60
+        |UNION ALL
+        |SELECT vec_id AS id, label FROM embeddings
+        |WHERE vec_id >= 60 AND label <> 3 AND vec_id NOT BETWEEN 480 AND 489
+        |ORDER BY id ASC""".stripMargin,
+    "store_memory_lifecycle" ->
       """SELECT vec_id AS id, label + 100 AS label FROM embeddings WHERE vec_id < 50
         |UNION ALL
         |SELECT vec_id AS id, label + 200 AS label FROM embeddings
