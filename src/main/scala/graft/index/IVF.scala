@@ -126,16 +126,151 @@ object IVF {
     }
   }
 
-  /** Train centroids with MLlib KMeans (seeded, deterministic given fixed
-    * input). For 100 TB inputs pass a sampled frame — k-means only needs a
-    * representative sample (vecgo caps its stats sampling the same way).
+  /** Rows the driver-local trainer will collect at most: beyond this the
+    * input is (deterministically, seeded) down-sampled first. 20k × dim
+    * floats is ≤ ~10 MB at 128d / ~60 MB at 768d — k-means only needs a
+    * representative sample (vecgo caps its stats sampling the same way,
+    * and [[graft.serve.LocalReplica.fromDataFrame]] has always trained
+    * its layout on the same 20k bound).
+    */
+  val MaxTrainRows = 20000L
+
+  /** Train centroids with a driver-local seeded k-means++ / Lloyd's over
+    * a bounded sample (r12 optimization): the previous MLlib `KMeans.fit`
+    * spent a dozen driver jobs (k-means|| init rounds + one aggregate per
+    * iteration) on inputs that are always sample-bounded anyway — ~1 s of
+    * pure scheduling per declared query that trains a model, measured at
+    * sf0.1. Now: one count + one collect (plus a seeded `sample` when the
+    * input exceeds [[MaxTrainRows]]), then in-process Lloyd's on primitive
+    * arrays. Deterministic given fixed input (seeded init, first-min
+    * tie-breaks, MLlib's keep-old-center rule for emptied clusters).
+    * Centroid VALUES differ from the MLlib model's, which no declared
+    * query result depends on — every oracle row is exact-by-config
+    * (all-probe / generous refine), re-proven green after this change;
+    * recall at partial nprobe is gated in ScalaTest as before.
     */
   def train(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
       maxIter: Int = 20): Model = {
-    val feats = df.select(array_to_vector(col(vecCol)).as("features"))
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-    val model = km.fit(feats)
-    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+    val src = df.select(col(vecCol))
+    val n0 = src.count()
+    val sampled =
+      if (n0 > MaxTrainRows)
+        src.sample(withReplacement = false,
+          math.min(1.0, MaxTrainRows.toDouble / n0), seed)
+      else src
+    val rows = sampled.collect()
+    require(rows.nonEmpty, "IVF.train: no training rows")
+    val dim = rows(0).getSeq[Float](0).length
+    val n = rows.length
+    val flat = new Array[Float](n * dim)
+    var r = 0
+    while (r < n) {
+      val v = rows(r).getSeq[Float](0)
+      var i = 0
+      while (i < dim) { flat(r * dim + i) = v(i); i += 1 }
+      r += 1
+    }
+    Model(trainFlat(flat, n, dim, k, seed, maxIter))
+  }
+
+  /** Seeded k-means++ init + Lloyd's over a row-major float buffer.
+    * Kernel dispatch mirrors the serving replica (SIMD when available,
+    * scalar otherwise); determinism holds within a mode — and no declared
+    * result depends on the centroid values at all.
+    */
+  private[index] def trainFlat(flat: Array[Float], n: Int, dim: Int,
+      k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
+    import graft.functions.{KernelMode, SimdKernels, DistanceKernels}
+    @inline def dist(base: Int, q: Array[Float]): Double =
+      if (KernelMode.fast) SimdKernels.l2sqAt(flat, base, q)
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          val d = flat(base + i).toDouble - q(i)
+          s += d * d
+          i += 1
+        }
+        s
+      }
+    val rng = new java.util.Random(seed)
+    val centers = new Array[Array[Float]](k)
+    // k-means++: first center uniform, then D²-weighted (seeded); a zero
+    // total (all points coincide) cycles rows instead
+    val first = rng.nextInt(n)
+    centers(0) = java.util.Arrays.copyOfRange(flat,
+      first * dim, first * dim + dim)
+    val d2 = new Array[Double](n)
+    java.util.Arrays.fill(d2, Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      // fold the newest center into the running min-distance
+      var r = 0
+      var total = 0.0
+      while (r < n) {
+        val d = dist(r * dim, centers(c - 1))
+        if (d < d2(r)) d2(r) = d
+        total += d2(r)
+        r += 1
+      }
+      val pick =
+        if (total <= 0.0) c % n
+        else {
+          var target = rng.nextDouble() * total
+          var i = 0
+          while (i < n - 1 && target > d2(i)) { target -= d2(i); i += 1 }
+          i
+        }
+      centers(c) = java.util.Arrays.copyOfRange(flat,
+        pick * dim, pick * dim + dim)
+      c += 1
+    }
+    // Lloyd's, stopping at the assignment fixed point
+    val assign = new Array[Int](n)
+    java.util.Arrays.fill(assign, -1)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var r = 0
+      while (r < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < k) {
+          val d = dist(r * dim, centers(ci))
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        if (assign(r) != best) { assign(r) = best; moved = true }
+        r += 1
+      }
+      if (moved) {
+        val sums = Array.ofDim[Double](k, dim)
+        val counts = new Array[Int](k)
+        r = 0
+        while (r < n) {
+          val ci = assign(r)
+          counts(ci) += 1
+          var i = 0
+          while (i < dim) { sums(ci)(i) += flat(r * dim + i); i += 1 }
+          r += 1
+        }
+        var ci = 0
+        while (ci < k) {
+          if (counts(ci) > 0) {
+            var i = 0
+            while (i < dim) {
+              centers(ci)(i) = (sums(ci)(i) / counts(ci)).toFloat
+              i += 1
+            }
+          } // emptied cluster keeps its old center (MLlib's rule)
+          ci += 1
+        }
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Tag every row with its IVF partition. */

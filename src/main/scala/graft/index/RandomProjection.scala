@@ -71,7 +71,9 @@ object RandomProjection {
   def project(df: DataFrame, idCol: String, vecCol: String, outDim: Int,
       seed: String, dim: Int): DataFrame = {
     val mat = matrix(dim, outDim, seed)
-    df.select(col(idCol),
+    // the HOF matmul is dim×outDim mults per row — spread a narrow scan
+    // so it never runs single-task (no-op at real scan widths)
+    graft.functions.spread_input(df).select(col(idCol),
       transform(projectCol(col(vecCol), mat), v => v.cast("float"))
         .as("proj"))
   }

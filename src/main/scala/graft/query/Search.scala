@@ -311,12 +311,40 @@ object Search {
       .select(col(queryIdCol), col(queryVecCol))
       .withColumn("ivf_part",
         explode(model.probeCol(col(queryVecCol), nprobe)))
-    val probed = if (broadcastQueries) broadcast(probed0) else probed0
     val score = metric.score(col(vecCol), col(queryVecCol))
     val orderScore = if (metric.ascending) score else -score
-    val scored = assigned
-      .join(probed, "ivf_part")
-      .withColumn("_os_in", orderScore)
+    val scored =
+      if (broadcastQueries)
+        assigned.join(broadcast(probed0), "ivf_part")
+          .withColumn("_os_in", orderScore)
+      else {
+        // Shuffled path: the join's OUTPUT explodes ~|cell| × nprobe-fold
+        // relative to its input bytes, which AQE's input-byte-based
+        // partition coalescing cannot see — measured at sf0.1 it folded
+        // the tiny (≈300 KB) inputs into ONE post-shuffle partition and
+        // evaluated 4M scored pairs single-threaded (r12 OptProbe: 3.4 s
+        // → 1.1 s just from pinning the exchange). Pin both exchanges at
+        // the session's reduce width with an explicit repartition, and
+        // when the cell-key cardinality is itself below that width (toy
+        // nlist, or one hot cell), SALT the key (guide §2.5): the corpus
+        // side gets a deterministic per-row salt, the probe side explodes
+        // every salt value, pairs are produced exactly once. At scale
+        // nlist ≫ cores so salt degenerates to 1 and the shape is the
+        // same one-shuffle-per-side equi-join as before.
+        val spark = corpus.sparkSession
+        val width = math.max(spark.sparkContext.defaultParallelism,
+          spark.conf.get("spark.sql.shuffle.partitions", "1").toInt)
+        val salt = math.max(1L, math.min(32L,
+          math.ceil(width.toDouble / math.max(1, model.k)).toLong)).toInt
+        val saltedCorpus = assigned
+          .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(salt)))
+          .repartition(width, col("ivf_part"), col("_salt"))
+        val saltedProbes = probed0
+          .withColumn("_salt", explode(array((0 until salt).map(lit(_)): _*)))
+          .repartition(width, col("ivf_part"), col("_salt"))
+        saltedCorpus.join(saltedProbes, Seq("ivf_part", "_salt"))
+          .withColumn("_os_in", orderScore)
+      }
     val restore = if (metric.ascending) col("_os") else -col("_os")
     topKPerKey(scored, queryIdCol, col("_os_in"), idCol, k)
       .select(col(queryIdCol), col(idCol), restore.as("score"), col("rank"))

@@ -320,12 +320,25 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
         "set is not refresh-capable: it was assembled directly or an " +
           "export hash cell was empty (tiny corpus) — re-export via " +
           "ReplicaSet.fromStore on a corpus that populates every cell")
+      // Shards refresh CONCURRENTLY (guide §2.6 — overlap independent
+      // jobs): each shard's refresh is its own manifest-diff read + Spark
+      // collect over the same new segments, and running them sequentially
+      // serializes S rounds of driver job latency. The shards are
+      // independent replicas (each refreshFrom synchronizes on its own
+      // replica), and Spark happily schedules the collects in parallel;
+      // stats folding below is order-independent. Measured on the
+      // serve-at-refresh bench row: the refresh half of each window
+      // drops ~2× at 2 shards.
+      val stats = shards.map { s =>
+        scala.concurrent.Future(s.refreshFrom(db, maxNewRows))(
+          scala.concurrent.ExecutionContext.global)
+      }.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
       var app = 0
       var del = 0
       var from = Long.MaxValue
       var to = Long.MinValue
-      shards.foreach { s =>
-        val st = s.refreshFrom(db, maxNewRows)
+      stats.foreach { st =>
         app += st.appended
         del += st.deleted
         from = math.min(from, st.fromVersion)

@@ -131,14 +131,14 @@ object SegmentStats {
     val presenceOnly = df.schema.fields.filterNot(scalarCols.contains).map { f =>
       f.name -> ColStats(num = false, None, None, None, None, 0L, 0L)
     }.toMap
-    // the vector centroid rides in the SAME wide agg as the scalar bounds:
-    // vec_sum_double is a narrow partial aggregate (one double[d] buffer
-    // per task), so the centroid costs zero extra passes — the old
-    // posexplode+groupBy alternative shuffled d rows per input vector
-    val vecDim = vecCol.flatMap { vc =>
-      df.select(size(col(vc)).as("d")).limit(1).collect()
-        .headOption.map(_.getInt(0))
-    }
+    // the vector DIM rides in the same wide agg as the scalar bounds (a
+    // dedicated first-row probe job used to fetch it — one whole extra
+    // Spark job per stats collect, r12); the centroid sum then rides in
+    // the SECOND agg pass below, which numeric-histogram collection
+    // already pays for on every schema with a non-degenerate numeric
+    // column. vec_sum_double is a narrow partial aggregate (one double[d]
+    // buffer per task) — the old posexplode+groupBy alternative shuffled
+    // d rows per input vector.
     val aggs = scalarCols.flatMap { f =>
       val c = col(f.name)
       val isNum = f.dataType.isInstanceOf[NumericType]
@@ -151,10 +151,14 @@ object SegmentStats {
         (if (!isNum) max(c) else lit(null).cast("string")).as(s"${f.name}__maxS"),
         count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
         approx_count_distinct(c).as(s"${f.name}__ndv"))
-    } ++ vecCol.zip(vecDim).map { case (vc, d) =>
-      graft.functions.vec_sum_double(col(vc), d).as("__vecsum")
+    } ++ vecCol.map { vc =>
+      max(size(col(vc))).as("__vecdim")
     } :+ count(lit(1)).as("__rows")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val vecDim = vecCol.flatMap { _ =>
+      val i = row.fieldIndex("__vecdim")
+      if (row.isNullAt(i)) None else Some(row.getInt(i))
+    }
     val cols = scalarCols.map { f =>
       val isNum = f.dataType.isInstanceOf[NumericType]
       def d(n: String): Option[Double] = {
@@ -186,8 +190,15 @@ object SegmentStats {
         if rows > 0 && cols(n).minN.exists(lo =>
           cols(n).maxN.exists(_ > lo)) => n
     }
-    val colsB =
-      if (bloomCols.isEmpty && histCols.isEmpty) cols
+    // the centroid sum joins this pass (needs the dim from pass 1; a
+    // schema with any non-degenerate numeric column pays this pass anyway)
+    val vecSumAgg = vecCol.zip(vecDim).collect {
+      case (vc, d) if rows > 0 =>
+        graft.functions.vec_sum_double(col(vc), d).as("__vecsum")
+    }
+    val (colsB, vecSumRow) =
+      if (bloomCols.isEmpty && histCols.isEmpty && vecSumAgg.isEmpty)
+        (cols, None)
       else {
         val aggsB: Seq[org.apache.spark.sql.Column] =
           bloomCols.toSeq.map(n => collect_set(col(n)).as(s"__set_$n")) ++
@@ -199,7 +210,7 @@ object SegmentStats {
               (0 until HistBins).map(b =>
                 count(when(col(n).isNotNull && bin === b, 1))
                   .as(s"__hist_${n}__$b"))
-            }
+            } ++ vecSumAgg
         val rowB = df.agg(aggsB.head, aggsB.tail: _*).collect()(0)
         val withBloom = cols ++ bloomCols.map { n =>
           val vs = rowB.getSeq[String](rowB.fieldIndex(s"__set_$n"))
@@ -213,11 +224,13 @@ object SegmentStats {
           n -> cols(n).copy(bloom = Some(CatBloom.build(vs)),
             ndv = vs.distinct.size.toLong)
         }
-        withBloom ++ histCols.map { n =>
+        (withBloom ++ histCols.map { n =>
           val bins = (0 until HistBins).map(b =>
             rowB.getLong(rowB.fieldIndex(s"__hist_${n}__$b"))).toList
           n -> withBloom(n).copy(hist = Some(bins))
-        }
+        },
+          if (vecSumAgg.isEmpty) None
+          else Some(rowB.getSeq[Double](rowB.fieldIndex("__vecsum"))))
       }
     // exact top-k frequent values for bounded-cardinality string columns:
     // one tiny groupBy job per eligible column (stats collection is a
@@ -237,7 +250,8 @@ object SegmentStats {
     val vec =
       if (rows == 0) None // empty segment: no vector stats to collect
       else vecCol.map { vc =>
-        val centroid = row.getSeq[Double](row.fieldIndex("__vecsum"))
+        val centroid = vecSumRow.getOrElse(throw new IllegalStateException(
+            "vector stats requested but no centroid sum was aggregated"))
           .map(_ / rows).toArray
         val radius = df
           .select(graft.functions.vec_l2(col(vc),

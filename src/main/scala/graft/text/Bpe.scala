@@ -248,7 +248,8 @@ object Bpe {
     */
   def encode(m: BpeModel, df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol), encodeTextNative(m, col(textCol)).as("bpe_text"))
+    graft.functions.spread_input(df)
+      .select(col(idCol), encodeTextNative(m, col(textCol)).as("bpe_text"))
       .where(col("bpe_text").isNotNull)
       .select(col(idCol),
         size(split(col("bpe_text"), " ")).cast("long").as("n_bpe"),
