@@ -382,6 +382,18 @@ object Bench {
           .agg(sum("l_quantity"), sum("l_extendedprice"),
             sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
             count(lit(1))))),
+      // ADDED r12 (old row kept): the same double-sum agg with the
+      // single-row-group scan widened first — the sf parquet files scan
+      // as ONE task, so scan_agg_double measures a single core; this row
+      // is the rate a splittable layout (any real deployment) gets
+      "scan_agg_double_wide" -> (() =>
+        noop(graft.functions.spread_input(
+            li.select(col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity"), col("l_extendedprice"), col("l_discount")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum("l_quantity"), sum("l_extendedprice"),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            count(lit(1))))),
       // IVF scale path: index build rate (BASELINE: 25,368 vec/s graph
       // build) and probe-pruned ANN vs brute force over the SAME layout
       "synth_ivf_build" -> (() =>
@@ -918,6 +930,8 @@ object Bench {
     derived("knn_single_qps") = 1.0 / results("synth_knn_single")
     derived("scan_rows_per_sec") = liRows / results("scan_agg_lineitem")
     derived("scan_rows_per_sec_double") = liRows / results("scan_agg_double")
+    derived("scan_rows_per_sec_double_wide") =
+      liRows / results("scan_agg_double_wide")
     derived("ivf_build_vec_per_sec") = n / results("synth_ivf_build")
     derived("ivf_probe_qps") = 1.0 / results("synth_ivf_probe4")
     derived("ivf_speedup_vs_brute") =

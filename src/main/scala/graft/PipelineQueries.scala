@@ -45,8 +45,17 @@ object PipelineQueries {
   // ------------------------------------------------------- text analysis
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  /** [[t]] round-robin-widened to the session's parallelism
+    * ([[graft.functions.spread_input]]): the CPU-heavy row-local text
+    * queries otherwise run on the ONE scan task a bench-scale single-file
+    * table produces (r12 OptProbe: 2-3x at sf0.1/32 cores); no-op at real
+    * scan widths, so the 100 TB plan is unchanged.
+    */
+  private def tw(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.functions.spread_input(t(s, dir, name))
+
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    tw(s, dir, "documents")
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
         TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"))
@@ -60,7 +69,7 @@ object PipelineQueries {
     */
   def textScrub(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Scrub
-    val aug = t(s, dir, "documents").select(col("doc_id"), concat(
+    val aug = tw(s, dir, "documents").select(col("doc_id"), concat(
       col("text"),
       when(pmod(col("doc_id"), lit(3)) === 0,
         concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
@@ -90,7 +99,7 @@ object PipelineQueries {
     */
   def pipelineFilter(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Scrub
-    val aug = t(s, dir, "documents").select(col("doc_id"), col("text"), concat(
+    val aug = tw(s, dir, "documents").select(col("doc_id"), col("text"), concat(
       col("text"),
       when(pmod(col("doc_id"), lit(3)) === 0,
         concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
@@ -131,7 +140,7 @@ object PipelineQueries {
     */
   def langQuality(s: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
-    t(s, dir, "documents")
+    tw(s, dir, "documents")
       .withColumn("toks", TextAnalysis.wsTokens(col("text")))
       // materialize the shared signal columns ONCE (CollapseProject keeps
       // multiply-referenced non-cheap aliases in their own Project): the
@@ -165,7 +174,7 @@ object PipelineQueries {
     def tagged(n: Int): Column =
       transform(TextAnalysis.ngrams(col("toks"), n),
         g => concat(lit(s"$n:"), g))
-    val exploded = t(s, dir, "documents")
+    val exploded = tw(s, dir, "documents")
       .withColumn("toks", toks)
       .select(col("doc_id"),
         explode(concat(tagged(2), tagged(3), tagged(5))).as("g"))
@@ -436,7 +445,7 @@ object PipelineQueries {
     * the CCNet-style "how typical is this document" quality signal.
     */
   def unigramPpl(s: SparkSession, dir: String): DataFrame =
-    graft.text.UnigramLM.scoreNll(t(s, dir, "documents"), "doc_id", "text")
+    graft.text.UnigramLM.scoreNll(tw(s, dir, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_tokens"), col("nll"))
       .orderBy(col("doc_id").asc)
 
@@ -458,7 +467,7 @@ object PipelineQueries {
     * word-order anomalies score badly even when every token is common.
     */
   def bigramPpl(s: SparkSession, dir: String): DataFrame =
-    graft.text.BigramLM.scoreNll(t(s, dir, "documents"), "doc_id", "text")
+    graft.text.BigramLM.scoreNll(tw(s, dir, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_bigrams"), col("nll"))
       .orderBy(col("doc_id").asc)
 
@@ -567,7 +576,12 @@ object PipelineQueries {
     val m = graft.text.QualityClassifier.LinearQualityModel(64,
       Array.tabulate(64)(b => ((b * 2654435761L % 1000) - 500) / 1000.0),
       bias = 0.1)
-    graft.text.QualityClassifier.score(m, t(s, dir, "documents"),
+    // spread at the INGEST point, not inside score — the operator itself
+    // stays shuffle-free (plan-gated in QualityClassifierSpec); the
+    // per-token md5 bucketing otherwise runs on the single scan task a
+    // bench-scale file produces (r12: 1.95 s → 0.94 s at sf0.1)
+    graft.text.QualityClassifier.score(m,
+        graft.functions.spread_input(t(s, dir, "documents")),
         "doc_id", "text", threshold = 0.55)
       .orderBy(col("doc_id").asc)
   }
@@ -592,7 +606,7 @@ object PipelineQueries {
     * lowercase, whitespace collapse. One row-local projection.
     */
   def textNormalize(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = tw(s, dir, "documents")
     val aug = concat(col("text"),
       when(col("doc_id") % 4 === 0,
         lit("\tCafé  \u200bRÉSUMÉ naïve\r\n"))

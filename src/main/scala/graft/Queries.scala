@@ -173,7 +173,15 @@ object Queries {
     val li = t(s, dir, "lineitem")
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val charge = disc * (lit(1.0) + col("l_tax"))
-    li.where(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+    // filter + project FIRST (guide §2.3), then widen: the sf tables are
+    // single-row-group parquet files, so the decimal-exact partial agg
+    // otherwise runs on ONE scan task (r12; spread_input is a no-op at
+    // real scan widths, so the 100 TB plan keeps its single exchange)
+    graft.functions.spread_input(
+        li.where(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),

@@ -106,7 +106,15 @@ object SegmentStats {
       parts.iterator.map(_._4).min, parts.iterator.map(_._5).max)
   }
 
-  def collect(df0: DataFrame, vecCol: Option[String] = None): Stats = {
+  /** `dimHint`: the vector dimensionality when the CALLER already knows it
+    * (a store's later inserts/compactions — the head manifest's vec stats
+    * carry it). With the hint the centroid sum rides the FIRST agg and the
+    * radius rides the second, so a steady-state stats collect is 2 jobs;
+    * without it, dim discovery rides pass 1, the sum pass 2, the radius
+    * pass 3 (first-ever insert only). Values are identical either way.
+    */
+  def collect(df0: DataFrame, vecCol: Option[String] = None,
+      dimHint: Option[Int] = None): Stats = {
     // packed segment layout: the vector column arrives as an LE float32
     // blob — unpack once here so the centroid/radius aggregates below see
     // array<float> (stats collection is a build-time pass, not the scan
@@ -152,13 +160,22 @@ object SegmentStats {
         count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
         approx_count_distinct(c).as(s"${f.name}__ndv"))
     } ++ vecCol.map { vc =>
-      max(size(col(vc))).as("__vecdim")
+      dimHint match {
+        case Some(d) => graft.functions.vec_sum_double(col(vc), d).as("__vecsum")
+        case None => max(size(col(vc))).as("__vecdim")
+      }
     } :+ count(lit(1)).as("__rows")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val vecDim = vecCol.flatMap { _ =>
-      val i = row.fieldIndex("__vecdim")
-      if (row.isNullAt(i)) None else Some(row.getInt(i))
+      dimHint.orElse {
+        val i = row.fieldIndex("__vecdim")
+        if (row.isNullAt(i)) None else Some(row.getInt(i))
+      }
     }
+    val vecSum1: Option[Seq[Double]] =
+      if (vecCol.isDefined && dimHint.isDefined)
+        Some(row.getSeq[Double](row.fieldIndex("__vecsum")))
+      else None
     val cols = scalarCols.map { f =>
       val isNum = f.dataType.isInstanceOf[NumericType]
       def d(n: String): Option[Double] = {
@@ -190,15 +207,25 @@ object SegmentStats {
         if rows > 0 && cols(n).minN.exists(lo =>
           cols(n).maxN.exists(_ > lo)) => n
     }
-    // the centroid sum joins this pass (needs the dim from pass 1; a
-    // schema with any non-degenerate numeric column pays this pass anyway)
+    // without a dim hint the centroid sum joins this pass (needs the dim
+    // from pass 1); WITH one (steady-state inserts) the centroid is
+    // already in hand and the RADIUS rides here instead — either way a
+    // schema with any non-degenerate numeric column pays this pass anyway
     val vecSumAgg = vecCol.zip(vecDim).collect {
-      case (vc, d) if rows > 0 =>
+      case (vc, d) if rows > 0 && vecSum1.isEmpty =>
         graft.functions.vec_sum_double(col(vc), d).as("__vecsum")
     }
-    val (colsB, vecSumRow) =
-      if (bloomCols.isEmpty && histCols.isEmpty && vecSumAgg.isEmpty)
-        (cols, None)
+    val centroid1: Option[Array[Double]] =
+      vecSum1.map(_.map(_ / rows).toArray)
+    val radiusAgg = vecCol.zip(centroid1).collect {
+      case (vc, c) if rows > 0 =>
+        max(graft.functions.vec_l2(col(vc),
+          lit(c.map(_.toFloat)))).as("__radius")
+    }
+    val (colsB, vecSumRow, radius2) =
+      if (bloomCols.isEmpty && histCols.isEmpty && vecSumAgg.isEmpty &&
+          radiusAgg.isEmpty)
+        (cols, None, None)
       else {
         val aggsB: Seq[org.apache.spark.sql.Column] =
           bloomCols.toSeq.map(n => collect_set(col(n)).as(s"__set_$n")) ++
@@ -210,7 +237,7 @@ object SegmentStats {
               (0 until HistBins).map(b =>
                 count(when(col(n).isNotNull && bin === b, 1))
                   .as(s"__hist_${n}__$b"))
-            } ++ vecSumAgg
+            } ++ vecSumAgg ++ radiusAgg
         val rowB = df.agg(aggsB.head, aggsB.tail: _*).collect()(0)
         val withBloom = cols ++ bloomCols.map { n =>
           val vs = rowB.getSeq[String](rowB.fieldIndex(s"__set_$n"))
@@ -230,7 +257,9 @@ object SegmentStats {
           n -> withBloom(n).copy(hist = Some(bins))
         },
           if (vecSumAgg.isEmpty) None
-          else Some(rowB.getSeq[Double](rowB.fieldIndex("__vecsum"))))
+          else Some(rowB.getSeq[Double](rowB.fieldIndex("__vecsum"))),
+          if (radiusAgg.isEmpty) None
+          else Some(rowB.getDouble(rowB.fieldIndex("__radius"))))
       }
     // exact top-k frequent values for bounded-cardinality string columns:
     // one tiny groupBy job per eligible column (stats collection is a
@@ -250,13 +279,13 @@ object SegmentStats {
     val vec =
       if (rows == 0) None // empty segment: no vector stats to collect
       else vecCol.map { vc =>
-        val centroid = vecSumRow.getOrElse(throw new IllegalStateException(
+        val centroid = centroid1.orElse(vecSumRow.map(_.map(_ / rows).toArray))
+          .getOrElse(throw new IllegalStateException(
             "vector stats requested but no centroid sum was aggregated"))
-          .map(_ / rows).toArray
-        val radius = df
+        val radius = radius2.getOrElse(df
           .select(graft.functions.vec_l2(col(vc),
             lit(centroid.map(_.toFloat))).as("r"))
-          .agg(max("r")).collect()(0).getDouble(0)
+          .agg(max("r")).collect()(0).getDouble(0))
         VecStats(centroid.toList, radius)
       }
     Stats(rows, colsT, vec)

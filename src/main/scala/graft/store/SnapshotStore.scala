@@ -397,6 +397,16 @@ final class SnapshotStore(spark: SparkSession, val root: String,
   /** Append a batch as a new segment → new version (vecgo W2/W3 deferred
     * bulk load + W7 commit). `df` must carry a unique `id` column.
     */
+  /** Vector dim already recorded by an earlier segment's vec stats — the
+    * steady-state `dimHint` for [[graft.stats.SegmentStats.collect]]
+    * (folds the radius pass into the histogram pass: 2 stats jobs per
+    * insert instead of 3; only the store's FIRST stats collect discovers
+    * the dim from the data).
+    */
+  private def statsDimHint(m: Manifest): Option[Int] =
+    m.segments.iterator.flatMap(_.stats.flatMap(_.vec))
+      .map(_.centroid.length).nextOption()
+
   def insert(df: DataFrame, collectStats: Boolean = false,
       vecCol: Option[String] = None): Long = {
     val m = headManifest.getOrElse(Manifest(-1L, -1L, Nil, Nil))
@@ -409,7 +419,8 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     // stats from the WRITTEN files (one agg job per segment, vecgo I13)
     val stats =
       if (collectStats)
-        Some(graft.stats.SegmentStats.collect(spark.read.parquet(path), vecCol))
+        Some(graft.stats.SegmentStats.collect(spark.read.parquet(path),
+          vecCol, statsDimHint(m)))
       else None
     val next = Manifest(m.version + 1, seq,
       m.segments :+ SegmentRef(path, seq, rows, stats), m.deletes)
@@ -761,7 +772,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         val stats =
           if (collectStats)
             Some(graft.stats.SegmentStats.collect(
-              spark.read.parquet(path), vecCol))
+              spark.read.parquet(path), vecCol, statsDimHint(m)))
           else None
         val next = Manifest(m.version + 1, seq,
           List(SegmentRef(path, seq, rows, stats)), Nil)
@@ -808,7 +819,7 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val stats =
       if (collectStats || m.segments.exists(_.stats.isDefined))
         Some(graft.stats.SegmentStats.collect(
-          spark.read.parquet(path), vecCol))
+          spark.read.parquet(path), vecCol, statsDimHint(m)))
       else None
     val next = Manifest(m.version + 1, seq,
       List(SegmentRef(path, seq, rows, stats)), Nil)
@@ -843,7 +854,8 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val stats =
       if (collectStats)
         Some(graft.stats.SegmentStats.collect(
-          back.drop(SegmentIndex.InternalCols: _*), Some(vecCol)))
+          back.drop(SegmentIndex.InternalCols: _*), Some(vecCol),
+          statsDimHint(m)))
       else None
     val next = Manifest(m.version + 1, seq,
       List(SegmentRef(dir, seq, rows, stats,
@@ -951,7 +963,8 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val stats =
       if (m.segments.exists(_.stats.isDefined))
         Some(graft.stats.SegmentStats.collect(
-          back.drop(SegmentIndex.InternalCols: _*), Some(newMeta.vecCol)))
+          back.drop(SegmentIndex.InternalCols: _*), Some(newMeta.vecCol),
+          statsDimHint(m)))
       else None
     val minSeq = (remaining.map(_.seq) :+ seq).min
     val next = Manifest(m.version + 1, seq,

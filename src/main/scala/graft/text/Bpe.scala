@@ -244,7 +244,10 @@ object Bpe {
   /** Batch/streaming encoding frame: (idCol, n_bpe bigint, bpe_text).
     * The corpus-scale shape — score everything in one row-local
     * projection (the native single-pass encode); both columns are
-    * oracle-checkable byte-for-byte.
+    * oracle-checkable byte-for-byte. A narrower-than-parallelism batch
+    * scan is round-robin-widened first ([[graft.functions.spread_input]];
+    * no-op on streaming frames and at real scan widths) so the encode
+    * never runs single-task on a bench-scale single-file table.
     */
   def encode(m: BpeModel, df: DataFrame, idCol: String,
       textCol: String): DataFrame =

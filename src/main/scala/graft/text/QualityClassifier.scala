@@ -173,8 +173,7 @@ object QualityClassifier {
     */
   def score(m: LinearQualityModel, df: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame =
-    graft.functions.spread_input(df)
-      .select(col(idCol), bucketsOf(col(textCol), m.dim).as("_qc_bs"))
+    df.select(col(idCol), bucketsOf(col(textCol), m.dim).as("_qc_bs"))
       .where(size(col("_qc_bs")) > 0)
       .select(col(idCol), round(sigmoidOf(col("_qc_bs"), m), 6).as("q_score"))
       .select(col(idCol), col("q_score"),

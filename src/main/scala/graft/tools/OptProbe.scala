@@ -235,6 +235,60 @@ object OptProbe {
       time("hashed_tfidf single-task (noop)") { noop(tfidf(docs)) }
       time("hashed_tfidf spread (noop)") { noop(tfidf(docsWide)) }
     }
+    // ---- bigram/serve A-B (batch-2 regression check)
+    (1 to 3).foreach { pass =>
+      println(s"-- bigram A/B pass $pass")
+      val plain = graft.Tables.load(spark, sfDir, "documents")
+      val wide = graft.functions.spread_input(plain)
+      time("bigram plain (noop)") {
+        noop(graft.text.BigramLM.scoreNll(plain, "doc_id", "text")
+          .orderBy(col("id").asc))
+      }
+      time("bigram spread (noop)") {
+        noop(graft.text.BigramLM.scoreNll(wide, "doc_id", "text")
+          .orderBy(col("id").asc))
+      }
+      time("unigram plain (noop)") {
+        noop(graft.text.UnigramLM.scoreNll(plain, "doc_id", "text")
+          .orderBy(col("id").asc))
+      }
+      time("unigram spread (noop)") {
+        noop(graft.text.UnigramLM.scoreNll(wide, "doc_id", "text")
+          .orderBy(col("id").asc))
+      }
+    }
+
+    // ---- serve-refresh window decomposition
+    (1 to 1).foreach { pass =>
+      println(s"-- serve_refresh decomposition")
+      val dim = 128
+      val refreshRoot = s"${sys.props("java.io.tmpdir")}/graft_opt_refresh_db"
+      new org.apache.hadoop.fs.Path(refreshRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(refreshRoot), true)
+      val db = graft.GraftDB.open(spark, refreshRoot, dim = dim, metric = "l2")
+      def synth(lo: Long): DataFrame = spark.range(lo, lo + 250, 1, 4).select(
+        col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(xxhash64(col("id") * lit(131) + i), lit(1000))
+            .cast("double") / lit(500.0) - lit(1.0)).cast("float"))
+          .as("vector"))
+      db.insertBatch(synth(0))
+      val set = graft.serve.ReplicaSet.fromStore(db, shards = 2, nlist = 16)
+      var next = 30000000L
+      (1 to 3).foreach { w =>
+        time(s"window $w insertBatch(250)") { db.insertBatch(synth(next)) }
+        time(s"window $w refreshFrom") { set.refreshFrom(db) }
+        next += 250
+      }
+      (1 to 3).foreach { w =>
+        time(s"window nostats $w insertBatch(250,stats=f)") {
+          db.insertBatch(synth(next), collectStats = false)
+        }
+        time(s"window nostats $w refreshFrom") { set.refreshFrom(db) }
+        next += 250
+      }
+    }
     spark.stop()
   }
 }
