@@ -33,7 +33,7 @@ object IndexQueries {
     */
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val model = IVF.train(emb, "embedding", k = 8, maxIter = 8)
+    val model = IVF.trainLocal(emb, "embedding", k = 8, maxIter = 8)
     // layout dir is per-sf so concurrent runs over different data never
     // collide on a shared path
     val layout = s"${sys.props("java.io.tmpdir")}/graft_ivf_layout_" +
@@ -156,7 +156,7 @@ object IndexQueries {
     */
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val model = IVF.train(emb, "embedding", k = 8, maxIter = 8)
+    val model = IVF.trainLocal(emb, "embedding", k = 8, maxIter = 8)
     val queries = emb.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
     Search.knnJoinIvf(
@@ -178,7 +178,7 @@ object IndexQueries {
   def mmrJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.query.Mmr
     val emb = t(s, dir, "embeddings")
-    val model = IVF.train(emb, "embedding", k = 8, maxIter = 8)
+    val model = IVF.trainLocal(emb, "embedding", k = 8, maxIter = 8)
     val queries = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     Mmr.diversifyJoin(emb, "embedding", "vec_id", queries, "query_id", "qv",

@@ -135,21 +135,40 @@ object IVF {
     */
   val MaxTrainRows = 20000L
 
-  /** Train centroids with a driver-local seeded k-means++ / Lloyd's over
-    * a bounded sample (r12 optimization): the previous MLlib `KMeans.fit`
-    * spent a dozen driver jobs (k-means|| init rounds + one aggregate per
-    * iteration) on inputs that are always sample-bounded anyway — ~1 s of
-    * pure scheduling per declared query that trains a model, measured at
-    * sf0.1. Now: one count + one collect (plus a seeded `sample` when the
-    * input exceeds [[MaxTrainRows]]), then in-process Lloyd's on primitive
-    * arrays. Deterministic given fixed input (seeded init, first-min
-    * tie-breaks, MLlib's keep-old-center rule for emptied clusters).
-    * Centroid VALUES differ from the MLlib model's, which no declared
-    * query result depends on — every oracle row is exact-by-config
-    * (all-probe / generous refine), re-proven green after this change;
-    * recall at partial nprobe is gated in ScalaTest as before.
+  /** Train centroids with MLlib KMeans (seeded, deterministic given fixed
+    * input). For 100 TB inputs pass a sampled frame — k-means only needs a
+    * representative sample (vecgo caps its stats sampling the same way).
+    *
+    * This stays the trainer for every layout that SERVES partial-probe
+    * queries (replica exports, engine `buildIndex`): a layout family
+    * change silently shifts every fixed-nprobe row's recall/cost
+    * operating point (measured r12, `tools/RecallProbe`: a driver-local
+    * k-means++ layout probed 2.2× fewer rows at nprobe=8 — faster AND
+    * lower recall — while a local k-means|| reduce probed 1.3× more).
+    * Use [[trainLocal]] only where the model provably cannot affect the
+    * result OR the work (all cells probed).
     */
   def train(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+      maxIter: Int = 20): Model = {
+    val feats = df.select(array_to_vector(col(vecCol)).as("features"))
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+    val model = km.fit(feats)
+    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** Driver-local seeded k-means++ / Lloyd's over a bounded sample (r12
+    * optimization): MLlib `KMeans.fit` spends a dozen driver jobs
+    * (k-means|| init rounds + one aggregate per iteration) — ~1 s of pure
+    * scheduling per declared query that trains, measured at sf0.1. This
+    * path is one count + one collect (plus a seeded `sample` above
+    * [[MaxTrainRows]]) + in-process Lloyd's on primitive arrays.
+    * Deterministic given fixed input. Centroids differ from [[train]]'s,
+    * so this is ONLY for callers whose result and work are provably
+    * model-independent — the all-probe exact queries (`knn_join`,
+    * `mmr_join`, `ivf_knn`: every cell scanned regardless of layout) —
+    * never for serving exports or engine indexes (see [[train]]).
+    */
+  def trainLocal(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
       maxIter: Int = 20): Model = {
     val src = df.select(col(vecCol))
     val n0 = src.count()
@@ -159,7 +178,7 @@ object IVF {
           math.min(1.0, MaxTrainRows.toDouble / n0), seed)
       else src
     val rows = sampled.collect()
-    require(rows.nonEmpty, "IVF.train: no training rows")
+    require(rows.nonEmpty, "IVF.trainLocal: no training rows")
     val dim = rows(0).getSeq[Float](0).length
     val n = rows.length
     val flat = new Array[Float](n * dim)
@@ -172,6 +191,10 @@ object IVF {
     }
     Model(trainFlat(flat, n, dim, k, seed, maxIter))
   }
+
+  @inline private def rowOf(flat: Array[Float], r: Int,
+      dim: Int): Array[Float] =
+    java.util.Arrays.copyOfRange(flat, r * dim, r * dim + dim)
 
   /** Seeded k-means++ init + Lloyd's over a row-major float buffer.
     * Kernel dispatch mirrors the serving replica (SIMD when available,
@@ -194,21 +217,22 @@ object IVF {
         s
       }
     val rng = new java.util.Random(seed)
+    // seeded k-means++ init: first center uniform, then D²-weighted; a
+    // zero total (all points coincide) cycles rows instead. Produces a
+    // well-balanced layout — fine for the all-probe callers this trainer
+    // is restricted to (see [[trainLocal]]'s scope note).
     val centers = new Array[Array[Float]](k)
-    // k-means++: first center uniform, then D²-weighted (seeded); a zero
-    // total (all points coincide) cycles rows instead
     val first = rng.nextInt(n)
-    centers(0) = java.util.Arrays.copyOfRange(flat,
-      first * dim, first * dim + dim)
+    centers(0) = rowOf(flat, first, dim)
     val d2 = new Array[Double](n)
     java.util.Arrays.fill(d2, Double.MaxValue)
     var c = 1
     while (c < k) {
-      // fold the newest center into the running min-distance
+      val prev = centers(c - 1)
       var r = 0
       var total = 0.0
       while (r < n) {
-        val d = dist(r * dim, centers(c - 1))
+        val d = dist(r * dim, prev)
         if (d < d2(r)) d2(r) = d
         total += d2(r)
         r += 1
@@ -221,8 +245,7 @@ object IVF {
           while (i < n - 1 && target > d2(i)) { target -= d2(i); i += 1 }
           i
         }
-      centers(c) = java.util.Arrays.copyOfRange(flat,
-        pick * dim, pick * dim + dim)
+      centers(c) = rowOf(flat, pick, dim)
       c += 1
     }
     // Lloyd's, stopping at the assignment fixed point

@@ -112,6 +112,10 @@ final class LocalReplica private (
   private[serve] def pqData: LocalReplica.PQData = pq
   /** The RaBitQ section (null when absent) — reshard reads the seed. */
   private[serve] def rbqSection: LocalReplica.RbqData = rbq
+  /** IVF list sizes of the MAIN block (diagnostics: layout balance). */
+  private[graft] def listSizes: Array[Int] =
+    if (centroids.isEmpty) Array(size)
+    else Array.tabulate(centroids.length)(l => listStart(l + 1) - listStart(l))
   private val ivfModel: Option[IVF.Model] =
     if (centroids.isEmpty) None else Some(IVF.Model(centroids))
 
