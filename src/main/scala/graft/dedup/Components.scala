@@ -60,11 +60,19 @@ object Components {
 
   /** Order-independent fingerprint of an edge set: (count, xor of row
     * hashes). xor (not sum) so the ANSI overflow check can never trip.
+    * The checksum rides the (eager) localCheckpoint's materialization job
+    * via `observe` — a dedicated checksum job per round paid one extra
+    * driver round-trip per iteration for a value the checkpoint action
+    * already streams past.
     */
-  private def checksum(edges: DataFrame): (Long, Long) = {
-    val r = edges.agg(count(lit(1)).as("c"),
-      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")).head()
-    (r.getLong(0), r.getLong(1))
+  private def checkpointWithChecksum(edges: DataFrame)
+      : (DataFrame, (Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = edges.observe(obs, count(lit(1)).as("c"),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x"))
+      .localCheckpoint()
+    val m = obs.get
+    (out, (m("c").asInstanceOf[Long], m("x").asInstanceOf[Long]))
   }
 
   /** Connected components of an undirected edge list. Input: any 2-column
@@ -74,13 +82,12 @@ object Components {
     * full id universe — see [[dedupClusters]]).
     */
   def connectedComponents(edges0: DataFrame, maxIter: Int = 30): DataFrame = {
-    var edges = canon(edges0).localCheckpoint()
-    var prev = checksum(edges)
+    var (edges, prev) = checkpointWithChecksum(canon(edges0))
     var converged = prev._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      val cur = checksum(edges)
+      val (next, cur) = checkpointWithChecksum(smallStar(largeStar(edges)))
+      edges = next
       converged = cur == prev
       prev = cur
       it += 1

@@ -109,7 +109,7 @@ object SegmentIndex {
   def build(live: DataFrame, vecCol: String, dir: String, nlist: Int,
       levels: Int = 255, totalRows: Long = 0L,
       trainSampleCap: Long = 200000L, seed: Long = 42L,
-      kind: String = "ivf_sq8", pqM: Int = 0): Meta = {
+      kind: String = "ivf_sq8", pqM: Int = 0): (Meta, Long) = {
     require(kind == "ivf_sq8" || kind == "ivf_pq" || kind == "ivf_opq" ||
         kind == "ivf_rabitq",
       s"unknown index kind `$kind` (ivf_sq8 | ivf_pq | ivf_opq | ivf_rabitq)")
@@ -162,8 +162,8 @@ object SegmentIndex {
       .option(s"parquet.enable.dictionary#$vecCol", "false")
       .partitionBy(PartCol)
       .parquet(dir)
-    val (radii, radiiQ) = radiiOf(live, dir, vecCol, ivf)
-    Meta(kind, ivf.k, levels,
+    val (radii, radiiQ, rowsOut) = radiiOf(live, dir, vecCol, ivf)
+    (Meta(kind, ivf.k, levels,
       ivf.centroids.map(_.toList).toList,
       sq8.map(_.mins.toList).getOrElse(Nil),
       sq8.map(_.maxs.toList).getOrElse(Nil),
@@ -174,30 +174,37 @@ object SegmentIndex {
       pqCodebooks = pq.orElse(opq.map(_.pq))
         .map(_.codebooks.map(_.map(_.toList).toList).toList).getOrElse(Nil),
       opqRotation = opq.map(_.rotation.map(_.toList).toList).getOrElse(Nil),
-      rabitqSeed = if (kind == "ivf_rabitq") seed else 0L)
+      rabitqSeed = if (kind == "ivf_rabitq") seed else 0L), rowsOut)
   }
 
   /** Per-list radius: one agg over the WRITTEN layout (vecgo keeps
     * per-partition stats in its flat-segment block stats) — enables
     * sound per-directory pruning for threshold queries. The packed
     * layout reads back as binary; `vec_l2` scores blobs in place.
+    * The segment's TOTAL row count rides the same agg (every row carries
+    * a cell, so the per-cell counts sum to it) — callers that need it
+    * (manifest `SegmentRef.rows`) used to pay a dedicated count job over
+    * the files this agg had just scanned.
     */
   private def radiiOf(live: DataFrame, dir: String, vecCol: String,
-      ivf: IVF.Model): (List[Double], List[Double]) = {
-    import org.apache.spark.sql.functions.{element_at, lit, max,
+      ivf: IVF.Model): (List[Double], List[Double], Long) = {
+    import org.apache.spark.sql.functions.{count, element_at, lit, max,
       percentile_approx, typedlit}
     val back = live.sparkSession.read.parquet(dir)
     val centroidLit = typedlit(ivf.centroids.map(_.toSeq).toSeq)
-    val radiusRows = back
+    val rows = back
       .select(col(PartCol).cast("int").as("p"),
         graft.functions.vec_l2(col(vecCol),
           element_at(centroidLit, col(PartCol).cast("int") + 1)).as("r"))
       .groupBy("p").agg(max("r").as("rmax"),
-        percentile_approx(col("r"), lit(0.95), lit(1000)).as("rq"))
-      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
+        percentile_approx(col("r"), lit(0.95), lit(1000)).as("rq"),
+        count(lit(1)).as("n"))
+      .collect()
+    val radiusRows = rows
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     (List.tabulate(ivf.k)(i => radiusRows.get(i).map(_._1).getOrElse(0.0)),
-      List.tabulate(ivf.k)(i => radiusRows.get(i).map(_._2).getOrElse(0.0)))
+      List.tabulate(ivf.k)(i => radiusRows.get(i).map(_._2).getOrElse(0.0)),
+      rows.iterator.map(_.getLong(3)).sum)
   }
 
   /** Extend an EXISTING trained index over NEW rows: encode + assign with
@@ -212,7 +219,7 @@ object SegmentIndex {
     * pass is recall-gated oversample-and-rerank engine-side, so clamping
     * costs recall margin, never correctness of the exact rerank.
     */
-  def extend(live: DataFrame, meta: Meta, dir: String): Meta = {
+  def extend(live: DataFrame, meta: Meta, dir: String): (Meta, Long) = {
     val vecCol = meta.vecCol
     val isPacked = live.schema(vecCol).dataType ==
       org.apache.spark.sql.types.BinaryType
@@ -239,7 +246,8 @@ object SegmentIndex {
     // listRadii refresh for THIS segment; trainRadiiQ (the drift
     // baseline) carries through unchanged — it describes the training
     // distribution, not this delta
-    meta.copy(listRadii = radiiOf(live, dir, vecCol, ivf)._1)
+    val (radii, _, rows) = radiiOf(live, dir, vecCol, ivf)
+    (meta.copy(listRadii = radii), rows)
   }
 
   private implicit val fmts: Formats = DefaultFormats

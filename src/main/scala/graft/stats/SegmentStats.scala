@@ -106,48 +106,30 @@ object SegmentStats {
       parts.iterator.map(_._4).min, parts.iterator.map(_._5).max)
   }
 
-  /** `dimHint`: the vector dimensionality when the CALLER already knows it
-    * (a store's later inserts/compactions — the head manifest's vec stats
-    * carry it). With the hint the centroid sum rides the FIRST agg and the
-    * radius rides the second, so a steady-state stats collect is 2 jobs;
-    * without it, dim discovery rides pass 1, the sum pass 2, the radius
-    * pass 3 (first-ever insert only). Values are identical either way.
-    */
-  def collect(df0: DataFrame, vecCol: Option[String] = None,
-      dimHint: Option[Int] = None): Stats = {
-    // packed segment layout: the vector column arrives as an LE float32
-    // blob — unpack once here so the centroid/radius aggregates below see
-    // array<float> (stats collection is a build-time pass, not the scan
-    // hot path)
-    val df = vecCol match {
-      case Some(vc) if df0.columns.contains(vc) &&
-          df0.schema(vc).dataType == org.apache.spark.sql.types.BinaryType =>
-        df0.withColumn(vc, graft.functions.vec_unpack_f32(col(vc)))
-      case _ => df0
-    }
-    val scalarCols = df.schema.fields.filter {
+  /** The scalar (bounds-collectable) fields of a segment schema. */
+  private def scalarFields(schema: StructType): Array[StructField] =
+    schema.fields.filter {
       case StructField(_, _: NumericType, _, _) => true
       case StructField(_, StringType, _, _) => true
       case _ => false
     }
-    // Fields with types we don't collect bounds for (bool/timestamp/array/
-    // binary/...) still get a presence marker: a ColStats with no bounds.
-    // canPrune must distinguish "field absent from the segment schema"
-    // (prunable — matches nothing) from "field present, no usable stats"
-    // (never prunable) — vecgo only prunes on genuinely-missing fields
-    // (`segment_pruning.go`).
-    val presenceOnly = df.schema.fields.filterNot(scalarCols.contains).map { f =>
-      f.name -> ColStats(num = false, None, None, None, None, 0L, 0L)
-    }.toMap
-    // the vector DIM rides in the same wide agg as the scalar bounds (a
-    // dedicated first-row probe job used to fetch it — one whole extra
-    // Spark job per stats collect, r12); the centroid sum then rides in
-    // the SECOND agg pass below, which numeric-histogram collection
-    // already pays for on every schema with a non-degenerate numeric
-    // column. vec_sum_double is a narrow partial aggregate (one double[d]
-    // buffer per task) — the old posexplode+groupBy alternative shuffled
-    // d rows per input vector.
-    val aggs = scalarCols.flatMap { f =>
+
+  /** Pass-1 aggregate columns for a segment frame with this `schema`: the
+    * wide per-column bounds/ndv/null counts, the row count, and — with a
+    * `dimHint` — the centroid sum (without one, vector-dim discovery).
+    * A segment WRITER can ride these on the write job itself via
+    * `observe`, so steady-state stats cost ONE extra pass (the
+    * bloom/hist/radius agg) instead of two; [[collect]] runs them as its
+    * own first job when no writer metrics are in hand. A packed (binary)
+    * vector column is unpacked inside the expression, so the aggs bind
+    * against the stored layout directly. vec_sum_double is a narrow
+    * partial aggregate (one double[d] buffer per task) — the old
+    * posexplode+groupBy alternative shuffled d rows per input vector.
+    */
+  def pass1Aggs(schema: StructType, vecCol: Option[String] = None,
+      dimHint: Option[Int] = None): Seq[org.apache.spark.sql.Column] = {
+    val scalarCols = scalarFields(schema)
+    scalarCols.toSeq.flatMap { f =>
       val c = col(f.name)
       val isNum = f.dataType.isInstanceOf[NumericType]
       Seq(
@@ -160,37 +142,84 @@ object SegmentStats {
         count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
         approx_count_distinct(c).as(s"${f.name}__ndv"))
     } ++ vecCol.map { vc =>
+      val ve =
+        if (schema.fieldNames.contains(vc) && schema(vc).dataType == BinaryType)
+          graft.functions.vec_unpack_f32(col(vc))
+        else col(vc)
       dimHint match {
-        case Some(d) => graft.functions.vec_sum_double(col(vc), d).as("__vecsum")
-        case None => max(size(col(vc))).as("__vecdim")
+        case Some(d) => graft.functions.vec_sum_double(ve, d).as("__vecsum")
+        case None => max(size(ve)).as("__vecdim")
       }
     } :+ count(lit(1)).as("__rows")
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+  }
+
+  /** `dimHint`: the vector dimensionality when the CALLER already knows it
+    * (a store's later inserts/compactions — the head manifest's vec stats
+    * carry it). With the hint the centroid sum rides the FIRST agg and the
+    * radius rides the second, so a steady-state stats collect is 2 jobs;
+    * without it, dim discovery rides pass 1, the sum pass 2, the radius
+    * pass 3 (first-ever insert only). Values are identical either way.
+    */
+  def collect(df0: DataFrame, vecCol: Option[String] = None,
+      dimHint: Option[Int] = None): Stats = {
+    val aggs = pass1Aggs(df0.schema, vecCol, dimHint)
+    val row = df0.agg(aggs.head, aggs.tail: _*).collect()(0)
+    collectFromPass1(df0, vecCol, dimHint,
+      row.getValuesMap[Any](row.schema.fieldNames.toSeq))
+  }
+
+  /** Pass 2+ of [[collect]], given the pass-1 values (from [[pass1Aggs]] —
+    * either [[collect]]'s own first job, or a writer's `observe` metrics
+    * riding the segment-write job, which is the same expressions over the
+    * same rows): blooms/histograms (+ centroid sum or radius), exact
+    * top-k, assembled into [[Stats]].
+    */
+  def collectFromPass1(df0: DataFrame, vecCol: Option[String],
+      dimHint: Option[Int], p1: Map[String, Any]): Stats = {
+    // packed segment layout: the vector column arrives as an LE float32
+    // blob — unpack once here so the centroid/radius aggregates below see
+    // array<float> (stats collection is a build-time pass, not the scan
+    // hot path)
+    val df = vecCol match {
+      case Some(vc) if df0.columns.contains(vc) &&
+          df0.schema(vc).dataType == org.apache.spark.sql.types.BinaryType =>
+        df0.withColumn(vc, graft.functions.vec_unpack_f32(col(vc)))
+      case _ => df0
+    }
+    val scalarCols = scalarFields(df.schema)
+    // Fields with types we don't collect bounds for (bool/timestamp/array/
+    // binary/...) still get a presence marker: a ColStats with no bounds.
+    // canPrune must distinguish "field absent from the segment schema"
+    // (prunable — matches nothing) from "field present, no usable stats"
+    // (never prunable) — vecgo only prunes on genuinely-missing fields
+    // (`segment_pruning.go`).
+    val presenceOnly = df.schema.fields.filterNot(scalarCols.contains).map { f =>
+      f.name -> ColStats(num = false, None, None, None, None, 0L, 0L)
+    }.toMap
+    def anyAt(k: String): Option[Any] = p1.get(k).flatMap(Option(_))
     val vecDim = vecCol.flatMap { _ =>
-      dimHint.orElse {
-        val i = row.fieldIndex("__vecdim")
-        if (row.isNullAt(i)) None else Some(row.getInt(i))
-      }
+      dimHint.orElse(
+        anyAt("__vecdim").map(_.asInstanceOf[Number].intValue))
     }
     val vecSum1: Option[Seq[Double]] =
       if (vecCol.isDefined && dimHint.isDefined)
-        Some(row.getSeq[Double](row.fieldIndex("__vecsum")))
+        anyAt("__vecsum").map(
+          _.asInstanceOf[scala.collection.Seq[Double]].toSeq)
       else None
     val cols = scalarCols.map { f =>
       val isNum = f.dataType.isInstanceOf[NumericType]
-      def d(n: String): Option[Double] = {
-        val i = row.fieldIndex(s"${f.name}__$n")
-        if (row.isNullAt(i)) None else Some(row.getDouble(i))
-      }
-      def s(n: String): Option[String] = {
-        val i = row.fieldIndex(s"${f.name}__$n")
-        if (row.isNullAt(i)) None else Some(row.getString(i))
-      }
+      def d(n: String): Option[Double] =
+        anyAt(s"${f.name}__$n").map(_.asInstanceOf[Number].doubleValue)
+      def s(n: String): Option[String] =
+        anyAt(s"${f.name}__$n").map(_.asInstanceOf[String])
+      def l(n: String): Long =
+        anyAt(s"${f.name}__$n").map(_.asInstanceOf[Number].longValue)
+          .getOrElse(0L)
       f.name -> ColStats(isNum, d("minN"), d("maxN"), s("minS"), s("maxS"),
-        row.getLong(row.fieldIndex(s"${f.name}__nulls")),
-        row.getLong(row.fieldIndex(s"${f.name}__ndv")))
+        l("nulls"), l("ndv"))
     }.toMap ++ presenceOnly
-    val rows = row.getLong(row.fieldIndex("__rows"))
+    val rows =
+      anyAt("__rows").map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     // categorical blooms: one extra pass collecting the exact distinct set
     // of every LOW-cardinality string column (approx ndv ≤ CatBloom.MaxNdv
     // — the sets are bounded, so collect_set is driver-safe), folded into

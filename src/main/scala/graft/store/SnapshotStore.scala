@@ -278,13 +278,27 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     java.util.UUID.randomUUID().toString.take(8)
 
   private def writeSegment(df: DataFrame, seq: Long, prefix: String): (String, Long) = {
+    val (dir, rows, _) = writeSegmentObserving(df, seq, prefix, Nil)
+    (dir, rows)
+  }
+
+  /** [[writeSegment]] plus caller-supplied aggregate columns observed
+    * DURING the write job (e.g. [[graft.stats.SegmentStats.pass1Aggs]]) —
+    * the metrics ride the write, so a stats-collecting insert pays zero
+    * extra passes for its pass-1 aggregation. Returns the observed metric
+    * map alongside the path and row count.
+    */
+  private def writeSegmentObserving(df: DataFrame, seq: Long, prefix: String,
+      statsAggs: Seq[org.apache.spark.sql.Column])
+      : (String, Long, Map[String, Any]) = {
     val dir = s"$root/$prefix-$seq-${uniqueToken()}"
     // row count observed DURING the write job (zero extra passes, zero
     // extra jobs — the old read-back-the-footers count paid a listing +
     // schema-inference + count job per segment)
     val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).as("rows") +: statsAggs
     try {
-      df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite")
+      df.observe(obs, aggs.head, aggs.tail: _*).write.mode("overwrite")
         // per-column bloom filter on the primary key (vecgo I14 categorical
         // blooms): point-get / delete anti-joins skip row groups by id
         .option("parquet.bloom.filter.enabled#id", "true")
@@ -306,7 +320,8 @@ final class SnapshotStore(spark: SparkSession, val root: String,
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
-    (dir, obs.get("rows").asInstanceOf[Long])
+    val m = obs.get
+    (dir, m("rows").asInstanceOf[Long], m)
   }
 
   /** Tombstone anti-join, vecgo LSN rule: a delete with seq d hides ids in
@@ -411,16 +426,24 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       vecCol: Option[String] = None): Long = {
     val m = headManifest.getOrElse(Manifest(-1L, -1L, Nil, Nil))
     val seq = m.maxSeq + 1
-    val (path, rows) = writeSegment(df, seq, "seg")
+    val hint = statsDimHint(m)
+    // stats pass 1 (bounds/ndv/rows + centroid sum under a dim hint)
+    // rides the WRITE job itself via observe — same expressions over the
+    // same rows as a post-write agg, one fewer pass over the segment
+    val p1Aggs =
+      if (collectStats)
+        graft.stats.SegmentStats.pass1Aggs(df.schema, vecCol, hint)
+      else Nil
+    val (path, rows, p1) = writeSegmentObserving(df, seq, "seg", p1Aggs)
     if (rows == 0) { // empty batch: no-op, drop the stray dir
       fs.delete(new Path(path), true)
       return math.max(m.version, -1L)
     }
-    // stats from the WRITTEN files (one agg job per segment, vecgo I13)
+    // pass 2 (blooms/hists/radius/top-k) from the WRITTEN files (vecgo I13)
     val stats =
       if (collectStats)
-        Some(graft.stats.SegmentStats.collect(spark.read.parquet(path),
-          vecCol, statsDimHint(m)))
+        Some(graft.stats.SegmentStats.collectFromPass1(
+          spark.read.parquet(path), vecCol, hint, p1))
       else None
     val next = Manifest(m.version + 1, seq,
       m.segments :+ SegmentRef(path, seq, rows, stats), m.deletes)
@@ -768,11 +791,18 @@ final class SnapshotStore(spark: SparkSession, val root: String,
       case None =>
         val live = read(m.version)
         val seq = m.maxSeq + 1
-        val (path, rows) = writeSegment(live, seq, "seg")
+        val hint = statsDimHint(m)
+        // stats pass 1 rides the rewrite job itself (observe) — one fewer
+        // full pass over the compacted segment
+        val p1Aggs =
+          if (collectStats)
+            graft.stats.SegmentStats.pass1Aggs(live.schema, vecCol, hint)
+          else Nil
+        val (path, rows, p1) = writeSegmentObserving(live, seq, "seg", p1Aggs)
         val stats =
           if (collectStats)
-            Some(graft.stats.SegmentStats.collect(
-              spark.read.parquet(path), vecCol, statsDimHint(m)))
+            Some(graft.stats.SegmentStats.collectFromPass1(
+              spark.read.parquet(path), vecCol, hint, p1))
           else None
         val next = Manifest(m.version + 1, seq,
           List(SegmentRef(path, seq, rows, stats)), Nil)
@@ -815,11 +845,19 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val clustered = live.repartitionByRange(files, z)
       .sortWithinPartitions(z)
     val seq = m.maxSeq + 1
-    val (path, rows) = writeSegment(clustered, seq, "seg")
+    val hint = statsDimHint(m)
+    val wantStats = collectStats || m.segments.exists(_.stats.isDefined)
+    // stats pass 1 rides the clustered rewrite job (observe) — one fewer
+    // full pass over the compacted segment
+    val p1Aggs =
+      if (wantStats)
+        graft.stats.SegmentStats.pass1Aggs(clustered.schema, vecCol, hint)
+      else Nil
+    val (path, rows, p1) = writeSegmentObserving(clustered, seq, "seg", p1Aggs)
     val stats =
-      if (collectStats || m.segments.exists(_.stats.isDefined))
-        Some(graft.stats.SegmentStats.collect(
-          spark.read.parquet(path), vecCol, statsDimHint(m)))
+      if (wantStats)
+        Some(graft.stats.SegmentStats.collectFromPass1(
+          spark.read.parquet(path), vecCol, hint, p1))
       else None
     val next = Manifest(m.version + 1, seq,
       List(SegmentRef(path, seq, rows, stats)), Nil)
@@ -844,13 +882,12 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val seq = m.maxSeq + 1
     val token = uniqueToken()
     val dir = s"$root/seg-$seq-$token"
-    val meta = SegmentIndex.build(live, vecCol, dir, nlist, levels,
+    val (meta, rows) = SegmentIndex.build(live, vecCol, dir, nlist, levels,
       totalRows = m.segments.map(_.rows).sum, trainSampleCap = trainSampleCap,
       kind = kind, pqM = pqM)
     val metaPath = s"$root/idx-$seq-$token.json"
     SegmentIndex.save(meta, metaPath, spark.sparkContext.hadoopConfiguration)
     val back = spark.read.parquet(dir)
-    val rows = back.count()
     val stats =
       if (collectStats)
         Some(graft.stats.SegmentStats.collect(
@@ -955,11 +992,10 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     }
     val token = uniqueToken()
     val dir = s"$root/seg-$seq-$token"
-    val newMeta = SegmentIndex.extend(live, meta, dir)
+    val (newMeta, rows) = SegmentIndex.extend(live, meta, dir)
     val metaPath = s"$root/idx-$seq-$token.json"
     SegmentIndex.save(newMeta, metaPath, spark.sparkContext.hadoopConfiguration)
     val back = spark.read.parquet(dir)
-    val rows = back.count()
     val stats =
       if (m.segments.exists(_.stats.isDefined))
         Some(graft.stats.SegmentStats.collect(
