@@ -228,12 +228,43 @@ final class CodeReplicaSet private (val shards: IndexedSeq[LocalCodeReplica]) {
         "set is not refresh-capable: it was assembled directly or an " +
           "export hash cell was empty (tiny corpus) — re-export via " +
           "CodeReplicaSet.fromStore on a corpus that populates every cell")
+      // Shared-read refresh (see [[ReplicaSet.refreshFrom]]): one read of
+      // each new file, rows routed to shards by their hash-cell filters;
+      // per-shard refreshes (S reads of the same parquet) only when the
+      // shards' baselines diverged.
+      val o0 = shards(0).origin
+      val oneCut = o0 != null && shards.forall(_.origin == o0) &&
+        (shards.length == 1 || shards.forall(_.originCellFilter != null))
+      val stats =
+        if (oneCut) {
+          LocalReplica.refreshDiff(db, o0, maxNewRows) match {
+            case None =>
+              return LocalReplica.RefreshStats(0, 0, o0.version, o0.version)
+            case Some(d) =>
+              val all = LocalCodeReplica.readRefreshBatches(db, d.events, null)
+              shards.map { s =>
+                val f = s.originCellFilter
+                val mine = all.map {
+                  case Left((ids, codes)) if f != null =>
+                    val keep = Array.newBuilder[Int]
+                    var i = 0
+                    while (i < ids.length) {
+                      if (f(ids(i))) keep += i
+                      i += 1
+                    }
+                    val idx = keep.result()
+                    Left((idx.map(ids), idx.map(codes)))
+                  case other => other
+                }
+                s.applyRefreshBatches(o0, d, mine)
+              }
+          }
+        } else shards.map(_.refreshFrom(db, maxNewRows))
       var app = 0
       var del = 0
       var from = Long.MaxValue
       var to = Long.MinValue
-      shards.foreach { s =>
-        val st = s.refreshFrom(db, maxNewRows)
+      stats.foreach { st =>
         app += st.appended
         del += st.deleted
         from = math.min(from, st.fromVersion)

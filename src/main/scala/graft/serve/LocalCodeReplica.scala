@@ -313,55 +313,31 @@ final class LocalCodeReplica private (
       require(o != null,
         "replica was not exported from a store (use fromStore) — nothing " +
           "to refresh from")
-      require(db.store.root == o.root,
-        s"refreshFrom a different store: ${db.store.root} vs ${o.root}")
-      val v1 = db.effectiveVersion
-      if (v1 == o.version)
-        return LocalReplica.RefreshStats(0, 0, o.version, v1)
-      val m1 = db.store.manifest(v1).getOrElse(
-        throw new IllegalStateException(s"no manifest at version $v1"))
-      val curSegs = m1.segments.map(_.path).toSet
-      val curDels = m1.deletes.map(_.path).toSet
-      require(o.segPaths.subsetOf(curSegs) && o.delPaths.subsetOf(curDels),
-        "store was compacted/vacuumed since the export — a file-level " +
-          "refresh cannot apply a rewrite; re-export the replica")
-      val newSegs = m1.segments.filterNot(s => o.segPaths(s.path))
-      val newDels = m1.deletes.filterNot(d => o.delPaths(d.path))
-      require(newSegs.map(_.rows).sum <= maxNewRows,
-        s"refresh would append ${newSegs.map(_.rows).sum} rows > " +
-          s"maxNewRows=$maxNewRows — re-export instead")
-      val events =
-        (newSegs.map(sg => (sg.seq, Left(sg): Either[
-            graft.store.SnapshotStore.SegmentRef,
-            graft.store.SnapshotStore.DeleteRef])) ++
-          newDels.map(d => (d.seq, Right(d): Either[
-            graft.store.SnapshotStore.SegmentRef,
-            graft.store.SnapshotStore.DeleteRef])))
-          .sortBy { case (seq, e) => (seq, if (e.isRight) 0 else 1) }
-      // phase 1 — READ everything first (abort applies nothing)
-      val batches: Seq[Either[(Array[Long], Array[Array[Long]]), Array[Long]]] =
-        events.map {
-          case (_, Left(seg)) =>
-            val cellF = originCellFilter
-            val rows0 = db.spark.read.parquet(seg.path)
-              .select(col("id"), col("vector")).collect()
-            val rows =
-              if (cellF == null) rows0
-              else rows0.filter(r => cellF(r.getLong(0)))
-            val rid = new Array[Long](rows.length)
-            val rcodes = new Array[Array[Long]](rows.length)
-            var i = 0
-            while (i < rows.length) {
-              rid(i) = rows(i).getLong(0)
-              rcodes(i) = rows(i).getSeq[Long](1).toArray
-              i += 1
-            }
-            Left((rid, rcodes))
-          case (_, Right(del)) =>
-            Right(db.spark.read.parquet(del.path)
-              .select(col("id")).collect().map(_.getLong(0)))
-        }
-      // phase 2 — replay into a local chain, publish once
+      LocalReplica.refreshDiff(db, o, maxNewRows) match {
+        case None => LocalReplica.RefreshStats(0, 0, o.version, o.version)
+        case Some(d) =>
+          // phase 1 — READ everything first (abort applies nothing)
+          val batches =
+            LocalCodeReplica.readRefreshBatches(db, d.events,
+              originCellFilter)
+          applyRefreshBatches(o, d, batches)
+      }
+    }
+
+  /** Phase 2 of a refresh — replay pre-read code batches into a local
+    * chain, publish once (the Hamming twin of
+    * [[LocalReplica.applyRefreshBatches]]; same moved-baseline guard for
+    * the set-level shared-read path).
+    */
+  private[serve] def applyRefreshBatches(expected: LocalReplica.Origin,
+      d: LocalReplica.RefreshDiff,
+      batches: Seq[Either[(Array[Long], Array[Array[Long]]), Array[Long]]])
+      : LocalReplica.RefreshStats =
+    this.synchronized {
+      val o = origin
+      require(o == expected,
+        "replica origin moved between the diff read and the apply " +
+          "(concurrent refresh?) — nothing applied, retry the refresh")
       var appended = 0
       var deleted = 0
       var m = mut
@@ -382,8 +358,8 @@ final class LocalCodeReplica private (
               s"serves origin v${o.version}): ${e.getMessage}", e)
       }
       mut = m
-      origin = LocalReplica.Origin(o.root, v1, curSegs, curDels)
-      LocalReplica.RefreshStats(appended, deleted, o.version, v1)
+      origin = LocalReplica.Origin(o.root, d.toVersion, d.curSegs, d.curDels)
+      LocalReplica.RefreshStats(appended, deleted, o.version, d.toVersion)
     }
 
   @inline private def distAt(base: Int, q: Array[Long]): Long = {
@@ -938,6 +914,39 @@ object LocalCodeReplica {
   private[serve] val Magic = 0x47524352 // "GRCR"
   // v2: typed metadata trailer; v3: lexical postings trailer
   private[serve] val FormatVersion = 3
+
+  /** Phase 1 of a Hamming-tier refresh: READ every diff event into
+    * driver arrays (codes are array<long> words). `cellF` keeps only a
+    * hash-cell shard's own rows; null keeps all (the set-level shared
+    * read routes rows afterwards).
+    */
+  private[serve] def readRefreshBatches(db: GraftDB,
+      events: Seq[(Long, Either[graft.store.SnapshotStore.SegmentRef,
+        graft.store.SnapshotStore.DeleteRef])],
+      cellF: Long => Boolean)
+      : Seq[Either[(Array[Long], Array[Array[Long]]), Array[Long]]] =
+    events.map {
+      case (_, Left(seg)) =>
+        val rows0 = db.spark.read.parquet(seg.path)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("vector")).collect()
+        val rows =
+          if (cellF == null) rows0
+          else rows0.filter(r => cellF(r.getLong(0)))
+        val rid = new Array[Long](rows.length)
+        val rcodes = new Array[Array[Long]](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          rid(i) = rows(i).getLong(0)
+          rcodes(i) = rows(i).getSeq[Long](1).toArray
+          i += 1
+        }
+        Left((rid, rcodes))
+      case (_, Right(del)) =>
+        Right(db.spark.read.parquet(del.path)
+          .select(org.apache.spark.sql.functions.col("id"))
+          .collect().map(_.getLong(0)))
+    }
 
   /** Greedy MMR over a best-first popcount pool — shared by
     * [[LocalCodeReplica.searchMmr]] and [[CodeReplicaSet.searchMmr]].

@@ -359,73 +359,38 @@ final class LocalReplica private (
       require(o != null,
         "replica was not exported from a store (use fromStore) — nothing " +
           "to refresh from")
-      require(db.store.root == o.root,
-        s"refreshFrom a different store: ${db.store.root} vs ${o.root}")
-      val v1 = db.effectiveVersion
-      if (v1 == o.version) return LocalReplica.RefreshStats(0, 0, o.version, v1)
-      val m1 = db.store.manifest(v1).getOrElse(
-        throw new IllegalStateException(s"no manifest at version $v1"))
-      val curSegs = m1.segments.map(_.path).toSet
-      val curDels = m1.deletes.map(_.path).toSet
-      require(o.segPaths.subsetOf(curSegs) && o.delPaths.subsetOf(curDels),
-        "store was compacted/vacuumed since the export — a file-level " +
-          "refresh cannot apply a rewrite; re-export the replica")
-      val newSegs = m1.segments.filterNot(s => o.segPaths(s.path))
-      val newDels = m1.deletes.filterNot(d => o.delPaths(d.path))
-      val newRows = newSegs.map(_.rows).sum
-      require(newRows <= maxNewRows,
-        s"refresh would append $newRows rows > maxNewRows=$maxNewRows — " +
-          "re-export instead (delta blocks are for freshness, not growth)")
-      // deletes sort BEFORE segments at an equal seq: a delete at seq d
-      // hides only rows from segments with seq < d, so a same-seq
-      // segment's rows must land after it. (The store currently never
-      // emits equal seqs — writeBatch gives the tombstone maxSeq+1 and
-      // the segment maxSeq+2 — this is defense in depth.)
-      val events: Seq[(Long, Either[SnapshotStore.SegmentRef,
-        SnapshotStore.DeleteRef])] =
-        (newSegs.map(s => (s.seq, Left(s): Either[SnapshotStore.SegmentRef,
-            SnapshotStore.DeleteRef])) ++
-          newDels.map(d => (d.seq, Right(d): Either[SnapshotStore.SegmentRef,
-            SnapshotStore.DeleteRef])))
-          .sortBy { case (seq, e) => (seq, if (e.isRight) 0 else 1) }
-      // phase 1 — READ everything first (no replica state touched): a
-      // parquet read failure or corrupt file aborts with nothing applied
-      val batches: Seq[Either[(Array[Long], Array[Array[Float]]), Array[Long]]] =
-        events.map {
-          case (_, Left(seg)) =>
-            val cellF = originCellFilter
-            val rows0 = db.spark.read.parquet(seg.path)
-              .select(org.apache.spark.sql.functions.col("id"),
-                org.apache.spark.sql.functions.col("vector"))
-              .collect()
-            // hash-cell shard: keep only the rows that belong here (the
-            // other shards' refreshes pick up the rest of the segment)
-            val rows =
-              if (cellF == null) rows0
-              else rows0.filter(r => cellF(r.getLong(0)))
-            val ids = new Array[Long](rows.length)
-            val vecs = new Array[Array[Float]](rows.length)
-            var i = 0
-            while (i < rows.length) {
-              ids(i) = rows(i).getLong(0)
-              vecs(i) = rows(i).get(1) match {
-                case b: Array[Byte] =>
-                  graft.functions.DistanceKernels.bytesToFloats(b)
-                case _ => rows(i).getSeq[Float](1).toArray
-              }
-              i += 1
-            }
-            Left((ids, vecs))
-          case (_, Right(del)) =>
-            Right(db.spark.read.parquet(del.path)
-              .select(org.apache.spark.sql.functions.col("id"))
-              .collect().map(_.getLong(0)))
-        }
-      // phase 2 — replay against a LOCAL snapshot chain and publish the
-      // final state with ONE volatile store: readers see either the
-      // pre-refresh replica or the fully refreshed one, never a partially
-      // replayed intermediate; if any replay step refuses (e.g. a store
-      // anomaly produced an id collision) nothing was ever published
+      LocalReplica.refreshDiff(db, o, maxNewRows) match {
+        case None => LocalReplica.RefreshStats(0, 0, o.version, o.version)
+        case Some(d) =>
+          // phase 1 — READ everything first (no replica state touched): a
+          // parquet read failure or corrupt file aborts with nothing
+          // applied. Hash-cell shard: keep only the rows that belong here
+          // (the other shards' refreshes pick up the rest of the segment).
+          val batches =
+            LocalReplica.readRefreshBatches(db, d.events, originCellFilter)
+          applyRefreshBatches(o, d, batches)
+      }
+    }
+
+  /** Phase 2 of a refresh — replay pre-read batches against a LOCAL
+    * snapshot chain and publish the final state with ONE volatile store:
+    * readers see either the pre-refresh replica or the fully refreshed
+    * one, never a partially replayed intermediate; if any replay step
+    * refuses (e.g. a store anomaly produced an id collision) nothing was
+    * ever published. `expected` is the origin the diff was computed
+    * against — when the reads happened outside this replica's lock (the
+    * set-level shared-read refresh), a concurrent refresh that moved the
+    * baseline fails loudly here with nothing applied.
+    */
+  private[serve] def applyRefreshBatches(expected: LocalReplica.Origin,
+      d: LocalReplica.RefreshDiff,
+      batches: Seq[Either[(Array[Long], Array[Array[Float]]), Array[Long]]])
+      : LocalReplica.RefreshStats =
+    this.synchronized {
+      val o = origin
+      require(o == expected,
+        "replica origin moved between the diff read and the apply " +
+          "(concurrent refresh?) — nothing applied, retry the refresh")
       var appended = 0
       var deleted = 0
       var m = mut
@@ -447,8 +412,8 @@ final class LocalReplica private (
             e)
       }
       mut = m
-      origin = LocalReplica.Origin(o.root, v1, curSegs, curDels)
-      LocalReplica.RefreshStats(appended, deleted, o.version, v1)
+      origin = LocalReplica.Origin(o.root, d.toVersion, d.curSegs, d.curDels)
+      LocalReplica.RefreshStats(appended, deleted, o.version, d.toVersion)
     }
 
   /** Delete-then-append published as ONE snapshot (vecgo upsert: a
@@ -3073,6 +3038,96 @@ object LocalReplica {
   /** Outcome of one [[LocalReplica.refreshFrom]] pull. */
   final case class RefreshStats(appended: Int, deleted: Int,
       fromVersion: Long, toVersion: Long)
+
+  /** A computed file-level store diff: the events (new segments /
+    * tombstone lists in log-sequence order) that carry an exported
+    * replica from its origin version to `toVersion`.
+    */
+  private[serve] final case class RefreshDiff(
+      toVersion: Long,
+      curSegs: Set[String],
+      curDels: Set[String],
+      events: Seq[(Long, Either[SnapshotStore.SegmentRef,
+        SnapshotStore.DeleteRef])])
+
+  /** Manifest-only diff of `db` against an export baseline `o` — None
+    * when the store is already at the exported version. Pure driver
+    * logic, shared by the per-replica [[LocalReplica.refreshFrom]] and
+    * the set-level shared-read refresh ([[ReplicaSet.refreshFrom]] reads
+    * each new file ONCE and routes rows to shards, instead of S
+    * per-shard reads of the same files).
+    */
+  private[serve] def refreshDiff(db: GraftDB, o: Origin,
+      maxNewRows: Long): Option[RefreshDiff] = {
+    require(db.store.root == o.root,
+      s"refreshFrom a different store: ${db.store.root} vs ${o.root}")
+    val v1 = db.effectiveVersion
+    if (v1 == o.version) return None
+    val m1 = db.store.manifest(v1).getOrElse(
+      throw new IllegalStateException(s"no manifest at version $v1"))
+    val curSegs = m1.segments.map(_.path).toSet
+    val curDels = m1.deletes.map(_.path).toSet
+    require(o.segPaths.subsetOf(curSegs) && o.delPaths.subsetOf(curDels),
+      "store was compacted/vacuumed since the export — a file-level " +
+        "refresh cannot apply a rewrite; re-export the replica")
+    val newSegs = m1.segments.filterNot(s => o.segPaths(s.path))
+    val newDels = m1.deletes.filterNot(d => o.delPaths(d.path))
+    val newRows = newSegs.map(_.rows).sum
+    require(newRows <= maxNewRows,
+      s"refresh would append $newRows rows > maxNewRows=$maxNewRows — " +
+        "re-export instead (delta blocks are for freshness, not growth)")
+    // deletes sort BEFORE segments at an equal seq: a delete at seq d
+    // hides only rows from segments with seq < d, so a same-seq
+    // segment's rows must land after it. (The store currently never
+    // emits equal seqs — writeBatch gives the tombstone maxSeq+1 and
+    // the segment maxSeq+2 — this is defense in depth.)
+    val events: Seq[(Long, Either[SnapshotStore.SegmentRef,
+      SnapshotStore.DeleteRef])] =
+      (newSegs.map(s => (s.seq, Left(s): Either[SnapshotStore.SegmentRef,
+          SnapshotStore.DeleteRef])) ++
+        newDels.map(d => (d.seq, Right(d): Either[SnapshotStore.SegmentRef,
+          SnapshotStore.DeleteRef])))
+        .sortBy { case (seq, e) => (seq, if (e.isRight) 0 else 1) }
+    Some(RefreshDiff(v1, curSegs, curDels, events))
+  }
+
+  /** Phase 1 of a refresh: READ every diff event into driver arrays (no
+    * replica state touched — a parquet read failure aborts with nothing
+    * applied). `cellF` keeps only a hash-cell shard's own rows; null
+    * keeps all (the set-level shared read routes rows afterwards).
+    */
+  private[serve] def readRefreshBatches(db: GraftDB,
+      events: Seq[(Long, Either[SnapshotStore.SegmentRef,
+        SnapshotStore.DeleteRef])],
+      cellF: Long => Boolean)
+      : Seq[Either[(Array[Long], Array[Array[Float]]), Array[Long]]] =
+    events.map {
+      case (_, Left(seg)) =>
+        val rows0 = db.spark.read.parquet(seg.path)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("vector"))
+          .collect()
+        val rows =
+          if (cellF == null) rows0
+          else rows0.filter(r => cellF(r.getLong(0)))
+        val ids = new Array[Long](rows.length)
+        val vecs = new Array[Array[Float]](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          ids(i) = rows(i).getLong(0)
+          vecs(i) = rows(i).get(1) match {
+            case b: Array[Byte] =>
+              graft.functions.DistanceKernels.bytesToFloats(b)
+            case _ => rows(i).getSeq[Float](1).toArray
+          }
+          i += 1
+        }
+        Left((ids, vecs))
+      case (_, Right(del)) =>
+        Right(db.spark.read.parquet(del.path)
+          .select(org.apache.spark.sql.functions.col("id"))
+          .collect().map(_.getLong(0)))
+    }
 
   /** One immutable mutation snapshot: the tombstone bitmap over main rows
     * (null = none) plus the appended-rows delta block (null = none). Every

@@ -320,20 +320,47 @@ final class ReplicaSet private (val shards: IndexedSeq[LocalReplica]) {
         "set is not refresh-capable: it was assembled directly or an " +
           "export hash cell was empty (tiny corpus) — re-export via " +
           "ReplicaSet.fromStore on a corpus that populates every cell")
-      // Shards refresh CONCURRENTLY (guide §2.6 — overlap independent
-      // jobs): each shard's refresh is its own manifest-diff read + Spark
-      // collect over the same new segments, and running them sequentially
-      // serializes S rounds of driver job latency. The shards are
-      // independent replicas (each refreshFrom synchronizes on its own
-      // replica), and Spark happily schedules the collects in parallel;
-      // stats folding below is order-independent. Measured on the
-      // serve-at-refresh bench row: the refresh half of each window
-      // drops ~2× at 2 shards.
-      val stats = shards.map { s =>
-        scala.concurrent.Future(s.refreshFrom(db, maxNewRows))(
-          scala.concurrent.ExecutionContext.global)
-      }.map(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
+      // Shared-read refresh (guide §2.3 — move the bytes once): every
+      // shard's diff is the SAME new files (one fromStore cut exports all
+      // shards at one version), so the set reads each new segment /
+      // tombstone list ONCE and routes rows to shards by their hash-cell
+      // filters — the per-shard refresh re-read the same parquet S times
+      // (S Spark collects per ingest window). Falls back to concurrent
+      // per-shard refreshes (guide §2.6) when the shards' baselines
+      // diverged (a direct per-shard refresh moved one independently).
+      val o0 = shards(0).origin
+      val oneCut = o0 != null && shards.forall(_.origin == o0) &&
+        (shards.length == 1 || shards.forall(_.originCellFilter != null))
+      val stats =
+        if (oneCut) {
+          LocalReplica.refreshDiff(db, o0, maxNewRows) match {
+            case None =>
+              return LocalReplica.RefreshStats(0, 0, o0.version, o0.version)
+            case Some(d) =>
+              val all = LocalReplica.readRefreshBatches(db, d.events, null)
+              shards.map { s =>
+                val f = s.originCellFilter
+                val mine = all.map {
+                  case Left((ids, vecs)) if f != null =>
+                    val keep = Array.newBuilder[Int]
+                    var i = 0
+                    while (i < ids.length) {
+                      if (f(ids(i))) keep += i
+                      i += 1
+                    }
+                    val idx = keep.result()
+                    Left((idx.map(ids), idx.map(vecs)))
+                  case other => other
+                }
+                s.applyRefreshBatches(o0, d, mine)
+              }
+          }
+        } else
+          shards.map { s =>
+            scala.concurrent.Future(s.refreshFrom(db, maxNewRows))(
+              scala.concurrent.ExecutionContext.global)
+          }.map(f => scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf))
       var app = 0
       var del = 0
       var from = Long.MaxValue
