@@ -85,7 +85,7 @@ object Dedup {
     * shingle strings shrinks shuffles ~10× and changes results only on an
     * intra-pair hash collision (P ≈ |S|²/2⁶¹ ≈ 1e-12 for 1k-shingle docs).
     */
-  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def hashedShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     shingles(df, idCol, textCol, n)
       .select(col("id"),
@@ -122,7 +122,7 @@ object Dedup {
     * both verify joins was measured 3-4× slower at every scale: the
     * round-4 `dedup_minhash_lsh` regression.)
     */
-  private def verifyCandidates(cands: DataFrame, hashed: DataFrame,
+  private[graft] def verifyCandidates(cands: DataFrame, hashed: DataFrame,
       minJaccard: Double): DataFrame = {
     // no .distinct() on the id gate: a left-semi join's right side needs
     // no dedup, and dropping it saves a shuffle of the candidate ids
@@ -256,9 +256,20 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate pairs from LSH buckets (distinct, id_a < id_b). */
+  /** Candidate pairs from LSH buckets (distinct, id_a < id_b). The band
+    * frame is materialized once (`localCheckpoint`) before the self-join:
+    * Spark does not reuse the aggregation exchange across the two join
+    * aliases, so an un-materialized self-join re-derives the WHOLE
+    * shingle → md5 → signature pipeline per alias — a second full pass
+    * over the corpus text to rebuild a frame of docs × nBands narrow
+    * rows (~tens of bytes each), which is the cheaper thing to store at
+    * any scale. (The bucket self-join itself stays distributed — no
+    * collect_list per bucket, so one degenerate hot bucket degrades to
+    * the join's quadratic output, never to one executor's memory.)
+    */
   def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.as("a"); val b = bands.as("b")
+    val mat = bands.localCheckpoint()
+    val a = mat.as("a"); val b = mat.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
@@ -358,8 +369,12 @@ object Dedup {
 
   private def minhashLshFrom(hashed: DataFrame, numHashes: Int,
       rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    // verification consumes the candidate pairs three times (both id
+    // gates + the pair join) — materialize the tiny pair set once
+    // instead of re-running the bucket self-join per consumer
     val cands = lshCandidates(
       lshBands(minhashSignaturesHashed(hashed, numHashes), rowsPerBand))
+      .localCheckpoint()
     verifyCandidates(cands, hashed, minJaccard)
   }
 
