@@ -620,6 +620,12 @@ object Dedup {
     import graft.functions.vec_cos
     // center the hyperplanes on the corpus mean (see srpCenteringOffsets)
     val offsets = srpCenteringOffsets(vecs, "v", dim, nbits, bands, seed)
+    // NOT materialized (unlike the minhash band self-join): the SRP key
+    // build is one cheap vec scan + bit packing — tools/SrpAbProbe's
+    // interleaved A/B read 0.75 s plain vs 1.13 s with keyed+cands
+    // localCheckpoints, so re-deriving the aliases beats materializing
+    // them here (minhash's aliases re-run md5 + a signature aggregation,
+    // which is the expensive case that IS materialized)
     val keyed = vecs
       .select(col("id"),
         explode(srpBandKeys(col("v"), dim, nbits, bands, seed, offsets)).as("bk"))
