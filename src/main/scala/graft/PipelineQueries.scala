@@ -224,12 +224,18 @@ object PipelineQueries {
       .orderBy(col("id_a").asc, col("id_b").asc)
 
   /** MinHash+LSH near-dup pipeline, exact-Jaccard-verified candidates.
-    * Lazy single-job form (see [[dedupJaccard]]'s note; the eager
-    * materializing twin is exercised by `dedup_clusters`/`dedup_retain`,
-    * whose connected-components pass genuinely reuses the pairs).
+    * Routed through the eager scoped-cache twin ([[Dedup.minhashLshTo]],
+    * the `dedup_clusters` pattern): the lazy form re-derives the whole
+    * shingle → md5 → signature pipeline once per band-self-join alias
+    * and the candidate pairs three more times (24 corpus scans in one
+    * plan; interleaved A/B −35-38%), while the twin's persists are
+    * scoped and released in its finally — the cache-hygiene contract a
+    * bare localCheckpoint in the lazy plan would break. Same rows; the
+    * scratch dir is per-application temp, rewritten every invocation.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.minhashLshTo(t(s, dir, "documents"), "doc_id", "text",
+        scratch(s, dir, "minhash"),
         n = 3, numHashes = 32, rowsPerBand = 4, minJaccard = 0.8)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
       .orderBy(col("id_a").asc, col("id_b").asc)

@@ -256,20 +256,16 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate pairs from LSH buckets (distinct, id_a < id_b). The band
-    * frame is materialized once (`localCheckpoint`) before the self-join:
-    * Spark does not reuse the aggregation exchange across the two join
-    * aliases, so an un-materialized self-join re-derives the WHOLE
-    * shingle → md5 → signature pipeline per alias — a second full pass
-    * over the corpus text to rebuild a frame of docs × nBands narrow
-    * rows (~tens of bytes each), which is the cheaper thing to store at
-    * any scale. (The bucket self-join itself stays distributed — no
-    * collect_list per bucket, so one degenerate hot bucket degrades to
-    * the join's quadratic output, never to one executor's memory.)
+  /** Candidate pairs from LSH buckets (distinct, id_a < id_b). Lazy and
+    * cache-free like the rest of the lazy pipeline (the cache-hygiene
+    * contract: operators leave no persistent RDD blocks behind — a
+    * localCheckpoint here was measured 35-38% faster on the lazy query
+    * but leaks its blocks until GC, so the MATERIALIZING twin
+    * [[minhashLshTo]] owns that win with a scoped, released cache; the
+    * declared `dedup_minhash_lsh` query routes through it).
     */
   def lshCandidates(bands: DataFrame): DataFrame = {
-    val mat = bands.localCheckpoint()
-    val a = mat.as("a"); val b = mat.as("b")
+    val a = bands.as("a"); val b = bands.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
@@ -369,12 +365,8 @@ object Dedup {
 
   private def minhashLshFrom(hashed: DataFrame, numHashes: Int,
       rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    // verification consumes the candidate pairs three times (both id
-    // gates + the pair join) — materialize the tiny pair set once
-    // instead of re-running the bucket self-join per consumer
     val cands = lshCandidates(
       lshBands(minhashSignaturesHashed(hashed, numHashes), rowsPerBand))
-      .localCheckpoint()
     verifyCandidates(cands, hashed, minJaccard)
   }
 

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * (BASELINE.md), so variant A (no materialization — the pre-r12 plan:
   * the band self-join and the triple candidate consumption each
   * re-derive the whole shingle → md5 → signature pipeline) and variant B
-  * (current `minhashLsh`: bands + candidate pairs localCheckpoint'd)
-  * alternate inside one session and are compared by min.
+  * (the eager scoped-cache twin `minhashLshTo`, which the declared
+  * `dedup_minhash_lsh` query routes through — persists are released in
+  * its finally, honoring the cache-hygiene contract) alternate inside
+  * one session and are compared by min.
   *
   * Usage: runMain graft.tools.MinhashAbProbe [sfDir]
   */
@@ -47,7 +49,8 @@ object MinhashAbProbe {
       graft.dedup.Dedup.verifyCandidates(cands, hashed, minJ)
     }
     def current(): DataFrame =
-      graft.dedup.Dedup.minhashLsh(docs, "doc_id", "text", n, numHashes,
+      graft.dedup.Dedup.minhashLshTo(docs, "doc_id", "text",
+        s"${sys.props("java.io.tmpdir")}/graft_mhab_out", n, numHashes,
         rowsPerBand, minJ)
 
     noop(plain()); noop(current()) // warm both shapes
