@@ -260,13 +260,75 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     // atomic pointer swap: rename OVER the existing CURRENT (vecgo
     // `manifest.go:194` renames without a prior delete — a delete-then-
     // rename leaves a window where a concurrent reader sees no store)
+    publishPointer(m.version)
+  }
+
+  /** Point CURRENT at `version`'s manifest (the tail of [[commit]]).
+    * Forward-only and collision-tolerant — see the inline notes.
+    */
+  private[store] def publishPointer(version: Long): Unit = {
+    val f = fs
+    val mp = manifestPath(version)
     // per-attempt unique tmp: two writers that both (illegitimately, on a
     // guard-less object store) survive the manifest step must not clobber
     // each other's staged pointer file
-    val tmp = new Path(root, s".CURRENT.tmp-${m.version}-${uniqueToken()}")
+    val tmp = new Path(root, s".CURRENT.tmp-$version-${uniqueToken()}")
     val t = f.create(tmp, true)
     try t.write(mp.getName.getBytes("UTF-8")) finally t.close()
-    atomicRename(tmp, currentPath)
+    // Two concurrent swappers can interleave inside Hadoop's OVERWRITE
+    // rename (on local/checksummed FSs it is check-delete-rename: A
+    // deletes CURRENT, B recreates it, A's rename finds it back) and the
+    // logically-overwriting rename throws FileAlreadyExistsException —
+    // which used to kill a writer whose commit had already durably
+    // landed (StoreFuzzSpec two-writer race, captured op log). The
+    // pointer is advisory, so the swap now (a) skips when CURRENT
+    // already names this version or a NEWER one — overwriting would
+    // regress the pointer and serve stale reads until the next commit —
+    // and (b) retries the collision, escalating to clear-then-rename (a
+    // reader catching the brief no-pointer window falls back to the
+    // manifest listing, which is current-or-newer). A pathological
+    // collision storm gives up with a warning: the commit itself is
+    // durable and the next successful swap heals the pointer.
+    def pointerVersion(): Option[Long] =
+      try {
+        if (!f.exists(currentPath)) None
+        else {
+          val in = f.open(currentPath)
+          val nm =
+            try scala.io.Source.fromInputStream(in).mkString.trim
+            finally in.close()
+          Some(nm.stripPrefix("MANIFEST-").stripSuffix(".json").toLong)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    var attempt = 0
+    var swapped = false
+    while (!swapped && attempt < 20) {
+      if (pointerVersion().exists(_ >= version)) {
+        try f.delete(tmp, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        swapped = true
+      } else {
+        try {
+          if (attempt >= 4) { // escalate: clear the pointer, rename into the gap
+            try f.delete(currentPath, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          atomicRename(tmp, currentPath)
+          swapped = true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+        }
+      }
+    }
+    if (!swapped) {
+      try f.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"CURRENT swap for version $version kept colliding; commit is " +
+          "durable, pointer heals on the next commit")
+    }
   }
 
   /** Short random token making pre-commit file/dir names unique per

@@ -152,6 +152,28 @@ class StoreFuzzSpec extends AnyFunSuite {
     assert(a.currentVersion == 2)
   }
 
+  test("CURRENT swap is forward-only: a delayed older swap never regresses the pointer") {
+    // the two-writer interleave that killed a writer (captured op log,
+    // r12): A commits MANIFEST-v but stalls before its pointer swap, B
+    // commits v+1 AND swaps CURRENT; A's delayed swap must neither throw
+    // (the old OVERWRITE-rename collision) nor point CURRENT back at v
+    val root = Files.createTempDirectory("graft-ptr-fwd").toString
+    val store = new SnapshotStore(spark, root)
+    store.insert(Seq((1L, "a")).toDF("id", "v")) // v0
+    store.insert(Seq((2L, "b")).toDF("id", "v")) // v1, CURRENT → 1
+    assert(store.currentVersion == 1)
+    store.publishPointer(0) // v0's delayed swap: must skip, not regress
+    assert(store.currentVersion == 1)
+    store.publishPointer(1) // idempotent re-swap of the pointed version
+    assert(store.currentVersion == 1)
+    // no staged pointer temps may survive a skipped swap
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith(".CURRENT.tmp"))
+    assert(stray.isEmpty, s"staged pointer temps leaked: ${stray.mkString(",")}")
+  }
+
   test("two-writer commit race x20: retry-on-conflict never loses an update") {
     // the round-11 full-suite flap's prime suspect, amplified: 20 rounds
     // of two threads racing full insert chains with retry-on-conflict on
