@@ -50,10 +50,8 @@ object Dedup {
     * the raw doc rows — cheap at the scales where it fires, and a no-op at
     * 100 TB where file splits already exceed defaultParallelism.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  private def spread(df: DataFrame): DataFrame =
+    graft.functions.spread_input(df)
 
   /** Distinct word n-gram shingles: (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
