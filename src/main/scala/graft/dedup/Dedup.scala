@@ -98,15 +98,19 @@ object Dedup {
     */
   private def verifyPairs(cands: DataFrame, sets: DataFrame,
       minJaccard: Double): DataFrame =
+    // r13 (verdict ask 3): sets arrive SORTED (array_sort at collect time,
+    // once per doc), so the per-pair verification is one allocation-free
+    // sorted-merge with early exit on the threshold bound — where
+    // array_intersect built a hash set + intersection array per pair just
+    // to take its size. Pass/fail boundary and surviving jaccard values
+    // are identical by construction (the kernel binary-searches the same
+    // double-division predicate this filter applies).
     cands
       .join(sets.select(col("id").as("id_a"), col("hset").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hset").as("set_b")), "id_b")
-      .withColumn("n_inter",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (size(col("set_a")) + size(col("set_b")) - col("n_inter"))
-            .cast("double"))
+        graft.functions.jaccard_ge_sorted(col("set_a"), col("set_b"),
+          minJaccard))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
 
@@ -127,7 +131,8 @@ object Dedup {
     val candIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id")))
     val sets = hashed.join(candIds, Seq("id"), "left_semi")
-      .groupBy("id").agg(collect_set(col("h60")).as("hset"))
+      .groupBy("id")
+      .agg(array_sort(collect_set(col("h60"))).as("hset"))
     verifyPairs(cands, sets, minJaccard)
   }
 

@@ -157,6 +157,54 @@ object DistanceKernels {
   def unpackF32(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(bytesToFloats(b))
 
+  /** Exact Jaccard similarity of two SORTED-ascending, distinct long
+    * arrays when it reaches `minJ`, else -1.0 — the dedup verification
+    * kernel (r13, verdict ask 3). Replaces
+    * `size(array_intersect(a,b)) / (|a|+|b|-inter)` in the candidate
+    * verify stage: array_intersect builds a hash set of one side and
+    * materializes the intersection ARRAY per pair just to take its size;
+    * this merge counts in one pass over the sorted sets with NO per-pair
+    * allocation, and bails as soon as the remaining elements cannot reach
+    * the threshold (most candidate pairs fail it — that is why they are
+    * being verified).
+    *
+    * The pass/fail boundary is IDENTICAL to the old expression's: `need`
+    * is found by binary search over the same double-division predicate
+    * the caller filters on, so a pair passes here iff its exact
+    * double-arithmetic jaccard passes the `>= minJ` filter, and passing
+    * pairs return the bit-identical division.
+    */
+  def jaccardGeSorted(a: ArrayData, b: ArrayData, minJ: Double): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val tot = na.toLong + nb.toLong
+    if (tot == 0) return -1.0 // old expression: 0/0 = NaN, fails >= minJ
+    val maxI = math.min(na, nb).toLong
+    @inline def pass(i: Long): Boolean =
+      i.toDouble / (tot - i).toDouble >= minJ
+    if (!pass(maxI)) return -1.0 // even full containment cannot reach minJ
+    // minimal passing intersection count (predicate is monotone in i)
+    var lo = 0L
+    var hi = maxI
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (pass(mid)) hi = mid else lo = mid + 1
+    }
+    val need = hi
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < need) return -1.0
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (inter >= need) inter.toDouble / (tot - inter).toDouble else -1.0
+  }
+
   // KernelMode-dispatching query-side kernels over primitive arrays (the
   // packed layout arrives as float[] before the kernel, so the ArrayData
   // Q-variants below forward here)

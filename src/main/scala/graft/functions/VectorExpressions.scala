@@ -484,3 +484,26 @@ case class VecMatMul(child: Expression, matrix: Array[Array[Float]])
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Exact Jaccard of two sorted distinct array<long> sets when it reaches
+  * the constant threshold `minJ`, else -1.0 (see
+  * [[DistanceKernels.jaccardGeSorted]] — the dedup candidate-verification
+  * kernel: one allocation-free sorted-merge pass with early exit, where
+  * `size(array_intersect(...))` materialized a hash set + intersection
+  * array per candidate pair).
+  */
+case class JaccardGeSorted(left: Expression, right: Expression, minJ: Double)
+    extends BinaryExpression with VecBinaryChecks {
+  protected def expectedElem: DataType = LongType
+  override def prettyName: String = "jaccard_ge_sorted"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DistanceKernels.jaccardGeSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], minJ)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DistanceKernels.jaccardGeSorted($a, $b, " +
+        s"${java.lang.Double.toString(minJ)}D)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -90,6 +90,13 @@ package object functions {
   def bpe_encode(text: Column, merges: Array[Array[String]]): Column =
     asCol(BpeEncode(expr(text), merges))
 
+  /** Exact Jaccard of two sorted distinct array<long> sets when it
+    * reaches `minJ`, else -1 — allocation-free sorted-merge with
+    * early-exit on the threshold bound (the dedup verify kernel).
+    */
+  def jaccard_ge_sorted(a: Column, b: Column, minJ: Double): Column =
+    asCol(JaccardGeSorted(expr(a), expr(b), minJ))
+
   /** Hamming distance over packed array<long> binary codes. */
   def vec_hamming(a: Column, b: Column): Column = asCol(VecHamming(expr(a), expr(b)))
 
