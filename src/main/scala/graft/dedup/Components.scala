@@ -86,6 +86,15 @@ object Components {
     var converged = prev._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
+      // ONE alternation per checkpoint round — measured, not assumed
+      // (r13): doubling to smallStar(largeStar(smallStar(largeStar(e))))
+      // per checkpoint was built and REJECTED on JobCountProbe evidence:
+      // chain-5k 112 -> 129 jobs / 10.7 -> 27.8 s, semanticDedup fixture
+      // 28 -> 44 jobs / 2.6 -> 6.7 s. Under AQE every exchange in the
+      // round's plan is its own stage-job, so halving the checkpoints
+      // saves nothing (total exchanges are unchanged) while the 2x-deeper
+      // un-materialized plan doubles per-round planning/AQE-replanning
+      // work. The checkpoint cadence is NOT the cost here.
       val (next, cur) = checkpointWithChecksum(smallStar(largeStar(edges)))
       edges = next
       converged = cur == prev

@@ -62,10 +62,14 @@ class S3SimFileSystem extends RawLocalFileSystem {
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
+    System.err.println(s"[s3sim-dbg] create: $f overwrite=$overwrite thread=${Thread.currentThread().getName}")
     if (overwrite || !f.getName.startsWith("MANIFEST-"))
       return super.create(f, permission, overwrite, bufferSize, replication,
         blockSize, progress)
-    if (inBarrierScope(f)) awaitQuietly(manifestCreateBarrier)
+    if (inBarrierScope(f)) {
+      System.err.println(s"[s3sim-dbg] create barrier: $f thread=${Thread.currentThread().getName}")
+      awaitQuietly(manifestCreateBarrier)
+    }
     conditionalPutLock.synchronized {
       if (exists(f))
         throw new org.apache.hadoop.fs.FileAlreadyExistsException(

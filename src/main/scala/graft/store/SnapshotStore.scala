@@ -72,6 +72,15 @@ object CompactionPolicy {
 
 object SnapshotStore {
   import graft.stats.SegmentStats
+
+  /** Row cap for the driver-side small-batch segment writer: a LOCAL
+    * batch at or under this takes the parquet-mr fast path (no Spark
+    * job). The rows are already driver-resident when the path applies
+    * (a LocalRelation), so the cap bounds only the single-threaded write
+    * — 10k × ~0.5 KB/row writes in ~10 ms; past it the distributed
+    * writer's parallelism wins back its scheduling floor.
+    */
+  val SmallInsertMaxRows: Int = 10000
   /** Pointer from the manifest to a segment's vector index: the kind, the
     * sidecar metadata JSON (centroids + quantizer bounds), and the IVF
     * list count (vecgo records index type + params in its segment header,
@@ -386,6 +395,155 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     (dir, m("rows").asInstanceOf[Long], m)
   }
 
+  /** Driver-evaluated rows of a small LOCAL batch, or None. A batch built
+    * from driver data (createDataFrame / typed Seqs — the interactive
+    * ingest-window shape) optimizes to a bare `LocalRelation`: Catalyst's
+    * ConvertToLocalRelation folds the validation/packing projection into
+    * the relation, evaluating it ON THE DRIVER (a bad row raises here,
+    * preserving the insert path's validation contract). Detection is
+    * two-stage so big or genuinely-distributed inputs never pay an
+    * optimizer pass twice: the ANALYZED plan's leaves must all be local
+    * and small first; only then is the optimized plan consulted.
+    */
+  private def localSmallRows(df: DataFrame)
+      : Option[(org.apache.spark.sql.types.StructType,
+                Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val allLocalSmall = leaves.nonEmpty && leaves.forall {
+      case lr: LocalRelation => lr.data.lengthCompare(SmallInsertMaxRows) <= 0
+      case _ => false
+    }
+    if (!allLocalSmall) return None
+    df.queryExecution.optimizedPlan match {
+      case lr: LocalRelation
+          if lr.data.lengthCompare(SmallInsertMaxRows) <= 0 &&
+            parquetWritableLocally(lr.schema) =>
+        Some((lr.schema, lr.data))
+      case _ => None
+    }
+  }
+
+  /** Schema shapes the driver-side parquet-mr writer reproduces with the
+    * EXACT layout the Spark writer would produce (same read-back types
+    * and nullability): primitives, strings, packed-vector binary, and
+    * array<long> Hamming codes. Anything else falls back to the Spark
+    * write path.
+    */
+  private def parquetWritableLocally(
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    schema.fields.forall { f =>
+      f.dataType match {
+        case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+             StringType | BinaryType => true
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+    }
+  }
+
+  /** Driver-side segment write for SMALL local batches — no Spark job
+    * (r13, verdict ask 2; the segment twin of [[deleteSmall]]). A
+    * scheduled write job has a ~100-300 ms floor regardless of batch
+    * size, which was the serve-refresh ingest-window commit floor; a
+    * 250-row window writes in single-digit ms with parquet-mr. Same dir
+    * layout, same id bloom filter, same uncompressed/no-dictionary codec
+    * choices as [[writeSegmentObserving]]; read paths cannot tell the
+    * two apart.
+    */
+  private def writeSegmentLocal(
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      seq: Long, prefix: String): String = {
+    import org.apache.spark.sql.types._
+    val dir = s"$root/$prefix-$seq-${uniqueToken()}"
+    val file = new Path(dir, "part-00000.parquet")
+    def rep(nullable: Boolean) = if (nullable) "optional" else "required"
+    val fieldDefs = schema.fields.map { f =>
+      f.dataType match {
+        case BooleanType => s"${rep(f.nullable)} boolean ${f.name};"
+        case IntegerType => s"${rep(f.nullable)} int32 ${f.name};"
+        case LongType => s"${rep(f.nullable)} int64 ${f.name};"
+        case FloatType => s"${rep(f.nullable)} float ${f.name};"
+        case DoubleType => s"${rep(f.nullable)} double ${f.name};"
+        case StringType => s"${rep(f.nullable)} binary ${f.name} (UTF8);"
+        case BinaryType => s"${rep(f.nullable)} binary ${f.name};"
+        case ArrayType(LongType, cn) =>
+          s"${rep(f.nullable)} group ${f.name} (LIST) { repeated group " +
+            s"list { ${rep(cn)} int64 element; } }"
+        case t => throw new IllegalStateException(
+          s"unsupported local-write type $t") // guarded by parquetWritableLocally
+      }
+    }.mkString(" ")
+    val pqSchema = org.apache.parquet.schema.MessageTypeParser
+      .parseMessageType(s"message seg { $fieldDefs }")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(pqSchema, conf)
+    try {
+      val builder = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+          .fromPath(file, conf))
+        .withConf(conf)
+        // same physical choices as the Spark writer: uncompressed (float
+        // bytes are entropy-dense), id bloom filter for point gets /
+        // delete anti-joins, no dictionary attempt on unique vector blobs
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.UNCOMPRESSED)
+        .withBloomFilterEnabled("id", true)
+      val b2 =
+        if (schema.fieldNames.contains("vector"))
+          builder.withDictionaryEncoding("vector", false)
+        else builder
+      val writer = b2.build()
+      val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        pqSchema)
+      try {
+        rows.foreach { row =>
+          val g = gf.newGroup()
+          var i = 0
+          while (i < schema.length) {
+            if (!row.isNullAt(i)) {
+              val name = schema(i).name
+              schema(i).dataType match {
+                case BooleanType => g.append(name, row.getBoolean(i))
+                case IntegerType => g.append(name, row.getInt(i))
+                case LongType => g.append(name, row.getLong(i))
+                case FloatType => g.append(name, row.getFloat(i))
+                case DoubleType => g.append(name, row.getDouble(i))
+                case StringType => g.append(name,
+                  org.apache.parquet.io.api.Binary.fromString(
+                    row.getUTF8String(i).toString))
+                case BinaryType => g.append(name,
+                  org.apache.parquet.io.api.Binary.fromReusedByteArray(
+                    row.getBinary(i)))
+                case ArrayType(LongType, _) =>
+                  val arr = row.getArray(i)
+                  val lst = g.addGroup(name)
+                  var k = 0
+                  while (k < arr.numElements()) {
+                    val el = lst.addGroup("list")
+                    if (!arr.isNullAt(k)) el.append("element", arr.getLong(k))
+                    k += 1
+                  }
+                case _ => ()
+              }
+            }
+            i += 1
+          }
+          writer.write(g)
+        }
+      } finally writer.close()
+    } catch {
+      case e: Throwable =>
+        try fs.delete(new Path(dir), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    dir
+  }
+
   /** Tombstone anti-join, vecgo LSN rule: a delete with seq d hides ids in
     * segments with seq < d; later segments (re-inserts) are unaffected.
     * Expects `segs` to carry `id` and `_seq` columns — any per-row derived
@@ -489,6 +647,31 @@ final class SnapshotStore(spark: SparkSession, val root: String,
     val m = headManifest.getOrElse(Manifest(-1L, -1L, Nil, Nil))
     val seq = m.maxSeq + 1
     val hint = statsDimHint(m)
+    // r13 (verdict ask 2): a small driver-local batch skips the Spark
+    // write job entirely — parquet-mr direct write (deleteSmall's
+    // pattern). Validation/packing already ran on the driver when the
+    // local plan collapsed. Stats values are identical: pass 1 runs the
+    // SAME pass1Aggs expressions as one agg job over the written file
+    // (the pre-observe shape), pass 2 is unchanged — so a stats-ful
+    // small insert still pays 2 jobs, but the 100-300 ms write-job floor
+    // becomes a ~10 ms driver write; a stats-less one pays ZERO jobs.
+    localSmallRows(df).foreach { case (schema, rows) =>
+      if (rows.isEmpty) return math.max(m.version, -1L)
+      val path = writeSegmentLocal(schema, rows, seq, "seg")
+      val stats =
+        if (collectStats) {
+          val rb = spark.read.parquet(path)
+          val aggs = graft.stats.SegmentStats.pass1Aggs(rb.schema, vecCol, hint)
+          val row = rb.agg(aggs.head, aggs.tail: _*).collect()(0)
+          Some(graft.stats.SegmentStats.collectFromPass1(rb, vecCol, hint,
+            row.getValuesMap[Any](row.schema.fieldNames.toSeq)))
+        } else None
+      val next = Manifest(m.version + 1, seq,
+        m.segments :+ SegmentRef(path, seq, rows.length.toLong, stats),
+        m.deletes)
+      commit(next)
+      return next.version
+    }
     // stats pass 1 (bounds/ndv/rows + centroid sum under a dim hint)
     // rides the WRITE job itself via observe — same expressions over the
     // same rows as a post-write agg, one fewer pass over the segment

@@ -70,6 +70,24 @@ object JobCountProbe {
       graft.dedup.Components.connectedComponents(edges)
         .write.format("noop").mode("overwrite").save()
     }
+
+    // the dedup_semantic shape (r13 verdict ask 4): dense per-cluster dup
+    // graphs that converge in 1-2 alternations — the row the "small
+    // driver jobs" cadence complaint was about
+    val sem = spark.range(0, 1000, 1, 8).select(
+      col("id"),
+      pmod(col("id"), lit(8)).cast("string").as("cluster"),
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod(xxhash64(pmod(col("id"), lit(50)) * lit(7) + i),
+          lit(1000)).cast("double") / lit(500.0) - lit(1.0)).cast("float"))
+        .as("v"))
+    sem.write.mode("overwrite").parquet(s"$root/sem")
+    val semIn = spark.read.parquet(s"$root/sem")
+    measure("semanticDedup (8 clusters x 125)") {
+      graft.dedup.Dedup.semanticDedup(semIn, "id", "v", "cluster",
+        eps = 0.99, dim = 16)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
